@@ -1,17 +1,971 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** The declared operator queries (SURVEY §2 inventory) with their DuckDB
-  * oracle SQL. Column names are aliased identically on both sides; every
-  * query orders deterministically; doubles that aggregate floating-point
-  * sums go through DECIMAL so Spark's partial aggregation order cannot
-  * change the bits vs DuckDB.
+/** The declared operator queries (SURVEY §2 inventory mapped onto the
+  * driver's TPC-H-ish tables) with their DuckDB oracle SQL.
+  *
+  * Engine-parity conventions (the driver hash-compares values):
+  *  - column names aliased identically on both sides;
+  *  - deterministic ORDER BY with full tiebreaks on both sides;
+  *  - any float aggregation is quantized first — `floor(x*scale+0.5)`
+  *    cast to BIGINT, summed exactly — because double summation order
+  *    differs between Spark partial aggregation and DuckDB, but integer
+  *    sums are order-free. Double *expressions* (no reordering) are fine:
+  *    IEEE ops are deterministic given identical inputs.
   */
 object Queries {
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracles: Map[String, String] = Map.empty
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): with
+    // spark.sql.legacy.parquet.nanosAsLong it arrives as LongType nanos;
+    // convert to a proper micros TIMESTAMP (values carry no sub-micro bits).
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Exact integer cents/micros: floor(x*scale+0.5) as BIGINT. */
+  private def quant(c: Column, scale: Long): Column =
+    floor(c * scale.toDouble + 0.5).cast("long")
+
+  // ==========================================================================
+  // Relational operators (SURVEY §2.2-2.8) over the TPC-H-ish tables
+  // ==========================================================================
+
+  private val relational: Seq[Q] = Seq(
+
+    // ----- A8/A4: grouped aggregation with NaN/null-skipping sums (TPC-H Q1 shape)
+    Q("q1_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("long").as("sum_qty"),
+            sum(quant($"l_extendedprice", 100)).as("sum_base_cents"),
+            sum(quant($"l_extendedprice", 100) * (lit(10000L) - quant($"l_discount", 10000)))
+              .as("sum_disc_micro"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS sum_base_cents,
+             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+             |      * (10000 - CAST(floor(l_discount*10000+0.5) AS BIGINT))) AS sum_disc_micro,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- P1: projection + selective filter (band selection analog)
+    Q("p1_projection",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_returnflag".isin("A", "R") && $"l_quantity" >= 30)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+                  $"l_quantity".cast("long").as("qty"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  CAST(l_quantity AS BIGINT) AS qty
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R') AND l_quantity >= 30
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----- P2/F1: structured string parse + set-valued predicate (mimetype analog)
+    Q("p2_structured_match",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .withColumn("brand_num", split($"p_brand", "#").getItem(1).cast("int"))
+          .filter($"p_type".isin("ECONOMY", "SMALL") && $"brand_num" % 5 === 0)
+          .select($"p_partkey", $"p_brand", $"brand_num", $"p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand,
+             |  CAST(string_split(p_brand,'#')[2] AS INT) AS brand_num, p_type
+             |FROM part
+             |WHERE p_type IN ('ECONOMY','SMALL')
+             |  AND CAST(string_split(p_brand,'#')[2] AS INT) % 5 = 0
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ----- P4/F5: interval-overlap predicate (spatial bbox pruning analog)
+    Q("p4_overlap_prune",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .withColumn("iv_end", $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        o.filter(!($"iv_end" <= lit("1995-03-01").cast("timestamp") ||
+                   $"o_orderdate" >= lit("1995-06-30").cast("timestamp")))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE NOT (o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1995-03-01 00:00:00'
+             |        OR o_orderdate >= TIMESTAMP '1995-06-30 00:00:00')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- P6: metadata predicate prunes before the expensive join (pushdown)
+    Q("p6_meta_filter",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+        val li = t(s, dir, "lineitem")
+        o.join(li, $"o_orderkey" === $"l_orderkey")
+          .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+          .agg(sum(quant($"l_extendedprice", 100)).as("rev_cents"),
+               count(lit(1)).as("n"))
+          .orderBy($"month")
+      },
+      Some("""SELECT date_trunc('month', o_orderdate) AS month,
+             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS rev_cents,
+             |  count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- P7: label-based slicing (time range + key range + band membership)
+    Q("p7_label_slice",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .filter($"ts" >= lit("2024-01-05").cast("timestamp") &&
+                  $"ts" <  lit("2024-01-12").cast("timestamp") &&
+                  $"event_type".isin("click", "view") &&
+                  $"user_id".between(10, 500))
+          .select($"event_id", $"ts", $"user_id", $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+             |  AND event_type IN ('click','view') AND user_id BETWEEN 10 AND 500
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----- J1/P3: cartesian grid LEFT JOIN with missing cells -> fill (asset table shape)
+    Q("j1_grid_leftjoin",
+      (s, dir) => {
+        import s.implicits._
+        val grid = s.range(0, 7).select($"id".as("bucket"))
+          .crossJoin(t(s, dir, "events").select($"event_type").distinct())
+        val counts = t(s, dir, "events")
+          .filter($"value" > 400)
+          .groupBy(($"user_id" % 7).as("bucket"), $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+        grid.join(counts, Seq("bucket", "event_type"), "left")
+          .select($"bucket", $"event_type", coalesce($"cnt", lit(0L)).as("n"))
+          .orderBy($"bucket", $"event_type")
+      },
+      Some("""SELECT g.bucket, g.event_type, COALESCE(c.cnt, 0) AS n
+             |FROM (SELECT i AS bucket, event_type
+             |      FROM range(0,7) t(i) CROSS JOIN (SELECT DISTINCT event_type FROM events)) g
+             |LEFT JOIN (SELECT user_id % 7 AS bucket, event_type, count(*) AS cnt
+             |           FROM events WHERE value > 400 GROUP BY 1, 2) c
+             |USING (bucket, event_type)
+             |ORDER BY g.bucket, g.event_type""".stripMargin)),
+
+    // ----- J2: small cross join (chunk-grid product analog)
+    Q("j2_cross_small",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+          .select($"n_name", $"r_name")
+          .orderBy($"n_name", $"r_name")
+      },
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |ORDER BY n_name, r_name""".stripMargin)),
+
+    // ----- J3: range/interval join against a generated dimension (broadcast theta)
+    Q("j3_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val buckets = s.range(0, 10).select(($"id" * 50).cast("double").as("lo"))
+        t(s, dir, "events")
+          .join(broadcast(buckets), $"value" >= $"lo" && $"value" < $"lo" + 50)
+          .groupBy($"lo".cast("long").as("bucket_lo"))
+          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+          .orderBy($"bucket_lo")
+      },
+      Some("""SELECT CAST(b.lo AS BIGINT) AS bucket_lo, count(*) AS n,
+             |  sum(CAST(floor(e.value*100+0.5) AS BIGINT)) AS sum_cents
+             |FROM events e
+             |JOIN (SELECT i*50 AS lo FROM range(0,10) t(i)) b
+             |  ON e.value >= b.lo AND e.value < b.lo + 50
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- J4: star join through broadcast dims (coordinate join analog)
+    Q("j4_star_join",
+      (s, dir) => {
+        import s.implicits._
+        val region = t(s, dir, "region"); val nation = t(s, dir, "nation")
+        val customer = t(s, dir, "customer"); val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(sum(quant($"l_extendedprice", 100)).as("rev_cents"),
+               count(lit(1)).as("n"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS rev_cents,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ----- J5: band-alignment self-join + elementwise algebra (NDVI shape)
+    Q("j5_band_align",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val a = li.filter($"l_returnflag" === "A").groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").cast("long").as("qa"))
+        val n = li.filter($"l_returnflag" === "N").groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").cast("long").as("qn"))
+        a.join(n, "l_orderkey")
+          .select($"l_orderkey", $"qa", $"qn",
+                  (($"qa" - $"qn").cast("double") / ($"qa" + $"qn")).as("ndvi"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""WITH a AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qa
+             |           FROM lineitem WHERE l_returnflag='A' GROUP BY 1),
+             |     n AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qn
+             |           FROM lineitem WHERE l_returnflag='N' GROUP BY 1)
+             |SELECT a.l_orderkey, qa, qn, CAST(qa - qn AS DOUBLE) / (qa + qn) AS ndvi
+             |FROM a JOIN n USING (l_orderkey)
+             |ORDER BY a.l_orderkey""".stripMargin)),
+
+    // ----- W2: first-valid along ordered time per key (mosaic as window fn)
+    Q("w2_first_valid",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        t(s, dir, "events")
+          .filter($"value".isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id".as("last_event"), quant($"value", 100).as("last_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event,
+             |  CAST(floor(value*100+0.5) AS BIGINT) AS last_cents
+             |FROM events
+             |WHERE value IS NOT NULL
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ----- W1-ish: running analytic window (frame spec)
+    Q("w1_running_sum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter($"user_id" < 20 && $"value".isNotNull)
+          .select($"user_id", $"event_id",
+                  sum(quant($"value", 100)).over(w).as("running_cents"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  sum(CAST(floor(value*100+0.5) AS BIGINT))
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+             |FROM events WHERE user_id < 20 AND value IS NOT NULL
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ----- W3/A8: tumbling calendar window (temporal resample)
+    Q("w3_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("week", $"ts").as("week"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+          .orderBy($"week", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type, count(*) AS n,
+             |  sum(CAST(floor(value*100+0.5) AS BIGINT)) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- A4: min/max envelope fold (bounds union analog)
+    Q("a4_minmax",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "supplier")
+          .groupBy($"s_nationkey")
+          .agg(quant(min($"s_acctbal"), 100).as("min_bal_cents"),
+               quant(max($"s_acctbal"), 100).as("max_bal_cents"),
+               count(lit(1)).as("n"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+             |  CAST(floor(min(s_acctbal)*100+0.5) AS BIGINT) AS min_bal_cents,
+             |  CAST(floor(max(s_acctbal)*100+0.5) AS BIGINT) AS max_bal_cents,
+             |  count(*) AS n
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ----- A5/A6: metadata accumulation — constant-vs-varying detection
+    Q("a5_allsame",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source")
+          .agg(when(countDistinct($"lang") === 1, max($"lang")).as("lang_const"),
+               countDistinct($"lang").as("n_langs"),
+               count(lit(1)).as("n_docs"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+             |  CASE WHEN count(DISTINCT lang) = 1 THEN max(lang) END AS lang_const,
+             |  count(DISTINCT lang) AS n_langs, count(*) AS n_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- A7: exact percentiles (viz normalization range)
+    Q("a7_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .filter($"value".isNotNull)
+          .groupBy($"event_type")
+          .agg(round(expr("percentile(value, 0.02)"), 4).as("p02"),
+               round(expr("percentile(value, 0.5)"), 4).as("p50"),
+               round(expr("percentile(value, 0.98)"), 4).as("p98"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.02), 4) AS p02,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.98), 4) AS p98
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- A9: rollup grouping sets
+    Q("a9_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val df = t(s, dir, "nation")
+          .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .join(t(s, dir, "supplier"), $"s_nationkey" === $"n_nationkey")
+        df.rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n"), quant(sum($"s_acctbal"), 100).as("sum_cents_q"))
+          .select(coalesce($"r_name", lit("ALL")).as("region"),
+                  coalesce($"n_name", lit("ALL")).as("nation"),
+                  $"n", $"sum_cents_q")
+          .orderBy($"region", $"nation")
+      },
+      Some("""SELECT COALESCE(r_name,'ALL') AS region, COALESCE(n_name,'ALL') AS nation,
+             |  count(*) AS n,
+             |  CAST(floor(sum(s_acctbal)*100+0.5) AS BIGINT) AS sum_cents_q
+             |FROM nation
+             |JOIN region ON n_regionkey = r_regionkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)),
+
+    // ----- O1/O3: sort + deterministic top-k
+    Q("o1_topk",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .orderBy($"c_acctbal".desc, $"c_custkey")
+          .limit(100)
+          .select($"c_custkey", $"c_name", quant($"c_acctbal", 100).as("bal_cents"))
+      },
+      Some("""SELECT c_custkey, c_name, CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS bal_cents
+             |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 100""".stripMargin)),
+
+    // ----- O3 variant: per-group top-k via ranking window
+    Q("o3_topk_pergroup",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+        t(s, dir, "part")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"p_brand", $"rk", $"p_partkey", quant($"p_retailprice", 100).as("price_cents"))
+          .orderBy($"p_brand", $"rk")
+      },
+      Some("""SELECT p_brand, rk, p_partkey, CAST(floor(p_retailprice*100+0.5) AS BIGINT) AS price_cents
+             |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+             |        ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part)
+             |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)),
+
+    // ----- U3: set operations
+    Q("u3_setops",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val c94 = o.filter(year($"o_orderdate") === 1994).select($"o_custkey").distinct()
+        val c95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey").distinct()
+        c94.intersect(c95).agg(count(lit(1)).as("n_both"))
+          .crossJoin(c94.except(c95).agg(count(lit(1)).as("n_94_only")))
+          .crossJoin(c95.except(c94).agg(count(lit(1)).as("n_95_only")))
+          .crossJoin(c94.union(c95).distinct().agg(count(lit(1)).as("n_union")))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1994
+             |    INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995)) AS n_both,
+             |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1994
+             |    EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995)) AS n_94_only,
+             |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+             |    EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1994)) AS n_95_only,
+             |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) IN (1994,1995))) AS n_union""".stripMargin)),
+
+    // ----- F2: ISO8601 format/parse round trip
+    Q("f2_date_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(to_timestamp(date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                               "yyyy-MM-dd'T'HH:mm:ss").as("parsed"))
+          .groupBy(date_trunc("day", $"parsed").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"day")
+      },
+      Some("""SELECT date_trunc('day', strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+             |                                  '%Y-%m-%dT%H:%M:%S')) AS day, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- F6: snap-to-resolution grid math
+    Q("f6_snap",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .groupBy((floor($"p_retailprice" / 10) * 10).cast("long").as("snap_lo"))
+          .agg(count(lit(1)).as("n"), quant(min($"p_retailprice"), 100).as("min_cents"))
+          .orderBy($"snap_lo")
+      },
+      Some("""SELECT CAST(floor(p_retailprice/10)*10 AS BIGINT) AS snap_lo,
+             |  count(*) AS n,
+             |  CAST(floor(min(p_retailprice)*100+0.5) AS BIGINT) AS min_cents
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- F9: rescale x*scale+offset, elided-identity semantics
+    Q("f9_rescale",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(sum(floor(($"l_quantity" * 2.5 + 10.0) * 10 + 0.5).cast("long")).as("sum_rescaled_decis"),
+               count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  sum(CAST(floor((l_quantity*2.5 + 10.0)*10 + 0.5) AS BIGINT)) AS sum_rescaled_decis,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- F20: JSON field access
+    Q("f20_json",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(get_json_object($"props", "$.k").cast("int").as("k"))
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"k_mod")
+      },
+      Some("""SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  // ==========================================================================
+  // Text analysis + deduplication (training-data pipeline operators)
+  // ==========================================================================
+
+  /** Quantized int vector: round(x*1e4) as BIGINT per element — makes dot
+    * products exact integer sums, order-free and engine-portable. */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 10000).cast("long"))
+  private def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  private def cosq(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    round(dotq(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
+
+  private val textDedup: Seq[Q] = Seq(
+
+    // ----- T1: token counting + basic text stats
+    Q("t1_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", $"n_chars",
+                  size(split($"text", " ")).as("ntok"),
+                  size(array_distinct(split($"text", " "))).as("ndist"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+               sum($"ndist").as("sum_distinct"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  sum(len(string_split(text,' '))) AS sum_tokens,
+             |  sum(len(list_distinct(string_split(text,' ')))) AS sum_distinct,
+             |  sum(n_chars) AS sum_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ----- T2: language-ID heuristic (stopword-frequency argmax, fixed tiebreak)
+    Q("t2_langid",
+      (s, dir) => {
+        import s.implicits._
+        val en = Seq("the", "a", "of", "and", "is")
+        val es = Seq("el", "la", "de", "y", "es")
+        val de = Seq("der", "die", "und", "das")
+        val fr = Seq("le", "et", "les", "un")
+        def score(set: Seq[String]) =
+          size(filter(split($"text", " "), tok => tok.isInCollection(set)))
+        t(s, dir, "documents")
+          .withColumn("s_en", score(en)).withColumn("s_es", score(es))
+          .withColumn("s_de", score(de)).withColumn("s_fr", score(fr))
+          .withColumn("lang_pred",
+            when($"s_en" + $"s_es" + $"s_de" + $"s_fr" === 0, "und")
+              .when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+              .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+              .when($"s_de" >= $"s_fr", "de")
+              .otherwise("fr"))
+          .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy($"lang_pred")
+      },
+      Some("""WITH scored AS (
+             |  SELECT len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','es'))) AS s_es,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS s_de,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('le','et','les','un'))) AS s_fr
+             |  FROM documents)
+             |SELECT CASE WHEN s_en+s_es+s_de+s_fr = 0 THEN 'und'
+             |            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             |            WHEN s_de >= s_fr THEN 'de'
+             |            ELSE 'fr' END AS lang_pred, count(*) AS n
+             |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T3: quality scoring (length/diversity mix) histogram
+    Q("t3_quality",
+      (s, dir) => {
+        import s.implicits._
+        val ntok = size(split($"text", " ")).cast("double")
+        val ndist = size(array_distinct(split($"text", " "))).cast("double")
+        val quality = lit(0.4) * least($"n_chars" / 400.0, lit(1.0)) +
+          lit(0.3) * least(ntok / 80.0, lit(1.0)) + lit(0.3) * (ndist / ntok)
+        t(s, dir, "documents")
+          .select(floor(quality * 10).cast("long").as("q_bucket"))
+          .groupBy($"q_bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"q_bucket")
+      },
+      Some("""SELECT CAST(floor((0.4*least(n_chars/400.0, 1.0)
+             |  + 0.3*least(len(string_split(text,' '))/80.0, 1.0)
+             |  + 0.3*(len(list_distinct(string_split(text,' ')))::DOUBLE
+             |         / len(string_split(text,' '))))*10) AS BIGINT) AS q_bucket,
+             |  count(*) AS n
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T4: document fingerprinting (canonical sorted-distinct-token md5)
+    Q("t4_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("canonical"))
+          .filter($"n" > 1)
+          .orderBy($"fp")
+      },
+      Some("""SELECT fp, count(*) AS n, min(doc_id) AS canonical
+             |FROM (SELECT doc_id,
+             |        md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |      FROM documents)
+             |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // ----- D1: exact dedup via content hash
+    Q("d1_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val hashed = t(s, dir, "documents").select($"doc_id", md5($"text").as("h"))
+        hashed.agg(count(lit(1)).as("n_docs"),
+                   countDistinct($"h").as("n_unique"))
+          .crossJoin(
+            hashed.groupBy($"h").agg(count(lit(1)).as("c"))
+              .filter($"c" > 1).agg(count(lit(1)).as("n_dup_groups")))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents) AS n_docs,
+             |  (SELECT count(DISTINCT md5(text)) FROM documents) AS n_unique,
+             |  (SELECT count(*) FROM (SELECT md5(text) h, count(*) c FROM documents
+             |    GROUP BY 1 HAVING count(*) > 1)) AS n_dup_groups""".stripMargin)),
+
+    // ----- D2: MinHash + LSH banding near-dup detection
+    // 8 md5-minhashes over distinct tokens, 2 bands x 4 rows, verify >= 0.95
+    // (lexicographic min of md5(seed|token) is a valid minhash family and is
+    //  byte-identical across engines).
+    Q("d2_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val toks = docs.select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("tok"))
+        val sigCols = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), $"tok"))).as(s"h$i"))
+        val sig = toks.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bands = sig.select($"doc_id", lit(0).as("band"),
+            md5(concat($"h0", $"h1", $"h2", $"h3")).as("key"))
+          .union(sig.select($"doc_id", lit(1).as("band"),
+            md5(concat($"h4", $"h5", $"h6", $"h7")).as("key")))
+        val a = bands.as("a"); val b = bands.as("b")
+        val cand = a.join(b,
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+            $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+        val sets = docs.select($"doc_id", array_distinct(split($"text", " ")).as("st"))
+        val j = size(array_intersect($"sa.st", $"sb.st")).cast("double") /
+                size(array_union($"sa.st", $"sb.st"))
+        cand
+          .join(sets.as("sa"), $"id_a" === $"sa.doc_id")
+          .join(sets.as("sb"), $"id_b" === $"sb.doc_id")
+          .filter(j >= 0.95)
+          .select($"id_a", $"id_b", round(j, 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS st FROM documents)
+             |SELECT id_a, id_b,
+             |  round(len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / len(list_distinct(sa.st || sb.st)), 6) AS jaccard
+             |FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |      / len(list_distinct(sa.st || sb.st)) >= 0.95
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- D3: SimHash (16-bit, over distinct tokens, md5-derived bits)
+    Q("d3_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents").select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("tok"))
+          .withColumn("h", conv(substring(md5($"tok"), 1, 4), 16, 10).cast("int"))
+        val sumCols = (0 until 16).map(j =>
+          sum(when((shiftright($"h", j) % 2) === 1, 1).otherwise(-1)).as(s"s$j"))
+        val sums = toks.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val simhash = (0 until 16).map(j =>
+          when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+        sums.select($"doc_id", simhash.as("simhash"))
+          .filter($"doc_id" < 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |bits AS (SELECT doc_id, ('0x'||substr(md5(tok),1,4))::INT AS h FROM toks),
+             |sums AS (SELECT doc_id,
+             |""".stripMargin +
+           (0 until 16).map(j =>
+             s"    sum(CASE WHEN (h // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+             .mkString(",\n") +
+           "\n  FROM bits GROUP BY doc_id)\nSELECT doc_id,\n  " +
+           (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+             .mkString(" + ") +
+           " AS simhash\nFROM sums WHERE doc_id < 100 ORDER BY doc_id")),
+
+    // ----- D4: n-gram (word bigram) Jaccard near-dup, brute-force on a slice
+    Q("d4_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val grams = t(s, dir, "documents").filter($"doc_id" < 200)
+          .select($"doc_id", split($"text", " ").as("s"))
+          .select($"doc_id", array_distinct(
+            transform(sequence(lit(0), size($"s") - 2),
+              i => concat(element_at($"s", i + 1), lit(" "), element_at($"s", i + 2)))).as("gs"))
+        val j = size(array_intersect($"a.gs", $"b.gs")).cast("double") /
+                size(array_union($"a.gs", $"b.gs"))
+        grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
+          .filter(j >= 0.10)
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), round(j, 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(len(s)-1),
+             |           i -> s[i+1] || ' ' || s[i+2])) AS gs
+             |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 200))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.gs, b.gs))::DOUBLE
+             |        / len(list_distinct(a.gs || b.gs)), 6) AS jaccard
+             |FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+             |      / len(list_distinct(a.gs || b.gs)) >= 0.10
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- D5: embedding-cosine near-dup (quantized exact cosine)
+    Q("d5_embedding_dup",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "embeddings")
+          .select($"vec_id", qvec($"embedding").as("qv"))
+          .withColumn("nq", dotq($"qv", $"qv"))
+        v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+                  cosq($"a.qv", $"b.qv", $"a.nq", $"b.nq").as("cos"))
+          .filter($"cos" >= 0.45)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |        / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) AS cos
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |        / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin))
+  )
+
+  // ==========================================================================
+  // Similarity search (ANN) over embeddings
+  // ==========================================================================
+
+  private val vector: Seq[Q] = Seq(
+
+    // ----- V1: brute-force cosine top-k (the exactness baseline)
+    Q("v1_knn_brute",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "embeddings")
+          .select($"vec_id", qvec($"embedding").as("qv"))
+          .withColumn("nq", dotq($"qv", $"qv"))
+        val q = v.filter($"vec_id" < 5)
+        val pairs = broadcast(q.as("a")).join(v.as("b"), $"a.vec_id" =!= $"b.vec_id")
+          .select($"a.vec_id".as("qid"), $"b.vec_id".as("nid"),
+                  cosq($"a.qv", $"b.qv", $"a.nq", $"b.nq").as("cos"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+        pairs.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+          .select($"qid", $"rk", $"nid", $"cos")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |pairs AS (
+             |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |    round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) AS cos
+             |  FROM n a, n b WHERE a.vec_id < 5 AND b.vec_id != a.vec_id)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             |  FROM pairs)
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- V2: sign-random-hyperplane LSH bucketing (the scale path's
+    // coarse quantizer). Hyperplane signs come from md5 parity, so both
+    // engines derive the identical deterministic hyperplanes; projections
+    // are exact integer sums of quantized components.
+    Q("v2_lsh_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val planes: Seq[Seq[Long]] = Queries.lshPlanes(8, 64)
+        val v = t(s, dir, "embeddings").select($"vec_id", qvec($"embedding").as("qv"))
+        val bucket = (0 until 8).map { j =>
+          val pl = typedLit(planes(j))
+          when(aggregate(zip_with($"qv", pl, (x, sgn) => x * sgn),
+                         lit(0L), (acc, x) => acc + x) > 0, 1L << j).otherwise(0L)
+        }.reduce(_ + _)
+        v.select($"vec_id", bucket.as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i,
+             |    CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS bucket
+             |  FROM proj GROUP BY vec_id)
+             |SELECT bucket, count(*) AS n FROM buckets
+             |GROUP BY bucket ORDER BY bucket""".stripMargin))
+  )
+
+  /** Deterministic ±1 hyperplanes from md5 parity — same formula as the
+    * DuckDB oracle (md5(s"${j}_$i") first hex byte parity). */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val hex = mdt.digest(s"${j}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 2)
+        if (Integer.parseInt(hex, 16) % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
+  // ==========================================================================
+  // Structured Streaming (events as a stream), multimodal plumbing, and the
+  // raster pipeline itself (no SQL oracle — driver records rows-only)
+  // ==========================================================================
+
+  private val streamingMultimodalRaster: Seq[Q] = Seq(
+
+    // ----- S: tumbling event-time window over a parquet-backed stream.
+    // Same answer as the batch daily rollup — the oracle checks exactly that.
+    Q("s1_stream_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        // raw parquet schema (ts = INT64 nanos under nanosAsLong) — the
+        // post-conversion schema from t() would mismatch the files.
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+        val q = fixed
+          .withWatermark("ts", "1 day")
+          .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+          .select($"w.start".as("day"), $"event_type", $"n", $"sum_cents")
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(queryName).start()
+        q.processAllAvailable(); q.stop()
+        s.table(queryName).orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             |  count(*) AS n, sum(CAST(floor(value*100+0.5) AS BIGINT)) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- M1: multimodal binary columns — opaque blob + typed metadata.
+    // The blob here is the utf8 payload (the container has no image libs);
+    // the engine treats it as opaque bytes exactly as it would image data.
+    Q("m1_binary_meta",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", $"text".cast("binary").as("blob"))
+          .select($"source", length($"blob").as("nbytes"),
+                  substring(md5($"blob"), 1, 8).as("chk"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_blobs"), sum($"nbytes").as("sum_bytes"),
+               min($"chk").as("min_chk"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_blobs,
+             |  sum(octet_length(encode(text))) AS sum_bytes,
+             |  min(substr(md5(text),1,8)) AS min_chk
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- M2: multimodal decode stub — the Spark-side plumbing (binary ->
+    // mapPartitions batch "decode" -> typed feature struct) is real; the
+    // decoder itself is a deterministic fake standing in for an image
+    // library that is not in this container. Rows-only check.
+    Q("m2_decode_stub",
+      (s, dir) => {
+        import s.implicits._
+        val blobs = t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+        blobs.mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // STUB decode: stands in for e.g. JPEG decode + resize. The
+            // "image" is derived deterministically from the bytes so the
+            // partitioning/batching/schema path is fully exercised.
+            val width = bytes.length % 64 + 1
+            val height = bytes.length / 64 + 1
+            var sum = 0L; var i = 0
+            while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+            val meanPx = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+            (id, width, height, meanPx)
+          }
+        }.toDF("doc_id", "width", "height", "mean_px")
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // ----- R1: the flagship raster pipeline (STAC plan -> scan -> mosaic).
+    // Engine-native operator, no relational oracle; the in-repo ScalaTest
+    // oracle (TileScanSpec/MosaicSpec) covers exactness. Rows-only check.
+    Q("r1_mosaic_composite", (s, _) => SparkEntry.entry(s), None),
+
+    // ----- R2: NDVI band algebra + temporal mean over synthetic scenes.
+    Q("r2_ndvi_temporal",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, StacAsset, StacItem}
+        import graft.scan.TileScan
+        import graft.ops.{Mosaic, TileAlgebra}
+        val items = (0 until 6).map { i =>
+          StacItem(s"s$i", Some(f"2024-0${i / 3 + 6}%d-${i % 3 * 9 + 1}%02dT00:00:00Z"),
+            epsg = Some(32633),
+            assets = Seq("red", "nir").map { b =>
+              b -> StacAsset(s"fake://$b/$i",
+                bbox = Some(Bounds(0, 0, 1280, 1280)), shape = Some((128, 128)),
+                transform = Some(AffineTransform.northUp(0, 1280, 10, 10)))
+            }.toMap)
+        }
+        val plan = Prepare(items)
+        val tiles = TileScan.scan(s, plan.assetTable, plan.spec, 128)
+        val ndvi = TileAlgebra.ndvi(
+          tiles.filter(_.band == "nir"), tiles.filter(_.band == "red"), 128)
+        val monthly = Mosaic.temporalMean(ndvi, 128,
+          micros => { // truncate to month via java.time (UTC)
+            val inst = java.time.Instant.ofEpochSecond(micros / 1000000L)
+            val d = java.time.ZonedDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+              .withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            d.toInstant.getEpochSecond * 1000000L
+          })
+        monthly.map { case (period, ct) =>
+          val valid = ct.pixels.count(!_.isNaN)
+          (period / 1000000L, ct.band, ct.yChunk, ct.xChunk, valid)
+        }.toDF("period_s", "band", "y_chunk", "x_chunk", "valid_px")
+          .orderBy($"period_s", $"y_chunk", $"x_chunk")
+      },
+      None)
+  )
+
+  private val qs: Seq[Q] =
+    relational ++ textDedup ++ vector ++ streamingMultimodalRaster
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    qs.map(q => q.name -> q.fn).toMap
+  def oracles: Map[String, String] =
+    qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
