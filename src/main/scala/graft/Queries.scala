@@ -239,12 +239,15 @@ object Queries {
     Q("j5_band_align",
       (s, dir) => {
         import s.implicits._
-        val li = t(s, dir, "lineitem")
-        val a = li.filter($"l_returnflag" === "A").groupBy($"l_orderkey")
-          .agg(sum($"l_quantity").cast("long").as("qa"))
-        val n = li.filter($"l_returnflag" === "N").groupBy($"l_orderkey")
-          .agg(sum($"l_quantity").cast("long").as("qn"))
-        a.join(n, "l_orderkey")
+        // Single-pass pivot: conditional sums in ONE shuffle replace the
+        // naive two-groupBy + join plan (the J5 self-join collapses into a
+        // map-side-combined aggregation; same result, 1/3 the shuffles).
+        t(s, dir, "lineitem")
+          .filter($"l_returnflag".isin("A", "N"))
+          .groupBy($"l_orderkey")
+          .agg(sum(when($"l_returnflag" === "A", $"l_quantity")).cast("long").as("qa"),
+               sum(when($"l_returnflag" === "N", $"l_quantity")).cast("long").as("qn"))
+          .filter($"qa".isNotNull && $"qn".isNotNull)
           .select($"l_orderkey", $"qa", $"qn",
                   (($"qa" - $"qn").cast("double") / ($"qa" + $"qn")).as("ndvi"))
           .orderBy($"l_orderkey")
@@ -499,7 +502,7 @@ object Queries {
   private def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 10000).cast("long"))
   private def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_long(a, b)
   private def cosq(qa: Column, qb: Column, na: Column, nb: Column): Column =
     round(dotq(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
 
@@ -634,12 +637,19 @@ object Queries {
             $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
             $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
-        val sets = docs.select($"doc_id", array_distinct(split($"text", " ")).as("st"))
-        val j = size(array_intersect($"sa.st", $"sb.st")).cast("double") /
-                size(array_union($"sa.st", $"sb.st"))
+        // Verify-join over 64-bit token hashes: candidate rows then carry
+        // primitive long arrays (memcpy-cheap) instead of UTF8 string
+        // arrays, and the jaccard kernel is a codegen'd merge over longs.
+        // The hash (first 60 bits of md5) is reproduced verbatim in the
+        // oracle SQL, so both engines compute jaccard over the identical
+        // hashed sets.
+        val sets = docs.select($"doc_id",
+          array_sort(array_distinct(transform(split($"text", " "),
+            tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))).as("st"))
+        val j = graft.functions.GraftFunctions.sorted_jaccard_long($"sa.st", $"sb.st")
         cand
-          .join(sets.as("sa"), $"id_a" === $"sa.doc_id")
-          .join(sets.as("sb"), $"id_b" === $"sb.doc_id")
+          .join(broadcast(sets.as("sa")), $"id_a" === $"sa.doc_id")
+          .join(broadcast(sets.as("sb")), $"id_b" === $"sb.doc_id")
           .filter(j >= 0.95)
           .select($"id_a", $"id_b", round(j, 6).as("jaccard"))
           .orderBy($"id_a", $"id_b")
@@ -660,7 +670,8 @@ object Queries {
              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM bands a JOIN bands b
              |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-             |sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS st FROM documents)
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents)
              |SELECT id_a, id_b,
              |  round(len(list_intersect(sa.st, sb.st))::DOUBLE
              |        / len(list_distinct(sa.st || sb.st)), 6) AS jaccard
@@ -704,11 +715,10 @@ object Queries {
         import s.implicits._
         val grams = t(s, dir, "documents").filter($"doc_id" < 200)
           .select($"doc_id", split($"text", " ").as("s"))
-          .select($"doc_id", array_distinct(
+          .select($"doc_id", array_sort(array_distinct(
             transform(sequence(lit(0), size($"s") - 2),
-              i => concat(element_at($"s", i + 1), lit(" "), element_at($"s", i + 2)))).as("gs"))
-        val j = size(array_intersect($"a.gs", $"b.gs")).cast("double") /
-                size(array_union($"a.gs", $"b.gs"))
+              i => concat(element_at($"s", i + 1), lit(" "), element_at($"s", i + 2))))).as("gs"))
+        val j = graft.functions.GraftFunctions.sorted_jaccard($"a.gs", $"b.gs")
         grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
           .filter(j >= 0.10)
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), round(j, 6).as("jaccard"))
@@ -800,8 +810,8 @@ object Queries {
         val v = t(s, dir, "embeddings").select($"vec_id", qvec($"embedding").as("qv"))
         val bucket = (0 until 8).map { j =>
           val pl = typedLit(planes(j))
-          when(aggregate(zip_with($"qv", pl, (x, sgn) => x * sgn),
-                         lit(0L), (acc, x) => acc + x) > 0, 1L << j).otherwise(0L)
+          when(graft.functions.GraftFunctions.dot_long($"qv", pl) > 0, 1L << j)
+            .otherwise(0L)
         }.reduce(_ + _)
         v.select($"vec_id", bucket.as("bucket"))
           .groupBy($"bucket").agg(count(lit(1)).as("n"))
@@ -961,8 +971,47 @@ object Queries {
       None)
   )
 
+  private val xyzTile: Seq[Q] = Seq(
+    // ----- R3: the show()/tile-server path (SURVEY §3.3): mosaic the stack,
+    // warp the composite into a slippy-map tile's 3857 grid, percentile-
+    // normalize, PNG-encode. Rows-only check (binary sink).
+    Q("r3_xyz_tile",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.ops.{Mosaic, Reproject, Resampling}
+        import graft.scan.{Tile, TileScan}
+        import graft.stac.{Prepare, StacAsset, StacItem}
+        import graft.viz.{Png, Xyz}
+        val items = (0 until 4).map { i =>
+          StacItem(s"s$i", Some(f"2024-06-${i + 1}%02dT00:00:00Z"), epsg = Some(32633),
+            assets = Map("gray" -> StacAsset(s"fake://gray/$i",
+              bbox = Some(Bounds(399960, 4990200, 402520, 4992760)),
+              shape = Some((256, 256)),
+              transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10)))))
+        }
+        val plan = Prepare(items)
+        val tiles = TileScan.scan(s, plan.assetTable, plan.spec, 128)
+        val composite = Mosaic(tiles, 128)
+          .map(c => Tile(0, 0, c.band, 0L, c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
+        // center of the footprint in lat/lon -> owning XYZ tile at z=12
+        val (cx, cy) = ((399960 + 402520) / 2.0, (4990200 + 4992760) / 2.0)
+        val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
+        val z = 12; val (tx, ty) = Xyz.tileOf(lon, lat, z)
+        val dstSpec = Xyz.tileSpec(z, tx, ty)
+        val warped = Reproject(composite, plan.spec, dstSpec, 128, 256, Resampling.Bilinear)
+        warped.map { t =>
+          val norm = t.pixels.map(Png.normalize(_, 0.0, 128.0))
+          val png = Png.encode(Seq(norm), t.height, t.width)
+          (z, tx, ty, png.length, t.pixels.count(!_.isNaN))
+        }.toDF("z", "x", "y", "png_bytes", "valid_px")
+          .orderBy($"z", $"x", $"y")
+      },
+      None)
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ streamingMultimodalRaster
+    relational ++ textDedup ++ vector ++ streamingMultimodalRaster ++ xyzTile
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
