@@ -835,6 +835,45 @@ object Queries {
              |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
+  private val vectorLsh: Seq[Q] = Seq(
+    // ----- V3: the ANN scale path — LSH-bucketed top-k (1-probe): only the
+    // query's bucket is scanned, an equi-join instead of the n^2 pair space.
+    Q("v3_knn_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        graft.ann.Ann.lshKnn(prepared, nPlanes = 8, dim = 64, k = 3, $"id" < 10)
+          .withColumnRenamed("qid", "qid").orderBy($"qid", $"rk")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS bucket
+             |  FROM proj GROUP BY vec_id),
+             |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |pairs AS (
+             |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+             |  WHERE a.vec_id < 10)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM pairs)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
+  )
+
   /** Deterministic ±1 hyperplanes from md5 parity — same formula as the
     * DuckDB oracle (md5(s"${j}_$i") first hex byte parity). */
   def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Long]] = {
@@ -1011,7 +1050,7 @@ object Queries {
   )
 
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ streamingMultimodalRaster ++ xyzTile
+    relational ++ textDedup ++ vector ++ vectorLsh ++ streamingMultimodalRaster ++ xyzTile
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

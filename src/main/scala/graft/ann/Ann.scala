@@ -1,0 +1,76 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), built on exact integer quantization so scores are
+  * deterministic and engine-portable.
+  *
+  * Scale notes: brute-force is the O(q·n) exactness baseline — fine when
+  * the query side is small and broadcastable. The scale path is
+  * [[lshBuckets]] (sign-random-hyperplane) as the coarse quantizer:
+  * bucketing is a map + one groupBy, probing is an equi-join on bucket id,
+  * so a 1000-executor run shuffles only per-bucket candidate lists, never
+  * the full n² pair space.
+  */
+object Ann {
+
+  /** Quantized integer vector: round(x * 1e4) per component. Exact integer
+    * dot products; deterministic across engines. */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** Cosine from quantized vectors + precomputed self-dots. */
+  def cosine(qa: Column, qb: Column, na: Column, nb: Column, digits: Int = 6): Column =
+    round(GraftFunctions.dot_long(qa, qb).cast("double") /
+          (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), digits)
+
+  /** Prepared view: (id, qv, nq). */
+  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+      .withColumn("nq", GraftFunctions.dot_long(col("qv"), col("qv")))
+
+  /** Exact top-k neighbors for each query id (brute force, broadcast
+    * queries). Returns (qid, rk, nid, cos). */
+  def bruteForceKnn(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = broadcast(queries.as("a")).join(data.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+              cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplanes from md5 parity (same construction as
+    * the DuckDB-reproducible oracle). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Long]] =
+    graft.Queries.lshPlanes(nPlanes, dim)
+
+  /** Sign-random-hyperplane bucket id (nPlanes-bit integer). */
+  def lshBuckets(prepared: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucket = (0 until nPlanes).map { j =>
+      when(GraftFunctions.dot_long(col("qv"), typedLit(planes(j))) > 0, 1L << j)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    prepared.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k probing only the query's own bucket (1-probe). Trade
+    * recall for a candidate set ~n/2^nPlanes per query. */
+  def lshKnn(data: DataFrame, nPlanes: Int, dim: Int, k: Int,
+             queryFilter: Column): DataFrame = {
+    val b = lshBuckets(data, nPlanes, dim)
+    val q = b.filter(queryFilter)
+    val pairs = broadcast(q.as("a"))
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+              cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large text corpora, as reusable DataFrame
+  * transformers. All hash choices are md5-derived so results are
+  * deterministic and reproducible across engines and runs (no seed state
+  * on executors).
+  *
+  * Scale notes (100 TB design): every stage is a map, a groupBy on a
+  * bounded key, or a key-equality join — no driver collects. Signature
+  * and band tables are O(n_docs); the candidate join's fan-out is the LSH
+  * parameter choice (more rows per band = fewer, higher-precision
+  * candidates), which is exactly the knob a 1000-executor run tunes.
+  */
+object Dedup {
+
+  /** 64-bit (60-bit) deterministic token hash: first 15 md5 hex digits. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** Exact duplicate groups by full-content hash.
+    * Returns (contentHash, n, canonicalId) for groups with n > 1. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("canonical"))
+      .filter(col("n") > 1)
+
+  /** Word n-gram shingle array (distinct, sorted token-hash form). n=1
+    * gives token-set semantics. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    val grams =
+      if (n == 1) toks
+      else transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_sort(array_distinct(transform(grams, g => tokenHash(g))))
+  }
+
+  /** MinHash signature columns `h0..h{k-1}` over an exploded shingle
+    * column: minhash_i = min(md5(i + "|" + shingle)). Lexicographic min of
+    * a uniform hash is a valid minhash family. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, shingleN: Int = 1): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        if (shingleN == 1) split(col(textCol), " ")
+        else {
+          val t = split(col(textCol), " ")
+          transform(sequence(lit(0), size(t) - shingleN),
+            i => concat_ws(" ", (0 until shingleN).map(k => element_at(t, i + k + 1)): _*))
+        })).as("tok"))
+    val cols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("tok")))).as(s"h$i"))
+    toks.groupBy(col("id")).agg(cols.head, cols.tail: _*)
+  }
+
+  /** LSH band table (id, band, key) from a signature DataFrame. */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col("id"), lit(b).as("band"), md5(concat(ks: _*)).as("key"))
+    }.reduce(_ union _)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from band collisions,
+    * verified with exact jaccard over hashed shingle sets.
+    * Returns (id_a, id_b, jaccard) for pairs >= threshold. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 8, rowsPerBand: Int = 4,
+                 shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleN)
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
+    val j = GraftFunctions.sorted_jaccard_long(col("sa.st"), col("sb.st"))
+    cand
+      .join(broadcast(sets.as("sa")), col("id_a") === col("sa.id"))
+      .join(broadcast(sets.as("sb")), col("id_b") === col("sb.id"))
+      .filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+  }
+
+  /** SimHash fingerprint (nBits <= 32) over distinct tokens. Compare with
+    * [[graft.functions.GraftFunctions.hamming_dist]]. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val sums = (0 until nBits).map(j =>
+      sum(when((shiftright(col("h"), j) % 2) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = toks.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val value = (0 until nBits).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    agg.select(col("id"), value.as("simhash"))
+  }
+
+  /** Brute-force n-gram jaccard over all pairs (use on bounded slices or
+    * after LSH pruning). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
+    val j = GraftFunctions.sorted_jaccard_long(col("a.gs"), col("b.gs"))
+    grams.as("a").join(grams.as("b"), col("a.id") < col("b.id"))
+      .filter(j >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.viz
+
+import java.net.InetSocketAddress
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Dataset
+import graft.core.RasterSpec
+import graft.ops.{Reproject, Resampling}
+import graft.scan.Tile
+
+/** Live XYZ tile service — the serving-layer counterpart of the
+  * reference's `show()` (`stackstac/show.py:130-408`): an HTTP endpoint
+  * `GET /{z}/{x}/{y}.png` over a cached composite Dataset, with an LRU
+  * result cache (`show.py:44-46,191-193`) and fire-and-forget speculative
+  * neighbor prefetch (the viewport-diff scheduler, `show.py:242-257`,
+  * reduced to its useful core: warm the cache around each request).
+  *
+  * Rendering one tile = filter + warp + collect of a 256² slice — a small
+  * Spark job; concurrent tiles ride Spark's scheduler. This is driver-side
+  * serving logic, not a query operator (SURVEY §2.9).
+  */
+final class TileServer(
+    tiles: Dataset[Tile], spec: RasterSpec, srcChunk: Int,
+    range: (Double, Double), cacheSize: Int = 512) {
+
+  private val cached = tiles.cache()
+  private val lru = new java.util.LinkedHashMap[String, Array[Byte]](cacheSize, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+      size() > cacheSize
+  }
+  private val inFlight = new ConcurrentHashMap[String, AnyRef]()
+  private val prefetchPool = Executors.newFixedThreadPool(2)
+  private var server: HttpServer = _
+
+  def renderTile(z: Int, x: Int, y: Int): Array[Byte] = {
+    val key = s"$z/$x/$y"
+    lru.synchronized { Option(lru.get(key)) } match {
+      case Some(b) => b
+      case None =>
+        val dstSpec = Xyz.tileSpec(z, x, y)
+        val warped = Reproject(cached, spec, dstSpec, srcChunk, 256, Resampling.Nearest)
+          .collect()
+        val plane = Array.fill(256 * 256)(Double.NaN)
+        warped.foreach { t =>
+          var r = 0
+          while (r < t.height) {
+            System.arraycopy(t.pixels, r * t.width, plane, (t.rowOff + r) * 256 + t.colOff, t.width)
+            r += 1
+          }
+        }
+        val norm = plane.map(Png.normalize(_, range._1, range._2))
+        val png = Png.encode(Seq(norm), 256, 256)
+        lru.synchronized { lru.put(key, png) }
+        png
+    }
+  }
+
+  /** Warm neighbors of a requested tile (speculative execution, bounded). */
+  private def prefetch(z: Int, x: Int, y: Int): Unit =
+    for ((dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))) {
+      val key = s"$z/${x + dx}/${y + dy}"
+      if (lru.synchronized(!lru.containsKey(key)) &&
+          inFlight.putIfAbsent(key, TileServer.Marker) == null) {
+        prefetchPool.submit(new Runnable {
+          def run(): Unit =
+            try renderTile(z, x + dx, y + dy)
+            catch { case _: Throwable => () }
+            finally inFlight.remove(key)
+        })
+      }
+    }
+
+  /** Start serving on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      path.stripPrefix("/").stripSuffix(".png").split("/") match {
+        case Array(z, x, y) if Seq(z, x, y).forall(_.matches("-?\\d+")) =>
+          try {
+            val png = renderTile(z.toInt, x.toInt, y.toInt)
+            ex.getResponseHeaders.add("Content-Type", "image/png")
+            ex.sendResponseHeaders(200, png.length)
+            ex.getResponseBody.write(png)
+            prefetch(z.toInt, x.toInt, y.toInt)
+          } catch {
+            case e: Throwable =>
+              val msg = s"render error: ${e.getMessage}".getBytes
+              ex.sendResponseHeaders(500, msg.length)
+              ex.getResponseBody.write(msg)
+          }
+        case _ =>
+          val msg = "usage: /{z}/{x}/{y}.png".getBytes
+          ex.sendResponseHeaders(404, msg.length)
+          ex.getResponseBody.write(msg)
+      }
+      ex.close()
+    })
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    prefetchPool.shutdownNow()
+    cached.unpersist()
+  }
+}
+
+object TileServer { private object Marker }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ann.Ann
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 0
+      (2L, "lazy dog the over jumps fox brown quick the"),       // same token set as 0
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the sleepy dog")      // near dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds identical texts") {
+    val groups = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2 && groups.head.getAs[Long]("canonical") == 0L)
+  }
+
+  test("minhash LSH finds same-token-set and near dups, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))  // exact
+    assert(pairs.contains((0L, 2L)))  // shuffled tokens, jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated stays out
+  }
+
+  test("simhash: identical token sets share fingerprints; hamming works") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(2L))
+    assert(sh(0L) != sh(3L))
+    import spark.implicits._
+    val hd = Seq((sh(0L), sh(4L))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.hamming_dist(col("a"), col("b")).as("d"))
+      .collect().head.getInt(0)
+    assert(hd >= 0 && hd < 8) // near dup => small hamming distance
+  }
+
+  test("ngram jaccard ranks near dup above unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 4L)) > pairs((0L, 3L)))
+    assert(pairs((0L, 2L)) < 1.0) // shuffled order breaks bigrams
+  }
+
+  test("brute-force knn is deterministic and self-consistent") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val prepared = Ann.prepare(vecs, "vec_id", "embedding")
+    val knn = Ann.bruteForceKnn(prepared, prepared.filter(col("id") < 2), k = 3)
+      .collect()
+    assert(knn.length == 6)
+    val ranks = knn.filter(_.getLong(0) == 0L).map(_.getInt(1)).sorted
+    assert(ranks.sameElements(Array(1, 2, 3)))
+  }
+
+  test("lsh buckets partition the space; knn within bucket returns subset of brute force order") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 3 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val prepared = Ann.prepare(vecs, "vec_id", "embedding")
+    val buckets = Ann.lshBuckets(prepared, nPlanes = 4, dim = 8)
+    assert(buckets.select("bucket").distinct().count() > 1)
+    val out = Ann.lshKnn(prepared, nPlanes = 4, dim = 8, k = 2, col("id") < 5).collect()
+    out.foreach(r => assert(r.getDouble(3) <= 1.0 + 1e-9))
+  }
+}
