@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core.RasterSpec
+import graft.ops.{CompositeTile, Median, Mosaic, Pixels, Reproject, Resampling, TileAlgebra}
+import graft.scan.{AssetRow, ErrorsAsNodata, FakeReader, Reader, Tile, TileScan}
+import graft.stac.{Prepare, PrepareOptions, StacItem}
+
+/** The user-facing entry point — the analog of `stackstac.stack(...)`
+  * (`stackstac/stack.py:26-326`): items in, a lazy raster stack out, with
+  * the query surface users exercise on top (band selection, metadata
+  * pruning, algebra, composites, reprojection, pixel SQL view).
+  *
+  * All methods are lazy plan builders over `Dataset[Tile]`; nothing reads
+  * a pixel until an action runs (reference R5).
+  */
+final case class Stack(
+    spark: SparkSession,
+    tiles: Dataset[Tile],
+    spec: RasterSpec,
+    chunk: Int,
+    items: Seq[StacItem],
+    assetTable: Seq[AssetRow]) {
+
+  /** Band selection (P1): `stack.selectBands("red","nir")`. */
+  def selectBands(bands: String*): Stack = {
+    val set = bands.toSet
+    copy(tiles = tiles.filter(t => set.contains(t.band)))
+  }
+
+  /** Metadata predicate over item properties (P6): prunes whole time
+    * slices before IO, e.g. `filterItems(_.properties.get("eo:cloud_cover").exists(_.toDouble < 20))`. */
+  def filterItems(pred: StacItem => Boolean): Stack = {
+    val keep = items.zipWithIndex.collect { case (it, i) if pred(it) => i }.toSet
+    copy(tiles = tiles.filter(t => keep.contains(t.itemIdx)))
+  }
+
+  /** Label-based time slice (P7), ISO8601 bounds. */
+  def sliceTime(fromIso: String, untilIso: String): Stack = {
+    val lo = graft.stac.Stac.parseDatetimeMicros(fromIso)
+    val hi = graft.stac.Stac.parseDatetimeMicros(untilIso)
+    copy(tiles = tiles.filter(t => t.timeMicros >= lo && t.timeMicros < hi))
+  }
+
+  /** Elementwise band math (J5): `algebra("ndvi", "nir", "red")((n,r) => (n-r)/(n+r))`. */
+  def algebra(outBand: String, bandA: String, bandB: String)
+             (f: (Double, Double) => Double): Stack =
+    copy(tiles = TileAlgebra.binary(
+      tiles.filter(t => t.band == bandA), tiles.filter(t => t.band == bandB),
+      chunk, outBand)(f))
+
+  /** First-valid composite over time (A1). */
+  def mosaic(reverse: Boolean = false): Dataset[CompositeTile] =
+    Mosaic(tiles, chunk, reverse)
+
+  /** Per-pixel temporal mean per calendar period (A8/W3). */
+  def temporalMean(trunc: Long => Long): Dataset[(Long, CompositeTile)] =
+    Mosaic.temporalMean(tiles, chunk, trunc)
+
+  /** Per-pixel temporal median per calendar period (the README query). */
+  def temporalMedian(trunc: Long => Long): Dataset[(Long, CompositeTile)] =
+    Median.temporal(tiles, chunk, trunc)
+
+  /** Warp to another grid (F18). */
+  def reproject(dst: RasterSpec, dstChunk: Int,
+                method: Resampling = Resampling.Nearest): Stack =
+    copy(tiles = Reproject(tiles, spec, dst, chunk, dstChunk, method),
+         spec = dst, chunk = dstChunk)
+
+  /** Flat pixel DataFrame with world coordinates — arbitrary SQL over
+    * pixels. */
+  def toPixels: DataFrame = Pixels.toPixels(tiles, spec, chunk)
+}
+
+object Stack {
+  /** Build the stack: normalize+sort -> plan -> lazy scan. `readerFor`
+    * defaults to the deterministic FakeReader; pass
+    * `GeoTiffReader.factory(spec)` for real files. */
+  def apply(spark: SparkSession, items: Seq[StacItem],
+            opts: PrepareOptions = PrepareOptions(),
+            chunk: Int = 1024,
+            readerFor: RasterSpec => AssetRow => Reader = _ => a => FakeReader(a.url),
+            errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none): Stack = {
+    val plan = Prepare(items, opts)
+    val tiles = TileScan.scan(spark, plan.assetTable, plan.spec, chunk,
+      readerFor(plan.spec), errorsAsNodata)
+    Stack(spark, tiles, plan.spec, chunk, plan.items, plan.assetTable)
+  }
+}
