@@ -1049,8 +1049,107 @@ object Queries {
       None)
   )
 
+  private val sessionizeIvf: Seq[Q] = Seq(
+
+    // ----- S2: gap-based sessionization via typed flatMapGroups (the
+    // stateful-logic surface; streaming twin in graft.streaming.Sessionize).
+    // Oracle: classic lag/cumsum session assignment.
+    Q("s2_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val ev = t(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"user_id", unix_micros($"ts").as("ts_micros"),
+                  quant($"value", 100).as("cents"))
+          .as[Sessionize.Event]
+        Sessionize.batch(ev, gapMicros = 1800000000L) // 30 min
+          .toDF()
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             |         CAST(floor(value*100+0.5) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |                     OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, cents)),
+             |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, cents
+             |                               ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+             |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events,
+             |       sum(cents) AS sum_cents
+             |FROM x GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ----- V4: IVF-style ANN — label partitions as the coarse quantizer.
+    // Centroid cosine uses the per-label integer SUM vector (the 1/n
+    // factor cancels in cosine), so centroid assignment is exact integer
+    // math, order-free on both engines.
+    Q("v4_knn_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val prepared = graft.ann.Ann.prepare(emb, "vec_id", "embedding")
+          .join(emb.select($"vec_id".as("id"), $"label"), "id")
+        val sums = prepared
+          .select($"label", posexplode($"qv").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos").agg(sum($"v").as("sv"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"sv"))),
+                         x => x.getField("sv")).as("cv"))
+          .withColumn("ncv", graft.functions.GraftFunctions.dot_long($"cv", $"cv"))
+        val q = prepared.filter($"id" < 10)
+        val assign = broadcast(q.as("q")).join(broadcast(sums.as("c")))
+          .select($"q.id".as("qid"), $"q.qv".as("qqv"), $"q.nq".as("qnq"), $"c.label",
+            (graft.functions.GraftFunctions.dot_long($"q.qv", $"c.cv").cast("double") /
+             (sqrt($"q.nq".cast("double")) * sqrt($"c.ncv".cast("double")))).as("ccos"))
+        val wc = Window.partitionBy($"qid").orderBy($"ccos".desc, $"label")
+        val probe = assign.withColumn("rc", row_number().over(wc)).filter($"rc" === 1)
+          .select($"qid", $"qqv", $"qnq", $"label")
+        val pairs = broadcast(probe.as("p"))
+          .join(prepared.as("m"), $"p.label" === $"m.label" && $"p.qid" =!= $"m.id")
+          .select($"p.qid".as("qid"), $"m.id".as("nid"),
+            round(graft.functions.GraftFunctions.dot_long($"p.qqv", $"m.qv").cast("double") /
+                  (sqrt($"p.qnq".cast("double")) * sqrt($"m.nq".cast("double"))), 6).as("cos"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+        pairs.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+          .select($"qid", $"rk", $"nid", $"cos")
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, label, qv,
+             |             list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |comps AS (
+             |  SELECT label, i, sum(qv[i+1]) AS sv
+             |  FROM q CROSS JOIN range(0,64) t(i) GROUP BY label, i),
+             |cents AS (
+             |  SELECT label, list(sv ORDER BY i) AS cv FROM comps GROUP BY label),
+             |cn AS (SELECT label, cv, list_sum(list_transform(cv, x -> x*x)) AS ncv FROM cents),
+             |assign AS (
+             |  SELECT a.vec_id AS qid, a.qv AS qqv, a.nq AS qnq, c.label,
+             |    list_sum(list_transform(list_zip(a.qv, c.cv), s -> s[1]*s[2]))::DOUBLE
+             |      / (sqrt(a.nq::DOUBLE) * sqrt(c.ncv::DOUBLE)) AS ccos
+             |  FROM n a CROSS JOIN cn c WHERE a.vec_id < 10),
+             |probe AS (
+             |  SELECT qid, qqv, qnq, label FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS rc
+             |    FROM assign) WHERE rc = 1),
+             |pairs AS (
+             |  SELECT p.qid, m.vec_id AS nid,
+             |    round(list_sum(list_transform(list_zip(p.qqv, m.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(p.qnq::DOUBLE) * sqrt(m.nq::DOUBLE)), 6) AS cos
+             |  FROM probe p JOIN n m ON p.label = m.label AND p.qid != m.vec_id)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             |  FROM pairs)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ streamingMultimodalRaster ++ xyzTile
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

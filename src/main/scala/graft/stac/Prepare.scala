@@ -118,11 +118,20 @@ object Prepare {
         if (p.url != null && p.outBounds.exists(_.overlaps(rb))) p
         else p.copy(url = null)
       }
-      case None => planned
+      // without explicit bounds an asset with no determinable footprint
+      // cannot participate in the union -> degrade to missing (fill)
+      case None => planned.map(p =>
+        if (p.url != null && p.outBounds.isEmpty) p.copy(url = null) else p)
     }
 
-    // -- Bounds: requested or union of asset bounds (A4, prepare.py:338-354)
-    require(pruned.exists(_.url != null), "no assets overlap the requested bounds")
+    // -- Bounds: requested or union of asset bounds (A4, prepare.py:338-354).
+    // Assets whose footprint cannot be determined at all were degraded to
+    // missing above (the reference raises for them, prepare.py:253-266) —
+    // distinguish that failure from a genuine non-overlap.
+    require(pruned.exists(_.url != null),
+      if (planned.exists(p => p.url != null && p.outBounds.isEmpty))
+        "cannot determine asset footprints (no proj:bbox/transform/shape or item bbox) — fix the metadata or drop those assets"
+      else "no assets overlap the requested bounds")
     val liveBounds = pruned.filter(_.url != null).flatMap(_.outBounds)
     val unsnapped = requestedBounds.getOrElse(Bounds.union(liveBounds))
 

@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+
+  private val MIN = 60L * 1000000L // one minute in micros
+
+  test("batch sessionization splits on gaps and aggregates") {
+    import spark.implicits._
+    val ev = Seq(
+      Event(1, 0, 10), Event(1, 5 * MIN, 20),           // session 1: 2 events
+      Event(1, 60 * MIN, 5),                             // session 2 (55min gap)
+      Event(2, 0, 7)).toDS()
+    val out = Sessionize.batch(ev, gapMicros = 30 * MIN).collect()
+      .sortBy(s => (s.user_id, s.session_start))
+    assert(out.toSeq == Seq(
+      Session(1, 0, 2, 30), Session(1, 60 * MIN, 1, 5), Session(2, 0, 1, 7)))
+  }
+
+  test("streaming sessionization emits closed sessions matching batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // stateful operators otherwise schedule continuous no-data batches,
+    // which starves processAllAvailable — poll the sink instead.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val source = MemoryStream[Event]
+    val q = Sessionize.streaming(source.toDS(), gapMicros = 30 * MIN)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try {
+      source.addData(Event(1, 0, 10), Event(1, 5 * MIN, 20))
+      source.addData(Event(1, 60 * MIN, 5), Event(1, 61 * MIN, 5))
+      // the 55-min gap closes session 1; the open session stays in state
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var closed = Seq.empty[Session]
+      while (closed.isEmpty && System.nanoTime() < deadline) {
+        closed = spark.table("sessions_out").as[Session].collect().toSeq
+        if (closed.isEmpty) Thread.sleep(250)
+      }
+      assert(closed == Seq(Session(1, 0, 2, 30)))
+    } finally q.stop()
+  }
+}
