@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark) // dot_long/sorted_jaccard*/hamming_dist in SQL
     // Warm the session (codegen, FS, parquet footers) so the first timed
     // query isn't charged JVM startup; then run in stable name order.
     spark.range(1000).selectExpr("sum(id)").collect()

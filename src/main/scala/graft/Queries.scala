@@ -632,6 +632,12 @@ object Queries {
             md5(concat($"h0", $"h1", $"h2", $"h3")).as("key"))
           .union(sig.select($"doc_id", lit(1).as("band"),
             md5(concat($"h4", $"h5", $"h6", $"h7")).as("key")))
+        // The band table is broadcast-sized, so this self-join is a
+        // BroadcastHashJoin: the quadratic pair generation of a skewed
+        // bucket is spread across the stream-side input partitions (each
+        // doc row of the big bucket lives in a different partition), so no
+        // reducer-side skew exists. (Measured: explicit block-split
+        // salting only added overhead.)
         val a = bands.as("a"); val b = bands.as("b")
         val cand = a.join(b,
             $"a.band" === $"b.band" && $"a.key" === $"b.key" &&

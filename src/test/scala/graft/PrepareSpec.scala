@@ -81,4 +81,20 @@ class PrepareSpec extends AnyFunSuite {
     val explicit = Prepare(items, PrepareOptions(bounds = Some(Bounds(0.25, 0.25, 9.75, 9.75))))
     assert(explicit.spec.bounds == Bounds(0.25, 0.25, 9.75, 9.75))
   }
+
+  test("bounds_latlon reprojects into the output CRS and prunes") {
+    // zone 33N: lon 14.9-15.1, lat 44.9-45.1 around the central meridian
+    val items = Seq(item("a", "2024-01-01T00:00:00Z", 32633, Bounds(0, 0, 1, 1),
+      Map("red" -> asset(480000, 4960000, 520000, 5010000, res = 10.0))))
+    val r = Prepare(items, PrepareOptions(
+      boundsLatLon = Some(Bounds(14.9, 44.9, 15.1, 45.1))))
+    assert(r.spec.epsg == 32633)
+    // 15E is the central meridian -> easting ~500000 inside the bounds
+    assert(r.spec.bounds.minx > 470000 && r.spec.bounds.maxx < 530000)
+    assert(r.assetTable.count(_.url != null) == 1)
+    // far-away latlon window prunes everything
+    intercept[IllegalArgumentException] {
+      Prepare(items, PrepareOptions(boundsLatLon = Some(Bounds(0.0, 0.0, 0.2, 0.2))))
+    }
+  }
 }
