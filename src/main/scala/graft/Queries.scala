@@ -1154,8 +1154,57 @@ object Queries {
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
   )
 
+  private val geotiff: Seq[Q] = Seq(
+    // ----- R4: real-file scan path, oracle-gated. Writes deterministic
+    // 16-bit TIFFs (value = offset_i + r*300 + c) to the JVM temp dir,
+    // scans them through GeoTiffReader, mosaics last-on-top, and
+    // aggregates — the oracle recomputes the closed form over a generated
+    // grid, so the whole file->decode->scan->mosaic path is hash-checked.
+    Q("r4_geotiff_scan",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, GeoTiffReader, TileScan}
+        import graft.ops.Mosaic
+        val dir = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_r4_tiffs")
+        dir.mkdirs()
+        val files = (0 until 2).map { i =>
+          val f = new java.io.File(dir, s"scene$i.tif")
+          // size-check the cache: a run killed mid-write must not poison
+          // later runs (16-bit 64x64 TIFF is ~8KB)
+          if (!f.exists() || f.length() < 4000) {
+            val img = new java.awt.image.BufferedImage(
+              64, 64, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+            val ras = img.getRaster
+            for (r <- 0 until 64; c <- 0 until 64)
+              ras.setSample(c, r, 0, i * 20000 + r * 300 + c)
+            javax.imageio.ImageIO.write(img, "tiff", f)
+          }
+          f
+        }
+        val spec = RasterSpec(32633, Bounds(0, 0, 640, 640), 10, 10)
+        val assets = files.zipWithIndex.map { case (f, i) =>
+          AssetRow(i, 0, "gray", i.toLong * 1000000L, f.getAbsolutePath,
+                   0, 0, 640, 640, 1.0, 0.0)
+        }
+        val tiles = TileScan.scan(s, assets, spec, chunk = 32,
+          readerFor = GeoTiffReader.factory(spec))
+        Mosaic(tiles, 32) // last-on-top => scene 1 (offset 20000) wins
+          .flatMap(_.pixels.filter(!_.isNaN))
+          .toDF("v")
+          .agg(count(lit(1)).as("n_px"), sum($"v".cast("long")).as("sum_v"),
+               min($"v".cast("long")).as("min_v"), max($"v".cast("long")).as("max_v"))
+      },
+      Some("""SELECT count(*) AS n_px,
+             |  sum(20000 + r*300 + c) AS sum_v,
+             |  min(20000 + r*300 + c) AS min_v,
+             |  max(20000 + r*300 + c) AS max_v
+             |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

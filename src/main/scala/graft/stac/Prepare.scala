@@ -13,7 +13,8 @@ final case class PrepareOptions(
     bounds: Option[Bounds] = None,             // in output CRS
     boundsLatLon: Option[Bounds] = None,
     snapBounds: Boolean = true,
-    sortbyDate: Boolean = true)
+    sortbyDate: Boolean = true,
+    sortDescending: Boolean = false)
 
 final case class PrepareResult(assetTable: Seq[AssetRow], spec: RasterSpec,
                                assetIds: Seq[String], items: Seq[StacItem])
@@ -32,7 +33,8 @@ object Prepare {
 
   def apply(itemsIn: Seq[StacItem], opts: PrepareOptions = PrepareOptions()): PrepareResult = {
     require(itemsIn.nonEmpty, "empty item list")
-    val items0 = if (opts.sortbyDate) Stac.sortByDate(itemsIn) else itemsIn
+    val items0 =
+      if (opts.sortbyDate) Stac.sortByDate(itemsIn, opts.sortDescending) else itemsIn
 
     // -- Asset selection (P1/P2, reference prepare.py:83-122) -------------
     val assetIds0: Seq[String] = (opts.assets, opts.mimetypes) match {
