@@ -1163,7 +1163,7 @@ object Queries {
     Q("r4_geotiff_scan",
       (s, _) => {
         import s.implicits._
-        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.core.{Bounds, RasterSpec}
         import graft.scan.{AssetRow, GeoTiffReader, TileScan}
         import graft.ops.Mosaic
         val dir = new java.io.File(
@@ -1171,15 +1171,18 @@ object Queries {
         dir.mkdirs()
         val files = (0 until 2).map { i =>
           val f = new java.io.File(dir, s"scene$i.tif")
-          // size-check the cache: a run killed mid-write must not poison
-          // later runs (16-bit 64x64 TIFF is ~8KB)
-          if (!f.exists() || f.length() < 4000) {
+          if (!f.exists()) {
+            // atomic publish: write to a temp file, rename into place, so
+            // a killed or concurrent run can never expose a partial TIFF
             val img = new java.awt.image.BufferedImage(
               64, 64, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
             val ras = img.getRaster
             for (r <- 0 until 64; c <- 0 until 64)
               ras.setSample(c, r, 0, i * 20000 + r * 300 + c)
-            javax.imageio.ImageIO.write(img, "tiff", f)
+            val tmp = java.io.File.createTempFile(s"scene$i", ".tif.tmp", dir)
+            javax.imageio.ImageIO.write(img, "tiff", tmp)
+            if (!tmp.renameTo(f) && !f.exists()) sys.error(s"cannot publish $f")
+            tmp.delete()
           }
           f
         }
@@ -1190,16 +1193,26 @@ object Queries {
         }
         val tiles = TileScan.scan(s, assets, spec, chunk = 32,
           readerFor = GeoTiffReader.factory(spec))
+        // position-weighted checksum makes the oracle orientation-
+        // sensitive: a flipped/transposed decode permutes the same value
+        // multiset and would pass sum/min/max alone.
         Mosaic(tiles, 32) // last-on-top => scene 1 (offset 20000) wins
-          .flatMap(_.pixels.filter(!_.isNaN))
-          .toDF("v")
-          .agg(count(lit(1)).as("n_px"), sum($"v".cast("long")).as("sum_v"),
-               min($"v".cast("long")).as("min_v"), max($"v".cast("long")).as("max_v"))
+          .flatMap { ct =>
+            for {
+              r <- 0 until ct.height; c <- 0 until ct.width
+              v = ct.pixels(r * ct.width + c) if !v.isNaN
+            } yield (v.toLong, ((ct.yChunk * 32 + r).toLong * 64 + ct.xChunk * 32 + c))
+          }
+          .toDF("v", "pos")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_v"),
+               min($"v").as("min_v"), max($"v").as("max_v"),
+               sum($"v" * $"pos").as("pos_chk"))
       },
       Some("""SELECT count(*) AS n_px,
              |  sum(20000 + r*300 + c) AS sum_v,
              |  min(20000 + r*300 + c) AS min_v,
-             |  max(20000 + r*300 + c) AS max_v
+             |  max(20000 + r*300 + c) AS max_v,
+             |  sum((20000 + r*300 + c) * (r*64 + c)) AS pos_chk
              |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)""".stripMargin))
   )
 

@@ -83,8 +83,12 @@ object TileScan {
       .mapPartitions { it =>
         // Per-task reader cache: each URL opened at most once per task
         // (the reference enforces this via dask fusion-blocking, R7
-        // `to_dask.py:65-69`; here it's a plain lazy map).
+        // `to_dask.py:65-69`; here it's a plain lazy map). Readers are
+        // closed when the task completes — file-backed readers hold fds.
         val open = scala.collection.mutable.HashMap.empty[String, Reader]
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          open.values.foreach(r => try r.close() catch { case _: Throwable => () })
+        })
         it.flatMap { case (a, yc, xc, win) =>
           val reader = open.getOrElseUpdate(a.url, readerFor(a))
           val px =

@@ -46,8 +46,11 @@ object Stac {
   /** Sort items by raw datetime string, missing last as "" (reference
     * `stack.py:283-288`). */
   def sortByDate(items: Seq[StacItem], descending: Boolean = false): Seq[StacItem] = {
-    val s = items.sortBy(_.datetime.getOrElse(""))
-    if (descending) s.reverse else s
+    // stable in BOTH directions, like Python sorted(reverse=True)
+    // (stack.py:283-288): equal-datetime items keep input order — a
+    // list.reverse would flip ties and change mosaic winners.
+    val ord = if (descending) Ordering[String].reverse else Ordering[String]
+    items.sortBy(_.datetime.getOrElse(""))(ord)
   }
 
   /** Structured mimetype match (reference `Mimetype.from_str` /

@@ -77,6 +77,6 @@ class PrepareFuzzSpec extends AnyFunSuite with GenChecks {
       StacItem("b", Some("2024-01-01T00:00:00Z")))
     val sorted = Stac.sortByDate(items)
     assert(sorted.map(_.id) == Seq("a", "b", "z", "m")) // "" first; stable z,m
-    assert(Stac.sortByDate(items, descending = true).map(_.id) == Seq("m", "z", "b", "a"))
+    assert(Stac.sortByDate(items, descending = true).map(_.id) == Seq("z", "m", "b", "a"))
   }
 }
