@@ -21,9 +21,22 @@ import graft.scan.Tile
   */
 final class TileServer(
     tiles: Dataset[Tile], spec: RasterSpec, srcChunk: Int,
-    range: (Double, Double), cacheSize: Int = 512) {
+    range: Option[(Double, Double)] = None, cacheSize: Int = 512) {
 
   private val cached = tiles.cache()
+
+  /** Display range: explicit, or the 2nd-98th percentile of the data
+    * computed once over the cached tiles (reference `show.py:484-498`,
+    * including its persist-then-percentile pattern). */
+  lazy val displayRange: (Double, Double) = range.getOrElse {
+    import org.apache.spark.sql.functions._
+    val spark = cached.sparkSession
+    import spark.implicits._
+    val row = cached.flatMap(_.pixels.filter(!_.isNaN)).toDF("v")
+      .agg(expr("percentile_approx(v, array(0.02, 0.98), 10000)").as("p"))
+      .collect().head.getSeq[Double](0)
+    (row(0), row(1))
+  }
   private val lru = new java.util.LinkedHashMap[String, Array[Byte]](cacheSize, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
       size() > cacheSize
@@ -48,7 +61,7 @@ final class TileServer(
             r += 1
           }
         }
-        val norm = plane.map(Png.normalize(_, range._1, range._2))
+        val norm = plane.map(Png.normalize(_, displayRange._1, displayRange._2))
         val png = Png.encode(Seq(norm), 256, 256)
         lru.synchronized { lru.put(key, png) }
         png

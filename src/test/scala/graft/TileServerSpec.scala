@@ -21,7 +21,7 @@ class TileServerSpec extends SparkSpec {
     val plan = Prepare(items)
     val composite = Mosaic(TileScan.scan(spark, plan.assetTable, plan.spec, 128), 128)
       .map(c => Tile(0, 0, c.band, 0L, c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
-    val server = new TileServer(composite, plan.spec, 128, (0.0, 128.0))
+    val server = new TileServer(composite, plan.spec, 128) // range auto = 2-98 percentile
     val port = server.start()
     try {
       val (cx, cy) = ((399960 + 402520) / 2.0, (4990200 + 4992760) / 2.0)
