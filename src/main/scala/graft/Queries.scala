@@ -23,6 +23,11 @@ object Queries {
                        oracle: Option[String])
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // self-sufficient under ANY session: events.parquet needs the nanos
+    // knob, which is runtime-settable (verified) — so queries also work if
+    // a harness supplies its own SparkSession without our configs.
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong it arrives as LongType nanos;
