@@ -14,11 +14,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // dot_long/sorted_jaccard*/hamming_dist in SQL
-    // Warm the session (codegen, FS, parquet footers) so the first timed
-    // query isn't charged JVM startup; then run in stable name order.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.keys.toSeq.sorted.headOption.foreach { _ =>
-      new java.io.File(sfDir).listFiles() }
+    // Warm the session so the first timed query isn't charged JVM/codegen
+    // startup: run one real parquet scan + hash-agg + sort pipeline.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().orderBy("r_name").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

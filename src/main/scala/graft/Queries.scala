@@ -605,6 +605,28 @@ object Queries {
              |      FROM documents)
              |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
 
+    // ----- T5: document-frequency / IDF table (the tf-idf building block;
+    // integer-only outputs keep it engine-exact). Ranked by total
+    // occurrences with deterministic tiebreaks.
+    Q("t5_docfreq",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents").select($"doc_id",
+          explode(split($"text", " ")).as("tok"))
+        val stats = toks.groupBy($"tok")
+          .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("occurrences"))
+        val w = Window.orderBy($"occurrences".desc, $"tok")
+        stats.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 30)
+          .select($"rk", $"tok", $"df", $"occurrences")
+      },
+      Some("""SELECT rk, tok, df, occurrences FROM (
+             |  SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS occurrences,
+             |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+             |  GROUP BY tok)
+             |WHERE rk <= 30 ORDER BY rk""".stripMargin)),
+
     // ----- D1: exact dedup via content hash
     Q("d1_exact_dedup",
       (s, dir) => {
