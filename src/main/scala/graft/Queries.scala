@@ -65,9 +65,9 @@ object Queries {
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS sum_base_cents,
-             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-             |      * (10000 - CAST(floor(l_discount*10000+0.5) AS BIGINT))) AS sum_disc_micro,
+             |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+             |      * (10000 - CAST(floor(l_discount*10000+0.5) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
              |  count(*) AS n
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -139,7 +139,7 @@ object Queries {
           .orderBy($"month")
       },
       Some("""SELECT date_trunc('month', o_orderdate) AS month,
-             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS rev_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
              |  count(*) AS n
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderpriority = '1-URGENT'
@@ -208,7 +208,7 @@ object Queries {
           .orderBy($"bucket_lo")
       },
       Some("""SELECT CAST(b.lo AS BIGINT) AS bucket_lo, count(*) AS n,
-             |  sum(CAST(floor(e.value*100+0.5) AS BIGINT)) AS sum_cents
+             |  CAST(sum(CAST(floor(e.value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events e
              |JOIN (SELECT i*50 AS lo FROM range(0,10) t(i)) b
              |  ON e.value >= b.lo AND e.value < b.lo + 50
@@ -231,7 +231,7 @@ object Queries {
           .orderBy($"r_name")
       },
       Some("""SELECT r_name,
-             |  sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS rev_cents,
+             |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -297,9 +297,9 @@ object Queries {
           .orderBy($"user_id", $"event_id")
       },
       Some("""SELECT user_id, event_id,
-             |  sum(CAST(floor(value*100+0.5) AS BIGINT))
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT))
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
              |FROM events WHERE user_id < 20 AND value IS NOT NULL
              |ORDER BY user_id, event_id""".stripMargin)),
 
@@ -313,7 +313,7 @@ object Queries {
           .orderBy($"week", $"event_type")
       },
       Some("""SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type, count(*) AS n,
-             |  sum(CAST(floor(value*100+0.5) AS BIGINT)) AS sum_cents
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ----- A4: min/max envelope fold (bounds union analog)
@@ -480,7 +480,7 @@ object Queries {
           .orderBy($"l_returnflag")
       },
       Some("""SELECT l_returnflag,
-             |  sum(CAST(floor((l_quantity*2.5 + 10.0)*10 + 0.5) AS BIGINT)) AS sum_rescaled_decis,
+             |  CAST(sum(CAST(floor((l_quantity*2.5 + 10.0)*10 + 0.5) AS BIGINT)) AS BIGINT) AS sum_rescaled_decis,
              |  count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -527,9 +527,9 @@ object Queries {
           .orderBy($"lang")
       },
       Some("""SELECT lang, count(*) AS n_docs,
-             |  sum(len(string_split(text,' '))) AS sum_tokens,
-             |  sum(len(list_distinct(string_split(text,' ')))) AS sum_distinct,
-             |  sum(n_chars) AS sum_chars
+             |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(len(list_distinct(string_split(text,' ')))) AS BIGINT) AS sum_distinct,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ----- T2: language-ID heuristic (stopword-frequency argmax, fixed tiebreak)
@@ -862,7 +862,7 @@ object Queries {
              |  SELECT vec_id, j, sum(c * sgn) AS p
              |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
              |buckets AS (
-             |  SELECT vec_id, sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS bucket
+             |  SELECT vec_id, CAST(sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
              |  FROM proj GROUP BY vec_id)
              |SELECT bucket, count(*) AS n FROM buckets
              |GROUP BY bucket ORDER BY bucket""".stripMargin))
@@ -951,7 +951,7 @@ object Queries {
         s.table(queryName).orderBy($"day", $"event_type")
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-             |  count(*) AS n, sum(CAST(floor(value*100+0.5) AS BIGINT)) AS sum_cents
+             |  count(*) AS n, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ----- M1: multimodal binary columns — opaque blob + typed metadata.
@@ -970,7 +970,7 @@ object Queries {
           .orderBy($"source")
       },
       Some("""SELECT source, count(*) AS n_blobs,
-             |  sum(octet_length(encode(text))) AS sum_bytes,
+             |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
              |  min(substr(md5(text),1,8)) AS min_chk
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
@@ -1110,7 +1110,7 @@ object Queries {
              |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, cents
              |                               ROWS UNBOUNDED PRECEDING) AS sess FROM g)
              |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events,
-             |       sum(cents) AS sum_cents
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM x GROUP BY user_id, sess
              |ORDER BY user_id, session_start""".stripMargin)),
 
@@ -1236,10 +1236,10 @@ object Queries {
                sum($"v" * $"pos").as("pos_chk"))
       },
       Some("""SELECT count(*) AS n_px,
-             |  sum(20000 + r*300 + c) AS sum_v,
+             |  CAST(sum(20000 + r*300 + c) AS BIGINT) AS sum_v,
              |  min(20000 + r*300 + c) AS min_v,
              |  max(20000 + r*300 + c) AS max_v,
-             |  sum((20000 + r*300 + c) * (r*64 + c)) AS pos_chk
+             |  CAST(sum((20000 + r*300 + c) * (r*64 + c)) AS BIGINT) AS pos_chk
              |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)""".stripMargin))
   )
 
