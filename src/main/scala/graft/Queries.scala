@@ -999,12 +999,40 @@ object Queries {
         }.toDF("doc_id", "width", "height", "mean_px")
           .orderBy($"doc_id")
       },
-      None),
+      // The stub decode is deterministic byte arithmetic over the utf8
+      // payload, and the documents are pure ASCII (max codepoint 121), so
+      // ord(char) == byte value and DuckDB can recompute width/height/mean
+      // exactly — the full binary->mapPartitions->struct plumbing is
+      // hash-gated. The double division is a single IEEE op on an exact
+      // integer sum, bit-identical across engines.
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+             |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
+             |  CAST(list_sum(list_transform(range(1, len(text)+1), i -> ord(text[i]))) AS DOUBLE)
+             |    / octet_length(encode(text)) AS mean_px
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- R1: the flagship raster pipeline (STAC plan -> scan -> mosaic).
-    // Engine-native operator, no relational oracle; the in-repo ScalaTest
-    // oracle (TileScanSpec/MosaicSpec) covers exactness. Rows-only check.
-    Q("r1_mosaic_composite", (s, _) => SparkEntry.entry(s), None),
+    // FakeReader pixels are never NaN, so valid_px per composite chunk is
+    // pure coverage geometry: the union of the three staggered 256x256-px
+    // scene footprints (pixel offsets 0/128/256 on the 512x512 grid, see
+    // SparkEntry.entry) intersected with each 256-px chunk. The oracle
+    // recomputes that union count from the footprint definition, making
+    // the whole STAC->prepare->scan->mosaic path hash-gated. Pixel VALUES
+    // are covered by the in-repo driver-side oracles (TileScanSpec,
+    // MosaicSpec fixtures + fuzz) and by r4's position-weighted checksum.
+    Q("r1_mosaic_composite", (s, _) => SparkEntry.entry(s),
+      Some("""WITH sq AS (SELECT unnest([0,128,256]) AS o),
+             |px AS (SELECT r, c FROM range(0,512) t(r) CROSS JOIN range(0,512) u(c)),
+             |cov AS (SELECT r, c FROM px
+             |        WHERE EXISTS (SELECT 1 FROM sq
+             |                      WHERE r >= o AND r < o+256 AND c >= o AND c < o+256)),
+             |ch AS (SELECT CAST(r//256 AS INT) AS yc, CAST(c//256 AS INT) AS xc,
+             |              CAST(count(*) AS BIGINT) AS v
+             |       FROM cov GROUP BY 1, 2)
+             |SELECT band, yc AS "yChunk", xc AS "xChunk", v AS valid_px
+             |FROM ch CROSS JOIN (SELECT unnest(['green','nir','red']) AS band) b
+             |ORDER BY band, "yChunk", "xChunk"""".stripMargin)),
 
     // ----- R2: NDVI band algebra + temporal mean over synthetic scenes.
     Q("r2_ndvi_temporal",
@@ -1040,7 +1068,17 @@ object Queries {
         }.toDF("period_s", "band", "y_chunk", "x_chunk", "valid_px")
           .orderBy($"period_s", $"y_chunk", $"x_chunk")
       },
-      None)
+      // The six scenes share one 128x128 footprint (full coverage) and the
+      // FakeReader never yields NaN (nir+red > 0 everywhere), so the two
+      // monthly-mean composites are fully valid: the oracle recomputes
+      // period keys + grid size from the item definitions. NDVI VALUES are
+      // covered by MedianSpec/TileScanSpec driver-side oracles.
+      Some("""SELECT CAST(epoch_us(mo)//1000000 AS BIGINT) AS period_s,
+             |  'ndvi' AS band, CAST(0 AS INT) AS y_chunk, CAST(0 AS INT) AS x_chunk,
+             |  CAST(128*128 AS INT) AS valid_px
+             |FROM (SELECT unnest([TIMESTAMP '2024-06-01 00:00:00',
+             |                     TIMESTAMP '2024-07-01 00:00:00']) AS mo) m
+             |ORDER BY period_s""".stripMargin))
   )
 
   private val xyzTile: Seq[Q] = Seq(
@@ -1243,8 +1281,99 @@ object Queries {
              |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)""".stripMargin))
   )
 
+  // ==========================================================================
+  // Round-2 widening: index-monotonicity audit (SURVEY O2), hopping event-
+  // time windows, deterministic train/val/test hash split, regex scrubbing
+  // ==========================================================================
+
+  private val roundTwo: Seq[Q] = Seq(
+
+    // ----- O2: monotonicity audit — lag-based order check per key
+    // (the reference asserts x/y index monotonicity, geom_utils.py:176-183;
+    // here as a first-class audit operator over event streams).
+    Q("o2_monotonic",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        t(s, dir, "events")
+          .filter($"user_id" < 100)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum(when($"ts" < $"prev_ts", 1L).otherwise(0L)).as("n_violations"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+             |  FROM events WHERE user_id < 100)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- W4: hopping (sliding) event-time window — 2-day windows sliding
+    // by 1 day, each event lands in exactly two windows. Spark aligns hop
+    // starts to epoch-multiples of the slide, so for a 1-day slide the
+    // containing starts are trunc(ts) and trunc(ts) - 1 day.
+    Q("w4_hopping",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "2 days", "1 day").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+          .select($"w.start".as("wstart"), $"event_type", $"n", $"sum_cents")
+          .orderBy($"wstart", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) - to_days(k) AS TIMESTAMP) AS wstart,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) t
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X1: deterministic hash split — the train/val/test assignment a
+    // training-data pipeline needs: stable under reshuffling/rescaling
+    // because the bucket is a pure function of the key (md5 60-bit int,
+    // same recipe both engines), never a row_number.
+    Q("x1_split_hash",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"split")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bk
+             |  FROM documents)
+             |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T6: regex scrubbing — redaction as a codegen'd column op
+    // (regexp_replace), measured by removed-char mass per source. DuckDB
+    // needs the 'g' flag to match Spark's replace-all semantics.
+    Q("t6_scrub",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source",
+            (length($"text") - length(regexp_replace($"text", "[aeiou]", ""))).as("removed"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"removed").cast("long").as("sum_removed"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_removed
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
