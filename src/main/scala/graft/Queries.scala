@@ -615,9 +615,13 @@ object Queries {
           explode(split($"text", " ")).as("tok"))
         val stats = toks.groupBy($"tok")
           .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("occurrences"))
+        // Top-k FIRST (TakeOrderedAndProject: per-partition partial top-30,
+        // merged on the driver) so the rank window — necessarily global —
+        // only ever sees 30 rows. A bare global row_number() here would
+        // funnel the whole vocabulary through one partition at scale.
         val w = Window.orderBy($"occurrences".desc, $"tok")
-        stats.withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 30)
+        stats.orderBy($"occurrences".desc, $"tok").limit(30)
+          .withColumn("rk", row_number().over(w))
           .select($"rk", $"tok", $"df", $"occurrences")
       },
       Some("""SELECT rk, tok, df, occurrences FROM (
@@ -666,10 +670,15 @@ object Queries {
         // reducer-side skew exists. (Measured: explicit block-split
         // salting only added overhead.)
         val a = bands.as("a"); val b = bands.as("b")
+        // No distinct() here: deduping candidates would shuffle the full
+        // multi-million-row pair stream. Pairs colliding in BOTH bands (only
+        // true near-dups, a tiny fraction) get verified twice — far cheaper
+        // than exchanging every candidate — and the post-filter distinct on
+        // the few surviving rows restores set semantics.
         val cand = a.join(b,
             $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
             $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
         // Verify-join over 64-bit token hashes: candidate rows then carry
         // primitive long arrays (memcpy-cheap) instead of UTF8 string
         // arrays, and the jaccard kernel is a codegen'd merge over longs.
@@ -685,6 +694,7 @@ object Queries {
           .join(broadcast(sets.as("sb")), $"id_b" === $"sb.doc_id")
           .filter(j >= 0.95)
           .select($"id_a", $"id_b", round(j, 6).as("jaccard"))
+          .distinct()
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH toks AS (
@@ -936,6 +946,9 @@ object Queries {
         // post-conversion schema from t() would mismatch the files.
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val queryName = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        // a finite file-backed stream gains nothing from empty microbatches;
+        // skipping them shaves fixed per-batch latency off the drain
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
         val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
