@@ -967,6 +967,71 @@ object Queries {
              |  count(*) AS n, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- S3: streaming deduplication — the training-pipeline dedup
+    // primitive in its incremental form. Duplicates are injected by
+    // unioning the file stream with itself; dropDuplicatesWithinWatermark
+    // keys on event_id with a 2-day event-time watermark (bounded state at
+    // scale: old keys are evicted, unlike plain dropDuplicates), and the
+    // memory-sink rows are batch-aggregated. The oracle is the single-copy
+    // batch rollup — exactly what a correct dedup must reproduce.
+    Q("s3_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        def mk() = {
+          val st = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+        }
+        val q = mk().union(mk())
+          .withWatermark("ts", "2 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(queryName).start()
+        q.processAllAvailable(); q.stop()
+        s.table(queryName)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- M3: multimodal frame sampling — treat the blob as a fixed-
+    // frame-size "video" (64-byte frames), sample every 4th frame, and
+    // fingerprint each sampled frame. Pure column ops (binary substring +
+    // md5 + sequence/explode) keep the whole path codegen'd; at scale this
+    // is one narrow map stage, no shuffle until the consumer. Hash-gated:
+    // documents are ASCII so DuckDB's substr-of-text md5 sees the same
+    // bytes as Spark's substring-of-binary.
+    Q("m3_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"doc_id" < 200)
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .withColumn("n_frames", ceil(length($"blob") / 64.0).cast("int"))
+          .select($"doc_id", $"n_frames", $"blob",
+            explode(sequence(lit(0), $"n_frames" - 1, lit(4))).as("frame_idx"))
+          .select($"doc_id", $"n_frames", $"frame_idx",
+            md5(expr("substring(blob, frame_idx * 64 + 1, 64)")).as("frame_md5"))
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text, CAST(ceil(len(text)/64.0) AS INT) AS n_frames
+             |  FROM documents WHERE doc_id < 200),
+             |fr AS (
+             |  SELECT doc_id, n_frames,
+             |         CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx, text
+             |  FROM f)
+             |SELECT doc_id, n_frames, frame_idx,
+             |  md5(substr(text, frame_idx*64 + 1, 64)) AS frame_md5
+             |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ----- M1: multimodal binary columns — opaque blob + typed metadata.
     // The blob here is the utf8 payload (the container has no image libs);
     // the engine treats it as opaque bytes exactly as it would image data.
