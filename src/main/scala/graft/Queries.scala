@@ -1366,6 +1366,49 @@ object Queries {
 
   private val roundTwo: Seq[Q] = Seq(
 
+    // ----- R5: DataSource V2 tile scan with predicate pushdown — the same
+    // STAC plan as the flagship (10 staggered scenes, SURVEY §7.3's DSv2
+    // graduation), scanned through TileSourceV2 with band + time-range
+    // predicates. The filters prune the (asset x chunk) work-list BEFORE
+    // any pixel read (PushedFilters in explain); the surviving scenes 0-1
+    // leave footprint squares at pixel offsets {0,128}, and the oracle
+    // recomputes per-chunk tile counts and sparse-rect pixel sums from
+    // that geometry. Pixel values are covered by TileSourceV2Spec's
+    // equality test against the mapPartitions scan.
+    Q("r5_dsv2_pruned",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+        val items = (0 until 10).map { i =>
+          val off = (i % 3) * 1280.0
+          StacItem(s"scene-$i", Some(f"2024-06-${i + 1}%02dT10:00:00Z"), epsg = Some(32633),
+            assets = Seq("red", "green", "nir").map { band =>
+              band -> StacAsset(s"fake://$band/$i",
+                bbox = Some(Bounds(399960 + off, 4990200 - off, 399960 + off + 2560, 4990200 - off + 2560)),
+                shape = Some((256, 256)),
+                transform = Some(AffineTransform.northUp(399960 + off, 4990200 - off + 2560, 10.0, 10.0)))
+            }.toMap)
+        }
+        val plan = Prepare(items, PrepareOptions(assets = Some(Seq("red", "green", "nir"))))
+        val cutoff = java.time.Instant.parse("2024-06-03T00:00:00Z").toEpochMilli * 1000L
+        graft.scan.v2.TileSourceV2.scan(s, plan.assetTable, plan.spec, chunk = 256)
+          .filter($"band" === "red" && $"timeMicros" < cutoff)
+          .groupBy($"yChunk", $"xChunk")
+          .agg(count(lit(1)).as("n_tiles"), sum(size($"pixels")).as("px_sum"))
+          .orderBy($"yChunk", $"xChunk")
+      },
+      Some("""WITH sq AS (SELECT unnest([0,128]) AS o),
+             |px AS (SELECT r, c FROM range(0,512) t(r) CROSS JOIN range(0,512) u(c)),
+             |hits AS (SELECT r, c, o FROM px JOIN sq
+             |         ON r >= o AND r < o+256 AND c >= o AND c < o+256),
+             |ch AS (SELECT CAST(r//256 AS INT) AS yc, CAST(c//256 AS INT) AS xc,
+             |              CAST(count(*) AS BIGINT) AS px_sum,
+             |              CAST(count(DISTINCT o) AS BIGINT) AS n_tiles
+             |       FROM hits GROUP BY 1, 2)
+             |SELECT yc AS "yChunk", xc AS "xChunk", n_tiles, px_sum
+             |FROM ch ORDER BY 1, 2""".stripMargin)),
+
     // ----- O2: monotonicity audit — lag-based order check per key
     // (the reference asserts x/y index monotonicity, geom_utils.py:176-183;
     // here as a first-class audit operator over event streams).

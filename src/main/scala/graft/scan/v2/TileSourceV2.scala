@@ -1,0 +1,296 @@
+package graft.scan.v2
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{RasterSpec, Window}
+import graft.scan.{AssetRow, ErrorsAsNodata, FakeReader, Reader, TileScan}
+
+/** The scan configuration a [[TileSourceProvider]] table reads: the
+  * planned asset list + output grid (SURVEY §2.1 S3's products) plus the
+  * executor-side reader factory. Registered driver-side (planning happens
+  * on the driver); per-partition slices travel to executors inside the
+  * serialized [[TileInputPartition]]s, never through the registry.
+  */
+final case class ScanPlan(
+    assets: Seq[AssetRow],
+    spec: RasterSpec,
+    chunk: Int,
+    readerFor: AssetRow => Reader,
+    errorsAsNodata: ErrorsAsNodata,
+    applyRescale: Boolean)
+
+/** Driver-side handoff of non-serializable plan state into the DSv2
+  * `TableProvider` (which Spark instantiates reflectively from a class
+  * name, so it cannot take constructor args). */
+object TilePlanRegistry {
+  private val plans = new ConcurrentHashMap[String, ScanPlan]()
+  private val ctr = new AtomicLong()
+  def register(p: ScanPlan): String = {
+    val token = s"plan-${ctr.incrementAndGet()}"
+    plans.put(token, p); token
+  }
+  def get(token: String): ScanPlan = {
+    val p = plans.get(token)
+    require(p != null, s"no registered tile scan plan for token $token")
+    p
+  }
+}
+
+/** DataSource V2 tile source — the SURVEY §7.3 graduation of
+  * [[graft.scan.TileScan]] from `mapPartitions` to a `PartitionReaderFactory`
+  * with real Catalyst integration:
+  *
+  *  - '''Predicate pushdown''' (`SupportsPushDownFilters`): filters on
+  *    `band` / `timeMicros` / `itemIdx` / `yChunk` / `xChunk` prune the
+  *    (asset × chunk) work-list at plan time — the reference's metadata
+  *    pruning (R1–R3, `stackstac/prepare.py:355-361`,
+  *    `to_dask.py:183-189`) surfaced as `PushedFilters` in `explain`.
+  *    Pruned IO never happens; Spark still re-evaluates the predicates on
+  *    the emitted rows, so pushdown is purely an optimization.
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): a
+  *    projection without `pixels` reads no pixel bytes at all — the
+  *    metadata-only planning boundary (R5) expressed in the scan itself.
+  *    Such a projection enumerates the *planned* tiles: rows a full read
+  *    would elide as all-nodata (R4) are included, because elision is a
+  *    property of pixel values.
+  *  - One `InputPartition` per (yChunk, xChunk): downstream per-chunk
+  *    aggregations (mosaic, temporal) consume co-located tiles.
+  *
+  * Usage: `TileSourceV2.scan(spark, assets, spec, chunk, ...)` or
+  * `spark.read.format(classOf[TileSourceProvider].getName).option("plan", token).load()`.
+  */
+object TileSourceV2 {
+
+  val schema: StructType = StructType(Seq(
+    StructField("itemIdx", IntegerType, nullable = false),
+    StructField("assetIdx", IntegerType, nullable = false),
+    StructField("band", StringType, nullable = false),
+    StructField("timeMicros", LongType, nullable = false),
+    StructField("yChunk", IntegerType, nullable = false),
+    StructField("xChunk", IntegerType, nullable = false),
+    StructField("rowOff", IntegerType, nullable = false),
+    StructField("colOff", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  def scan(
+      spark: SparkSession,
+      assets: Seq[AssetRow],
+      spec: RasterSpec,
+      chunk: Int = 1024,
+      readerFor: AssetRow => Reader = a => FakeReader(a.url),
+      errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none,
+      applyRescale: Boolean = true): DataFrame = {
+    val token = TilePlanRegistry.register(
+      ScanPlan(assets, spec, chunk, readerFor, errorsAsNodata, applyRescale))
+    spark.read.format(classOf[TileSourceProvider].getName)
+      .option("plan", token).load()
+  }
+}
+
+class TileSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TileSourceV2.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new TileTable(TilePlanRegistry.get(properties.get("plan")))
+}
+
+final class TileTable(plan: ScanPlan) extends Table with SupportsRead {
+  override def name(): String = "graft_tiles"
+  override def schema(): StructType = TileSourceV2.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TileScanBuilder(plan)
+}
+
+final class TileScanBuilder(plan: ScanPlan)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = TileSourceV2.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(TileFilterEval.supported)
+    filters // residual = everything: Spark re-evaluates, pushdown stays a pure optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new TileScanV2(plan, pushed, required)
+}
+
+/** Evaluates pushable filters against work-list metadata (asset × chunk). */
+private[v2] object TileFilterEval {
+  private val cols = Set("band", "timeMicros", "itemIdx", "yChunk", "xChunk")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case GreaterThan(a, _) => cols(a)
+    case GreaterThanOrEqual(a, _) => cols(a)
+    case LessThan(a, _) => cols(a)
+    case LessThanOrEqual(a, _) => cols(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** Metadata value of a pushable column for one candidate pair. */
+  private def value(a: AssetRow, yc: Int, xc: Int, col: String): Any = col match {
+    case "band" => a.band
+    case "timeMicros" => a.timeMicros
+    case "itemIdx" => a.itemIdx
+    case "yChunk" => yc
+    case "xChunk" => xc
+  }
+
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case _ => 0
+  }
+
+  def eval(f: Filter, a: AssetRow, yc: Int, xc: Int): Boolean = f match {
+    case EqualTo(c, v) => value(a, yc, xc, c) == v || cmp(value(a, yc, xc, c), v) == 0
+    case In(c, vs) => vs.exists(v => eval(EqualTo(c, v), a, yc, xc))
+    case GreaterThan(c, v) => cmp(value(a, yc, xc, c), v) > 0
+    case GreaterThanOrEqual(c, v) => cmp(value(a, yc, xc, c), v) >= 0
+    case LessThan(c, v) => cmp(value(a, yc, xc, c), v) < 0
+    case LessThanOrEqual(c, v) => cmp(value(a, yc, xc, c), v) <= 0
+    case And(l, r) => eval(l, a, yc, xc) && eval(r, a, yc, xc)
+    case Or(l, r) => eval(l, a, yc, xc) || eval(r, a, yc, xc)
+    case _ => true
+  }
+}
+
+final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_tiles chunk=${plan.chunk} pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val grid = TileScan.chunkGrid(plan.spec, plan.chunk)
+    // metadata-only work-list with chunk-granular elision (R3) AND the
+    // pushed predicates applied before any IO is scheduled (R1/R2)
+    val byChunk = mutable.LinkedHashMap.empty[(Int, Int), mutable.ArrayBuffer[PlannedRead]]
+    for {
+      a <- plan.assets if a.url != null
+      assetWin = plan.spec.windowFor(a.bounds)
+      if !assetWin.isEmpty
+      (yc, xc, cw) <- grid
+      if cw.intersects(assetWin)
+      if pushed.forall(TileFilterEval.eval(_, a, yc, xc))
+    } byChunk.getOrElseUpdate((yc, xc), mutable.ArrayBuffer.empty) +=
+        PlannedRead(a, yc, xc, cw.intersect(assetWin))
+    byChunk.values.map(rs => TileInputPartition(rs.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TileReaderFactory(plan.chunk, plan.readerFor, plan.errorsAsNodata,
+      plan.applyRescale, required.fieldNames)
+}
+
+final case class PlannedRead(asset: AssetRow, yChunk: Int, xChunk: Int, window: Window)
+
+final case class TileInputPartition(reads: Array[PlannedRead]) extends InputPartition
+
+final case class TileReaderFactory(
+    chunk: Int,
+    readerFor: AssetRow => Reader,
+    errorsAsNodata: ErrorsAsNodata,
+    applyRescale: Boolean,
+    fieldNames: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TilePartitionReader(partition.asInstanceOf[TileInputPartition].reads,
+      chunk, readerFor, errorsAsNodata, applyRescale, fieldNames)
+}
+
+final class TilePartitionReader(
+    reads: Array[PlannedRead],
+    chunk: Int,
+    readerFor: AssetRow => Reader,
+    errorsAsNodata: ErrorsAsNodata,
+    applyRescale: Boolean,
+    fieldNames: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val needPixels = fieldNames.contains("pixels")
+  private val open = mutable.HashMap.empty[String, Reader]
+  private var i = -1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while ({ i += 1; i < reads.length }) {
+      val PlannedRead(a, yc, xc, win) = reads(i)
+      val px: Array[Double] =
+        if (!needPixels) null // column pruning => zero pixel IO (R5)
+        else {
+          val r = open.getOrElseUpdate(a.url, readerFor(a))
+          val p =
+            try r.read(win)
+            catch {
+              case e: Throwable if errorsAsNodata.matches(e) =>
+                Array.fill(win.width * win.height)(Double.NaN)
+            }
+          if (applyRescale && (a.scale != 1.0 || a.offset != 0.0)) {
+            var k = 0
+            while (k < p.length) { p(k) = p(k) * a.scale + a.offset; k += 1 }
+          }
+          p
+        }
+      // sparse elision (R4) is a pixel-value property: only applicable
+      // when pixels were actually read
+      if (px == null || !px.forall(_.isNaN)) {
+        row = project(a, yc, xc, win, px)
+        return true
+      }
+    }
+    false
+  }
+
+  private def project(
+      a: AssetRow, yc: Int, xc: Int, win: Window, px: Array[Double]): InternalRow = {
+    val vals = fieldNames.map {
+      case "itemIdx" => a.itemIdx
+      case "assetIdx" => a.assetIdx
+      case "band" => UTF8String.fromString(a.band)
+      case "timeMicros" => a.timeMicros
+      case "yChunk" => yc
+      case "xChunk" => xc
+      case "rowOff" => win.rowOff - yc * chunk
+      case "colOff" => win.colOff - xc * chunk
+      case "height" => win.height
+      case "width" => win.width
+      case "pixels" => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(px)
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    open.values.foreach(r => try r.close() catch { case _: Throwable => () })
+}

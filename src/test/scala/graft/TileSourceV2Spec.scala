@@ -1,0 +1,75 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.core.{Bounds, RasterSpec, Window}
+import graft.scan._
+import graft.scan.v2.TileSourceV2
+
+/** Counts actual pixel reads — local mode shares the JVM, so the static
+  * counter observes executor-side activity. */
+object CountingReads {
+  val reads = new AtomicInteger(0)
+  def factory: AssetRow => Reader = a => new Reader {
+    private val inner = FakeReader(a.url)
+    def read(w: Window): Array[Double] = { reads.incrementAndGet(); inner.read(w) }
+  }
+}
+
+class TileSourceV2Spec extends SparkSpec {
+
+  private val spec = RasterSpec(32633, Bounds(0, 0, 160, 160), 10, 10) // 16x16 px
+  private val chunk = 8 // 2x2 chunk grid
+
+  private def assets: Seq[AssetRow] = Seq(
+    AssetRow(0, 0, "red", 1000L, "fake://red/0", 0, 0, 160, 160, 1.0, 0.0),
+    AssetRow(0, 1, "nir", 1000L, "fake://nir/0", 0, 0, 160, 160, 1.0, 0.0),
+    AssetRow(1, 0, "red", 2000L, "fake://red/1", 0, 80, 80, 160, 1.0, 0.0), // top-left quarter
+    AssetRow(1, 1, "nir", 2000L, "fake://nir/1", 0, 80, 80, 160, 1.0, 0.0))
+
+  test("v2 source matches the mapPartitions scan") {
+    import spark.implicits._
+    val v1 = TileScan.scan(spark, assets, spec, chunk).collect()
+      .map(t => (t.itemIdx, t.band, t.yChunk, t.xChunk, t.rowOff, t.colOff,
+        t.height, t.width, t.pixels.toSeq)).sortBy(_.toString)
+    val v2 = TileSourceV2.scan(spark, assets, spec, chunk).as[Tile].collect()
+      .map(t => (t.itemIdx, t.band, t.yChunk, t.xChunk, t.rowOff, t.colOff,
+        t.height, t.width, t.pixels.toSeq)).sortBy(_.toString)
+    assert(v2.nonEmpty && v2.toSeq == v1.toSeq)
+  }
+
+  test("band + chunk predicates prune reads before IO (PushedFilters)") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val df = TileSourceV2.scan(spark, assets, spec, chunk, CountingReads.factory)
+      .filter($"band" === "red" && $"yChunk" === 0 && $"xChunk" === 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("graft_tiles"),
+      s"expected DSv2 scan with pushdown in plan:\n$plan")
+    val rows = df.collect()
+    // chunk (0,0): both red assets cover it -> 2 tiles, 2 reads, not 16
+    assert(rows.length == 2)
+    assert(CountingReads.reads.get() == 2,
+      s"expected 2 pruned reads, got ${CountingReads.reads.get()}")
+  }
+
+  test("time-range predicate prunes whole items") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val rows = TileSourceV2.scan(spark, assets, spec, chunk, CountingReads.factory)
+      .filter($"timeMicros" < 1500L).collect()
+    // item 0 only: full-footprint red+nir over 4 chunks = 8 tiles
+    assert(rows.length == 8)
+    assert(CountingReads.reads.get() == 8)
+  }
+
+  test("metadata-only projection does zero pixel IO") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val n = TileSourceV2.scan(spark, assets, spec, chunk, CountingReads.factory)
+      .select($"band", $"yChunk", $"xChunk").distinct().count()
+    assert(n > 0)
+    assert(CountingReads.reads.get() == 0,
+      s"metadata projection must not read pixels, got ${CountingReads.reads.get()} reads")
+  }
+}
