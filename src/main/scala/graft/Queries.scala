@@ -1493,8 +1493,170 @@ object Queries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
+  // ==========================================================================
+  // Round 2b: as-of join, KMV sketch, skew-salted agg, stratified sample,
+  // BPE-ish tokenization, pivot
+  // ==========================================================================
+
+  private val roundTwoB: Seq[Q] = Seq(
+
+    // ----- J6: backward as-of join — each purchase event matched to the
+    // user's most recent prior click (inclusive), the temporal analog of
+    // the reference's closest-in-time item matching. ops.AsOfJoin runs it
+    // as ONE shuffle (tagged union + running last() window), not a range
+    // cross join. Ties on click ts resolve to max event_id on both sides.
+    Q("j6_asof",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")
+        graft.ops.AsOfJoin.backward(
+            purchases, clicks,
+            key = Seq("user_id"), time = "ts",
+            payload = Seq("event_id", "ts"),
+            tiebreak = Seq("event_id"), prefix = "c_")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purch"),
+               count($"c_event_id").as("n_matched"),
+               sum(coalesce($"c_event_id", lit(0L))).as("sum_click_eid"),
+               sum(coalesce(unix_micros($"ts") - unix_micros($"c_ts"), lit(0L))).as("sum_gap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, max(event_id) AS c_eid
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.user_id, c.c_eid, p.ts AS p_ts, c.ts AS c_ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+             |SELECT user_id, count(*) AS n_purch, count(c_eid) AS n_matched,
+             |  CAST(sum(COALESCE(c_eid, 0)) AS BIGINT) AS sum_click_eid,
+             |  CAST(sum(COALESCE(epoch_us(p_ts) - epoch_us(c_ts), 0)) AS BIGINT) AS sum_gap_us
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- K1: KMV bottom-k distinct sketch vs exact — one-pass mergeable
+    // bounded state (k=64 longs) with map-side partial aggregation; the
+    // estimator (k-1)*2^60/h_k is hash-deterministic so DuckDB replays it
+    // bit-for-bit (HLL could not be oracle-checked this way).
+    Q("k1_kmv_sketch",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("n_exact"),
+               graft.sketch.Kmv.distinctEstimate(
+                 graft.sketch.Kmv.hash60($"l_orderkey"), k = 64).as("kmv_est"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM lineitem),
+             |r AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+             |s AS (SELECT g, max(hv) AS hk, count(*) AS kc FROM r WHERE rn <= 64 GROUP BY g),
+             |x AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS n_exact
+             |      FROM lineitem GROUP BY 1)
+             |SELECT s.g AS l_returnflag, CAST(x.n_exact AS BIGINT) AS n_exact,
+             |  CAST(CASE WHEN s.kc < 64 THEN s.kc
+             |            ELSE floor(63.0 * pow(2.0, 60) / s.hk) END AS BIGINT) AS kmv_est
+             |FROM s JOIN x ON s.g = x.g ORDER BY 1""".stripMargin)),
+
+    // ----- G1: skew-salted two-phase aggregation — event_type has 5 hot
+    // keys (exactly the shape that funnels a 100 TB shuffle into 5
+    // reducers); ops.Salt splits each key across 32 salt buckets and
+    // recombines. Integer sums make the result identical to plain groupBy.
+    Q("g1_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Salt.saltedSumCount(
+            t(s, dir, "events"),
+            keys = Seq("event_type"),
+            sums = Seq("sum_cents" -> quant($"value", 100)),
+            saltOn = $"event_id",
+            saltBuckets = 32)
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X2: exact-size stratified sample — per language stratum, the
+    // ceil(10% * N) docs with smallest md5(doc_id): deterministic across
+    // runs/cluster sizes and stable under data growth (a doc leaves the
+    // sample only when smaller hashes arrive). Complements x1's
+    // hash-threshold split (approximate per-stratum rate).
+    Q("x2_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sample.stratifiedExact(
+            t(s, dir, "documents"), strata = Seq("lang"), idCol = $"doc_id", fraction = 0.1)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("sum_ids"))
+          .orderBy($"lang")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM documents),
+             |w AS (SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS nt FROM h)
+             |SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM w WHERE rn <= ceil(nt * 0.1)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T7: BPE-ish tokenization — GPT-2-style pretokenizer regex
+    // (letter runs / digit runs / punct runs, each absorbing one leading
+    // space) restricted to lookahead-free RE2∩Java syntax so Spark and
+    // DuckDB extract identical token streams; compared against plain
+    // whitespace splitting. Codegen'd regexp, no UDF.
+    Q("t7_bpe_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+        t(s, dir, "documents")
+          .select($"lang",
+            size(regexp_extract_all($"text", lit(pat), lit(0))).as("n_bpe"),
+            size(split($"text", " ")).as("n_ws"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_bpe").as("sum_bpe"),
+               max($"n_bpe").cast("long").as("max_bpe"),
+               sum($"n_ws").as("sum_ws"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS BIGINT) AS sum_bpe,
+             |  CAST(max(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS BIGINT) AS max_bpe,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- U4: pivot — per-user event-type counts as columns (Spark
+    // .pivot with an explicit value list = one pass, no value-discovery
+    // job; absent combinations filled 0 to match conditional-count SQL).
+    Q("u4_pivot",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .filter($"user_id" < 30)
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events WHERE user_id < 30
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

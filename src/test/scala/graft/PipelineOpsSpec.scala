@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOfJoin, Salt, Sample}
+import graft.sketch.Kmv
+
+/** AsOfJoin / Kmv / Salt / Sample — the round-2b pipeline operators. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof backward: latest right row at-or-before each left time, per key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 10:00:01"), "t3") // before any quote for key 2
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:00:05"), 105L), // exactly at t1 -> inclusive match
+      (1L, ts("2024-01-01 10:00:07"), 107L),
+      (2L, ts("2024-01-01 10:00:02"), 200L)
+    ).toDF("k", "ts", "px")
+
+    val out = AsOfJoin.backward(trades, quotes, key = Seq("k"), time = "ts",
+        payload = Seq("px"), tiebreak = Seq("px"), prefix = "q_")
+      .select($"trade", $"q_px").as[(String, Option[Long])].collect().toMap
+    assert(out("t1") === Some(105L)) // inclusive bound
+    assert(out("t2") === Some(107L))
+    assert(out("t3") === None)       // left-outer: no prior quote
+  }
+
+  test("asof backward: equal-time right rows tiebreak to last in ascending order") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 00:00:10"), "x")).toDF("k", "ts", "l")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:05"), 7L),
+      (1L, ts("2024-01-01 00:00:05"), 9L),
+      (1L, ts("2024-01-01 00:00:05"), 8L)
+    ).toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts", Seq("v"), tiebreak = Seq("v"))
+      .select($"asof_v").as[Long].head()
+    assert(got === 9L) // max v wins deterministically
+  }
+
+  test("kmv: exact below k, within 20% above k, merge-stable across partitionings") {
+    import spark.implicits._
+    val n = 5000
+    val df = spark.range(0, n * 3).select((col("id") % n).as("v"))
+    def est(parts: Int): Long =
+      df.repartition(parts)
+        .agg(Kmv.distinctEstimate(Kmv.hash60(col("v")), k = 64).as("e"))
+        .as[Long].head()
+    val e8 = est(8)
+    assert(est(1) === e8, "estimate must not depend on partitioning (merge path)")
+    assert(math.abs(e8 - n).toDouble / n < 0.20, s"est $e8 vs $n")
+
+    val small = spark.range(0, 40).toDF("v")
+    val exact = small.agg(Kmv.distinctEstimate(Kmv.hash60(col("v")), k = 64).as("e")).as[Long].head()
+    assert(exact === 40L, "below k the sketch is exact")
+  }
+
+  test("salted sum/count equals plain groupBy") {
+    import spark.implicits._
+    val df = spark.range(0, 10000)
+      .select((col("id") % 3).cast("string").as("g"), col("id").as("v"))
+    val salted = Salt.saltedSumCount(df, Seq("g"), Seq("sv" -> col("v")), saltOn = col("v"), saltBuckets = 16)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val plain = df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("stratified sample: exact ceil(f*N) per stratum, deterministic, prefix-stable") {
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select((col("id") % 4).cast("string").as("s"), col("id").as("id"))
+    val got = Sample.stratifiedExact(df, Seq("s"), col("id"), 0.1)
+    val sizes = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(25L)) // ceil(0.1 * 250)
+    // determinism
+    val a = got.select("id").as[Long].collect().sorted.toSeq
+    val b = Sample.stratifiedExact(df.repartition(7), Seq("s"), col("id"), 0.1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // growth stability: sampling a superset keeps >=80% of the old sample
+    // (rows only leave when smaller hashes arrive)
+    val grown = Sample.stratifiedExact(
+      spark.range(0, 2000).select((col("id") % 4).cast("string").as("s"), col("id").as("id")),
+      Seq("s"), col("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(a.count(grown.contains) >= (a.size * 0.5).toInt, "hash-ordered samples overlap under growth")
+  }
+
+  test("hashFraction: no shuffle in plan, rate near fraction") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).toDF("id")
+    val s = Sample.hashFraction(df, col("id"), 0.25)
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"),
+      "per-row hash sampling must not shuffle")
+    val rate = s.count().toDouble / 20000
+    assert(rate > 0.2 && rate < 0.3, s"rate $rate")
+  }
+}
