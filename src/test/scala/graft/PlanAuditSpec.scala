@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100 TB cluster — broadcast vs shuffle joins,
+  * scan-level filter/column pushdown, partial aggregation, absence of
+  * accidental cartesian products — asserted on the real optimized plans
+  * at sf0.001 so a regression fails CI, not the cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Queries.all(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j4 star join: all three dims broadcast, fact side never shuffles for the join") {
+    val p = plan("j4_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "star join must not degrade to cartesian")
+  }
+
+  test("j3 range join: broadcast nested loop on the tiny bucket side, no cartesian on the big side") {
+    val p = plan("j3_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p6 metadata filter reaches the parquet scan as a pushed filter") {
+    val p = plan("p6_meta_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderpriority"),
+      s"filter must be pushed to the scan:\n$p")
+  }
+
+  test("p1 projection prunes the scan to the selected columns only") {
+    val p = plan("p1_projection")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("l_comment") && !readSchemas.contains("l_shipinstruct"),
+      s"unused wide columns must not be read:\n$readSchemas")
+  }
+
+  test("q1 aggregation runs map-side partial aggregation inside whole-stage codegen") {
+    val df = Queries.all("q1_agg")(spark, dir)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("partial_sum"), "map-side partial aggregation expected")
+    df.collect() // AQE finalizes the plan; codegen stages only show post-execution
+    val post = df.queryExecution.executedPlan.toString
+    // whole-stage codegen renders as "*(n)" stage prefixes in the simple plan string
+    assert(post.contains("*(") && post.contains("HashAggregate"),
+      s"agg pipeline must stay codegen'd:\n$post")
+  }
+
+  test("g1 salted aggregation is two exchanges max (salt phase + final phase)") {
+    val p = plan("g1_salted_agg")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected salt+final (+order) shuffles only, got $exchanges:\n$p")
+  }
+
+  test("j6 as-of join is one shuffle (window) — no range cross-join operators") {
+    val p = Queries.all("j6_asof")(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a range cross join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("k1 KMV sketch aggregates partially before the shuffle (mergeable sketch)") {
+    val p = plan("k1_kmv_sketch")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch must combine map-side:\n$p")
+  }
+
+  test("no query plans an un-asked-for cartesian product") {
+    // j2_cross_small is the intentional tiny cross product; everything else must not.
+    val offenders = Queries.all.keys.toSeq.sorted
+      .filterNot(Set("j2_cross_small", "d5_embedding_dup", "d4_ngram_jaccard"))
+      .filterNot(_.startsWith("s")) // streaming queries execute eagerly in fn()
+      .filterNot(Set("r3_xyz_tile", "r4_geotiff_scan", "v4_knn_ivf", "s2_sessionize")) // eager/cached paths
+      .filter { n =>
+        val p = Queries.all(n)(spark, dir).queryExecution.executedPlan.toString
+        p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
+  }
+}
