@@ -1630,6 +1630,51 @@ object Queries {
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- S4: stream-stream interval join — purchases joined to the
+    // same user's clicks from the preceding hour, both sides watermarked
+    // so the join state is bounded (clicks older than watermark + 1 h are
+    // evicted; an unbounded stream-stream join would accrete state
+    // forever). The append-mode sink is batch-aggregated; the oracle is
+    // the equivalent batch interval join.
+    Q("s4_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_ssjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        def mk() = {
+          val st = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+        }
+        val purchases = mk().filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_eid"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = mk().filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_eid"))
+          .withWatermark("c_ts", "2 hours")
+        val q = purchases.join(clicks,
+            expr("p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(queryName).start()
+        q.processAllAvailable(); q.stop()
+        s.table(queryName)
+          .groupBy($"p_user".as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum($"c_eid").as("sum_click_eid"),
+               sum(unix_micros($"p_ts") - unix_micros($"c_ts")).as("sum_gap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT p.user_id, count(*) AS n_pairs,
+             |  CAST(sum(c.event_id) AS BIGINT) AS sum_click_eid,
+             |  CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- U4: pivot — per-user event-type counts as columns (Spark
     // .pivot with an explicit value list = one pass, no value-discovery
     // job; absent combinations filled 0 to match conditional-count SQL).
