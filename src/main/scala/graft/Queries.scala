@@ -42,6 +42,18 @@ object Queries {
   private def quant(c: Column, scale: Long): Column =
     floor(c * scale.toDouble + 0.5).cast("long")
 
+  /** Stateful streaming operators allocate one state store per shuffle
+    * partition; for these finite single-microbatch benchmark streams that
+    * fixed cost dominates, so the stream runs with few partitions
+    * (results are partitioning-invariant — the correctness gate re-checks
+    * that) and the session setting is restored for the batch stages. A
+    * real deployment sizes this with state volume instead. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ==========================================================================
   // Relational operators (SURVEY §2.2-2.8) over the TPC-H-ish tables
   // ==========================================================================
@@ -953,14 +965,16 @@ object Queries {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
         val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
           stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
-        val q = fixed
-          .withWatermark("ts", "1 day")
-          .groupBy(window($"ts", "1 day").as("w"), $"event_type")
-          .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
-          .select($"w.start".as("day"), $"event_type", $"n", $"sum_cents")
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(queryName).start()
-        q.processAllAvailable(); q.stop()
+        withStreamPartitions(s, 4) {
+          val q = fixed
+            .withWatermark("ts", "1 day")
+            .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+            .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+            .select($"w.start".as("day"), $"event_type", $"n", $"sum_cents")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        }
         s.table(queryName).orderBy($"day", $"event_type")
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -986,12 +1000,14 @@ object Queries {
           if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
             st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
         }
-        val q = mk().union(mk())
-          .withWatermark("ts", "2 days")
-          .dropDuplicatesWithinWatermark("event_id")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(queryName).start()
-        q.processAllAvailable(); q.stop()
+        withStreamPartitions(s, 4) {
+          val q = mk().union(mk())
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        }
         s.table(queryName)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
@@ -1654,11 +1670,13 @@ object Queries {
         val clicks = mk().filter($"event_type" === "click")
           .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_eid"))
           .withWatermark("c_ts", "2 hours")
-        val q = purchases.join(clicks,
-            expr("p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(queryName).start()
-        q.processAllAvailable(); q.stop()
+        withStreamPartitions(s, 4) {
+          val q = purchases.join(clicks,
+              expr("p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        }
         s.table(queryName)
           .groupBy($"p_user".as("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
