@@ -1693,6 +1693,89 @@ object Queries {
              | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- M4: multimodal resize — the blob decoded (stub) into a 32-px-wide
+    // image grid, then 2x2 mean-pooled: the real downsample loop (gather,
+    // partial cells at edges, quantized checksum) in imperative
+    // mapPartitions form, exactly how a batch image-resize UDF runs. The
+    // ASCII payload makes every pooled mean recomputable in SQL, so the
+    // whole plumbing is hash-gated (same trick as m2).
+    Q("m4_resize",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val n = bytes.length
+              val outW = 16
+              val outH = ((n + 31) / 32 + 1) / 2
+              val sums = new Array[Long](math.max(outH * outW, 1))
+              val cnts = new Array[Int](math.max(outH * outW, 1))
+              var i = 0
+              while (i < n) {
+                val k = ((i / 32) / 2) * outW + (i % 32) / 2
+                sums(k) += bytes(i) & 0xff; cnts(k) += 1; i += 1
+              }
+              var outPx = 0; var sumQ = 0L; var k = 0
+              while (k < outH * outW) {
+                if (cnts(k) > 0) {
+                  outPx += 1
+                  val mean = sums(k).toDouble / cnts(k)
+                  sumQ += math.floor(mean * 100 + 0.5).toLong
+                }
+                k += 1
+              }
+              (id, outW, outH, outPx, sumQ)
+            }
+          }.toDF("doc_id", "out_w", "out_h", "out_px", "sum_q")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, CAST(unnest(range(0, len(text))) AS INT) AS i, text
+             |  FROM documents),
+             |cells AS (
+             |  SELECT doc_id, (i//32)//2 AS r2, (i%32)//2 AS c2,
+             |         sum(ord(text[i+1])) AS s, count(*) AS c
+             |  FROM px GROUP BY 1, 2, 3),
+             |pooled AS (
+             |  SELECT doc_id, count(*) AS out_px,
+             |         CAST(sum(CAST(floor(CAST(s AS DOUBLE)/c*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q
+             |  FROM cells GROUP BY 1)
+             |SELECT d.doc_id, CAST(16 AS INT) AS out_w,
+             |  CAST((len(d.text)+31)//32 + 1 AS INT)//2 AS out_h,
+             |  CAST(p.out_px AS INT) AS out_px, p.sum_q
+             |FROM documents d JOIN pooled p ON d.doc_id = p.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- M5: multimodal feature extraction — per-blob 16-bin byte
+    // histogram computed imperatively per document (the batch
+    // feature-extract UDF shape), emitted sparse and aggregated per
+    // source. The corpus-level histogram equals DuckDB's per-byte rollup.
+    Q("m5_byte_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", $"text".cast("binary").as("blob"))
+          .as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (src, bytes) =>
+              val hist = new Array[Long](16)
+              var i = 0
+              while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+              (0 until 16).iterator.filter(hist(_) > 0).map(b => (src, b, hist(b)))
+            }
+          }.toDF("source", "bin", "n_bytes")
+          .groupBy($"source", $"bin")
+          .agg(sum($"n_bytes").as("n_bytes"))
+          .orderBy($"source", $"bin")
+      },
+      Some("""SELECT source, CAST(ord(text[i+1])//16 AS INT) AS bin,
+             |  count(*) AS n_bytes
+             |FROM (SELECT source, text, CAST(unnest(range(0, len(text))) AS INT) AS i
+             |      FROM documents)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- U4: pivot — per-user event-type counts as columns (Spark
     // .pivot with an explicit value list = one pass, no value-discovery
     // job; absent combinations filled 0 to match conditional-count SQL).
