@@ -38,4 +38,25 @@ object Salt {
       .agg(sum("__n").as("n"),
            sums.map { case (n, _) => sum(s"__s_$n").as(n) }: _*)
   }
+
+  /** Skew-safe equi-join: the big (hot-keyed) side gets a deterministic
+    * salt from a high-cardinality column and the small side is
+    * replicated across all salt buckets, so the effective join key
+    * (keys :+ salt) spreads a hot key over `saltBuckets` reducers
+    * instead of one. Costs saltBuckets× the small side's shuffle volume
+    * — use when the small side is too big to broadcast outright but a
+    * replication factor is still cheap, or where AQE's runtime skew
+    * split can't reach (e.g. stream-static joins). Inner join; key
+    * columns must share names across both sides.
+    */
+  def saltedJoin(big: DataFrame,
+                 small: DataFrame,
+                 keys: Seq[String],
+                 saltOn: Column,
+                 saltBuckets: Int = 32): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(saltOn), lit(saltBuckets)))
+    val sm = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    b.join(sm, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -73,6 +73,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join equals plain join and joins on (keys, salt)") {
+    import spark.implicits._
+    // hot key: 90% of big-side rows share g=0
+    val big = spark.range(0, 5000)
+      .select(when(col("id") % 10 === 0, col("id") % 3).otherwise(0L).as("g"), col("id").as("v"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("g", "label")
+    val joined = graft.ops.Salt.saltedJoin(big, small, Seq("g"), saltOn = col("v"), saltBuckets = 8)
+    val got = joined.groupBy("label").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("label").as[(String, Long, Long)].collect().toSeq
+    val want = big.join(small, Seq("g")).groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("label").as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(joined.queryExecution.analyzed.toString.contains("__salt"),
+      "join must run on the salted key")
+  }
+
   test("stratified sample: exact ceil(f*N) per stratum, deterministic, prefix-stable") {
     import spark.implicits._
     val df = spark.range(0, 1000)
