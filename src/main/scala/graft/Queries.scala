@@ -1776,6 +1776,58 @@ object Queries {
              |      FROM documents)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- T8: rolling-hash fingerprinting / content-defined chunking —
+    // Rabin-Karp polynomial hash (base 31, window 8) updated in O(1) per
+    // byte in an imperative mapPartitions loop (the real CDC scan shape);
+    // chunk boundaries where hash % 64 == 0. Boundaries depend only on
+    // local content, so edits shift chunking locally — the property CDC
+    // dedup relies on. Base-31 keeps every intermediate < 2^45 (exact in
+    // BIGINT and in the oracle's per-position recomputation).
+    Q("t8_cdc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val B = 31L
+            val B7 = math.pow(31, 7).toLong // 31^7, exact
+            it.map { case (id, bytes) =>
+              var nBnd = 0L; var sumPos = 0L
+              if (bytes.length >= 8) {
+                var hash = 0L
+                var i = 0
+                while (i < 8) { hash = hash * B + (bytes(i) & 0xff); i += 1 }
+                // hash now = sum b[k]*31^(7-k) for k=0..7, window ending at i=7
+                if (hash % 64 == 0) { nBnd += 1; sumPos += 7 }
+                while (i < bytes.length) {
+                  hash = (hash - (bytes(i - 8) & 0xff) * B7) * B + (bytes(i) & 0xff)
+                  if (hash % 64 == 0) { nBnd += 1; sumPos += i }
+                  i += 1
+                }
+              }
+              (id, nBnd, sumPos)
+            }
+          }.toDF("doc_id", "n_bnd", "sum_pos")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, text, CAST(unnest(range(7, len(text))) AS INT) AS i
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, i,
+             |    list_sum(list_transform(range(0, 8),
+             |      k -> ord(text[i - k + 1]) * CAST(pow(31, k) AS BIGINT))) AS hash
+             |  FROM pos)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(b.n_bnd, 0) AS BIGINT) AS n_bnd,
+             |  CAST(COALESCE(b.sum_pos, 0) AS BIGINT) AS sum_pos
+             |FROM documents d
+             |LEFT JOIN (SELECT doc_id, count(*) AS n_bnd, sum(i) AS sum_pos
+             |           FROM h WHERE hash % 64 = 0 GROUP BY 1) b
+             |  ON d.doc_id = b.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ----- U4: pivot — per-user event-type counts as columns (Spark
     // .pivot with an explicit value list = one pass, no value-discovery
     // job; absent combinations filled 0 to match conditional-count SQL).
