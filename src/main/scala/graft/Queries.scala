@@ -1551,6 +1551,44 @@ object Queries {
              |  CAST(sum(COALESCE(epoch_us(p_ts) - epoch_us(c_ts), 0)) AS BIGINT) AS sum_gap_us
              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- J7: nearest as-of join — each purchase matched to the user's
+    // click closest in time in EITHER direction (the reference's
+    // closest-scene-in-time semantics generalized); backward wins ties.
+    // Same single-shuffle tagged-union window plan as j6.
+    Q("j7_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")
+        graft.ops.AsOfJoin.nearest(
+            purchases, clicks,
+            key = Seq("user_id"), time = "ts",
+            payload = Seq("event_id", "ts"),
+            tiebreak = Seq("event_id"), prefix = "c_")
+          .filter($"c_event_id".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purch"),
+               sum($"c_event_id").as("sum_near_eid"),
+               sum(abs(unix_micros($"ts") - unix_micros($"c_ts"))).as("sum_abs_gap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS p_eid, ts AS p_ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS c_eid, ts AS c_ts
+             |      FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.user_id, p.p_eid, p.p_ts, c.c_eid, c.c_ts,
+             |        row_number() OVER (PARTITION BY p.user_id, p.p_eid
+             |          ORDER BY abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)),
+             |                   CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END,
+             |                   CASE WHEN c.c_ts <= p.p_ts THEN -c.c_eid ELSE c.c_eid END) AS rn
+             |      FROM p JOIN c ON p.user_id = c.user_id)
+             |SELECT user_id, count(*) AS n_purch,
+             |  CAST(sum(c_eid) AS BIGINT) AS sum_near_eid,
+             |  CAST(sum(abs(epoch_us(c_ts) - epoch_us(p_ts))) AS BIGINT) AS sum_abs_gap_us
+             |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- K1: KMV bottom-k distinct sketch vs exact — one-pass mergeable
     // bounded state (k=64 longs) with map-side partial aggregation; the
     // estimator (k-1)*2^60/h_k is hash-deterministic so DuckDB replays it

@@ -43,14 +43,69 @@ object AsOfJoin {
                payload: Seq[String],
                tiebreak: Seq[String] = Nil,
                prefix: String = "asof_"): DataFrame = {
-    val payloadType = right.select(struct(payload.map(col): _*).as("p")).schema("p").dataType
+    val (tagged, w) = taggedUnion(left, right, key, time, payload, tiebreak)
+    tagged
+      .withColumn("__match",
+        last("__rp", ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
+  }
+
+  /** Nearest as-of join: for every left row, the right row minimizing
+    * `|right.time - left.time|` within the key — the temporal
+    * nearest-neighbor match (the reference's closest-scene-in-time
+    * semantics, generalized). Same single-shuffle tagged-union plan: the
+    * backward candidate is a running `last()`, the forward candidate a
+    * running `first()` over the SAME sort, and a projection picks the
+    * closer (ties: the earlier/backward row wins; equal-time right rows
+    * tiebreak to max `tiebreak` backward / min `tiebreak` forward).
+    */
+  def nearest(left: DataFrame,
+              right: DataFrame,
+              key: Seq[String],
+              time: String,
+              payload: Seq[String],
+              tiebreak: Seq[String] = Nil,
+              prefix: String = "asof_"): DataFrame = {
+    val (tagged, w) = taggedUnion(left, right, key, time, payload, tiebreak)
+    val back = last("__rp", ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first("__rp", ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    // equal-time right rows sort before the left row, so they are always
+    // captured by the BACKWARD candidate with distance 0 (which then wins
+    // every tie) — the forward candidate only sees strictly-later rows.
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(col("__time") - col("__b.__rt") <= col("__f.__rt") - col("__time"), col("__b"))
+      .otherwise(col("__f"))
+    tagged
+      .withColumn("__b", back)
+      .withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__match", chosen)
+      .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
+  }
+
+  /** Tag, union and sort both sides; shared by backward/nearest. The
+    * right payload struct carries the right time as `__rt` so distance
+    * math needs no second join. */
+  private def taggedUnion(left: DataFrame,
+                          right: DataFrame,
+                          key: Seq[String],
+                          time: String,
+                          payload: Seq[String],
+                          tiebreak: Seq[String]) = {
+    val payloadCols = payload.map(col) :+ col(time).as("__rt")
+    val payloadType = right.select(struct(payloadCols: _*).as("p")).schema("p").dataType
     val leftRowType = left.select(struct(left.columns.toSeq.map(col): _*).as("r")).schema("r").dataType
     val tbTypes = tiebreak.map(c => right.schema(c).dataType)
 
     val rTagged = right.select(
       key.map(col) ++
         Seq(col(time).as("__time"), lit(0).as("__side"),
-            struct(payload.map(col): _*).as("__rp"),
+            struct(payloadCols: _*).as("__rp"),
             lit(null).cast(leftRowType).as("__lrow")) ++
         tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
     val lTagged = left.select(
@@ -61,13 +116,7 @@ object AsOfJoin {
         tiebreak.zip(tbTypes).map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
 
     val order = col("__time").asc +: col("__side").asc +: tiebreak.map(c => col(s"__tb_$c").asc)
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    rTagged.unionByName(lTagged)
-      .withColumn("__match", last("__rp", ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    (rTagged.unionByName(lTagged), w)
   }
 }

@@ -45,6 +45,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === 9L) // max v wins deterministically
   }
 
+  test("asof nearest: closer side wins, backward wins ties, outer when no right rows") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 100L, "near_back"),  // back at 95 (d=5), fwd at 110 (d=10) -> back
+      (1L, 107L, "near_fwd"),   // back at 95 (d=12), fwd at 110 (d=3) -> fwd
+      (1L, 90L, "only_fwd"),    // nothing before -> fwd 95
+      (2L, 50L, "tie"),         // back at 40 (d=10), fwd at 60 (d=10) -> back wins tie
+      (3L, 1L, "no_right")
+    ).toDF("k", "t", "name")
+    val r = Seq((1L, 95L, 10L), (1L, 110L, 20L), (2L, 40L, 30L), (2L, 60L, 40L))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.nearest(l, r, Seq("k"), "t", Seq("v"), tiebreak = Seq("v"))
+      .select($"name", $"asof_v").as[(String, Option[Long])].collect().toMap
+    assert(got("near_back") === Some(10L))
+    assert(got("near_fwd") === Some(20L))
+    assert(got("only_fwd") === Some(10L))
+    assert(got("tie") === Some(30L))
+    assert(got("no_right") === None)
+  }
+
   test("kmv: exact below k, within 20% above k, merge-stable across partitionings") {
     import spark.implicits._
     val n = 5000
