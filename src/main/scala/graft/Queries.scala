@@ -1615,6 +1615,35 @@ object Queries {
              |            ELSE floor(63.0 * pow(2.0, 60) / s.hk) END AS BIGINT) AS kmv_est
              |FROM s JOIN x ON s.g = x.g ORDER BY 1""".stripMargin)),
 
+    // ----- V5: embedding centroids (IVF training step / mean-pooling) —
+    // per-label element-wise vector sum via the mergeable VectorAgg UDAF:
+    // map-side partial aggregation ships (labels × 64) longs, never the
+    // vectors; posexplode only the 10×64 final centroids. Quantized
+    // integer sums keep the result order-free and oracle-reproducible.
+    Q("v5_centroids",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings")
+          .select($"label", qvec($"embedding").as("qv"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"), graft.sketch.VectorAgg.vectorSum($"qv").as("vsum"))
+          .select($"label", $"n", posexplode($"vsum").as(Seq("dim", "sum_q")))
+          .withColumn("centroid_q", floor($"sum_q".cast("double") / $"n" + 0.5).cast("long"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""WITH q AS (SELECT label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |cnt AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+             |e AS (SELECT label, CAST(i AS INT) AS dim, qv[CAST(i AS INT) + 1] AS v
+             |      FROM q CROSS JOIN range(0, 64) t(i)),
+             |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sum_q
+             |      FROM e GROUP BY 1, 2)
+             |SELECT s.label, cnt.n, s.dim, s.sum_q,
+             |  CAST(floor(CAST(s.sum_q AS DOUBLE) / cnt.n + 0.5) AS BIGINT) AS centroid_q
+             |FROM s JOIN cnt ON s.label = cnt.label
+             |ORDER BY s.label, s.dim""".stripMargin)),
+
     // ----- G1: skew-salted two-phase aggregation — event_type has 5 hot
     // keys (exactly the shape that funnels a 100 TB shuffle into 5
     // reducers); ops.Salt splits each key across 32 salt buckets and

@@ -82,6 +82,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact === 40L, "below k the sketch is exact")
   }
 
+  test("vectorSum: element-wise, merge-stable across partitionings") {
+    import spark.implicits._
+    val df = spark.range(0, 999)
+      .select((col("id") % 3).as("g"),
+        array(col("id"), col("id") * 2, lit(1L)).as("v"))
+    def run(parts: Int): Map[Long, Seq[Long]] =
+      df.repartition(parts).groupBy("g")
+        .agg(graft.sketch.VectorAgg.vectorSum(col("v")).as("s"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val one = run(1)
+    assert(run(13) === one)
+    val expect0 = (0L until 999L by 3).sum
+    assert(one(0L) === Seq(expect0, expect0 * 2, 333L))
+  }
+
   test("salted sum/count equals plain groupBy") {
     import spark.implicits._
     val df = spark.range(0, 10000)
