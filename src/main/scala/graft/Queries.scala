@@ -1615,6 +1615,48 @@ object Queries {
              |            ELSE floor(63.0 * pow(2.0, 60) / s.hk) END AS BIGINT) AS kmv_est
              |FROM s JOIN x ON s.g = x.g ORDER BY 1""".stripMargin)),
 
+    // ----- R6: grid-to-grid reprojection, hash-gated — a 256x256/10m
+    // ramp raster warped to a shifted 300x300/7.5m grid (same CRS, nearest
+    // resampling; 13 west columns fall outside the source and become
+    // nodata). The oracle replays Reproject's exact per-pixel arithmetic:
+    // dst pixel center -> affine -> inverse affine -> floor. The affine
+    // constants collapse to exact literals (0.1 = -10/-100 is the
+    // correctly-rounded double; +-0.0 terms are IEEE-exact no-ops), so
+    // every sampled index matches bit-for-bit.
+    Q("r6_reproject",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan}
+        val srcSpec = RasterSpec(32633, Bounds(0, 0, 2560, 2560), 10.0, 10.0)   // 256x256
+        val dstSpec = RasterSpec(32633, Bounds(-100.25, 305, 2149.75, 2555), 7.5, 7.5) // 300x300
+        val asset = AssetRow(0, 0, "b", 0L, "ramp://0", 0, 0, 2560, 2560, 1.0, 0.0)
+        val tiles = TileScan.scan(s, Seq(asset), srcSpec, chunk = 128,
+          readerFor = _ => RampReader(256))
+        graft.ops.Reproject(tiles, srcSpec, dstSpec, srcChunk = 128, dstChunk = 150)
+          .toDF()
+          .select($"yChunk", $"xChunk", posexplode($"pixels").as(Seq("pos", "v")))
+          .filter(!isnan($"v"))
+          .groupBy($"yChunk", $"xChunk")
+          .agg(count(lit(1)).as("n_px"),
+               sum($"v".cast("long")).as("sum_v"),
+               sum($"v".cast("long") * $"pos").as("pos_chk"))
+          .orderBy($"yChunk", $"xChunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,300) t(r) CROSS JOIN range(0,300) u(c)),
+             |m AS (SELECT r, c,
+             |        7.5*(c + 0.5) + 0.0*(r + 0.5) + (-100.25) AS dx,
+             |        0.0*(c + 0.5) + (-7.5)*(r + 0.5) + 2555.0 AS dy
+             |      FROM px),
+             |f AS (SELECT r, c, 0.1*dx AS fc, (-0.1)*dy + (-((-0.1)*2560.0)) AS fr FROM m),
+             |sx AS (SELECT r, c, CAST(floor(fr) AS INT) AS rr, CAST(floor(fc) AS INT) AS cc FROM f)
+             |SELECT CAST(r//150 AS INT) AS "yChunk", CAST(c//150 AS INT) AS "xChunk",
+             |  count(*) AS n_px,
+             |  CAST(sum(CAST(rr*256 + cc AS BIGINT)) AS BIGINT) AS sum_v,
+             |  CAST(sum(CAST(rr*256 + cc AS BIGINT) * ((r%150)*150 + (c%150))) AS BIGINT) AS pos_chk
+             |FROM sx WHERE rr >= 0 AND rr < 256 AND cc >= 0 AND cc < 256
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- V5: embedding centroids (IVF training step / mean-pooling) —
     // per-label element-wise vector sum via the mergeable VectorAgg UDAF:
     // map-side partial aggregation ships (labels × 64) longs, never the

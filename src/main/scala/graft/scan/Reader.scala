@@ -55,6 +55,27 @@ object FakeReader {
   }
 }
 
+/** Closed-form deterministic reader: value = globalRow * stride +
+  * globalCol. Integer-valued doubles (exact below 2^53), so downstream
+  * geometry (scan windows, mosaics, reprojection sampling) can be
+  * recomputed bit-exactly by an external SQL oracle. */
+final case class RampReader(stride: Int) extends Reader {
+  def read(window: Window): Array[Double] = {
+    val out = new Array[Double](window.width * window.height)
+    var i = 0
+    var r = window.rowOff
+    while (r < window.rowEnd) {
+      var c = window.colOff
+      while (c < window.colEnd) {
+        out(i) = (r.toLong * stride + c).toDouble
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    out
+  }
+}
+
 /** Constant-fill reader: the errors-as-nodata substitute
   * (`stackstac/nodata_reader.py:14-43`). */
 final case class NodataReader(fill: Double = Double.NaN) extends Reader {
