@@ -1937,6 +1937,54 @@ object Queries {
              |  ON d.doc_id = b.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----- X3: the composed training-data pipeline — quality filter →
+    // token-set fingerprint dedup (keep min doc_id per fingerprint) →
+    // deterministic hash split → per-(lang, split) stats. The operators
+    // proven individually (t3/t4/x1 conventions) composed the way a real
+    // corpus build runs them; one oracle checks the whole chain.
+    // All stages are narrow or single-shuffle: filter (no shuffle),
+    // dedup (one shuffle on fingerprint), split (per-row hash), rollup.
+    Q("x3_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100
+        val keepRank = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")
+        t(s, dir, "documents")
+          .withColumn("n_tok", size(split($"text", " ")))
+          .filter($"n_chars" >= 100 && $"n_tok" >= 20) // quality gate
+          .withColumn("fp",
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")))
+          .withColumn("rk", row_number().over(keepRank))
+          .filter($"rk" === 1) // canonical doc per near-dup cluster
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_tok").cast("long").as("sum_tokens"),
+               sum($"doc_id").as("sum_ids"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents
+             |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20),
+             |ddup AS (
+             |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM base),
+             |sp AS (
+             |  SELECT lang, n_tok, doc_id,
+             |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM ddup WHERE rk = 1)
+             |SELECT lang, split, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- U4: pivot — per-user event-type counts as columns (Spark
     // .pivot with an explicit value list = one pass, no value-discovery
     // job; absent combinations filled 0 to match conditional-count SQL).
