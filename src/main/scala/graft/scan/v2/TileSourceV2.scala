@@ -103,7 +103,11 @@ object TileSourceV2 {
   }
 }
 
-class TileSourceProvider extends TableProvider {
+class TileSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-tiles")` — registered via the
+    * META-INF/services DataSourceRegister entry. */
+  override def shortName(): String = "graft-tiles"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TileSourceV2.schema
   override def getTable(

@@ -18,6 +18,15 @@ object CountingReads {
 
 class TileSourceV2Spec extends SparkSpec {
 
+  test("short name graft-tiles resolves through DataSourceRegister") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-tiles").option("plan", "no-such-plan").load()
+    }
+    // resolution succeeded (our provider threw on the unknown plan token,
+    // not Spark's ClassNotFound/DataSource lookup)
+    assert(!err.getMessage.contains("Failed to find"), err.getMessage)
+  }
+
   private val spec = RasterSpec(32633, Bounds(0, 0, 160, 160), 10, 10) // 16x16 px
   private val chunk = 8 // 2x2 chunk grid
 
