@@ -1937,6 +1937,39 @@ object Queries {
              |  ON d.doc_id = b.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----- W5: native session windows — the same gap-sessionization as
+    // s2 but through Spark's built-in session_window (Catalyst-planned
+    // merging session aggregation, usable in batch AND streaming), kept
+    // alongside the typed flatMapGroups form to show both extremes of the
+    // preference order. NOTE the boundary difference: session_window
+    // starts a new session at gap >= 30 min ([start, start+gap) ranges),
+    // while s2's custom break is gap > 30 min; the oracle mirrors the
+    // native >= semantics.
+    Q("w5_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .filter($"value".isNotNull)
+          .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), sum(quant($"value", 100)).as("sum_cents"))
+          .select($"user_id", unix_micros($"sw.start").as("session_start"),
+                  $"n_events", $"sum_cents")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             |         CAST(floor(value*100+0.5) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |                     OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, cents)),
+             |x AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, cents
+             |                               ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+             |SELECT user_id, min(tsu) AS session_start, count(*) AS n_events,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM x GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- X3: the composed training-data pipeline — quality filter →
     // token-set fingerprint dedup (keep min doc_id per fingerprint) →
     // deterministic hash split → per-(lang, split) stats. The operators
