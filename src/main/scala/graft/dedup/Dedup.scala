@@ -79,11 +79,17 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // 100 TB shape: `sets` is O(corpus tokens) and must never be broadcast.
+    // Prune it to the docs that survived banding (a tiny, broadcast-able id
+    // set) before the verify joins; AQE picks broadcast iff a side fits.
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
+      .join(candIds, Seq("id"), "left_semi")
     val j = GraftFunctions.sorted_jaccard_long(col("sa.st"), col("sb.st"))
     cand
-      .join(broadcast(sets.as("sa")), col("id_a") === col("sa.id"))
-      .join(broadcast(sets.as("sb")), col("id_b") === col("sb.id"))
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
   }

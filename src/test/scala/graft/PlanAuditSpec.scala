@@ -71,10 +71,29 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch must combine map-side:\n$p")
   }
 
+  test("d2 minhash verify never broadcasts the token-set table") {
+    val df = Queries.all("d2_minhash_lsh")(spark, dir)
+    // No explicit broadcast hint anywhere in the query (AQE stays free to
+    // broadcast iff a side fits at runtime — that is not a hint).
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"d2 must not force any broadcast:\n${df.queryExecution.analyzed}")
+    // The sets table is semi-join-pruned to candidate ids before the verify.
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"sets must be pruned to candidate ids:\n$opt")
+  }
+
+  test("d5 embedding near-dup blocks via equi-join — no cartesian, no nested-loop join") {
+    val p = plan("d5_embedding_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d5 must block by LSH band equi-join, not all-pairs:\n$p")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
-      .filterNot(Set("j2_cross_small", "d5_embedding_dup", "d4_ngram_jaccard"))
+      .filterNot(Set("j2_cross_small", "d4_ngram_jaccard"))
       .filterNot(_.startsWith("s")) // streaming queries execute eagerly in fn()
       .filterNot(Set("r3_xyz_tile", "r4_geotiff_scan", "v4_knn_ivf", "s2_sessionize")) // eager/cached paths
       .filter { n =>
