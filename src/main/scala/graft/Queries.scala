@@ -1233,39 +1233,90 @@ object Queries {
     // ----- R3: the show()/tile-server path (SURVEY §3.3): mosaic the stack,
     // warp the composite into a slippy-map tile's 3857 grid, percentile-
     // normalize, PNG-encode. Rows-only check (binary sink).
+    // ----- R3: XYZ slippy-tile render — the reference's tile path
+    // (`geom_utils.py:307-383`, `show.py:915-967`): pick the z=12 tile
+    // containing the source center, warp the EPSG:4326 ramp array onto the
+    // tile's 3857 grid (nearest), normalize to [0,1], PNG-encode. Oracle-
+    // gated: tile selection (tileOf), tile grid (tileSpec), the Mercator
+    // inverse (3857 dst center -> 4326), the affine source sample, and the
+    // normalize are all replayed op-for-op in SQL (pure IEEE arithmetic
+    // except atan/exp on the single lat term, far from floor boundaries).
+    // The PNG bytes are exercised but summarized as `png_ok` — deflate
+    // byte-exactness is not SQL-testable.
     Q("r3_xyz_tile",
       (s, _) => {
         import s.implicits._
-        import graft.core.{AffineTransform, Bounds}
-        import graft.ops.{Mosaic, Reproject, Resampling}
-        import graft.scan.{Tile, TileScan}
-        import graft.stac.{Prepare, StacAsset, StacItem}
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Reproject, Resampling}
+        import graft.scan.{AssetRow, RampReader, TileScan}
         import graft.viz.{Png, Xyz}
-        val items = (0 until 4).map { i =>
-          StacItem(s"s$i", Some(f"2024-06-${i + 1}%02dT00:00:00Z"), epsg = Some(32633),
-            assets = Map("gray" -> StacAsset(s"fake://gray/$i",
-              bbox = Some(Bounds(399960, 4990200, 402520, 4992760)),
-              shape = Some((256, 256)),
-              transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10)))))
-        }
-        val plan = Prepare(items)
-        val tiles = TileScan.scan(s, plan.assetTable, plan.spec, 128)
-        val composite = Mosaic(tiles, 128)
-          .map(c => Tile(0, 0, c.band, 0L, c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
-        // center of the footprint in lat/lon -> owning XYZ tile at z=12
-        val (cx, cy) = ((399960 + 402520) / 2.0, (4990200 + 4992760) / 2.0)
-        val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
-        val z = 12; val (tx, ty) = Xyz.tileOf(lon, lat, z)
+        // 70x70 px ramp in EPSG:4326 over a 0.07 deg box; the z=12 tile is
+        // wider than the box, so the warp has valid and nodata regions.
+        val srcSpec = RasterSpec(4326, Bounds(12.07, 46.83, 12.14, 46.90), 0.001, 0.001)
+        val asset = AssetRow(0, 0, "gray", 0L, "ramp://0", 12.07, 46.83, 12.14, 46.90, 1.0, 0.0)
+        val tiles = TileScan.scan(s, Seq(asset), srcSpec, chunk = 64,
+          readerFor = _ => RampReader(70))
+        val (clon, clat) = ((12.07 + 12.14) / 2.0, (46.83 + 46.90) / 2.0)
+        val z = 12; val (tx, ty) = Xyz.tileOf(clon, clat, z)
         val dstSpec = Xyz.tileSpec(z, tx, ty)
-        val warped = Reproject(composite, plan.spec, dstSpec, 128, 256, Resampling.Bilinear)
+        val warped = Reproject(tiles, srcSpec, dstSpec, srcChunk = 64, dstChunk = 256,
+          Resampling.Nearest)
         warped.map { t =>
-          val norm = t.pixels.map(Png.normalize(_, 0.0, 128.0))
-          val png = Png.encode(Seq(norm), t.height, t.width)
-          (z, tx, ty, png.length, t.pixels.count(!_.isNaN))
-        }.toDF("z", "x", "y", "png_bytes", "valid_px")
+          val norm = t.pixels.map(Png.normalize(_, 0.0, 4899.0)) // vmax = 70*70-1
+          val png = Png.encode(Seq(norm), t.height, t.width)     // S11 sink exercised
+          var validPx = 0L; var normSum = 0L; var posChk = 0L
+          var i = 0
+          while (i < norm.length) {
+            val x = norm(i)
+            if (!x.isNaN) {
+              val q = math.floor(x * 1000000.0 + 0.5).toLong
+              validPx += 1L; normSum += q; posChk += q * i
+            }
+            i += 1
+          }
+          (z, tx, ty, validPx, normSum, posChk, png.length >= 8)
+        }.toDF("z", "x", "y", "valid_px", "norm_sum", "norm_pos_chk", "png_ok")
           .orderBy($"z", $"x", $"y")
       },
-      None)
+      Some("""WITH c0 AS (
+             |  SELECT pi()/180.0 AS deg, 6378137.0 AS erad, 20037508.342789244 AS M,
+             |         (12.07 + 12.14)/2.0 AS clon, (46.83 + 46.90)/2.0 AS clat),
+             |t0 AS (
+             |  SELECT *,
+             |    CAST(floor((clon + 180.0)/360.0*4096) AS INT) AS tx,
+             |    CAST(floor((1.0 - ln(tan(clat/180.0*pi()) + 1.0/cos(clat/180.0*pi()))/pi())/2.0*4096) AS INT) AS ty
+             |  FROM c0),
+             |t1 AS (SELECT *, 2.0*M/4096 AS size FROM t0),
+             |t2 AS (SELECT *, -M + tx*size AS dminx, M - ty*size AS dmaxy FROM t1),
+             |t3 AS (SELECT *, ((dminx + size) - dminx)/256.0 AS xres,
+             |                 (dmaxy - (dmaxy - size))/256.0 AS yres FROM t2),
+             |px AS (SELECT r, c, r*256 + c AS pos
+             |       FROM range(0,256) t(r) CROSS JOIN range(0,256) u(c)),
+             |mm AS (SELECT px.r, px.c, px.pos, t3.*,
+             |         xres*(c + 0.5) + dminx AS mx,
+             |         (-yres)*(r + 0.5) + dmaxy AS my
+             |       FROM px CROSS JOIN t3),
+             |ll AS (SELECT *, mx / erad / deg AS lon,
+             |         (2.0*atan(exp(my / erad)) - pi()/2.0) / deg AS lat FROM mm),
+             |ff AS (SELECT *,
+             |         ((-0.001)/(0.001*(-0.001)))*lon + (-(((-0.001)/(0.001*(-0.001)))*12.07)) AS fc,
+             |         (0.001/(0.001*(-0.001)))*lat + (-((0.001/(0.001*(-0.001)))*46.90)) AS fr
+             |       FROM ll),
+             |ss AS (SELECT *, CAST(floor(fr) AS INT) AS rr, CAST(floor(fc) AS INT) AS cc FROM ff),
+             |vv AS (SELECT pos, tx, ty,
+             |         CASE WHEN rr >= 0 AND rr < 70 AND cc >= 0 AND cc < 70
+             |              THEN CAST(rr*70 + cc AS BIGINT) END AS val
+             |       FROM ss),
+             |qq AS (SELECT pos, tx, ty,
+             |         CAST(floor((val - 0.0)/(4899.0 - 0.0)*1000000.0 + 0.5) AS BIGINT) AS q
+             |       FROM vv WHERE val IS NOT NULL)
+             |SELECT CAST(12 AS INT) AS z, tx AS x, ty AS y,
+             |  CAST(count(*) AS BIGINT) AS valid_px,
+             |  CAST(sum(q) AS BIGINT) AS norm_sum,
+             |  CAST(sum(q*pos) AS BIGINT) AS norm_pos_chk,
+             |  TRUE AS png_ok
+             |FROM qq GROUP BY tx, ty
+             |ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val sessionizeIvf: Seq[Q] = Seq(
