@@ -64,18 +64,7 @@ object TileScan {
       applyRescale: Boolean = true): Dataset[Tile] = {
     import spark.implicits._
 
-    val grid = chunkGrid(spec, chunk)
-    // Metadata-only planning, driver side (like prepare: reference scale is
-    // 1e2..1e5 assets — tiny vs the pixel data). The (asset × chunk)
-    // work-list only keeps overlapping pairs (chunk-granular IO elision,
-    // reference R3 `to_dask.py:183-189`).
-    val pairs: Seq[(AssetRow, Int, Int, Window)] = for {
-      a <- assets if a.url != null
-      assetWin = spec.windowFor(a.bounds)
-      if !assetWin.isEmpty
-      (yc, xc, cw) <- grid
-      if cw.intersects(assetWin)
-    } yield (a, yc, xc, cw.intersect(assetWin))
+    val pairs = workList(assets, spec, chunk)
 
     val nPart = math.max(1, math.min(pairs.size, spark.sparkContext.defaultParallelism * 2))
     spark.createDataset(pairs)
@@ -109,6 +98,30 @@ object TileScan {
             win.height, win.width, px))
         }
       }
+  }
+
+  /** Metadata-only (asset × chunk) work-list, driver side (like prepare:
+    * reference scale is 1e2..1e5 assets — tiny vs the pixel data). Only
+    * overlapping pairs are kept (chunk-granular IO elision, reference R3
+    * `to_dask.py:183-189`). The overlapping chunk index range is computed
+    * directly from each asset window — O(assets × overlap), not
+    * O(assets × total-chunks): a 1e6-asset plan over a 1e5-chunk grid stays
+    * a driver-side metadata pass, never 1e11 intersection tests.
+    */
+  def workList(assets: Seq[AssetRow], spec: RasterSpec,
+               chunk: Int): Seq[(AssetRow, Int, Int, Window)] = {
+    val (h, w) = spec.shape
+    for {
+      a <- assets if a.url != null
+      assetWin = spec.windowFor(a.bounds).intersect(Window(0, 0, w, h))
+      if !assetWin.isEmpty
+      yc <- (assetWin.rowOff / chunk) to ((assetWin.rowEnd - 1) / chunk)
+      xc <- (assetWin.colOff / chunk) to ((assetWin.colEnd - 1) / chunk)
+    } yield {
+      val cw = Window(xc * chunk, yc * chunk,
+        math.min(chunk, w - xc * chunk), math.min(chunk, h - yc * chunk))
+      (a, yc, xc, cw.intersect(assetWin))
+    }
   }
 
   /** Expand a sparse tile to the full dense chunk rectangle (fill = NaN).
