@@ -2148,8 +2148,100 @@ object Queries {
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  // ==========================================================================
+  // Round 3: mixed-CRS scan (WarpedVRT-lite), median oracle
+  // ==========================================================================
+
+  private val roundThree: Seq[Q] = Seq(
+
+    // ----- R7: mixed-CRS asset scan — ONE scan reads a native-EPSG:3857
+    // asset (pure affine hop, all arithmetic exact in eighths) and a
+    // native-EPSG:4326 asset (each dst center routed 3857 -> 4326 through
+    // the Mercator inverse — the reference's per-asset WarpedVRT wrap,
+    // `rio_reader.py:344-360`) onto one 3857 output grid. The oracle
+    // replays both paths per-pixel in SQL: dst center -> (optional CRS
+    // hop) -> inverse source affine -> floor -> ramp value, checksummed by
+    // global position so tile windows/offsets are verified too. Validity
+    // is purely floor-in-range (source edges are >0.5 px from every dst
+    // center's window decision, so engine window pruning and the oracle's
+    // range test agree exactly).
+    Q("r7_warp_scan",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, Proj, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0) // 200x200
+        // Asset A: native 3857, 300x300 @8m, top edge 200 m below the
+        // spec's -> rows 0..19 are nodata on the same-CRS path.
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0)
+        // Asset B: native 4326, 50x70 @0.0002 deg (lon 12.076..12.090,
+        // lat 46.847..46.857), strictly inside the spec's lat/lon
+        // footprint -> warped interior rectangle with nodata border.
+        val bTf = AffineTransform.northUp(12.076, 46.857, 0.0002, 0.0002)
+        val bEnv = Proj.reprojectBounds(Bounds(12.076, 46.847, 12.090, 46.857), 4326, 3857)
+        val assets = Seq(
+          AssetRow(0, 0, "gray", 0L, "ramp3857://a",
+                   1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857),
+          AssetRow(1, 0, "gray", 1000000L, "ramp4326://b",
+                   bEnv.minx, bEnv.miny, bEnv.maxx, bEnv.maxy, 1.0, 0.0, epsg = 4326))
+        val readers: AssetRow => graft.scan.Reader = a =>
+          if (a.epsg == 3857) WarpedGridReader(RampReader(300), aTf, 3857, 300, 300, spec)
+          else                WarpedGridReader(RampReader(70),  bTf, 4326, 50, 70, spec)
+        TileScan.scan(s, assets, spec, chunk = 100, readerFor = readers)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.itemIdx, t.yChunk, t.xChunk, v.toLong, gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("item_idx", "y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"item_idx", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_v"),
+               sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"item_idx", $"y_chunk", $"x_chunk")
+      },
+      // e-notation literals parse as DOUBLE in DuckDB (decimal literals
+      // stay DECIMAL; decimal division promotes to DOUBLE) — the affine-
+      // inverse constants below mirror AffineTransform.inverse's exact
+      // double expressions term by term, like r3/r6.
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |m AS (SELECT r, c,
+             |        10.0*(c + 0.5) + 0.0*(r + 0.5) + 1344000.0 AS wx,
+             |        0.0*(c + 0.5) + (-10.0)*(r + 0.5) + 5919000.0 AS wy
+             |      FROM px),
+             |a0 AS (SELECT r, c,
+             |        floor(0.125*wx + 0.0*wy + (-167975.0)) AS cc,
+             |        floor(0.0*wx + (-0.125)*wy + 739850.0) AS rr
+             |       FROM m),
+             |v0 AS (SELECT 0 AS item_idx, r, c,
+             |        CAST(rr AS BIGINT)*300 + CAST(cc AS BIGINT) AS v
+             |       FROM a0 WHERE rr >= 0 AND rr < 300 AND cc >= 0 AND cc < 300),
+             |ll AS (SELECT r, c,
+             |        CAST(wx AS DOUBLE) / 6378137.0 / (pi()/180.0) AS lon,
+             |        (2.0*atan(exp(CAST(wy AS DOUBLE) / 6378137.0)) - pi()/2.0) / (pi()/180.0) AS lat
+             |       FROM m),
+             |a1 AS (SELECT r, c,
+             |        floor(((-2e-4)/(2e-4*(-2e-4)))*lon + 0.0*lat + (-(((-2e-4)/(2e-4*(-2e-4)))*12.076e0))) AS cc,
+             |        floor(0.0*lon + ((2e-4)/(2e-4*(-2e-4)))*lat + (-(((2e-4)/(2e-4*(-2e-4)))*46.857e0))) AS rr
+             |       FROM ll),
+             |v1 AS (SELECT 1 AS item_idx, r, c,
+             |        CAST(rr AS BIGINT)*70 + CAST(cc AS BIGINT) AS v
+             |       FROM a1 WHERE rr >= 0 AND rr < 50 AND cc >= 0 AND cc < 70),
+             |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+             |SELECT CAST(item_idx AS INT) AS item_idx,
+             |  CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(sum(v * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

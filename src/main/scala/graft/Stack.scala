@@ -86,4 +86,20 @@ object Stack {
       readerFor(plan.spec), errorsAsNodata)
     Stack(spark, tiles, plan.spec, chunk, plan.items, plan.assetTable)
   }
+
+  /** Real-file stack over GeoTIFFs, mixed-CRS capable: assets whose
+    * native CRS differs from the output spec are warped per pixel at read
+    * time using the planner-collected native grids (the reference's
+    * `WarpedVRT` wrap, `rio_reader.py:344-360`) — a two-UTM-zone
+    * collection scans onto one grid with `opts.epsg` set. */
+  def geotiff(spark: SparkSession, items: Seq[StacItem],
+              opts: PrepareOptions = PrepareOptions(),
+              chunk: Int = 1024,
+              nodata: Option[Double] = None,
+              errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none): Stack = {
+    val plan = Prepare(items, opts)
+    val tiles = TileScan.scan(spark, plan.assetTable, plan.spec, chunk,
+      graft.scan.GeoTiffReader.warped(plan.spec, plan.nativeGrids, nodata), errorsAsNodata)
+    Stack(spark, tiles, plan.spec, chunk, plan.items, plan.assetTable)
+  }
 }

@@ -14,10 +14,11 @@ import graft.core.{AffineTransform, RasterSpec, Window}
   *    plugin reads only the strips/tiles intersecting the region — the
   *    same IO win COG windowed reads give rasterio);
   *  - grid mapping: requested windows are in the OUTPUT grid; each output
-  *    pixel center is affine-mapped into the source grid and sampled
-  *    nearest-neighbor (a "VRT-lite" for same-CRS, scaled/offset grids —
-  *    cross-CRS warping is the [[graft.ops.Reproject]] operator's job,
-  *    keeping the scan simple and the warp distributed);
+  *    pixel center is routed through [[Warp.sourceCoords]] — a pure affine
+  *    hop when the asset shares the output CRS, and a full
+  *    output-CRS -> asset-CRS transform when it doesn't (the reference's
+  *    `WarpedVRT` wrap, `rio_reader.py:344-360`) — then sampled
+  *    nearest-neighbor from one windowed decode;
   *  - per-task lazy open + dispose; Spark's task isolation replaces the
   *    reference's thread-local dataset dance (`rio_reader.py:124-265`).
   */
@@ -26,7 +27,8 @@ final class GeoTiffReader(
     assetTransform: AffineTransform,
     spec: RasterSpec,
     bandIndex: Int = 0,
-    nodata: Option[Double] = None) extends Reader {
+    nodata: Option[Double] = None,
+    assetEpsg: Int = 0) extends Reader {
 
   @transient private var reader: ImageReader = _
   @transient private var stream: javax.imageio.stream.ImageInputStream = _
@@ -47,43 +49,30 @@ final class GeoTiffReader(
   override def read(window: Window): Array[Double] = {
     val r = open()
     val srcW = r.getWidth(0); val srcH = r.getHeight(0)
-    val srcInv = assetTransform.inverse
     val out = Array.fill(window.width * window.height)(Double.NaN)
 
-    // source rect needed for this output window (affine corners + margin)
-    val corners = for {
-      (c, rr) <- Seq((window.colOff, window.rowOff), (window.colEnd, window.rowOff),
-                     (window.colOff, window.rowEnd), (window.colEnd, window.rowEnd))
-    } yield {
-      val (x, y) = spec.transform(c.toDouble, rr.toDouble)
-      srcInv(x, y)
-    }
-    val sc0 = math.max(0, math.floor(corners.map(_._1).min).toInt - 1)
-    val sr0 = math.max(0, math.floor(corners.map(_._2).min).toInt - 1)
-    val sc1 = math.min(srcW, math.ceil(corners.map(_._1).max).toInt + 1)
-    val sr1 = math.min(srcH, math.ceil(corners.map(_._2).max).toInt + 1)
-    if (sc1 <= sc0 || sr1 <= sr0) return out
+    // Map every output-pixel center into the source grid (CRS hop included
+    // for mixed-CRS assets), then decode exactly the bounding rect of the
+    // landed samples — per-pixel min/max, because a cross-CRS footprint is
+    // curved and affine corner extrapolation under-covers it.
+    val (cols, rows) = Warp.sourceCoords(window, spec, assetTransform.inverse, assetEpsg)
+    val srcWin = Warp.sampleWindow(cols, rows, srcH, srcW)
+    if (srcWin.isEmpty) return out
 
     val param = new ImageReadParam()
-    param.setSourceRegion(new java.awt.Rectangle(sc0, sr0, sc1 - sc0, sr1 - sr0))
+    param.setSourceRegion(new java.awt.Rectangle(
+      srcWin.colOff, srcWin.rowOff, srcWin.width, srcWin.height))
     val img = r.read(0, param)
     val raster = img.getRaster
 
-    var orow = 0
-    while (orow < window.height) {
-      var ocol = 0
-      while (ocol < window.width) {
-        val (wx, wy) = spec.transform(window.colOff + ocol + 0.5, window.rowOff + orow + 0.5)
-        val (fc, fr) = srcInv(wx, wy)
-        val scc = math.floor(fc).toInt; val srr = math.floor(fr).toInt
-        if (scc >= sc0 && scc < sc1 && srr >= sr0 && srr < sr1) {
-          val v = raster.getSampleDouble(scc - sc0, srr - sr0, bandIndex)
-          out(orow * window.width + ocol) =
-            if (nodata.contains(v)) Double.NaN else v
-        }
-        ocol += 1
+    var i = 0
+    while (i < cols.length) {
+      val scc = math.floor(cols(i)).toInt; val srr = math.floor(rows(i)).toInt
+      if (scc >= 0 && scc < srcW && srr >= 0 && srr < srcH) {
+        val v = raster.getSampleDouble(scc - srcWin.colOff, srr - srcWin.rowOff, bandIndex)
+        out(i) = if (nodata.contains(v)) Double.NaN else v
       }
-      orow += 1
+      i += 1
     }
     out
   }
@@ -102,5 +91,20 @@ object GeoTiffReader {
     val (xres, yres) = srcRes.getOrElse(a.url, (spec.xres, spec.yres))
     new GeoTiffReader(a.url,
       AffineTransform.northUp(a.minx, a.maxy, xres, yres), spec, 0, nodata)
+  }
+
+  /** Mixed-CRS factory: each asset's NATIVE georeferencing (url ->
+    * (affine, epsg), as the planner collects from `proj:transform` /
+    * `proj:epsg` — [[graft.stac.PrepareResult.nativeGrids]]). Same-CRS
+    * assets take the pure-affine path; others are warped per pixel
+    * (reference `rio_reader.py:344-360`). Falls back to a north-up
+    * spec-CRS grid from the asset row when no native grid is known. */
+  def warped(spec: RasterSpec, nativeGrids: Map[String, (AffineTransform, Int)],
+             nodata: Option[Double] = None): AssetRow => Reader = { a =>
+    nativeGrids.get(a.url) match {
+      case Some((tf, e)) => new GeoTiffReader(a.url, tf, spec, 0, nodata, assetEpsg = e)
+      case None => new GeoTiffReader(a.url,
+        AffineTransform.northUp(a.minx, a.maxy, spec.xres, spec.yres), spec, 0, nodata)
+    }
   }
 }

@@ -14,7 +14,12 @@ final case class AssetRow(
     itemIdx: Int, assetIdx: Int, band: String, timeMicros: Long,
     url: String,
     minx: Double, miny: Double, maxx: Double, maxy: Double,
-    scale: Double, offset: Double) {
+    scale: Double, offset: Double,
+    epsg: Int = 0) {
+  /** Asset footprint in the OUTPUT spec's CRS (the planner reprojects
+    * envelopes of foreign-CRS assets — `prepare.py:220-266`); `epsg` is
+    * the asset's NATIVE CRS (0 = same as spec / unknown), so readers know
+    * whether to warp ([[Warp.sourceCoords]]). */
   def bounds: Bounds = Bounds(minx, miny, maxx, maxy)
 }
 

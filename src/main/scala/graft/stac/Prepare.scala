@@ -17,7 +17,8 @@ final case class PrepareOptions(
     sortDescending: Boolean = false)
 
 final case class PrepareResult(assetTable: Seq[AssetRow], spec: RasterSpec,
-                               assetIds: Seq[String], items: Seq[StacItem])
+                               assetIds: Seq[String], items: Seq[StacItem],
+                               nativeGrids: Map[String, (AffineTransform, Int)] = Map.empty)
 
 /** The metadata-only planning phase: the analog of `prepare_items`
   * (reference `stackstac/prepare.py:59-395`). Everything here is
@@ -55,7 +56,9 @@ object Prepare {
     // -- Per-asset resolution of epsg/bounds/res (prepare.py:146-333) -----
     final case class Planned(itemIdx: Int, assetIdx: Int, band: String,
                              timeMicros: Long, url: String, outBounds: Option[Bounds],
-                             res: Option[(Double, Double)], scale: Double, offset: Double)
+                             res: Option[(Double, Double)], scale: Double, offset: Double,
+                             epsg: Option[Int] = None,
+                             native: Option[(AffineTransform, Int)] = None)
 
     // CRS unification (prepare.py:188-203): error on mixed without target.
     val assetEpsgs = for {
@@ -110,7 +113,9 @@ object Prepare {
                 }
               }
             }
-            Planned(itemIdx, assetIdx, band, timeMicros, a.href, outBounds, res, a.scale, a.offset)
+            Planned(itemIdx, assetIdx, band, timeMicros, a.href, outBounds, res, a.scale, a.offset,
+                    epsg = aEpsg,
+                    native = for { tf <- aTransform; e <- aEpsg } yield (tf, e))
         }
       }
 
@@ -162,10 +167,18 @@ object Prepare {
       .map { p =>
         val b = p.outBounds.getOrElse(Bounds(0, 0, 0, 0))
         AssetRow(itemRemap(p.itemIdx), bandRemap(p.band), p.band, p.timeMicros,
-                 p.url, b.minx, b.miny, b.maxx, b.maxy, p.scale, p.offset)
+                 p.url, b.minx, b.miny, b.maxx, b.maxy, p.scale, p.offset,
+                 epsg = p.epsg.getOrElse(0))
       }
 
+    // Native georeferencing for mixed-CRS reads (WarpedVRT-lite,
+    // `rio_reader.py:344-360`): url -> (native affine, native epsg).
+    val nativeGrids = pruned.collect {
+      case p if p.url != null && p.native.isDefined => p.url -> p.native.get
+    }.toMap
+
     PrepareResult(table, spec, keptBands,
-                  items0.zipWithIndex.collect { case (it, i) if itemRemap.contains(i) => it })
+                  items0.zipWithIndex.collect { case (it, i) if itemRemap.contains(i) => it },
+                  nativeGrids)
   }
 }

@@ -56,6 +56,71 @@ class GeoTiffSpec extends SparkSpec {
     reader.close()
   }
 
+  test("cross-CRS read: 4326-native TIFF sampled onto a 3857 spec") {
+    val f = File.createTempFile("graft", ".tif"); f.deleteOnExit()
+    writeTiff(f, 64, 64) // native grid: lon/lat, 0.0002 deg
+    val srcTf = AffineTransform.northUp(12.076, 46.857, 0.0002, 0.0002)
+    val spec = RasterSpec(3857, Bounds(1344400.0, 5917200.0, 1345400.0, 5918200.0), 10.0, 10.0)
+    val reader = new GeoTiffReader(f.getAbsolutePath, srcTf, spec, assetEpsg = 4326)
+    val px = reader.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    var valid = 0
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (lon, lat) = graft.core.Proj.transform(3857, 4326, wx, wy)
+      val (fc, fr) = inv(lon, lat)
+      val (cc, rr) = (math.floor(fc).toInt, math.floor(fr).toInt)
+      val want = if (cc >= 0 && cc < 64 && rr >= 0 && rr < 64)
+        (rr * 300 + cc).toDouble else Double.NaN
+      val got = px(row * 100 + col)
+      assert(got == want || (got.isNaN && want.isNaN), s"($row,$col)")
+      if (!want.isNaN) valid += 1
+    }
+    assert(valid > 5000, s"fixture should mostly cover the spec, valid=$valid")
+    reader.close()
+  }
+
+  test("end-to-end: Stack.geotiff stacks a 3857 and a 4326 item onto one grid") {
+    import graft.stac.{PrepareOptions, StacAsset, StacItem}
+    val dirF = java.nio.file.Files.createTempDirectory("graft_mixed").toFile
+    val f0 = new File(dirF, "utm.tif"); writeTiff(f0, 64, 64)
+    val f1 = new File(dirF, "ll.tif");  writeTiff(f1, 64, 64)
+    val tf0 = AffineTransform.northUp(1344300.0, 5918300.0, 20.0, 20.0) // 3857-native, 64x64 @20m
+    val tf1 = AffineTransform.northUp(12.076, 46.857, 0.0002, 0.0002)   // 4326-native
+    val items = Seq(
+      StacItem("m0", Some("2024-06-01T00:00:00Z"), epsg = Some(3857),
+        assets = Map("gray" -> StacAsset(f0.getAbsolutePath,
+          shape = Some((64, 64)), transform = Some(tf0)))),
+      StacItem("m1", Some("2024-06-02T00:00:00Z"), epsg = Some(4326),
+        assets = Map("gray" -> StacAsset(f1.getAbsolutePath,
+          shape = Some((64, 64)), transform = Some(tf1)))))
+    val stack = Stack.geotiff(spark, items,
+      PrepareOptions(epsg = Some(3857),
+        bounds = Some(Bounds(1344400.0, 5917200.0, 1345400.0, 5918200.0)),
+        resolution = Some((10.0, 10.0))),
+      chunk = 50)
+    val tiles = stack.tiles.collect()
+    assert(tiles.map(_.itemIdx).distinct.sorted.toSeq == Seq(0, 1))
+    val byItem = Map(0 -> (tf0, 3857, 20.0), 1 -> (tf1, 4326, 0.0002))
+    tiles.foreach { t =>
+      val (tf, epsg, _) = byItem(t.itemIdx)
+      val inv = tf.inverse
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val grow = t.yChunk * 50 + t.rowOff + r
+        val gcol = t.xChunk * 50 + t.colOff + c
+        val (wx, wy) = stack.spec.transform(gcol + 0.5, grow + 0.5)
+        val (sx, sy) = graft.core.Proj.transform(3857, epsg, wx, wy)
+        val (fc, fr) = inv(sx, sy)
+        val (cc, rr) = (math.floor(fc).toInt, math.floor(fr).toInt)
+        val want = if (cc >= 0 && cc < 64 && rr >= 0 && rr < 64)
+          (rr * 300 + cc).toDouble else Double.NaN
+        val got = t.pixels(r * t.width + c)
+        assert(got == want || (got.isNaN && want.isNaN),
+          s"item ${t.itemIdx} ($grow,$gcol)")
+      }
+    }
+  }
+
   test("end-to-end: TileScan over real TIFF files") {
     val dirF = java.nio.file.Files.createTempDirectory("graft_tiff").toFile
     val files = (0 until 3).map { i =>

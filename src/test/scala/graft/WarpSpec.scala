@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{AffineTransform, Bounds, Proj, RasterSpec, Window}
+import graft.scan.{RampReader, Warp, WarpedGridReader}
+
+/** Driver-side oracles for the WarpedVRT-lite gather (reference
+  * `rio_reader.py:344-360`): output-pixel centers routed through the
+  * (optional) CRS hop and the inverse source affine, nearest-neighbor. */
+class WarpSpec extends AnyFunSuite {
+
+  test("same-CRS scaled/offset grid: warp equals direct affine sampling") {
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0) // 100x100
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(RampReader(150), srcTf, 3857, 150, 150, spec)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (fc, fr) = inv(wx, wy)
+      val (cc, rr) = (math.floor(fc).toInt, math.floor(fr).toInt)
+      val want = if (cc >= 0 && cc < 150 && rr >= 0 && rr < 150)
+        (rr * 150 + cc).toDouble else Double.NaN
+      val got = px(row * 100 + col)
+      assert(got == want || (got.isNaN && want.isNaN), s"($row,$col)")
+    }
+  }
+
+  test("cross-CRS (3857 spec, 4326 source): each center routed through Proj") {
+    val spec = RasterSpec(3857, Bounds(1344400.0, 5917200.0, 1345400.0, 5918200.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(12.076, 46.857, 0.0002, 0.0002) // 64x64 deg grid
+    val r = WarpedGridReader(RampReader(64), srcTf, 4326, 64, 64, spec)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    var valid = 0
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (lon, lat) = Proj.transform(3857, 4326, wx, wy)
+      val (fc, fr) = inv(lon, lat)
+      val (cc, rr) = (math.floor(fc).toInt, math.floor(fr).toInt)
+      val want = if (cc >= 0 && cc < 64 && rr >= 0 && rr < 64)
+        (rr * 64 + cc).toDouble else Double.NaN
+      val got = px(row * 100 + col)
+      assert(got == want || (got.isNaN && want.isNaN), s"($row,$col)")
+      if (!want.isNaN) valid += 1
+    }
+    assert(valid > 5000, s"fixture should mostly cover the spec, valid=$valid")
+  }
+
+  test("sampleWindow: empty when nothing lands in the source") {
+    val cols = Array(-5.0, -2.0); val rows = Array(3.0, 4.0)
+    assert(Warp.sampleWindow(cols, rows, 100, 100).isEmpty)
+    val w = Warp.sampleWindow(Array(3.7, 9.2), Array(1.1, 8.9), 100, 100)
+    assert(w == Window(3, 1, 7, 8)) // floors 3..9 x 1..8, inclusive extents
+  }
+}
