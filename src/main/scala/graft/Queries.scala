@@ -2237,7 +2237,63 @@ object Queries {
              |  count(*) AS n_px,
              |  CAST(sum(v) AS BIGINT) AS sum_v,
              |  CAST(sum(v * (r*200 + c)) AS BIGINT) AS pos_chk
-             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- MD1: per-pixel temporal MEDIAN per calendar month — the
+    // reference's flagship composite (`docs/basic.ipynb` cell 10,
+    // `.resample(time="MS").median("time")`), oracle-gated. Six ramp
+    // scenes whose only difference is a per-item rescale offset of
+    // i*10000; both months have an EVEN scene count (2 and 4), so the
+    // linear interpolation between the middle order statistics is
+    // exercised and lands on exact integers ((0+10000)/2, (30000+40000)/2)
+    // the oracle states in closed form. Checksummed by global position so
+    // tile placement is verified too.
+    Q("md1_median",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan}
+        val spec = RasterSpec(32633, Bounds(0, 0, 1280, 1280), 10.0, 10.0) // 128x128
+        val dates = Seq("2024-06-03", "2024-06-21",
+                        "2024-07-02", "2024-07-09", "2024-07-18", "2024-07-30")
+        val assets = dates.zipWithIndex.map { case (d, i) =>
+          AssetRow(i, 0, "b", graft.stac.Stac.parseDatetimeMicros(d + "T00:00:00Z"),
+                   s"ramp://$i", 0, 0, 1280, 1280, 1.0, i * 10000.0)
+        }
+        val tiles = TileScan.scan(s, assets, spec, chunk = 64,
+          readerFor = _ => RampReader(128))
+        graft.ops.Median.temporal(tiles, 64, micros => {
+          val inst = java.time.Instant.ofEpochSecond(micros / 1000000L)
+          java.time.ZonedDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+            .withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.getEpochSecond * 1000000L
+        })
+          .flatMap { case (period, ct) =>
+            for {
+              r <- 0 until ct.height; c <- 0 until ct.width
+              v = ct.pixels(r * ct.width + c) if !v.isNaN
+            } yield {
+              val gr = ct.yChunk * 64 + r; val gc = ct.xChunk * 64 + c
+              (period / 1000000L, ct.yChunk, ct.xChunk, v.toLong, (gr.toLong * 128 + gc))
+            }
+          }
+          .toDF("period_s", "y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"period_s", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_med"),
+               sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"period_s", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,128) t(r) CROSS JOIN range(0,128) u(c)),
+             |pd AS (SELECT * FROM (VALUES
+             |         (CAST(epoch_us(TIMESTAMP '2024-06-01 00:00:00')//1000000 AS BIGINT), 5000),
+             |         (CAST(epoch_us(TIMESTAMP '2024-07-01 00:00:00')//1000000 AS BIGINT), 35000))
+             |       v(period_s, d))
+             |SELECT period_s, CAST(r//64 AS INT) AS y_chunk, CAST(c//64 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(r*128 + c + d) AS BIGINT) AS sum_med,
+             |  CAST(sum((r*128 + c + d) * (r*128 + c)) AS BIGINT) AS pos_chk
+             |FROM px CROSS JOIN pd
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

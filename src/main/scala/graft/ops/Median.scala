@@ -9,19 +9,21 @@ import graft.scan.Tile
   * `docs/basic.ipynb` cell 10). Exact (xarray-compatible linear
   * interpolation between the two middle order statistics).
   *
-  * Buffer holds one growing value list per pixel. Group cardinality along
+  * Buffer holds one growing value list per pixel (capacity-doubling with
+  * an explicit fill count — amortized O(1) per sample, never the O(k²)
+  * reallocation an immutable append would cost). Group cardinality along
   * time is small (items per calendar period — typically < 100), so the
   * buffer is O(chunk_px × period_items); the shuffle is the same
   * partial/final aggregation shape as mean. For huge periods, switch to
   * the explode-pixels + `percentile` fallback (same result, more shuffle).
   */
-final case class MedianBuf(values: Array[Array[Double]])
+final case class MedianBuf(values: Array[Array[Double]], counts: Array[Int])
 
 final class PixelMedianAgg(chunkH: Int, chunkW: Int)
     extends Aggregator[Tile, MedianBuf, Array[Double]] {
   private val n = chunkH * chunkW
 
-  def zero: MedianBuf = MedianBuf(Array.fill(n)(Array.empty[Double]))
+  def zero: MedianBuf = MedianBuf(Array.fill(n)(Array.empty[Double]), new Array[Int](n))
 
   def reduce(b: MedianBuf, t: Tile): MedianBuf = {
     var r = 0
@@ -33,7 +35,15 @@ final class PixelMedianAgg(chunkH: Int, chunkW: Int)
         val v = t.pixels(srcBase + c)
         if (!v.isNaN) {
           val pos = rowBase + c
-          b.values(pos) = b.values(pos) :+ v
+          var arr = b.values(pos)
+          val cnt = b.counts(pos)
+          if (cnt == arr.length) { // grow: double, min 4
+            val na = new Array[Double](math.max(4, arr.length * 2))
+            System.arraycopy(arr, 0, na, 0, cnt)
+            arr = na; b.values(pos) = na
+          }
+          arr(cnt) = v
+          b.counts(pos) = cnt + 1
         }
         c += 1
       }
@@ -45,8 +55,17 @@ final class PixelMedianAgg(chunkH: Int, chunkW: Int)
   def merge(a: MedianBuf, b: MedianBuf): MedianBuf = {
     var i = 0
     while (i < n) {
-      if (b.values(i).nonEmpty)
-        a.values(i) = if (a.values(i).isEmpty) b.values(i) else a.values(i) ++ b.values(i)
+      val bc = b.counts(i)
+      if (bc > 0) {
+        val ac = a.counts(i)
+        if (ac == 0) { a.values(i) = b.values(i); a.counts(i) = bc }
+        else { // exact-size combine (merge happens once per shuffle hop)
+          val na = new Array[Double](ac + bc)
+          System.arraycopy(a.values(i), 0, na, 0, ac)
+          System.arraycopy(b.values(i), 0, na, ac, bc)
+          a.values(i) = na; a.counts(i) = ac + bc
+        }
+      }
       i += 1
     }
     a
@@ -56,12 +75,11 @@ final class PixelMedianAgg(chunkH: Int, chunkW: Int)
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val vs = b.values(i)
+      val vs = b.values(i); val m = b.counts(i)
       out(i) =
-        if (vs.isEmpty) Double.NaN
+        if (m == 0) Double.NaN
         else {
-          java.util.Arrays.sort(vs)
-          val m = vs.length
+          java.util.Arrays.sort(vs, 0, m)
           if (m % 2 == 1) vs(m / 2)
           else (vs(m / 2 - 1) + vs(m / 2)) / 2.0
         }
