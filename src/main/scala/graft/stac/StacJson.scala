@@ -69,12 +69,20 @@ object StacJson {
         }
       } else Map.empty
 
-    // flatten scalar JSON properties into the open metadata map
+    // flatten JSON properties into the open metadata map: scalars keep the
+    // legacy bare form ("12.5", "OLI"); nested arrays/objects render as
+    // canonical JSON so typed accumulation (Accumulate.typedCoords) can
+    // re-parse their structure (MetaValue.parse falls back to a bare
+    // string for the scalar form).
     val propMap: Map[String, String] = props.map { p =>
       p.schema.fields.collect {
         case f if !p.isNullAt(p.fieldIndex(f.name)) &&
           !f.name.startsWith("proj:") && f.name != "datetime" =>
-          f.name -> String.valueOf(p.getAs[Any](f.name))
+          f.name -> (p.getAs[Any](f.name) match {
+            case v @ (_: Row | _: scala.collection.Map[_, _] | _: scala.collection.Seq[_]) =>
+              toMeta(v).render
+            case v => String.valueOf(v)
+          })
       }.toMap
     }.getOrElse(Map.empty)
 
@@ -88,6 +96,26 @@ object StacJson {
         .map(AffineTransform.fromStac),
       assets = assets,
       properties = propMap)
+  }
+
+  /** Spark JSON value -> typed metadata value (structs keep field order). */
+  private def toMeta(v: Any): graft.meta.MetaValue = {
+    import graft.meta._
+    v match {
+      case null => MNull
+      case r: Row => MObj(r.schema.fields.toVector.collect {
+        case f if !r.isNullAt(r.fieldIndex(f.name)) =>
+          f.name -> toMeta(r.getAs[Any](f.name))
+      })
+      case m: scala.collection.Map[_, _] =>
+        MObj(m.toVector.map { case (k, x) => k.toString -> toMeta(x) })
+      case s: scala.collection.Seq[_] => MArr(s.toVector.map(toMeta))
+      case s: String => MStr(s)
+      case b: Boolean => MBool(b)
+      case n: java.math.BigDecimal => MNum(n.doubleValue)
+      case n: Number => MNum(n.doubleValue)
+      case other => MStr(other.toString)
+    }
   }
 
   private def rowToAsset(row: Row): StacAsset = {
