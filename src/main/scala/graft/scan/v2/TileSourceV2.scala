@@ -64,9 +64,12 @@ object TilePlanRegistry {
   *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): a
   *    projection without `pixels` reads no pixel bytes at all — the
   *    metadata-only planning boundary (R5) expressed in the scan itself.
-  *    Such a projection enumerates the *planned* tiles: rows a full read
-  *    would elide as all-nodata (R4) are included, because elision is a
-  *    property of pixel values.
+  *    The row set is the *planned* work-list in EVERY projection: unlike
+  *    [[TileScan.scan]], all-nodata tiles are NOT elided here, so pruning
+  *    stays a pure optimization (same rows whether or not pixels are
+  *    read — the DSv2 contract). Consumers wanting R4's value-level
+  *    sparsity filter explicitly (e.g. `exists(pixels, p -> NOT isnan(p))`;
+  *    every NaN-skipping aggregate downstream ignores such tiles anyway).
   *  - One `InputPartition` per (yChunk, xChunk): downstream per-chunk
   *    aggregations (mosaic, temporal) consume co-located tiles.
   *
@@ -169,8 +172,20 @@ private[v2] object TileFilterEval {
     case "xChunk" => xc
   }
 
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   private def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: String, b: String) => a.compareTo(b)
+    // integral comparison must not round-trip through double: Long values
+    // above 2^53 (nano-scale timestamps) would compare equal when they
+    // differ, and pushdown prunes BEFORE IO — residual re-evaluation
+    // cannot restore a wrongly-pruned tile.
+    case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case _ => 0
   }
@@ -247,32 +262,32 @@ final class TilePartitionReader(
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    while ({ i += 1; i < reads.length }) {
-      val PlannedRead(a, yc, xc, win) = reads(i)
-      val px: Array[Double] =
-        if (!needPixels) null // column pruning => zero pixel IO (R5)
-        else {
-          val r = open.getOrElseUpdate(a.url, readerFor(a))
-          val p =
-            try r.read(win)
-            catch {
-              case e: Throwable if errorsAsNodata.matches(e) =>
-                Array.fill(win.width * win.height)(Double.NaN)
-            }
-          if (applyRescale && (a.scale != 1.0 || a.offset != 0.0)) {
-            var k = 0
-            while (k < p.length) { p(k) = p(k) * a.scale + a.offset; k += 1 }
+    i += 1
+    if (i >= reads.length) return false
+    val PlannedRead(a, yc, xc, win) = reads(i)
+    val px: Array[Double] =
+      if (!needPixels) null // column pruning => zero pixel IO (R5)
+      else {
+        val r = open.getOrElseUpdate(a.url, readerFor(a))
+        val p =
+          try r.read(win)
+          catch {
+            case e: Throwable if errorsAsNodata.matches(e) =>
+              Array.fill(win.width * win.height)(Double.NaN)
           }
-          p
+        if (applyRescale && (a.scale != 1.0 || a.offset != 0.0)) {
+          var k = 0
+          while (k < p.length) { p(k) = p(k) * a.scale + a.offset; k += 1 }
         }
-      // sparse elision (R4) is a pixel-value property: only applicable
-      // when pixels were actually read
-      if (px == null || !px.forall(_.isNaN)) {
-        row = project(a, yc, xc, win, px)
-        return true
+        p
       }
-    }
-    false
+    // NO value-based elision here (unlike TileScan.scan): the row set must
+    // be identical under every projection, or `count()` and a pixel
+    // aggregate over the same source would disagree (DSv2 requires
+    // pruning to be a pure optimization). All-nodata tiles flow through;
+    // consumers filter them explicitly if they want R4 sparsity.
+    row = project(a, yc, xc, win, px)
+    true
   }
 
   private def project(

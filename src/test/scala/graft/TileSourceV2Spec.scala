@@ -81,4 +81,34 @@ class TileSourceV2Spec extends SparkSpec {
     assert(CountingReads.reads.get() == 0,
       s"metadata projection must not read pixels, got ${CountingReads.reads.get()} reads")
   }
+
+  test("row multiplicity is projection-independent (all-nodata tiles flow)") {
+    import spark.implicits._
+    // every read is all-NaN; pruning `pixels` must not change the row set
+    val df = TileSourceV2.scan(spark, assets, spec, chunk, _ => NodataReader())
+    val metaCount = df.select($"band", $"yChunk", $"xChunk").count()
+    val fullCount = df.select($"pixels").count()
+    // planned work-list in both modes: 2 full-footprint assets x 4 chunks
+    // + 2 quarter-footprint assets x 1 chunk = 10
+    assert(metaCount == 10 && fullCount == 10,
+      s"meta=$metaCount full=$fullCount")
+    // value-level sparsity is the consumer's explicit filter
+    val sparse = df.filter(org.apache.spark.sql.functions
+      .exists($"pixels", p => !org.apache.spark.sql.functions.isnan(p))).count()
+    assert(sparse == 0)
+  }
+
+  test("Long pushdown compares exactly above 2^53") {
+    import spark.implicits._
+    val big = (1L << 53) // 9007199254740992; +1 is indistinguishable in double
+    val a = Seq(
+      AssetRow(0, 0, "red", big + 1, "fake://hi", 0, 0, 160, 160, 1.0, 0.0),
+      AssetRow(1, 0, "red", big, "fake://lo", 0, 0, 160, 160, 1.0, 0.0))
+    val rows = TileSourceV2.scan(spark, a, spec, chunk)
+      .filter($"timeMicros" > big).select($"itemIdx").distinct()
+      .as[Int].collect().toSeq
+    // double-rounded comparison would prune item 0's tiles before IO and
+    // return nothing; exact Long comparison keeps them
+    assert(rows == Seq(0))
+  }
 }
