@@ -18,15 +18,23 @@ object Bench {
     // startup: run one real parquet scan + hash-agg + sort pipeline.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().orderBy("r_name").collect()
+    // n>=3 runs per query, report the MEDIAN: single-shot timings at this
+    // scale are dominated by first-run codegen/AQE warmup noise (r2 saw
+    // +-0.4 s swings on sub-second joins), and the median of 3 is robust
+    // to one outlier in either direction.
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until n).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n}""")
     spark.stop()
   }
 }

@@ -39,14 +39,18 @@ final case class Tile(
 object TileScan {
 
   /** The (y, x) chunk grid of a spec: analog of dask `chunksize=1024`
-    * normalization (`stackstac/to_dask.py:208-231`). */
-  def chunkGrid(spec: RasterSpec, chunk: Int): Seq[(Int, Int, Window)] = {
+    * normalization (`stackstac/to_dask.py:208-231`). Rectangular chunks
+    * come from the [[Chunks]] grammar (tuples/"auto"/byte budgets). */
+  def chunkGrid(spec: RasterSpec, chunk: Int): Seq[(Int, Int, Window)] =
+    chunkGrid(spec, chunk, chunk)
+
+  def chunkGrid(spec: RasterSpec, chunkY: Int, chunkX: Int): Seq[(Int, Int, Window)] = {
     val (h, w) = spec.shape
-    val ny = (h + chunk - 1) / chunk
-    val nx = (w + chunk - 1) / chunk
+    val ny = (h + chunkY - 1) / chunkY
+    val nx = (w + chunkX - 1) / chunkX
     for (yc <- 0 until ny; xc <- 0 until nx) yield {
-      val r0 = yc * chunk; val c0 = xc * chunk
-      (yc, xc, Window(c0, r0, math.min(chunk, w - c0), math.min(chunk, h - r0)))
+      val r0 = yc * chunkY; val c0 = xc * chunkX
+      (yc, xc, Window(c0, r0, math.min(chunkX, w - c0), math.min(chunkY, h - r0)))
     }
   }
 
@@ -66,10 +70,22 @@ object TileScan {
       chunk: Int = 1024,
       readerFor: AssetRow => Reader = a => FakeReader(a.url),
       errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none,
-      applyRescale: Boolean = true): Dataset[Tile] = {
+      applyRescale: Boolean = true): Dataset[Tile] =
+    scan(spark, assets, spec, chunk, chunk, readerFor, errorsAsNodata, applyRescale)
+
+  /** Rectangular-chunk scan: edges usually come from
+    * `Chunks.spatialEdges(ChunksParam.parse("auto"), spec)`. */
+  def scan(
+      spark: SparkSession,
+      assets: Seq[AssetRow],
+      spec: RasterSpec,
+      chunkY: Int, chunkX: Int,
+      readerFor: AssetRow => Reader,
+      errorsAsNodata: ErrorsAsNodata,
+      applyRescale: Boolean): Dataset[Tile] = {
     import spark.implicits._
 
-    val pairs = workList(assets, spec, chunk)
+    val pairs = workList(assets, spec, chunkY, chunkX)
 
     val nPart = math.max(1, math.min(pairs.size, spark.sparkContext.defaultParallelism * 2))
     spark.createDataset(pairs)
@@ -99,7 +115,7 @@ object TileScan {
           if (px.forall(_.isNaN)) Iterator.empty
           else Iterator.single(Tile(
             a.itemIdx, a.assetIdx, a.band, a.timeMicros, yc, xc,
-            win.rowOff - yc * chunk, win.colOff - xc * chunk,
+            win.rowOff - yc * chunkY, win.colOff - xc * chunkX,
             win.height, win.width, px))
         }
       }
@@ -114,17 +130,21 @@ object TileScan {
     * a driver-side metadata pass, never 1e11 intersection tests.
     */
   def workList(assets: Seq[AssetRow], spec: RasterSpec,
-               chunk: Int): Seq[(AssetRow, Int, Int, Window)] = {
+               chunk: Int): Seq[(AssetRow, Int, Int, Window)] =
+    workList(assets, spec, chunk, chunk)
+
+  def workList(assets: Seq[AssetRow], spec: RasterSpec,
+               chunkY: Int, chunkX: Int): Seq[(AssetRow, Int, Int, Window)] = {
     val (h, w) = spec.shape
     for {
       a <- assets if a.url != null
       assetWin = spec.windowFor(a.bounds).intersect(Window(0, 0, w, h))
       if !assetWin.isEmpty
-      yc <- (assetWin.rowOff / chunk) to ((assetWin.rowEnd - 1) / chunk)
-      xc <- (assetWin.colOff / chunk) to ((assetWin.colEnd - 1) / chunk)
+      yc <- (assetWin.rowOff / chunkY) to ((assetWin.rowEnd - 1) / chunkY)
+      xc <- (assetWin.colOff / chunkX) to ((assetWin.colEnd - 1) / chunkX)
     } yield {
-      val cw = Window(xc * chunk, yc * chunk,
-        math.min(chunk, w - xc * chunk), math.min(chunk, h - yc * chunk))
+      val cw = Window(xc * chunkX, yc * chunkY,
+        math.min(chunkX, w - xc * chunkX), math.min(chunkY, h - yc * chunkY))
       (a, yc, xc, cw.intersect(assetWin))
     }
   }

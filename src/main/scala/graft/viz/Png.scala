@@ -21,23 +21,9 @@ object Png {
       if (x < 0) 0.0 else if (x > 1) 1.0 else x
     }
 
-  /** 256-entry viridis-like LUT built from a few anchor points (linear
-    * interpolation) — the F14 colormap-apply kernel. Anchors are the
-    * widely published viridis control colors. */
-  lazy val viridis: Array[Int] = {
-    val anchors = Seq(
-      (0.0, (68, 1, 84)), (0.25, (59, 82, 139)), (0.5, (33, 145, 140)),
-      (0.75, (94, 201, 98)), (1.0, (253, 231, 37)))
-    (0 until 256).map { i =>
-      val x = i / 255.0
-      val ((x0, c0), (x1, c1)) = anchors.zip(anchors.tail)
-        .find { case ((a, _), (b, _)) => x >= a && x <= b }
-        .getOrElse((anchors(3), anchors(4)))
-      val f = if (x1 == x0) 0.0 else (x - x0) / (x1 - x0)
-      def mix(a: Int, b: Int) = (a + (b - a) * f).round.toInt
-      (255 << 24) | (mix(c0._1, c1._1) << 16) | (mix(c0._2, c1._2) << 8) | mix(c0._3, c1._3)
-    }.toArray
-  }
+  /** The default LUT — kept as the historical name; arbitrary maps live in
+    * [[Colormap]] (registered standards, `_r` reversal, user anchors/LUTs). */
+  lazy val viridis: Array[Int] = Colormap.viridis.lut
 
   /** Checkerboard pattern value (reference `make_checkerboard`,
     * `show.py:973-978`): 8px squares, light/dark grey. */
@@ -48,9 +34,12 @@ object Png {
   }
 
   /** Render 1-3 normalized band planes (row-major h*w, values in [0,1] or
-    * NaN) to PNG bytes. */
+    * NaN) to PNG bytes. Single-band output goes through `cmap`
+    * (reference `show.py:940-948`: any registered map, e.g.
+    * `Colormap.named("magma_r")`). */
   def encode(bands: Seq[Array[Double]], h: Int, w: Int,
-             checkerboard: Boolean = true): Array[Byte] = {
+             checkerboard: Boolean = true,
+             cmap: Colormap = Colormap.viridis): Array[Byte] = {
     require(bands.nonEmpty && bands.length <= 3, s"1-3 bands, got ${bands.length}")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
     var r = 0
@@ -62,7 +51,7 @@ object Png {
           if (bands.length == 1) {
             val v = bands.head(i)
             if (v.isNaN) { if (checkerboard) checker(r, c) else 0 }
-            else viridis(math.max(0, math.min(255, (v * 255).round.toInt)))
+            else cmap(v)
           } else {
             val vs = bands.map(_(i))
             if (vs.exists(_.isNaN)) { if (checkerboard) checker(r, c) else 0 }

@@ -26,6 +26,23 @@ class VizSpec extends AnyFunSuite {
     assert((nanPx >>> 24) == 255)
   }
 
+  test("colormaps: endpoints, registry names, reversal, custom anchors") {
+    import graft.viz.Colormap
+    assert(Colormap.viridis(0.0) == ((255 << 24) | (68 << 16) | (1 << 8) | 84))
+    assert(Colormap.viridis(1.0) == ((255 << 24) | (253 << 16) | (231 << 8) | 37))
+    assert(Colormap.viridis(Double.NaN) == 0) // transparent
+    assert(Colormap.named("magma_r")(0.0) == Colormap.magma(1.0))
+    assert(Colormap.named("gray")(1.0) == 0xffffffff)
+    intercept[IllegalArgumentException](Colormap.named("nope"))
+    val two = Colormap.fromAnchors(Seq((0.0, (10, 20, 30)), (1.0, (10, 20, 30))))
+    assert((0 until 256).forall(i => two(i / 255.0) == ((255 << 24) | (10 << 16) | (20 << 8) | 30)))
+    // single-band encode honors the cmap
+    val bytes = Png.encode(Seq(Array(0.0, 1.0)), 1, 2, checkerboard = false,
+      cmap = Colormap.named("gray"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert((img.getRGB(0, 0) & 0xffffff) == 0 && (img.getRGB(1, 0) & 0xffffff) == 0xffffff)
+  }
+
   test("rgb encode with 3 bands") {
     val h = 4; val w = 4
     val bands = Seq.fill(3)(Array.fill(h * w)(0.5))
