@@ -70,6 +70,33 @@ final case class Stack(
   /** Flat pixel DataFrame with world coordinates — arbitrary SQL over
     * pixels. */
   def toPixels: DataFrame = Pixels.toPixels(tiles, spec, chunk)
+
+  /** Declared-dtype materialization — `stack(dtype=, fill_value=)` parity
+    * (reference `to_dask.py:39-43`, `prepare.py:166-183`): validates
+    * fill-value castability and (when rescaling was applied) every
+    * asset's scale/offset castability, then fills nodata and casts each
+    * cell (truncate-toward-zero, clipped). Tiles keep the Double carrier;
+    * the values are exactly the dtype's. */
+  def cast(dtype: graft.core.CellType, fillValue: Double = Double.NaN,
+           rescale: Boolean = true): Dataset[Tile] = {
+    graft.core.CellType.requireFill(dtype, fillValue)
+    if (rescale) assetTable.filter(_.url != null)
+      .foreach(a => graft.core.CellType.requireRescale(dtype, a.scale, a.offset))
+    import spark.implicits._
+    tiles.map(t => t.copy(pixels =
+      t.pixels.map(v => dtype.cast(if (v.isNaN) fillValue else v))))
+  }
+
+  /** First-valid composite with a declared dtype: NaN nodata on an
+    * integral dtype is the reference's usage-error guard
+    * (`ops.py:202-208`). */
+  def mosaicAs(dtype: graft.core.CellType, nodata: Double = Double.NaN,
+               reverse: Boolean = false): Dataset[CompositeTile] = {
+    graft.core.CellType.requireMosaicNodata(dtype, nodata)
+    import spark.implicits._
+    mosaic(reverse).map(ct => ct.copy(pixels =
+      ct.pixels.map(v => dtype.cast(if (v.isNaN) nodata else v))))
+  }
 }
 
 object Stack {
