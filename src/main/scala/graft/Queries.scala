@@ -2293,7 +2293,41 @@ object Queries {
              |  CAST(sum(r*128 + c + d) AS BIGINT) AS sum_med,
              |  CAST(sum((r*128 + c + d) * (r*128 + c)) AS BIGINT) AS pos_chk
              |FROM px CROSS JOIN pd
-             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- X4: near-dup CLUSTER formation — the step after pairwise dedup
+    // (d2/d4/d5 emit pairs; a 100 TB corpus needs keep-one groups).
+    // Distributed connected components (hash-min + pointer jumping, two
+    // shuffle joins per round, O(log diameter) rounds, no driver graph
+    // state) over CHAIN edges: consecutive doc_ids per fingerprint, so a
+    // k-dup group is a path the label must walk multi-hop — the oracle
+    // knows the answer a second way (components of a fingerprint-chain
+    // graph ARE the fingerprint groups) without needing recursive SQL.
+    Q("x4_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id",
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")
+        val edges = docs.withColumn("prev", lag($"doc_id", 1).over(w))
+          .filter($"prev".isNotNull)
+          .select($"prev".as("id_a"), $"doc_id".as("id_b"))
+        val comp = graft.dedup.Dedup.connectedComponents(edges)
+        docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .select(coalesce($"component", $"doc_id").as("component"))
+          .groupBy($"component").agg(count(lit(1)).as("sz"))
+          .groupBy($"sz")
+          .agg(count(lit(1)).as("n_clusters"), sum($"component").as("sum_rep"))
+          .orderBy($"sz")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, count(*) AS sz, min(doc_id) AS rep FROM f GROUP BY fp)
+             |SELECT sz, count(*) AS n_clusters, CAST(sum(rep) AS BIGINT) AS sum_rep
+             |FROM g GROUP BY sz ORDER BY sz""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -118,4 +118,53 @@ object Dedup {
       .filter(j >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
   }
+
+  /** Connected components over a dup-pair edge list — the cluster-forming
+    * step that turns pairwise near-dup output (d2/d4/d5 pairs) into
+    * keep-one groups. Hash-min label propagation with pointer jumping:
+    * each round every node takes the min label in its neighborhood AND
+    * labels chase their own label's label, so convergence is
+    * O(log diameter) shuffle rounds — the standard large-graph CC shape
+    * (each round is two shuffle joins; no driver-side graph state, only a
+    * convergence counter). Input: (id_a, id_b) Long edges. Output:
+    * (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("a", "b")
+    val sym = e.select($"a", $"b")
+      .union(e.select($"b".as("a"), $"a".as("b")))
+      .distinct().localCheckpoint(true)
+    // Each round references the previous labels several times (neighbor
+    // join + pointer-jump self-join), so the logical plan would double
+    // per iteration without truncation — localCheckpoint cuts the lineage
+    // to the materialized result (on a fault-tolerant cluster, set a
+    // checkpoint dir and swap in .checkpoint()).
+    var labels = sym.select($"a".as("node")).distinct()
+      .withColumn("label", $"node").localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among self + neighbors
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "b2"), $"b" === $"b2")
+        .groupBy($"a".as("node")).agg(min($"label").as("nl"))
+      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+        .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
+      // pointer jumping: label <- label's label (halves chain depth)
+      val jumped = stepped.as("x")
+        .join(stepped.as("y"), col("x.label") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("y.label"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      converged = jumped.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter($"label" =!= $"old").isEmpty
+      labels.unpersist()
+      labels = jumped
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
 }

@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpec {
     assert(ranks.sameElements(Array(1, 2, 3)))
   }
 
+  test("connected components: chains, separate pairs, long-path convergence") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // chain 1-2-3-4-5, pair 10-11, and a 40-node path 100..139 (multi-hop
+    // propagation: pointer jumping must converge well inside maxIter)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)) ++
+      (100L until 139L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((100L to 139L).forall(comp(_) == 100L))
+    assert(comp.size == 5 + 2 + 40)
+  }
+
   test("lsh buckets partition the space; knn within bucket returns subset of brute force order") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
