@@ -2327,7 +2327,70 @@ object Queries {
              |  FROM documents),
              |g AS (SELECT fp, count(*) AS sz, min(doc_id) AS rep FROM f GROUP BY fp)
              |SELECT sz, count(*) AS n_clusters, CAST(sum(rep) AS BIGINT) AS sum_rep
-             |FROM g GROUP BY sz ORDER BY sz""".stripMargin))
+             |FROM g GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // ----- R8: bilinear warp scan, hash-gated EXACTLY — r7's same-CRS
+    // fixture (10 m spec over an 8 m source) puts every fractional source
+    // coordinate on an exact eighth, so the bilinear weights (.125/.375/
+    // .625/.875) and the 4-point interpolation of integer ramp values are
+    // exact multiples of 1/64: quantizing by *64 yields integers both
+    // engines state bit-for-bit (no transcendental term anywhere). The
+    // oracle replays center->affine->floor(f-0.5)->weights->interpolate
+    // term by term in Reproject's expression order.
+    Q("r8_warp_bilinear",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "ramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 100,
+          readerFor = _ => WarpedGridReader(RampReader(300), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Bilinear))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.yChunk, t.xChunk, (v * 64).toLong, gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |m AS (SELECT r, c,
+             |        10.0*(c + 0.5) + 0.0*(r + 0.5) + 1344000.0 AS wx,
+             |        0.0*(c + 0.5) + (-10.0)*(r + 0.5) + 5919000.0 AS wy
+             |      FROM px),
+             |f AS (SELECT r, c,
+             |        (0.125*wx + 0.0*wy + (-167975.0)) - 0.5 AS gc,
+             |        (0.0*wx + (-0.125)*wy + 739850.0) - 0.5 AS gr
+             |       FROM m),
+             |w AS (SELECT r, c,
+             |        CAST(floor(gr) AS BIGINT) AS r0, CAST(floor(gc) AS BIGINT) AS c0,
+             |        gr - floor(gr) AS wr, gc - floor(gc) AS wc
+             |       FROM f),
+             |v AS (SELECT r, c,
+             |        ((r0*300 + c0) * (1 - wr) * (1 - wc)
+             |         + (r0*300 + (c0+1)) * (1 - wr) * wc
+             |         + ((r0+1)*300 + c0) * wr * (1 - wc)
+             |         + ((r0+1)*300 + (c0+1)) * wr * wc) AS bv
+             |       FROM w
+             |       WHERE r0 >= 0 AND r0 + 1 < 300 AND c0 >= 0 AND c0 + 1 < 300),
+             |q AS (SELECT r, c, CAST(bv*64 AS BIGINT) AS q FROM v)
+             |SELECT CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -70,7 +70,10 @@ object Warp {
   * windows in the SOURCE grid (its values keyed on source row/col); this
   * wrapper presents the [[Reader]] contract on the OUTPUT grid, routing
   * each output-pixel center through the (optional) CRS hop and the inverse
-  * source affine, nearest-neighbor. One windowed source read per tile.
+  * source affine — nearest-neighbor or NaN-aware bilinear (the two
+  * resampling modes the reference's warp path supports,
+  * `geom_utils.py:229-234`), same pixel-center convention as
+  * [[graft.ops.Reproject]]. One windowed source read per tile.
   * This is what makes a mixed-CRS stack scannable: two UTM zones and a
   * lat/lon asset can all land on one output grid in the same scan
   * (reference `rio_reader.py:344-360`).
@@ -80,24 +83,65 @@ final case class WarpedGridReader(
     srcTransform: AffineTransform,
     srcEpsg: Int,
     srcHeight: Int, srcWidth: Int,
-    spec: RasterSpec) extends Reader {
+    spec: RasterSpec,
+    method: graft.ops.Resampling = graft.ops.Resampling.Nearest) extends Reader {
 
   private val srcInv = srcTransform.inverse
 
   def read(window: Window): Array[Double] = {
     val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
     val out = Array.fill(window.width * window.height)(Double.NaN)
-    val srcWin = Warp.sampleWindow(cols, rows, srcHeight, srcWidth)
-    if (srcWin.isEmpty) return out
-    val px = source.read(srcWin)
-    var i = 0
-    while (i < cols.length) {
-      val cc = math.floor(cols(i)).toInt; val rr = math.floor(rows(i)).toInt
-      if (cc >= 0 && cc < srcWidth && rr >= 0 && rr < srcHeight)
-        out(i) = px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
-      i += 1
+    if (method == graft.ops.Resampling.Nearest) {
+      val srcWin = Warp.sampleWindow(cols, rows, srcHeight, srcWidth)
+      if (srcWin.isEmpty) return out
+      val px = source.read(srcWin)
+      var i = 0
+      while (i < cols.length) {
+        val cc = math.floor(cols(i)).toInt; val rr = math.floor(rows(i)).toInt
+        if (cc >= 0 && cc < srcWidth && rr >= 0 && rr < srcHeight)
+          out(i) = px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
+        i += 1
+      }
+      out
+    } else {
+      // bilinear on pixel centers (center of pixel k is k+0.5): bounding
+      // rect over the clamped 2x2 neighborhoods of every sample
+      var minC = Int.MaxValue; var minR = Int.MaxValue
+      var maxC = Int.MinValue; var maxR = Int.MinValue
+      var i = 0
+      while (i < cols.length) {
+        val c0 = math.floor(cols(i) - 0.5).toInt
+        val r0 = math.floor(rows(i) - 0.5).toInt
+        if (c0 + 1 >= 0 && c0 < srcWidth && r0 + 1 >= 0 && r0 < srcHeight) {
+          val lc = math.max(0, c0); val hc = math.min(srcWidth - 1, c0 + 1)
+          val lr = math.max(0, r0); val hr = math.min(srcHeight - 1, r0 + 1)
+          if (lc < minC) minC = lc
+          if (hc > maxC) maxC = hc
+          if (lr < minR) minR = lr
+          if (hr > maxR) maxR = hr
+        }
+        i += 1
+      }
+      if (minC > maxC) return out
+      val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+      val px = source.read(srcWin)
+      def s(rr: Int, cc: Int): Double =
+        if (rr < srcWin.rowOff || rr >= srcWin.rowEnd ||
+            cc < srcWin.colOff || cc >= srcWin.colEnd) Double.NaN
+        else px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
+      i = 0
+      while (i < cols.length) {
+        val gr = rows(i) - 0.5; val gc = cols(i) - 0.5
+        val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+        val wr = gr - r0; val wc = gc - c0
+        val v00 = s(r0, c0); val v01 = s(r0, c0 + 1)
+        val v10 = s(r0 + 1, c0); val v11 = s(r0 + 1, c0 + 1)
+        out(i) = v00 * (1 - wr) * (1 - wc) + v01 * (1 - wr) * wc +
+          v10 * wr * (1 - wc) + v11 * wr * wc
+        i += 1
+      }
+      out
     }
-    out
   }
 
   override def close(): Unit = source.close()

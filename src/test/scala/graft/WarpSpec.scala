@@ -47,6 +47,37 @@ class WarpSpec extends AnyFunSuite {
     assert(valid > 5000, s"fixture should mostly cover the spec, valid=$valid")
   }
 
+  test("bilinear: NaN-aware 4-point interpolation matches the direct formula") {
+    import graft.ops.Resampling
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(RampReader(150), srcTf, 3857, 150, 150, spec,
+      Resampling.Bilinear)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    def sample(rr: Int, cc: Int): Double =
+      if (rr < 0 || rr >= 150 || cc < 0 || cc >= 150) Double.NaN
+      else (rr * 150 + cc).toDouble
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (fc, fr) = inv(wx, wy)
+      val gr = fr - 0.5; val gc = fc - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      val wr = gr - r0; val wc = gc - c0
+      val want = sample(r0, c0) * (1 - wr) * (1 - wc) +
+        sample(r0, c0 + 1) * (1 - wr) * wc +
+        sample(r0 + 1, c0) * wr * (1 - wc) +
+        sample(r0 + 1, c0 + 1) * wr * wc
+      val got = px(row * 100 + col)
+      assert(got == want || (got.isNaN && want.isNaN), s"($row,$col) got=$got want=$want")
+    }
+    // the ramp is linear in (r, c), so bilinear must reproduce it exactly
+    // wherever the full 2x2 support exists: v = fr_ramp relation check
+    val (wx, wy) = spec.transform(50 + 0.5, 50 + 0.5)
+    val (fc, fr) = inv(wx, wy)
+    assert(math.abs(px(50 * 100 + 50) - ((fr - 0.5) * 150 + (fc - 0.5))) < 1e-9)
+  }
+
   test("sampleWindow: empty when nothing lands in the source") {
     val cols = Array(-5.0, -2.0); val rows = Array(3.0, 4.0)
     assert(Warp.sampleWindow(cols, rows, 100, 100).isEmpty)
