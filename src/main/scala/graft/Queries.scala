@@ -2390,7 +2390,72 @@ object Queries {
              |  count(*) AS n_px,
              |  CAST(sum(q) AS BIGINT) AS sum_q,
              |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
-             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- V6: k-means IVF TRAINING (Lloyd, 2 fixed rounds, k=8) — v4
+    // assumed labels as the coarse quantizer; this learns one. Integer
+    // squared-L2 assignment with (dist, cid) tiebreak and integer-rounded
+    // centroid updates make every round engine-exact, so DuckDB replays
+    // init -> assign -> update -> assign -> update -> final assign and the
+    // cluster sizes, member-id sums, and dim-weighted centroid checksums
+    // hash-match. Scale shape: per round one broadcast join (k x 64
+    // centroid table) + one groupBy — no n^2 anywhere.
+    Q("v6_kmeans_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val out = graft.ann.Ann.kmeans(prepared, k = 8, iters = 2)
+        val chk = aggregate(
+          zip_with($"cv", sequence(lit(1L), lit(64L)), (c, d) => c * d),
+          lit(0L), (acc, x) => acc + x)
+        out.select($"cid".cast("int").as("cid"), $"id", chk.as("chk"))
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n"), sum($"id").as("sum_vid"),
+               max($"chk").as("cen_chk"))
+          .orderBy($"cid")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM q ORDER BY id LIMIT 8),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |e1 AS (SELECT q.id, c0.cid,
+             |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT q.id, c1.cid,
+             |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a2 JOIN q USING (id) CROSS JOIN dim GROUP BY a2.cid, d),
+             |c2 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u2 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c1.cid, c1.cv FROM c1 WHERE c1.cid NOT IN (SELECT cid FROM u2)),
+             |e3 AS (SELECT q.id, c2.cid,
+             |         sum((q.qv[d+1]-c2.cv[d+1])*(q.qv[d+1]-c2.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c2 CROSS JOIN dim GROUP BY q.id, c2.cid),
+             |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e3)
+             |       WHERE rn = 1),
+             |chk AS (SELECT cid, CAST(sum(cv[d+1]*(d+1)) AS BIGINT) AS cen_chk
+             |        FROM c2 CROSS JOIN dim GROUP BY cid)
+             |SELECT CAST(a3.cid AS INT) AS cid, count(*) AS n,
+             |  CAST(sum(a3.id) AS BIGINT) AS sum_vid, chk.cen_chk
+             |FROM a3 JOIN chk USING (cid)
+             |GROUP BY a3.cid, chk.cen_chk ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -73,4 +73,50 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
   }
+
+  /** Lloyd k-means over quantized vectors — the IVF coarse-quantizer
+    * TRAINING step (v4's centroids assumed labels; this learns them).
+    * Deterministic and engine-replayable by construction: integer squared-
+    * L2 assignment with (dist, cid) tiebreak, integer-rounded centroid
+    * updates (floor(sum/n + 0.5) — both engines divide the same integers
+    * in double), init from the k smallest ids, and a FIXED iteration
+    * count (no data-dependent convergence test). Each round is one
+    * broadcast join against the k×dim centroid table plus one groupBy —
+    * shuffle volume is O(rows), never O(rows²); empty clusters keep their
+    * previous centroid. Returns the assignment under the FINAL centroids:
+    * (cid, cv, id). */
+  def kmeans(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = prepared.select(col("id"), col("qv"))
+    val cidW = Window.orderBy(col("id"))
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .withColumn("cid", row_number().over(cidW) - 1)
+      .select(col("cid"), col("qv").as("cv"))
+      .localCheckpoint(true) // k×dim rows; truncates the iterative lineage
+    def assign(cs: DataFrame): DataFrame = {
+      val d2 = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+      vecs.crossJoin(broadcast(cs))
+        .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qv")).as("qv"))
+        .select(col("id"), col("qv"), col("m.cid").as("cid"))
+    }
+    var it = 0
+    while (it < iters) {
+      val updates = assign(centroids)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+             graft.sketch.VectorAgg.vectorSum(col("qv")).as("vs"))
+        .select(col("cid"),
+          transform(col("vs"),
+            s => floor(s.cast("double") / col("n") + 0.5).cast("long")).as("nv"))
+      centroids = centroids.join(updates, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    assign(centroids).join(centroids, Seq("cid"))
+      .select(col("cid"), col("cv"), col("id"))
+  }
 }

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(ranks.sameElements(Array(1, 2, 3)))
   }
 
+  test("kmeans: separates two obvious clusters; empty clusters keep centroids") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(4)(d => base + (i % 5) * 0.001f * (d + 1)))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.kmeans(Ann.prepare(vecs, "vec_id", "embedding"), k = 2, iters = 2)
+      .select("cid", "id").as[(Int, Long)].collect()
+    val byCid = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCid.values.map(_.size).toSeq.sorted == Seq(10, 10))
+    assert(byCid.values.exists(_ == (0L until 10L).toSet))
+  }
+
   test("connected components: chains, separate pairs, long-path convergence") {
     import spark.implicits._
     import graft.dedup.Dedup
