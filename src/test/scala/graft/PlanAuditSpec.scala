@@ -90,6 +90,15 @@ class PlanAuditSpec extends SparkSpec {
       s"d5 must block by LSH band equi-join, not all-pairs:\n$p")
   }
 
+  test("v6 kmeans: k-row centroid side broadcast, vectors never cartesian") {
+    val p = plan("v6_kmeans_ivf")
+    // the n x k assignment join must ship the k x dim centroid table to
+    // the vectors (BroadcastNestedLoopJoin over a broadcast hint), never
+    // materialize an unbroadcast cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
