@@ -2455,7 +2455,111 @@ object Queries {
              |SELECT CAST(a3.cid AS INT) AS cid, count(*) AS n,
              |  CAST(sum(a3.id) AS BIGINT) AS sum_vid, chk.cen_chk
              |FROM a3 JOIN chk USING (cid)
-             |GROUP BY a3.cid, chk.cen_chk ORDER BY 1""".stripMargin))
+             |GROUP BY a3.cid, chk.cen_chk ORDER BY 1""".stripMargin)),
+
+    // ----- R9: errors-as-nodata, oracle-gated — the reference turns
+    // matching reader exceptions into nodata fills (`nodata_reader.py:
+    // 14-64`, defaults `stack.py:48-50`). A reader that throws a
+    // "404"-style RuntimeException for every window touching the TOP HALF
+    // of item 1's raster: those tiles become all-NaN fills and are elided
+    // (R4), so item 1 keeps only its bottom-half chunks while items 0 and
+    // 2 are complete — per-tile counts and ramp checksums are closed-form.
+    Q("r9_errors_nodata",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec, Window => W}
+        import graft.scan.{AssetRow, ErrorsAsNodata, RampReader, Reader, TileScan}
+        val spec = RasterSpec(32633, Bounds(0, 0, 1280, 1280), 10.0, 10.0) // 128x128
+        val assets = (0 until 3).map { i =>
+          AssetRow(i, 0, "b", i.toLong * 1000000L, s"ramp://$i",
+                   0, 0, 1280, 1280, 1.0, i * 100000.0)
+        }
+        final case class FlakyTop(inner: RampReader) extends Reader {
+          def read(w: W): Array[Double] =
+            if (w.rowOff < 64) throw new RuntimeException("HTTP 404: tile gone")
+            else inner.read(w)
+        }
+        val policy = ErrorsAsNodata(Seq((classOf[RuntimeException], "404")))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 64,
+          readerFor = a => if (a.itemIdx == 1) FlakyTop(RampReader(128)) else RampReader(128),
+          errorsAsNodata = policy)
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield (t.itemIdx, t.yChunk, t.xChunk, v.toLong)
+          }
+          .toDF("item_idx", "y_chunk", "x_chunk", "v")
+          .groupBy($"item_idx", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_v"))
+          .orderBy($"item_idx", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,128) t(r) CROSS JOIN range(0,128) u(c)),
+             |it AS (SELECT i FROM range(0,3) t(i)),
+             |v AS (SELECT i, r, c, r*128 + c + i*100000 AS v FROM px CROSS JOIN it
+             |      WHERE NOT (i = 1 AND r < 64))
+             |SELECT CAST(i AS INT) AS item_idx,
+             |  CAST(r//64 AS INT) AS y_chunk, CAST(c//64 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v
+             |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- P8b: the PLANNER's own output, oracle-gated — prepare_items'
+    // decisions stated row by row (`prepare.py:59-395`): bbox taken
+    // directly in matching CRS (item 0), footprint derived from
+    // transform+shape when bbox is absent (item 1 red, branch 2 of the
+    // fallback chain), missing asset -> null-url fill row (item 1 nir,
+    // P3), undeterminable footprint without requested bounds -> item
+    // dropped entirely (item 2, P5), union bounds + min-fold resolution +
+    // snap -> the output spec. Same-CRS fixture keeps every number exact,
+    // so the oracle is the hand-derived literal table.
+    Q("p8_plan_table",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, StacAsset, StacItem}
+        val items = Seq(
+          StacItem("i0", Some("2024-01-01T00:00:00Z"), epsg = Some(32633), assets = Map(
+            "red" -> StacAsset("u0r", bbox = Some(Bounds(0, 0, 1000, 1000)),
+              shape = Some((100, 100)),
+              transform = Some(AffineTransform.northUp(0, 1000, 10, 10)),
+              scale = 0.5, offset = 2.0),
+            "nir" -> StacAsset("u0n", bbox = Some(Bounds(0, 0, 1000, 1000)),
+              shape = Some((100, 100)),
+              transform = Some(AffineTransform.northUp(0, 1000, 10, 10))))),
+          StacItem("i1", Some("2024-01-02T00:00:00Z"), epsg = Some(32633), assets = Map(
+            "red" -> StacAsset("u1r", shape = Some((100, 100)),
+              transform = Some(AffineTransform.northUp(500, 1500, 5, 5))))),
+          StacItem("i2", Some("2024-01-03T00:00:00Z"), assets = Map(
+            "red" -> StacAsset("u2r"), "nir" -> StacAsset("u2n"))))
+        val plan = Prepare(items)
+        val (h, w) = plan.spec.shape
+        plan.assetTable.toDF()
+          .select($"itemIdx".as("item_idx"), $"assetIdx".as("asset_idx"), $"band",
+            ($"timeMicros" / 1000000L).cast("long").as("time_s"),
+            coalesce($"url", lit("MISSING")).as("url"),
+            $"minx", $"miny", $"maxx", $"maxy", $"scale", $"offset".as("offs"), $"epsg")
+          .withColumn("spec_minx", lit(plan.spec.bounds.minx))
+          .withColumn("spec_maxy", lit(plan.spec.bounds.maxy))
+          .withColumn("spec_xres", lit(plan.spec.xres))
+          .withColumn("spec_h", lit(h)).withColumn("spec_w", lit(w))
+          .orderBy($"item_idx", $"asset_idx")
+      },
+      Some("""SELECT CAST(item_idx AS INT) AS item_idx, CAST(asset_idx AS INT) AS asset_idx,
+             |  band, CAST(time_s AS BIGINT) AS time_s, url,
+             |  CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny,
+             |  CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy,
+             |  CAST(scale AS DOUBLE) AS scale, CAST(offs AS DOUBLE) AS offs,
+             |  CAST(epsg AS INT) AS epsg,
+             |  CAST(0.0 AS DOUBLE) AS spec_minx, CAST(1500.0 AS DOUBLE) AS spec_maxy,
+             |  CAST(5.0 AS DOUBLE) AS spec_xres,
+             |  CAST(300 AS INT) AS spec_h, CAST(200 AS INT) AS spec_w
+             |FROM (VALUES
+             |  (0, 0, 'nir', 1704067200, 'u0n', 0.0, 0.0, 1000.0, 1000.0, 1.0, 0.0, 32633),
+             |  (0, 1, 'red', 1704067200, 'u0r', 0.0, 0.0, 1000.0, 1000.0, 0.5, 2.0, 32633),
+             |  (1, 0, 'nir', 1704153600, 'MISSING', 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0),
+             |  (1, 1, 'red', 1704153600, 'u1r', 500.0, 1000.0, 1000.0, 1500.0, 1.0, 0.0, 32633))
+             |  v(item_idx, asset_idx, band, time_s, url, minx, miny, maxx, maxy, scale, offs, epsg)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =
