@@ -2559,7 +2559,102 @@ object Queries {
              |  (1, 0, 'nir', 1704153600, 'MISSING', 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0),
              |  (1, 1, 'red', 1704153600, 'u1r', 500.0, 1000.0, 1000.0, 1500.0, 1.0, 0.0, 32633))
              |  v(item_idx, asset_idx, band, time_s, url, minx, miny, maxx, maxy, scale, offs, epsg)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- S1b: STAC JSON ingestion, oracle-gated — newline-delimited
+    // item JSON through spark.read.json + StacJson normalization
+    // (`stac_types.py:136-200` analog): proj:* extraction with
+    // item-level fallback, raster:bands scale/offset, lat/lon bbox,
+    // nested property rendering to canonical JSON. The oracle is the
+    // hand-written normalized table.
+    Q("s5_stac_json",
+      (s, _) => {
+        import s.implicits._
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_s5_json")
+        dir.mkdirs()
+        val f = new java.io.File(dir, "items.ndjson")
+        if (!f.exists()) {
+          val lines = Seq(
+            """{"id":"j0","bbox":[12.0,46.0,12.5,46.5],"properties":{"datetime":"2024-03-01T00:00:00Z","proj:epsg":32633,"platform":"sat-9","eo:bands":[{"name":"B04"},{"name":"B08"}]},"assets":{"red":{"href":"file:///r0.tif","type":"image/tiff","proj:shape":[50,60],"proj:transform":[10,0,100,0,-10,900],"raster:bands":[{"scale":0.25,"offset":-5}]}}}""",
+            """{"id":"j1","properties":{"datetime":"2024-03-02T00:00:00Z","proj:epsg":32633,"platform":"sat-9"},"assets":{"red":{"href":"file:///r1.tif","proj:epsg":32634,"proj:bbox":[0,0,600,500]}}}""")
+          val tmp = java.io.File.createTempFile("items", ".tmp", dir)
+          java.nio.file.Files.write(tmp.toPath,
+            lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (!tmp.renameTo(f) && !f.exists()) sys.error(s"cannot publish $f")
+          tmp.delete()
+        }
+        val items = graft.stac.StacJson.read(s, f.getAbsolutePath)
+        items.sortBy(_.id).flatMap { it =>
+          it.assets.toSeq.sortBy(_._1).map { case (aid, a) =>
+            (it.id, aid,
+             graft.stac.Stac.parseDatetimeMicros(it.datetime.get) / 1000000L,
+             it.epsg.getOrElse(-1), a.epsg.getOrElse(-1),
+             it.bboxLatLon.map(_.minx).getOrElse(-1.0),
+             a.href, a.mimetype.getOrElse("none"),
+             a.shape.map(sh => sh._1 * 1000 + sh._2).getOrElse(-1),
+             a.transform.map(t => t.a * 1e6 + t.c * 1e3 + t.f).getOrElse(-1.0),
+             a.bbox.map(b => b.maxx * 1e3 + b.maxy).getOrElse(-1.0),
+             a.scale, a.offset,
+             it.properties.getOrElse("platform", "?"),
+             it.properties.getOrElse("eo:bands", "?"))
+          }
+        }.toDF("id", "asset", "time_s", "item_epsg", "asset_epsg", "bbox_minlon",
+               "href", "mime", "shape_code", "tf_code", "abbox_code",
+               "scale", "offs", "platform", "bands_json")
+          .orderBy($"id", $"asset")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('j0', 'red', CAST(1709251200 AS BIGINT), 32633, -1, 12.0,
+             |   'file:///r0.tif', 'image/tiff', 50060, CAST(10*1e6 + 100*1e3 + 900 AS DOUBLE),
+             |   -1.0, 0.25, -5.0, 'sat-9', '[{"name":"B04"},{"name":"B08"}]'),
+             |  ('j1', 'red', CAST(1709337600 AS BIGINT), 32633, 32634, -1.0,
+             |   'file:///r1.tif', 'none', -1, -1.0, CAST(600*1e3 + 500 AS DOUBLE),
+             |   1.0, 0.0, 'sat-9', '?'))
+             |  v(id, asset, time_s, item_epsg, asset_epsg, bbox_minlon, href, mime,
+             |    shape_code, tf_code, abbox_code, scale, offs, platform, bands_json)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- F14b: colormap LUT construction, oracle-gated — the anchor
+    // interpolation behind every registered map (`show.py:940-948`'s
+    // cmap apply, our Colormap.fromAnchors) replayed in SQL: first
+    // matching segment, f = (x-x0)/(x1-x0), channel = floor(c0 +
+    // (c1-c0)*f + 0.5) (Scala math.round IS floor(x+0.5) for positive
+    // doubles). All 256 entries x 3 maps hash-checked.
+    Q("f14_colormap",
+      (s, _) => {
+        import s.implicits._
+        import graft.viz.Colormap
+        val maps = Seq("gray" -> Colormap.gray, "magma" -> Colormap.magma,
+                       "viridis" -> Colormap.viridis)
+        maps.flatMap { case (n, cm) =>
+          (0 until 256).map { i =>
+            val argb = cm.lut(i)
+            (n, i, (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          }
+        }.toDF("cmap", "i", "r", "g", "b").orderBy($"cmap", $"i")
+      },
+      Some("""WITH seg AS (SELECT * FROM (VALUES
+             |  ('viridis', 0.0, 0.25, 68,1,84, 59,82,139),
+             |  ('viridis', 0.25, 0.5, 59,82,139, 33,145,140),
+             |  ('viridis', 0.5, 0.75, 33,145,140, 94,201,98),
+             |  ('viridis', 0.75, 1.0, 94,201,98, 253,231,37),
+             |  ('magma', 0.0, 0.25, 0,0,4, 81,18,124),
+             |  ('magma', 0.25, 0.5, 81,18,124, 183,55,121),
+             |  ('magma', 0.5, 0.75, 183,55,121, 252,137,97),
+             |  ('magma', 0.75, 1.0, 252,137,97, 252,253,191),
+             |  ('gray', 0.0, 1.0, 0,0,0, 255,255,255))
+             |  s(cmap, x0, x1, r0, g0, b0, r1, g1, b1)),
+             |ix AS (SELECT CAST(i AS INT) AS i, i/255.0 AS x FROM range(0,256) t(i)),
+             |m AS (SELECT cmap, i, x, x0, x1, r0, g0, b0, r1, g1, b1,
+             |        row_number() OVER (PARTITION BY cmap, i ORDER BY x0) AS rn
+             |      FROM ix JOIN seg ON x >= x0 AND x <= x1),
+             |f AS (SELECT cmap, i, (x - x0)/(x1 - x0) AS f,
+             |        r0, g0, b0, r1, g1, b1 FROM m WHERE rn = 1)
+             |SELECT cmap, i,
+             |  CAST(floor(r0 + (r1 - r0)*f + 0.5) AS INT) AS r,
+             |  CAST(floor(g0 + (g1 - g0)*f + 0.5) AS INT) AS g,
+             |  CAST(floor(b0 + (b1 - b0)*f + 0.5) AS INT) AS b
+             |FROM f ORDER BY cmap, i""".stripMargin))
   )
 
   private val qs: Seq[Q] =
