@@ -980,6 +980,49 @@ object Queries {
              |SELECT qid, rk, nid, cos FROM (
              |  SELECT qid, nid, cos,
              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM pairs)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- V7: multi-probe LSH kNN — own bucket + every 1-bit-flip
+    // neighbor (recall lever over v3's 1-probe; a missed true neighbor
+    // usually fell across exactly one hyperplane). Equi-join on the probe
+    // list, candidate set ~(nPlanes+1)/2^nPlanes of n per query.
+    Q("v7_knn_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        graft.ann.Ann.lshKnnMultiProbe(prepared, nPlanes = 8, dim = 64, k = 3, $"id" < 10)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS bucket
+             |  FROM proj GROUP BY vec_id),
+             |probes AS (
+             |  SELECT vec_id, bucket AS probe FROM buckets WHERE vec_id < 10
+             |  UNION ALL
+             |  SELECT vec_id, CAST(xor(bucket, 1 << j) AS BIGINT)
+             |  FROM buckets CROSS JOIN range(0,8) t(j) WHERE vec_id < 10),
+             |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |pairs AS (
+             |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM probes a JOIN buckets b ON a.probe = b.bucket AND a.vec_id != b.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM pairs)
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
   )
 

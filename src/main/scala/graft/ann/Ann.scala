@@ -74,6 +74,29 @@ object Ann {
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
   }
 
+  /** Multi-probe LSH kNN: each query probes its own bucket PLUS every
+    * one-bit-flip neighbor bucket — the standard recall lever for
+    * hyperplane LSH (a true neighbor lost to 1-probe fell across exactly
+    * one plane with high probability). Still an equi-join on bucket id;
+    * the candidate set grows to ~(nPlanes+1)·n/2^nPlanes per query, never
+    * the n² pair space. Probe buckets are pairwise distinct and each data
+    * point owns one bucket, so no pair dedup is needed. */
+  def lshKnnMultiProbe(data: DataFrame, nPlanes: Int, dim: Int, k: Int,
+                       queryFilter: Column): DataFrame = {
+    val b = lshBuckets(data, nPlanes, dim)
+    val probes = array((col("bucket") +: (0 until nPlanes).map(j =>
+      col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val q = b.filter(queryFilter)
+      .select(col("id"), col("qv"), col("nq"), explode(probes).as("probe"))
+    val pairs = broadcast(q.as("a"))
+      .join(b.as("b"), col("a.probe") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+              cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+  }
+
   /** Lloyd k-means over quantized vectors — the IVF coarse-quantizer
     * TRAINING step (v4's centroids assumed labels; this learns them).
     * Deterministic and engine-replayable by construction: integer squared-
