@@ -2357,7 +2357,12 @@ object Queries {
         val edges = docs.withColumn("prev", lag($"doc_id", 1).over(w))
           .filter($"prev".isNotNull)
           .select($"prev".as("id_a"), $"doc_id".as("id_b"))
-        val comp = graft.dedup.Dedup.connectedComponents(edges)
+        // the CC rounds execute eagerly (localCheckpoint per round); at
+        // this edge count the per-stage task overhead dominates, so scope
+        // the shuffle width down like the one-batch streaming queries do
+        val comp = withStreamPartitions(s, 8) {
+          graft.dedup.Dedup.connectedComponents(edges)
+        }
         docs.join(comp, docs("doc_id") === comp("node"), "left")
           .select(coalesce($"component", $"doc_id").as("component"))
           .groupBy($"component").agg(count(lit(1)).as("sz"))

@@ -28,7 +28,8 @@ final class GeoTiffReader(
     spec: RasterSpec,
     bandIndex: Int = 0,
     nodata: Option[Double] = None,
-    assetEpsg: Int = 0) extends Reader {
+    assetEpsg: Int = 0,
+    method: graft.ops.Resampling = graft.ops.Resampling.Nearest) extends Reader {
 
   @transient private var reader: ImageReader = _
   @transient private var stream: javax.imageio.stream.ImageInputStream = _
@@ -54,25 +55,55 @@ final class GeoTiffReader(
     // Map every output-pixel center into the source grid (CRS hop included
     // for mixed-CRS assets), then decode exactly the bounding rect of the
     // landed samples — per-pixel min/max, because a cross-CRS footprint is
-    // curved and affine corner extrapolation under-covers it.
+    // curved and affine corner extrapolation under-covers it. The decode
+    // and nodata mapping route through an inner source-grid Reader so
+    // nearest/bilinear share [[WarpedGridReader]]'s sampling verbatim.
     val (cols, rows) = Warp.sourceCoords(window, spec, assetTransform.inverse, assetEpsg)
-    val srcWin = Warp.sampleWindow(cols, rows, srcH, srcW)
-    if (srcWin.isEmpty) return out
+    val need =
+      if (method == graft.ops.Resampling.Nearest) Warp.sampleWindow(cols, rows, srcH, srcW)
+      else {
+        // widen by one pixel for the 2x2 bilinear support
+        val w0 = Warp.sampleWindow(cols.map(_ - 0.5), rows.map(_ - 0.5), srcH, srcW)
+        if (w0.isEmpty) w0
+        else Window(w0.colOff, w0.rowOff,
+          math.min(srcW - w0.colOff, w0.width + 1),
+          math.min(srcH - w0.rowOff, w0.height + 1))
+      }
+    if (need.isEmpty) return out
 
     val param = new ImageReadParam()
     param.setSourceRegion(new java.awt.Rectangle(
-      srcWin.colOff, srcWin.rowOff, srcWin.width, srcWin.height))
+      need.colOff, need.rowOff, need.width, need.height))
     val img = r.read(0, param)
     val raster = img.getRaster
 
-    var i = 0
-    while (i < cols.length) {
-      val scc = math.floor(cols(i)).toInt; val srr = math.floor(rows(i)).toInt
-      if (scc >= 0 && scc < srcW && srr >= 0 && srr < srcH) {
-        val v = raster.getSampleDouble(scc - srcWin.colOff, srr - srcWin.rowOff, bandIndex)
-        out(i) = if (nodata.contains(v)) Double.NaN else v
+    def s(rr: Int, cc: Int): Double =
+      if (rr < need.rowOff || rr >= need.rowEnd || cc < need.colOff || cc >= need.colEnd)
+        Double.NaN
+      else {
+        val v = raster.getSampleDouble(cc - need.colOff, rr - need.rowOff, bandIndex)
+        if (nodata.contains(v)) Double.NaN else v
       }
-      i += 1
+
+    var i = 0
+    if (method == graft.ops.Resampling.Nearest) {
+      while (i < cols.length) {
+        val scc = math.floor(cols(i)).toInt; val srr = math.floor(rows(i)).toInt
+        if (scc >= 0 && scc < srcW && srr >= 0 && srr < srcH)
+          out(i) = s(srr, scc)
+        i += 1
+      }
+    } else {
+      while (i < cols.length) {
+        val gr = rows(i) - 0.5; val gc = cols(i) - 0.5
+        val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+        val wr = gr - r0; val wc = gc - c0
+        val v00 = s(r0, c0); val v01 = s(r0, c0 + 1)
+        val v10 = s(r0 + 1, c0); val v11 = s(r0 + 1, c0 + 1)
+        out(i) = v00 * (1 - wr) * (1 - wc) + v01 * (1 - wr) * wc +
+          v10 * wr * (1 - wc) + v11 * wr * wc
+        i += 1
+      }
     }
     out
   }

@@ -44,6 +44,24 @@ class GeoTiffSpec extends SparkSpec {
     reader.close()
   }
 
+  test("bilinear on a 2x-scaled grid averages each 2x2 block") {
+    val f = File.createTempFile("graft", ".tif"); f.deleteOnExit()
+    writeTiff(f, 64, 64)
+    // output centers land on source fractional (2r+1, 2c+1): gc = 2c+0.5,
+    // weights exactly 0.5 -> the mean of the 2x2 block
+    val spec = RasterSpec(32633, Bounds(0, 0, 640, 640), 20, 20) // 32x32
+    val reader = new GeoTiffReader(f.getAbsolutePath,
+      AffineTransform.northUp(0, 640, 10, 10), spec,
+      method = graft.ops.Resampling.Bilinear)
+    val px = reader.read(Window(0, 0, 32, 32))
+    for (r <- 0 until 32; c <- 0 until 32) {
+      val want = ((2 * r) * 300 + 2 * c + (2 * r) * 300 + 2 * c + 1 +
+        (2 * r + 1) * 300 + 2 * c + (2 * r + 1) * 300 + 2 * c + 1) / 4.0
+      assert(px(r * 32 + c) == want, s"($r,$c)")
+    }
+    reader.close()
+  }
+
   test("nodata values become NaN") {
     val f = File.createTempFile("graft", ".tif"); f.deleteOnExit()
     writeTiff(f, 8, 8)
