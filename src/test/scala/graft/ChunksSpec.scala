@@ -55,6 +55,31 @@ class ChunksSpec extends SparkSpec {
     assert(y.head == 256)
   }
 
+  test("fuzz: normalized runs always tile the dimension exactly") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val shape = (rnd.nextInt(5) + 1, rnd.nextInt(4) + 1,
+                   rnd.nextInt(5000) + 1, rnd.nextInt(5000) + 1)
+      val dim: () => ChunkDim = () => rnd.nextInt(3) match {
+        case 0 => ChunkDim.Fixed(rnd.nextInt(2048) + 1)
+        case 1 => ChunkDim.Full
+        case _ => ChunkDim.Auto
+      }
+      val p = rnd.nextInt(4) match {
+        case 0 => ChunksParam.Square(rnd.nextInt(2048) + 1)
+        case 1 => ChunksParam.Spatial(dim(), dim())
+        case 2 => ChunksParam.Full4(dim(), dim(), dim(), dim())
+        case _ => ChunksParam.Bytes((rnd.nextInt(512) + 1).toLong << 20)
+      }
+      val (t, b, y, x) = Chunks.normalize(p, shape)
+      for ((runs, n) <- Seq((t, shape._1), (b, shape._2), (y, shape._3), (x, shape._4))) {
+        assert(runs.sum == n, s"$p $shape -> $runs")
+        assert(runs.forall(_ > 0))
+        assert(runs.dropRight(1).distinct.size <= 1) // uniform except tail
+      }
+    }
+  }
+
   test("rectangular-chunk scan equals square-chunk scan per global pixel") {
     val spec = RasterSpec(32633, Bounds(0, 0, 170, 130), 10, 10) // 13 rows x 17 cols
     val assets = Seq(AssetRow(0, 0, "b", 0L, "ramp://0", 0, 0, 170, 130, 1.0, 0.0))

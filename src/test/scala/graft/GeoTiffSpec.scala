@@ -139,6 +139,63 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("two UTM zones (32633+32634) stack onto one grid across the seam") {
+    import graft.core.Proj
+    import graft.stac.{PrepareOptions, StacAsset, StacItem}
+    // the reference's everyday input: a collection straddling a UTM zone
+    // boundary (18°E). Each item is native to its own zone; the output
+    // grid is zone 33 and spans the seam.
+    val dirF = java.nio.file.Files.createTempDirectory("graft_utm").toFile
+    val f33 = new File(dirF, "z33.tif"); writeTiff(f33, 64, 64)
+    val f34 = new File(dirF, "z34.tif"); writeTiff(f34, 64, 64)
+    // native grids from a lat/lon anchor so the fixture stays plausible:
+    // both tiles cover ~17.95..18.05°E, 46.95..47.05°N in their own zone
+    def northUpFor(epsg: Int): AffineTransform = {
+      val (e, n) = Proj.transform(4326, epsg, 17.95, 47.05)
+      AffineTransform.northUp(math.floor(e), math.ceil(n), 120, 120) // 64px ~ 7.7 km
+    }
+    val tf33 = northUpFor(32633); val tf34 = northUpFor(32634)
+    val items = Seq(
+      StacItem("z33", Some("2024-06-01T00:00:00Z"), epsg = Some(32633),
+        assets = Map("gray" -> StacAsset(f33.getAbsolutePath,
+          shape = Some((64, 64)), transform = Some(tf33)))),
+      StacItem("z34", Some("2024-06-02T00:00:00Z"), epsg = Some(32634),
+        assets = Map("gray" -> StacAsset(f34.getAbsolutePath,
+          shape = Some((64, 64)), transform = Some(tf34)))))
+    // output spec: zone 33, covering the shared lat/lon box
+    val (e0, n0) = Proj.transform(4326, 32633, 17.96, 46.96)
+    val (e1, n1) = Proj.transform(4326, 32633, 18.04, 47.04)
+    val stack = Stack.geotiff(spark, items,
+      PrepareOptions(epsg = Some(32633),
+        bounds = Some(Bounds(math.ceil(e0), math.ceil(n0), math.floor(e1), math.floor(n1))),
+        resolution = Some((100.0, 100.0))),
+      chunk = 64)
+    val tiles = stack.tiles.collect()
+    assert(tiles.map(_.itemIdx).distinct.sorted.toSeq == Seq(0, 1),
+      "both zones' items must contribute tiles")
+    val byItem = Map(0 -> (tf33, 32633), 1 -> (tf34, 32634))
+    var checked = 0
+    tiles.foreach { t =>
+      val (tf, epsg) = byItem(t.itemIdx)
+      val inv = tf.inverse
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val grow = t.yChunk * 64 + t.rowOff + r
+        val gcol = t.xChunk * 64 + t.colOff + c
+        val (wx, wy) = stack.spec.transform(gcol + 0.5, grow + 0.5)
+        val (sx, sy) = Proj.transform(32633, epsg, wx, wy)
+        val (fc, fr) = inv(sx, sy)
+        val (cc, rr) = (math.floor(fc).toInt, math.floor(fr).toInt)
+        val want = if (cc >= 0 && cc < 64 && rr >= 0 && rr < 64)
+          (rr * 300 + cc).toDouble else Double.NaN
+        val got = t.pixels(r * t.width + c)
+        assert(got == want || (got.isNaN && want.isNaN),
+          s"item ${t.itemIdx} ($grow,$gcol)")
+        if (!want.isNaN) checked += 1
+      }
+    }
+    assert(checked > 100, s"expected substantive cross-zone coverage, got $checked")
+  }
+
   test("end-to-end: TileScan over real TIFF files") {
     val dirF = java.nio.file.Files.createTempDirectory("graft_tiff").toFile
     val files = (0 until 3).map { i =>
