@@ -114,6 +114,23 @@ object Stack {
     Stack(spark, tiles, plan.spec, chunk, plan.items, plan.assetTable)
   }
 
+  /** `stack(chunksize=...)` parity: accept the full chunk-spec grammar
+    * ("auto", "64 MiB", -1, ints — `to_dask.py:208-231`) and resolve it
+    * against the planned spec. Downstream per-chunk operators index with
+    * one square edge, so a rectangular resolution takes the finer axis. */
+  def chunked(spark: SparkSession, items: Seq[StacItem],
+              chunks: graft.scan.ChunksParam,
+              opts: PrepareOptions = PrepareOptions(),
+              readerFor: RasterSpec => AssetRow => Reader = _ => a => FakeReader(a.url),
+              errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none): Stack = {
+    val plan = Prepare(items, opts)
+    val (cy, cx) = graft.scan.Chunks.spatialEdges(chunks, plan.spec)
+    val edge = math.min(cy, cx)
+    val tiles = TileScan.scan(spark, plan.assetTable, plan.spec, edge,
+      readerFor(plan.spec), errorsAsNodata)
+    Stack(spark, tiles, plan.spec, edge, plan.items, plan.assetTable)
+  }
+
   /** Real-file stack over GeoTIFFs, mixed-CRS capable: assets whose
     * native CRS differs from the output spec are warped per pixel at read
     * time using the planner-collected native grids (the reference's

@@ -21,7 +21,8 @@ import graft.scan.Tile
   */
 final class TileServer(
     tiles: Dataset[Tile], spec: RasterSpec, srcChunk: Int,
-    range: Option[(Double, Double)] = None, cacheSize: Int = 512) {
+    range: Option[(Double, Double)] = None, cacheSize: Int = 512,
+    cmap: Colormap = Colormap.viridis) {
 
   private val cached = tiles.cache()
 
@@ -62,7 +63,7 @@ final class TileServer(
           }
         }
         val norm = plane.map(Png.normalize(_, displayRange._1, displayRange._2))
-        val png = Png.encode(Seq(norm), 256, 256)
+        val png = Png.encode(Seq(norm), 256, 256, cmap = cmap)
         lru.synchronized { lru.put(key, png) }
         png
     }

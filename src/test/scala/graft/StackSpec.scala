@@ -41,6 +41,15 @@ class StackSpec extends SparkSpec {
     assert(math.abs(ct.pixels(0) - vals(1)) < 1e-12)
   }
 
+  test("chunked entry point resolves the chunk-spec grammar") {
+    import graft.scan.ChunksParam
+    val stack = Stack.chunked(spark, items, ChunksParam.parse("auto"))
+    // tiny grid: auto caps at the dimensions -> one chunk, same pixels
+    val viaInt = Stack(spark, items, chunk = 64)
+    assert(stack.tiles.count() > 0)
+    assert(stack.toPixels.count() == viaInt.toPixels.count())
+  }
+
   test("time slicing and band selection compose") {
     val stack = Stack(spark, items, chunk = 64)
     val sliced = stack.sliceTime("2024-06-01T00:00:00Z", "2024-07-01T00:00:00Z")
