@@ -2702,7 +2702,28 @@ object Queries {
              |  CAST(floor(r0 + (r1 - r0)*f + 0.5) AS INT) AS r,
              |  CAST(floor(g0 + (g1 - g0)*f + 0.5) AS INT) AS g,
              |  CAST(floor(b0 + (b1 - b0)*f + 0.5) AS INT) AS b
-             |FROM f ORDER BY cmap, i""".stripMargin))
+             |FROM f ORDER BY cmap, i""".stripMargin)),
+
+    // ----- F15b: checkerboard pattern (the under-transparency filler,
+    // `show.py:973-978`): 8-px squares, 0xcc/0x99 grey — replayed as the
+    // parity closed form with position checksums.
+    Q("f15_checkerboard",
+      (s, _) => {
+        import s.implicits._
+        (for (r <- 0 until 64; c <- 0 until 64) yield {
+          val argb = graft.viz.Png.checker(r, c)
+          (r, c, (argb >> 16) & 0xff, argb >>> 24)
+        }).toDF("r", "c", "g", "alpha")
+          .groupBy($"g", $"alpha")
+          .agg(count(lit(1)).as("n"),
+               sum($"r".cast("long") * 64 + $"c").as("pos_chk"))
+          .orderBy($"g")
+      },
+      Some("""SELECT CASE WHEN ((r//8) + (c//8)) % 2 = 0 THEN 204 ELSE 153 END AS g,
+             |  CAST(255 AS INT) AS alpha, count(*) AS n,
+             |  CAST(sum(r*64 + c) AS BIGINT) AS pos_chk
+             |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
