@@ -109,17 +109,22 @@ object Ann {
     * previous centroid. Returns the assignment under the FINAL centroids:
     * (cid, cv, id). */
   def kmeans(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = prepared.select(col("id"), col("qv"))
+    // |q - c|² = |q|² + |c|² - 2 q·c — identical integers to the direct
+    // elementwise sum, but q·c runs through the codegen'd DotLong
+    // expression instead of interpreted zip_with/aggregate HOFs, keeping
+    // the n×k assignment inside whole-stage codegen.
+    val vecs = prepared.select(col("id"), col("qv"),
+      GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
     val cidW = Window.orderBy(col("id"))
     var centroids = vecs.orderBy(col("id")).limit(k)
       .withColumn("cid", row_number().over(cidW) - 1)
       .select(col("cid"), col("qv").as("cv"))
       .localCheckpoint(true) // k×dim rows; truncates the iterative lineage
     def assign(cs: DataFrame): DataFrame = {
-      val d2 = aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), _ + _)
-      vecs.crossJoin(broadcast(cs))
+      val withNc = cs.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+      val d2 = col("nq") + col("nc") -
+        lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+      vecs.crossJoin(broadcast(withNc))
         .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
         .groupBy(col("id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qv")).as("qv"))
