@@ -95,14 +95,18 @@ final class PixelMedianAgg(chunkH: Int, chunkW: Int)
 object Median {
   /** Per-pixel median per calendar period, like [[Mosaic.temporalMean]]. */
   def temporal(tiles: Dataset[Tile], chunk: Int,
+               truncMicros: Long => Long): Dataset[(Long, CompositeTile)] =
+    temporal(tiles, chunk, chunk, truncMicros)
+
+  def temporal(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                truncMicros: Long => Long): Dataset[(Long, CompositeTile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new PixelMedianAgg(chunk, chunk).toColumn
+    val agg = new PixelMedianAgg(chunkY, chunkX).toColumn
     tiles
       .groupByKey(t => (truncMicros(t.timeMicros), t.band, t.yChunk, t.xChunk))
       .agg(agg.name("pixels"))
       .map { case ((period, band, yc, xc), px) =>
-        (period, CompositeTile(band, yc, xc, chunk, chunk, px)) }
+        (period, CompositeTile(band, yc, xc, chunkY, chunkX, px)) }
   }
 }

@@ -125,28 +125,37 @@ object Mosaic {
   /** Mosaic a tile Dataset over time, per (band, spatial chunk). Catalyst
     * plans the partial/final aggregation (the reference's hand-built
     * `da.reduction` tree, `ops.py:133-153`, comes for free). */
-  def apply(tiles: Dataset[Tile], chunk: Int, reverse: Boolean = false): Dataset[CompositeTile] = {
+  def apply(tiles: Dataset[Tile], chunk: Int, reverse: Boolean = false): Dataset[CompositeTile] =
+    apply(tiles, chunk, chunk, reverse)
+
+  /** Rectangular-chunk form (edges from the [[graft.scan.Chunks]] grammar). */
+  def apply(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+            reverse: Boolean): Dataset[CompositeTile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new MosaicAgg(chunk, chunk, reverse).toColumn
+    val agg = new MosaicAgg(chunkY, chunkX, reverse).toColumn
     tiles
       .groupByKey(t => (t.band, t.yChunk, t.xChunk))
       .agg(agg.name("pixels"))
-      .map { case ((band, yc, xc), px) => CompositeTile(band, yc, xc, chunk, chunk, px) }
+      .map { case ((band, yc, xc), px) => CompositeTile(band, yc, xc, chunkY, chunkX, px) }
   }
 
   /** Per-pixel NaN-skipping mean per calendar period (epoch-truncated),
     * the engine half of W3 temporal resampling. `truncMicros` maps a
     * tile's timestamp to its period start. */
   def temporalMean(tiles: Dataset[Tile], chunk: Int,
+                   truncMicros: Long => Long): Dataset[(Long, CompositeTile)] =
+    temporalMean(tiles, chunk, chunk, truncMicros)
+
+  def temporalMean(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                    truncMicros: Long => Long): Dataset[(Long, CompositeTile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = new PixelMeanAgg(chunk, chunk).toColumn
+    val agg = new PixelMeanAgg(chunkY, chunkX).toColumn
     tiles
       .groupByKey(t => (truncMicros(t.timeMicros), t.band, t.yChunk, t.xChunk))
       .agg(agg.name("pixels"))
       .map { case ((period, band, yc, xc), px) =>
-        (period, CompositeTile(band, yc, xc, chunk, chunk, px)) }
+        (period, CompositeTile(band, yc, xc, chunkY, chunkX, px)) }
   }
 }

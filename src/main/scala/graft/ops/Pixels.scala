@@ -17,7 +17,11 @@ object Pixels {
     * `center=true` labels pixel centers (reference default); NaN pixels
     * are dropped (sparse semantics: absent row == nodata). */
   def toPixels(tiles: Dataset[Tile], spec: RasterSpec, chunk: Int,
-               center: Boolean = true): DataFrame = {
+               center: Boolean = true): DataFrame =
+    toPixels(tiles, spec, chunk, chunk, center)
+
+  def toPixels(tiles: Dataset[Tile], spec: RasterSpec, chunkY: Int, chunkX: Int,
+               center: Boolean): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val xres = spec.xres; val yres = spec.yres
@@ -27,13 +31,13 @@ object Pixels {
       val rows = new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Double, Double, Double)]()
       var r = 0
       while (r < t.height) {
-        val gr = t.yChunk * chunk + t.rowOff + r
+        val gr = t.yChunk * chunkY + t.rowOff + r
         val y = maxy - (gr + off) * yres
         var c = 0
         while (c < t.width) {
           val v = t.pixels(r * t.width + c)
           if (!v.isNaN) {
-            val gc = t.xChunk * chunk + t.colOff + c
+            val gc = t.xChunk * chunkX + t.colOff + c
             rows += ((t.itemIdx, t.band, t.timeMicros, y, minx + (gc + off) * xres, v))
           }
           c += 1

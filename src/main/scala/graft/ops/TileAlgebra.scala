@@ -30,6 +30,11 @@ object TileAlgebra {
     * anyway (R4).
     */
   def binary(a: Dataset[Tile], b: Dataset[Tile], chunk: Int, outBand: String)
+            (f: (Double, Double) => Double): Dataset[Tile] =
+    binary(a, b, chunk, chunk, outBand)(f)
+
+  def binary(a: Dataset[Tile], b: Dataset[Tile], chunkY: Int, chunkX: Int,
+             outBand: String)
             (f: (Double, Double) => Double): Dataset[Tile] = {
     val spark = a.sparkSession
     import spark.implicits._
@@ -38,13 +43,13 @@ object TileAlgebra {
         a("yChunk") === b("yChunk") && a("xChunk") === b("xChunk"),
         "inner")
       .map { case (ta, tb) =>
-        val da = TileScan.densify(ta, chunk, chunk)
-        val db = TileScan.densify(tb, chunk, chunk)
+        val da = TileScan.densify(ta, chunkY, chunkX)
+        val db = TileScan.densify(tb, chunkY, chunkX)
         val out = new Array[Double](da.length)
         var i = 0
         while (i < out.length) { out(i) = f(da(i), db(i)); i += 1 }
         Tile(ta.itemIdx, -1, outBand, ta.timeMicros, ta.yChunk, ta.xChunk,
-             0, 0, chunk, chunk, out)
+             0, 0, chunkY, chunkX, out)
       }
   }
 

@@ -98,4 +98,30 @@ class ChunksSpec extends SparkSpec {
     val (cy, cx) = Chunks.spatialEdges(ChunksParam.parse("auto"), spec)
     assert(cy == 13 && cx == 17) // tiny grid: auto caps at the dimensions
   }
+
+  test("rect chunks flow through mosaic and toPixels unchanged") {
+    import graft.ops.{Mosaic, Pixels}
+    val spec = RasterSpec(32633, Bounds(0, 0, 170, 130), 10, 10) // 13x17 px
+    val assets = Seq(
+      AssetRow(0, 0, "b", 0L, "ramp://0", 0, 0, 170, 130, 1.0, 0.0),
+      AssetRow(1, 0, "b", 1000000L, "ramp://1", 0, 0, 90, 130, 1.0, 5000.0))
+    def run(cy: Int, cx: Int): (Map[(Int, Double, Double), Double], Long) = {
+      val tiles = TileScan.scan(spark, assets, spec, cy, cx,
+        readerFor = _ => RampReader(17),
+        errorsAsNodata = graft.scan.ErrorsAsNodata.none, applyRescale = true)
+      val px = Pixels.toPixels(tiles, spec, cy, cx, center = true)
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)) -> r.getDouble(5))
+        .toMap
+      // mosaic (last-on-top): count valid composite pixels
+      val m = Mosaic(tiles, cy, cx, reverse = false).collect()
+        .map(_.pixels.count(!_.isNaN)).sum.toLong
+      (px, m)
+    }
+    val (pxSq, mSq) = run(8, 8)
+    val (pxRe, mRe) = run(5, 11)
+    assert(pxSq.size == 13 * 17 + 13 * 9) // item 0 full + item 1 left 9 cols
+    assert(pxRe == pxSq, "pixel sets must be identical under rect chunks")
+    assert(mRe == mSq && mSq == 13L * 17, "mosaic valid-pixel count must match")
+  }
 }
