@@ -40,22 +40,25 @@ object Dedup {
     array_sort(array_distinct(transform(grams, g => tokenHash(g))))
   }
 
-  /** MinHash signature columns `h0..h{k-1}` over an exploded shingle
-    * column: minhash_i = min(md5(i + "|" + shingle)). Lexicographic min of
-    * a uniform hash is a valid minhash family. */
+  /** MinHash signature columns `h0..h{k-1}`:
+    * minhash_i = min(md5(i + "|" + shingle)). Lexicographic min of a
+    * uniform hash is a valid minhash family. Computed MAP-SIDE per
+    * document (array_min over a transform of the shingle array) — the
+    * previous explode + groupBy shape shuffled every token row across the
+    * cluster just to take 8 mins; this one shuffles nothing. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleN: Int = 1): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        if (shingleN == 1) split(col(textCol), " ")
-        else {
-          val t = split(col(textCol), " ")
-          transform(sequence(lit(0), size(t) - shingleN),
-            i => concat_ws(" ", (0 until shingleN).map(k => element_at(t, i + k + 1)): _*))
-        })).as("tok"))
+    val toksArr = array_distinct(
+      if (shingleN == 1) split(col(textCol), " ")
+      else {
+        val t = split(col(textCol), " ")
+        transform(sequence(lit(0), size(t) - shingleN),
+          i => concat_ws(" ", (0 until shingleN).map(k => element_at(t, i + k + 1)): _*))
+      })
+    val withToks = df.select(col(idCol).as("id"), toksArr.as("toks"))
     val cols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("tok")))).as(s"h$i"))
-    toks.groupBy(col("id")).agg(cols.head, cols.tail: _*)
+      array_min(transform(col("toks"), t => md5(concat(lit(s"$i|"), t)))).as(s"h$i"))
+    withToks.select((col("id") +: cols): _*)
   }
 
   /** LSH band table (id, band, key) from a signature DataFrame. */
