@@ -78,6 +78,47 @@ class WarpSpec extends AnyFunSuite {
     assert(math.abs(px(50 * 100 + 50) - ((fr - 0.5) * 150 + (fc - 0.5))) < 1e-9)
   }
 
+  test("fuzz: random same-CRS grids, nearest + bilinear vs direct formula") {
+    import graft.ops.Resampling
+    val rnd = new scala.util.Random(11)
+    for (round <- 0 until 50) {
+      val res = Seq(4.0, 5.0, 8.0, 10.0, 16.0)(rnd.nextInt(5))
+      val srcRes = Seq(4.0, 5.0, 8.0, 10.0, 16.0)(rnd.nextInt(5))
+      val ow = rnd.nextInt(30) + 5; val oh = rnd.nextInt(30) + 5
+      val sw = rnd.nextInt(60) + 10; val sh = rnd.nextInt(60) + 10
+      val ox = rnd.nextInt(200) - 100; val oy = rnd.nextInt(200) - 100
+      val spec = RasterSpec(3857, Bounds(ox, oy, ox + ow * res, oy + oh * res), res, res)
+      val srcTf = AffineTransform.northUp(
+        rnd.nextInt(100) - 50, oy + oh * res + rnd.nextInt(100), srcRes, srcRes)
+      val method = if (rnd.nextBoolean()) Resampling.Nearest else Resampling.Bilinear
+      val r = WarpedGridReader(RampReader(sw), srcTf, 3857, sh, sw, spec, method)
+      val px = r.read(Window(0, 0, ow, oh))
+      val inv = srcTf.inverse
+      def sample(rr: Int, cc: Int): Double =
+        if (rr < 0 || rr >= sh || cc < 0 || cc >= sw) Double.NaN
+        else (rr * sw + cc).toDouble
+      for (row <- 0 until oh; col <- 0 until ow) {
+        val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+        val (fc, fr) = inv(wx, wy)
+        val want =
+          if (method == Resampling.Nearest)
+            sample(math.floor(fr).toInt, math.floor(fc).toInt)
+          else {
+            val gr = fr - 0.5; val gc = fc - 0.5
+            val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+            val wr = gr - r0; val wc = gc - c0
+            sample(r0, c0) * (1 - wr) * (1 - wc) +
+              sample(r0, c0 + 1) * (1 - wr) * wc +
+              sample(r0 + 1, c0) * wr * (1 - wc) +
+              sample(r0 + 1, c0 + 1) * wr * wc
+          }
+        val got = px(row * ow + col)
+        assert(got == want || (got.isNaN && want.isNaN),
+          s"round $round $method ($row,$col): got=$got want=$want")
+      }
+    }
+  }
+
   test("sampleWindow: empty when nothing lands in the source") {
     val cols = Array(-5.0, -2.0); val rows = Array(3.0, 4.0)
     assert(Warp.sampleWindow(cols, rows, 100, 100).isEmpty)
