@@ -2723,7 +2723,60 @@ object Queries {
              |  CAST(255 AS INT) AS alpha, count(*) AS n,
              |  CAST(sum(r*64 + c) AS BIGINT) AS pos_chk
              |FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- MD2: per-pixel temporal QUANTILE (xarray `.quantile(0.25)`) —
+    // md1's fixture with q=0.25: June (2 scenes, offsets 0/10000) ->
+    // pos 0.25 -> base + 2500; July (4 scenes, 20000..50000) ->
+    // pos 0.75 -> base + 27500. Linear order-statistic interpolation on
+    // exact integers; quantized *4 so both engines state integers.
+    Q("md2_quantile",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan}
+        val spec = RasterSpec(32633, Bounds(0, 0, 1280, 1280), 10.0, 10.0)
+        val dates = Seq("2024-06-03", "2024-06-21",
+                        "2024-07-02", "2024-07-09", "2024-07-18", "2024-07-30")
+        val assets = dates.zipWithIndex.map { case (d, i) =>
+          AssetRow(i, 0, "b", graft.stac.Stac.parseDatetimeMicros(d + "T00:00:00Z"),
+                   s"ramp://$i", 0, 0, 1280, 1280, 1.0, i * 10000.0)
+        }
+        val tiles = TileScan.scan(s, assets, spec, chunk = 64,
+          readerFor = _ => RampReader(128))
+        graft.ops.Median.temporalQuantile(tiles, 64, 0.25, micros => {
+          val inst = java.time.Instant.ofEpochSecond(micros / 1000000L)
+          java.time.ZonedDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+            .withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.getEpochSecond * 1000000L
+        })
+          .flatMap { case (period, ct) =>
+            for {
+              r <- 0 until ct.height; c <- 0 until ct.width
+              v = ct.pixels(r * ct.width + c) if !v.isNaN
+            } yield {
+              val gr = ct.yChunk * 64 + r; val gc = ct.xChunk * 64 + c
+              (period / 1000000L, ct.yChunk, ct.xChunk,
+               (v * 4).toLong, (gr.toLong * 128 + gc))
+            }
+          }
+          .toDF("period_s", "y_chunk", "x_chunk", "q4", "pos")
+          .groupBy($"period_s", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q4").as("sum_q4"),
+               sum($"q4" * $"pos").as("pos_chk"))
+          .orderBy($"period_s", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,128) t(r) CROSS JOIN range(0,128) u(c)),
+             |pd AS (SELECT * FROM (VALUES
+             |         (CAST(epoch_us(TIMESTAMP '2024-06-01 00:00:00')//1000000 AS BIGINT), 2500),
+             |         (CAST(epoch_us(TIMESTAMP '2024-07-01 00:00:00')//1000000 AS BIGINT), 27500))
+             |       v(period_s, d))
+             |SELECT period_s, CAST(r//64 AS INT) AS y_chunk, CAST(c//64 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum((r*128 + c + d)*4) AS BIGINT) AS sum_q4,
+             |  CAST(sum((r*128 + c + d)*4 * (r*128 + c)) AS BIGINT) AS pos_chk
+             |FROM px CROSS JOIN pd
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

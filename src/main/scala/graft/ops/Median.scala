@@ -92,11 +92,62 @@ final class PixelMedianAgg(chunkH: Int, chunkW: Int)
   def outputEncoder: Encoder[Array[Double]] = ExprEncoders.doubleArray
 }
 
+/** Per-pixel arbitrary quantile over a tile group — xarray's
+  * `.quantile(q, dim="time")` with linear interpolation between order
+  * statistics (same convention as numpy's default). Shares the growable
+  * per-pixel buffer shape with [[PixelMedianAgg]]. */
+final class PixelQuantileAgg(chunkH: Int, chunkW: Int, q: Double)
+    extends Aggregator[Tile, MedianBuf, Array[Double]] {
+  require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0,1]")
+  private val inner = new PixelMedianAgg(chunkH, chunkW)
+  private val n = chunkH * chunkW
+
+  def zero: MedianBuf = inner.zero
+  def reduce(b: MedianBuf, t: Tile): MedianBuf = inner.reduce(b, t)
+  def merge(a: MedianBuf, b: MedianBuf): MedianBuf = inner.merge(a, b)
+
+  def finish(b: MedianBuf): Array[Double] = {
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val vs = b.values(i); val m = b.counts(i)
+      out(i) =
+        if (m == 0) Double.NaN
+        else {
+          java.util.Arrays.sort(vs, 0, m)
+          val pos = (m - 1) * q
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          if (lo == hi) vs(lo)
+          else vs(lo) + (vs(hi) - vs(lo)) * (pos - lo)
+        }
+      i += 1
+    }
+    out
+  }
+
+  def bufferEncoder: Encoder[MedianBuf] = Encoders.product[MedianBuf]
+  def outputEncoder: Encoder[Array[Double]] = ExprEncoders.doubleArray
+}
+
 object Median {
   /** Per-pixel median per calendar period, like [[Mosaic.temporalMean]]. */
   def temporal(tiles: Dataset[Tile], chunk: Int,
                truncMicros: Long => Long): Dataset[(Long, CompositeTile)] =
     temporal(tiles, chunk, chunk, truncMicros)
+
+  /** Per-pixel q-quantile per calendar period (xarray `.quantile`). */
+  def temporalQuantile(tiles: Dataset[Tile], chunk: Int, q: Double,
+                       truncMicros: Long => Long): Dataset[(Long, CompositeTile)] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val agg = new PixelQuantileAgg(chunk, chunk, q).toColumn
+    tiles
+      .groupByKey(t => (truncMicros(t.timeMicros), t.band, t.yChunk, t.xChunk))
+      .agg(agg.name("pixels"))
+      .map { case ((period, band, yc, xc), px) =>
+        (period, CompositeTile(band, yc, xc, chunk, chunk, px)) }
+  }
 
   def temporal(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                truncMicros: Long => Long): Dataset[(Long, CompositeTile)] = {
