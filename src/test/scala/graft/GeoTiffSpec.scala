@@ -74,6 +74,23 @@ class GeoTiffSpec extends SparkSpec {
     reader.close()
   }
 
+  test("reader is image-format-agnostic: PNG assets scan identically") {
+    // GeoTiffReader resolves a decoder via ImageIO.getImageReaders, so any
+    // registered format works — georeferencing comes from the asset table
+    // (STAC proj:*), not file tags, exactly like the TIFF path.
+    val f = File.createTempFile("graft", ".png"); f.deleteOnExit()
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_USHORT_GRAY)
+    for (r <- 0 until 32; c <- 0 until 32) img.getRaster.setSample(c, r, 0, r * 300 + c)
+    ImageIO.write(img, "png", f)
+    val spec = RasterSpec(32633, Bounds(0, 0, 320, 320), 10, 10)
+    val reader = new GeoTiffReader(f.getAbsolutePath,
+      AffineTransform.northUp(0, 320, 10, 10), spec)
+    val px = reader.read(Window(0, 0, 32, 32))
+    for (r <- 0 until 32; c <- 0 until 32)
+      assert(px(r * 32 + c) == (r * 300 + c).toDouble, s"($r,$c)")
+    reader.close()
+  }
+
   test("cross-CRS read: 4326-native TIFF sampled onto a 3857 spec") {
     val f = File.createTempFile("graft", ".tif"); f.deleteOnExit()
     writeTiff(f, 64, 64) // native grid: lon/lat, 0.0002 deg
