@@ -2776,7 +2776,67 @@ object Queries {
              |  CAST(sum((r*128 + c + d)*4) AS BIGINT) AS sum_q4,
              |  CAST(sum((r*128 + c + d)*4 * (r*128 + c)) AS BIGINT) AS pos_chk
              |FROM px CROSS JOIN pd
-             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- S6: INCREMENTAL streaming mosaic — scenes arrive one
+    // micro-batch at a time (maxFilesPerTrigger=1) and a
+    // mapGroupsWithState composite stays current: per-pixel argmax by
+    // (time, item) like MosaicAgg, so the final state is independent of
+    // arrival order (file pickup order is unspecified). Scene 2 (latest)
+    // covers only the left half, so the composite is scene 2 left /
+    // scene 1 right — the closed form the oracle states. The row with
+    // max `updates` per chunk is the final snapshot.
+    Q("s6_stream_mosaic",
+      (s, _) => {
+        import s.implicits._
+        import graft.scan.Tile
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_s6_tiles")
+        val ok = new java.io.File(dir, "_SUCCESS_GRAFT")
+        if (!ok.exists()) {
+          dir.mkdirs()
+          for (i <- 0 until 3) { // one parquet file per scene = one batch each
+            val tiles = for {
+              yc <- 0 until 2; xc <- 0 until 2
+              if !(i == 2 && xc == 1) // latest scene covers only the left half
+            } yield Tile(i, 0, "b", i.toLong * 1000000L, yc, xc, 0, 0, 64, 64,
+              Array.tabulate(64 * 64) { k =>
+                val r = yc * 64 + k / 64; val c = xc * 64 + k % 64
+                (r * 128 + c).toDouble + i * 100000.0
+              })
+            s.createDataset(tiles).coalesce(1)
+              .write.mode("append").parquet(dir.getAbsolutePath)
+          }
+          ok.createNewFile()
+        }
+        val schema = s.read.parquet(dir.getAbsolutePath).schema
+        val queryName = "graft_smosaic_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val st = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.getAbsolutePath).as[Tile]
+        withStreamPartitions(s, 4) {
+          val q = graft.streaming.StreamMosaic(st, chunk = 64, gridW = 128)
+            .writeStream.outputMode("update")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"yChunk", $"xChunk").orderBy($"updates".desc)
+        s.table(queryName)
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"band", $"yChunk".as("y_chunk"), $"xChunk".as("x_chunk"),
+                  $"nValid".as("n_px"), $"sumV".as("sum_v"), $"posChk".as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,128) t(r) CROSS JOIN range(0,128) u(c)),
+             |v AS (SELECT r, c,
+             |        r*128 + c + CASE WHEN c < 64 THEN 200000 ELSE 100000 END AS v
+             |      FROM px)
+             |SELECT 'b' AS band, CAST(r//64 AS INT) AS y_chunk, CAST(c//64 AS INT) AS x_chunk,
+             |  CAST(count(*) AS INT) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(sum(v * (r*128 + c)) AS BIGINT) AS pos_chk
+             |FROM v GROUP BY 2, 3 ORDER BY 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -19,6 +19,31 @@ class SessionizeSpec extends SparkSpec {
       Session(1, 0, 2, 30), Session(1, 60 * MIN, 1, 5), Session(2, 0, 1, 7)))
   }
 
+  test("incremental stream mosaic is arrival-order independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.scan.Tile
+    import graft.streaming.StreamMosaic
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    def scene(i: Int): Tile = Tile(i, 0, "b", i.toLong * 1000000L, 0, 0, 0, 0, 8, 8,
+      Array.tabulate(64)(k => k.toDouble + i * 1000.0))
+    def run(order: Seq[Int], name: String): (Int, Long) = {
+      val source = MemoryStream[Tile]
+      val q = StreamMosaic(source.toDS(), chunk = 8, gridW = 8)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        order.foreach { i => source.addData(scene(i)); q.processAllAvailable() }
+        val last = spark.table(name).orderBy($"updates".desc).first()
+        (last.getAs[Int]("nValid"), last.getAs[Long]("sumV"))
+      } finally q.stop()
+    }
+    val fwd = run(Seq(0, 1, 2), "sm_fwd")
+    val rev = run(Seq(2, 1, 0), "sm_rev") // late scenes must not regress state
+    assert(fwd == rev)
+    assert(fwd._1 == 64 && fwd._2 == (0 until 64).map(_ + 2000L).sum) // scene 2 wins
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
