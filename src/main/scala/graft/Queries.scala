@@ -2836,7 +2836,53 @@ object Queries {
              |  CAST(count(*) AS INT) AS n_px,
              |  CAST(sum(v) AS BIGINT) AS sum_v,
              |  CAST(sum(v * (r*128 + c)) AS BIGINT) AS pos_chk
-             |FROM v GROUP BY 2, 3 ORDER BY 2, 3""".stripMargin))
+             |FROM v GROUP BY 2, 3 ORDER BY 2, 3""".stripMargin)),
+
+    // ----- D6: multi-index SimHash near-dup — pairs within hamming 3 of
+    // the 16-bit fingerprint, candidates from 4-bit segment collisions
+    // (pigeonhole: exact recall for hamming < bands), verified with the
+    // codegen'd hamming_dist. The oracle replays fingerprint, banding,
+    // and a 16-term bit-difference hamming in SQL.
+    Q("d6_simhash_near",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.Dedup.simhashNear(
+            t(s, dir, "documents"), "doc_id", "text",
+            nBits = 16, bands = 4, maxHamming = 3)
+          .groupBy($"hamming")
+          .agg(count(lit(1)).as("n_pairs"),
+               sum($"id_a" + $"id_b").as("sum_ids"))
+          .orderBy($"hamming")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |bits AS (SELECT doc_id, ('0x'||substr(md5(tok),1,4))::INT AS h FROM toks),
+             |sums AS (SELECT doc_id,
+             |""".stripMargin +
+           (0 until 16).map(j =>
+             s"    sum(CASE WHEN (h // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+             .mkString(",\n") +
+           "\n  FROM bits GROUP BY doc_id),\nsh AS (SELECT doc_id,\n  " +
+           (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+             .mkString(" + ") +
+           """ AS simhash FROM sums),
+             |bd AS (SELECT doc_id, b, (simhash // (CASE b WHEN 0 THEN 1 WHEN 1 THEN 16
+             |                                            WHEN 2 THEN 256 ELSE 4096 END)) % 16 AS key
+             |       FROM sh CROSS JOIN range(0,4) t(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             |         FROM bd a JOIN bd b2
+             |           ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+             |hv AS (SELECT id_a, id_b,
+             |""".stripMargin +
+           (0 until 16).map(j =>
+             s"    (CASE WHEN (sa.simhash // ${1 << j}) % 2 <> (sb.simhash // ${1 << j}) % 2 THEN 1 ELSE 0 END)")
+             .mkString(" +\n") +
+           """ AS hamming
+             |       FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+             |                 JOIN sh sb ON cand.id_b = sb.doc_id)
+             |SELECT CAST(hamming AS INT) AS hamming, count(*) AS n_pairs,
+             |  CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
+             |FROM hv WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -111,6 +111,35 @@ object Dedup {
     agg.select(col("id"), value.as("simhash"))
   }
 
+  /** Multi-index SimHash near-dup pairs within `maxHamming` — the
+    * web-crawl dedup shape: split the nBits fingerprint into `bands`
+    * equal segments; by pigeonhole a pair with hamming <= bands-1 agrees
+    * on at least one WHOLE segment, so candidates come from an equi-join
+    * on (band, segment value) — never the n² pair space — and the exact
+    * distance verify is the codegen'd `hamming_dist`. Recall is exact for
+    * maxHamming < bands. */
+  def simhashNear(df: DataFrame, idCol: String, textCol: String,
+                  nBits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(nBits % bands == 0, s"nBits $nBits must divide into $bands bands")
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val seg = nBits / bands
+    val sh = simhash(df, idCol, textCol, nBits)
+    val banded = (0 until bands).map { b =>
+      sh.select(col("id"), lit(b).as("band"),
+        (shiftright(col("simhash"), b * seg) % (1 << seg)).as("key"))
+    }.reduce(_ union _)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val hd = GraftFunctions.hamming_dist(col("sa.simhash"), col("sb.simhash"))
+    cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .filter(hd <= maxHamming)
+      .select(col("id_a"), col("id_b"), hd.as("hamming"))
+  }
+
   /** Brute-force n-gram jaccard over all pairs (use on bounded slices or
     * after LSH pruning). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
