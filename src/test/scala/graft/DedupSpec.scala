@@ -64,6 +64,28 @@ class DedupSpec extends SparkSpec {
     assert(ranks.sameElements(Array(1, 2, 3)))
   }
 
+  test("simhashNear: blocked pairs equal brute force within the radius") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.functions.GraftFunctions
+    val docs = (0 until 40).map { i =>
+      // clusters of shuffled/perturbed token sets -> small hamming radii
+      val base = Seq("alpha", "beta", "gamma", "delta", s"w${i / 8}")
+      (i.toLong, scala.util.Random.javaRandomToRandom(new java.util.Random(i / 8))
+        .shuffle(base :+ s"x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.simhashNear(docs, "doc_id", "text", 16, 4, 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over all pairs
+    val sh = Dedup.simhash(docs, "doc_id", "text", 16)
+    val hd = GraftFunctions.hamming_dist(col("a.simhash"), col("b.simhash"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), hd.as("h")).filter(col("h") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked == brute, "pigeonhole blocking must have exact recall for hamming <= bands-1")
+    assert(brute.nonEmpty)
+  }
+
   test("kmeans: separates two obvious clusters; empty clusters keep centroids") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
