@@ -98,11 +98,15 @@ object Dedup {
   }
 
   /** SimHash fingerprint (nBits <= 32) over distinct tokens. Compare with
-    * [[graft.functions.GraftFunctions.hamming_dist]]. */
+    * [[graft.functions.GraftFunctions.hamming_dist]]. Token hash width
+    * follows nBits: 4 md5 hex chars (16 bits) up to nBits=16 — the d3
+    * oracle's exact form — else 8 chars (32 bits). */
   def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+      .withColumn("h",
+        if (nBits <= 16) conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
+        else conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val sums = (0 until nBits).map(j =>
       sum(when((shiftright(col("h"), j) % 2) === 1, 1).otherwise(-1)).as(s"s$j"))
     val agg = toks.groupBy(col("id")).agg(sums.head, sums.tail: _*)
