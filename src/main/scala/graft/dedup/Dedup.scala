@@ -129,19 +129,26 @@ object Dedup {
     val seg = nBits / bands
     val sh = simhash(df, idCol, textCol, nBits)
     val banded = (0 until bands).map { b =>
-      sh.select(col("id"), lit(b).as("band"),
+      sh.select(col("id"), col("simhash"), lit(b).as("band"),
         (shiftright(col("simhash"), b * seg) % (1 << seg)).as("key"))
     }.reduce(_ union _)
-    val cand = banded.as("a").join(banded.as("b"),
+    // First-colliding-band ownership: band b emits a pair only when no
+    // earlier segment also matches, so each pair appears exactly once —
+    // identical fingerprints (the skewed common case) collide in EVERY
+    // band, and a distinct() here would shuffle the pair space ×bands.
+    // Carrying the fingerprint also removes the two verify re-joins.
+    val noEarlier = (0 until bands - 1).map { i =>
+      (col("a.band") <= i) ||
+        (shiftright(col("a.simhash"), i * seg) % (1 << seg)) =!=
+        (shiftright(col("b.simhash"), i * seg) % (1 << seg))
+    }.reduce(_ && _)
+    val hd = GraftFunctions.hamming_dist(col("a.simhash"), col("b.simhash"))
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val hd = GraftFunctions.hamming_dist(col("sa.simhash"), col("sb.simhash"))
-    cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .filter(noEarlier)
       .filter(hd <= maxHamming)
-      .select(col("id_a"), col("id_b"), hd.as("hamming"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hd.as("hamming"))
   }
 
   /** Brute-force n-gram jaccard over all pairs (use on bounded slices or
