@@ -54,6 +54,20 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** A finite file-backed stream gains nothing from empty microbatches;
+    * skipping them shaves fixed per-batch latency off the drain. Scoped
+    * and restored like [[withStreamPartitions]] so the setting never
+    * leaks into whatever the session runs next. */
+  private def withNoEmptyBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // ==========================================================================
   // Relational operators (SURVEY §2.2-2.8) over the TPC-H-ish tables
   // ==========================================================================
@@ -1055,14 +1069,11 @@ object Queries {
         // post-conversion schema from t() would mismatch the files.
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val queryName = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        // a finite file-backed stream gains nothing from empty microbatches;
-        // skipping them shaves fixed per-batch latency off the drain
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
         val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
           stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
-        withStreamPartitions(s, 4) {
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = fixed
             .withWatermark("ts", "1 day")
             .groupBy(window($"ts", "1 day").as("w"), $"event_type")
@@ -1071,7 +1082,7 @@ object Queries {
             .writeStream.outputMode("complete")
             .format("memory").queryName(queryName).start()
           q.processAllAvailable(); q.stop()
-        }
+        } }
         s.table(queryName).orderBy($"day", $"event_type")
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -1090,21 +1101,20 @@ object Queries {
         import s.implicits._
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val queryName = "graft_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         def mk() = {
           val st = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
           if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
             st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
         }
-        withStreamPartitions(s, 4) {
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = mk().union(mk())
             .withWatermark("ts", "2 days")
             .dropDuplicatesWithinWatermark("event_id")
             .writeStream.outputMode("append")
             .format("memory").queryName(queryName).start()
           q.processAllAvailable(); q.stop()
-        }
+        } }
         s.table(queryName)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
@@ -1125,7 +1135,9 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .filter($"doc_id" < 200)
+          // a zero-frame "video" yields no frames — and guards the
+          // illegal sequence(0, -1, 4) an empty blob would construct
+          .filter($"doc_id" < 200 && length($"text") > 0)
           .select($"doc_id", $"text".cast("binary").as("blob"))
           .withColumn("n_frames", ceil(length($"blob") / 64.0).cast("int"))
           .select($"doc_id", $"n_frames", $"blob",
@@ -1136,7 +1148,7 @@ object Queries {
       },
       Some("""WITH f AS (
              |  SELECT doc_id, text, CAST(ceil(len(text)/64.0) AS INT) AS n_frames
-             |  FROM documents WHERE doc_id < 200),
+             |  FROM documents WHERE doc_id < 200 AND len(text) > 0),
              |fr AS (
              |  SELECT doc_id, n_frames,
              |         CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx, text
@@ -1196,11 +1208,13 @@ object Queries {
       // exactly — the full binary->mapPartitions->struct plumbing is
       // hash-gated. The double division is a single IEEE op on an exact
       // integer sum, bit-identical across engines.
+      // COALESCE mirrors the stub's 0.0 mean for an empty blob (DuckDB's
+      // empty-list sum is NULL, which would otherwise diverge)
       Some("""SELECT doc_id,
              |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
              |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
-             |  CAST(list_sum(list_transform(range(1, len(text)+1), i -> ord(text[i]))) AS DOUBLE)
-             |    / octet_length(encode(text)) AS mean_px
+             |  COALESCE(CAST(list_sum(list_transform(range(1, len(text)+1), i -> ord(text[i]))) AS DOUBLE)
+             |    / octet_length(encode(text)), 0.0) AS mean_px
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- R1: the flagship raster pipeline (STAC plan -> scan -> mosaic).
@@ -1914,7 +1928,6 @@ object Queries {
         import s.implicits._
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val queryName = "graft_ssjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         def mk() = {
           val st = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1927,13 +1940,13 @@ object Queries {
         val clicks = mk().filter($"event_type" === "click")
           .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_eid"))
           .withWatermark("c_ts", "2 hours")
-        withStreamPartitions(s, 4) {
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = purchases.join(clicks,
               expr("p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
             .writeStream.outputMode("append")
             .format("memory").queryName(queryName).start()
           q.processAllAvailable(); q.stop()
-        }
+        } }
         s.table(queryName)
           .groupBy($"p_user".as("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -2001,8 +2014,9 @@ object Queries {
              |  FROM cells GROUP BY 1)
              |SELECT d.doc_id, CAST(16 AS INT) AS out_w,
              |  CAST((len(d.text)+31)//32 + 1 AS INT)//2 AS out_h,
-             |  CAST(p.out_px AS INT) AS out_px, p.sum_q
-             |FROM documents d JOIN pooled p ON d.doc_id = p.doc_id
+             |  CAST(COALESCE(p.out_px, 0) AS INT) AS out_px,
+             |  CAST(COALESCE(p.sum_q, 0) AS BIGINT) AS sum_q
+             |FROM documents d LEFT JOIN pooled p ON d.doc_id = p.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ----- M5: multimodal feature extraction — per-blob 16-bin byte
@@ -2810,16 +2824,15 @@ object Queries {
         }
         val schema = s.read.parquet(dir.getAbsolutePath).schema
         val queryName = "graft_smosaic_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val st = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(dir.getAbsolutePath).as[Tile]
-        withStreamPartitions(s, 4) {
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = graft.streaming.StreamMosaic(st, chunk = 64, gridW = 128)
             .writeStream.outputMode("update")
             .format("memory").queryName(queryName).start()
           q.processAllAvailable(); q.stop()
-        }
+        } }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"band", $"yChunk", $"xChunk").orderBy($"updates".desc)
         s.table(queryName)

@@ -193,21 +193,26 @@ object Dedup {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b2"), $"b" === $"b2")
         .groupBy($"a".as("node")).agg(min($"label").as("nl"))
+      // the round's starting label rides along as `old`, so convergence
+      // below needs no extra join against the previous labels
       val stepped = labels.join(viaNeighbors, Seq("node"), "left")
-        .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
+        .select($"node", $"label".as("old"),
+          least($"label", coalesce($"nl", $"label")).as("label"))
       // pointer jumping: label <- label's label (halves chain depth)
       val jumped = stepped.as("x")
         .join(stepped.as("y"), col("x.label") === col("y.node"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("y.label"), col("x.label"))).as("label"))
         .localCheckpoint(true)
-      converged = jumped.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter($"label" =!= $"old").isEmpty
+      // the eager checkpoint already materialized the round; the fixpoint
+      // test is a local scan of those blocks — no join, no shuffle, no
+      // second pass over the graph (the round-3 version re-joined labels)
+      converged = jumped.filter($"label" =!= $"old").isEmpty
       labels.unpersist()
       labels = jumped
       iter += 1
     }
     sym.unpersist()
-    labels.withColumnRenamed("label", "component")
+    labels.select($"node", $"label".as("component"))
   }
 }

@@ -43,9 +43,17 @@ object TilePlanRegistry {
     val token = s"plan-${ctr.incrementAndGet()}"
     plans.put(token, p); token
   }
-  def get(token: String): ScanPlan = {
-    val p = plans.get(token)
-    require(p != null, s"no registered tile scan plan for token $token")
+  /** One-shot handoff: the entry is removed as soon as the `load()` call
+    * materializes its [[TileTable]] (which then owns the plan directly, so
+    * re-executing the resulting DataFrame needs no registry) — a long-lived
+    * session issuing many scans would otherwise retain every asset list +
+    * reader closure forever. Each [[TileSourceV2.scan]] mints a fresh
+    * token; a token cannot be `load()`ed twice. */
+  def consume(token: String): ScanPlan = {
+    val p = plans.remove(token)
+    require(p != null,
+      s"no registered tile scan plan for token $token (tokens are single-use: " +
+        "each TileSourceV2.scan call mints its own)")
     p
   }
 }
@@ -117,7 +125,7 @@ class TileSourceProvider extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new TileTable(TilePlanRegistry.get(properties.get("plan")))
+    new TileTable(TilePlanRegistry.consume(properties.get("plan")))
 }
 
 final class TileTable(plan: ScanPlan) extends Table with SupportsRead {
