@@ -481,6 +481,65 @@ object Queries {
              |                                  '%Y-%m-%dT%H:%M:%S')) AS day, count(*) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- F3/F4: the UTM/transverse-Mercator coordinate path against
+    // GOLDEN vectors — the one operator family DuckDB cannot replay
+    // (no sinh/cosh/atanh), so the oracle carries precomputed literal
+    // rows instead. The literals come from an INDEPENDENT derivation:
+    // scripts/utm_golden.py implements Redfearn's series (NGA TM 8358.2
+    // form — meridian arc + expansions in tan/eta^2, no coefficient in
+    // common with Proj.scala's Krueger n-series) in 50-digit mpmath, with
+    // the inverse obtained by root-finding the forward map rather than
+    // any inverse series; the cn_tower row also matches the published
+    // meter-precision worked example (630084 E, 4833438 N, zone 17).
+    // Both engines agree on every quantized digit with >=0.4 mm margin
+    // from the nearest rounding flip. Executing the transform inside a
+    // Dataset.map also proves Proj is executor-safe (pure, serializable).
+    // Reference: geom_utils.py:42-53 (pyproj Transformer equivalent).
+    Q("f3_utm_golden",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.Proj
+        val fwd = Seq( // (name, lat, lon, epsg): lon/lat -> E/N in cm
+          ("cn_tower", 43.642567, -79.387139, 32617),
+          ("statue_lib", 40.689247, -74.044502, 32618),
+          ("greenwich", 51.477928, -0.001545, 32630),
+          ("sydney_oh", -33.856784, 151.215297, 32756),
+          ("cape_town", -33.906249, 18.420397, 32734),
+          ("quito_eq", -0.002205, -78.455833, 32717),
+          ("tromso_high", 69.649208, 18.955324, 32634),
+          ("zone_edge", 35.0, -120.4, 32611))
+        val inv = Seq( // (name, E, N, epsg): E/N -> lon/lat in 1e-7 deg
+          ("inv_z17_cm", 630084.0, 4833438.0, 32617),
+          ("inv_z33_mid", 400000.0, 5000000.0, 32633),
+          ("inv_z56_s", 334150.0, 6252310.0, 32756),
+          ("inv_z30_low", 700000.0, 100000.0, 32630))
+        s.createDataset(fwd).map { case (nm, lat, lon, epsg) =>
+          val (e, n) = Proj.transform(4326, epsg, lon, lat)
+          (nm, "fwd", math.floor(e * 100 + 0.5).toLong,
+            math.floor(n * 100 + 0.5).toLong)
+        }.union(s.createDataset(inv).map { case (nm, e, n, epsg) =>
+          val (lon, lat) = Proj.transform(epsg, 4326, e, n)
+          (nm, "inv", math.floor(lon * 1e7 + 0.5).toLong,
+            math.floor(lat * 1e7 + 0.5).toLong)
+        }).toDF("name", "dir", "q1", "q2").orderBy($"name")
+      },
+      Some("""SELECT name, dir, CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2
+             |FROM (VALUES
+             |  ('cn_tower',    'fwd', 63008430,    483343859),
+             |  ('statue_lib',  'fwd', 58073564,    450470038),
+             |  ('greenwich',   'fwd', 70821024,    570723865),
+             |  ('sydney_oh',   'fwd', 33490026,    625229052),
+             |  ('cape_town',   'fwd', 26148720,    624524251),
+             |  ('quito_eq',    'fwd', 78319580,    999975604),
+             |  ('tromso_high', 'fwd', 42065455,    772808208),
+             |  ('zone_edge',   'fwd', 18968160,    387832784),
+             |  ('inv_z17_cm',  'inv', -793871429,  436425618),
+             |  ('inv_z33_mid', 'inv', 137279670,   451463929),
+             |  ('inv_z56_s',   'inv', 1512071939,  -338564907),
+             |  ('inv_z30_low', 'inv', -12027248,   9042826))
+             |  v(name, dir, q1, q2)
+             |ORDER BY name""".stripMargin)),
+
     // ----- F6: snap-to-resolution grid math
     Q("f6_snap",
       (s, dir) => {
@@ -2675,6 +2734,58 @@ object Queries {
              |  v(id, asset, time_s, item_epsg, asset_epsg, bbox_minlon, href, mime,
              |    shape_code, tf_code, abbox_code, scale, offs, platform, bands_json)
              |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- F13b: the multi-band RGB compose, oracle-gated — the render
+    // math behind the true-color tile endpoint (`show.py:452-475` +
+    // `show.py:915-967`'s compose): three synthetic planes with NaN holes
+    // and out-of-range values go through the REAL pipeline — normalize
+    // (clamp to [0,1] over a fixed range) -> Png.encode (u8 channel
+    // pack, checkerboard under any-NaN) -> actual PNG bytes -> ImageIO
+    // decode — and every decoded pixel is hash-checked against the SQL
+    // replay of that math. Gates encode+decode round trip, channel
+    // order, clamping, and the NaN->checker path in one query.
+    Q("f13_rgb_compose",
+      (s, _) => {
+        import s.implicits._
+        import graft.viz.Png
+        val h = 64; val w = 64
+        // band b at flat index k: NaN on a 97-stride lattice (offset 7b),
+        // else ((k*(b+3)) % 1100) - 50 — exercises <vmin and >vmax clamps
+        def raw(b: Int, k: Int): Double =
+          if ((k + b * 7) % 97 == 0) Double.NaN
+          else ((k.toLong * (b + 3)) % 1100).toDouble - 50.0
+        val planes = (0 until 3).map(b =>
+          Array.tabulate(h * w)(k => Png.normalize(raw(b, k), 0.0, 1000.0)))
+        val png = Png.encode(planes, h, w) // checkerboard under NaN
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val rows = for { r <- 0 until h; c <- 0 until w } yield {
+          val argb = img.getRGB(c, r)
+          (r, c, (argb >> 24) & 0xff, (argb >> 16) & 0xff,
+            (argb >> 8) & 0xff, argb & 0xff)
+        }
+        rows.toDF("r", "c", "a", "red", "grn", "blu").orderBy($"r", $"c")
+      },
+      Some("""WITH px AS (
+             |  SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c, r*64 + c AS k
+             |  FROM range(0,64) t(r) CROSS JOIN range(0,64) u(c)),
+             |v AS (
+             |  SELECT r, c,
+             |    CASE WHEN k % 97 = 0        THEN NULL ELSE (k*3) % 1100 - 50.0 END AS v0,
+             |    CASE WHEN (k + 7) % 97 = 0  THEN NULL ELSE (k*4) % 1100 - 50.0 END AS v1,
+             |    CASE WHEN (k + 14) % 97 = 0 THEN NULL ELSE (k*5) % 1100 - 50.0 END AS v2
+             |  FROM px),
+             |n AS (
+             |  SELECT r, c, (v0 IS NULL OR v1 IS NULL OR v2 IS NULL) AS hole,
+             |    least(greatest(v0/1000.0, 0.0), 1.0) AS x0,
+             |    least(greatest(v1/1000.0, 0.0), 1.0) AS x1,
+             |    least(greatest(v2/1000.0, 0.0), 1.0) AS x2,
+             |    CASE WHEN ((r//8)+(c//8)) % 2 = 0 THEN 204 ELSE 153 END AS chk
+             |  FROM v)
+             |SELECT r, c, CAST(255 AS INT) AS a,
+             |  CAST(CASE WHEN hole THEN chk ELSE floor(x0*255 + 0.5) END AS INT) AS red,
+             |  CAST(CASE WHEN hole THEN chk ELSE floor(x1*255 + 0.5) END AS INT) AS grn,
+             |  CAST(CASE WHEN hole THEN chk ELSE floor(x2*255 + 0.5) END AS INT) AS blu
+             |FROM n ORDER BY r, c""".stripMargin)),
 
     // ----- F14b: colormap LUT construction, oracle-gated — the anchor
     // interpolation behind every registered map (`show.py:940-948`'s

@@ -147,4 +147,34 @@ object Ann {
     assign(centroids).join(centroids, Seq("cid"))
       .select(col("cid"), col("cv"), col("id"))
   }
+
+  /** IVF kNN with multi-probe: train the coarse quantizer ([[kmeans]]),
+    * assign every point to its cell once, then route each query to its
+    * `nProbes` nearest centroids and search only those posting lists —
+    * the FAISS IVF shape. `nProbes` is the recall/cost dial: candidates
+    * ~ nProbes·n/kClusters per query, never the n² pair space. Posting
+    * lists are disjoint (each point lives in one cell), so multi-probe
+    * needs no pair dedup. The centroid table is k×dim (KBs) and always
+    * broadcast; the only O(n) stages are the assignment join and the
+    * candidate equi-join on cell id. */
+  def ivfKnn(prepared: DataFrame, kClusters: Int, trainIters: Int,
+             k: Int, nProbes: Int, queryFilter: Column): DataFrame = {
+    val asg = kmeans(prepared, kClusters, trainIters)
+    val pts = prepared.join(asg.select(col("id"), col("cid")), Seq("id"))
+    val cents = asg.select(col("cid"), col("cv")).distinct()
+      .withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+    val d2 = col("nq") + col("nc") -
+      lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+    val pw = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val qProbes = prepared.filter(queryFilter).crossJoin(broadcast(cents))
+      .select(col("id"), col("qv"), col("nq"), col("cid"), d2.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbes)
+    val pairs = broadcast(qProbes.as("a"))
+      .join(pts.as("b"), col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"),
+              cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+  }
 }

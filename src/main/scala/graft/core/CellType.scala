@@ -25,14 +25,24 @@ sealed abstract class CellType(
     else !v.isNaN && !v.isInfinite && v == math.rint(v) && v >= lo && v <= hi
 
   /** Cast a double cell to this dtype's value space: floats pass through
-    * (float32 narrows), integrals truncate toward zero and clip. */
+    * (float32 narrows), integrals truncate toward zero and clip. Complex
+    * dtypes cast per COMPONENT (tiles carry them interleaved — see
+    * [[CellType.Complex64]]): complex64 narrows each component to float32
+    * precision, complex128 passes through. */
   def cast(v: Double): Double = this match {
-    case CellType.Float64 => v
-    case CellType.Float32 => v.toFloat.toDouble
+    case CellType.Float64 | CellType.Complex128 => v
+    case CellType.Float32 | CellType.Complex64 => v.toFloat.toDouble
     case _ =>
       if (v.isNaN) throw new IllegalArgumentException(
         s"cannot cast NaN to $name; fill nodata first (pass fill_value)")
       math.max(lo, math.min(hi, if (v < 0) math.ceil(v) else math.floor(v)))
+  }
+
+  /** Doubles per pixel in the tile carrier: 2 for complex (re, im
+    * interleaved), 1 otherwise. */
+  def componentsPerPixel: Int = this match {
+    case CellType.Complex64 | CellType.Complex128 => 2
+    case _ => 1
   }
 }
 
@@ -44,8 +54,19 @@ object CellType {
   case object Float32 extends CellType("float32", 4, true, Double.NegativeInfinity, Double.PositiveInfinity)
   case object Float64 extends CellType("float64", 8, true, Double.NegativeInfinity, Double.PositiveInfinity)
   case object Bool    extends CellType("bool", 1, false, 0, 1)
+  /** Complex cells (reference property-tests these,
+    * `testing/strategies.py:26-31` — SAR edge cases). The tile carrier
+    * stays `Array[Double]`: a complex plane interleaves (re, im) pairs, so
+    * `pixels.length == 2 * width * height` and every per-component op
+    * (fill, rescale by a real scalar, cast) applies elementwise to the
+    * interleaved array unchanged. Float-kind for all castability guards
+    * (NaN fill is legal; any real scale/offset is representable), matching
+    * numpy's `can_cast(float, complex)`. */
+  case object Complex64  extends CellType("complex64", 8, true, Double.NegativeInfinity, Double.PositiveInfinity)
+  case object Complex128 extends CellType("complex128", 16, true, Double.NegativeInfinity, Double.PositiveInfinity)
 
-  val all: Seq[CellType] = Seq(UInt8, Int16, UInt16, Int32, Float32, Float64, Bool)
+  val all: Seq[CellType] =
+    Seq(UInt8, Int16, UInt16, Int32, Float32, Float64, Bool, Complex64, Complex128)
 
   def parse(name: String): CellType =
     all.find(_.name == name.toLowerCase).getOrElse(

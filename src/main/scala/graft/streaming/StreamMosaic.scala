@@ -17,6 +17,21 @@ import graft.scan.Tile
   * Emits one snapshot row per group per micro-batch (update mode);
   * `updates` strictly increases, so the row with the max `updates` per
   * group is the final composite.
+  *
+  * '''State eviction.''' The group universe is the FINITE output grid —
+  * at most `bands × ceil(gridH/chunk) × ceil(gridW/chunk)` keys,
+  * independent of stream length — so `NoTimeout` is correct by design:
+  * the state IS the live composite, and evicting a chunk would silently
+  * forget its pixels (the next scene would restart that chunk from
+  * blank). Total state is therefore `groups × chunk² × 16` bytes,
+  * sized up front, not by traffic. The one way to unbound it is an
+  * unbounded BAND set (band is part of the key): bound bands upstream
+  * (`tiles.filter($"band".isin(...))`) before streaming, exactly as a
+  * batch mosaic would pick its bands. If a deployment truly needs
+  * per-band retirement (e.g. rotating ephemeral bands), swap
+  * `NoTimeout` for `ProcessingTimeTimeout` and re-emit a tombstone on
+  * `gs.hasTimedOut` — but then downstream must treat a chunk's
+  * disappearance as data loss, which is why it is not the default.
   */
 object StreamMosaic {
 

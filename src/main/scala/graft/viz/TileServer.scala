@@ -18,11 +18,21 @@ import graft.scan.Tile
   * Rendering one tile = filter + warp + collect of a 256² slice — a small
   * Spark job; concurrent tiles ride Spark's scheduler. This is driver-side
   * serving logic, not a query operator (SURVEY §2.9).
+  *
+  * `bands` empty renders the dataset as one plane through `cmap`;
+  * 2-3 band names render a true-color composite (the reference's headline
+  * RGB preview, `show.py:452-475`): each channel is its band's plane,
+  * normalized over one shared display range — the reference computes its
+  * 2-98 percentile over the WHOLE array, all bands flattened together
+  * (`show.py:481-498`), and so does [[displayRange]].
   */
 final class TileServer(
     tiles: Dataset[Tile], spec: RasterSpec, srcChunk: Int,
     range: Option[(Double, Double)] = None, cacheSize: Int = 512,
-    cmap: Colormap = Colormap.viridis) {
+    cmap: Colormap = Colormap.viridis,
+    bands: Seq[String] = Seq.empty) {
+
+  require(bands.size <= 3, s"1-3 bands for RGB compose, got ${bands.size}")
 
   private val cached = tiles.cache()
 
@@ -52,18 +62,30 @@ final class TileServer(
       case Some(b) => b
       case None =>
         val dstSpec = Xyz.tileSpec(z, x, y)
+        // ONE warp job covers every band: Reproject groups by (item, asset,
+        // dst chunk), so a 3-band composite costs one Spark job per tile,
+        // not one per channel; the collected tiles split by band here.
         val warped = Reproject(cached, spec, dstSpec, srcChunk, 256, Resampling.Nearest)
           .collect()
-        val plane = Array.fill(256 * 256)(Double.NaN)
-        warped.foreach { t =>
-          var r = 0
-          while (r < t.height) {
-            System.arraycopy(t.pixels, r * t.width, plane, (t.rowOff + r) * 256 + t.colOff, t.width)
-            r += 1
+        def plane(ts: Array[Tile]): Array[Double] = {
+          val p = Array.fill(256 * 256)(Double.NaN)
+          ts.foreach { t =>
+            var r = 0
+            while (r < t.height) {
+              System.arraycopy(t.pixels, r * t.width, p, (t.rowOff + r) * 256 + t.colOff, t.width)
+              r += 1
+            }
           }
+          p
         }
-        val norm = plane.map(Png.normalize(_, displayRange._1, displayRange._2))
-        val png = Png.encode(Seq(norm), 256, 256, cmap = cmap)
+        // 1-band -> colormap; 2-3 bands -> RGB compose (reference
+        // `show.py:452-475`: cmap only for single-band, 1-3 bands
+        // rendered as channels, one shared display range for all bands).
+        val planes: Seq[Array[Double]] =
+          if (bands.isEmpty) Seq(plane(warped))
+          else bands.map(b => plane(warped.filter(_.band == b)))
+        val norm = planes.map(_.map(Png.normalize(_, displayRange._1, displayRange._2)))
+        val png = Png.encode(norm, 256, 256, cmap = cmap)
         lru.synchronized { lru.put(key, png) }
         png
     }

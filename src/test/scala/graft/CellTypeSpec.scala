@@ -39,7 +39,36 @@ class CellTypeSpec extends SparkSpec {
     assert(Bool.cast(0.9) == 0.0)
     intercept[IllegalArgumentException](Int32.cast(Double.NaN))
     assert(CellType.parse("uint16") == UInt16)
-    intercept[IllegalArgumentException](CellType.parse("complex64"))
+    intercept[IllegalArgumentException](CellType.parse("int64"))
+  }
+
+  test("complex dtypes: float-kind guards, per-component cast, interleaving") {
+    assert(CellType.parse("complex64") == Complex64)
+    assert(CellType.parse("complex128") == Complex128)
+    // float-kind: NaN fill and fractional rescale are legal (numpy
+    // can_cast(float, complex)); reference fuzzes these dtypes in
+    // testing/strategies.py:26-31
+    CellType.requireFill(Complex64, Double.NaN)
+    CellType.requireRescale(Complex64, 0.0001, 0.5)
+    CellType.requireMosaicNodata(Complex128, Double.NaN)
+    // per-component cast: complex64 narrows to float32 precision,
+    // complex128 is exact; a plane interleaves (re, im)
+    assert(Complex64.cast(0.1) == 0.1f.toDouble)
+    assert(Complex128.cast(0.1) == 0.1)
+    assert(Complex64.componentsPerPixel == 2 && Float64.componentsPerPixel == 1)
+    val interleaved = Array(1.0, -2.0, 0.1, 0.3) // 2 px: (1-2i), (0.1+0.3i)
+    val cast = interleaved.map(Complex64.cast)
+    assert(cast.sameElements(Array(1.0, -2.0, 0.1f.toDouble, 0.3f.toDouble)))
+    // 500-round fuzz: complex cast is componentwise float narrow, never
+    // NaN-rejecting, and idempotent
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val v = rnd.nextDouble() * 2e3 - 1e3
+      assert(Complex128.cast(v) == v)
+      val n = Complex64.cast(v)
+      assert(Complex64.cast(n) == n)
+    }
+    assert(Complex64.cast(Double.NaN).isNaN && Complex128.cast(Double.NaN).isNaN)
   }
 
   test("Stack.cast fills nodata then casts every cell") {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+/** Measured recall@k of the ANN paths against the brute-force ground
+  * truth on the sf0.01 embeddings fixture (500 × 64-dim random vectors).
+  *
+  * Random gaussian embeddings are the WORST case for ANN: true top-10
+  * neighbors sit at cosine ≈ 0.3 (θ/π ≈ 0.4), so hyperplane LSH collides
+  * at only (1 − θ/π)^nPlanes — measured recall tracks that model within a
+  * few points, which is exactly what the floors below pin (numbers also
+  * recorded in SCALE.md):
+  *
+  *   1-probe np=8 ≈ 0.014 (theory 0.017)   multi-probe np=8 ≈ 0.11
+  *   1-probe np=3 ≈ 0.23  (theory 0.22)    multi-probe np=3 ≈ 0.65
+  *   IVF k=8 probe-1 ≈ 0.36                IVF probe-2 ≈ 0.53
+  *
+  * The scale rule the floors encode: size the bucket count so the
+  * candidate set is several × k (n/2^np or nProbes·n/kClusters), and buy
+  * recall with probes, not with a wider pair space. Real embedding
+  * corpora have cluster structure and land far above this floor at the
+  * same settings.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def recall(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select(col("qid"), col("nid"))
+    val hits = t.join(approx.select(col("qid"), col("nid")),
+      Seq("qid", "nid"), "left_semi").count().toDouble
+    hits / t.count()
+  }
+
+  private lazy val prepared = Ann.prepare(
+    spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding").cache()
+  private val qf = col("id") < 50
+  private lazy val truth = Ann.bruteForceKnn(prepared, prepared.filter(qf), 10).cache()
+
+  test("declared queries: v3/v4/v7 recall vs the v1 ground truth") {
+    val v1 = SparkEntry.queries("v1_knn_brute")(spark, dir).cache()
+    val r3 = recall(v1, SparkEntry.queries("v3_knn_lsh")(spark, dir))
+    val r4 = recall(v1, SparkEntry.queries("v4_knn_ivf")(spark, dir))
+    val r7 = recall(v1, SparkEntry.queries("v7_knn_multiprobe")(spark, dir))
+    // deterministic fixture -> exact floors just under the measured values
+    assert(r3 >= 0.079, s"v3 recall $r3")
+    assert(r4 >= 0.119, s"v4 recall $r4")
+    assert(r7 >= 0.159, s"v7 recall $r7")
+    assert(r7 > r3, "multi-probe must beat 1-probe at the same planes")
+    v1.unpersist()
+  }
+
+  test("hyperplane LSH: recall follows the collision model; probes buy recall") {
+    val one8 = recall(truth, Ann.lshKnn(prepared, 8, 64, 10, qf))
+    val multi8 = recall(truth, Ann.lshKnnMultiProbe(prepared, 8, 64, 10, qf))
+    val one3 = recall(truth, Ann.lshKnn(prepared, 3, 64, 10, qf))
+    val multi3 = recall(truth, Ann.lshKnnMultiProbe(prepared, 3, 64, 10, qf))
+    assert(one3 >= 0.22 && multi3 >= 0.60, s"np=3 recall $one3 / $multi3")
+    assert(multi8 > one8 && multi3 > one3, "multi-probe beats 1-probe")
+    assert(one3 > one8, "fewer planes (bigger buckets) raise recall")
+  }
+
+  test("IVF: probing more cells raises recall; probe-2 clears its floor") {
+    val ivf1 = recall(truth, Ann.ivfKnn(prepared, 8, 2, 10, 1, qf))
+    val ivf2 = recall(truth, Ann.ivfKnn(prepared, 8, 2, 10, 2, qf))
+    assert(ivf1 >= 0.34, s"ivf probe-1 recall $ivf1")
+    assert(ivf2 >= 0.50, s"ivf probe-2 recall $ivf2")
+    assert(ivf2 > ivf1, "probe-2 must beat probe-1")
+  }
+}

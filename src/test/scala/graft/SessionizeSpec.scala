@@ -44,6 +44,40 @@ class SessionizeSpec extends SparkSpec {
     assert(fwd._1 == 64 && fwd._2 == (0 until 64).map(_ + 2000L).sum) // scene 2 wins
   }
 
+  test("stream mosaic state universe is the finite grid, not the stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.scan.Tile
+    import graft.streaming.StreamMosaic
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // 20 scenes × 1 band over a 2×2-chunk grid: the NoTimeout state must
+    // stay at exactly 4 groups however long the stream runs (the scaladoc
+    // guard: state is sized by the grid, not by traffic)
+    val source = MemoryStream[Tile]
+    val q = StreamMosaic(source.toDS(), chunk = 4, gridW = 8)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sm_guard").start()
+    try {
+      (0 until 20).foreach { i =>
+        for (yc <- 0 until 2; xc <- 0 until 2)
+          source.addData(Tile(i, 0, "b", i.toLong * 1000000L, yc, xc, 0, 0, 4, 4,
+            Array.fill(16)(i.toDouble)))
+        q.processAllAvailable()
+      }
+      val snaps = spark.table("sm_guard")
+      // group universe == grid chunks (4), never 20×4 stream entries
+      assert(snaps.select($"band", $"yChunk", $"xChunk").distinct().count() == 4)
+      // every group saw all 20 batches and holds the latest scene
+      val last = snaps.groupBy($"yChunk", $"xChunk")
+        .agg(org.apache.spark.sql.functions.max($"updates").as("u"))
+        .collect()
+      assert(last.length == 4 && last.forall(_.getAs[Int]("u") == 20))
+      val fin = snaps.orderBy($"updates".desc).first()
+      assert(fin.getAs[Long]("sumV") == 16L * 19) // scene 19 wins everywhere
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -45,4 +45,61 @@ class TileServerSpec extends SparkSpec {
       assert(get("/nonsense")._1 == 404)
     } finally server.stop()
   }
+
+  test("RGB compose: 3-band server renders channels from their bands") {
+    import spark.implicits._
+    val bounds = Bounds(399960, 4990200, 402520, 4992760)
+    val assets = Seq("red", "grn", "nir").map { b =>
+      b -> StacAsset(s"fake://$b/0", bbox = Some(bounds), shape = Some((256, 256)),
+        transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10)))
+    }.toMap
+    val items = Seq(StacItem("s0", Some("2024-06-01T00:00:00Z"),
+      epsg = Some(32633), assets = assets))
+    val plan = Prepare(items)
+    // per-band composite planes; distinct assetIdx per band so the warp's
+    // (item, asset, chunk) gather never mixes bands in one group
+    val bandIdx = Map("red" -> 0, "grn" -> 1, "nir" -> 2)
+    val composite = Mosaic(TileScan.scan(spark, plan.assetTable, plan.spec, 128), 128)
+      .map(c => Tile(0, bandIdx(c.band), c.band, 0L, c.yChunk, c.xChunk, 0, 0,
+        c.height, c.width, c.pixels))
+    val (cx, cy) = ((bounds.minx + bounds.maxx) / 2.0, (bounds.miny + bounds.maxy) / 2.0)
+    val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
+    val (tx, ty) = Xyz.tileOf(lon, lat, 12)
+
+    def decode(png: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+
+    val rgb = new TileServer(composite, plan.spec, 128, range = Some((0.0, 255.0)),
+      bands = Seq("red", "grn", "nir"))
+    val bgr = new TileServer(composite, plan.spec, 128, range = Some((0.0, 255.0)),
+      bands = Seq("nir", "grn", "red"))
+    try {
+      val img = decode(rgb.renderTile(12, tx, ty))
+      assert(img.getWidth == 256 && img.getHeight == 256)
+      // deterministic: same tile renders to identical bytes
+      assert(rgb.renderTile(12, tx, ty).sameElements(rgb.renderTile(12, tx, ty)))
+      // find a valid (non-checkerboard) pixel: alpha 255 and channels not
+      // the 0xcc/0x99 greys; FakeReader gives each band's url a different
+      // plane, so a true per-band compose has unequal channels there
+      val px = for { r <- 0 until 256; c <- 0 until 256 } yield (r, c, img.getRGB(c, r))
+      def isChecker(argb: Int) = {
+        val v = argb & 0xff
+        ((argb >> 16) & 0xff) == v && ((argb >> 8) & 0xff) == v && (v == 0xcc || v == 0x99)
+      }
+      val valid = px.filter { case (_, _, a) => ((a >> 24) & 0xff) == 255 && !isChecker(a) }
+      assert(valid.nonEmpty, "tile should overlap the composite")
+      assert(valid.exists { case (_, _, a) =>
+        val (r, g, b) = ((a >> 16) & 0xff, (a >> 8) & 0xff, a & 0xff)
+        r != g || g != b
+      }, "RGB channels should differ on some pixel (per-band compose, not gray)")
+      // swapping the band order swaps the R and B channels pixel-for-pixel
+      val swapped = decode(bgr.renderTile(12, tx, ty))
+      valid.take(500).foreach { case (r, c, a) =>
+        val s = swapped.getRGB(c, r)
+        assert(((s >> 16) & 0xff) == (a & 0xff) && (s & 0xff) == ((a >> 16) & 0xff) &&
+          ((s >> 8) & 0xff) == ((a >> 8) & 0xff),
+          s"band-order swap should mirror R/B at ($r,$c)")
+      }
+    } finally { rgb.stop(); bgr.stop() }
+  }
 }
