@@ -99,6 +99,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivfKnn: candidates come from an equi-join on cell id, never all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val prepared = graft.ann.Ann.prepare(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+    val df = graft.ann.Ann.ivfKnn(prepared, 4, 1, 5, 2, col("id") < 5)
+    val p = df.queryExecution.executedPlan.toString
+    // the only nested-loop is the deliberate broadcast of the k x dim
+    // centroid table (KBs); the data-sized candidate join must be a hash
+    // equi-join on cid and nothing may plan a raw cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"candidate probe must be an equi-join on the cell id:\n$p")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
