@@ -540,6 +540,78 @@ object Queries {
              |  v(name, dir, q1, q2)
              |ORDER BY name""".stripMargin)),
 
+    // ----- F7/F8 + P8/W1: the GDAL shape rounding, rasterio-style
+    // window-from-bounds, and window intersection — the planner's pixel
+    // math (`raster_spec.py:42-53` citing gdalwarp_lib.cpp "not quite
+    // round"; `to_dask.py:134`'s from_bounds; chunk-window intersect) —
+    // oracle-gated as a closed-form SQL replay. The north-up inverse
+    // affine reduces to the exact IEEE sequence ia=(-yres)/det,
+    // ic=-(ia*minx) that DuckDB reproduces bit-for-bit, so shapes and
+    // window offsets hash-match on deliberately awkward inputs:
+    // binary-inexact resolutions (0.1, 1/3), half-pixel-boundary extents,
+    // negative origins, queries hanging off the grid (negative offsets,
+    // unclipped like windowFor), then intersected with the 256-px chunk
+    // (0,0) exactly as the scan work-list does. Executed in a Dataset
+    // map, so the executor-side math is what's gated.
+    Q("f7_gdal_window",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec, Window}
+        // (case, minx, maxy, xres, yres, maxx, miny, qminx, qminy, qmaxx, qmaxy)
+        val cases = Seq(
+          ("exact",     0.0,    1000.0, 10.0, 10.0, 1000.0,  0.0,    120.0,  240.0, 360.0, 480.0),
+          ("half_up",   0.0,    1000.0, 10.0, 10.0, 995.1,   0.0,    0.0,    0.0,   995.1, 1000.0),
+          ("half_down", 0.0,    1000.0, 10.0, 10.0, 994.9,   0.0,    0.0,    0.0,   994.9, 1000.0),
+          ("dec_res",   0.0,    10.01,  0.1,  0.1,  10.01,   0.0,    0.35,   0.35,  9.95,  9.95),
+          ("third_res", 0.0,    100.0,  1.0/3, 1.0/3, 100.0, 0.0,    33.4,   33.4,  66.6,  66.6),
+          ("neg_orig",  -500.3, 250.7,  2.5,  1.25, -100.3,  -250.3, -444.4, -111.1, -222.2, 123.4),
+          ("aniso",     0.0,    512.0,  4.0,  8.0,  1024.0,  0.0,    100.0,  100.0, 900.0, 500.0),
+          ("off_grid",  0.0,    1000.0, 10.0, 10.0, 1000.0,  0.0,    -55.5,  -44.4, 1111.1, 1222.2))
+        s.createDataset(cases).map { case (cid, minx, maxy, xres, yres, maxx, miny,
+                                           qminx, qminy, qmaxx, qmaxy) =>
+          val spec = RasterSpec(32633, Bounds(minx, miny, maxx, maxy), xres, yres)
+          val (h, w) = spec.shape
+          val win = spec.windowFor(Bounds(qminx, qminy, qmaxx, qmaxy))
+          val chunk = win.intersect(Window(0, 0, 256, 256))
+          (cid, h, w, win.colOff, win.rowOff, win.width, win.height,
+            chunk.colOff, chunk.rowOff, chunk.width, chunk.height)
+        }.toDF("cid", "h", "w", "col_off", "row_off", "win_w", "win_h",
+               "ch_col", "ch_row", "ch_w", "ch_h")
+          .orderBy($"cid")
+      },
+      Some("""WITH c AS (SELECT * FROM (VALUES
+             |  ('exact',     0.0,    1000.0, 10.0, 10.0, 1000.0,  0.0,    120.0,  240.0, 360.0, 480.0),
+             |  ('half_up',   0.0,    1000.0, 10.0, 10.0, 995.1,   0.0,    0.0,    0.0,   995.1, 1000.0),
+             |  ('half_down', 0.0,    1000.0, 10.0, 10.0, 994.9,   0.0,    0.0,    0.0,   994.9, 1000.0),
+             |  ('dec_res',   0.0,    10.01,  0.1,  0.1,  10.01,   0.0,    0.35,   0.35,  9.95,  9.95),
+             |  ('third_res', 0.0,    100.0,  1.0/3, 1.0/3, 100.0, 0.0,    33.4,   33.4,  66.6,  66.6),
+             |  ('neg_orig',  -500.3, 250.7,  2.5,  1.25, -100.3,  -250.3, -444.4, -111.1, -222.2, 123.4),
+             |  ('aniso',     0.0,    512.0,  4.0,  8.0,  1024.0,  0.0,    100.0,  100.0, 900.0, 500.0),
+             |  ('off_grid',  0.0,    1000.0, 10.0, 10.0, 1000.0,  0.0,    -55.5,  -44.4, 1111.1, 1222.2))
+             |  v(cid, minx, maxy, xres, yres, maxx, miny, qminx, qminy, qmaxx, qmaxy)),
+             |inv AS (
+             |  SELECT *,
+             |    (-yres) / (xres * (-yres)) AS ia,
+             |    xres / (xres * (-yres)) AS ie,
+             |    -(((-yres) / (xres * (-yres))) * minx) AS ic,
+             |    -((xres / (xres * (-yres))) * maxy) AS "if"
+             |  FROM c),
+             |w AS (
+             |  SELECT cid,
+             |    CAST(floor((maxy - miny + yres/2) / yres) AS INT) AS h,
+             |    CAST(floor((maxx - minx + xres/2) / xres) AS INT) AS w,
+             |    CAST(floor(ia*qminx + ic + 1e-9) AS INT) AS col_off,
+             |    CAST(floor(ie*qmaxy + "if" + 1e-9) AS INT) AS row_off,
+             |    CAST(ceil(ia*qmaxx + ic - 1e-9) AS INT) AS col_end,
+             |    CAST(ceil(ie*qminy + "if" - 1e-9) AS INT) AS row_end
+             |  FROM inv)
+             |SELECT cid, h, w, col_off, row_off,
+             |  col_end - col_off AS win_w, row_end - row_off AS win_h,
+             |  greatest(col_off, 0) AS ch_col, greatest(row_off, 0) AS ch_row,
+             |  least(col_end, 256) - greatest(col_off, 0) AS ch_w,
+             |  least(row_end, 256) - greatest(row_off, 0) AS ch_h
+             |FROM w ORDER BY cid""".stripMargin)),
+
     // ----- F6: snap-to-resolution grid math
     Q("f6_snap",
       (s, dir) => {
@@ -2680,6 +2752,56 @@ object Queries {
              |  (1, 0, 'nir', 1704153600, 'MISSING', 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0),
              |  (1, 1, 'red', 1704153600, 'u1r', 500.0, 1000.0, 1000.0, 1500.0, 1.0, 0.0, 32633))
              |  v(item_idx, asset_idx, band, time_s, url, minx, miny, maxx, maxy, scale, offs, epsg)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- P5b: all-dead band drop + index remap, oracle-gated — the
+    // planner decision p8 does NOT exercise (`prepare.py:384-393`): a
+    // band whose every asset misses the requested bounds ('haze' at
+    // 5000..6000 vs request 0..1000) must vanish from the output AND the
+    // surviving bands' asset indices must close the gap (nir 1->0,
+    // red 2->1); a band merely missing on ONE item stays, as that item's
+    // null-url fill row (P3). Both items keep their indices (each still
+    // has a live asset). The oracle is the hand-derived literal table.
+    Q("p5_band_drop",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.Bounds
+        import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+        def a(url: String, b: Bounds) = StacAsset(url, bbox = Some(b))
+        val far = Bounds(5000, 5000, 6000, 6000)
+        val items = Seq(
+          StacItem("i0", Some("2024-02-01T00:00:00Z"), epsg = Some(32633), assets = Map(
+            "red" -> a("u0r", Bounds(0, 0, 500, 500)),
+            "haze" -> a("u0h", far))),
+          StacItem("i1", Some("2024-02-02T00:00:00Z"), epsg = Some(32633), assets = Map(
+            "red" -> a("u1r", Bounds(250, 250, 750, 750)),
+            "nir" -> a("u1n", Bounds(0, 0, 1000, 1000)),
+            "haze" -> a("u1h", far))))
+        val plan = Prepare(items, PrepareOptions(
+          bounds = Some(Bounds(0, 0, 1000, 1000)),
+          resolution = Some((10.0, 10.0)), epsg = Some(32633)))
+        val (h, w) = plan.spec.shape
+        plan.assetTable.toDF()
+          .select($"itemIdx".as("item_idx"), $"assetIdx".as("asset_idx"), $"band",
+            ($"timeMicros" / 1000000L).cast("long").as("time_s"),
+            coalesce($"url", lit("MISSING")).as("url"),
+            $"minx", $"miny", $"maxx", $"maxy", $"epsg")
+          .withColumn("kept_bands", lit(plan.assetIds.mkString(",")))
+          .withColumn("spec_h", lit(h)).withColumn("spec_w", lit(w))
+          .orderBy($"item_idx", $"asset_idx")
+      },
+      Some("""SELECT CAST(item_idx AS INT) AS item_idx, CAST(asset_idx AS INT) AS asset_idx,
+             |  band, CAST(time_s AS BIGINT) AS time_s, url,
+             |  CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny,
+             |  CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy,
+             |  CAST(epsg AS INT) AS epsg, 'nir,red' AS kept_bands,
+             |  CAST(100 AS INT) AS spec_h, CAST(100 AS INT) AS spec_w
+             |FROM (VALUES
+             |  (0, 0, 'nir', 1706745600, 'MISSING', 0.0, 0.0, 0.0,    0.0,    0),
+             |  (0, 1, 'red', 1706745600, 'u0r',     0.0, 0.0, 500.0,  500.0,  32633),
+             |  (1, 0, 'nir', 1706832000, 'u1n',     0.0, 0.0, 1000.0, 1000.0, 32633),
+             |  (1, 1, 'red', 1706832000, 'u1r',     250.0, 250.0, 750.0, 750.0, 32633))
+             |  v(item_idx, asset_idx, band, time_s, url, minx, miny, maxx, maxy, epsg)
              |ORDER BY 1, 2""".stripMargin)),
 
     // ----- S1b: STAC JSON ingestion, oracle-gated — newline-delimited
