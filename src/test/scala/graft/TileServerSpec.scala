@@ -41,6 +41,12 @@ class TileServerSpec extends SparkSpec {
       // cached second hit returns identical bytes
       val (_, png2) = get(s"/12/$tx/$ty.png")
       assert(png2.sameElements(png))
+      // serving stats (server_stats analog): the repeat was a cache hit,
+      // the first render a miss; the JSON endpoint mirrors the accessor
+      val st = server.stats
+      assert(st.hits >= 1 && st.misses >= 1 && st.cachedTiles >= 1, st.toString)
+      val (sc, sbody) = get("/stats")
+      assert(sc == 200 && new String(sbody).contains("\"hits\":"))
       // malformed path -> 404
       assert(get("/nonsense")._1 == 404)
     } finally server.stop()
