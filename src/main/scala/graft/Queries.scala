@@ -450,8 +450,13 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val o = t(s, dir, "orders")
-        val c94 = o.filter(year($"o_orderdate") === 1994).select($"o_custkey").distinct()
-        val c95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey").distinct()
+        // each side feeds all four set operators below; persist the two
+        // small distinct id sets so orders is scanned twice, not 8 times
+        // (year() is not a pushable predicate, and Spark does no CSE
+        // across the operator branches). The set ops themselves stay real
+        // INTERSECT/EXCEPT/UNION plans — that is what U3 gates.
+        val c94 = o.filter(year($"o_orderdate") === 1994).select($"o_custkey").distinct().persist()
+        val c95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey").distinct().persist()
         c94.intersect(c95).agg(count(lit(1)).as("n_both"))
           .crossJoin(c94.except(c95).agg(count(lit(1)).as("n_94_only")))
           .crossJoin(c95.except(c94).agg(count(lit(1)).as("n_95_only")))

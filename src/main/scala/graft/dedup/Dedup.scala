@@ -193,8 +193,12 @@ object Dedup {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.toDF("a", "b")
-    val sym = e.select($"a", $"b")
-      .union(e.select($"b".as("a"), $"a".as("b")))
+    // symmetrize via explode, not a self-union: the edge list is typically
+    // the output of a whole dedup pipeline, and a union would evaluate
+    // that pipeline once per branch (Spark does no CSE across branches)
+    val sym = e.select(explode(array(
+        struct($"a", $"b"), struct($"b".as("a"), $"a".as("b")))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
       .distinct().localCheckpoint(true)
     // Each round references the previous labels several times (neighbor
     // join + pointer-jump self-join), so the logical plan would double
