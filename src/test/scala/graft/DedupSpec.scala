@@ -113,6 +113,33 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 5 + 2 + 40)
   }
 
+  test("connected components: random graphs match a union-find oracle") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // seeded sparse random graphs near the percolation threshold — many
+    // mid-sized components, the worst shape for label propagation bugs
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth (min-id representative)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == truth, s"seed $seed: CC mismatch")
+    }
+  }
+
   test("lsh buckets partition the space; knn within bucket returns subset of brute force order") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
