@@ -67,40 +67,59 @@ final class TileServer(
   def stats: ServerStats =
     ServerStats(lru.synchronized(lru.size()), hitCtr.get(), missCtr.get())
 
+  private val rendering =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Array[Byte]]]()
+
   def renderTile(z: Int, x: Int, y: Int): Array[Byte] = {
     val key = s"$z/$x/$y"
     lru.synchronized { Option(lru.get(key)) } match {
       case Some(b) => hitCtr.incrementAndGet(); b
       case None =>
-        missCtr.incrementAndGet()
-        val dstSpec = Xyz.tileSpec(z, x, y)
-        // ONE warp job covers every band: Reproject groups by (item, asset,
-        // dst chunk), so a 3-band composite costs one Spark job per tile,
-        // not one per channel; the collected tiles split by band here.
-        val warped = Reproject(cached, spec, dstSpec, srcChunk, 256, Resampling.Nearest)
-          .collect()
-        def plane(ts: Array[Tile]): Array[Double] = {
-          val p = Array.fill(256 * 256)(Double.NaN)
-          ts.foreach { t =>
-            var r = 0
-            while (r < t.height) {
-              System.arraycopy(t.pixels, r * t.width, p, (t.rowOff + r) * 256 + t.colOff, t.width)
-              r += 1
-            }
-          }
-          p
-        }
-        // 1-band -> colormap; 2-3 bands -> RGB compose (reference
-        // `show.py:452-475`: cmap only for single-band, 1-3 bands
-        // rendered as channels, one shared display range for all bands).
-        val planes: Seq[Array[Double]] =
-          if (bands.isEmpty) Seq(plane(warped))
-          else bands.map(b => plane(warped.filter(_.band == b)))
-        val norm = planes.map(_.map(Png.normalize(_, displayRange._1, displayRange._2)))
-        val png = Png.encode(norm, 256, 256, cmap = cmap)
-        lru.synchronized { lru.put(key, png) }
-        png
+        // Dogpile guard: concurrent requests for the SAME tile coalesce
+        // onto one Spark job (a map pan fires the same tile from several
+        // HTTP threads at once); waiters count as hits — they rendered
+        // nothing.
+        val fresh = new java.util.concurrent.CompletableFuture[Array[Byte]]()
+        val prior = rendering.putIfAbsent(key, fresh)
+        if (prior != null) { hitCtr.incrementAndGet(); prior.join() }
+        else try {
+          val png = renderFresh(z, x, y)
+          lru.synchronized { lru.put(key, png) }
+          fresh.complete(png)
+          png
+        } catch {
+          case e: Throwable => fresh.completeExceptionally(e); throw e
+        } finally rendering.remove(key)
     }
+  }
+
+  private def renderFresh(z: Int, x: Int, y: Int): Array[Byte] = {
+    missCtr.incrementAndGet()
+    val dstSpec = Xyz.tileSpec(z, x, y)
+    // ONE warp job covers every band: Reproject groups by (item, asset,
+    // dst chunk), so a 3-band composite costs one Spark job per tile,
+    // not one per channel; the collected tiles split by band here.
+    val warped = Reproject(cached, spec, dstSpec, srcChunk, 256, Resampling.Nearest)
+      .collect()
+    def plane(ts: Array[Tile]): Array[Double] = {
+      val p = Array.fill(256 * 256)(Double.NaN)
+      ts.foreach { t =>
+        var r = 0
+        while (r < t.height) {
+          System.arraycopy(t.pixels, r * t.width, p, (t.rowOff + r) * 256 + t.colOff, t.width)
+          r += 1
+        }
+      }
+      p
+    }
+    // 1-band -> colormap; 2-3 bands -> RGB compose (reference
+    // `show.py:452-475`: cmap only for single-band, 1-3 bands
+    // rendered as channels, one shared display range for all bands).
+    val planes: Seq[Array[Double]] =
+      if (bands.isEmpty) Seq(plane(warped))
+      else bands.map(b => plane(warped.filter(_.band == b)))
+    val norm = planes.map(_.map(Png.normalize(_, displayRange._1, displayRange._2)))
+    Png.encode(norm, 256, 256, cmap = cmap)
   }
 
   /** Warm neighbors of a requested tile (speculative execution, bounded). */

@@ -52,6 +52,37 @@ class TileServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("concurrent requests for the same tile coalesce onto one render") {
+    import spark.implicits._
+    val items = Seq(StacItem("s0", Some("2024-06-01T00:00:00Z"), epsg = Some(32633),
+      assets = Map("gray" -> StacAsset("fake://gray/0",
+        bbox = Some(Bounds(399960, 4990200, 402520, 4992760)),
+        shape = Some((256, 256)),
+        transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10))))))
+    val plan = Prepare(items)
+    val composite = Mosaic(TileScan.scan(spark, plan.assetTable, plan.spec, 128), 128)
+      .map(c => Tile(0, 0, c.band, 0L, c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
+    val server = new TileServer(composite, plan.spec, 128, range = Some((0.0, 255.0)))
+    try {
+      val (cx, cy) = ((399960 + 402520) / 2.0, (4990200 + 4992760) / 2.0)
+      val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
+      val (tx, ty) = Xyz.tileOf(lon, lat, 12)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val results = (0 until 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Array[Byte]] {
+          def call(): Array[Byte] = server.renderTile(12, tx, ty)
+        }))
+      val pngs = results.map(_.get())
+      pool.shutdown()
+      assert(pngs.forall(_.sameElements(pngs.head)))
+      // dogpile guard: exactly ONE Spark render ran; the other 7 either
+      // joined the in-flight future or hit the cache
+      val st = server.stats
+      assert(st.misses == 1, st.toString)
+      assert(st.hits == 7, st.toString)
+    } finally server.stop()
+  }
+
   test("RGB compose: 3-band server renders channels from their bands") {
     import spark.implicits._
     val bounds = Bounds(399960, 4990200, 402520, 4992760)
