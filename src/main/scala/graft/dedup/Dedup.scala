@@ -234,6 +234,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // pointer jumping converges in O(log diameter) rounds, so 25 covers
+    // any real graph; a non-fixpoint result is silently WRONG labels —
+    // fail loudly instead of returning it
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach a fixpoint within $maxIter rounds")
     labels.select($"node", $"label".as("component"))
   }
 }
