@@ -71,6 +71,32 @@ final case class Stack(
     * pixels. */
   def toPixels: DataFrame = Pixels.toPixels(tiles, spec, chunk)
 
+  /** Serve this stack as a live XYZ tile endpoint — the `stackstac.show`
+    * analog (`show.py:130-408`): composites over time, then starts a
+    * [[graft.viz.TileServer]] on `port` (0 = ephemeral). 1 band renders
+    * through `cmap`; 2–3 `bands` render true-color. Returns the server
+    * (for `.stats` / `.stop()`) and the bound port. */
+  def serve(port: Int = 0, bands: Seq[String] = Seq.empty,
+            range: Option[(Double, Double)] = None,
+            cmap: graft.viz.Colormap = graft.viz.Colormap.viridis)
+      : (graft.viz.TileServer, Int) = {
+    import spark.implicits._
+    val bandIdx = assetTable.map(_.band).distinct.sorted.zipWithIndex.toMap
+    val composite =
+      if (bands.size > 1) {
+        // per-band composite planes; distinct assetIdx per band keeps the
+        // warp's (item, asset, chunk) gather from mixing bands
+        val idx = bandIdx
+        Mosaic(tiles, chunk).map(c => graft.scan.Tile(0, idx(c.band), c.band, 0L,
+          c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
+      } else Mosaic(tiles, chunk).map(c => graft.scan.Tile(0, 0, c.band, 0L,
+        c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
+    val server = new graft.viz.TileServer(composite, spec, chunk,
+      range = range, cmap = cmap, bands = bands)
+    val boundPort = server.start(port)
+    (server, boundPort)
+  }
+
   /** Declared-dtype materialization — `stack(dtype=, fill_value=)` parity
     * (reference `to_dask.py:39-43`, `prepare.py:166-183`): validates
     * fill-value castability and (when rescaling was applied) every

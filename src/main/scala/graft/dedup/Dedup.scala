@@ -179,6 +179,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
   }
 
+  /** End-to-end near-duplicate REMOVAL — the one-call form of the
+    * training-data pipeline chain: MinHash-LSH pairs ([[minhashLsh]]) →
+    * duplicate clusters ([[connectedComponents]]) → keep each cluster's
+    * min-id representative and drop the rest. Returns `df` minus the
+    * non-representative near-dups; rows in no dup pair pass through
+    * untouched. Scale shape: the anti-join key set is O(dup rows), tiny
+    * relative to the corpus, and every stage inherits the bucketed /
+    * lineage-truncated designs of its building blocks. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 8, rowsPerBand: Int = 4,
+                  shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, threshold).select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs)
+    val losers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a dup-pair edge list — the cluster-forming
     * step that turns pairwise near-dup output (d2/d4/d5 pairs) into
     * keep-one groups. Hash-min label propagation with pointer jumping:

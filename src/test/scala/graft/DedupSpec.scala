@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 5 + 2 + 40)
   }
 
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "pack my box with five dozen liquor jugs"),
+      (11L, "pack my box with five dozen liquor jugs"),
+      (20L, "sphinx of black quartz judge my vow"),
+      (21L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 21L))
+  }
+
   test("connected components: random graphs match a union-find oracle") {
     import spark.implicits._
     import graft.dedup.Dedup

@@ -83,6 +83,30 @@ class TileServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Stack.serve: the one-call show() analog serves RGB tiles over HTTP") {
+    val bounds = Bounds(399960, 4990200, 402520, 4992760)
+    val assets = Seq("red", "grn", "nir").map { b =>
+      b -> StacAsset(s"fake://$b/0", bbox = Some(bounds), shape = Some((256, 256)),
+        transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10)))
+    }.toMap
+    val items = Seq(StacItem("s0", Some("2024-06-01T00:00:00Z"),
+      epsg = Some(32633), assets = assets))
+    val stack = Stack(spark, items, chunk = 128)
+    val (server, port) = stack.serve(
+      bands = Seq("red", "grn", "nir"), range = Some((0.0, 255.0)))
+    try {
+      val (cx, cy) = ((bounds.minx + bounds.maxx) / 2.0, (bounds.miny + bounds.maxy) / 2.0)
+      val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
+      val (tx, ty) = Xyz.tileOf(lon, lat, 12)
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/12/$tx/$ty.png")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val bytes = conn.getInputStream.readAllBytes()
+      assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      assert(server.stats.misses >= 1)
+    } finally server.stop()
+  }
+
   test("RGB compose: 3-band server renders channels from their bands") {
     import spark.implicits._
     val bounds = Bounds(399960, 4990200, 402520, 4992760)
