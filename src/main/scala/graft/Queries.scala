@@ -2540,6 +2540,62 @@ object Queries {
              |SELECT sz, count(*) AS n_clusters, CAST(sum(rep) AS BIGINT) AS sum_rep
              |FROM g GROUP BY sz ORDER BY sz""".stripMargin)),
 
+    // ----- X5: the FULL near-dup removal chain, oracle-gated end to end —
+    // Dedup.dedupCorpus (LSH pairs -> connected components -> keep min-id
+    // rep -> anti-join) against a DuckDB replay that recomputes the
+    // identical verified pair set (d2's signature/banding/jaccard CTEs at
+    // threshold 0.95) and then resolves the clusters with a RECURSIVE
+    // transitive closure — so unlike x4's chain-edge trick, the oracle
+    // here solves CC on the arbitrary pair graph a second, independent
+    // way. The result pins the exact survivor set (count + id sum +
+    // extremes).
+    Q("x5_dedup_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val kept = withStreamPartitions(s, 8) {
+          graft.dedup.Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.95)
+        }
+        kept.agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept"),
+                 min($"doc_id").as("min_kept"), max($"doc_id").as("max_kept"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents),
+             |pairs AS (
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |  WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.95),
+             |sym AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+             |  WHERE reach.a != sym.b),
+             |labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+             |losers AS (SELECT node FROM labels WHERE label < node)
+             |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept,
+             |  CAST(min(doc_id) AS BIGINT) AS min_kept, CAST(max(doc_id) AS BIGINT) AS max_kept
+             |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin)),
+
     // ----- R8: bilinear warp scan, hash-gated EXACTLY — r7's same-CRS
     // fixture (10 m spec over an 8 m source) puts every fractional source
     // coordinate on an exact eighth, so the bilinear weights (.125/.375/
