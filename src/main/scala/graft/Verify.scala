@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // losslessly to micros in Queries.t (values have no sub-micro bits).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -212,14 +212,39 @@ private[v2] object TileFilterEval {
 }
 
 final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_tiles chunk=${plan.chunk} pushed=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val partitions = computePartitions()
+
+  /** Advertise the scan's NATIVE clustering: one input partition per
+    * (yChunk, xChunk), so any aggregation or join whose keys contain the
+    * chunk coordinates (mosaic, temporal reductions, tile joins — they
+    * all group by band/chunk, a superset) needs NO Exchange on top of the
+    * scan (requires `spark.sql.sources.v2.bucketing.enabled=true`).
+    * At 100 TB the mosaic shuffle is the single largest data movement;
+    * this removes it entirely for DSv2-sourced plans. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning._
+    // only meaningful while the key columns survive column pruning
+    if (partitions.nonEmpty &&
+        required.fieldNames.contains("yChunk") && required.fieldNames.contains("xChunk"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("yChunk"), Expressions.identity("xChunk")),
+        partitions.length)
+    else new UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  private def computePartitions(): Array[InputPartition] = {
     val grid = TileScan.chunkGrid(plan.spec, plan.chunk)
     // metadata-only work-list with chunk-granular elision (R3) AND the
     // pushed predicates applied before any IO is scheduled (R1/R2)
@@ -244,6 +269,12 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
 final case class PlannedRead(asset: AssetRow, yChunk: Int, xChunk: Int, window: Window)
 
 final case class TileInputPartition(reads: Array[PlannedRead]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** All reads in one partition share a chunk by construction; the key
+    * backs the scan's reported KeyGroupedPartitioning. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](reads.head.yChunk, reads.head.xChunk))
+}
 
 final case class TileReaderFactory(
     chunk: Int,

@@ -11,5 +11,6 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .getOrCreate()
 }

@@ -47,6 +47,29 @@ class TileSourceV2Spec extends SparkSpec {
     assert(v2.nonEmpty && v2.toSeq == v1.toSeq)
   }
 
+  test("reported KeyGroupedPartitioning: chunk-keyed aggregation plans no Exchange") {
+    import org.apache.spark.sql.functions._
+    // the mosaic shape: group by (band, yChunk, xChunk) — a superset of
+    // the scan's reported (yChunk, xChunk) clustering, so the partial+
+    // final aggregate runs scan-local with ZERO shuffle (the single
+    // largest data movement of a 100 TB composite, gone)
+    val agg = TileSourceV2.scan(spark, assets, spec, chunk)
+      .groupBy(col("band"), col("yChunk"), col("xChunk"))
+      .agg(count(lit(1)).as("n"), sum(element_at(col("pixels"), 1)).as("s"))
+    val n = agg.count()
+    assert(n == 2L * 2 * 2) // 2 bands x 2x2 chunk grid
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk-keyed agg over the v2 scan must not shuffle:\n$p")
+    // pruning the key columns away falls back to unknown partitioning
+    // (and a normal shuffle) rather than lying about clustering
+    val noKeys = TileSourceV2.scan(spark, assets, spec, chunk)
+      .groupBy(col("band")).agg(count(lit(1)))
+    noKeys.collect()
+    assert(noKeys.queryExecution.executedPlan.toString.contains("Exchange"),
+      "band-only grouping cannot be satisfied by chunk clustering")
+  }
+
   test("band + chunk predicates prune reads before IO (PushedFilters)") {
     import spark.implicits._
     CountingReads.reads.set(0)
