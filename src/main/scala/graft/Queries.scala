@@ -3208,8 +3208,132 @@ object Queries {
              |FROM hv WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  private val roundFour: Seq[Q] = Seq(
+
+    // ----- X6: train/eval decontamination — flag training docs whose
+    // distinct 3-grams overlap the eval set (the GPT-3 appendix-C /
+    // WiMBD overlap check every LLM data pipeline runs before training).
+    // Eval set = a deterministic ~2% hash slice of the corpus standing in
+    // for a benchmark; grams are 60-bit hashes (8-byte join keys); the
+    // eval gram table is tiny so AQE broadcasts the join and the train
+    // side is ONE scan + one map-side-combined groupBy. Output histograms
+    // the contamination ratio in integer-exact 1/20 buckets.
+    Q("x6_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 7
+        val scored = graft.dedup.Dedup.decontaminate(
+          docs.filter(!evalSlice), docs.filter(evalSlice),
+          "doc_id", "text", shingleN = 3)
+        scored
+          .select(expr("(matched * 20) div n_grams").as("bucket"),
+                  $"matched", $"n_grams")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"matched").as("sum_matched"),
+               sum($"n_grams").as("sum_grams"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
+             |    string_split(text,' ') AS s
+             |  FROM documents),
+             |g AS (SELECT doc_id, is_eval,
+             |        list_distinct(list_transform(range(len(s)-2),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT)) AS gs
+             |      FROM s WHERE len(s) >= 3),
+             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE is_eval),
+             |per AS (
+             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS matched
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE NOT is_eval) tg
+             |  LEFT JOIN eg ON tg.gram = eg.gram
+             |  GROUP BY tg.doc_id)
+             |SELECT matched*20//ng AS bucket, count(*) AS n_docs,
+             |  CAST(sum(matched) AS BIGINT) AS sum_matched,
+             |  CAST(sum(ng) AS BIGINT) AS sum_grams
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T9: repetition-ratio quality signals (the Gopher-filter
+    // family): per document, the share of 2-gram occurrences owned by the
+    // single most-repeated 2-gram and the duplicated-gram mass. All
+    // outputs are integer sums / integer-div buckets — engine-exact. Two
+    // bounded-key shuffles: (doc, gram) partial-aggregates map-side, then
+    // (doc) folds to one row per document.
+    Q("t9_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        // guard: a 0/1-token doc would make sequence(0, size-2) illegal
+        val grams = t(s, dir, "documents")
+          .filter(size(split($"text", " ")) >= 2)
+          .select($"doc_id", $"lang",
+            explode(transform(sequence(lit(0), size(toks) - 2),
+              i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))).as("gram"))
+        val per = grams
+          .groupBy($"doc_id", $"lang", $"gram").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id", $"lang")
+          .agg(max($"c").as("topc"), sum($"c").as("tot"), count(lit(1)).as("ndist"))
+        per.select($"lang", expr("(topc * 10) div tot").as("top_bucket"),
+                   $"topc", $"tot", $"ndist")
+          .groupBy($"lang", $"top_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"tot" - $"ndist").as("sum_dup_grams"),
+               sum($"tot").as("sum_grams"), sum($"topc").as("sum_top"))
+          .orderBy($"lang", $"top_bucket")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |            FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |tg AS (SELECT doc_id, lang,
+             |         unnest(list_transform(range(len(s)-1), i -> s[i+1]||' '||s[i+2])) AS gram
+             |       FROM s),
+             |cnt AS (SELECT doc_id, lang, gram, count(*) AS c FROM tg GROUP BY 1,2,3),
+             |per AS (SELECT doc_id, lang, max(c) AS topc, sum(c) AS tot, count(*) AS ndist
+             |        FROM cnt GROUP BY 1,2)
+             |SELECT lang, topc*10//tot AS top_bucket, count(*) AS n_docs,
+             |  CAST(sum(tot-ndist) AS BIGINT) AS sum_dup_grams,
+             |  CAST(sum(tot) AS BIGINT) AS sum_grams,
+             |  CAST(sum(topc) AS BIGINT) AS sum_top
+             |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X7: deterministic shard export — the final training-data step:
+    // a seeded-hash global shuffle (decorrelates document order from crawl
+    // order) and assignment into N balanced shards with a reproducible
+    // within-shard order. The physical export at scale is
+    // `repartition(shard) + sortWithinPartitions(hkey) + write.partitionBy`;
+    // here the within-shard row_number feeds a position-weighted checksum
+    // so the oracle gates the ORDER, not just the membership. The 60-bit
+    // md5 key is collision-free on realistic corpora (checked distinct at
+    // sf0.1), making the order total and the checksum deterministic.
+    Q("x7_shard_export",
+      (s, dir) => {
+        import s.implicits._
+        val hkey = conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", hkey.as("hkey"))
+          .withColumn("shard", pmod($"hkey", lit(8L)))
+        val w = Window.partitionBy($"shard").orderBy($"hkey")
+        base.withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"),
+               sum($"pos" * $"doc_id").as("order_checksum"), min($"doc_id").as("min_id"))
+          .orderBy($"shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+             |    ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT AS hkey
+             |  FROM documents),
+             |sh AS (SELECT doc_id, n_chars, hkey % 8 AS shard,
+             |         row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey) AS pos
+             |       FROM h)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum, min(doc_id) AS min_id
+             |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

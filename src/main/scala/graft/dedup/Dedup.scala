@@ -198,6 +198,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Train/eval decontamination scoring — the standard LLM-pipeline check
+    * that training documents do not contain the evaluation set (n-gram
+    * overlap, the public WiMBD / GPT-3 appendix-C shape). For every train
+    * document: the number of its distinct word `shingleN`-grams that occur
+    * anywhere in `evalDf`, plus the contamination ratio `matched/n_grams`.
+    * Callers drop rows above a threshold or histogram the ratio.
+    *
+    * Scale shape: grams are 60-bit hashes (not strings) so the join key is
+    * 8 bytes; the eval gram set is O(eval corpus) — tiny next to train —
+    * so AQE broadcasts it and the single pass over train grams never
+    * shuffles (one corpus scan, one map-side-combined groupBy on doc id).
+    * Documents shorter than `shingleN` tokens are excluded (no grams). */
+  def decontaminate(train: DataFrame, evalDf: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    def grams(d: DataFrame) =
+      d.filter(size(split(col(textCol), " ")) >= shingleN)
+        .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("gs"))
+    val evalGrams = grams(evalDf).select(explode(col("gs")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    grams(train)
+      .select(col("id"), explode(col("gs")).as("g"))
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+           coalesce(sum(col("hit")), lit(0L)).as("matched"))
+      .select(col("id"), col("n_grams"), col("matched"),
+        (col("matched").cast("double") / col("n_grams")).as("contamination"))
+  }
+
   /** Connected components over a dup-pair edge list — the cluster-forming
     * step that turns pairwise near-dup output (d2/d4/d5 pairs) into
     * keep-one groups. Hash-min label propagation with pointer jumping:

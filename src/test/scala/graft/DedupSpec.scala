@@ -129,6 +129,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 20L, 21L))
   }
 
+  test("decontaminate scores train/eval n-gram overlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval's "beta gamma delta"
+      (2L, "one two three four five six seven"),     // no overlap
+      (3L, "beta gamma delta"),                      // fully contained in eval
+      (4L, "xy")                                     // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val evalDf = Seq((100L, "held out beta gamma delta benchmark")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalDf, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 4 distinct 3-grams, hits "beta gamma delta" only
+    assert(got(1L) == ((4L, 1L)))
+    assert(got(2L) == ((5L, 0L)))
+    assert(got(3L) == ((1L, 1L)))
+    assert(!got.contains(4L))
+  }
+
   test("connected components: random graphs match a union-find oracle") {
     import spark.implicits._
     import graft.dedup.Dedup
