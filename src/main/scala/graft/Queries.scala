@@ -3264,13 +3264,13 @@ object Queries {
     Q("t9_repetition",
       (s, dir) => {
         import s.implicits._
-        val toks = split($"text", " ")
-        // guard: a 0/1-token doc would make sequence(0, size-2) illegal
+        // Grams as 60-bit md5 hashes via the one-pass native kernel (8-byte
+        // group keys instead of strings; the oracle replays the same hash).
+        // Docs under 2 tokens yield an empty array — explode drops them,
+        // mirroring the oracle's len >= 2 guard.
         val grams = t(s, dir, "documents")
-          .filter(size(split($"text", " ")) >= 2)
           .select($"doc_id", $"lang",
-            explode(transform(sequence(lit(0), size(toks) - 2),
-              i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))).as("gram"))
+            explode(graft.functions.GraftFunctions.ngram_hashes($"text", 2)).as("gram"))
         val per = grams
           .groupBy($"doc_id", $"lang", $"gram").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id", $"lang")
@@ -3286,7 +3286,8 @@ object Queries {
       Some("""WITH s AS (SELECT doc_id, lang, string_split(text,' ') AS s
              |            FROM documents WHERE len(string_split(text,' ')) >= 2),
              |tg AS (SELECT doc_id, lang,
-             |         unnest(list_transform(range(len(s)-1), i -> s[i+1]||' '||s[i+2])) AS gram
+             |         unnest(list_transform(range(len(s)-1),
+             |           i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT)) AS gram
              |       FROM s),
              |cnt AS (SELECT doc_id, lang, gram, count(*) AS c FROM tg GROUP BY 1,2,3),
              |per AS (SELECT doc_id, lang, max(c) AS topc, sum(c) AS tot, count(*) AS ndist

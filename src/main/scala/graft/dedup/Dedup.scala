@@ -31,7 +31,17 @@ object Dedup {
 
   /** Word n-gram shingle array (distinct, sorted token-hash form). n=1
     * gives token-set semantics. */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Sorted distinct 60-bit hashes of the word n-grams of `textCol` —
+    * the set representation behind MinHash verify, n-gram jaccard, and
+    * decontamination. Native one-pass kernel ([[graft.functions
+    * .GraftFunctions.shingle_hashes]]); [[shinglesDeclarative]] is the
+    * HOF reference implementation it is property-tested against. */
+  def shingles(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.graftx.GraftExpr.ngramHashes(textCol, n, sortedDistinct = true)
+
+  /** Declarative (built-ins only) equivalent of [[shingles]] — interpreter
+    * -bound on the per-gram lambdas, kept as the oracle for NgramHashSpec. */
+  def shinglesDeclarative(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     val grams =
       if (n == 1) toks
@@ -48,6 +58,23 @@ object Dedup {
     * cluster just to take 8 mins; this one shuffles nothing. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleN: Int = 1): DataFrame = {
+    // Native one-pass kernel: k running digest minima per doc (MinhashSig);
+    // the declarative equivalent (kept in minhashSignatureDeclarative for
+    // the parity spec) interpreted k×grams md5 lambdas per row. The array
+    // is computed in ONE projection and elements extracted in a second —
+    // CollapseProject keeps non-cheap expressions single, so the kernel
+    // runs once per row, not once per h_i (plan-asserted in NgramHashSpec).
+    val sig = org.apache.spark.sql.graftx.GraftExpr
+      .minhashSig(col(textCol), shingleN, numHashes)
+    df.select(col(idCol).as("id"), sig.as("_sig"))
+      .select(col("id") +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Declarative (built-ins only) equivalent of [[minhashSignature]] —
+    * the reference the native kernel is property-tested against. */
+  def minhashSignatureDeclarative(df: DataFrame, idCol: String, textCol: String,
+                                  numHashes: Int, shingleN: Int = 1): DataFrame = {
     val toksArr = array_distinct(
       if (shingleN == 1) split(col(textCol), " ")
       else {

@@ -2,9 +2,9 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -170,6 +170,181 @@ case class HammingDist(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 60-bit md5 hashes of the word n-grams of a space-separated text, in one
+  * imperative pass per row. Semantically identical to the declarative chain
+  *   transform(grams(split(text,' '), n), g -> conv(substring(md5(g),1,15),16,10))
+  * (with `array_sort(array_distinct(...))` applied when `sortedDistinct`),
+  * but ~10x faster: Spark evaluates higher-order-function lambdas in the
+  * interpreter per element, so building each gram via element_at + concat_ws
+  * dominated the dedup/decontamination runtime. Here each gram is a byte
+  * SLICE of the original UTF-8 text (consecutive tokens joined by the same
+  * single-space separators they were split on — bit-identical to concat_ws),
+  * hashed without any string allocation. 0x20 never occurs inside a UTF-8
+  * multi-byte sequence, so the byte scan is charset-safe; split-with-limit
+  * -1 semantics (leading/trailing/consecutive spaces yield empty tokens)
+  * match Spark's `split`. Fewer than n tokens yields an empty array.
+  *
+  * The hash value is the md5 hex prefix digits 1..15 parsed base-16 — i.e.
+  * the high 60 bits of the digest — which DuckDB replays verbatim as
+  * `('0x'||substr(md5(g),1,15))::BIGINT`, keeping every oracle exact.
+  * One eval per DOCUMENT row does the work of ~3·n_grams interpreted
+  * expression nodes, so CodegenFallback's per-row virtual call is noise. */
+case class NgramHash(child: Expression, n: Int, sortedDistinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = if (sortedDistinct) "shingle_hashes" else "ngram_hashes"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    // Token start offsets (split on single 0x20, keep empty tokens).
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1) // starts(k) = offset of token k; starts(nTok) = len+1 sentinel
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val digest = md5.get()
+    val nGrams = nTok - n + 1
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = starts(g + n) - 1 // end of token g+n-1 (drop the separator/sentinel)
+      digest.reset()
+      digest.update(bytes, from, until - from)
+      val d = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(g) = v >>> 4 // first 15 hex digits = high 60 bits
+      g += 1
+    }
+    if (!sortedDistinct) return new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < nGrams) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == nGrams) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature kernel: for each i in 0 until k, the lexicographic
+  * minimum of `md5(i + "|" + gram)` hex strings over the word n-grams of
+  * the text — identical to the declarative
+  * `array_min(transform(grams, g -> md5(concat('i|', g))))` per hash index
+  * (so DuckDB oracles replay it verbatim), but one imperative pass: k
+  * running 16-byte digest minima compared unsigned-bytewise (equivalent to
+  * comparing lowercase hex strings), no string or array allocation per
+  * gram. Duplicate grams need no dedup — they cannot change a minimum —
+  * which removes the declarative form's `array_distinct` as well.
+  * Returns array(k) of 32-char hex strings; elements are null iff the text
+  * has fewer than n tokens (min over an empty set). Gram bytes are slices
+  * of the UTF-8 text as in [[NgramHash]]. */
+case class MinhashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // "0|", "1|", ... ASCII prefixes, precomputed once per expression tree.
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(new Array[AnyRef](k)) // all null
+    val starts = new Array[Int](nTok + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val digest = md5.get()
+    val mins = new Array[Array[Byte]](k)
+    val nGrams = nTok - n + 1
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = starts(g + n) - 1
+      var h = 0
+      while (h < k) {
+        digest.reset()
+        digest.update(prefixes(h))
+        digest.update(bytes, from, until - from)
+        val d = digest.digest()
+        val cur = mins(h)
+        if (cur == null || unsignedLess(d, cur)) mins(h) = d
+        h += 1
+      }
+      g += 1
+    }
+    val out = new Array[AnyRef](k)
+    var h = 0
+    while (h < k) {
+      val d = mins(h)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(h) = UTF8String.fromBytes(hex)
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column <-> Expression bridge + SQL registration. Lives in the
   * org.apache.spark.sql subtree because the Spark 4 bridge APIs
   * (ExpressionUtils, AbstractDataType) are private[sql]. Public facade:
@@ -180,6 +355,10 @@ object GraftExpr {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
 
   def dotLong(a: Column, b: Column): Column = col(DotLong(ex(a), ex(b)))
+  def ngramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
+    col(NgramHash(ex(text), n, sortedDistinct))
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    col(MinhashSig(ex(text), n, k))
   def sortedJaccardLong(a: Column, b: Column): Column = col(SortedJaccardLong(ex(a), ex(b)))
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(ex(a), ex(b)))
   def hammingDist(a: Column, b: Column): Column = col(HammingDist(ex(a), ex(b)))
@@ -190,5 +369,10 @@ object GraftExpr {
     reg.createOrReplaceTempFunction("sorted_jaccard", es => SortedJaccard(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard_long", es => SortedJaccardLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDist(es.head, es(1)), "scala_udf")
+    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      es => NgramHash(es.head, litInt(es(1)), sortedDistinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => NgramHash(es.head, litInt(es(1)), sortedDistinct = true), "scala_udf")
   }
 }
