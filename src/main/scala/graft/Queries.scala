@@ -3330,7 +3330,136 @@ object Queries {
              |       FROM h)
              |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
              |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum, min(doc_id) AS min_id
-             |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X8: sequence packing (concatenate-and-chunk) — the GPT-style
+    // pretraining step that concatenates the shuffled corpus and slices it
+    // into fixed 512-token context windows. Packing is per-shard (the x7
+    // sharding), so the only order-dependent state is a window cumsum
+    // PARTITIONED by shard — no global single-partition window, and each
+    // shard packs independently on its own executor at 100 TB. Reports per
+    // shard: chunk count, docs straddling a chunk boundary, and a
+    // chunk-assignment checksum so the oracle gates the exact packing.
+    Q("x8_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val hkey = conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        val base = t(s, dir, "documents")
+          .select($"doc_id", hkey.as("hkey"),
+                  size(split($"text", " ")).cast("long").as("ntok"))
+          .withColumn("shard", pmod($"hkey", lit(8L)))
+        val w = Window.partitionBy($"shard").orderBy($"hkey")
+        base.withColumn("e", sum($"ntok").over(w))
+          .select($"shard", $"doc_id", $"e",
+            expr("(e - ntok) div 512").as("fc"), expr("(e - 1) div 512").as("lc"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), max($"e").as("total_toks"),
+               expr("(max(e) + 511) div 512").as("n_chunks"),
+               sum(when($"fc" =!= $"lc", 1L).otherwise(0L)).as("n_crossers"),
+               sum($"fc" * $"doc_id").as("chunk_checksum"))
+          .orderBy($"shard")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x'||substr(md5('pack:'||doc_id::VARCHAR),1,15))::BIGINT AS hkey,
+             |    len(string_split(text,' ')) AS ntok FROM documents),
+             |c AS (SELECT doc_id, hkey % 8 AS shard, ntok,
+             |        sum(ntok) OVER (PARTITION BY hkey % 8 ORDER BY hkey) AS e
+             |      FROM h),
+             |p AS (SELECT shard, doc_id, e, (e - ntok) // 512 AS fc,
+             |        (e - 1) // 512 AS lc FROM c)
+             |SELECT shard, count(*) AS n_docs, CAST(max(e) AS BIGINT) AS total_toks,
+             |  CAST((max(e) + 511) // 512 AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN fc != lc THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+             |  CAST(sum(fc * doc_id) AS BIGINT) AS chunk_checksum
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X9: corpus rebalancing (DoReMi-ish domain reweighting, here by
+    // language): downsample every over-represented language to the uniform
+    // cap N/k with a deterministic per-doc hash draw. The keep test is
+    // EXACT integer math — u60 · k · n_lang < 2^60 · N compared in
+    // DECIMAL(38,0) (HUGEINT on the oracle side) — so no float rounding can
+    // diverge between engines. The per-language stats table is k rows and
+    // broadcast; the corpus is scanned once.
+    Q("x9_rebalance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val stats = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val tot = docs.agg(count(lit(1)).as("n"), countDistinct($"lang").as("k"))
+        val u60 = conv(substring(md5(concat(lit("rebal:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        docs.select($"doc_id", $"lang", u60.as("u60"))
+          .join(broadcast(stats), Seq("lang"))
+          .crossJoin(broadcast(tot))
+          .filter($"u60".cast("decimal(38,0)") * $"k" * $"n_lang" <
+                  lit(1152921504606846976L).cast("decimal(38,0)") * $"n")
+          .groupBy($"lang")
+          .agg(min($"n_lang").as("n_before"), count(lit(1)).as("n_kept"),
+               sum($"doc_id").as("kept_checksum"))
+          .orderBy($"lang")
+      },
+      Some("""WITH stats AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+             |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM documents),
+             |u AS (SELECT d.doc_id, d.lang, s.n_lang, t.n, t.k,
+             |        ('0x'||substr(md5('rebal:'||d.doc_id::VARCHAR),1,15))::BIGINT AS u60
+             |      FROM documents d JOIN stats s USING (lang) CROSS JOIN tot t)
+             |SELECT lang, CAST(min(n_lang) AS BIGINT) AS n_before,
+             |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+             |FROM u
+             |WHERE u60::HUGEINT * k * n_lang < 1152921504606846976::HUGEINT * n
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- D7: winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm) — the duplicated-SPAN detector that n-gram set overlap
+    // cannot express: each doc keeps the minimum 3-gram hash of every
+    // 4-gram-wide sliding window (guaranteeing any shared run of >= 6
+    // tokens shares a fingerprint), then fingerprints seen in >= 2 docs
+    // mark copied spans. Gram hashes come from the one-pass native kernel;
+    // the window mins are O(w · grams) per doc, map-side. Output: per-doc
+    // shared-fingerprint mass histogrammed in 1/10 buckets (bucket 10 =
+    // fully duplicated docs).
+    Q("d7_winnow_spans",
+      (s, dir) => {
+        import s.implicits._
+        // Persisted: both the shared-fp census and the per-doc join consume
+        // it, and Spark does no CSE across branches — without this the
+        // corpus would be scanned (and winnowed) twice. O(grams/w) rows;
+        // ContextCleaner reclaims the blocks when the plan is GC'd.
+        val e = t(s, dir, "documents")
+          .filter(size(split($"text", " ")) >= 6) // >= k+w-1 tokens -> >= 1 window
+          .select($"doc_id", graft.functions.GraftFunctions.ngram_hashes($"text", 3).as("gs"))
+          .select($"doc_id", explode(array_distinct(
+            transform(sequence(lit(0), size($"gs") - 4),
+              j => array_min(slice($"gs", j + 1, lit(4)))))).as("fp"))
+          .persist()
+        val shared = e.groupBy($"fp").agg(count(lit(1)).as("nd"))
+          .filter($"nd" >= 2).select($"fp", lit(1L).as("hit"))
+        e.join(shared, Seq("fp"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+               coalesce(sum($"hit"), lit(0L)).as("n_shared"))
+          .select(expr("(n_shared*10) div n_fp").as("bucket"), $"n_shared", $"n_fp")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_shared").as("sum_shared"),
+               sum($"n_fp").as("sum_fp"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS s FROM documents
+             |           WHERE len(string_split(text,' ')) >= 6),
+             |g AS (SELECT doc_id, list_transform(range(len(s)-2),
+             |        i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT) AS gs
+             |      FROM s),
+             |f AS (SELECT doc_id, list_distinct(list_transform(range(len(gs)-3),
+             |        j -> list_min(gs[j+1:j+4]))) AS fps FROM g),
+             |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+             |shared AS (SELECT fp FROM e GROUP BY fp HAVING count(*) >= 2),
+             |per AS (SELECT e.doc_id, count(*) AS n_fp, count(sh.fp) AS n_shared
+             |        FROM e LEFT JOIN shared sh USING (fp) GROUP BY 1)
+             |SELECT (n_shared*10)//n_fp AS bucket, count(*) AS n_docs,
+             |  CAST(sum(n_shared) AS BIGINT) AS sum_shared,
+             |  CAST(sum(n_fp) AS BIGINT) AS sum_fp
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
