@@ -3388,13 +3388,17 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // N and k ride along as window folds OVER the k-row stats table —
+        // a separate agg branch would re-scan the corpus (Spark does no
+        // CSE across branches), and a global window over k rows is free
         val stats = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-        val tot = docs.agg(count(lit(1)).as("n"), countDistinct($"lang").as("k"))
+        val wAll = Window.partitionBy()
+        val statsTot = stats.select($"lang", $"n_lang",
+          sum($"n_lang").over(wAll).as("n"), count(lit(1)).over(wAll).as("k"))
         val u60 = conv(substring(md5(concat(lit("rebal:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
           .cast("long")
         docs.select($"doc_id", $"lang", u60.as("u60"))
-          .join(broadcast(stats), Seq("lang"))
-          .crossJoin(broadcast(tot))
+          .join(broadcast(statsTot), Seq("lang"))
           .filter($"u60".cast("decimal(38,0)") * $"k" * $"n_lang" <
                   lit(1152921504606846976L).cast("decimal(38,0)") * $"n")
           .groupBy($"lang")

@@ -113,6 +113,38 @@ class PlanAuditSpec extends SparkSpec {
       s"candidate probe must be an equi-join on the cell id:\n$p")
   }
 
+  test("x6 decontaminate: train grams aggregate map-side after the eval-gram join") {
+    val p = plan("x6_decontaminate")
+    assert(p.contains("partial_count"), s"per-doc gram counts must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x7/x8 shard windows are partitioned — no global single-partition window") {
+    for (q <- Seq("x7_shard_export", "x8_pack_sequences")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(shard"),
+        s"$q window must be partitioned by shard:\n$p")
+    }
+  }
+
+  test("x9 rebalance: per-language stats broadcast against one corpus pass") {
+    val p = plan("x9_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"k-row stats table must broadcast:\n$p")
+    // main pass + stats pass — deriving N/k from stats must not add a third scan
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected at most 2 corpus scans, got $scans:\n$p")
+  }
+
+  test("d7 winnowing: fingerprint table computed once, consumed from cache") {
+    val p = plan("d7_winnow_spans")
+    // both consumers (shared-fp census, per-doc join) must read the cached
+    // table; the plan string re-prints the cached child under each
+    // InMemoryTableScan, so raw "Scan parquet" counts are not meaningful
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheScans >= 2,
+      s"winnow table must persist and serve both consumers (got $cacheScans cache scans):\n$p")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
