@@ -3335,6 +3335,65 @@ object Queries {
              |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum, min(doc_id) AS min_id
              |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- S7: STREAMING decontamination — the stream-static join mode
+    // (the one Structured Streaming join the suite didn't yet exercise):
+    // a live train-document stream is checked against the STATIC eval-set
+    // gram table. The explode + join are stateless row ops (the static
+    // side broadcasts; no state store involved); only the per-doc gram
+    // count keeps state, one row per in-flight doc (watermark-bound it on
+    // arrival time in an unbounded deployment). Result ≡ x6's batch
+    // histogram — the streaming plan must converge to the batch answer.
+    Q("s7_stream_decon",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val queryName = "graft_sdecon_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 7
+        val evalGrams = t(s, dir, "documents").filter(evalSlice)
+          .filter(size(split($"text", " ")) >= 3)
+          .select(explode(graft.functions.GraftFunctions.shingle_hashes($"text", 3)).as("g"))
+          .distinct().withColumn("hit", lit(1L))
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(!evalSlice)
+            .filter(size(split($"text", " ")) >= 3)
+            .select($"doc_id", explode(graft.functions.GraftFunctions.shingle_hashes($"text", 3)).as("g"))
+            .join(broadcast(evalGrams), Seq("g"), "left")
+            .groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_grams"), coalesce(sum($"hit"), lit(0L)).as("matched"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .select(expr("(matched * 20) div n_grams").as("bucket"), $"matched", $"n_grams")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"matched").as("sum_matched"),
+               sum($"n_grams").as("sum_grams"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
+             |    string_split(text,' ') AS s
+             |  FROM documents),
+             |g AS (SELECT doc_id, is_eval,
+             |        list_distinct(list_transform(range(len(s)-2),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT)) AS gs
+             |      FROM s WHERE len(s) >= 3),
+             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE is_eval),
+             |per AS (
+             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS matched
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE NOT is_eval) tg
+             |  LEFT JOIN eg ON tg.gram = eg.gram
+             |  GROUP BY tg.doc_id)
+             |SELECT matched*20//ng AS bucket, count(*) AS n_docs,
+             |  CAST(sum(matched) AS BIGINT) AS sum_matched,
+             |  CAST(sum(ng) AS BIGINT) AS sum_grams
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X8: sequence packing (concatenate-and-chunk) — the GPT-style
     // pretraining step that concatenates the shuffled corpus and slices it
     // into fixed 512-token context windows. Packing is per-shard (the x7
