@@ -3394,6 +3394,64 @@ object Queries {
              |  CAST(sum(ng) AS BIGINT) AS sum_grams
              |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X10: incremental dedup — admit a NEW batch (20% hash slice)
+    // against the EXISTING corpus's stored LSH index (band + shingle-set
+    // tables), never re-pairing the old corpus with itself: the daily-
+    // ingest shape. Rejection = verified jaccard >= 0.9 vs any old doc or
+    // vs the new batch's own bucket root. The oracle replays the whole
+    // chain (signatures, bands, both candidate families, exact verify).
+    Q("x10_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val oldDf = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
+        val newDf = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
+        // the "stored index" — in production written once at corpus build
+        val oldBands = graft.dedup.Dedup.lshBands(
+          graft.dedup.Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
+        val oldSets = oldDf.select($"doc_id".as("id"),
+          graft.dedup.Dedup.shingles($"text", 1).as("st"))
+        graft.dedup.Dedup
+          .admitIncrement(newDf, "doc_id", "text", oldBands, oldSets)
+          .agg(count(lit(1)).as("n_admitted"), sum($"doc_id").as("sum_admitted"),
+               sum($"n_chars").as("chars_admitted"), min($"doc_id").as("min_admitted"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+             |oldb AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents),
+             |cand_old AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+             |             FROM newb n JOIN oldb o ON n.band = o.band AND n.key = o.key),
+             |roots AS (SELECT band, key, min(doc_id) AS root FROM newb
+             |          GROUP BY 1, 2 HAVING count(*) > 1),
+             |cand_new AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |             FROM newb b JOIN roots r ON b.band = r.band AND b.key = r.key
+             |             WHERE b.doc_id != r.root),
+             |rej1 AS (SELECT DISTINCT id_new FROM cand_old
+             |         JOIN sets sa ON id_new = sa.doc_id JOIN sets sb ON id_old = sb.doc_id
+             |         WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |               / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |rej2 AS (SELECT DISTINCT id_b AS id_new FROM cand_new
+             |         JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |         WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |               / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.9)
+             |SELECT count(*) AS n_admitted, CAST(sum(doc_id) AS BIGINT) AS sum_admitted,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars_admitted, min(doc_id) AS min_admitted
+             |FROM documents WHERE doc_id % 5 = 0
+             |  AND doc_id NOT IN (SELECT id_new FROM rej1 UNION SELECT id_new FROM rej2)""".stripMargin)),
+
     // ----- X8: sequence packing (concatenate-and-chunk) — the GPT-style
     // pretraining step that concatenates the shuffled corpus and slices it
     // into fixed 512-token context windows. Packing is per-shard (the x7

@@ -267,6 +267,60 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup ADMISSION — the daily-ingest shape: decide which
+    * NEW documents enter an already-deduplicated corpus without ever
+    * re-pairing the old corpus against itself. The old side participates
+    * only through its STORED index: `oldBands` (id, band, key) and
+    * `oldSets` (id, st) — the same tables [[lshBands]] / [[shingles]]
+    * produce when the corpus is built, persisted once and reused every
+    * increment. Candidates are (a) new×old band collisions and (b)
+    * new×new bucket-star edges ([[minhashStarEdges]] discipline); a new
+    * doc is rejected iff a candidate verifies at `>= threshold` exact
+    * jaccard against an old doc or against its own bucket's min-id root.
+    * Returns `newDf` minus the rejected rows.
+    *
+    * Scale shape: per increment the work is O(new) signatures + equi-joins
+    * keyed on (band, key) — the old CORPUS is never scanned, only its
+    * O(old) index tables, and the verify set tables are semi-join-pruned
+    * to candidate endpoints before any join (never broadcast). */
+  def admitIncrement(newDf: DataFrame, idCol: String, textCol: String,
+                     oldBands: DataFrame, oldSets: DataFrame,
+                     numHashes: Int = 8, rowsPerBand: Int = 4,
+                     shingleN: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val sigNew = minhashSignature(newDf, idCol, textCol, numHashes, shingleN)
+    // three consumers (old-collision join, root census, star edges) — and
+    // Spark does no CSE across branches, so persist the small band table
+    val bandsNew = lshBands(sigNew, numHashes, rowsPerBand).persist()
+    val candOld = bandsNew.as("n").join(oldBands.as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.id").as("id_new"), col("o.id").as("id_old")).distinct()
+    val roots = bandsNew.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("root"), count(lit(1)).as("m"))
+      .filter(col("m") > 1).drop("m")
+    val candNew = bandsNew.join(roots, Seq("band", "key"))
+      .filter(col("id") =!= col("root"))
+      .select(col("root").as("id_a"), col("id").as("id_b")).distinct()
+    val newIds = candOld.select(col("id_new").as("id"))
+      .union(candNew.select(explode(array(col("id_a"), col("id_b"))).as("id")))
+      .distinct()
+    val newSets = newDf
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
+      .join(newIds, Seq("id"), "left_semi").persist()
+    val oldSetsPruned = oldSets
+      .join(candOld.select(col("id_old").as("id")).distinct(), Seq("id"), "left_semi")
+    val j = GraftFunctions.sorted_jaccard_long(col("sa.st"), col("sb.st"))
+    val rej1 = candOld
+      .join(newSets.as("sa"), col("id_new") === col("sa.id"))
+      .join(oldSetsPruned.as("sb"), col("id_old") === col("sb.id"))
+      .filter(j >= threshold).select(col("id_new"))
+    val rej2 = candNew
+      .join(newSets.as("sa"), col("id_a") === col("sa.id"))
+      .join(newSets.as("sb"), col("id_b") === col("sb.id"))
+      .filter(j >= threshold).select(col("id_b").as("id_new"))
+    newDf.join(rej1.union(rej2).distinct().withColumnRenamed("id_new", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Train/eval decontamination scoring — the standard LLM-pipeline check
     * that training documents do not contain the evaluation set (n-gram
     * overlap, the public WiMBD / GPT-3 appendix-C shape). For every train

@@ -144,6 +144,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("admitIncrement rejects vs old index and vs the batch's own root") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val oldDf = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val newDf = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup of old doc 1 -> rejected
+      (11L, "totally novel content here now"), // novel -> admitted
+      (12L, "red yellow green blue violet"),   // novel, bucket root of 13
+      (13L, "red yellow green blue violet"),   // dup of 12 (its root) -> rejected
+      (14L, "completely different words again")
+    ).toDF("doc_id", "text")
+    val oldBands = Dedup.lshBands(Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
+    val oldSets = oldDf.select($"doc_id".as("id"), Dedup.shingles($"text", 1).as("st"))
+    val admitted = Dedup.admitIncrement(newDf, "doc_id", "text", oldBands, oldSets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L, 12L, 14L))
+  }
+
   test("decontaminate scores train/eval n-gram overlap") {
     import spark.implicits._
     val train = Seq(
