@@ -3452,6 +3452,91 @@ object Queries {
              |FROM documents WHERE doc_id % 5 = 0
              |  AND doc_id NOT IN (SELECT id_new FROM rej1 UNION SELECT id_new FROM rej2)""".stripMargin)),
 
+    // ----- X11: the FULL pretraining preprocessing pipeline as one lazy
+    // chain — quality gate → exact dedup (keep-min per content hash) →
+    // near-dup removal (star-edge LSH + connected components) →
+    // decontamination (eval slice removed from training AND >50%-
+    // contaminated train docs dropped) → sharded rollup. Each stage is an
+    // operator already oracle-gated on its own (t-family, d1, x5, x6, x7);
+    // this gates their COMPOSITION, replayed end to end in one SQL
+    // (recursive CC included). Intermediate frames that feed multiple
+    // consumers are persisted — Spark re-evaluates plan branches
+    // otherwise, and the dedup stage contains iterative CC rounds that
+    // must not replay per consumer.
+    Q("x11_full_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val D = graft.dedup.Dedup
+        val quality = t(s, dir, "documents")
+          .filter(size(split($"text", " ")) >= 10).persist()
+        val keepIds = quality.groupBy(md5($"text").as("h"))
+          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+        val ex = quality.join(keepIds, Seq("doc_id"), "left_semi").persist()
+        val dd = D.dedupCorpus(ex, "doc_id", "text", threshold = 0.9).persist()
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 7
+        val cleanIds = D.decontaminate(
+            dd.filter(!evalSlice), dd.filter(evalSlice), "doc_id", "text", shingleN = 3)
+          .filter($"matched" * 2 <= $"n_grams").select($"id".as("doc_id"))
+        val shard = pmod(conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(4L))
+        dd.join(cleanIds, Seq("doc_id"), "left_semi")
+          .select($"doc_id", $"n_chars", shard.as("shard"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"),
+               sum($"doc_id").as("id_checksum"))
+          .orderBy($"shard")
+      },
+      Some("""WITH RECURSIVE
+             |quality AS (SELECT * FROM documents WHERE len(string_split(text,' ')) >= 10),
+             |exact AS (SELECT min(doc_id) AS keep_id FROM quality GROUP BY md5(text)),
+             |ex AS (SELECT q.* FROM quality q JOIN exact e ON q.doc_id = e.keep_id),
+             |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM ex),
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |roots AS (SELECT band, key, min(doc_id) AS root FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 1),
+             |cand AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |         FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
+             |         WHERE b.doc_id != r.root),
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM ex),
+             |pairs AS (SELECT id_a, id_b FROM cand
+             |  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |  WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a WHERE reach.a != sym.b),
+             |labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+             |losers AS (SELECT node FROM labels WHERE label < node),
+             |dd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT node FROM losers)),
+             |ev AS (SELECT doc_id, ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
+             |         string_split(text,' ') AS s FROM dd),
+             |gr AS (SELECT doc_id, is_eval, list_distinct(list_transform(range(len(s)-2),
+             |         i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT)) AS gs
+             |       FROM ev WHERE len(s) >= 3),
+             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM gr WHERE is_eval),
+             |contam AS (
+             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS m
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM gr WHERE NOT is_eval) tg
+             |  LEFT JOIN eg ON tg.gram = eg.gram GROUP BY 1),
+             |clean AS (SELECT d.* FROM dd d JOIN contam c ON d.doc_id = c.doc_id
+             |          WHERE c.m * 2 <= c.ng),
+             |sh AS (SELECT doc_id, n_chars,
+             |         ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT % 4 AS shard FROM clean)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X8: sequence packing (concatenate-and-chunk) — the GPT-style
     // pretraining step that concatenates the shuffled corpus and slices it
     // into fixed 512-token context windows. Packing is per-shard (the x7
