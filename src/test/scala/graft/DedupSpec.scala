@@ -165,6 +165,72 @@ class DedupSpec extends SparkSpec {
     assert(admitted == Set(11L, 12L, 14L))
   }
 
+  test("admitIncrement: random corpora match an independent driver-side replay") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Independent reference: the defined admission semantics (signatures,
+    // banding, new×old collisions, new×new bucket roots, exact jaccard)
+    // replayed with plain Scala collections — no Spark, no shared code.
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      String.format("%032x", new java.math.BigInteger(1, d))
+    }
+    def tokHash(t: String): Long = java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16)
+    def sig(text: String): IndexedSeq[String] = {
+      val toks = text.split(" ", -1).distinct
+      (0 until 8).map(i => toks.map(t => md5hex(s"$i|$t")).min)
+    }
+    def bandKeys(text: String): IndexedSeq[String] = {
+      val h = sig(text)
+      IndexedSeq(md5hex(h(0) + h(1) + h(2) + h(3)), md5hex(h(4) + h(5) + h(6) + h(7)))
+    }
+    def jac(a: String, b: String): Double = {
+      val sa = a.split(" ", -1).map(tokHash).toSet
+      val sb = b.split(" ", -1).map(tokHash).toSet
+      val i = (sa & sb).size
+      val u = sa.size + sb.size - i
+      if (u == 0) 0.0 else i.toDouble / u
+    }
+    val vocab = Vector("red", "blue", "green", "ox", "elk", "fox", "sun", "moon",
+      "hill", "lake", "tree", "rock")
+    for (seed <- Seq(11, 77, 2024)) {
+      val rnd = new scala.util.Random(seed)
+      def doc(): String =
+        Vector.fill(5 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val oldDocs = (1L to 30L).map(i => i -> doc()).toMap
+      val newBase = (100L to 115L).map(i => i -> doc()).toMap
+      // plant exact copies: of an old doc, and of another new doc
+      val newDocs = newBase +
+        (116L -> oldDocs(1L + rnd.nextInt(30).toLong)) +
+        (117L -> newBase(100L + rnd.nextInt(16).toLong))
+      val thr = 0.9
+      val oldKeys = oldDocs.map { case (id, t) => id -> bandKeys(t) }
+      val newKeys = newDocs.map { case (id, t) => id -> bandKeys(t) }
+      val rejOld = newDocs.keySet.filter { n =>
+        oldDocs.exists { case (o, _) =>
+          (0 until 2).exists(b => newKeys(n)(b) == oldKeys(o)(b)) &&
+            jac(newDocs(n), oldDocs(o)) >= thr
+        }
+      }
+      val rejRoot = newDocs.keySet.filter { n =>
+        (0 until 2).exists { b =>
+          val members = newDocs.keys.filter(m => newKeys(m)(b) == newKeys(n)(b))
+          val root = members.min
+          members.size > 1 && n != root && jac(newDocs(n), newDocs(root)) >= thr
+        }
+      }
+      val expect = newDocs.keySet -- rejOld -- rejRoot
+      val oldDf = oldDocs.toSeq.toDF("doc_id", "text")
+      val newDf = newDocs.toSeq.toDF("doc_id", "text")
+      val oldBands = Dedup.lshBands(Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
+      val oldSets = oldDf.select($"doc_id".as("id"), Dedup.shingles($"text", 1).as("st"))
+      val got = Dedup.admitIncrement(newDf, "doc_id", "text", oldBands, oldSets, threshold = thr)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"seed $seed: admitted $got, expected $expect")
+    }
+  }
+
   test("decontaminate scores train/eval n-gram overlap") {
     import spark.implicits._
     val train = Seq(
