@@ -3472,7 +3472,9 @@ object Queries {
         val keepIds = quality.groupBy(md5($"text").as("h"))
           .agg(min($"doc_id").as("doc_id")).select($"doc_id")
         val ex = quality.join(keepIds, Seq("doc_id"), "left_semi").persist()
-        val dd = D.dedupCorpus(ex, "doc_id", "text", threshold = 0.9).persist()
+        val dd = withStreamPartitions(s, 8) {
+          D.dedupCorpus(ex, "doc_id", "text", threshold = 0.9).persist()
+        }
         val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
           .cast("long") % 50 === 7
         val cleanIds = D.decontaminate(
