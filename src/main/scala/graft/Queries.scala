@@ -979,9 +979,12 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val planes: Seq[Seq[Long]] = Queries.lshPlanes(32, 64)
+        // quantized vectors feed the band builder AND both verify sides —
+        // persist once (no CSE across branches; the d2 discipline)
         val v = t(s, dir, "embeddings")
           .select($"vec_id", qvec($"embedding").as("qv"))
           .withColumn("nq", dotq($"qv", $"qv"))
+          .persist()
         val bandCols = (0 until 8).map { band =>
           val bucket = (0 until 4).map { r =>
             when(graft.functions.GraftFunctions.dot_long(
