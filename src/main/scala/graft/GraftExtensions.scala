@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.{DotLong, HammingDist, SortedJaccard, SortedJaccardLong}
+import org.apache.spark.sql.graftx.{DotLong, HammingDist, MinhashSig, NgramHash, SortedJaccard, SortedJaccardLong}
 
 /** Cluster-wide registration of graft's native SQL functions:
   *
@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SortedJaccardLong(es.head, es(1)))
     inject("hamming_dist", "hamming_dist(a, b) - bit-population distance of two BIGINTs",
       es => HammingDist(es.head, es(1)))
+    def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
+    inject("ngram_hashes", "ngram_hashes(text, n) - 60-bit md5 word-n-gram hashes, document order",
+      es => NgramHash(es.head, litInt(es(1)), sortedDistinct = false))
+    inject("shingle_hashes", "shingle_hashes(text, n) - sorted distinct 60-bit md5 word-n-gram hashes",
+      es => NgramHash(es.head, litInt(es(1)), sortedDistinct = true))
+    inject("minhash_sig", "minhash_sig(text, n, k) - k MinHash minima (md5 hex) over word n-grams",
+      es => MinhashSig(es.head, litInt(es(1)), litInt(es(2))))
   }
 }

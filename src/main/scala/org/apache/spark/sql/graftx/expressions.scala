@@ -374,5 +374,7 @@ object GraftExpr {
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = false), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = true), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinhashSig(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
   }
 }

@@ -30,6 +30,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val jac = s.sql("SELECT sorted_jaccard(array('a','b'), array('b','c')) AS j")
         .collect().head.getDouble(0)
       assert(math.abs(jac - 1.0 / 3.0) < 1e-12)
+      val ng = s.sql("SELECT size(ngram_hashes('a b a b', 2)) AS n, " +
+          "size(shingle_hashes('a b a b', 2)) AS sd, " +
+          "size(minhash_sig('a b c', 1, 8)) AS k")
+        .collect().head
+      assert(ng.getInt(0) === 3 && ng.getInt(1) === 2 && ng.getInt(2) === 8)
     } finally {
       // leave no session behind so later suites rebuild their own cleanly
       s.stop()
