@@ -3410,10 +3410,8 @@ object Queries {
         val oldDf = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
         val newDf = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
         // the "stored index" — in production written once at corpus build
-        val oldBands = graft.dedup.Dedup.lshBands(
-          graft.dedup.Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
-        val oldSets = oldDf.select($"doc_id".as("id"),
-          graft.dedup.Dedup.shingles($"text", 1).as("st"))
+        val (oldBands, oldSets) =
+          graft.dedup.Dedup.buildIndex(oldDf, "doc_id", "text")
         graft.dedup.Dedup
           .admitIncrement(newDf, "doc_id", "text", oldBands, oldSets)
           .agg(count(lit(1)).as("n_admitted"), sum($"doc_id").as("sum_admitted"),

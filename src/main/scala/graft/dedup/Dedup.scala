@@ -267,6 +267,20 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The stored-index pair consumed by [[admitIncrement]]: the LSH band
+    * table `(id, band, key)` and the shingle-set table `(id, st)` for a
+    * corpus. Build once when the corpus is (re)built, write both to
+    * parquet (bucket by `id` for join locality), and feed every
+    * subsequent increment — the corpus itself is never re-read. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 8, rowsPerBand: Int = 4,
+                 shingleN: Int = 1): (DataFrame, DataFrame) = {
+    val bands = lshBands(
+      minhashSignature(df, idCol, textCol, numHashes, shingleN), numHashes, rowsPerBand)
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("st"))
+    (bands, sets)
+  }
+
   /** Incremental near-dup ADMISSION — the daily-ingest shape: decide which
     * NEW documents enter an already-deduplicated corpus without ever
     * re-pairing the old corpus against itself. The old side participates

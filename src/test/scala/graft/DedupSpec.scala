@@ -158,8 +158,7 @@ class DedupSpec extends SparkSpec {
       (13L, "red yellow green blue violet"),   // dup of 12 (its root) -> rejected
       (14L, "completely different words again")
     ).toDF("doc_id", "text")
-    val oldBands = Dedup.lshBands(Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
-    val oldSets = oldDf.select($"doc_id".as("id"), Dedup.shingles($"text", 1).as("st"))
+    val (oldBands, oldSets) = Dedup.buildIndex(oldDf, "doc_id", "text")
     val admitted = Dedup.admitIncrement(newDf, "doc_id", "text", oldBands, oldSets)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(11L, 12L, 14L))
@@ -223,8 +222,7 @@ class DedupSpec extends SparkSpec {
       val expect = newDocs.keySet -- rejOld -- rejRoot
       val oldDf = oldDocs.toSeq.toDF("doc_id", "text")
       val newDf = newDocs.toSeq.toDF("doc_id", "text")
-      val oldBands = Dedup.lshBands(Dedup.minhashSignature(oldDf, "doc_id", "text", 8), 8, 4)
-      val oldSets = oldDf.select($"doc_id".as("id"), Dedup.shingles($"text", 1).as("st"))
+      val (oldBands, oldSets) = Dedup.buildIndex(oldDf, "doc_id", "text")
       val got = Dedup.admitIncrement(newDf, "doc_id", "text", oldBands, oldSets, threshold = thr)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got == expect, s"seed $seed: admitted $got, expected $expect")
