@@ -3453,6 +3453,47 @@ object Queries {
              |FROM documents WHERE doc_id % 5 = 0
              |  AND doc_id NOT IN (SELECT id_new FROM rej1 UNION SELECT id_new FROM rej2)""".stripMargin)),
 
+    // ----- X12: corpus snapshot diff — the change-data-capture census
+    // between two dataset versions (what a data-versioning layer computes
+    // per commit): full outer join on doc id, rows classified added /
+    // removed / changed / unchanged by presence and content hash. Two
+    // column-pruned scans, one shuffle each side, no state. Snapshots are
+    // simulated as two overlapping slices with deterministic "edits"
+    // (uppercase) on doc_id % 11 — both engines hash the same bytes.
+    Q("x12_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val snapA = docs.filter(pmod($"doc_id", lit(7L)) =!= 0L)
+          .select($"doc_id", md5($"text").as("h"))
+        val snapB = docs.filter(pmod($"doc_id", lit(3L)) =!= 0L)
+          .select($"doc_id",
+            md5(when(pmod($"doc_id", lit(11L)) === 0L, upper($"text"))
+              .otherwise($"text")).as("h"))
+        snapA.as("a").join(snapB.as("b"), $"a.doc_id" === $"b.doc_id", "full_outer")
+          .select(
+            when($"a.doc_id".isNull, "added")
+              .when($"b.doc_id".isNull, "removed")
+              .when($"a.h" =!= $"b.h", "changed")
+              .otherwise("unchanged").as("change"),
+            coalesce($"a.doc_id", $"b.doc_id").as("id"))
+          .groupBy($"change")
+          .agg(count(lit(1)).as("n"), sum($"id").as("id_checksum"))
+          .orderBy($"change")
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0),
+             |b AS (SELECT doc_id,
+             |        md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h
+             |      FROM documents WHERE doc_id % 3 != 0),
+             |d AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+             |                  WHEN b.doc_id IS NULL THEN 'removed'
+             |                  WHEN a.h != b.h THEN 'changed'
+             |                  ELSE 'unchanged' END AS change,
+             |             coalesce(a.doc_id, b.doc_id) AS id
+             |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+             |SELECT change, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_checksum
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X11: the FULL pretraining preprocessing pipeline as one lazy
     // chain — quality gate → exact dedup (keep-min per content hash) →
     // near-dup removal (star-edge LSH + connected components) →
