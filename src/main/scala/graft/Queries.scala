@@ -3298,7 +3298,7 @@ object Queries {
              |cnt AS (SELECT doc_id, lang, gram, count(*) AS c FROM tg GROUP BY 1,2,3),
              |per AS (SELECT doc_id, lang, max(c) AS topc, sum(c) AS tot, count(*) AS ndist
              |        FROM cnt GROUP BY 1,2)
-             |SELECT lang, topc*10//tot AS top_bucket, count(*) AS n_docs,
+             |SELECT lang, CAST(topc*10//tot AS BIGINT) AS top_bucket, count(*) AS n_docs,
              |  CAST(sum(tot-ndist) AS BIGINT) AS sum_dup_grams,
              |  CAST(sum(tot) AS BIGINT) AS sum_grams,
              |  CAST(sum(topc) AS BIGINT) AS sum_top
