@@ -49,9 +49,18 @@ object Queries {
     * that) and the session setting is restored for the batch stages. A
     * real deployment sizes this with state volume instead. */
   private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // NB restore must distinguish "explicitly set" from "default":
+    // conf.get/getOption return the DEFAULT for never-set keys, so a
+    // naive save/restore writes the default back as an explicit session
+    // entry (caught by PlanAuditSpec's conf-leak audit). getAll lists
+    // only explicit entries.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getAll.get(key)
+    s.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** A finite file-backed stream gains nothing from empty microbatches;
@@ -60,7 +69,10 @@ object Queries {
     * leaks into whatever the session runs next. */
   private def withNoEmptyBatches[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = s.conf.getOption(key)
+    // getAll, not getOption: see withStreamPartitions — getOption would
+    // report the default (true) for a never-set key and the restore would
+    // then pin it explicitly.
+    val prev = s.conf.getAll.get(key)
     s.conf.set(key, "false")
     try body finally prev match {
       case Some(v) => s.conf.set(key, v)
@@ -1329,45 +1341,58 @@ object Queries {
              |  min(substr(md5(text),1,8)) AS min_chk
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
-    // ----- M2: multimodal decode stub — the Spark-side plumbing (binary ->
-    // mapPartitions batch "decode" -> typed feature struct) is real; the
-    // decoder itself is a deterministic fake standing in for an image
-    // library that is not in this container. Rows-only check.
-    Q("m2_decode_stub",
+    // ----- M2: multimodal decode — REAL image decode (round 6; was a
+    // byte-arithmetic stub through r5). Stage 1 manufactures a genuine
+    // PNG binary column (the container ships no image fixtures): document
+    // bytes laid row-major into a (len%64+1) x ceil(len/width) gray
+    // raster (width varies per doc; height is the true row count, unlike
+    // the r5 stub's fake len/64+1 which could undercount the rectangle),
+    // zero-padded — ASCII bytes are [32,121], so 0 is out-of-band.
+    // Stage 2 is the production shape: batch mapPartitions over the
+    // binary column running an actual ImageIO PNG decode (zlib inflate +
+    // defilter), then feature-extract width/height/mean-over-valid-px.
+    // 8-bit gray PNG raster samples round-trip exactly (ImageCodecSpec),
+    // so the SQL oracle can still recompute every feature from the text.
+    Q("m2_decode_png",
       (s, dir) => {
         import s.implicits._
-        val blobs = t(s, dir, "documents")
+        import graft.multimodal.ImageCodec
+        val pngs = t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("blob"))
           .as[(Long, Array[Byte])]
-        blobs.mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            // STUB decode: stands in for e.g. JPEG decode + resize. The
-            // "image" is derived deterministically from the bytes so the
-            // partitioning/batching/schema path is fully exercised.
-            val width = bytes.length % 64 + 1
-            val height = bytes.length / 64 + 1
-            var sum = 0L; var i = 0
-            while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-            val meanPx = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-            (id, width, height, meanPx)
+          .map { case (id, bytes) =>
+            val w = bytes.length % 64 + 1
+            val h = math.max((bytes.length + w - 1) / w, 1)
+            (id, ImageCodec.encodeGrayPng(w, h, bytes))
+          }
+        pngs.mapPartitions { it =>
+          it.map { case (id, png) =>
+            val (w, h, px) = ImageCodec.decodeGrayPng(png)
+            var sum = 0L; var n = 0; var i = 0
+            while (i < px.length) { if (px(i) != 0) { sum += px(i); n += 1 }; i += 1 }
+            val meanPx = if (n == 0) 0.0 else sum.toDouble / n
+            (id, w, h, meanPx)
           }
         }.toDF("doc_id", "width", "height", "mean_px")
           .orderBy($"doc_id")
       },
-      // The stub decode is deterministic byte arithmetic over the utf8
-      // payload, and the documents are pure ASCII (max codepoint 121), so
-      // ord(char) == byte value and DuckDB can recompute width/height/mean
-      // exactly — the full binary->mapPartitions->struct plumbing is
-      // hash-gated. The double division is a single IEEE op on an exact
-      // integer sum, bit-identical across engines.
-      // COALESCE mirrors the stub's 0.0 mean for an empty blob (DuckDB's
-      // empty-list sum is NULL, which would otherwise diverge)
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
-             |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
+      // Documents are pure ASCII (max codepoint 121), so ord(char) == byte
+      // value and DuckDB recomputes width/height/mean exactly — the full
+      // binary->PNG->ImageIO->struct plumbing is hash-gated. The double
+      // division is a single IEEE op on an exact integer sum, bit-identical
+      // across engines. COALESCE mirrors the 0.0 mean a fully-padded
+      // (empty) raster would produce (DuckDB's empty-list sum is NULL,
+      // which would otherwise diverge)
+      Some("""WITH b AS (
+             |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+             |         octet_length(encode(text)) % 64 + 1 AS wd
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(wd AS INT) AS width,
+             |  CAST(greatest((n + wd - 1) // wd, 1) AS INT) AS height,
              |  COALESCE(CAST(list_sum(list_transform(range(1, len(text)+1), i -> ord(text[i]))) AS DOUBLE)
-             |    / octet_length(encode(text)), 0.0) AS mean_px
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |    / n, 0.0) AS mean_px
+             |FROM b ORDER BY doc_id""".stripMargin)),
 
     // ----- R1: the flagship raster pipeline (STAC plan -> scan -> mosaic).
     // FakeReader pixels are never NaN, so valid_px per composite chunk is
@@ -2115,29 +2140,40 @@ object Queries {
              | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // ----- M4: multimodal resize — the blob decoded (stub) into a 32-px-wide
-    // image grid, then 2x2 mean-pooled: the real downsample loop (gather,
-    // partial cells at edges, quantized checksum) in imperative
-    // mapPartitions form, exactly how a batch image-resize UDF runs. The
+    // ----- M4: multimodal resize — a REAL decoded image 2x2 mean-pooled
+    // (round 6; byte-arithmetic stub through r5). The blob is a genuine
+    // 32-px-wide gray PNG (manufactured as in m2: row-major document
+    // bytes, zero pad sentinel); ImageIO decodes it, then the downsample
+    // loop (gather, partial cells at edges, quantized checksum) runs in
+    // imperative mapPartitions form, exactly how a batch image-resize UDF
+    // runs. Pad pixels (value 0, out-of-band for ASCII) are excluded from
+    // each pooled cell's mean, reproducing partial-cell semantics. The
     // ASCII payload makes every pooled mean recomputable in SQL, so the
     // whole plumbing is hash-gated (same trick as m2).
     Q("m4_resize",
       (s, dir) => {
         import s.implicits._
+        import graft.multimodal.ImageCodec
         t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("blob"))
           .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            (id, ImageCodec.encodeGrayPng(32, math.max((bytes.length + 31) / 32, 1), bytes))
+          }
           .mapPartitions { it =>
-            it.map { case (id, bytes) =>
-              val n = bytes.length
+            it.map { case (id, png) =>
+              val (w, h, px) = ImageCodec.decodeGrayPng(png)
               val outW = 16
-              val outH = ((n + 31) / 32 + 1) / 2
+              val outH = (h + 1) / 2
               val sums = new Array[Long](math.max(outH * outW, 1))
               val cnts = new Array[Int](math.max(outH * outW, 1))
               var i = 0
-              while (i < n) {
-                val k = ((i / 32) / 2) * outW + (i % 32) / 2
-                sums(k) += bytes(i) & 0xff; cnts(k) += 1; i += 1
+              while (i < px.length) {
+                if (px(i) != 0) {
+                  val k = ((i / w) / 2) * outW + (i % w) / 2
+                  sums(k) += px(i); cnts(k) += 1
+                }
+                i += 1
               }
               var outPx = 0; var sumQ = 0L; var k = 0
               while (k < outH * outW) {

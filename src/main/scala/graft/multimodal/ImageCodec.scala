@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real image encode/decode for the multimodal queries (SURVEY §2.11,
+  * reference `show.py:915-967` — PIL PNG round-trip is the analog), using
+  * only the JDK's ImageIO so no new dependency enters the build.
+  *
+  * The container ships no image fixtures, so the binary column is
+  * *manufactured*: document bytes laid out row-major into an 8-bit
+  * grayscale raster, zero-padded to the rectangle (document bytes are
+  * ASCII in [32,121], so 0 is a safe out-of-band pad sentinel) and
+  * encoded as a genuine PNG. The decode side then runs a real
+  * `ImageIO.read` — an actual zlib inflate + PNG defilter — inside the
+  * same batch `mapPartitions` shape a production image UDF uses.
+  * 8-bit gray PNG raster samples round-trip bit-exactly through
+  * ImageIO's PNGImageWriter/Reader (pinned by ImageCodecSpec for all 256
+  * sample values), which is what lets the SQL oracle recompute the
+  * decoded features from the original text.
+  */
+object ImageCodec {
+  // ImageIO never needs a display for BufferedImage work, but some JDKs
+  // probe AWT toolkits lazily; pin headless before the first call.
+  System.setProperty("java.awt.headless", "true")
+
+  /** Pixels row-major into a w x h 8-bit gray PNG; pixels.length <= w*h,
+    * remainder zero-padded. */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length <= w * h,
+      s"bad raster: $w x $h for ${pixels.length} bytes")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream(w * h / 2 + 64)
+    if (!ImageIO.write(img, "png", bos))
+      throw new IllegalStateException("no PNG writer in this JDK")
+    bos.toByteArray
+  }
+
+  /** Decode any gray PNG to (width, height, row-major samples 0..255). */
+  def decodeGrayPng(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    if (img == null) throw new IllegalArgumentException("undecodable image blob")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, out)
+  }
+}

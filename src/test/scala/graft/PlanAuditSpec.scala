@@ -145,6 +145,28 @@ class PlanAuditSpec extends SparkSpec {
       s"winnow table must persist and serve both consumers (got $cacheScans cache scans):\n$p")
   }
 
+  test("no declared query leaks a session conf (scoped-conf restore audit)") {
+    // The r5 bench saw an unexplained 9.5x on w5_session_window with no
+    // code change; conf leakage from a query earlier in the alphabetical
+    // sweep was the first suspect class. Every conf-touching path runs
+    // during fn() construction (streaming queries execute eagerly; t()
+    // sets the nanos knob; x11 scopes its CC shuffle partitions), so
+    // constructing each query and diffing spark.conf.getAll catches any
+    // save/restore hole. nanosAsLong is the one allowed one-way set —
+    // documented in t() as deliberate session self-sufficiency.
+    val allowed = Set("spark.sql.legacy.parquet.nanosAsLong")
+    val leaks = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val before = spark.conf.getAll
+      fn(spark, dir)
+      val after = spark.conf.getAll
+      val changed = (before.keySet ++ after.keySet).filterNot(allowed).filter {
+        k => before.get(k) != after.get(k)
+      }
+      changed.map(k => s"$name: $k ${before.get(k)} -> ${after.get(k)}")
+    }
+    assert(leaks.isEmpty, s"session confs leaked by declared queries:\n${leaks.mkString("\n")}")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
