@@ -26,20 +26,33 @@ object ImageCodec {
   System.setProperty("java.awt.headless", "true")
 
   /** Pixels row-major into a w x h 8-bit gray PNG; pixels.length <= w*h,
-    * remainder zero-padded. */
+    * remainder zero-padded.
+    *
+    * Hot path for a 100 TB corpus (one encode per blob): the
+    * TYPE_BYTE_GRAY backing store is a bare byte[] in exactly our
+    * row-major layout, so the raster fills with ONE arraycopy (per-pixel
+    * setSample costs ~10x), and the deflate level is dialed to fastest —
+    * these blobs are synthetic carriers, not archival artifacts, and the
+    * decode side is identical at any level. */
   def encodeGrayPng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length <= w * h,
       s"bad raster: $w x $h for ${pixels.length} bytes")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
-    while (i < pixels.length) {
-      raster.setSample(i % w, i / w, 0, pixels(i) & 0xff)
-      i += 1
-    }
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(pixels, 0, buf, 0, pixels.length)
     val bos = new ByteArrayOutputStream(w * h / 2 + 64)
-    if (!ImageIO.write(img, "png", bos))
-      throw new IllegalStateException("no PNG writer in this JDK")
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    if (param.canWriteCompressed) {
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f) // PNG writer: 1.0 = fastest deflate
+    }
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
 
@@ -49,12 +62,22 @@ object ImageCodec {
     if (img == null) throw new IllegalArgumentException("undecodable image blob")
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Int](w * h)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-      y += 1
+    img.getRaster.getDataBuffer match {
+      // our own PNGs decode straight to TYPE_BYTE_GRAY — bulk-read the
+      // backing array instead of w*h getSample virtual calls
+      case b: java.awt.image.DataBufferByte
+        if img.getType == BufferedImage.TYPE_BYTE_GRAY =>
+        val data = b.getData
+        var i = 0
+        while (i < out.length) { out(i) = data(i) & 0xff; i += 1 }
+      case _ =>
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
     }
     (w, h, out)
   }
