@@ -2766,6 +2766,79 @@ object Queries {
              |FROM a3 JOIN chk USING (cid)
              |GROUP BY a3.cid, chk.cen_chk ORDER BY 1""".stripMargin)),
 
+    // ----- V8: incremental IVF admission — the daily-ingest path for a
+    // vector index (the ANN twin of x10's incremental dedup): the coarse
+    // quantizer trains ONCE on the accumulated corpus (ids % 5 != 0),
+    // then the new batch (ids % 5 == 0) is admitted by nearest-centroid
+    // assignment against the FIXED index — one broadcast of the k×dim
+    // centroid table + a map-side argmin; no retrain, no shuffle of
+    // stored postings, existing assignments untouched. cen_chk pins that
+    // the centroids really are the trained ones (a retrain would move
+    // them, because the new batch would join the mean). Oracle: v6's
+    // SQL k-means replay restricted to the old slice, plus one
+    // assignment pass of the new slice against the trained c2.
+    Q("v8_ivf_admit",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val trained = graft.ann.Ann.kmeans(prepared.filter($"id" % 5 =!= 0), k = 8, iters = 2)
+        val centroids = trained.select($"cid", $"cv").distinct()
+        val admitted = graft.ann.Ann.assign(prepared.filter($"id" % 5 === 0), centroids)
+        val chk = aggregate(
+          zip_with($"cv", sequence(lit(1L), lit(64L)), (c, d) => c * d),
+          lit(0L), (acc, x) => acc + x)
+        admitted.join(centroids, Seq("cid"))
+          .select($"cid".cast("int").as("cid"), $"id", chk.as("chk"))
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n_new"), sum($"id").as("sum_vid"),
+               max($"chk").as("cen_chk"))
+          .orderBy($"cid")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |qo AS (SELECT * FROM q WHERE id % 5 <> 0),
+             |qn AS (SELECT * FROM q WHERE id % 5 = 0),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM qo ORDER BY id LIMIT 8),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |e1 AS (SELECT qo.id, c0.cid,
+             |         sum((qo.qv[d+1]-c0.cv[d+1])*(qo.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM qo CROSS JOIN c0 CROSS JOIN dim GROUP BY qo.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(qo.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN qo USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT qo.id, c1.cid,
+             |         sum((qo.qv[d+1]-c1.cv[d+1])*(qo.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM qo CROSS JOIN c1 CROSS JOIN dim GROUP BY qo.id, c1.cid),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, d,
+             |         CAST(floor(CAST(sum(qo.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a2 JOIN qo USING (id) CROSS JOIN dim GROUP BY a2.cid, d),
+             |c2 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u2 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c1.cid, c1.cv FROM c1 WHERE c1.cid NOT IN (SELECT cid FROM u2)),
+             |e3 AS (SELECT qn.id, c2.cid,
+             |         sum((qn.qv[d+1]-c2.cv[d+1])*(qn.qv[d+1]-c2.cv[d+1])) AS d2
+             |       FROM qn CROSS JOIN c2 CROSS JOIN dim GROUP BY qn.id, c2.cid),
+             |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e3)
+             |       WHERE rn = 1),
+             |chk AS (SELECT cid, CAST(sum(cv[d+1]*(d+1)) AS BIGINT) AS cen_chk
+             |        FROM c2 CROSS JOIN dim GROUP BY cid)
+             |SELECT CAST(a3.cid AS INT) AS cid, count(*) AS n_new,
+             |  CAST(sum(a3.id) AS BIGINT) AS sum_vid, chk.cen_chk
+             |FROM a3 JOIN chk USING (cid)
+             |GROUP BY a3.cid, chk.cen_chk ORDER BY 1""".stripMargin)),
+
     // ----- R9: errors-as-nodata, oracle-gated — the reference turns
     // matching reader exceptions into nodata fills (`nodata_reader.py:
     // 14-64`, defaults `stack.py:48-50`). A reader that throws a
@@ -3280,6 +3353,54 @@ object Queries {
       Some("""WITH s AS (
              |  SELECT doc_id,
              |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
+             |    string_split(text,' ') AS s
+             |  FROM documents),
+             |g AS (SELECT doc_id, is_eval,
+             |        list_distinct(list_transform(range(len(s)-2),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT)) AS gs
+             |      FROM s WHERE len(s) >= 3),
+             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE is_eval),
+             |per AS (
+             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS matched
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE NOT is_eval) tg
+             |  LEFT JOIN eg ON tg.gram = eg.gram
+             |  GROUP BY tg.doc_id)
+             |SELECT matched*20//ng AS bucket, count(*) AS n_docs,
+             |  CAST(sum(matched) AS BIGINT) AS sum_matched,
+             |  CAST(sum(ng) AS BIGINT) AS sum_grams
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // ----- X13: bloom-prefiltered decontamination — same exact
+    // semantics as x6 (different eval slice so both run side by side),
+    // but the eval-gram set folds distributed into Spark's own
+    // runtime-filter bloom sketch (BloomFilterAggregate, ~10 bits/gram)
+    // and train grams probe it inside whole-stage codegen BEFORE the
+    // exact join: only probable hits shuffle. This is the shape for when
+    // eval outgrows a broadcast hash join — the sketch is ~10x smaller
+    // than a hash relation, and at 100 TB the pre-filter drops ~all of
+    // the train-gram join input at the scan. False positives are swept
+    // by the exact join; false negatives cannot happen, so the oracle is
+    // the same exact rollup (and DedupSpec pins decontaminateBloom ==
+    // decontaminate row-for-row).
+    Q("x13_bloom_decon",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 11
+        val scored = graft.dedup.Dedup.decontaminateBloom(
+          docs.filter(!evalSlice), docs.filter(evalSlice),
+          "doc_id", "text", shingleN = 3)
+        scored
+          .select(expr("(matched * 20) div n_grams").as("bucket"),
+                  $"matched", $"n_grams")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"matched").as("sum_matched"),
+               sum($"n_grams").as("sum_grams"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 11 AS is_eval,
              |    string_split(text,' ') AS s
              |  FROM documents),
              |g AS (SELECT doc_id, is_eval,

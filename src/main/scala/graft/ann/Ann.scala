@@ -120,19 +120,10 @@ object Ann {
       .withColumn("cid", row_number().over(cidW) - 1)
       .select(col("cid"), col("qv").as("cv"))
       .localCheckpoint(true) // k×dim rows; truncates the iterative lineage
-    def assign(cs: DataFrame): DataFrame = {
-      val withNc = cs.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
-      val d2 = col("nq") + col("nc") -
-        lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
-      vecs.crossJoin(broadcast(withNc))
-        .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
-        .groupBy(col("id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qv")).as("qv"))
-        .select(col("id"), col("qv"), col("m.cid").as("cid"))
-    }
+    def doAssign(cs: DataFrame): DataFrame = assign(vecs, cs)
     var it = 0
     while (it < iters) {
-      val updates = assign(centroids)
+      val updates = doAssign(centroids)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
              graft.sketch.VectorAgg.vectorSum(col("qv")).as("vs"))
@@ -144,8 +135,33 @@ object Ann {
         .localCheckpoint(true)
       it += 1
     }
-    assign(centroids).join(centroids, Seq("cid"))
+    doAssign(centroids).join(centroids, Seq("cid"))
       .select(col("cid"), col("cv"), col("id"))
+  }
+
+  /** Nearest-centroid assignment — the INDEX ADMISSION primitive: route
+    * vectors (id, qv[, nq]) to a FIXED (cid, cv) centroid table without
+    * touching the training corpus. This is the daily-ingest path for an
+    * IVF index at scale (the ANN twin of `Dedup.admitIncrement`): the
+    * index trains once on the accumulated corpus, each new batch pays
+    * one broadcast of the k×dim table plus a map-side argmin — no
+    * retrain, no shuffle of the stored postings, and assignments of
+    * already-admitted vectors never change. Same deterministic integer
+    * (d2, cid) tiebreak as training. Returns (id, qv, cid). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val vecs =
+      if (vectors.columns.contains("nq")) vectors.select(col("id"), col("qv"), col("nq"))
+      else vectors.select(col("id"), col("qv"),
+        GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
+    val withNc = centroids.select(col("cid"), col("cv"))
+      .withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+    val d2 = col("nq") + col("nc") -
+      lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+    vecs.crossJoin(broadcast(withNc))
+      .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("qv")).as("qv"))
+      .select(col("id"), col("qv"), col("m.cid").as("cid"))
   }
 
   /** IVF kNN with multi-probe: train the coarse quantizer ([[kmeans]]),

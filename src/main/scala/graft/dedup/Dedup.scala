@@ -365,6 +365,46 @@ object Dedup {
         (col("matched").cast("double") / col("n_grams")).as("contamination"))
   }
 
+  /** [[decontaminate]] with a bloom pre-filter — the 100 TB shape for
+    * when the eval-gram set outgrows a cheap broadcast hash join. The
+    * eval grams fold DISTRIBUTED into Spark's own runtime-filter sketch
+    * (`BloomFilterAggregate`, mergeable, map-side combined); only the
+    * KB–MB sketch ever reaches the driver — the size class of a
+    * broadcast dim, ~10 bits per gram vs the 100+ bits/entry of a
+    * broadcast hash relation. Train grams then probe the sketch inside
+    * whole-stage codegen at the scan, and ONLY probable hits enter the
+    * exact verify join; per-doc totals come from a separate map-side
+    * combinable count that never joins. False positives are swept out by
+    * the exact join, false negatives cannot happen — results are
+    * bit-identical to [[decontaminate]] (pinned by DedupSpec).
+    * `fpBits` sizes the sketch (bits per expected eval gram). */
+  def decontaminateBloom(train: DataFrame, evalDf: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, fpBits: Int = 10): DataFrame = {
+    def grams(d: DataFrame) =
+      d.filter(size(split(col(textCol), " ")) >= shingleN)
+        .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("gs"))
+    // three consumers (count, sketch fold, exact verify join) — persist
+    // once like d2/d5's signature tables; ContextCleaner reclaims on GC
+    val evalGrams = grams(evalDf).select(explode(col("gs")).as("g")).distinct()
+      .persist()
+    val est = math.max(evalGrams.count(), 1L) // one small count job
+    val bloom = evalGrams
+      .agg(graft.functions.GraftFunctions.bloom_agg(col("g"), est, est * fpBits))
+      .head.getAs[Array[Byte]](0)
+    val tg = grams(train).select(col("id"), explode(col("gs")).as("g"))
+    val totals = tg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val matched = tg
+      .filter(graft.functions.GraftFunctions.bloom_contains(bloom, col("g")))
+      .join(evalGrams, Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("matched"))
+    totals.join(matched, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("matched"), lit(0L)).as("matched"))
+      .withColumn("contamination",
+        col("matched").cast("double") / col("n_grams"))
+  }
+
   /** Connected components over a dup-pair edge list — the cluster-forming
     * step that turns pairwise near-dup output (d2/d4/d5 pairs) into
     * keep-one groups. Hash-min label propagation with pointer jumping:

@@ -20,6 +20,15 @@ object GraftFunctions {
   /** Sorted distinct 60-bit md5 word-n-gram hashes (shingle set). */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftExpr.ngramHashes(text, n, sortedDistinct = true)
+  /** Mergeable bloom sketch of a BIGINT column (Spark's runtime-filter
+    * aggregate, user-callable). ~10 bits/item ≈ 1% false positives. */
+  def bloom_agg(value: Column, estItems: Long, numBits: Long): Column =
+    GraftExpr.bloomAgg(value, estItems, numBits)
+  /** Membership probe against a collected bloom sketch: false positives
+    * possible, false negatives never — safe as an exactness-preserving
+    * pre-filter in front of an exact join. */
+  def bloom_contains(bloomBytes: Array[Byte], value: Column): Column =
+    GraftExpr.bloomContains(bloomBytes, value)
   /** Register `dot_long`/`sorted_jaccard`/`hamming_dist` for SQL use. */
   def register(spark: SparkSession): Unit = GraftExpr.register(spark)
 }

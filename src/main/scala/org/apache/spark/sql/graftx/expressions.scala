@@ -354,6 +354,27 @@ object GraftExpr {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
   private def col(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Spark's own runtime-filter bloom sketch (`BloomFilterAggregate`,
+    * the mergeable TypedImperativeAggregate behind AQE's injected join
+    * filters) exposed as a user-callable aggregate over 60-bit gram
+    * hashes. `numBits` sizes the sketch: n items at ~10 bits/item gives
+    * ~1% false positives. */
+  def bloomAgg(child: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ex(child), Literal(estItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** `BloomFilterMightContain` over a driver-collected sketch literal —
+    * never-false-negative membership, codegen'd, usable as a scan-level
+    * pre-filter. */
+  def bloomContains(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ex(value)))
+  }
+
   def dotLong(a: Column, b: Column): Column = col(DotLong(ex(a), ex(b)))
   def ngramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
     col(NgramHash(ex(text), n, sortedDistinct))

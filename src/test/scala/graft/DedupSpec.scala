@@ -285,4 +285,47 @@ class DedupSpec extends SparkSpec {
     val out = Ann.lshKnn(prepared, nPlanes = 4, dim = 8, k = 2, col("id") < 5).collect()
     out.foreach(r => assert(r.getDouble(3) <= 1.0 + 1e-9))
   }
+
+  test("decontaminateBloom equals decontaminate row-for-row (exactness despite bloom)") {
+    import spark.implicits._
+    // enough docs that some grams hit and most miss — both the bloom
+    // false-positive sweep (exact join) and the never-false-negative
+    // property must leave results identical to the plain path
+    val corpus = (0 until 60).map { i =>
+      val base = if (i % 7 == 0) "shared secret eval phrase plus unique"
+                 else s"ordinary training text number $i with filler words"
+      (i.toLong, s"$base tail$i continues on and on")
+    }.toDF("doc_id", "text")
+    val evalDf = corpus.filter($"doc_id" % 7 === 0)
+    val train = corpus.filter($"doc_id" % 7 =!= 0)
+    val exact = Dedup.decontaminate(train, evalDf, "doc_id", "text", 3)
+      .orderBy($"id").collect().toSeq
+    val bloom = Dedup.decontaminateBloom(train, evalDf, "doc_id", "text", 3)
+      .orderBy($"id").collect().toSeq
+    assert(bloom == exact)
+    assert(exact.exists(_.getAs[Long]("matched") > 0)) // fixture really contaminates
+  }
+
+  test("assign routes new vectors to fixed centroids without moving them") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 5 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val prepared = Ann.prepare(vecs, "vec_id", "embedding")
+    val old = prepared.filter(col("id") % 4 =!= 0)
+    val trained = Ann.kmeans(old, k = 4, iters = 2)
+    val centroids = trained.select(col("cid"), col("cv")).distinct()
+    // admission of the TRAINING vectors reproduces kmeans's own final
+    // assignment (same argmin, same tiebreak) — the index is consistent
+    val re = Ann.assign(old, centroids).select("id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = trained.select("id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == orig)
+    // new batch: every vector lands in exactly one existing cell
+    val admitted = Ann.assign(prepared.filter(col("id") % 4 === 0), centroids)
+    val cells = centroids.select("cid").collect().map(_.getInt(0)).toSet
+    val got = admitted.select("id", "cid").collect()
+    assert(got.length == 10 && got.forall(r => cells.contains(r.getInt(1))))
+  }
 }

@@ -145,6 +145,22 @@ class PlanAuditSpec extends SparkSpec {
       s"winnow table must persist and serve both consumers (got $cacheScans cache scans):\n$p")
   }
 
+  test("x13 bloom decon: codegen might_contain pre-filter guards the exact join") {
+    val p = plan("x13_bloom_decon")
+    assert(p.contains("might_contain"),
+      s"train grams must probe the bloom sketch before the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v8 admission: one broadcast of the centroid table, no cartesian on vectors") {
+    val df = Queries.all("v8_ivf_admit")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the deliberate k-row broadcast shows as BroadcastNestedLoopJoin;
+    // the data-sized admitted/centroid join must be a hash equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no declared query leaks a session conf (scoped-conf restore audit)") {
     // The r5 bench saw an unexplained 9.5x on w5_session_window with no
     // code change; conf leakage from a query earlier in the alphabetical
