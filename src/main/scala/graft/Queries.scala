@@ -3869,7 +3869,45 @@ object Queries {
              |SELECT (n_shared*10)//n_fp AS bucket, count(*) AS n_docs,
              |  CAST(sum(n_shared) AS BIGINT) AS sum_shared,
              |  CAST(sum(n_fp) AS BIGINT) AS sum_fp
-             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- D8: exact duplicated-SPAN removal (Lee et al. ExactSubstr as a
+    // distributed n-gram coverage problem — design in
+    // Dedup.removeDuplicatedSpans). n=8: an 8-token run shared by chance
+    // is vanishingly unlikely in this vocabulary, so what gets cut is the
+    // seeded boilerplate (47 docs, ~2.4k tokens at sf0.01). The output IS
+    // the rewritten corpus plus the removal census, compared STRING-FOR-
+    // STRING against a full DuckDB replay — the strongest oracle shape:
+    // not a rollup of the rewrite, the rewrite itself.
+    Q("d8_dup_spans",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.Dedup.removeDuplicatedSpans(
+            t(s, dir, "documents"), "doc_id", "text", n = 8)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_removed", $"kept_text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(len(tk)-7),
+             |        i -> {'p': i, 'h': ('0x'||substr(md5(array_to_string(tk[i+1:i+8],' ')),1,15))::BIGINT})) AS u
+             |      FROM s WHERE len(tk) >= 8),
+             |gg AS (SELECT doc_id, u.p AS p, u.h AS h FROM g),
+             |dup AS (SELECT h FROM gg GROUP BY h HAVING count(*) > 1),
+             |st AS (SELECT doc_id, p FROM gg JOIN dup USING (h)),
+             |rm AS (SELECT DISTINCT st.doc_id, st.p + k AS p
+             |       FROM st CROSS JOIN (SELECT unnest(range(8)) AS k)),
+             |tok AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+             |          i -> {'p': i, 'tok': tk[i+1]})) AS u FROM s),
+             |tt AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tok),
+             |kept AS (SELECT tt.doc_id, tt.p, tt.tok FROM tt
+             |         LEFT JOIN rm ON tt.doc_id = rm.doc_id AND tt.p = rm.p
+             |         WHERE rm.p IS NULL)
+             |SELECT s.doc_id, len(s.tk)::BIGINT AS n_tokens,
+             |  (len(s.tk) - count(kept.p))::BIGINT AS n_removed,
+             |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS kept_text
+             |FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id
+             |GROUP BY s.doc_id, len(s.tk)
+             |ORDER BY s.doc_id""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -206,6 +206,54 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
   }
 
+  /** Exact duplicated-SPAN removal — the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (suffix-array ExactSubstr), re-expressed as a distributed
+    * n-gram coverage problem: any token run of length >= n that occurs
+    * more than once in the corpus is covered by at least one duplicated
+    * n-gram, and conversely every duplicated n-gram IS a repeated
+    * n-token run — so deleting exactly the tokens covered by duplicated
+    * n-grams deletes exactly the >= n-token repeated substrings, without
+    * any global suffix array. Within-doc repeats count (a doc repeating
+    * its own boilerplate twice has both copies removed, same as
+    * ExactSubstr).
+    *
+    * Scale shape: positional gram hashes are a single codegen pass per
+    * doc ([[org.apache.spark.sql.graftx.NgramHash]] — no per-gram string
+    * churn); the duplicate census is ONE groupBy on the 60-bit gram hash
+    * (map-side combined, uniformly distributed keys — no skew by
+    * construction); duplicated starts come back by equi-join on that
+    * same hash (AQE reuses the census exchange). Coverage is then
+    * per-doc LOCAL math: starts collect to a per-doc array (size = that
+    * doc's duplicated-gram count, not corpus-sized) and a codegen HOF
+    * marks covered positions — O(len · |starts|) per doc, no further
+    * shuffle. Returns one row per input doc:
+    * (id, n_tokens, n_removed, kept_text) where kept_text is the doc
+    * with covered tokens deleted (empty string if everything was).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("tk"),
+      org.apache.spark.sql.graftx.GraftExpr
+        .ngramHashes(col(textCol), n, sortedDistinct = false).as("gh"))
+    val grams = toks.select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g"))
+    val starts = grams.join(dup, Seq("g"))
+      .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
+    toks.join(starts, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        coalesce(col("starts"), array().cast("array<int>")).as("ss"))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr(s"size(tk) - size(filter(sequence(0, size(tk) - 1), " +
+          s"t -> NOT exists(ss, s -> s <= t AND t < s + $n)))")
+          .cast("long").as("n_removed"),
+        expr(s"concat_ws(' ', transform(filter(sequence(0, size(tk) - 1), " +
+          s"t -> NOT exists(ss, s -> s <= t AND t < s + $n)), " +
+          s"t -> element_at(tk, t + 1)))").as("kept_text"))
+  }
+
   /** Verified STAR edges from MinHash-LSH banding: each hot-bucket member
     * is joined to its bucket's min-id root (never to every other member),
     * and the (root, member) edge survives iff exact jaccard >= threshold.
