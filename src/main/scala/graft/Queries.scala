@@ -3907,7 +3907,129 @@ object Queries {
              |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS kept_text
              |FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id
              |GROUP BY s.doc_id, len(s.tk)
-             |ORDER BY s.doc_id""".stripMargin))
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // ----- T10: Gopher-style HARD rule filter (Rae et al. 2021 §A1.1, the
+    // rule set Dolma/FineWeb descend from) — complements t3's soft
+    // composite score: each rule is a named pass/fail gate and the output
+    // is the per-language census of which gates fire. All arithmetic is
+    // integer-exact (×100 fixed-point for the ratios, `div` both sides) so
+    // the oracle hash is immune to float drift. One narrow projection +
+    // one 5-key groupBy: a single map-side-combined pass at any scale.
+    // Rules (bounds tuned to this corpus's word-length regime): word count
+    // in [20,90]; mean word length in [3.00,10.00]; distinct-token ratio
+    // >= 40%; >= 2 stopword occurrences.
+    Q("t10_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val tk = split($"text", " ")
+        val nw = size(tk).cast("long")
+        val docs = t(s, dir, "documents").select($"lang",
+          nw.as("nw"),
+          // total token chars: single-space separated, so n_chars = sum + (nw-1)
+          ($"n_chars" - nw + 1).as("sc"),
+          size(array_distinct(tk)).cast("long").as("nd"),
+          size(filter(tk, t => t.isin("the", "a", "of", "to", "and")))
+            .cast("long").as("nstop"))
+        val fWc = $"nw" < 20 || $"nw" > 90
+        val fMwl = expr("(sc * 100) div nw") < 300 || expr("(sc * 100) div nw") > 1000
+        val fUniq = expr("(nd * 100) div nw") < 40
+        val fStop = $"nstop" < 2
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        docs.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               cnt(!fWc && !fMwl && !fUniq && !fStop).as("n_pass"),
+               cnt(fWc).as("f_wc"), cnt(fMwl).as("f_mwl"),
+               cnt(fUniq).as("f_uniq"), cnt(fStop).as("f_stop"))
+          .orderBy($"lang")
+      },
+      Some("""WITH s AS (SELECT lang, len(string_split(text,' ')) AS nw,
+             |    n_chars - len(string_split(text,' ')) + 1 AS sc,
+             |    len(list_distinct(string_split(text,' '))) AS nd,
+             |    len(list_filter(string_split(text,' '),
+             |        t -> t IN ('the','a','of','to','and'))) AS nstop
+             |  FROM documents),
+             |r AS (SELECT lang,
+             |    (nw < 20 OR nw > 90) AS f_wc,
+             |    ((sc*100)//nw < 300 OR (sc*100)//nw > 1000) AS f_mwl,
+             |    ((nd*100)//nw < 40) AS f_uniq,
+             |    (nstop < 2) AS f_stop
+             |  FROM s)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_uniq AND NOT f_stop
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wc,
+             |  CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_mwl,
+             |  CAST(sum(CASE WHEN f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS f_uniq,
+             |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ----- D9: SemDeDup — semantic dedup over embedding clusters (design
+    // in Ann.semDedup). Same k=8/iters=2 trained quantizer as v6, so the
+    // oracle reuses v6's full SQL k-means replay verbatim and adds the
+    // within-cluster pairwise stage on top: cluster assignment AND the
+    // drop sweep are both recomputed independently end-to-end. tau=0.40
+    // sits 1.1e-4 clear of the nearest data cosine (both engines compute
+    // the identical integer dot / integer norm expression, d5 precedent).
+    Q("d9_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        graft.ann.Ann.semDedup(prepared, k = 8, iters = 2, tau = 0.40)
+          .groupBy($"cid".cast("int").as("cid"))
+          .agg(count(lit(1)).as("n"),
+               sum(when($"drop", 1L).otherwise(0L)).as("n_drop"),
+               sum(when(!$"drop", $"id").otherwise(0L)).as("sum_kept"))
+          .orderBy($"cid")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM q ORDER BY id LIMIT 8),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |e1 AS (SELECT q.id, c0.cid,
+             |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT q.id, c1.cid,
+             |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a2 JOIN q USING (id) CROSS JOIN dim GROUP BY a2.cid, d),
+             |c2 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u2 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c1.cid, c1.cv FROM c1 WHERE c1.cid NOT IN (SELECT cid FROM u2)),
+             |e3 AS (SELECT q.id, c2.cid,
+             |         sum((q.qv[d+1]-c2.cv[d+1])*(q.qv[d+1]-c2.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c2 CROSS JOIN dim GROUP BY q.id, c2.cid),
+             |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e3)
+             |       WHERE rn = 1),
+             |n AS (SELECT id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |p AS (SELECT x.cid, x.id AS id_a, y.id AS id_b,
+             |        round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |              / (sqrt(a.nq::DOUBLE)*sqrt(b.nq::DOUBLE)), 6) AS cos
+             |      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.id < y.id
+             |      JOIN n a ON x.id = a.id JOIN n b ON y.id = b.id),
+             |drp AS (SELECT DISTINCT id_b AS id FROM p WHERE cos >= 0.40)
+             |SELECT CAST(a3.cid AS INT) AS cid, count(*) AS n,
+             |  CAST(count(drp.id) AS BIGINT) AS n_drop,
+             |  CAST(sum(CASE WHEN drp.id IS NULL THEN a3.id ELSE 0 END) AS BIGINT) AS sum_kept
+             |FROM a3 LEFT JOIN drp ON a3.id = drp.id
+             |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -139,6 +139,38 @@ object Ann {
       .select(col("cid"), col("cv"), col("id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication: k-means-cluster the embedding space, then within each
+    * cluster drop every point that is >= `tau` cosine-similar to another
+    * member with a SMALLER id (the deterministic, order-free instance of
+    * the paper's keep-one-per-epsilon-group rule). Clustering is what
+    * makes the pairwise stage tractable — the paper's exact rationale:
+    * pairs form per cluster (m ~ n/k members each), never across the
+    * corpus, so the candidate volume is Σ m², not n². The within-cluster
+    * pair join is a plain shuffle equi-join on cid that a 1000-executor
+    * run spreads by cluster; at 100 TB, k grows with n to cap m, and a
+    * skewed mega-cluster gets size-capped or salted upstream (same
+    * discipline as the LSH hot-bucket star in `Dedup.minhashStarEdges`).
+    * Scores are exact integer dot products (engine-portable, see
+    * [[cosine]]). Input: [[prepare]]d vectors. Returns per point:
+    * (id, cid, drop). */
+  def semDedup(prepared: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val assigned = kmeans(prepared, k, iters).select(col("cid"), col("id"))
+    // both sides of the pair join + the final left join consume this —
+    // persist once (no CSE across branches; the d2/d5 discipline)
+    val v = prepared.select(col("id"), col("qv"), col("nq"))
+      .join(assigned, Seq("id"))
+      .persist()
+    val dropped = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("dropFlag", lit(true))
+    v.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("dropFlag"), lit(false)).as("drop"))
+  }
+
   /** Nearest-centroid assignment — the INDEX ADMISSION primitive: route
     * vectors (id, qv[, nq]) to a FIXED (cid, cv) centroid table without
     * touching the training corpus. This is the daily-ingest path for an

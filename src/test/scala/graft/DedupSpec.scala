@@ -328,4 +328,42 @@ class DedupSpec extends SparkSpec {
     val got = admitted.select("id", "cid").collect()
     assert(got.length == 10 && got.forall(r => cells.contains(r.getInt(1))))
   }
+
+  test("removeDuplicatedSpans deletes exactly the shared >=n-token runs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a1 a2 c1 c2 c3 c4 c5 c6 c7 c8 z1 z2"), // shared 8-run c1..c8
+      (1L, "b1 c1 c2 c3 c4 c5 c6 c7 c8 b2 b3"),    // same run, different context
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),      // unique doc, untouched
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8") // WITHIN-doc repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((12L, 8L, "a1 a2 z1 z2")))
+    assert(out(1L) == ((11L, 8L, "b1 b2 b3")))
+    assert(out(2L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    // self-repeat: the start-0 gram recurs at start 8, covering all 16
+    // tokens (grams 1..7 span the seam and occur once — irrelevant)
+    assert(out(3L) == ((16L, 16L, "")))
+  }
+
+  test("semDedup drops within-cluster near-identicals, keeps the min id") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)), (1L, Array.fill(4)(1.0f)), (5L, Array.fill(4)(1.0f)),
+      (2L, Array(-1.0f, 1.0f, -1.0f, 1.0f)), (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (4L, Array(1.0f, -1.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semDedup(Ann.prepare(vecs, "vec_id", "embedding"),
+        k = 2, iters = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // identical triple {0,1,5}: min id 0 survives; identical pair {2,3}:
+    // 2 survives; 4 is orthogonal/antipodal to everything — survives.
+    // This holds under ANY cluster split (identical vectors always land
+    // in the same cluster: same argmin, same tiebreak).
+    assert(out == Map(0L -> false, 1L -> true, 5L -> true,
+                      2L -> false, 3L -> true, 4L -> false))
+  }
 }
