@@ -4029,7 +4029,102 @@ object Queries {
              |  CAST(count(drp.id) AS BIGINT) AS n_drop,
              |  CAST(sum(CASE WHEN drp.id IS NULL THEN a3.id ELSE 0 END) AS BIGINT) AS sum_kept
              |FROM a3 LEFT JOIN drp ON a3.id = drp.id
-             |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin))
+             |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin)),
+
+    // ----- X14: the corpus-REWRITE pipeline — the round-6 capstone
+    // composing the new operators in the order a production pipeline runs
+    // them: (1) Gopher hard rules (t10's gates) drop junk docs FIRST, so
+    // (2) duplicated-span removal (d8, n=8) computes its gram census over
+    // the SURVIVORS only — cheaper and semantically right: boilerplate in
+    // dropped junk must not trigger span deletion in kept docs — then
+    // (3) exact dedup of the REWRITTEN text (span removal can make
+    // formerly-distinct docs identical; md5 groupBy, keep min id) and
+    // empty rewrites are dropped. ONE lazy plan end to end. The oracle
+    // replays the entire chain in SQL, census-checked per language with a
+    // corpus checksum over the final rewritten texts.
+    Q("x14_rewrite_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val tk = split($"text", " ")
+        val stats = docs.select($"doc_id", $"lang", $"text",
+          size(tk).cast("long").as("nw"),
+          ($"n_chars" - size(tk).cast("long") + 1).as("sc"),
+          size(array_distinct(tk)).cast("long").as("nd"),
+          size(filter(tk, t => t.isin("the", "a", "of", "to", "and")))
+            .cast("long").as("nstop"))
+        val pass = !($"nw" < 20 || $"nw" > 90) &&
+          !(expr("(sc*100) div nw") < 300 || expr("(sc*100) div nw") > 1000) &&
+          !(expr("(nd*100) div nw") < 40) && !($"nstop" < 2)
+        val passing = stats.filter(pass).select($"doc_id", $"lang", $"text")
+        val rewritten = graft.dedup.Dedup
+          .removeDuplicatedSpans(passing, "doc_id", "text", n = 8)
+          .filter($"kept_text" =!= "")
+          .join(passing.select($"doc_id".as("id"), $"lang"), Seq("id"))
+        val keeper = rewritten.groupBy(md5($"kept_text").as("h"))
+          .agg(min($"id").as("id"))
+        val fin = rewritten.join(keeper.select($"id"), Seq("id"), "left_semi")
+        val base = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+        val pcount = passing.groupBy($"lang").agg(count(lit(1)).as("n_pass"))
+        val census = fin.groupBy($"lang").agg(
+          count(lit(1)).as("n_final"),
+          sum($"n_tokens" - $"n_removed").as("sum_kept_tokens"),
+          sum(conv(substring(md5($"kept_text"), 1, 15), 16, 10).cast("long")
+            % 1000000000L).as("chk"))
+        base.join(pcount, Seq("lang"), "left").join(census, Seq("lang"), "left")
+          .select($"lang", $"n_in",
+            coalesce($"n_pass", lit(0L)).as("n_pass"),
+            coalesce($"n_final", lit(0L)).as("n_final"),
+            coalesce($"sum_kept_tokens", lit(0L)).as("sum_kept_tokens"),
+            coalesce($"chk", lit(0L)).as("chk"))
+          .orderBy($"lang")
+      },
+      Some("""WITH s0 AS (SELECT doc_id, lang, string_split(text,' ') AS tk, n_chars FROM documents),
+             |st0 AS (SELECT doc_id, lang, tk, len(tk) AS nw,
+             |         n_chars - len(tk) + 1 AS sc,
+             |         len(list_distinct(tk)) AS nd,
+             |         len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) AS nstop
+             |       FROM s0),
+             |r AS (SELECT doc_id, lang, tk FROM st0
+             |      WHERE NOT (nw < 20 OR nw > 90)
+             |        AND NOT ((sc*100)//nw < 300 OR (sc*100)//nw > 1000)
+             |        AND NOT ((nd*100)//nw < 40)
+             |        AND NOT (nstop < 2)),
+             |g AS (SELECT doc_id, unnest(list_transform(range(len(tk)-7),
+             |        i -> {'p': i, 'h': ('0x'||substr(md5(array_to_string(tk[i+1:i+8],' ')),1,15))::BIGINT})) AS u
+             |      FROM r WHERE len(tk) >= 8),
+             |gg AS (SELECT doc_id, u.p AS p, u.h AS h FROM g),
+             |dup AS (SELECT h FROM gg GROUP BY h HAVING count(*) > 1),
+             |stt AS (SELECT doc_id, p FROM gg JOIN dup USING (h)),
+             |rm AS (SELECT DISTINCT stt.doc_id, stt.p + k AS p
+             |       FROM stt CROSS JOIN (SELECT unnest(range(8)) AS k)),
+             |tok AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+             |          i -> {'p': i, 'tok': tk[i+1]})) AS u FROM r),
+             |tt AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tok),
+             |kept AS (SELECT tt.doc_id, tt.p, tt.tok FROM tt
+             |         LEFT JOIN rm ON tt.doc_id = rm.doc_id AND tt.p = rm.p
+             |         WHERE rm.p IS NULL),
+             |rw AS (SELECT r.doc_id, r.lang,
+             |         count(kept.p) AS n_kept,
+             |         coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS kept_text
+             |       FROM r LEFT JOIN kept ON r.doc_id = kept.doc_id
+             |       GROUP BY r.doc_id, r.lang),
+             |ne AS (SELECT * FROM rw WHERE kept_text <> ''),
+             |keeper AS (SELECT min(doc_id) AS doc_id FROM ne GROUP BY md5(kept_text)),
+             |fin AS (SELECT ne.* FROM ne JOIN keeper USING (doc_id)),
+             |base AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY lang),
+             |pss AS (SELECT lang, count(*) AS n_pass FROM r GROUP BY lang),
+             |cen AS (SELECT lang, count(*) AS n_final,
+             |          CAST(sum(n_kept) AS BIGINT) AS sum_kept_tokens,
+             |          CAST(sum(('0x'||substr(md5(kept_text),1,15))::BIGINT % 1000000000) AS BIGINT) AS chk
+             |        FROM fin GROUP BY lang)
+             |SELECT base.lang, base.n_in,
+             |  coalesce(pss.n_pass, 0) AS n_pass,
+             |  coalesce(cen.n_final, 0) AS n_final,
+             |  coalesce(cen.sum_kept_tokens, 0) AS sum_kept_tokens,
+             |  coalesce(cen.chk, 0) AS chk
+             |FROM base LEFT JOIN pss USING (lang) LEFT JOIN cen USING (lang)
+             |ORDER BY lang""".stripMargin))
   )
 
   private val qs: Seq[Q] =

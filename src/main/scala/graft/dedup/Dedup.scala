@@ -233,9 +233,14 @@ object Dedup {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame = {
+    // three consumers (gram census, duplicated-starts join, final rewrite
+    // join) — persist once so the upstream (possibly a whole filter
+    // pipeline, see x14) isn't re-scanned per branch; ContextCleaner
+    // reclaims the blocks when the plan is GC'd (the d2/d5 discipline)
     val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("tk"),
       org.apache.spark.sql.graftx.GraftExpr
         .ngramHashes(col(textCol), n, sortedDistinct = false).as("gh"))
+      .persist()
     val grams = toks.select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g"))
