@@ -161,6 +161,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d8 span removal: uniform-key gram census aggregates map-side, joins stay equi") {
+    val p = plan("d8_dup_spans")
+    // duplicate census must partial-aggregate before its shuffle — at
+    // 100 TB the gram stream is the corpus token count, and the map-side
+    // combine is what keeps the exchange at distinct-gram volume
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"gram census must map-side combine:\n$p")
+    // starts come back by hash equi-join on the gram hash; per-doc
+    // coverage is local HOF math — nothing here may plan a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no declared query leaks a session conf (scoped-conf restore audit)") {
     // The r5 bench saw an unexplained 9.5x on w5_session_window with no
     // code change; conf leakage from a query earlier in the alphabetical
