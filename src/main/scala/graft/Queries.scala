@@ -4124,7 +4124,47 @@ object Queries {
              |  coalesce(cen.sum_kept_tokens, 0) AS sum_kept_tokens,
              |  coalesce(cen.chk, 0) AS chk
              |FROM base LEFT JOIN pss USING (lang) LEFT JOIN cen USING (lang)
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- T11: BPE tokenizer TRAINING (design in text.Bpe) — the merge
+    // table is the artifact a tokenizer ships, and the oracle replays all
+    // 8 merge rounds unrolled in SQL (the v6 k-means pattern): pair
+    // census over the word-frequency table, deterministic (count desc,
+    // left, right) argmax, greedy non-overlapping list_reduce merge —
+    // both the LEARNED PAIRS and their weighted counts must match.
+    Q("t11_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Bpe.train(t(s, dir, "documents"), "text", numMerges = 8)
+          .orderBy($"rank")
+      },
+      Some {
+        val rounds = (1 to 8).flatMap { r =>
+          val prev = s"w${r - 1}"
+          val census =
+            s"""p$r AS (SELECT u.a AS a, u.b AS b, sum(cnt) AS c
+               |  FROM (SELECT cnt, unnest(list_transform(range(len(s)-1),
+               |          i -> {'a': s[i+1], 'b': s[i+2]})) AS u
+               |        FROM $prev WHERE len(s) >= 2) GROUP BY 1, 2),
+               |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+          val merge =
+            s"""w$r AS (SELECT w, cnt, CASE WHEN len(s) < 2 THEN s ELSE
+               |    list_reduce(list_transform(s, x -> [x]),
+               |      (acc, x) -> CASE WHEN acc[-1] = m.ma AND x[1] = m.mb
+               |                  THEN acc[1:len(acc)-1] || [m.ma || m.mb]
+               |                  ELSE acc || x END) END AS s
+               |  FROM $prev CROSS JOIN (SELECT a AS ma, b AS mb FROM b$r) m)""".stripMargin
+          if (r < 8) Seq(census, merge) else Seq(census)
+        }.mkString(",\n")
+        val finals = (1 to 8).map(r =>
+          s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS c FROM b$r""")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
+           |  FROM (SELECT w, count(*) AS cnt
+           |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
+           |$rounds
+           |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+      })
   )
 
   private val qs: Seq[Q] =
