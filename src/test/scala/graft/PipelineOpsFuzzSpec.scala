@@ -65,4 +65,50 @@ class PipelineOpsFuzzSpec extends SparkSpec with GenChecks {
       }
     }
   }
+
+  test("removeDuplicatedSpans == brute-force string replay on random corpora") {
+    import spark.implicits._
+    val n = 4
+    // small vocab + seeded boilerplate runs force heavy gram collisions:
+    // cross-doc dups, within-doc repeats, full-doc wipes, and docs
+    // shorter than n all occur across the rounds
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val gen = for {
+      nDocs <- Gen.choose(4, 18)
+      boiler <- Gen.listOfN(10, Gen.choose(0, vocab.size - 1))
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 22)
+        toks <- Gen.listOfN(len, Gen.choose(0, vocab.size - 1))
+        insertBoiler <- Gen.choose(0, 2) // 2-in-3 docs carry the boilerplate
+        at <- Gen.choose(0, len)
+      } yield {
+        val base = toks.map(vocab)
+        if (insertBoiler > 0) base.take(at) ++ boiler.map(vocab) ++ base.drop(at)
+        else base
+      })
+    } yield docs.map(_.mkString(" "))
+
+    forAllN(gen, n = 15) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.removeDuplicatedSpans(df, "doc_id", "text", n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // independent replay on gram STRINGS (no hashes): corpus-wide
+      // occurrence census, covered = any duplicated n-gram's span
+      val tokss = texts.map(_.split(" ").toVector)
+      val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      for (tk <- tokss; i <- 0 to tk.length - n)
+        counts.updateWith(tk.slice(i, i + n))(c => Some(c.getOrElse(0) + 1))
+      tokss.zipWithIndex.foreach { case (tk, id) =>
+        val covered = Array.fill(tk.length)(false)
+        for (i <- 0 to tk.length - n; if counts(tk.slice(i, i + n)) > 1;
+             j <- i until i + n) covered(j) = true
+        val kept = tk.indices.filterNot(covered).map(tk)
+        val want = (tk.length.toLong, covered.count(identity).toLong, kept.mkString(" "))
+        assert(got(id.toLong) == want, s"doc $id: got ${got(id.toLong)}, want $want")
+      }
+    }
+  }
 }
