@@ -4164,7 +4164,53 @@ object Queries {
            |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
            |$rounds
            |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
-      })
+      }),
+
+    // ----- X15: INCREMENTAL span dedup — the daily-ingest form of d8
+    // (design in Dedup.admitSpans): the old corpus (doc_id % 4 != 0)
+    // contributes only its STORED gram census; the new batch is rewritten
+    // against that index plus its own within-batch repeats, and history
+    // is never re-scanned. Completes the incremental family: x10 (LSH
+    // dedup), v8 (ANN admission), x15 (span dedup). Oracle replays the
+    // index build AND the admission in SQL; output is the new batch's
+    // rewrite, string-for-string.
+    Q("x15_incremental_spans",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val index = graft.dedup.Dedup.spanIndex(
+          docs.filter($"doc_id" % 4 =!= 0), "doc_id", "text", n = 8)
+        graft.dedup.Dedup.admitSpans(
+            docs.filter($"doc_id" % 4 === 0), index, "doc_id", "text", n = 8)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_removed", $"kept_text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS tk,
+             |            doc_id % 4 = 0 AS is_new FROM documents),
+             |g AS (SELECT doc_id, is_new, unnest(list_transform(range(len(tk)-7),
+             |        i -> {'p': i, 'h': ('0x'||substr(md5(array_to_string(tk[i+1:i+8],' ')),1,15))::BIGINT})) AS u
+             |      FROM s WHERE len(tk) >= 8),
+             |gg AS (SELECT doc_id, is_new, u.p AS p, u.h AS h FROM g),
+             |idx AS (SELECT h, count(*) AS c FROM gg WHERE NOT is_new GROUP BY h),
+             |wn AS (SELECT h, count(*) AS cn FROM gg WHERE is_new GROUP BY h),
+             |dup AS (SELECT wn.h FROM wn LEFT JOIN idx USING (h)
+             |        WHERE cn + coalesce(c, 0) > 1),
+             |stt AS (SELECT doc_id, p FROM gg JOIN dup USING (h) WHERE is_new),
+             |rm AS (SELECT DISTINCT stt.doc_id, stt.p + k AS p
+             |       FROM stt CROSS JOIN (SELECT unnest(range(8)) AS k)),
+             |tok AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+             |          i -> {'p': i, 'tok': tk[i+1]})) AS u FROM s WHERE is_new),
+             |tt AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tok),
+             |kept AS (SELECT tt.doc_id, tt.p, tt.tok FROM tt
+             |         LEFT JOIN rm ON tt.doc_id = rm.doc_id AND tt.p = rm.p
+             |         WHERE rm.p IS NULL)
+             |SELECT s.doc_id, len(s.tk)::BIGINT AS n_tokens,
+             |  (len(s.tk) - count(kept.p))::BIGINT AS n_removed,
+             |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS kept_text
+             |FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id
+             |WHERE s.is_new
+             |GROUP BY s.doc_id, len(s.tk)
+             |ORDER BY s.doc_id""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -233,17 +233,30 @@ object Dedup {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame = {
-    // three consumers (gram census, duplicated-starts join, final rewrite
-    // join) — persist once so the upstream (possibly a whole filter
-    // pipeline, see x14) isn't re-scanned per branch; ContextCleaner
-    // reclaims the blocks when the plan is GC'd (the d2/d5 discipline)
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("tk"),
-      org.apache.spark.sql.graftx.GraftExpr
-        .ngramHashes(col(textCol), n, sortedDistinct = false).as("gh"))
-      .persist()
+    val toks = spanToks(df, idCol, textCol, n)
     val grams = toks.select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g"))
+    rewriteCovered(toks, grams, dup, n)
+  }
+
+  /** (id, tk, gh) token/positional-gram-hash frame — persisted: three
+    * consumers (gram census, duplicated-starts join, final rewrite join),
+    * and the upstream may be a whole filter pipeline (see x14) that must
+    * not be re-scanned per branch; ContextCleaner reclaims the blocks
+    * when the plan is GC'd (the d2/d5 discipline). */
+  private def spanToks(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("tk"),
+      org.apache.spark.sql.graftx.GraftExpr
+        .ngramHashes(col(textCol), n, sortedDistinct = false).as("gh"))
+      .persist()
+
+  /** Shared rewrite stage: join the duplicated gram set back to start
+    * positions, then per-doc-local HOF coverage math — no further
+    * shuffle. Returns (id, n_tokens, n_removed, kept_text). */
+  private def rewriteCovered(toks: DataFrame, grams: DataFrame,
+                             dup: DataFrame, n: Int): DataFrame = {
     val starts = grams.join(dup, Seq("g"))
       .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
     toks.join(starts, Seq("id"), "left")
@@ -257,6 +270,40 @@ object Dedup {
         expr(s"concat_ws(' ', transform(filter(sequence(0, size(tk) - 1), " +
           s"t -> NOT exists(ss, s -> s <= t AND t < s + $n)), " +
           s"t -> element_at(tk, t + 1)))").as("kept_text"))
+  }
+
+  /** The STORED gram index for incremental span dedup: the (g, c)
+    * occurrence census of the accumulated corpus. Build once at ingest,
+    * write to a bucketed/partitioned table, and feed [[admitSpans]] each
+    * day — the span-dedup twin of [[buildIndex]]/`Ann.assign`. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame =
+    spanToks(df, idCol, textCol, n)
+      .select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+
+  /** Incremental duplicated-span removal — the daily-ingest path: rewrite
+    * a NEW batch against the accumulated corpus WITHOUT re-scanning it.
+    * A new-batch gram is duplicated iff it already occurs in the stored
+    * index (any new occurrence of existing text is a repeat — the old
+    * corpus is immutable and stays as ingested) OR it occurs more than
+    * once within the batch itself. Cost at 100 TB: the old corpus
+    * contributes only its gram census (built once by [[spanIndex]],
+    * merged additively batch over batch); each day pays one batch-sized
+    * gram pass plus an equi-join against the index — never a second scan
+    * of history. Exactly [[removeDuplicatedSpans]]' rewrite semantics on
+    * the batch side, so `spanIndex(old) + admitSpans(new)` equals the
+    * full-corpus rerun restricted to the new docs (pinned by DedupSpec).
+    */
+  def admitSpans(newDf: DataFrame, index: DataFrame,
+                 idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = spanToks(newDf, idCol, textCol, n)
+    val grams = toks.select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cn"))
+      .join(index.select(col("g"), col("c")), Seq("g"), "left")
+      .filter(col("cn") + coalesce(col("c"), lit(0L)) > 1)
+      .select(col("g"))
+    rewriteCovered(toks, grams, dup, n)
   }
 
   /** Verified STAR edges from MinHash-LSH banding: each hot-bucket member

@@ -349,6 +349,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((16L, 16L, "")))
   }
 
+  test("spanIndex + admitSpans == full-corpus span rerun on the new slice") {
+    import spark.implicits._
+    // old corpus carries boilerplate; new batch repeats it, repeats
+    // itself, and brings genuinely fresh text
+    val boiler = (1 to 9).map(i => s"c$i").mkString(" ")
+    val old = Seq((0L, s"o1 o2 $boiler o3"), (1L, "p1 p2 p3 p4 p5 p6 p7 p8 p9"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, s"n1 $boiler n2"),                       // dup vs OLD index only
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),      // within-batch dup vs 12
+      (12L, "z0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+      (13L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")           // fresh: untouched
+    ).toDF("doc_id", "text")
+    val idx = Dedup.spanIndex(old, "doc_id", "text", n = 8)
+    val inc = Dedup.admitSpans(fresh, idx, "doc_id", "text", n = 8)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val full = Dedup.removeDuplicatedSpans(old.union(fresh), "doc_id", "text", n = 8)
+      .filter($"id" >= 10L).orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(inc == full)
+    val byId = inc.map(r => r.head -> r).toMap
+    assert(byId(10L)(2) == 9L)  // the 9-token boilerplate run removed
+    assert(byId(13L)(2) == 0L)  // fresh doc untouched
+  }
+
   test("semDedup drops within-cluster near-identicals, keeps the min id") {
     import spark.implicits._
     val vecs = Seq(
