@@ -390,4 +390,62 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(0L -> false, 1L -> true, 5L -> true,
                       2L -> false, 3L -> true, 4L -> false))
   }
+
+  test("semDedup matches an independent driver-side replay on random vectors") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val dim = 6; val k = 3; val iters = 2; val tau = 0.95
+    def q(v: Float): Long = // Spark round(double) = BigDecimal HALF_UP
+      java.math.BigDecimal.valueOf(v.toDouble * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val gen = for {
+      nv <- Gen.choose(12, 40)
+      vs <- Gen.listOfN(nv, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 100.0f)))
+      dups <- Gen.listOfN(4, Gen.choose(0, nv - 1)) // injected exact dups
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) } ++
+      dups.zipWithIndex.map { case (src, j) => ((nv + j).toLong, vs(src).toArray) }
+
+    new GenChecks {}.forAllN(gen, n = 8) { vecs =>
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = Ann.semDedup(Ann.prepare(df, "vec_id", "embedding"), k, iters, tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+      // ---- replay: same integer k-means (init = k smallest ids, argmin
+      // by (d2, cid), mean floor(x/n+0.5), empty keeps previous), then
+      // the min-id drop sweep with Spark-identical rounding
+      val qv = vecs.sortBy(_._1).map { case (id, v) => id -> v.map(q) }.toMap
+      val ids = qv.keys.toSeq.sorted
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var cents: Map[Int, Array[Long]] =
+        ids.take(k).zipWithIndex.map { case (id, c) => c -> qv(id) }.toMap
+      def assignAll(): Map[Long, Int] = ids.map { id =>
+        id -> cents.toSeq.map { case (c, cv) => (d2(qv(id), cv), c) }.min._2
+      }.toMap
+      for (_ <- 0 until iters) {
+        val asg = assignAll()
+        val upd = asg.groupBy(_._2).map { case (c, m) =>
+          val members = m.keys.toSeq
+          c -> Array.tabulate(dim) { d =>
+            val s = members.map(id => qv(id)(d)).sum
+            math.floor(s.toDouble / members.size + 0.5).toLong
+          }
+        }
+        cents = cents.map { case (c, cv) => c -> upd.getOrElse(c, cv) }
+      }
+      val asg = assignAll()
+      def cos(a: Long, b: Long): Double = {
+        val dot = qv(a).zip(qv(b)).map { case (x, y) => x * y }.sum
+        val v = dot.toDouble /
+          (math.sqrt(d2(qv(a), Array.fill(dim)(0L)).toDouble) *
+           math.sqrt(d2(qv(b), Array.fill(dim)(0L)).toDouble))
+        java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      val want = ids.map { b =>
+        b -> ids.exists(a => a < b && asg(a) == asg(b) && cos(a, b) >= tau)
+      }.toMap
+      assert(got == want, s"semDedup replay mismatch")
+    }
+  }
 }
