@@ -86,8 +86,12 @@ object Bpe {
     * chain — no join, no shuffle; the scan stays a single map. */
   def segment(df: DataFrame, textCol: String,
               merges: Seq[(String, String)]): DataFrame = {
+    // anonymous inner column — never materialized, so it cannot clobber
+    // a caller's column of any name
+    val toks = split(col(textCol), " ")
     val charSplit =
-      expr(s"transform(tokens, w -> transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1)))")
+      transform(toks, w => transform(
+        sequence(lit(0), length(w) - 1), i => w.substr(i + 1, lit(1))))
     val merged = merges.foldLeft(charSplit) { case (prev, (a, b)) =>
       val aq = lit(a); val bq = lit(b)
       transform(prev, w =>
@@ -98,8 +102,6 @@ object Bpe {
                 concat(slice(acc, lit(1), size(acc) - 1), array(concat(aq, bq))))
               .otherwise(concat(acc, array(x))))))
     }
-    df.withColumn("tokens", split(col(textCol), " "))
-      .withColumn("pieces", merged)
-      .drop("tokens")
+    df.withColumn("pieces", merged)
   }
 }

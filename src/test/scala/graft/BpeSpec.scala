@@ -27,6 +27,14 @@ class BpeSpec extends SparkSpec {
     assert(seg == Seq(Seq("aa", "aa")))
   }
 
+  test("segment never clobbers caller columns (even one named 'tokens')") {
+    import spark.implicits._
+    val docs = Seq(("aaaa", "mine")).toDF("text", "tokens")
+    val out = Bpe.segment(docs, "text", Seq(("a", "a")))
+    assert(out.columns.toSeq == Seq("text", "tokens", "pieces"))
+    assert(out.select("tokens").head().getString(0) == "mine")
+  }
+
   test("segment replays the learned table back to whole words") {
     import spark.implicits._
     val docs = Seq("aaab aaab ab").toDF("text")
