@@ -282,6 +282,17 @@ object Dedup {
       .select(col("id"), posexplode(col("gh")).as(Seq("p", "g")))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
 
+  /** Fold a new batch's gram census into the stored index — the nightly
+    * index maintenance step after [[admitSpans]]: counts add, so
+    * `mergeSpanIndex(spanIndex(old), spanIndex(batch)) ==
+    * spanIndex(old ∪ batch)` exactly (pinned by DedupSpec). One
+    * union + groupBy on the uniform 60-bit key; at 100 TB this is the
+    * only operation that ever touches the full index, and it is a plain
+    * additive merge a bucketed table makes shuffle-free. */
+  def mergeSpanIndex(index: DataFrame, delta: DataFrame): DataFrame =
+    index.select(col("g"), col("c")).union(delta.select(col("g"), col("c")))
+      .groupBy(col("g")).agg(sum(col("c")).as("c"))
+
   /** Incremental duplicated-span removal — the daily-ingest path: rewrite
     * a NEW batch against the accumulated corpus WITHOUT re-scanning it.
     * A new-batch gram is duplicated iff it already occurs in the stored

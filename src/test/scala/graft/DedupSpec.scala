@@ -371,6 +371,15 @@ class DedupSpec extends SparkSpec {
     val byId = inc.map(r => r.head -> r).toMap
     assert(byId(10L)(2) == 9L)  // the 9-token boilerplate run removed
     assert(byId(13L)(2) == 0L)  // fresh doc untouched
+
+    // the nightly index-maintenance identity: folding day-2's census into
+    // the stored index equals rebuilding from the union
+    val day2 = fresh
+    val merged = Dedup.mergeSpanIndex(idx, Dedup.spanIndex(day2, "doc_id", "text", n = 8))
+      .orderBy($"g").collect().map(_.toSeq).toSeq
+    val rebuilt = Dedup.spanIndex(old.union(day2), "doc_id", "text", n = 8)
+      .orderBy($"g").collect().map(_.toSeq).toSeq
+    assert(merged == rebuilt)
   }
 
   test("semDedup drops within-cluster near-identicals, keeps the min id") {
