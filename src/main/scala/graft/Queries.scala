@@ -4210,7 +4210,78 @@ object Queries {
              |FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id
              |WHERE s.is_new
              |GROUP BY s.doc_id, len(s.tk)
-             |ORDER BY s.doc_id""".stripMargin))
+             |ORDER BY s.doc_id""".stripMargin)),
+
+    // ----- D10: SemDeDup with the m^2 bomb defused (design in
+    // Ann.semDedupCapped): members rank within their cluster by
+    // (centroid distance DESC, id) — the paper's keep-farthest order —
+    // and each compares against only its 8 rank-predecessors, so
+    // candidate volume is linear in cluster size. The oracle replays the
+    // same v6 k-means chain, then the EXACT windowed rule: integer d2
+    // ranks, the 8-offset predecessor join, quantized cosine at 0.40.
+    Q("d10_semdedup_capped",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        graft.ann.Ann.semDedupCapped(prepared, k = 8, iters = 2, tau = 0.40, w = 8)
+          .groupBy($"cid".cast("int").as("cid"))
+          .agg(count(lit(1)).as("n"),
+               sum(when($"drop", 1L).otherwise(0L)).as("n_drop"),
+               sum(when(!$"drop", $"id").otherwise(0L)).as("sum_kept"))
+          .orderBy($"cid")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM q ORDER BY id LIMIT 8),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |e1 AS (SELECT q.id, c0.cid,
+             |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT q.id, c1.cid,
+             |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a2 JOIN q USING (id) CROSS JOIN dim GROUP BY a2.cid, d),
+             |c2 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u2 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c1.cid, c1.cv FROM c1 WHERE c1.cid NOT IN (SELECT cid FROM u2)),
+             |e3 AS (SELECT q.id, c2.cid,
+             |         sum((q.qv[d+1]-c2.cv[d+1])*(q.qv[d+1]-c2.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c2 CROSS JOIN dim GROUP BY q.id, c2.cid),
+             |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e3)
+             |       WHERE rn = 1),
+             |rkk AS (SELECT e3.id, e3.cid, e3.d2,
+             |          row_number() OVER (PARTITION BY e3.cid ORDER BY e3.d2 DESC, e3.id) AS rnk
+             |        FROM e3 JOIN a3 ON e3.id = a3.id AND e3.cid = a3.cid),
+             |n AS (SELECT id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |pr AS (SELECT b.id AS id_b, a.id AS id_a
+             |       FROM rkk b CROSS JOIN range(1, 9) t(k)
+             |       JOIN rkk a ON a.cid = b.cid AND a.rnk = b.rnk - k),
+             |drp AS (SELECT DISTINCT id_b AS id FROM pr
+             |        JOIN n na ON pr.id_a = na.id JOIN n nb ON pr.id_b = nb.id
+             |        WHERE round(list_sum(list_transform(list_zip(na.qv,nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |              / (sqrt(na.nq::DOUBLE)*sqrt(nb.nq::DOUBLE)), 6) >= 0.40)
+             |SELECT CAST(rkk.cid AS INT) AS cid, count(*) AS n,
+             |  CAST(count(drp.id) AS BIGINT) AS n_drop,
+             |  CAST(sum(CASE WHEN drp.id IS NULL THEN rkk.id ELSE 0 END) AS BIGINT) AS sum_kept
+             |FROM rkk LEFT JOIN drp ON rkk.id = drp.id
+             |GROUP BY rkk.cid ORDER BY rkk.cid""".stripMargin))
   )
 
   private val qs: Seq[Q] =

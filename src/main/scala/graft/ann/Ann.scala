@@ -171,6 +171,53 @@ object Ann {
         coalesce(col("dropFlag"), lit(false)).as("drop"))
   }
 
+  /** [[semDedup]] with the m² pair bomb DEFUSED — the 100 TB form. The
+    * all-pairs stage inside a cluster is quadratic in cluster size, and
+    * one skewed mega-cluster (a crawl's boilerplate mode) detonates it —
+    * the same failure shape as the LSH hot bucket, given the same
+    * treatment: bound the candidates. Members are ranked within their
+    * cluster by (distance-from-centroid DESC, id) — SemDeDup's own
+    * keep-FARTHEST-representative order — and each member is compared
+    * against only its `w` rank-predecessors: drop a point iff some
+    * predecessor within the window is >= `tau` cosine-similar. Candidate
+    * volume is Σ m·w instead of Σ m², a plain equi-join fan-out (each
+    * member explodes its w predecessor ranks; no window-function state,
+    * no theta-join), so a mega-cluster costs linear work. The trade is
+    * explicit: a dup pair more than `w` ranks apart inside a cluster is
+    * missed — acceptable exactly because near-dups have near-equal
+    * centroid distances and therefore adjacent ranks. Deterministic:
+    * rank ties break by id, scores are integer dots. Returns
+    * (id, cid, drop). */
+  def semDedupCapped(prepared: DataFrame, k: Int, iters: Int, tau: Double,
+                     w: Int): DataFrame = {
+    val trained = kmeans(prepared, k, iters) // (cid, cv, id)
+    val v = prepared.select(col("id"), col("qv"), col("nq"))
+      .join(trained, Seq("id"))
+      .withColumn("d2", col("nq") + GraftFunctions.dot_long(col("cv"), col("cv"))
+        - lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+          .orderBy(col("d2").desc, col("id"))))
+      .select(col("id"), col("cid"), col("qv"), col("nq"), col("rnk"))
+      .persist()
+    val cand = v.select(col("id").as("id_b"), col("cid"),
+        col("qv").as("qb"), col("nq").as("nb"),
+        explode(expr(s"sequence(1, $w)")).as("k"),
+        col("rnk"))
+      .withColumn("rnk_a", col("rnk") - col("k"))
+      .filter(col("rnk_a") >= 1)
+    val dropped = cand.join(
+        v.select(col("cid"), col("rnk").as("rnk_a"),
+          col("qv").as("qa"), col("nq").as("na")),
+        Seq("cid", "rnk_a"))
+      .filter(cosine(col("qa"), col("qb"), col("na"), col("nb")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dropFlag", lit(true))
+    v.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("dropFlag"), lit(false)).as("drop"))
+  }
+
   /** Nearest-centroid assignment — the INDEX ADMISSION primitive: route
     * vectors (id, qv[, nq]) to a FIXED (cid, cv) centroid table without
     * touching the training corpus. This is the daily-ingest path for an

@@ -400,6 +400,23 @@ class DedupSpec extends SparkSpec {
                       2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("semDedupCapped: full window reproduces semDedup on identical groups") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)), (1L, Array.fill(4)(1.0f)), (5L, Array.fill(4)(1.0f)),
+      (2L, Array(-1.0f, 1.0f, -1.0f, 1.0f)), (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (4L, Array(1.0f, -1.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    // identical vectors tie on centroid distance, so their rank order IS
+    // id order and the windowed rule (w >= cluster size) must agree with
+    // the all-pairs sweep
+    val capped = Ann.semDedupCapped(Ann.prepare(vecs, "vec_id", "embedding"),
+        k = 2, iters = 2, tau = 0.95, w = 6)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped == Map(0L -> false, 1L -> true, 5L -> true,
+                         2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("semDedup matches an independent driver-side replay on random vectors") {
     import spark.implicits._
     import org.scalacheck.Gen
