@@ -44,4 +44,54 @@ class BpeSpec extends SparkSpec {
       .select("pieces").as[Seq[Seq[String]]].head()
     assert(seg == Seq(Seq("aaab"), Seq("aaab"), Seq("ab")))
   }
+
+  test("train matches an independent driver-side replay on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // 3-letter alphabet, short words: forces heavy pair collisions, count
+    // ties (exercising the (c desc, left, right) tiebreak), and early
+    // stops when everything merges away
+    val gen = for {
+      nDocs <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        nw <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(nw, for {
+          len <- Gen.choose(1, 6)
+          cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+        } yield cs.mkString)
+      } yield ws.mkString(" "))
+    } yield docs
+
+    def replay(texts: Seq[String], numMerges: Int): Seq[(Int, String, String, Long)] = {
+      var words: Map[Vector[String], Long] = texts.flatMap(_.split(" "))
+        .groupBy(identity).map { case (w, o) => w.split("").toVector -> o.size.toLong }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= numMerges && !done) {
+        val pairs = words.toSeq.flatMap { case (s, c) =>
+          s.zip(s.drop(1)).map(p => p -> c)
+        }.groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+        if (pairs.isEmpty) done = true
+        else {
+          val ((a, b), c) = pairs.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((r, a, b, c))
+          words = words.toSeq.map { case (s, cnt) =>
+            val m = s.tail.foldLeft(Vector(s.head)) { (acc, x) =>
+              if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+            }
+            m -> cnt
+          }.groupBy(_._1).map { case (s, o) => s -> o.map(_._2).sum }
+          r += 1
+        }
+      }
+      out.result()
+    }
+
+    new GenChecks {}.forAllN(gen, n = 10) { texts =>
+      val got = Bpe.train(texts.toDF("text"), "text", numMerges = 5)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got == replay(texts, 5), s"corpus: $texts")
+    }
+  }
 }
