@@ -147,24 +147,49 @@ object Ann {
     * makes the pairwise stage tractable — the paper's exact rationale:
     * pairs form per cluster (m ~ n/k members each), never across the
     * corpus, so the candidate volume is Σ m², not n². The within-cluster
-    * pair join is a plain shuffle equi-join on cid that a 1000-executor
-    * run spreads by cluster; at 100 TB, k grows with n to cap m, and a
-    * skewed mega-cluster gets size-capped or salted upstream (same
-    * discipline as the LSH hot-bucket star in `Dedup.minhashStarEdges`).
-    * Scores are exact integer dot products (engine-portable, see
+    * all-pairs join is SALTED into a block-nested grid: each member takes
+    * a deterministic block b = hash(id) mod `salt`, and the join key is
+    * (cid, blockA, blockB) with blockA <= blockB — every unordered pair
+    * of members meets in exactly one of the salt·(salt+1)/2 grid cells,
+    * so the semantics are EXACTLY all-pairs (no candidate is lost, unlike
+    * [[semDedupCapped]]'s window) while a skewed mega-cluster's m² work
+    * spreads across ~salt²/2 tasks instead of detonating one reducer —
+    * the same skew treatment as the LSH hot-bucket star in
+    * `Dedup.minhashStarEdges`, applied to an exact join. Total work is
+    * still Σ m² (that is semDedup's contract); for clusters where even
+    * distributed m² is too much, [[semDedupCapped]] is the linear-work
+    * form. Scores are exact integer dot products (engine-portable, see
     * [[cosine]]). Input: [[prepare]]d vectors. Returns per point:
     * (id, cid, drop). */
-  def semDedup(prepared: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+  def semDedup(prepared: DataFrame, k: Int, iters: Int, tau: Double,
+               salt: Int = 8): DataFrame = {
     val assigned = kmeans(prepared, k, iters).select(col("cid"), col("id"))
     // both sides of the pair join + the final left join consume this —
     // persist once (no CSE across branches; the d2/d5 discipline)
     val v = prepared.select(col("id"), col("qv"), col("nq"))
       .join(assigned, Seq("id"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(salt)).cast("int"))
       .persist()
-    val dropped = v.as("a").join(v.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .filter(cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")) >= tau)
-      .select(col("b.id").as("id")).distinct()
+    // A-side in block b covers grid row (b, b..salt-1); B-side in block b'
+    // covers grid column (0..b', b'). Replication is salt+1 rows per
+    // member — O(salt·m), not O(m²) — and the shuffle key (cid, bi, bj)
+    // splits a cluster's pair space into (m/salt)²-sized cells.
+    val a = v.select(col("cid"), col("blk").as("bi"), col("id").as("id_a"),
+        col("qv").as("qa"), col("nq").as("na"))
+      .withColumn("bj", explode(expr(s"sequence(bi, ${salt - 1})")))
+    val b = v.select(col("cid"), col("blk").as("bj"), col("id").as("id_b"),
+        col("qv").as("qb"), col("nq").as("nb"))
+      .withColumn("bi", explode(expr("sequence(0, bj)")))
+    // each unordered pair meets exactly once: in cell (bi, bj) with
+    // bi < bj in whichever id order the blocks dictate, or in the
+    // diagonal cell (b, b) where id_a < id_b picks one of the two
+    // orderings (and discards the self-pair). The DROPPED member of a
+    // similar pair is the larger id, which on off-diagonal cells may sit
+    // on either side — hence greatest(), not id_b.
+    val dropped = a.join(b, Seq("cid", "bi", "bj"))
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .filter(cosine(col("qa"), col("qb"), col("na"), col("nb")) >= tau)
+      .select(greatest(col("id_a"), col("id_b")).as("id")).distinct()
       .withColumn("dropFlag", lit(true))
     v.join(dropped, Seq("id"), "left")
       .select(col("id"), col("cid"),

@@ -195,10 +195,31 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hd.as("hamming"))
   }
 
-  /** Brute-force n-gram jaccard over all pairs (use on bounded slices or
-    * after LSH pruning). */
+  /** Brute-force n-gram jaccard over all pairs — the EXACTNESS BASELINE,
+    * deliberately quadratic: the `a.id < b.id` theta join is a cartesian
+    * with a filter, O(n²) candidates with no pruning. That is the right
+    * tool for a bounded slice (a verification sample, an LSH bucket's
+    * members, a golden fixture) and a corpus-killer for anything else, so
+    * the function REFUSES unbounded inputs: unless `allowFullCross=true`,
+    * it counts the input first (one cheap aggregate on a frame this small
+    * by assumption) and throws loudly above `maxRows`, pointing at
+    * [[minhashLsh]] — the same fail-loudly discipline as
+    * [[connectedComponents]]' fixpoint check. At 100 TB nothing reaches
+    * this function without LSH pruning; the guard makes that a contract
+    * instead of a comment. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxRows: Long = 100000L,
+                        allowFullCross: Boolean = false): DataFrame = {
+    if (!allowFullCross) {
+      val rows = df.count()
+      require(rows <= maxRows,
+        s"ngramJaccardPairs: input has $rows rows > maxRows=$maxRows; the " +
+        "all-pairs theta join is O(n^2) and would cartesian the corpus. " +
+        "Use Dedup.minhashLsh for candidate generation (then verify the " +
+        "candidate pairs), raise maxRows, or pass allowFullCross=true if " +
+        "the input really is a bounded slice.")
+    }
     val grams = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
     val j = GraftFunctions.sorted_jaccard_long(col("a.gs"), col("b.gs"))
     grams.as("a").join(grams.as("b"), col("a.id") < col("b.id"))
@@ -259,17 +280,20 @@ object Dedup {
                              dup: DataFrame, n: Int): DataFrame = {
     val starts = grams.join(dup, Seq("g"))
       .groupBy(col("id")).agg(collect_list(col("p")).as("starts"))
+    // the O(len·|starts|) coverage scan runs ONCE per doc: materialize the
+    // kept-position array in its own projection, then derive n_removed and
+    // kept_text from that array (both derivations are O(len))
     toks.join(starts, Seq("id"), "left")
       .select(col("id"), col("tk"),
         coalesce(col("starts"), array().cast("array<int>")).as("ss"))
+      .select(col("id"), col("tk"),
+        expr(s"filter(sequence(0, size(tk) - 1), " +
+          s"t -> NOT exists(ss, s -> s <= t AND t < s + $n))").as("kept"))
       .select(col("id"),
         size(col("tk")).cast("long").as("n_tokens"),
-        expr(s"size(tk) - size(filter(sequence(0, size(tk) - 1), " +
-          s"t -> NOT exists(ss, s -> s <= t AND t < s + $n)))")
-          .cast("long").as("n_removed"),
-        expr(s"concat_ws(' ', transform(filter(sequence(0, size(tk) - 1), " +
-          s"t -> NOT exists(ss, s -> s <= t AND t < s + $n)), " +
-          s"t -> element_at(tk, t + 1)))").as("kept_text"))
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, t -> element_at(tk, t + 1)))")
+          .as("kept_text"))
   }
 
   /** The STORED gram index for incremental span dedup: the (g, c)

@@ -26,14 +26,34 @@ import org.apache.spark.sql.types._
   *
   * Returns the learned merge table: (rank, left, right, merged, c) with
   * rank 1..numMerges — the artifact a tokenizer ships.
+  *
+  * ==Choosing [[train]] vs [[trainLocal]]==
+  * [[train]] keeps every round distributed, but each merge is ONE Spark
+  * job (census + O(1)-row argmax fetch): a real 32k–100k-merge vocabulary
+  * means 32k–100k *sequential* jobs — days of scheduler latency at any
+  * cluster size, regardless of how small the per-round frame is. That
+  * k-sequential-jobs bound is inherent to the distributed loop, so the
+  * at-scale path is [[trainLocal]]: the SAME single corpus-sized
+  * reduction, then the word-frequency table (language-bounded, ~10⁷ rows
+  * — megabytes, not the corpus) collects to the driver and the classical
+  * indexed merge loop finishes there in seconds with zero further jobs.
+  * [[train]] remains the right form when the word table itself can't fit
+  * a driver (character-level "words" on genomic data, say) or for small
+  * merge counts where one job per round is immaterial. Both produce
+  * bit-identical merge tables (BpeSpec pins them against each other and
+  * against an independent replay).
   */
 object Bpe {
 
   def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = df.sparkSession
-    // the ONE corpus-sized pass: token -> frequency
+    // the ONE corpus-sized pass: token -> frequency. Consecutive/leading/
+    // trailing spaces split into empty tokens; drop them — an empty word
+    // would otherwise become two phantom "" symbols (sequence(0,-1) =
+    // [0,-1]) and a bogus ("","") pair could win a merge round.
     val words = df
       .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // symbol sequences start as characters
     var syms = words.select(col("w"), col("cnt"),
@@ -57,6 +77,7 @@ object Bpe {
         merges += ((r, a, b, c))
         // greedy fold: seed with the first symbol, merge-or-append the rest
         val aq = lit(a); val bq = lit(b)
+        val prev = syms
         syms = syms.withColumn("s",
             when(size(col("s")) < 2, col("s")).otherwise(
               aggregate(slice(col("s"), lit(2), size(col("s")) - 1),
@@ -66,10 +87,152 @@ object Bpe {
                     concat(slice(acc, lit(1), size(acc) - 1), array(concat(aq, bq))))
                   .otherwise(concat(acc, array(x))))))
           .localCheckpoint(true) // vocabulary-sized; truncates per-round lineage
+        // the new checkpoint no longer references the old blocks — release
+        // them now instead of accreting one replicated frame per round
+        // (the connectedComponents discipline)
+        prev.unpersist()
         r += 1
       }
     }
-    val rows = merges.result().map { case (rk, a, b, c) => Row(rk, a, b, a + b, c) }
+    mergeTable(spark, merges.result())
+  }
+
+  /** The AT-SCALE trainer: same contract and bit-identical output as
+    * [[train]], different execution split. One distributed corpus-sized
+    * reduction produces the (word, cnt) table; that table — bounded by
+    * the language's word-form inventory, not the corpus — collects to the
+    * driver, and the classical indexed BPE loop (Sennrich's `learn_bpe`
+    * shape: pair→count and pair→containing-words maps, only affected
+    * words re-counted per merge) runs locally with ZERO further Spark
+    * jobs. 32k merges over a 10⁶-form table finish in seconds where
+    * [[train]] would schedule 32k sequential jobs.
+    *
+    * Tie-break parity: candidates order by (count desc, left, right) with
+    * strings compared as unsigned UTF-8 bytes — exactly Spark's binary
+    * string ordering, so the argmax matches [[train]] beyond ASCII too.
+    *
+    * `maxWordForms` guards the collect the same way `ngramJaccardPairs`
+    * guards its cross: if the distinct-word table exceeds it (not a
+    * natural language — character n-gram soup, genomic k-mers), fail
+    * loudly and point at [[train]] rather than OOM the driver. */
+  def trainLocal(df: DataFrame, textCol: String, numMerges: Int,
+                 maxWordForms: Long = 50000000L): DataFrame = {
+    val spark = df.sparkSession
+    // the ONE corpus-sized pass (identical to train's)
+    val wordsDf = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist() // count + collect must not re-run the corpus-sized pass
+    val nForms = wordsDf.count()
+    require(nForms <= maxWordForms,
+      s"Bpe.trainLocal: $nForms distinct word forms > maxWordForms=" +
+      s"$maxWordForms — this input is not language-bounded, so the " +
+      "driver-side merge loop would not fit. Use Bpe.train (fully " +
+      "distributed rounds) or raise maxWordForms.")
+    val collected = wordsDf.collect()
+    wordsDf.unpersist()
+    val words: Array[(Array[String], Long)] = collected.map { row =>
+      val w = row.getString(0)
+      (w.map(_.toString).toArray, row.getLong(1))
+    }
+    mergeTable(spark, localMergeLoop(words, numMerges))
+  }
+
+  /** Unsigned-UTF-8-byte string ordering — Spark's binary collation, the
+    * ordering `train`'s orderBy(col("a"), col("b")) tie-break uses. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The classical indexed merge loop. Pair census counts every adjacent
+    * position (overlaps included: "aaa" has (a,a) twice) weighted by word
+    * frequency; replacement is the greedy left-to-right fold — both
+    * definitions identical to [[train]]'s distributed forms. */
+  private def localMergeLoop(words: Array[(Array[String], Long)],
+                             numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = words.map(_._1)
+    val cnts: Array[Long] = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(idx: Int, sign: Long): Unit = {
+      val s = syms(idx); val c = cnts(idx) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nc = pairCount.getOrElse(p, 0L) + c
+        if (nc == 0L) pairCount.remove(p) else pairCount.update(p, nc)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, 1L); i += 1 }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      // argmax by (count desc, left, right) — utf8 byte order on ties
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCount.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+            (c == bestC && (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        out += ((r, a, b, bestC))
+        val merged = a + b
+        // rewrite only the words that (may) contain the pair; the index
+        // holds stale members from earlier rewrites — skip them cheaply
+        val affected = pairWords.remove(best).getOrElse(mutable.HashSet.empty)
+        affected.foreach { idx =>
+          val s = syms(idx)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            if (s(j) == a && s(j + 1) == b) has = true
+            j += 1
+          }
+          if (has) {
+            addWord(idx, -1L)
+            // greedy left-to-right fold, same as train's aggregate()
+            val nb = mutable.ArrayBuffer.empty[String]
+            nb += s(0)
+            j = 1
+            while (j < s.length) {
+              if (nb(nb.length - 1) == a && s(j) == b)
+                nb(nb.length - 1) = merged
+              else nb += s(j)
+              j += 1
+            }
+            syms(idx) = nb.toArray
+            addWord(idx, 1L)
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def mergeTable(spark: SparkSession,
+                         merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val rows = merges.map { case (rk, a, b, c) => Row(rk, a, b, a + b, c) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
@@ -83,12 +246,15 @@ object Bpe {
   /** Apply a learned merge table to a text column: tokenize on spaces,
     * split each token to characters, replay the merges in rank order.
     * The merge list is a driver-side constant folded into ONE expression
-    * chain — no join, no shuffle; the scan stays a single map. */
+    * chain — no join, no shuffle; the scan stays a single map. Empty
+    * tokens (consecutive spaces) are dropped up front, mirroring
+    * [[train]]'s word filter — they would otherwise char-split into two
+    * phantom "" symbols. */
   def segment(df: DataFrame, textCol: String,
               merges: Seq[(String, String)]): DataFrame = {
     // anonymous inner column — never materialized, so it cannot clobber
     // a caller's column of any name
-    val toks = split(col(textCol), " ")
+    val toks = filter(split(col(textCol), " "), w => length(w) >= 1)
     val charSplit =
       transform(toks, w => transform(
         sequence(lit(0), length(w) - 1), i => w.substr(i + 1, lit(1))))

@@ -89,9 +89,64 @@ class BpeSpec extends SparkSpec {
     }
 
     new GenChecks {}.forAllN(gen, n = 10) { texts =>
-      val got = Bpe.train(texts.toDF("text"), "text", numMerges = 5)
+      val df = texts.toDF("text")
+      val got = Bpe.train(df, "text", numMerges = 5)
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
       assert(got == replay(texts, 5), s"corpus: $texts")
+      // the at-scale trainer is bit-identical to the distributed rounds
+      val local = Bpe.trainLocal(df, "text", numMerges = 5)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(local == got, s"trainLocal diverged, corpus: $texts")
     }
+  }
+
+  test("trainLocal matches train on the hand-computed fixture") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val local = Bpe.trainLocal(docs, "text", numMerges = 4).collect().toSeq
+    val dist = Bpe.train(docs, "text", numMerges = 4).collect().toSeq
+    assert(local == dist && local.size == 3)
+  }
+
+  test("trainLocal finishes a real vocabulary (>=256 merges) in bounded time") {
+    import spark.implicits._
+    // 3000 pseudorandom 10-14-char words over 8 letters: far more than 256
+    // learnable merges. train() would schedule 256 sequential Spark jobs
+    // here; trainLocal pays ONE distributed reduction then finishes the
+    // loop driver-side — the 32k-vocab path at 100 TB (see scaladoc).
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 3000).map { _ =>
+      (0 until (10 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString
+    }
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val m = Bpe.trainLocal(docs, "text", numMerges = 256).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length == 256)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 256))
+    assert(secs < 60.0, s"256 merges took $secs s — the local loop is not bounded")
+  }
+
+  test("trainLocal refuses a non-language-bounded word table, loudly") {
+    import spark.implicits._
+    val docs = Seq("a b c d e f g h").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", numMerges = 1, maxWordForms = 4)
+    }
+    assert(e.getMessage.contains("Bpe.train"))
+  }
+
+  test("empty tokens from repeated/leading spaces never become merges or pieces") {
+    import spark.implicits._
+    // "aa  aa" splits to ["aa", "", "aa"]; the phantom "" must not reach
+    // the census (a ("","") pair could otherwise win a round) or segment
+    val docs = Seq("aa  aa", " aa").toDF("text")
+    val m = Bpe.train(docs, "text", numMerges = 3).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+    assert(m.toSeq == Bpe.trainLocal(docs, "text", numMerges = 3).collect().toSeq)
+    val seg = Bpe.segment(docs, "text", Seq(("a", "a")))
+      .select("pieces").as[Seq[Seq[String]]].collect()
+    assert(seg.flatten.flatten.forall(_.nonEmpty))
   }
 }

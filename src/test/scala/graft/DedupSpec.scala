@@ -474,4 +474,42 @@ class DedupSpec extends SparkSpec {
       assert(got == want, s"semDedup replay mismatch")
     }
   }
+
+  test("semDedup survives a 10^4-member mega-cluster (salted pair grid)") {
+    import spark.implicits._
+    // ONE cluster holding every vector — the crawl-boilerplate skew mode
+    // that detonates a per-cid all-pairs reducer. The salted block grid
+    // spreads the m^2 pair space over salt*(salt+1)/2 cells of (m/salt)^2
+    // pairs each, so no task is quadratic in the cluster. 1000 distinct
+    // directions on a 0.1 grid (pairwise cosine <= ~0.9989 < 1.0 after
+    // 6-digit rounding) x 10 exact copies: with tau = 1.0 exactly the 9
+    // non-min copies of each direction must drop.
+    val vecs = (0 until 10000).map { i =>
+      val g = i % 1000
+      (i.toLong, Array(1.0f, (g % 10) * 0.1f, (g / 10 % 10) * 0.1f, (g / 100) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.semDedup(Ann.prepare(vecs, "vec_id", "embedding"),
+        k = 1, iters = 1, tau = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2))
+    assert(out.length == 10000)
+    val dropped = out.filter(_._2).map(_._1).toSet
+    assert(dropped.size == 9000)
+    // survivors are exactly the min id (= g) of each identical group
+    assert((0 until 1000).forall(g => !dropped.contains(g.toLong)))
+  }
+
+  test("ngramJaccardPairs refuses unbounded all-pairs input, loudly") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"tok$i a b c"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.1,
+        maxRows = 10)
+    }
+    assert(e.getMessage.contains("minhashLsh")) // points at the scale path
+    // the explicit opt-in still computes the bounded-slice baseline
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
+      threshold = 0.1, maxRows = 10, allowFullCross = true).count()
+    assert(pairs > 0)
+  }
 }
