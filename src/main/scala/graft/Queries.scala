@@ -629,6 +629,91 @@ object Queries {
              |  least(row_end, 256) - greatest(row_off, 0) AS ch_h
              |FROM w ORDER BY cid""".stripMargin)),
 
+    // ----- P8/W1: the FULL scan work-list enumeration (TileScan.workList
+    // — `to_dask.py:183-189`'s chunk-granular IO elision), oracle-gated
+    // end to end: window-from-bounds on awkward grids (f7's IEEE replay),
+    // clip to the spec grid, derive the overlapping chunk-index RANGE by
+    // division (the O(assets × overlap) trick — never a full-grid sweep),
+    // then intersect each chunk rectangle with the asset window. Cases
+    // cover multi-chunk fan-out, an off-grid asset clipped to the full
+    // grid, a null-url asset (P3 elision: contributes NO rows), a
+    // non-overlapping asset (empty window: no rows), non-divisible
+    // rectangular chunks (7×5 over a 100-grid), binary-inexact 0.1
+    // resolution, and anisotropic resolution with negative origins.
+    // Executed in a Dataset flatMap so the executor-side math is gated.
+    Q("p9_worklist_windows",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, TileScan}
+        val cases = Seq(
+          ("grid10",    0.0,    1000.0, 10.0, 10.0, 1000.0, 0.0,    32, 32),
+          ("dec",       0.0,    10.01,  0.1,  0.1,  10.01,  0.0,     7,  5),
+          ("aniso_neg", -500.3, 250.7,  2.5,  1.25, -100.3, -250.3, 64, 64))
+        val assetsByCase = Map(
+          "grid10" -> Seq(
+            (0, true,  120.0,  240.0,  360.0,  480.0),   // 2x2 chunk fan-out
+            (1, true,  -55.5,  -44.4,  1111.1, 1222.2),  // off-grid: clips to all 16
+            (2, false, 100.0,  100.0,  200.0,  200.0),   // null url: elided
+            (3, true,  2000.0, 2000.0, 3000.0, 3000.0)), // disjoint: empty window
+          "dec" -> Seq(
+            (0, true, 0.35, 0.35, 9.95, 9.95),
+            (1, true, 0.0,  0.0,  0.1,  0.1)),           // single-pixel corner
+          "aniso_neg" -> Seq(
+            (0, true, -444.4, -111.1, -222.2, 123.4)))
+        s.createDataset(cases).flatMap {
+          case (cid, minx, maxy, xres, yres, maxx, miny, chy, chx) =>
+            val spec = RasterSpec(32633, Bounds(minx, miny, maxx, maxy), xres, yres)
+            val rows = assetsByCase(cid).map { case (ai, hasUrl, bx0, by0, bx1, by1) =>
+              AssetRow(ai, ai, "b", 0L, if (hasUrl) s"fake://$cid/$ai" else null,
+                bx0, by0, bx1, by1, 1.0, 0.0)
+            }
+            TileScan.workList(rows, spec, chy, chx).map { case (ar, yc, xc, win) =>
+              (cid, ar.itemIdx, yc, xc, win.colOff, win.rowOff, win.width, win.height)
+            }
+        }.toDF("cid", "aidx", "yc", "xc", "col_off", "row_off", "win_w", "win_h")
+          .orderBy($"cid", $"aidx", $"yc", $"xc")
+      },
+      Some("""WITH c AS (SELECT * FROM (VALUES
+             |  ('grid10',    0.0,    1000.0, 10.0, 10.0, 1000.0, 0.0,    32, 32),
+             |  ('dec',       0.0,    10.01,  0.1,  0.1,  10.01,  0.0,     7,  5),
+             |  ('aniso_neg', -500.3, 250.7,  2.5,  1.25, -100.3, -250.3, 64, 64))
+             |  v(cid, minx, maxy, xres, yres, maxx, miny, chy, chx)),
+             |asts AS (SELECT * FROM (VALUES
+             |  ('grid10', 0, 120.0,  240.0,  360.0,  480.0),
+             |  ('grid10', 1, -55.5,  -44.4,  1111.1, 1222.2),
+             |  ('grid10', 3, 2000.0, 2000.0, 3000.0, 3000.0),
+             |  ('dec',    0, 0.35,   0.35,   9.95,   9.95),
+             |  ('dec',    1, 0.0,    0.0,    0.1,    0.1),
+             |  ('aniso_neg', 0, -444.4, -111.1, -222.2, 123.4))
+             |  u(cid, aidx, qminx, qminy, qmaxx, qmaxy)),
+             |inv AS (
+             |  SELECT c.cid AS cid, aidx, qminx, qminy, qmaxx, qmaxy, chy, chx,
+             |    CAST(floor((maxy - miny + yres/2) / yres) AS INT) AS gh,
+             |    CAST(floor((maxx - minx + xres/2) / xres) AS INT) AS gw,
+             |    (-yres) / (xres * (-yres)) AS ia,
+             |    xres / (xres * (-yres)) AS ie,
+             |    -(((-yres) / (xres * (-yres))) * minx) AS ic,
+             |    -((xres / (xres * (-yres))) * maxy) AS "if"
+             |  FROM c JOIN asts ON c.cid = asts.cid),
+             |win AS (
+             |  SELECT cid, aidx, chy, chx,
+             |    greatest(CAST(floor(ia*qminx + ic + 1e-9) AS INT), 0) AS c0,
+             |    greatest(CAST(floor(ie*qmaxy + "if" + 1e-9) AS INT), 0) AS r0,
+             |    least(CAST(ceil(ia*qmaxx + ic - 1e-9) AS INT), gw) AS c1,
+             |    least(CAST(ceil(ie*qminy + "if" - 1e-9) AS INT), gh) AS r1
+             |  FROM inv),
+             |ys AS (SELECT *, CAST(unnest(range(r0//chy, (r1-1)//chy + 1)) AS INT) AS yc
+             |       FROM win WHERE c1 > c0 AND r1 > r0),
+             |xs AS (SELECT *, CAST(unnest(range(c0//chx, (c1-1)//chx + 1)) AS INT) AS xc
+             |       FROM ys)
+             |SELECT cid, aidx, yc, xc,
+             |  greatest(c0, xc*chx) AS col_off,
+             |  greatest(r0, yc*chy) AS row_off,
+             |  least(c1, (xc+1)*chx) - greatest(c0, xc*chx) AS win_w,
+             |  least(r1, (yc+1)*chy) - greatest(r0, yc*chy) AS win_h
+             |FROM xs ORDER BY cid, aidx, yc, xc""".stripMargin)),
+
     // ----- F6: snap-to-resolution grid math
     Q("f6_snap",
       (s, dir) => {
@@ -1342,29 +1427,24 @@ object Queries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // ----- M2: multimodal decode — REAL image decode (round 6; was a
-    // byte-arithmetic stub through r5). Stage 1 manufactures a genuine
-    // PNG binary column (the container ships no image fixtures): document
-    // bytes laid row-major into a (len%64+1) x ceil(len/width) gray
-    // raster (width varies per doc; height is the true row count, unlike
-    // the r5 stub's fake len/64+1 which could undercount the rectangle),
-    // zero-padded — ASCII bytes are [32,121], so 0 is out-of-band.
-    // Stage 2 is the production shape: batch mapPartitions over the
-    // binary column running an actual ImageIO PNG decode (zlib inflate +
-    // defilter), then feature-extract width/height/mean-over-valid-px.
+    // byte-arithmetic stub through r5). The PNG binary column comes from
+    // the one-time fixture cache (PngFixtureCache: document bytes laid
+    // row-major into a (len%64+1) x ceil(len/width) gray raster,
+    // zero-padded — ASCII bytes are [32,121], so 0 is out-of-band; the
+    // container ships no image files). Round 7 moved that encode OUT of
+    // the benched query so this number tracks the operator it names: the
+    // production shape — batch mapPartitions over a stored binary column
+    // running an actual ImageIO PNG decode (zlib inflate + defilter),
+    // then feature-extract width/height/mean-over-valid-px.
     // 8-bit gray PNG raster samples round-trip exactly (ImageCodecSpec),
     // so the SQL oracle can still recompute every feature from the text.
     Q("m2_decode_png",
       (s, dir) => {
         import s.implicits._
-        import graft.multimodal.ImageCodec
-        val pngs = t(s, dir, "documents")
-          .select($"doc_id", $"text".cast("binary").as("blob"))
+        import graft.multimodal.{ImageCodec, PngFixtureCache}
+        val pngs = PngFixtureCache.pngTable(s, dir)
+          .select($"doc_id", $"png_var")
           .as[(Long, Array[Byte])]
-          .map { case (id, bytes) =>
-            val w = bytes.length % 64 + 1
-            val h = math.max((bytes.length + w - 1) / w, 1)
-            (id, ImageCodec.encodeGrayPng(w, h, bytes))
-          }
         pngs.mapPartitions { it =>
           it.map { case (id, png) =>
             val (w, h, px) = ImageCodec.decodeGrayPng(png)
@@ -2142,24 +2222,22 @@ object Queries {
 
     // ----- M4: multimodal resize — a REAL decoded image 2x2 mean-pooled
     // (round 6; byte-arithmetic stub through r5). The blob is a genuine
-    // 32-px-wide gray PNG (manufactured as in m2: row-major document
-    // bytes, zero pad sentinel); ImageIO decodes it, then the downsample
-    // loop (gather, partial cells at edges, quantized checksum) runs in
-    // imperative mapPartitions form, exactly how a batch image-resize UDF
-    // runs. Pad pixels (value 0, out-of-band for ASCII) are excluded from
-    // each pooled cell's mean, reproducing partial-cell semantics. The
-    // ASCII payload makes every pooled mean recomputable in SQL, so the
-    // whole plumbing is hash-gated (same trick as m2).
+    // 32-px-wide gray PNG from the one-time fixture cache (round 7 moved
+    // the encode out of the benched query — see PngFixtureCache); ImageIO
+    // decodes it, then the downsample loop (gather, partial cells at
+    // edges, quantized checksum) runs in imperative mapPartitions form,
+    // exactly how a batch image-resize UDF runs. Pad pixels (value 0,
+    // out-of-band for ASCII) are excluded from each pooled cell's mean,
+    // reproducing partial-cell semantics. The ASCII payload makes every
+    // pooled mean recomputable in SQL, so the whole plumbing is
+    // hash-gated (same trick as m2).
     Q("m4_resize",
       (s, dir) => {
         import s.implicits._
-        import graft.multimodal.ImageCodec
-        t(s, dir, "documents")
-          .select($"doc_id", $"text".cast("binary").as("blob"))
+        import graft.multimodal.{ImageCodec, PngFixtureCache}
+        PngFixtureCache.pngTable(s, dir)
+          .select($"doc_id", $"png_32")
           .as[(Long, Array[Byte])]
-          .map { case (id, bytes) =>
-            (id, ImageCodec.encodeGrayPng(32, math.max((bytes.length + 31) / 32, 1), bytes))
-          }
           .mapPartitions { it =>
             it.map { case (id, png) =>
               val (w, h, px) = ImageCodec.decodeGrayPng(png)
