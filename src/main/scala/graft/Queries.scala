@@ -38,6 +38,38 @@ object Queries {
     }
   }
 
+  /** 8-round unrolled BPE-training replay (census -> deterministic argmax
+    * -> greedy list_reduce merge per round) — shared by t11 (distributed
+    * trainer) and t12 (driver-side at-scale trainer): the two are
+    * bit-identical by contract, so one SQL gates both. */
+  private lazy val bpeTrainOracle8: String = {
+    val rounds = (1 to 8).flatMap { r =>
+      val prev = s"w${r - 1}"
+      val census =
+        s"""p$r AS (SELECT u.a AS a, u.b AS b, sum(cnt) AS c
+           |  FROM (SELECT cnt, unnest(list_transform(range(len(s)-1),
+           |          i -> {'a': s[i+1], 'b': s[i+2]})) AS u
+           |        FROM $prev WHERE len(s) >= 2) GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+      val merge =
+        s"""w$r AS (SELECT w, cnt, CASE WHEN len(s) < 2 THEN s ELSE
+           |    list_reduce(list_transform(s, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[-1] = m.ma AND x[1] = m.mb
+           |                  THEN acc[1:len(acc)-1] || [m.ma || m.mb]
+           |                  ELSE acc || x END) END AS s
+           |  FROM $prev CROSS JOIN (SELECT a AS ma, b AS mb FROM b$r) m)""".stripMargin
+      if (r < 8) Seq(census, merge) else Seq(census)
+    }.mkString(",\n")
+    val finals = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS c FROM b$r""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
+       |$rounds
+       |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   /** Exact integer cents/micros: floor(x*scale+0.5) as BIGINT. */
   private def quant(c: Column, scale: Long): Column =
     floor(c * scale.toDouble + 0.5).cast("long")
@@ -4216,33 +4248,22 @@ object Queries {
         graft.text.Bpe.train(t(s, dir, "documents"), "text", numMerges = 8)
           .orderBy($"rank")
       },
-      Some {
-        val rounds = (1 to 8).flatMap { r =>
-          val prev = s"w${r - 1}"
-          val census =
-            s"""p$r AS (SELECT u.a AS a, u.b AS b, sum(cnt) AS c
-               |  FROM (SELECT cnt, unnest(list_transform(range(len(s)-1),
-               |          i -> {'a': s[i+1], 'b': s[i+2]})) AS u
-               |        FROM $prev WHERE len(s) >= 2) GROUP BY 1, 2),
-               |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
-          val merge =
-            s"""w$r AS (SELECT w, cnt, CASE WHEN len(s) < 2 THEN s ELSE
-               |    list_reduce(list_transform(s, x -> [x]),
-               |      (acc, x) -> CASE WHEN acc[-1] = m.ma AND x[1] = m.mb
-               |                  THEN acc[1:len(acc)-1] || [m.ma || m.mb]
-               |                  ELSE acc || x END) END AS s
-               |  FROM $prev CROSS JOIN (SELECT a AS ma, b AS mb FROM b$r) m)""".stripMargin
-          if (r < 8) Seq(census, merge) else Seq(census)
-        }.mkString(",\n")
-        val finals = (1 to 8).map(r =>
-          s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS c FROM b$r""")
-          .mkString("\nUNION ALL ")
-        s"""WITH w0 AS (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
-           |  FROM (SELECT w, count(*) AS cnt
-           |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
-           |$rounds
-           |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
-      }),
+      Some(bpeTrainOracle8)),
+
+    // ----- T12: BPE training, the AT-SCALE trainer (Bpe.trainLocal —
+    // one corpus-sized word-frequency reduction, then the classical
+    // indexed merge loop driver-side with ZERO further Spark jobs; the
+    // distributed loop's one-job-per-merge bound makes 32k-merge vocabs
+    // infeasible there, see Bpe scaladoc + SCALE.md). Bit-identical to
+    // t11 by construction, so it shares t11's 8-round unrolled oracle —
+    // the SQL replay now gates BOTH trainers independently.
+    Q("t12_bpe_train_local",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Bpe.trainLocal(t(s, dir, "documents"), "text", numMerges = 8)
+          .orderBy($"rank")
+      },
+      Some(bpeTrainOracle8)),
 
     // ----- X15: INCREMENTAL span dedup — the daily-ingest form of d8
     // (design in Dedup.admitSpans): the old corpus (doc_id % 4 != 0)
@@ -4289,6 +4310,50 @@ object Queries {
              |WHERE s.is_new
              |GROUP BY s.doc_id, len(s.tk)
              |ORDER BY s.doc_id""".stripMargin)),
+
+    // ----- X16: DSIR-style data selection (Dsir.affinityScores — Xie
+    // et al. 2023, arXiv:2302.03169): score every document by hashed-
+    // bigram affinity to the lang='en' target slice vs the whole corpus.
+    // The hashed feature space bounds both "language models" at 1024
+    // count rows regardless of corpus size — the paper's scalability
+    // trick — so scoring is two census groupBys + one broadcast join +
+    // one per-doc sum. Engine-exact: Laplace-smoothed probabilities
+    // quantized by integer floor division, integer sums (the repo's
+    // float-free discipline); the true log-ratio weight variant is
+    // spec-gated in DsirSpec.
+    Q("x16_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.Dsir
+        val docs = t(s, dir, "documents")
+        val tc = Dsir.bucketCounts(docs.filter($"lang" === "en"), "text", 2, 1024)
+        val rc = Dsir.bucketCounts(docs, "text", 2, 1024)
+        Dsir.affinityScores(docs, "doc_id", "text", tc, rc, n = 2,
+            numBuckets = 1024)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |        unnest(list_transform(range(len(s)-1),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |      FROM tk WHERE len(s) >= 2),
+             |tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+             |rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+             |tt AS (SELECT count(*) AS t FROM g WHERE lang = 'en'),
+             |rt AS (SELECT count(*) AS t FROM g),
+             |q AS (SELECT g.doc_id,
+             |        (1000000000 * (coalesce(tc.c, 0) + 1)) // (tt.t + 1024)
+             |      - (1000000000 * (coalesce(rc.c, 0) + 1)) // (rt.t + 1024) AS d
+             |      FROM g LEFT JOIN tc ON g.b = tc.b
+             |             LEFT JOIN rc ON g.b = rc.b, tt, rt),
+             |sc AS (SELECT doc_id, sum(d) AS score, count(*) AS n_grams
+             |       FROM q GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+             |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ----- D10: SemDeDup with the m^2 bomb defused (design in
     // Ann.semDedupCapped): members rank within their cluster by
