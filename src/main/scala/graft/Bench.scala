@@ -1,14 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark sweep. Measurement policy (round 8 — the verdict's
+  * three instrument asks):
+  *
+  *  - every query runs `warmup` discarded passes, then n timed passes
+  *    whose MEDIAN is reported. The heavy tail is ADAPTIVE: any query
+  *    whose slowest warm-up pass exceeds [[heavyThresholdSec]] gets
+  *    max(n, 5) timed passes (replaces the round-7 hardcoded name list,
+  *    which silently under-sampled renamed or newly-heavy queries);
+  *  - machine-load immunity: /proc/loadavg (1-min) is recorded before
+  *    and after every query into the artifact, and any query whose timed
+  *    samples spread more than [[spreadRerunFactor]]× (max/min) is
+  *    automatically re-run for a second full timed set — the committed
+  *    median is the MIN of the two set-medians (a contended window can
+  *    only inflate a median, never deflate it, so min-of-medians is the
+  *    load-robust estimator; both raw sets stay in the artifact);
+  *  - a pass that THROWS records sample −1.0 and the exception in the
+  *    artifact's `errors` map, and is excluded from the median — a
+  *    fast-failing query can no longer masquerade as a fast one (its
+  *    median is −1 when every pass fails).
+  *
+  * Stdout contract: the full one-line JSON (110 queries ≈ 3.4 KB) has
+  * twice exceeded the driver's captured tail window, so the LAST stdout
+  * line is a compact (<600 B) summary — total, load marker, error count,
+  * the four baseline-chain queries (r1/r2/md1/r3, the BASELINE.md
+  * comparison set), and a pointer to the full artifact file — that is
+  * always intact in any tail window. The artifact of record is the file
+  * (`SPARK_GRAFT_BENCH_OUT`, default bench-latest.json): medians, every
+  * raw sample in run order (warm-up passes included), per-query load
+  * markers, error flags, rerun markers, and the policy block.
+  */
 object Bench {
-  /** Queries whose r6 medians swung with machine load (heavy shuffles /
-    * iterative jobs / fixture-cache first-touch): these get a deeper
-    * sample count so the committed median is the steady state, not one
-    * cold outlier — the round-6 verdict's lead ask. */
-  private val heavyTail = Set(
-    "x4_dup_clusters", "x5_dedup_corpus", "x10_incremental_dedup",
-    "x11_full_pipeline", "d2_minhash_lsh", "d9_semdedup",
-    "d10_semdedup_capped", "d4_ngram_jaccard", "m2_decode_png", "m4_resize")
+  /** Warm-up slower than this ⇒ the query is heavy-tailed ⇒ 5 timed samples. */
+  private val heavyThresholdSec = 1.0
+  /** Timed max/min spread beyond this ⇒ one automatic full re-run. */
+  private val spreadRerunFactor = 2.0
+
+  private def load1m(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split(' ')(0).toDouble
+    } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,12 +63,6 @@ object Bench {
     // startup: run one real parquet scan + hash-agg + sort pipeline.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().orderBy("r_name").collect()
-    // Sampling policy (round 7): every query runs `warmup` discarded
-    // passes first — SCALE.md measured the cold first sample at 1.3–3x
-    // steady state (codegen, AQE re-plan, cache/fixture first-touch) —
-    // then n timed samples whose MEDIAN is reported; the heavy tail
-    // (see heavyTail) gets max(n, 5) timed samples because its n=3
-    // medians have read up to 2.7x high under machine-load swings.
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     // Optional comma-separated name filter, for isolating one query's time
@@ -43,16 +72,45 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val loads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val reran = scala.collection.mutable.ArrayBuffer[String]()
+
     val results = selected.map { case (name, fn) =>
-      val nq = if (heavyTail(name)) math.max(n, 5) else n
-      val raw = (0 until warmup + nq).map { _ =>
+      val l0 = load1m()
+      def pass(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            return -1.0 // error sentinel — excluded from the median
+        }
         (System.nanoTime() - t0) / 1e9
       }
+      val warm = (0 until warmup).map(_ => pass())
+      val nq = if (warm.exists(t => t < 0 || t > heavyThresholdSec)) math.max(n, 5) else n
+      def timedSet(): Seq[Double] = (0 until nq).map(_ => pass())
+      def med(ts: Seq[Double]): Double = {
+        val ok = ts.filter(_ >= 0).sorted
+        if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      }
+      val set1 = timedSet()
+      val ok1 = set1.filter(_ >= 0)
+      val spread = if (ok1.nonEmpty && ok1.min > 0) ok1.max / ok1.min else 1.0
+      val (raw, m) =
+        if (errors.contains(name) || spread <= spreadRerunFactor)
+          (warm ++ set1, med(set1))
+        else {
+          // contended window suspected — re-measure; a busy machine only
+          // inflates medians, so min-of-medians is the robust commit
+          reran += name
+          val set2 = timedSet()
+          (warm ++ set1 ++ set2, math.min(med(set1), med(set2)))
+        }
       samples(name) = raw // run order; first `warmup` entries were discarded
-      val times = raw.drop(warmup).sorted
       // Queries that persist intermediates (d2/d5/d7/x10/x11) create a
       // fresh cached frame per run and never unpersist (their result is
       // lazy; ContextCleaner reclaims on GC). Drop the blocks BETWEEN
@@ -60,37 +118,52 @@ object Bench {
       // runs can't build cache-eviction pressure that taxes whoever runs
       // later in the alphabet.
       spark.catalog.clearCache()
-      val med = times(times.size / 2)
-      System.err.println(f"[bench] $name%-24s median $med%8.3f s  " +
+      val l1 = load1m()
+      loads(name) = (l0, l1)
+      System.err.println(f"[bench] $name%-24s median $m%8.3f s  load $l0%.1f->$l1%.1f" +
+        (if (reran.lastOption.contains(name)) "  RERUN" else "") +
+        (if (errors.contains(name)) s"  ERR ${errors(name)}" else "") + "  " +
         raw.map(t => f"$t%.3f").mkString("[", ",", "]"))
-      name -> med
+      name -> m
     }
+
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup}"""
-    // The driver scrapes stdout and has truncated the tail twice
-    // (BENCH_r04/r05 "parsed": null lost per-query history for ~30
-    // queries) — so: (a) stdout carries ONLY this one line (progress goes
-    // to stderr), rounded to 4 decimals to keep it short, flushed
-    // immediately; (b) the artifact of record is a FILE the bench writes
-    // itself with the full detail.
     println(line)
-    System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
     // the file additionally carries every raw sample in run order —
     // INCLUDING the discarded warm-up passes (the first `warmup` entries
     // of each array): medians alone can't distinguish a cold-run outlier
     // from a steady-state regression when a round-over-round diff moves.
-    val samp = samples.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+    val samp = samples.map { case (k, v) => s"\"" + k + "\":" + v.map(x => r4(x)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val heavyList = heavyTail.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val policy = s""""policy":{"warmup_discarded":$warmup,"n":$n,"n_heavy":${math.max(n, 5)},"heavy":$heavyList}"""
-    val fileLine = line.dropRight(1) + s""","samples":$samp,$policy}"""
+    val loadJ = loads.map { case (k, (a, b)) => s"\"" + k + s"""\":[$a,$b]""" }
+      .mkString("{", ",", "}")
+    val errJ = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val rerunJ = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val policy = s""""policy":{"warmup_discarded":$warmup,"n":$n,"n_heavy":${math.max(n, 5)},""" +
+      s""""heavy_rule":"warmup>${heavyThresholdSec}s","spread_rerun":$spreadRerunFactor,""" +
+      s""""median_commit":"min-of-medians-on-rerun"}"""
+    val fileLine = line.dropRight(1) +
+      s""","samples":$samp,"load_1m":$loadJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // LAST stdout line: compact enough (<600 B) to survive any tail
+    // window the driver captures — total, the BASELINE.md comparison
+    // chain, load marker, error/rerun counts, artifact pointer.
+    val headline = Seq("r1_mosaic_composite", "r2_ndvi_temporal",
+        "md1_median", "r3_xyz_tile")
+      .flatMap(h => results.find(_._1 == h))
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val loadMax = if (loads.isEmpty) -1.0 else loads.values.flatMap(t => Seq(t._1, t._2)).max
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup,"queries":$headline,"load_1m_max":$loadMax,"n_errors":${errors.size},"n_reran":${reran.size},"queries_file":"$out"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -155,28 +155,43 @@ object Ann {
     * [[semDedupCapped]]'s window) while a skewed mega-cluster's m² work
     * spreads across ~salt²/2 tasks instead of detonating one reducer —
     * the same skew treatment as the LSH hot-bucket star in
-    * `Dedup.minhashStarEdges`, applied to an exact join. Total work is
+    * `Dedup.minhashStarEdges`, applied to an exact join. The salt is
+    * PER-CLUSTER, derived from the assignment census (a k-row aggregate
+    * the k-means already pays for): salt_c = clamp(⌈m/blockTarget⌉, 1,
+    * maxSalt), so the common case — many small balanced clusters — keeps
+    * the plain cid equi-join (salt 1, zero replication) and only
+    * clusters big enough for their m² to hurt pay the grid's O(salt·m)
+    * replication. Pair coverage is exact for EVERY salt value, so the
+    * result is byte-identical whatever the census says. Total work is
     * still Σ m² (that is semDedup's contract); for clusters where even
     * distributed m² is too much, [[semDedupCapped]] is the linear-work
     * form. Scores are exact integer dot products (engine-portable, see
     * [[cosine]]). Input: [[prepare]]d vectors. Returns per point:
     * (id, cid, drop). */
   def semDedup(prepared: DataFrame, k: Int, iters: Int, tau: Double,
-               salt: Int = 8): DataFrame = {
+               maxSalt: Int = 8, blockTarget: Int = 1024): DataFrame = {
     val assigned = kmeans(prepared, k, iters).select(col("cid"), col("id"))
+    // k-row census → per-cluster salt; broadcast onto the members
+    val saltOf = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("cid"), least(lit(maxSalt), greatest(lit(1),
+        ceil(col("m").cast("double") / blockTarget).cast("int"))).as("sc"))
     // both sides of the pair join + the final left join consume this —
     // persist once (no CSE across branches; the d2/d5 discipline)
     val v = prepared.select(col("id"), col("qv"), col("nq"))
       .join(assigned, Seq("id"))
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(salt)).cast("int"))
+      .join(broadcast(saltOf), Seq("cid"))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("sc")).cast("int"))
       .persist()
-    // A-side in block b covers grid row (b, b..salt-1); B-side in block b'
-    // covers grid column (0..b', b'). Replication is salt+1 rows per
-    // member — O(salt·m), not O(m²) — and the shuffle key (cid, bi, bj)
-    // splits a cluster's pair space into (m/salt)²-sized cells.
-    val a = v.select(col("cid"), col("blk").as("bi"), col("id").as("id_a"),
-        col("qv").as("qa"), col("nq").as("na"))
-      .withColumn("bj", explode(expr(s"sequence(bi, ${salt - 1})")))
+    // A-side in block b covers grid row (b, b..sc-1); B-side in block b'
+    // covers grid column (0..b', b'). Replication is sc+1 rows per
+    // member — O(sc·m), not O(m²) — and the shuffle key (cid, bi, bj)
+    // splits a cluster's pair space into (m/sc)²-sized cells. sc is a
+    // function of cid, so both sides of a cluster agree on its grid.
+    val a = v.select(col("cid"), col("sc"), col("blk").as("bi"),
+        col("id").as("id_a"), col("qv").as("qa"), col("nq").as("na"))
+      .withColumn("bj", explode(expr("sequence(bi, sc - 1)")))
+      .drop("sc")
     val b = v.select(col("cid"), col("blk").as("bj"), col("id").as("id_b"),
         col("qv").as("qb"), col("nq").as("nb"))
       .withColumn("bi", explode(expr("sequence(0, bj)")))

@@ -23,16 +23,33 @@ import org.apache.spark.sql.functions._
   * This is testdata plumbing, not engine surface: production multimodal
   * corpora arrive with real binary columns (SURVEY §2.8), and the
   * operators under test consume exactly that shape from this table.
+  *
+  * Concurrency: the encode writes to a process-unique temp dir and
+  * ATOMIC-RENAMEs it into the signature path, so a second session
+  * benching in parallel either sees the completed cache or builds its
+  * own and loses the rename race harmlessly (its temp dir is deleted) —
+  * never a read-while-overwrite. Superseded signature dirs for the same
+  * source prefix are deleted on write, so regenerated fixtures don't
+  * accrete stale caches. CWD-relative (`target/pngcache`) by design:
+  * it lives and dies with the build dir.
   */
 object PngFixtureCache {
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
 
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Paths.get(dir, "documents.parquet")
     val sig = s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = Paths.get("target", "pngcache", s"$safe-$sig")
+    val base = Paths.get("target", "pngcache")
+    val out = base.resolve(s"$safe-$sig")
     if (!Files.exists(out.resolve("_SUCCESS"))) {
+      val tmp = base.resolve(s".$safe-$sig.tmp-${java.util.UUID.randomUUID()}")
       spark.read.parquet(src.toString)
         .select(col("doc_id"), col("text").cast("binary").as("blob"))
         .as[(Long, Array[Byte])]
@@ -44,7 +61,18 @@ object PngFixtureCache {
             ImageCodec.encodeGrayPng(32, math.max((bytes.length + 31) / 32, 1), bytes))
         }
         .toDF("doc_id", "png_var", "png_32")
-        .write.mode("overwrite").parquet(out.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // retire superseded (size,mtime) keys for this source, then publish
+      Files.list(base).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(s"$safe-") && n != s"$safe-$sig") deleteRecursively(p)
+      }
+      try Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(tmp) // lost the race — the winner's cache serves
+      }
     }
     spark.read.parquet(out.toString)
   }

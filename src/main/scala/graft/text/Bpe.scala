@@ -34,9 +34,10 @@ import org.apache.spark.sql.types._
   * cluster size, regardless of how small the per-round frame is. That
   * k-sequential-jobs bound is inherent to the distributed loop, so the
   * at-scale path is [[trainLocal]]: the SAME single corpus-sized
-  * reduction, then the word-frequency table (language-bounded, ~10⁷ rows
-  * — megabytes, not the corpus) collects to the driver and the classical
-  * indexed merge loop finishes there in seconds with zero further jobs.
+  * reduction, then the word-frequency table (language-bounded — O(total
+  * symbol positions) driver memory, ~hundreds of MB for a 10⁷-form
+  * table, guarded) collects to the driver and the classical indexed
+  * merge loop (incremental heap argmax) finishes with zero further jobs.
   * [[train]] remains the right form when the word table itself can't fit
   * a driver (character-level "words" on genomic data, say) or for small
   * merge counts where one job per round is immaterial. Both produce
@@ -111,25 +112,39 @@ object Bpe {
     * strings compared as unsigned UTF-8 bytes — exactly Spark's binary
     * string ordering, so the argmax matches [[train]] beyond ASCII too.
     *
-    * `maxWordForms` guards the collect the same way `ngramJaccardPairs`
-    * guards its cross: if the distinct-word table exceeds it (not a
-    * natural language — character n-gram soup, genomic k-mers), fail
-    * loudly and point at [[train]] rather than OOM the driver. */
+    * Driver memory is bounded by TOTAL SYMBOL POSITIONS (Σ length over
+    * distinct forms — the loop's index and adjacency structures are all
+    * O(positions), with primitive-int posting arrays, not per-position
+    * boxed sets), so the guard is on `maxSymbolPositions`, not just form
+    * count: a 10⁷-form English table is ~10⁸ positions ≈ hundreds of MB
+    * here; the default cap (5·10⁸) keeps the worst case a few GB. Inputs
+    * past either cap (not a natural language — character n-gram soup,
+    * genomic k-mers) fail loudly and point at [[train]] rather than OOM
+    * the driver — the `ngramJaccardPairs` guard discipline. */
   def trainLocal(df: DataFrame, textCol: String, numMerges: Int,
-                 maxWordForms: Long = 50000000L): DataFrame = {
+                 maxWordForms: Long = 50000000L,
+                 maxSymbolPositions: Long = 500000000L): DataFrame = {
     val spark = df.sparkSession
     // the ONE corpus-sized pass (identical to train's)
     val wordsDf = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .persist() // count + collect must not re-run the corpus-sized pass
-    val nForms = wordsDf.count()
+      .persist() // stats + collect must not re-run the corpus-sized pass
+    val stats = wordsDf.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+      .collect()(0)
+    val (nForms, nPositions) = (stats.getLong(0), stats.getLong(1))
     require(nForms <= maxWordForms,
       s"Bpe.trainLocal: $nForms distinct word forms > maxWordForms=" +
       s"$maxWordForms — this input is not language-bounded, so the " +
       "driver-side merge loop would not fit. Use Bpe.train (fully " +
       "distributed rounds) or raise maxWordForms.")
+    require(nPositions <= maxSymbolPositions,
+      s"Bpe.trainLocal: $nPositions total symbol positions > " +
+      s"maxSymbolPositions=$maxSymbolPositions — the merge loop's " +
+      "adjacency index is O(positions), so this table would not fit a " +
+      "driver. Use Bpe.train (fully distributed rounds) or raise " +
+      "maxSymbolPositions.")
     val collected = wordsDf.collect()
     wordsDf.unpersist()
     val words: Array[(Array[String], Long)] = collected.map { row =>
@@ -139,40 +154,85 @@ object Bpe {
     mergeTable(spark, localMergeLoop(words, numMerges))
   }
 
-  /** Unsigned-UTF-8-byte string ordering — Spark's binary collation, the
-    * ordering `train`'s orderBy(col("a"), col("b")) tie-break uses. */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  /** Unsigned-UTF-8-byte string comparison — Spark's binary collation,
+    * the ordering `train`'s orderBy(col("a"), col("b")) tie-break uses. */
+  private def utf8Compare(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
       val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d < 0
+      if (d != 0) return d
       i += 1
     }
-    a.length < b.length
+    a.length - b.length
   }
 
-  /** The classical indexed merge loop. Pair census counts every adjacent
-    * position (overlaps included: "aaa" has (a,a) twice) weighted by word
-    * frequency; replacement is the greedy left-to-right fold — both
-    * definitions identical to [[train]]'s distributed forms. */
+  /** Growable primitive-int posting list: 4 bytes/entry amortized, no
+    * per-element boxing — the structure that keeps the merge loop's
+    * memory at O(total symbol positions) with a small constant. Entries
+    * may repeat or go stale (a word rewritten by an earlier merge); the
+    * consumer re-checks membership, so appends never need dedup beyond
+    * the cheap adjacent-duplicate skip. */
+  private final class IntBuf {
+    private var a = new Array[Int](4)
+    private var n = 0
+    def +=(v: Int): Unit = {
+      if (n > 0 && a(n - 1) == v) return // same word, next occurrence
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def foreach(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(a(i)); i += 1 }
+    }
+  }
+
+  /** The classical indexed merge loop (Sennrich's `learn_bpe` shape).
+    * Pair census counts every adjacent position (overlaps included:
+    * "aaa" has (a,a) twice) weighted by word frequency; replacement is
+    * the greedy left-to-right fold — both definitions identical to
+    * [[train]]'s distributed forms. The per-merge argmax is INCREMENTAL:
+    * a lazy-deletion max-heap ordered by (count desc, left, right)
+    * receives an entry on every pair-count update, and stale entries
+    * (count no longer current) are discarded at pop time — every live
+    * pair's current count is always present, so the first non-stale pop
+    * is the exact argmax. Per merge that is O(affected·log) instead of a
+    * full O(|pairs|) sweep, which is what makes 32k+ merges over a large
+    * word table tractable. */
   private def localMergeLoop(words: Array[(Array[String], Long)],
                              numMerges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
     val syms: Array[Array[String]] = words.map(_._1)
     val cnts: Array[Long] = words.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val pairWords = mutable.HashMap.empty[(String, String), IntBuf]
+    // max by count, then MIN left, MIN right in utf8 byte order — the
+    // exact (c DESC, a, b) tie-break train's orderBy uses
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = utf8Compare(y._2, x._2)
+          if (ca != 0) ca else utf8Compare(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
     def addWord(idx: Int, sign: Long): Unit = {
       val s = syms(idx); val c = cnts(idx) * sign
       var j = 0
       while (j < s.length - 1) {
         val p = (s(j), s(j + 1))
         val nc = pairCount.getOrElse(p, 0L) + c
-        if (nc == 0L) pairCount.remove(p) else pairCount.update(p, nc)
-        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+        if (nc == 0L) pairCount.remove(p)
+        else {
+          pairCount.update(p, nc)
+          heap.enqueue((nc, p._1, p._2)) // lazy: old entries go stale
+        }
+        if (sign > 0) pairWords.getOrElseUpdate(p, new IntBuf) += idx
         j += 1
       }
     }
@@ -182,24 +242,25 @@ object Bpe {
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
-      // argmax by (count desc, left, right) — utf8 byte order on ties
+      // pop to the first entry whose count is still current
       var best: (String, String) = null
       var bestC = 0L
-      pairCount.foreach { case (p, c) =>
-        if (best == null || c > bestC ||
-            (c == bestC && (utf8Lt(p._1, best._1) ||
-              (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
-          best = p; bestC = c
-        }
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.get((a, b)).contains(c)) { best = (a, b); bestC = c }
       }
       if (best == null) done = true
       else {
         val (a, b) = best
         out += ((r, a, b, bestC))
         val merged = a + b
+        // (a,b)'s count drains to 0 via the addWord(-1) decrements below
+        // (every current occurrence lives in an affected word), removing
+        // it from pairCount; any interim heap entries it leaves go stale
+        // and are skipped at pop time.
         // rewrite only the words that (may) contain the pair; the index
         // holds stale members from earlier rewrites — skip them cheaply
-        val affected = pairWords.remove(best).getOrElse(mutable.HashSet.empty)
+        val affected = pairWords.remove(best).getOrElse(new IntBuf)
         affected.foreach { idx =>
           val s = syms(idx)
           var has = false

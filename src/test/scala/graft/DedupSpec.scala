@@ -498,6 +498,32 @@ class DedupSpec extends SparkSpec {
     assert((0 until 1000).forall(g => !dropped.contains(g.toLong)))
   }
 
+  test("semDedup is byte-identical across salt configurations") {
+    import spark.implicits._
+    // per-cluster conditional salting must be pure execution strategy:
+    // force the plain equi-join (blockTarget >> m => salt 1), the full
+    // grid (blockTarget 1 => maxSalt), and the default, on the same
+    // input — every unordered pair meets exactly once in all three, so
+    // the drop sets must match row for row.
+    val vecs = (0 until 300).map { i =>
+      val g = i % 60
+      (i.toLong, Array((g % 4) * 0.5f - 0.75f, (g / 4 % 4) * 0.5f - 0.75f,
+        (g / 16) * 0.5f - 0.75f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val prepared = Ann.prepare(vecs, "vec_id", "embedding")
+    def run(maxSalt: Int, blockTarget: Int): Seq[(Long, Int, Boolean)] =
+      Ann.semDedup(prepared, k = 3, iters = 2, tau = 1.0,
+          maxSalt = maxSalt, blockTarget = blockTarget)
+        .orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val plain = run(maxSalt = 8, blockTarget = 1000000) // salt 1 everywhere
+    val grid = run(maxSalt = 8, blockTarget = 1)        // salt 8 everywhere
+    val auto = run(maxSalt = 8, blockTarget = 1024)     // the default
+    assert(plain == grid)
+    assert(plain == auto)
+    assert(plain.count(_._3) > 0) // the fixture actually exercises drops
+  }
+
   test("ngramJaccardPairs refuses unbounded all-pairs input, loudly") {
     import spark.implicits._
     val docs = (0 until 20).map(i => (i.toLong, s"tok$i a b c"))
