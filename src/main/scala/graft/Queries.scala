@@ -4355,6 +4355,98 @@ object Queries {
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----- X17: DSIR log-likelihood-ratio weights (Dsir.logRatioWeights
+    // — the paper's §3 importance weight, Xie et al. 2023): same hashed-
+    // bigram census as x16, but the per-bucket model term is
+    // ln p̂_target − ln p̂_raw, quantized to micro-nats (1e6) BEFORE the
+    // per-doc integer sum — the quantization happens once per bucket
+    // (1024 values), so a last-ulp ln() difference between engines would
+    // need to land inside a 1e-9-wide boundary band to flip a value.
+    Q("x17_dsir_logratio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.Dsir
+        val docs = t(s, dir, "documents")
+        val tc = Dsir.bucketCounts(docs.filter($"lang" === "en"), "text", 2, 1024)
+        val rc = Dsir.bucketCounts(docs, "text", 2, 1024)
+        Dsir.logRatioWeights(docs, "doc_id", "text", tc, rc, n = 2,
+            numBuckets = 1024, quantDigits = 6)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |        unnest(list_transform(range(len(s)-1),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |      FROM tk WHERE len(s) >= 2),
+             |tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+             |rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+             |tt AS (SELECT count(*) AS t FROM g WHERE lang = 'en'),
+             |rt AS (SELECT count(*) AS t FROM g),
+             |q AS (SELECT g.doc_id,
+             |        CAST(floor((ln(((coalesce(tc.c, 0) + 1)::DOUBLE) / ((tt.t + 1024)::DOUBLE))
+             |                  - ln(((coalesce(rc.c, 0) + 1)::DOUBLE) / ((rt.t + 1024)::DOUBLE)))
+             |               * 1000000 + 0.5) AS BIGINT) AS d
+             |      FROM g LEFT JOIN tc ON g.b = tc.b
+             |             LEFT JOIN rc ON g.b = rc.b, tt, rt),
+             |sc AS (SELECT doc_id, sum(d) AS weight, count(*) AS n_grams
+             |       FROM q GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.weight, 0) AS BIGINT) AS weight,
+             |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- X18: DSIR importance RESAMPLING (Dsir.resample — the paper's
+    // actual selection step): Gumbel-top-k over the x17 log-ratio
+    // weights draws 200 of the 500 docs ∝ exp(weight), with seeded md5
+    // noise (u from the first 52 md5 bits of "doc_id:42" — exactly
+    // representable, so −ln(−ln u) is finite and engine-portable) and an
+    // integer-quantized selection key; the oracle replays noise, key,
+    // and top-k in SQL. Spark plan is TakeOrderedAndProject — top-k
+    // without a full sort.
+    Q("x18_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.Dsir
+        val docs = t(s, dir, "documents")
+        val tc = Dsir.bucketCounts(docs.filter($"lang" === "en"), "text", 2, 1024)
+        val rc = Dsir.bucketCounts(docs, "text", 2, 1024)
+        val w = Dsir.logRatioWeights(docs, "doc_id", "text", tc, rc, n = 2,
+            numBuckets = 1024, quantDigits = 6)
+          .select($"doc_id", $"weight")
+        Dsir.resample(w, "doc_id", "weight", k = 200, quantDigits = 6,
+            seed = 42L)
+          .orderBy($"gkey".desc, $"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |        unnest(list_transform(range(len(s)-1),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |      FROM tk WHERE len(s) >= 2),
+             |tc AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY b),
+             |rc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+             |tt AS (SELECT count(*) AS t FROM g WHERE lang = 'en'),
+             |rt AS (SELECT count(*) AS t FROM g),
+             |q AS (SELECT g.doc_id,
+             |        CAST(floor((ln(((coalesce(tc.c, 0) + 1)::DOUBLE) / ((tt.t + 1024)::DOUBLE))
+             |                  - ln(((coalesce(rc.c, 0) + 1)::DOUBLE) / ((rt.t + 1024)::DOUBLE)))
+             |               * 1000000 + 0.5) AS BIGINT) AS d
+             |      FROM g LEFT JOIN tc ON g.b = tc.b
+             |             LEFT JOIN rc ON g.b = rc.b, tt, rt),
+             |sc AS (SELECT doc_id, sum(d) AS weight FROM q GROUP BY doc_id),
+             |w AS (SELECT d.doc_id, CAST(coalesce(sc.weight, 0) AS BIGINT) AS weight
+             |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+             |sel AS (SELECT doc_id, weight,
+             |    CAST(floor((weight / 1000000.0
+             |        - ln(-ln(((('0x'||substr(md5(doc_id::VARCHAR||':42'),1,13))::BIGINT)::DOUBLE + 0.5)
+             |                  / 4503599627370496.0)))
+             |      * 1000000 + 0.5) AS BIGINT) AS gkey
+             |  FROM w)
+             |SELECT doc_id, weight, gkey FROM sel
+             |ORDER BY gkey DESC, doc_id LIMIT 200""".stripMargin)),
+
     // ----- D10: SemDeDup with the m^2 bomb defused (design in
     // Ann.semDedupCapped): members rank within their cluster by
     // (centroid distance DESC, id) — the paper's keep-farthest order —

@@ -110,6 +110,39 @@ object Dsir {
       .withColumnRenamed("score", "weight")
   }
 
+  /** DSIR's RESAMPLING step — the paper's actual selection rule (§2.3):
+    * draw `k` documents WITHOUT replacement with probability ∝
+    * exp(weight) via Gumbel-top-k: key_i = w_i + g_i with g_i an i.i.d.
+    * Gumbel(0,1) draw, take the k largest keys. Since our `weightCol`
+    * IS the log importance ratio, exp(weight) is exactly the paper's
+    * importance weight. The noise is SEEDED HASH noise (the repo's
+    * g1/x2 determinism discipline, md5 so any engine replays it):
+    * u = (h52 + 0.5) / 2^52, h52 = first 52 md5 bits of "id:seed" —
+    * strictly inside (0,1) and exactly representable as a double, so
+    * g = −ln(−ln u) is always finite (52 bits, not the repo's usual 60:
+    * a 60-bit h makes (h+0.5)/2^60 round to 1.0 at the top of the
+    * range, where g would blow up to +∞). The selection key is
+    * quantized to an integer (`keyQuantDigits`) before the top-k so
+    * cross-engine last-ulp ln() drift cannot reorder it; ties break by
+    * id. orderBy(...).limit(k) compiles to TakeOrderedAndProject — a
+    * per-partition top-k + k-row driver merge, no full sort, no
+    * corpus-sized shuffle at any scale. Returns the selected rows:
+    * (idCol, weightCol, gkey). */
+  def resample(weights: DataFrame, idCol: String, weightCol: String,
+               k: Int, quantDigits: Int, seed: Long,
+               keyQuantDigits: Int = 6): DataFrame = {
+    val h52 = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10).cast("long")
+    val u = (h52.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val g = -log(-log(u))
+    val key = col(weightCol).cast("double") / math.pow(10.0, quantDigits) + g
+    weights
+      .withColumn("gkey",
+        floor(key * math.pow(10.0, keyQuantDigits) + lit(0.5)).cast("long"))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Shared scoring stage: explode doc grams to buckets, broadcast-join
     * the (numBuckets)-row model, sum per doc (hash-agg partials keep the
     * shuffle at one row per doc per map partition), left-join so every

@@ -72,6 +72,41 @@ class DsirSpec extends SparkSpec {
     assert(w(0L) > w(2L) && w(1L) > w(2L))
   }
 
+  test("resample: Gumbel-top-k matches a driver-side replay; selection is ∝ exp(weight)") {
+    import spark.implicits._
+    // weights spanning several orders so the noise matters but cannot
+    // completely drown the signal
+    val rows = (0L until 100L).map(id => (id, (id % 10) * 2000000L - 9000000L))
+    val df = rows.toDF("doc_id", "weight")
+    val got = Dsir.resample(df, "doc_id", "weight", k = 20,
+        quantDigits = 6, seed = 7L)
+      .orderBy($"gkey".desc, $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // replay: u = (first 52 md5 bits of "id:7" + 0.5)/2^52, g = -ln(-ln u)
+    def h52(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val want = rows.map { case (id, w) =>
+      val u = (h52(s"$id:7") + 0.5) / 4503599627370496.0
+      val g = -math.log(-math.log(u))
+      (id, w, math.floor((w / 1e6 + g) * 1e6 + 0.5).toLong)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(20)
+    assert(got == want)
+    // the keys are finite and the draw leans toward heavy weights:
+    // mean weight of the selected 20 must exceed the corpus mean
+    assert(got.map(_._2).sum / 20.0 > rows.map(_._2).sum / 100.0)
+    // determinism: same seed -> same set; different seed -> (almost
+    // surely) a different set
+    val again = Dsir.resample(df, "doc_id", "weight", k = 20,
+        quantDigits = 6, seed = 7L).collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+    val other = Dsir.resample(df, "doc_id", "weight", k = 20,
+        quantDigits = 6, seed = 8L).collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_._1).toSet)
+  }
+
   test("scores are invariant under partitioning") {
     import spark.implicits._
     val df = fixture.toDF("doc_id", "lang", "text")
