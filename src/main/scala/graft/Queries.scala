@@ -4447,6 +4447,49 @@ object Queries {
              |SELECT doc_id, weight, gkey FROM sel
              |ORDER BY gkey DESC, doc_id LIMIT 200""".stripMargin)),
 
+    // ----- P10/S7: the reader-table OPEN-ONCE invariant, oracle-gated.
+    // 20 assets share 7 distinct urls and every (asset x chunk) row lands
+    // in the single chunk (0,0) — one partition key, so ONE task under
+    // ANY parallelism (repartition hashes (yChunk,xChunk); a single key
+    // maps to a single partition whatever nPart is — this is what makes
+    // the count engine-deterministic and the A/B parallelism-invariant).
+    // The per-task reader cache (TileScan.scan's open-once map, S7) must
+    // therefore construct exactly count(DISTINCT url) = 7 readers for 20
+    // work rows — without the cache this reads 20. A LongAccumulator in
+    // readerFor observes the opens; RampReader's closed-form pixels give
+    // the oracle an exact read-integrity checksum on top (sum over the
+    // full 64x64 grid per asset, summable in SQL).
+    Q("p10_open_once",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, RampReader, TileScan}
+        val spec = RasterSpec(32633, Bounds(0.0, 0.0, 640.0, 640.0), 10.0, 10.0)
+        val assets = (0 until 20).map { i =>
+          AssetRow(i, i, "b", 0L, s"fake://u${i % 7}",
+            0.0, 0.0, 640.0, 640.0, 1.0, 0.0)
+        }
+        val nRows = TileScan.workList(assets, spec, 64, 64).size.toLong
+        val opens = s.sparkContext.longAccumulator("reader_opens")
+        val tiles = TileScan.scan(s, assets, spec, chunk = 64,
+          readerFor = a => { opens.add(1); RampReader(64) })
+        val agg = tiles.toDF()
+          .agg(count(lit(1)).as("n"),
+               sum(aggregate($"pixels", lit(0.0), (acc, x) => acc + x)).as("s"))
+          .collect()(0)
+        Seq((nRows, agg.getLong(0), opens.value.toLong, agg.getDouble(1).toLong))
+          .toDF("n_rows", "n_tiles", "n_opens", "sum_px")
+      },
+      Some("""WITH u AS (SELECT unnest(range(20)) AS i),
+             |px AS (SELECT sum(r.r * 64 + c.c) AS s
+             |       FROM (SELECT unnest(range(64)) AS r) r
+             |       CROSS JOIN (SELECT unnest(range(64)) AS c) c)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_tiles,
+             |  CAST(count(DISTINCT i % 7) AS BIGINT) AS n_opens,
+             |  CAST((SELECT s FROM px) * count(*) AS BIGINT) AS sum_px
+             |FROM u""".stripMargin)),
+
     // ----- D10: SemDeDup with the m^2 bomb defused (design in
     // Ann.semDedupCapped): members rank within their cluster by
     // (centroid distance DESC, id) — the paper's keep-farthest order —
