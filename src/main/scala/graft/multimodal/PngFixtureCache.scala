@@ -37,8 +37,10 @@ object PngFixtureCache {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
@@ -63,10 +65,11 @@ object PngFixtureCache {
         .toDF("doc_id", "png_var", "png_32")
         .write.mode("overwrite").parquet(tmp.toString)
       // retire superseded (size,mtime) keys for this source, then publish
-      Files.list(base).forEach { p =>
+      val ls = Files.list(base)
+      try ls.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith(s"$safe-") && n != s"$safe-$sig") deleteRecursively(p)
-      }
+      } finally ls.close()
       try Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |

@@ -242,6 +242,13 @@ object Bpe {
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
+      // lazy deletion lets stale entries accrete (one per count update);
+      // when they dominate, rebuild from the live table — amortized O(1)
+      // per update, keeps heap memory O(|pairs|) across a 100k-merge run
+      if (heap.size > math.max(1 << 16, 8 * pairCount.size)) {
+        heap.clear()
+        pairCount.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
+      }
       // pop to the first entry whose count is still current
       var best: (String, String) = null
       var bestC = 0L
