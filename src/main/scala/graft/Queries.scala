@@ -4490,6 +4490,115 @@ object Queries {
              |  CAST((SELECT s FROM px) * count(*) AS BIGINT) AS sum_px
              |FROM u""".stripMargin)),
 
+    // ----- T13: CCNet perplexity terciles (Perplexity.nll — Wenzek et
+    // al. 2020): hashed-bigram LM trained on the trusted slice (en docs
+    // with doc_id%3=0, standing in for CCNet's Wikipedia KenLM), every
+    // doc scored by integer micro-nat mean NLL (exp of which is the
+    // perplexity proxy), then each language's docs split head/middle/
+    // tail by ntile(3) on (mean_nll, doc_id). Scores quantize per
+    // BUCKET (1024 points) so the DuckDB ln() replay is exact; at scale
+    // the terciles come from the bounded integer score census, not a
+    // per-language sort (scaladoc).
+    Q("t13_perplexity_buckets",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.{Dsir, Perplexity}
+        val docs = t(s, dir, "documents")
+        val lm = Dsir.bucketCounts(
+          docs.filter($"lang" === "en" && $"doc_id" % 3 === 0), "text", 2, 1024)
+        val scored = Perplexity.nll(docs, "doc_id", "text", lm, n = 2,
+          numBuckets = 1024, quantDigits = 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"mean_nll", $"doc_id")
+        docs.select($"doc_id", $"lang").join(scored, Seq("doc_id"))
+          .withColumn("tercile", ntile(3).over(w))
+          .groupBy($"lang", $"tercile")
+          .agg(count(lit(1)).as("n"), sum($"mean_nll").as("sum_mean"))
+          .orderBy($"lang", $"tercile")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |        unnest(list_transform(range(len(s)-1),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |      FROM tk WHERE len(s) >= 2),
+             |lm AS (SELECT b, count(*) AS c FROM g
+             |       WHERE lang = 'en' AND doc_id % 3 = 0 GROUP BY b),
+             |lt AS (SELECT count(*) AS t FROM g
+             |       WHERE lang = 'en' AND doc_id % 3 = 0),
+             |q AS (SELECT g.doc_id,
+             |        CAST(floor(-ln(((coalesce(lm.c, 0) + 1)::DOUBLE)
+             |                       / ((lt.t + 1024)::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d
+             |      FROM g LEFT JOIN lm ON g.b = lm.b, lt),
+             |sc AS (SELECT doc_id, sum(d) AS nll, count(*) AS n FROM q GROUP BY doc_id),
+             |m AS (SELECT d.doc_id, d.lang,
+             |        CASE WHEN coalesce(sc.n, 0) > 0
+             |             THEN coalesce(sc.nll, 0) // sc.n ELSE 0 END AS mean_nll
+             |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+             |tr AS (SELECT lang, mean_nll,
+             |         ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS tercile
+             |       FROM m)
+             |SELECT lang, tercile, count(*) AS n,
+             |  CAST(sum(mean_nll) AS BIGINT) AS sum_mean
+             |FROM tr GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin)),
+
+    // ----- X19: UniMax language-balanced sampling (Sample.unimaxBudgets
+    // + unimaxSelect — Chung et al. 2023): water-fill a 12k-token budget
+    // across languages with a 1-epoch cap, then take each language's
+    // hash-ordered document prefix within its budget. The allocation is
+    // closed-form integer water-filling over the k-row language census
+    // (SQL replays it with window cumsums); selection reuses the x2
+    // hash-prefix discipline.
+    Q("x19_unimax_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Sample
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tk"))
+        val census = tok.groupBy($"lang").agg(sum($"tk").as("tokens"))
+        val budgets = Sample.unimaxBudgets(census, "lang", "tokens",
+          totalBudget = 12000L, maxEpochs = 1)
+        val sel = Sample.unimaxSelect(tok, "lang", $"doc_id", "tk", budgets)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sel"), sum($"tk").as("tok_sel"))
+        budgets.join(sel, Seq("lang"), "left")
+          .select($"lang", $"tokens", $"cap", $"budget",
+            coalesce($"n_sel", lit(0L)).as("n_sel"),
+            coalesce($"tok_sel", lit(0L)).as("tok_sel"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS tk FROM documents),
+             |c AS (SELECT lang, CAST(sum(tk) AS BIGINT) AS tokens FROM tok GROUP BY lang),
+             |r AS (SELECT lang, tokens, tokens * 1 AS cap,
+             |        row_number() OVER (ORDER BY tokens * 1, lang) AS i,
+             |        count(*) OVER () AS k,
+             |        sum(tokens * 1) OVER (ORDER BY tokens * 1, lang
+             |          ROWS UNBOUNDED PRECEDING) AS prefix
+             |      FROM c),
+             |tt AS (SELECT *, (12000 - (prefix - cap)) // (k - i + 1) AS tcand,
+             |        ((12000 - (prefix - cap)) // (k - i + 1)) <= cap AS hit FROM r),
+             |st AS (SELECT *, min(CASE WHEN hit THEN i END) OVER () AS istar FROM tt),
+             |s2 AS (SELECT *, max(CASE WHEN i = istar THEN tcand END) OVER () AS tstar FROM st),
+             |b AS (SELECT lang, tokens, cap,
+             |        CASE WHEN istar IS NULL OR i < istar THEN cap
+             |             ELSE greatest(tstar, 0) END AS budget FROM s2),
+             |h AS (SELECT doc_id, lang, tk,
+             |        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv FROM tok),
+             |cum AS (SELECT lang, doc_id, tk,
+             |          sum(tk) OVER (PARTITION BY lang ORDER BY hv, doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS cm FROM h),
+             |sel AS (SELECT cum.lang, count(*) AS n_sel,
+             |          CAST(sum(tk) AS BIGINT) AS tok_sel
+             |        FROM cum JOIN b USING (lang) WHERE cm <= b.budget
+             |        GROUP BY cum.lang)
+             |SELECT b.lang, b.tokens, CAST(b.cap AS BIGINT) AS cap,
+             |  CAST(b.budget AS BIGINT) AS budget,
+             |  CAST(coalesce(sel.n_sel, 0) AS BIGINT) AS n_sel,
+             |  CAST(coalesce(sel.tok_sel, 0) AS BIGINT) AS tok_sel
+             |FROM b LEFT JOIN sel ON b.lang = sel.lang
+             |ORDER BY b.lang""".stripMargin)),
+
     // ----- D10: SemDeDup with the m^2 bomb defused (design in
     // Ann.semDedupCapped): members rank within their cluster by
     // (centroid distance DESC, id) — the paper's keep-farthest order —

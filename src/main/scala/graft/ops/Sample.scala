@@ -38,4 +38,66 @@ object Sample {
     * space. The scale path when exact stratum sizes don't matter. */
   def hashFraction(df: DataFrame, idCol: Column, fraction: Double, buckets: Int = 1000000): DataFrame =
     df.filter(pmod(graft.sketch.Kmv.hash60(idCol), lit(buckets.toLong)) < lit((fraction * buckets).toLong))
+
+  /** UniMax per-language token budgets (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", arXiv:2304.09151): distribute a total
+    * token budget `totalBudget` as uniformly as possible across
+    * languages, capping each language at `maxEpochs` passes over its
+    * available tokens. This is WATER-FILLING with per-language cap
+    * cap_l = maxEpochs · tokens_l, and has the closed form: sort
+    * languages by cap ascending; the first rank i where the equal share
+    * of the remaining budget, t_i = (T − Σ_{j<i} cap_j) div (k−i+1),
+    * no longer exceeds cap_i is the water level t*: languages below it
+    * get their full cap, languages at-or-above it get t*. (If the total
+    * budget covers every cap, everyone gets their cap.) Pure integer
+    * arithmetic — floor division, deterministic ties by language — so
+    * any SQL engine replays it exactly; Σ budgets ≤ totalBudget with
+    * slack < k from the floors.
+    *
+    * `census` is the (langCol, tokens) table — k rows, one per
+    * language. All windows here run over that k-row frame (KB-sized at
+    * any corpus scale — language counts don't grow with data), never
+    * over the corpus. Returns (langCol, tokens, cap, budget). */
+  def unimaxBudgets(census: DataFrame, langCol: String, tokensCol: String,
+                    totalBudget: Long, maxEpochs: Int): DataFrame = {
+    val byCap = Window.orderBy(col("cap").asc, col(langCol).asc)
+    val all = Window.partitionBy()
+    val ranked = census
+      .select(col(langCol), col(tokensCol).cast("long").as("tokens"),
+        (col(tokensCol).cast("long") * maxEpochs).as("cap"))
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("prefix", sum(col("cap")).over(byCap)) // inclusive
+      .withColumn("tcand",
+        expr(s"($totalBudget - (prefix - cap)) div (k - i + 1)"))
+      .withColumn("hit", col("tcand") <= col("cap"))
+    // water level = tcand at the FIRST hit rank (null when budget covers
+    // every cap). A k-row frame: the min-over-all window is metadata.
+    ranked
+      .withColumn("istar", min(when(col("hit"), col("i"))).over(all))
+      .withColumn("tstar", max(when(col("i") === col("istar"), col("tcand"))).over(all))
+      .select(col(langCol), col("tokens"), col("cap"),
+        when(col("istar").isNull || col("i") < col("istar"), col("cap"))
+          .otherwise(greatest(col("tstar"), lit(0L))).as("budget"))
+  }
+
+  /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),
+    * keep each language's hash-ordered prefix of documents whose running
+    * token total stays within the budget (a doc that would cross the
+    * line is excluded). Hash order = the [[stratifiedExact]] discipline:
+    * deterministic across runs/engines/cluster sizes, stable under data
+    * growth. The per-language cumsum window is the exactness path (same
+    * stratum-fits-a-task caveat as stratifiedExact — salt-split or
+    * budget-threshold the hash space when one language dominates).
+    * Returns the selected rows with (tokensCol, budget) attached. */
+  def unimaxSelect(df: DataFrame, langCol: String, idCol: Column,
+                   tokensCol: String, budgets: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy(col(langCol))
+      .orderBy(graft.sketch.Kmv.hash60(idCol).asc, idCol.asc)
+    df.join(broadcast(budgets.select(col(langCol), col("budget"))), Seq(langCol))
+      .withColumn("__cum", sum(col(tokensCol)).over(byHash))
+      .filter(col("__cum") <= col("budget"))
+      .drop("__cum")
+  }
 }

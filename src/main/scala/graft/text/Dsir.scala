@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Exploded (keepCols..., bucket) rows: one row per n-gram occurrence
-    * (duplicates kept — DSIR models occurrence frequencies). */
-  private def explodedBuckets(df: DataFrame, keep: Seq[String],
+    * (duplicates kept — DSIR models occurrence frequencies). Shared with
+    * [[Perplexity]], which scores under the same hashed-gram LM family. */
+  private[text] def explodedBuckets(df: DataFrame, keep: Seq[String],
                               textCol: String, n: Int,
                               numBuckets: Int): DataFrame =
     df.select(keep.map(col) :+ org.apache.spark.sql.graftx.GraftExpr
@@ -147,7 +148,7 @@ object Dsir {
     * the (numBuckets)-row model, sum per doc (hash-agg partials keep the
     * shuffle at one row per doc per map partition), left-join so every
     * doc keeps a row. */
-  private def scoreByModel(docs: DataFrame, idCol: String, textCol: String,
+  private[text] def scoreByModel(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, numBuckets: Int,
                            model: DataFrame): DataFrame = {
     val per = explodedBuckets(docs, Seq(idCol), textCol, n, numBuckets)

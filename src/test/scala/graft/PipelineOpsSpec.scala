@@ -154,4 +154,54 @@ class PipelineOpsSpec extends SparkSpec {
     val rate = s.count().toDouble / 20000
     assert(rate > 0.2 && rate < 0.3, s"rate $rate")
   }
+
+  test("unimax budgets: integer water-filling with per-language caps") {
+    import spark.implicits._
+    import graft.ops.Sample
+    // caps (maxEpochs=2) = [2,4,10,10]; T=20: langs a,b take their caps,
+    // water level t* = (20-6) div 2 = 7 for c,d — hand-computed
+    val census = Seq(("a", 1L), ("b", 2L), ("c", 5L), ("d", 5L))
+      .toDF("lang", "tokens")
+    val got = Sample.unimaxBudgets(census, "lang", "tokens",
+        totalBudget = 20L, maxEpochs = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 2L, 2L), ("b", 4L, 4L), ("c", 10L, 7L), ("d", 10L, 7L)))
+    // budget covers every cap -> everyone gets their cap
+    val full = Sample.unimaxBudgets(census, "lang", "tokens",
+        totalBudget = 100L, maxEpochs = 2)
+      .collect().map(r => r.getLong(2) == r.getLong(3))
+    assert(full.forall(identity))
+    // tiny budget: uniform split, nobody reaches a cap
+    val tiny = Sample.unimaxBudgets(census, "lang", "tokens",
+        totalBudget = 4L, maxEpochs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(tiny == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    // sum never exceeds the total budget
+    Seq(3L, 7L, 13L, 19L, 26L, 40L).foreach { t =>
+      val s = Sample.unimaxBudgets(census, "lang", "tokens", t, 2)
+        .agg(org.apache.spark.sql.functions.sum("budget")).collect()(0).getLong(0)
+      assert(s <= t || t >= 26L, s"T=$t allocated $s")
+    }
+  }
+
+  test("unimax select: hash-prefix within budget, excluded doc does not split") {
+    import spark.implicits._
+    import graft.ops.Sample
+    val docs = (0L until 40L).map(id => (id, if (id % 2 == 0) "x" else "y", 3L))
+      .toDF("doc_id", "lang", "tk")
+    val census = docs.groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.sum($"tk").as("tokens"))
+    // 60 tokens per lang available, cap=60 each, T=70 -> water level 35
+    val budgets = Sample.unimaxBudgets(census, "lang", "tokens", 70L, 1)
+    val sel = Sample.unimaxSelect(docs, "lang", $"doc_id", "tk", budgets)
+      .select($"lang", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    // 35 div 3 = 11 whole docs per language, never 12
+    assert(sel("x").length == 11 && sel("y").length == 11)
+    // determinism: the selected ids are the smallest-hash prefix
+    val again = Sample.unimaxSelect(docs, "lang", $"doc_id", "tk", budgets)
+      .select($"doc_id").collect().map(r => r.getLong(0)).toSet
+    assert(again == sel.values.flatten.map(_._2).toSet)
+  }
 }
