@@ -4671,8 +4671,88 @@ object Queries {
              |GROUP BY rkk.cid ORDER BY rkk.cid""".stripMargin))
   )
 
+  private val roundFive: Seq[Q] = Seq(
+    // ----- T14: C4 page cleaning (Raffel et al. 2020 §2.2 — text.C4).
+    // The synthetic corpus is one unpunctuated line per doc, so the query
+    // first MANUFACTURES a structured page deterministically (pure
+    // modular arithmetic, replayed identically in SQL): 5-word lines,
+    // terminal '.' on lines where (doc_id+i)%3≠0 (so ~1/3 of lines fail
+    // the terminal rule and ragged last lines fail the 3-word rule), plus
+    // three poison lines — "enable javascript now." on doc_id%11=0 (line
+    // rule: removed, page survives), "lorem ipsum." on %17=0 and
+    // "schema {" on %23=0 (page rules: whole doc dropped). The bad-word
+    // list is Seq("dup") — a real corpus token, so that gate's census is
+    // data-driven, word-level (split on [^a-z]+), not substring. Output:
+    // per-doc verdict + kept-line census + 60-bit md5 of the cleaned
+    // page, so the oracle pins the REWRITE, not just the counts. One
+    // codegen projection end-to-end: no shuffle at any scale.
+    Q("t14_c4_filters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.C4
+        val pages = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .withColumn("tk", split($"text", " "))
+          .withColumn("nl", expr("(size(tk) + 4) div 5").cast("int"))
+          .withColumn("base", expr(
+            """transform(sequence(0, nl - 1), i ->
+                 concat(array_join(slice(tk, i*5 + 1, 5), ' '),
+                        if((doc_id + i) % 3 != 0, '.', '')))"""))
+          .withColumn("withjs", expr(
+            "if(doc_id % 11 = 0, concat(base, array('enable javascript now.')), base)"))
+          .withColumn("withlorem", expr(
+            "if(doc_id % 17 = 0, concat(withjs, array('lorem ipsum.')), withjs)"))
+          .withColumn("withbrace", expr(
+            "if(doc_id % 23 = 0, concat(withlorem, array('schema {')), withlorem)"))
+          .withColumn("page", array_join($"withbrace", "\n"))
+        C4.clean(pages, "page", C4.Rules(badWords = Seq("dup")))
+          .select($"doc_id", $"reason", $"n_lines_in", $"n_lines_kept",
+            $"n_sentences",
+            conv(substring(md5($"kept_text"), 1, 15), 16, 10).cast("long").as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |lb AS (SELECT doc_id, tk, unnest(range((len(tk)+4)//5)) AS i FROM s),
+             |l1 AS (SELECT doc_id, i,
+             |         array_to_string(tk[i*5+1:i*5+5],' ')
+             |           || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
+             |       FROM lb),
+             |ex AS (SELECT doc_id, 999999 AS i, 'enable javascript now.' AS line
+             |         FROM s WHERE doc_id % 11 = 0
+             |       UNION ALL SELECT doc_id, 1000000, 'lorem ipsum.' FROM s WHERE doc_id % 17 = 0
+             |       UNION ALL SELECT doc_id, 1000001, 'schema {' FROM s WHERE doc_id % 23 = 0),
+             |al AS (SELECT * FROM l1 UNION ALL SELECT * FROM ex),
+             |pg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page,
+             |              count(*) AS n_lines_in
+             |       FROM al GROUP BY doc_id),
+             |kl AS (SELECT doc_id, i, line FROM al
+             |       WHERE regexp_matches(line, '[.!?"]$')
+             |         AND len(string_split(line,' ')) >= 3
+             |         AND NOT contains(lower(line), 'javascript')),
+             |ck AS (SELECT pg.doc_id,
+             |         coalesce(string_agg(kl.line, chr(10) ORDER BY kl.i), '') AS kept_text,
+             |         count(kl.i) AS n_lines_kept
+             |       FROM pg LEFT JOIN kl ON pg.doc_id = kl.doc_id GROUP BY pg.doc_id),
+             |v AS (SELECT pg.doc_id, pg.n_lines_in, ck.n_lines_kept, ck.kept_text,
+             |        length(regexp_replace(ck.kept_text, '[^.!?]', '', 'g')) AS n_sent,
+             |        contains(lower(pg.page), 'lorem ipsum') AS lorem,
+             |        contains(pg.page, '{') AS brace,
+             |        len(list_intersect(string_split_regex(lower(pg.page), '[^a-z]+'),
+             |            ['dup'])) > 0 AS badw
+             |      FROM pg JOIN ck ON pg.doc_id = ck.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN lorem THEN 'lorem' WHEN brace THEN 'brace'
+             |       WHEN badw THEN 'badword' WHEN n_sent < 5 THEN 'fewsent'
+             |       ELSE 'kept' END AS reason,
+             |  CAST(n_lines_in AS BIGINT) AS n_lines_in,
+             |  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+             |  CAST(n_sent AS BIGINT) AS n_sentences,
+             |  ('0x'||substr(md5(kept_text),1,15))::BIGINT AS h
+             |FROM v ORDER BY doc_id""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
