@@ -4748,7 +4748,74 @@ object Queries {
              |  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
              |  CAST(n_sent AS BIGINT) AS n_sentences,
              |  ('0x'||substr(md5(kept_text),1,15))::BIGINT AS h
-             |FROM v ORDER BY doc_id""".stripMargin))
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // ----- X20: frequent-line boilerplate removal (CCNet §3.1 paragraph
+    // dedup / RefinedWeb line-level corrections — Dedup.removeFrequent
+    // Lines). Manufactured pages inject three banner classes at known
+    // doc frequencies over the 500-doc corpus: "all rights reserved"
+    // PREPENDED on doc_id%3=0 (df≈167, tests order preservation),
+    // "Subscribe to our newsletter" appended on %2=0 with a case variant
+    // on %4=0 (df≈250 under lowercase normalization — the variant MUST
+    // collapse into the same census key), "click here to continue" on
+    // %5=0 (df≈100). Threshold 120 ⇒ the first two vanish from every
+    // doc, the third survives. Oracle replays census, normalized hash,
+    // anti-join, and the order-preserving reassembly; output pins the
+    // rewritten page by 60-bit md5. Plan: posexplode → bounded census →
+    // BROADCAST anti-join (frequent table ≤ totalLines/120 rows) —
+    // no shuffle ever meets the skewed banner key.
+    Q("x20_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select($"doc_id", $"text")
+          .withColumn("tk", split($"text", " "))
+          .withColumn("base", expr(
+            """transform(sequence(0, (size(tk)+4) div 5 - 1),
+                 i -> array_join(slice(tk, i*5 + 1, 5), ' '))"""))
+          .withColumn("l1", expr(
+            "if(doc_id % 3 = 0, concat(array('all rights reserved'), base), base)"))
+          .withColumn("l2", expr(
+            """if(doc_id % 2 = 0, concat(l1, array(
+                 if(doc_id % 4 = 0, 'subscribe TO our newsletter',
+                    'Subscribe to our newsletter'))), l1)"""))
+          .withColumn("l3", expr(
+            "if(doc_id % 5 = 0, concat(l2, array('click here to continue')), l2)"))
+          .withColumn("page", array_join($"l3", "\n"))
+        graft.dedup.Dedup.removeFrequentLines(pages, "doc_id", "page",
+            maxDocFreq = 120L)
+          .select($"id".as("doc_id"), $"n_lines_in", $"n_lines_kept",
+            conv(substring(md5($"kept_text"), 1, 15), 16, 10).cast("long").as("h"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |c AS (SELECT doc_id, list_transform(range((len(tk)+4)//5),
+             |        i -> array_to_string(tk[i*5+1:i*5+5],' ')) AS base FROM s),
+             |p1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             |         THEN ['all rights reserved'] || base ELSE base END AS l FROM c),
+             |p2 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             |         THEN l || [CASE WHEN doc_id % 4 = 0
+             |           THEN 'subscribe TO our newsletter'
+             |           ELSE 'Subscribe to our newsletter' END]
+             |         ELSE l END AS l FROM p1),
+             |p3 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |         THEN l || ['click here to continue'] ELSE l END AS l FROM p2),
+             |ln AS (SELECT doc_id, unnest(range(len(l))) AS pos, l FROM p3),
+             |lx AS (SELECT doc_id, pos, l[pos+1] AS line,
+             |         ('0x'||substr(md5(lower(trim(l[pos+1]))),1,15))::BIGINT AS lh
+             |       FROM ln),
+             |fr AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM lx)
+             |       GROUP BY lh HAVING count(*) > 120),
+             |kp AS (SELECT lx.doc_id, lx.pos, lx.line FROM lx
+             |       LEFT JOIN fr ON lx.lh = fr.lh WHERE fr.lh IS NULL),
+             |agg AS (SELECT doc_id, count(*) AS n_lines_kept,
+             |          string_agg(line, chr(10) ORDER BY pos) AS kept_text
+             |        FROM kp GROUP BY doc_id)
+             |SELECT p3.doc_id, CAST(len(p3.l) AS BIGINT) AS n_lines_in,
+             |  CAST(coalesce(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+             |  ('0x'||substr(md5(coalesce(agg.kept_text,'')),1,15))::BIGINT AS h
+             |FROM p3 LEFT JOIN agg ON p3.doc_id = agg.doc_id
+             |ORDER BY p3.doc_id""".stripMargin))
   )
 
   private val qs: Seq[Q] =

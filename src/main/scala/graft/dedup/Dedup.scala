@@ -602,4 +602,57 @@ object Dedup {
       s"connectedComponents did not reach a fixpoint within $maxIter rounds")
     labels.select($"node", $"label".as("component"))
   }
+
+  /** Frequent-line (boilerplate) removal — the paragraph-level dedup step
+    * of CCNet (Wenzek et al. 2020 §3.1, "deduplicating paragraphs") and
+    * RefinedWeb (Penedo et al. 2023, line-level corrections): a line that
+    * appears in MORE than `maxDocFreq` DISTINCT documents is boilerplate
+    * ("subscribe to our newsletter", cookie banners, nav bars) and is
+    * removed from every document; document order of the surviving lines
+    * is preserved.
+    *
+    * Lines are keyed by the 60-bit md5 of their lowercased+trimmed form
+    * (CCNet's normalization-before-hash), so cosmetic case/indent
+    * variants of the same banner collapse into one census key.
+    *
+    * Scale design: one posexplode scan → a distinct-(doc,line-hash)
+    * census (map-side combined; the key space is bounded by distinct
+    * lines, not occurrences) → a BROADCAST anti-join, because the
+    * frequent-line table is provably small: at threshold k it has at most
+    * totalLineOccurrences / k rows (each frequent hash accounts for > k
+    * occurrences), e.g. ≤ 10⁶ hashes for 10¹² lines at k = 10⁶ — 8 MB of
+    * longs. No shuffle meets the skewed key (a banner in half the corpus
+    * hashes to ONE census key — a shuffled anti-join would funnel half
+    * the exploded corpus through one reducer; the broadcast keeps the
+    * probe map-side). Reassembly sorts each doc's surviving (pos, line)
+    * pairs locally — per-doc state, no global sort.
+    *
+    * Returns one row per input document: (id, n_lines_in, n_lines_kept,
+    * kept_text) — documents whose every line was boilerplate survive with
+    * the empty rewrite, so corpus row count is stable.
+    */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDocFreq: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select($"id", posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", tokenHash(lower(trim($"line"))))
+    val frequent = lines.select($"id", $"lh").distinct()
+      .groupBy($"lh").agg(count(lit(1)).as("docfreq"))
+      .filter($"docfreq" > maxDocFreq)
+      .select($"lh")
+    val kept = lines.join(broadcast(frequent), Seq("lh"), "left_anti")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"line"))),
+            s => s.getField("line")), "\n").as("kept_text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines_in"))
+      .join(kept, Seq("id"), "left")
+      .select($"id", $"n_lines_in",
+        coalesce($"n_lines_kept", lit(0L)).as("n_lines_kept"),
+        coalesce($"kept_text", lit("")).as("kept_text"))
+  }
 }

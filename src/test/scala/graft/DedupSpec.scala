@@ -538,4 +538,27 @@ class DedupSpec extends SparkSpec {
       threshold = 0.1, maxRows = 10, allowFullCross = true).count()
     assert(pairs > 0)
   }
+
+  test("removeFrequentLines drops banners, keeps order, normalizes case") {
+    import spark.implicits._
+    val banner = "Subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha unique line one\n$banner\nalpha unique line two"),
+      (2L, s"${banner.toUpperCase}\nbeta content here"),   // case variant → same key
+      (3L, s"gamma text\n  $banner  "),                    // whitespace variant → same key
+      (4L, banner),                                        // banner-only doc → empty rewrite
+      (5L, "delta stands alone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2L)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 3L, 2L, "alpha unique line one\nalpha unique line two")))
+    assert(out(1) === ((2L, 2L, 1L, "beta content here")))
+    assert(out(2) === ((3L, 2L, 1L, "gamma text")))
+    assert(out(3) === ((4L, 1L, 0L, ""))) // survives with the empty rewrite
+    assert(out(4) === ((5L, 1L, 1L, "delta stands alone")))
+    // df = 4 > maxDocFreq = 2 fired; at threshold 4 nothing is frequent
+    val none = Dedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 4L)
+    assert(none.filter($"n_lines_kept" =!= $"n_lines_in").count() === 0)
+  }
 }
