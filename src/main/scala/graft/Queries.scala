@@ -2043,7 +2043,7 @@ object Queries {
     // ----- K1: KMV bottom-k distinct sketch vs exact — one-pass mergeable
     // bounded state (k=64 longs) with map-side partial aggregation; the
     // estimator (k-1)*2^60/h_k is hash-deterministic so DuckDB replays it
-    // bit-for-bit (HLL could not be oracle-checked this way).
+    // bit-for-bit (k2 extends the same discipline to HLL).
     Q("k1_kmv_sketch",
       (s, dir) => {
         import s.implicits._
@@ -4815,7 +4815,59 @@ object Queries {
              |  CAST(coalesce(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
              |  ('0x'||substr(md5(coalesce(agg.kept_text,'')),1,15))::BIGINT AS h
              |FROM p3 LEFT JOIN agg ON p3.doc_id = agg.doc_id
-             |ORDER BY p3.doc_id""".stripMargin))
+             |ORDER BY p3.doc_id""".stripMargin)),
+
+    // ----- K2: HyperLogLog distinct sketch vs exact (sketch.Hll) — the
+    // deterministic-hash construction makes HLL oracle-checkable after
+    // all (k1's comment used to claim otherwise): registers from the
+    // fixed 60-bit md5 hash (p=8 ⇒ 256 byte registers, top-8-bit bucket,
+    // leading-zero rank of the 52-bit suffix), the sketch surfaced as
+    // the EXACT integers s = Σ 2^(53−M_j) and the empty-register count,
+    // and the bias-corrected estimate (alpha_m·m²·2^53/s, linear
+    // counting below 2.5m) an identical fixed-shape double expression
+    // both sides, milli-quantized. The shuffle carries 256 bytes per
+    // (group, task) — map-side combined, the 100 TB census shape.
+    Q("k2_hll_sketch",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.{Hll, Kmv}
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("n_exact"),
+               Hll.sketch(Kmv.hash60($"l_orderkey"), p = 8).as("hll"))
+          .select($"l_returnflag", $"n_exact",
+            $"hll._1".as("s"), $"hll._2".as("zeros"),
+            floor(Hll.estimate($"hll", p = 8) * lit(1000.0) + lit(0.5))
+              .cast("long").as("est_milli"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             |    ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv
+             |  FROM lineitem),
+             |b AS (SELECT g, hv // 4503599627370496 AS bucket,
+             |        hv % 4503599627370496 AS rest FROM h),
+             |r AS (SELECT g, bucket,
+             |        max(CASE WHEN rest = 0 THEN 53
+             |            ELSE 53 - length(bin(rest)) END) AS mj
+             |      FROM b GROUP BY g, bucket),
+             |agg AS (SELECT g,
+             |    CAST(sum(1::BIGINT << (53 - mj))
+             |      + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+             |    CAST(256 - count(*) AS BIGINT) AS zeros
+             |  FROM r GROUP BY g),
+             |x AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS n_exact
+             |      FROM lineitem GROUP BY 1),
+             |e AS (SELECT g, s, zeros,
+             |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+             |      * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+             |      / s::DOUBLE AS raw
+             |  FROM agg)
+             |SELECT e.g AS l_returnflag, CAST(x.n_exact AS BIGINT) AS n_exact,
+             |  e.s AS s, e.zeros AS zeros,
+             |  CAST(floor((CASE WHEN e.raw < 2.5::DOUBLE * 256.0::DOUBLE AND e.zeros > 0
+             |        THEN 256.0::DOUBLE * ln(256.0::DOUBLE / e.zeros::DOUBLE)
+             |        ELSE e.raw END) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS est_milli
+             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
