@@ -42,6 +42,49 @@ object Queries {
     * -> greedy list_reduce merge per round) — shared by t11 (distributed
     * trainer) and t12 (driver-side at-scale trainer): the two are
     * bit-identical by contract, so one SQL gates both. */
+  /** Shared DuckDB replay of PQ training + encoding (v9/v10): all 4
+    * subspace k-means at once (`sp` keys every CTE), 1 Lloyd round, the
+    * kmeans determinism discipline (integer d2, (d2, code) tiebreak,
+    * integer-rounded updates, init from the 4 smallest ids, empty codes
+    * keep their previous entry). Ends with `a2` = the final (id, sp,
+    * code) encoding; each consumer appends its own tail CTEs. */
+  private lazy val pqReplayPrefix: String =
+    """WITH q AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |spt AS (SELECT CAST(i AS INT) AS sp FROM range(0,4) t(i)),
+      |sdt AS (SELECT CAST(i AS INT) AS d FROM range(0,16) t(i)),
+      |sv AS (SELECT q.id, spt.sp,
+      |         list_transform(range(16), d -> q.qv[spt.sp*16 + d + 1]) AS sv
+      |       FROM q CROSS JOIN spt),
+      |c0 AS (SELECT sp, row_number() OVER (PARTITION BY sp ORDER BY id) - 1 AS code,
+      |         sv AS cv
+      |       FROM sv WHERE id IN (SELECT id FROM q ORDER BY id LIMIT 4)),
+      |e1 AS (SELECT sv.id, sv.sp, c0.code,
+      |         sum((sv.sv[d+1]-c0.cv[d+1])*(sv.sv[d+1]-c0.cv[d+1])) AS d2
+      |       FROM sv JOIN c0 ON sv.sp = c0.sp CROSS JOIN sdt
+      |       GROUP BY sv.id, sv.sp, c0.code),
+      |a1 AS (SELECT id, sp, code FROM (SELECT id, sp, code,
+      |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM e1)
+      |       WHERE rn = 1),
+      |u1 AS (SELECT a1.sp, a1.code, d,
+      |         CAST(floor(CAST(sum(sv.sv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+      |       FROM a1 JOIN sv ON a1.id = sv.id AND a1.sp = sv.sp CROSS JOIN sdt
+      |       GROUP BY a1.sp, a1.code, d),
+      |c1 AS (SELECT sp, code, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY sp, code
+      |       UNION ALL
+      |       SELECT c0.sp, c0.code, c0.cv FROM c0
+      |       WHERE NOT EXISTS (SELECT 1 FROM u1
+      |                         WHERE u1.sp = c0.sp AND u1.code = c0.code)),
+      |e2 AS (SELECT sv.id, sv.sp, c1.code,
+      |         sum((sv.sv[d+1]-c1.cv[d+1])*(sv.sv[d+1]-c1.cv[d+1])) AS d2
+      |       FROM sv JOIN c1 ON sv.sp = c1.sp CROSS JOIN sdt
+      |       GROUP BY sv.id, sv.sp, c1.code),
+      |a2 AS (SELECT id, sp, code FROM (SELECT id, sp, code,
+      |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM e2)
+      |       WHERE rn = 1),
+      |""".stripMargin
+
   private lazy val bpeTrainOracle8: String = {
     val rounds = (1 to 8).flatMap { r =>
       val prev = s"w${r - 1}"
@@ -4867,7 +4910,72 @@ object Queries {
              |  CAST(floor((CASE WHEN e.raw < 2.5::DOUBLE * 256.0::DOUBLE AND e.zeros > 0
              |        THEN 256.0::DOUBLE * ln(256.0::DOUBLE / e.zeros::DOUBLE)
              |        ELSE e.raw END) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS est_milli
-             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin))
+             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin)),
+
+    // ----- V9: product-quantization training + encoding (Jégou et al.
+    // 2011 — Ann.pqCodebook/pqEncode). 64-dim vectors → 4 subspaces of
+    // 16 dims, ks=4 codes each, 1 Lloyd round: the corpus compresses to
+    // 4 2-bit codes (1 byte) per vector. All 4 subspace k-means train in
+    // the SAME jobs (sp rides as a key), v6's determinism discipline
+    // throughout. The oracle replays init→assign→update→encode for all
+    // subspaces at once and pins the per-(sp,code) member census plus a
+    // dim-weighted codebook checksum.
+    Q("v9_pq_encode",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val cb = Ann.pqCodebook(prepared, numSub = 4, subDim = 16, ks = 4, iters = 1)
+        val enc = Ann.pqEncode(prepared, cb, numSub = 4, subDim = 16)
+          .select($"id", posexplode($"codes").as(Seq("sp", "code")))
+        val chk = cb.select($"sp", $"code",
+          aggregate(zip_with($"cv", sequence(lit(1L), lit(16L)), (c, d) => c * d),
+            lit(0L), (acc, x) => acc + x).as("cb_chk"))
+        enc.join(chk, Seq("sp", "code"))
+          .groupBy($"sp".cast("int").as("sp"), $"code".cast("int").as("code"))
+          .agg(count(lit(1)).as("n"), sum($"id").as("sum_vid"),
+               max($"cb_chk").as("cb_chk"))
+          .orderBy($"sp", $"code")
+      },
+      Some(pqReplayPrefix +
+        """chk AS (SELECT sp, code, CAST(sum(cv[d+1]*(d+1)) AS BIGINT) AS cb_chk
+          |        FROM c1 CROSS JOIN sdt GROUP BY sp, code)
+          |SELECT CAST(a2.sp AS INT) AS sp, CAST(a2.code AS INT) AS code,
+          |  count(*) AS n, CAST(sum(a2.id) AS BIGINT) AS sum_vid, chk.cb_chk
+          |FROM a2 JOIN chk ON a2.sp = chk.sp AND a2.code = chk.code
+          |GROUP BY a2.sp, a2.code, chk.cb_chk ORDER BY 1, 2""".stripMargin)),
+
+    // ----- V10: ADC top-k over the PQ codes (the reason PQ exists) —
+    // per query, distance to every encoded vector is 4 lookup-table
+    // adds; the 10¹¹-vector scan never touches a float vector. LUT and
+    // query set broadcast, scan map-side, the per-query top-5 window is
+    // the only shuffle. Oracle replays training, encoding, LUT, the
+    // full ADC scan, and the (adist, nid) tiebroken ranking.
+    Q("v10_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val cb = Ann.pqCodebook(prepared, numSub = 4, subDim = 16, ks = 4, iters = 1)
+        val codes = Ann.pqEncode(prepared, cb, numSub = 4, subDim = 16)
+        Ann.pqAdcTopK(codes, cb, prepared.filter($"id" % 50 === 0),
+            numSub = 4, subDim = 16, ks = 4, k = 5)
+          .orderBy($"qid", $"rk")
+      },
+      Some(pqReplayPrefix +
+        """qq AS (SELECT * FROM sv WHERE id % 50 = 0),
+          |lut AS (SELECT qq.id AS qid, c1.sp, c1.code,
+          |          sum((qq.sv[d+1]-c1.cv[d+1])*(qq.sv[d+1]-c1.cv[d+1])) AS pd
+          |        FROM qq JOIN c1 ON qq.sp = c1.sp CROSS JOIN sdt
+          |        GROUP BY qq.id, c1.sp, c1.code),
+          |ad AS (SELECT lut.qid, a2.id AS nid, sum(lut.pd) AS adist
+          |       FROM a2 JOIN lut ON a2.sp = lut.sp AND a2.code = lut.code
+          |       WHERE a2.id <> lut.qid GROUP BY lut.qid, a2.id),
+          |rk AS (SELECT qid, nid, adist,
+          |         row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+          |       FROM ad)
+          |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(adist AS BIGINT) AS adist
+          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
   )
 
   private val qs: Seq[Q] =

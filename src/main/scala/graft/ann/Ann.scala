@@ -312,4 +312,111 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // quantization for nearest neighbor search" — the FAISS IVFPQ memory
+  // path). The corpus compresses to numSub small codes per vector
+  // (numSub·log2(ks) bits, e.g. 64 dims × 8 bytes → 4 codes = 1 byte at
+  // numSub=4/ks=4: 512× smaller), and queries scan CODES, not vectors,
+  // via an Asymmetric Distance Computation lookup table. This is what
+  // makes ANN over 10¹¹ embeddings fit a cluster's RAM.
+  //
+  // Everything follows the kmeans/v6 determinism discipline (integer
+  // d2, (d2, code) tiebreak, integer-rounded centroid updates, fixed
+  // iteration count, init from smallest ids) so DuckDB replays training,
+  // encoding, AND the ADC scan bit-for-bit. The numSub per-subspace
+  // k-means instances train TOGETHER: `sp` rides as a key through the
+  // one assignment join and one census groupBy per round, so training
+  // cost does not scale with numSub.
+  // -------------------------------------------------------------------
+
+  /** (id, sp, sv): subvector `sp` (0-based) of each prepared vector. */
+  private def subvectors(prepared: DataFrame, numSub: Int, subDim: Int): DataFrame =
+    prepared.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(numSub - 1)),
+          sp => slice(col("qv"), sp * lit(subDim) + 1, lit(subDim))))
+      .as(Seq("sp", "sv")))
+
+  /** Integer squared L2 between two equal-length long arrays, via the
+    * codegen'd dot kernel: |a−b|² = a·a + b·b − 2 a·b. */
+  private def d2(a: Column, b: Column): Column =
+    GraftFunctions.dot_long(a, a) + GraftFunctions.dot_long(b, b) -
+      lit(2L) * GraftFunctions.dot_long(a, b)
+
+  /** Nearest-code assignment of subvectors against a codebook:
+    * (id, sp, sv) × broadcast (sp, code, cv) → (id, sp, sv, code). */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("sp"))
+      .select(col("id"), col("sp"), col("sv"), col("code"),
+        d2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("id"), col("sp"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"), first(col("sv")).as("sv"))
+      .select(col("id"), col("sp"), col("sv"), col("m.code").as("code"))
+
+  /** Train the numSub per-subspace codebooks (Lloyd, `iters` fixed
+    * rounds each, all subspaces in the same jobs). Returns
+    * (sp, code, cv) — numSub·ks rows, KBs at any corpus size; empty
+    * codes keep their previous entry (kmeans discipline). */
+  def pqCodebook(prepared: DataFrame, numSub: Int, subDim: Int, ks: Int,
+                 iters: Int): DataFrame = {
+    val sub = subvectors(prepared, numSub, subDim)
+    val initW = Window.partitionBy(col("sp")).orderBy(col("id"))
+    var cb = subvectors(prepared.orderBy(col("id")).limit(ks), numSub, subDim)
+      .withColumn("code", row_number().over(initW) - 1)
+      .select(col("sp"), col("code"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val updates = pqAssign(sub, cb)
+        .groupBy(col("sp"), col("code"))
+        .agg(count(lit(1)).as("n"),
+             graft.sketch.VectorAgg.vectorSum(col("sv")).as("vs"))
+        .select(col("sp"), col("code"),
+          transform(col("vs"),
+            s => floor(s.cast("double") / col("n") + 0.5).cast("long")).as("nv"))
+      cb = cb.join(updates, Seq("sp", "code"), "left")
+        .select(col("sp"), col("code"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: (id, codes) with
+    * `codes(sp)` the nearest code in subspace sp — the 10¹¹-vector
+    * index is THIS table (numSub small ints per row), the float
+    * vectors never need to be touched again. */
+  def pqEncode(prepared: DataFrame, codebook: DataFrame, numSub: Int,
+               subDim: Int): DataFrame =
+    pqAssign(subvectors(prepared, numSub, subDim), codebook)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sp"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** ADC top-k: for each query, distance to EVERY encoded vector is the
+    * sum of numSub lookup-table entries — no per-pair vector math. The
+    * LUT (query × numSub·ks integer distances, KBs per query) and the
+    * query set are broadcast; the scan over the codes table is
+    * map-side; the ONLY shuffle is the per-query top-k window. Returns
+    * (qid, rk, nid, adist). */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                numSub: Int, subDim: Int, ks: Int, k: Int): DataFrame = {
+    val lut = subvectors(queries, numSub, subDim)
+      .join(broadcast(codebook), Seq("sp"))
+      .select(col("id").as("qid"), (col("sp") * ks + col("code")).as("slot"),
+        d2(col("sv"), col("cv")).as("pd"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+        s => s.getField("pd")).as("lut"))
+    val adist = aggregate(
+      sequence(lit(0), lit(numSub - 1)), lit(0L),
+      (acc, sp) => acc +
+        element_at(col("lut"), sp * ks + element_at(col("codes"), sp + 1) + 1))
+    val pairs = codes.join(broadcast(lut), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adist"))
+  }
 }
