@@ -4770,7 +4770,8 @@ object Queries {
              |       FROM al GROUP BY doc_id),
              |kl AS (SELECT doc_id, i, line FROM al
              |       WHERE regexp_matches(line, '[.!?"]$')
-             |         AND len(string_split(line,' ')) >= 3
+             |         AND len(list_filter(string_split_regex(line,'\s+'),
+             |                             t -> len(t) > 0)) >= 3
              |         AND NOT contains(lower(line), 'javascript')),
              |ck AS (SELECT pg.doc_id,
              |         coalesce(string_agg(kl.line, chr(10) ORDER BY kl.i), '') AS kept_text,

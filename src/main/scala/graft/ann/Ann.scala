@@ -331,12 +331,20 @@ object Ann {
   // cost does not scale with numSub.
   // -------------------------------------------------------------------
 
-  /** (id, sp, sv): subvector `sp` (0-based) of each prepared vector. */
-  private def subvectors(prepared: DataFrame, numSub: Int, subDim: Int): DataFrame =
+  /** (id, sp, sv): subvector `sp` (0-based) of each prepared vector.
+    * Guarded: a vector whose length differs from numSub·subDim would
+    * silently slice short arrays and return wrong distances, so the
+    * mismatch raises instead (round-8 advice). */
+  private def subvectors(prepared: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val guarded = when(size(col("qv")) === lit(numSub * subDim), col("qv"))
+      .otherwise(raise_error(concat(
+        lit(s"PQ expects dim ${numSub * subDim} (numSub=$numSub x subDim=$subDim), got "),
+        size(col("qv")).cast("string"))))
     prepared.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(numSub - 1)),
-          sp => slice(col("qv"), sp * lit(subDim) + 1, lit(subDim))))
+          sp => slice(guarded, sp * lit(subDim) + 1, lit(subDim))))
       .as(Seq("sp", "sv")))
+  }
 
   /** Integer squared L2 between two equal-length long arrays, via the
     * codegen'd dot kernel: |a−b|² = a·a + b·b − 2 a·b. */
@@ -409,6 +417,15 @@ object Ann {
       .groupBy(col("qid"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
         s => s.getField("pd")).as("lut"))
+      // a trained codebook holds exactly numSub·ks rows (empty codes keep
+      // their entry), so a caller-supplied ks that disagrees with the
+      // codebook would mis-index the LUT silently — raise instead
+      // (round-8 advice).
+      .withColumn("lut",
+        when(size(col("lut")) === lit(numSub * ks), col("lut"))
+          .otherwise(raise_error(concat(
+            lit(s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} LUT entries, got "),
+            size(col("lut")).cast("string")))))
     val adist = aggregate(
       sequence(lit(0), lit(numSub - 1)), lit(0L),
       (acc, sp) => acc +

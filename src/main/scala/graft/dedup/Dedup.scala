@@ -630,9 +630,19 @@ object Dedup {
     * Returns one row per input document: (id, n_lines_in, n_lines_kept,
     * kept_text) — documents whose every line was boilerplate survive with
     * the empty rewrite, so corpus row count is stable.
+    *
+    * The totalLineOccurrences/maxDocFreq bound means a LOW threshold on a
+    * huge corpus can still exceed executor broadcast limits (10¹² lines
+    * at maxDocFreq = 100 permits 10¹⁰ frequent hashes — round-8 advice).
+    * `broadcastFrequent = false` switches to a SALTED shuffled anti-join:
+    * the frequent side replicates `antiJoinSalt` ways and each line picks
+    * a deterministic salt from (id, pos), so even a banner hash covering
+    * half the corpus spreads over `antiJoinSalt` reducers instead of
+    * funneling through one. Same result, bounded-memory both sides.
     */
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
-                          maxDocFreq: Long): DataFrame = {
+                          maxDocFreq: Long, broadcastFrequent: Boolean = true,
+                          antiJoinSalt: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -642,7 +652,15 @@ object Dedup {
       .groupBy($"lh").agg(count(lit(1)).as("docfreq"))
       .filter($"docfreq" > maxDocFreq)
       .select($"lh")
-    val kept = lines.join(broadcast(frequent), Seq("lh"), "left_anti")
+    val survivors =
+      if (broadcastFrequent) lines.join(broadcast(frequent), Seq("lh"), "left_anti")
+      else lines
+        .withColumn("s", pmod(xxhash64($"id", $"pos"), lit(antiJoinSalt)).cast("int"))
+        .join(frequent.withColumn("s",
+            explode(sequence(lit(0), lit(antiJoinSalt - 1)))),
+          Seq("lh", "s"), "left_anti")
+        .drop("s")
+    val kept = survivors
       .groupBy($"id")
       .agg(count(lit(1)).as("n_lines_kept"),
         array_join(

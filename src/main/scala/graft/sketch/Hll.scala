@@ -81,11 +81,20 @@ object Hll {
   /** Bias-corrected HLL estimate from the sketch struct: the classic
     * alpha_m·m²·2^(w+1)/s with linear counting below 2.5·m when empty
     * registers remain. Same fixed-shape double expression a SQL replay
-    * writes (alpha_m = 0.7213/(1+1.079/m), the m ≥ 128 constant). */
+    * writes. alpha_m follows Flajolet et al. 2007 fig. 3 exactly: the
+    * small-m constants 0.673/0.697/0.709 for m = 16/32/64 (p = 4/5/6),
+    * 0.7213/(1+1.079/m) for m ≥ 128 — the round-8 advice closed the
+    * small-p bias that came from applying the large-m constant
+    * everywhere. */
   def estimate(sketchCol: Column, p: Int = 8): Column = {
     val m = (1 << p).toDouble
     val pow = math.pow(2.0, 61 - p) // 2^(w+1), exact
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    val alpha = p match {
+      case 4 => lit(0.673)
+      case 5 => lit(0.697)
+      case 6 => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    }
     val raw = alpha * lit(m) * lit(m) * lit(pow) /
       sketchCol.getField("_1").cast("double")
     val zeros = sketchCol.getField("_2")

@@ -48,7 +48,12 @@ object C4 {
   def keptLines(text: Column, r: Rules): Column =
     filter(split(text, "\n"), l => {
       val termOk = l.rlike(r.terminalRegex)
-      val wordsOk = size(split(l, " ")) >= r.minLineWords
+      // whitespace-collapsing word count (runs of spaces are one
+      // separator, leading/trailing runs contribute no token) — the
+      // TFDS c4_utils semantics; split-on-single-space over-counted on
+      // "a  b" (round-8 advice).
+      val wordsOk =
+        size(filter(split(l, "\\s+"), t => length(t) > 0)) >= r.minLineWords
       val dropHit = r.lineDropTerms
         .map(t => lower(l).contains(t))
         .reduceOption(_ || _)

@@ -40,6 +40,15 @@ class C4Spec extends SparkSpec {
     assert(reason === "fewsent") // 4 < 5 sentences
   }
 
+  test("word count collapses whitespace runs (round-8 advice)") {
+    // "Hi  there." is 2 words, not 3 — runs of spaces are one separator
+    val (_, _, nKept, _) = cleanOne("Hi  there.")
+    assert(nKept === 0)
+    // and a real 3-worder with ragged spacing still passes the floor
+    val (kept, _, nKept3, _) = cleanOne("One  two   three.")
+    assert(nKept3 === 1 && kept === "One  two   three.")
+  }
+
   test("page passes when it has enough sentences") {
     val page = (1 to 6).map(i => s"Sentence number $i is here.").mkString("\n")
     val (kept, reason, nKept, nSent) = cleanOne(page)

@@ -560,5 +560,12 @@ class DedupSpec extends SparkSpec {
     // df = 4 > maxDocFreq = 2 fired; at threshold 4 nothing is frequent
     val none = Dedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 4L)
     assert(none.filter($"n_lines_kept" =!= $"n_lines_in").count() === 0)
+    // the salted shuffled anti-join (the over-broadcast-limit fallback)
+    // is result-identical to the broadcast path
+    val salted = Dedup.removeFrequentLines(docs, "doc_id", "text",
+        maxDocFreq = 2L, broadcastFrequent = false, antiJoinSalt = 3)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(salted.toSeq === out.toSeq)
   }
 }

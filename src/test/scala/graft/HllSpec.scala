@@ -64,4 +64,21 @@ class HllSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(est - 50.0) < 5.0) // LC at n << m is near-exact
   }
+
+  test("p=4 uses Flajolet's small-m alpha (0.673), not the m>=128 constant") {
+    // enough distinct values that the raw (non-LC) branch is taken:
+    // raw >= 2.5*m = 40 needs n >> m = 16
+    val n = 5000
+    val df = (0L until n.toLong).toDF("v")
+    val got = df.agg(Hll.sketch(Kmv.hash60($"v"), 4).as("h"),
+        Hll.estimate(col("h"), 4).as("est"))
+      .select($"h._1", $"est").collect()(0)
+    val s = got.getLong(0).toDouble
+    val m = 16.0
+    val want = 0.673 * m * m * math.pow(2.0, 57) / s // w+1 = 57 at p=4
+    assert(math.abs(got.getDouble(1) - want) < 1e-6 * want)
+    // and the biased large-m constant would have been a different number
+    val biased = (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 57) / s
+    assert(math.abs(biased - want) > 1e-3 * want)
+  }
 }
