@@ -108,11 +108,76 @@ object Ann {
     * shuffle volume is O(rows), never O(rows²); empty clusters keep their
     * previous centroid. Returns the assignment under the FINAL centroids:
     * (cid, cv, id). */
-  def kmeans(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
-    // |q - c|² = |q|² + |c|² - 2 q·c — identical integers to the direct
-    // elementwise sum, but q·c runs through the codegen'd DotLong
-    // expression instead of interpreted zip_with/aggregate HOFs, keeping
-    // the n×k assignment inside whole-stage codegen.
+  def kmeans(prepared: DataFrame, k: Int, iters: Int): DataFrame =
+    if (k <= maxLiteralCentroids) kmeansLiteral(prepared, k, iters)
+    else kmeansJoin(prepared, k, iters)
+
+  /** Above this k, the per-row argmin expression stops being a sane
+    * codegen unit and the join-based path takes over. */
+  private val maxLiteralCentroids = 64
+
+  /** The k ≤ 64 path: the centroid table lives on the DRIVER (k×dim
+    * longs, KBs — the same bounded-model discipline as the BPE merge
+    * table) and assignment is a pure codegen PROJECTION — argmin over k
+    * literal (d2, cid) structs, |q−c|² expanded so q·c runs through the
+    * codegen'd DotLong kernel. Each Lloyd round is then ONE single-stage
+    * job: scan → project cid → map-side-combined k-row census. Nothing
+    * data-sized ever shuffles — the round-8 form shuffled the whole
+    * corpus (vectors included) through a groupBy(id) argmin per round,
+    * which at 100 TB is iters extra corpus-wide shuffles for literally
+    * the same integers. A literal in the plan IS the broadcast. */
+  private def kmeansLiteral(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = prepared.select(col("id"), col("qv"),
+      GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
+    // init from the k smallest ids (same construction the SQL replay
+    // writes); collect is k rows by contract
+    var cents: Seq[(Int, Seq[Long])] = vecs.orderBy(col("id")).limit(k)
+      .select(col("id"), col("qv")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    var it = 0
+    while (it < iters) {
+      val census = vecs.withColumn("m", argminLiteral(cents))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("n"),
+             graft.sketch.VectorAgg.vectorSum(col("qv")).as("vs"))
+        .collect() // k rows
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+      // floor(sum/n + 0.5) in IEEE double — bit-identical to the SQL
+      // replay's expression; empty clusters keep their previous centroid
+      cents = cents.map { case (cid, cv) =>
+        census.get(cid) match {
+          case Some((n, vs)) =>
+            (cid, vs.map(s => math.floor(s.toDouble / n + 0.5).toLong))
+          case None => (cid, cv)
+        }
+      }
+      it += 1
+    }
+    val cvLit = typedLit(cents.sortBy(_._1).map(_._2))
+    vecs.withColumn("m", argminLiteral(cents))
+      .select(col("m.cid").as("cid"),
+        element_at(cvLit, col("m.cid") + 1).as("cv"), col("id"))
+  }
+
+  /** Per-row argmin over literal centroids: lexicographic least of k
+    * (d2, cid) structs — the same (d2, cid) tiebreak as the join path. */
+  private def argminLiteral(cents: Seq[(Int, Seq[Long])]): Column = {
+    val cands = cents.map { case (cid, cv) =>
+      val nc = cv.map(x => x * x).sum
+      struct(
+        (col("nq") + lit(nc) -
+          lit(2L) * GraftFunctions.dot_long(col("qv"), typedLit(cv))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    if (cands.size == 1) cands.head else least(cands: _*)
+  }
+
+  /** The general-k path (IVF at real scale runs k in the tens of
+    * thousands): centroids stay a DataFrame, assignment is a broadcast
+    * join + map-side-combined argmin — per-round shuffle is O(n) id rows,
+    * still never the pair space. */
+  private def kmeansJoin(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
     val vecs = prepared.select(col("id"), col("qv"),
       GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
     val cidW = Window.orderBy(col("id"))
@@ -120,7 +185,7 @@ object Ann {
       .withColumn("cid", row_number().over(cidW) - 1)
       .select(col("cid"), col("qv").as("cv"))
       .localCheckpoint(true) // k×dim rows; truncates the iterative lineage
-    def doAssign(cs: DataFrame): DataFrame = assign(vecs, cs)
+    def doAssign(cs: DataFrame): DataFrame = assignJoin(vecs, cs)
     var it = 0
     while (it < iters) {
       val updates = doAssign(centroids)
@@ -266,12 +331,31 @@ object Ann {
     * one broadcast of the k×dim table plus a map-side argmin — no
     * retrain, no shuffle of the stored postings, and assignments of
     * already-admitted vectors never change. Same deterministic integer
-    * (d2, cid) tiebreak as training. Returns (id, qv, cid). */
+    * (d2, cid) tiebreak as training. Returns (id, qv, cid).
+    *
+    * When the centroid table is small (≤ [[maxLiteralCentroids]] rows —
+    * one `limit(k+1).collect()` of a KB-scale frame decides), it is
+    * inlined as plan LITERALS and assignment is a map-only codegen
+    * projection: no crossJoin, no groupBy, no shuffle at all. Beyond
+    * that, the broadcast-join + map-side argmin form. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val vecs =
       if (vectors.columns.contains("nq")) vectors.select(col("id"), col("qv"), col("nq"))
       else vectors.select(col("id"), col("qv"),
         GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
+    val probe = centroids.select(col("cid").cast("int"), col("cv"))
+      .limit(maxLiteralCentroids + 1).collect()
+    if (probe.length <= maxLiteralCentroids) {
+      val cents = probe.map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+      vecs.withColumn("m", argminLiteral(cents))
+        .select(col("id"), col("qv"), col("m.cid").as("cid"))
+    } else assignJoin(vecs, centroids)
+  }
+
+  /** Join-based assignment (any k): broadcast centroids, map-side-
+    * combined (d2, cid) argmin per id. `vecs` must carry nq. */
+  private def assignJoin(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val withNc = centroids.select(col("cid"), col("cv"))
       .withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
     val d2 = col("nq") + col("nc") -
