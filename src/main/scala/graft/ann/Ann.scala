@@ -129,6 +129,16 @@ object Ann {
   private def kmeansLiteral(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
     val vecs = prepared.select(col("id"), col("qv"),
       GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
+    val cents = trainLiteral(vecs, k, iters)
+    val cvLit = typedLit(cents.sortBy(_._1).map(_._2))
+    vecs.withColumn("m", argminLiteral(cents))
+      .select(col("m.cid").as("cid"),
+        element_at(cvLit, col("m.cid") + 1).as("cv"), col("id"))
+  }
+
+  /** Lloyd training loop of the literal path; returns the final driver-
+    * side centroid seq. `vecs` must carry (id, qv, nq). */
+  private def trainLiteral(vecs: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
     // init from the k smallest ids (same construction the SQL replay
     // writes); collect is k rows by contract
     var cents: Seq[(Int, Seq[Long])] = vecs.orderBy(col("id")).limit(k)
@@ -154,11 +164,20 @@ object Ann {
       }
       it += 1
     }
-    val cvLit = typedLit(cents.sortBy(_._1).map(_._2))
-    vecs.withColumn("m", argminLiteral(cents))
-      .select(col("m.cid").as("cid"),
-        element_at(cvLit, col("m.cid") + 1).as("cv"), col("id"))
+    cents
   }
+
+  /** The trained coarse-quantizer MODEL alone: (cid, cv), k rows — what
+    * an index stores so later batches can [[assign]] without retraining
+    * (the v8 admission story) and what [[ivfPq]] composes with. */
+  def kmeansCentroids(prepared: DataFrame, k: Int, iters: Int): DataFrame =
+    if (k <= maxLiteralCentroids) {
+      val vecs = prepared.select(col("id"), col("qv"),
+        GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
+      val spark = prepared.sparkSession
+      import spark.implicits._
+      trainLiteral(vecs, k, iters).toDF("cid", "cv")
+    } else kmeansJoinModel(prepared, k, iters)._2
 
   /** Per-row argmin over literal centroids: lexicographic least of k
     * (d2, cid) structs — the same (d2, cid) tiebreak as the join path. */
@@ -178,6 +197,13 @@ object Ann {
     * join + map-side-combined argmin — per-round shuffle is O(n) id rows,
     * still never the pair space. */
   private def kmeansJoin(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (vecs, centroids) = kmeansJoinModel(prepared, k, iters)
+    assignJoin(vecs, centroids).join(centroids, Seq("cid"))
+      .select(col("cid"), col("cv"), col("id"))
+  }
+
+  /** Training loop of the join path; returns (vecs, final centroid frame). */
+  private def kmeansJoinModel(prepared: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val vecs = prepared.select(col("id"), col("qv"),
       GraftFunctions.dot_long(col("qv"), col("qv")).as("nq"))
     val cidW = Window.orderBy(col("id"))
@@ -185,10 +211,9 @@ object Ann {
       .withColumn("cid", row_number().over(cidW) - 1)
       .select(col("cid"), col("qv").as("cv"))
       .localCheckpoint(true) // k×dim rows; truncates the iterative lineage
-    def doAssign(cs: DataFrame): DataFrame = assignJoin(vecs, cs)
     var it = 0
     while (it < iters) {
-      val updates = doAssign(centroids)
+      val updates = assignJoin(vecs, centroids)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
              graft.sketch.VectorAgg.vectorSum(col("qv")).as("vs"))
@@ -200,8 +225,7 @@ object Ann {
         .localCheckpoint(true)
       it += 1
     }
-    doAssign(centroids).join(centroids, Seq("cid"))
-      .select(col("cid"), col("cv"), col("id"))
+    (vecs, centroids)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
@@ -515,6 +539,84 @@ object Ann {
       (acc, sp) => acc +
         element_at(col("lut"), sp * ks + element_at(col("codes"), sp + 1) + 1))
     val pairs = codes.join(broadcast(lut), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adist"))
+  }
+
+  /** IVF-ADC — the COMPOSED index (Jégou et al. 2011 §IV, the FAISS
+    * "IVFPQ" layout, the actual 10¹¹-vector architecture): a coarse
+    * k-means quantizer routes every vector to a cell, PQ encodes the
+    * RESIDUAL (vector − cell centroid) — residuals have far less energy
+    * than raw vectors, so the same code budget quantizes them finer —
+    * and a query probes only its `nProbes` nearest cells, ADC-scanning
+    * those postings alone. This replaces [[pqAdcTopK]]'s full-corpus
+    * scan with a posting-bounded one: candidates ~ nProbes·n/kCells per
+    * query instead of n.
+    *
+    * Plan shape at scale: coarse training/assignment is [[kmeans]]'s
+    * map-only literal path (small kCells) or broadcast-join path;
+    * the residual is a BROADCAST join on cid (k-row table — never an
+    * id-keyed self-join of the corpus); PQ training sees only residuals;
+    * postings carry cid INSIDE the pqEncode group key (a struct id), so
+    * no corpus-wide join reunites codes with cells; the LUT table
+    * (queries × probes × numSub·ks integers) and the probe list are
+    * broadcast, the ADC scan is map-side, and the per-query top-k window
+    * is the only shuffle — exactly [[pqAdcTopK]]'s contract with the
+    * scan bounded by the probe set. Every point lives in one cell, so
+    * multi-probe needs no pair dedup.
+    *
+    * Determinism: kmeans discipline end-to-end (integer d2, (d2, cid)
+    * and (d2, code) tiebreaks, integer-rounded updates, fixed iteration
+    * counts) — DuckDB replays coarse training, residuals, codebook,
+    * encoding, probing, and the ADC ranking bit-for-bit (query
+    * `v11_ivfpq`). Returns (qid, rk, nid, adist). */
+  def ivfPq(prepared: DataFrame, kCells: Int, coarseIters: Int,
+            numSub: Int, subDim: Int, ks: Int, pqIters: Int,
+            nProbes: Int, k: Int, queryFilter: Column): DataFrame = {
+    val cents = kmeansCentroids(prepared, kCells, coarseIters)
+    val withNc = cents.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+    // residual per point: one broadcast join against the k-row model
+    val resid = assign(prepared, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+      .persist() // consumed by codebook training, encoding, and postings
+    val cb = pqCodebook(resid.select(col("id"), col("qv")), numSub, subDim, ks, pqIters)
+    // cid rides inside the group key so codes never rejoin the corpus
+    val postings = pqEncode(
+        resid.select(struct(col("id"), col("cid")).as("id"), col("qv")),
+        cb, numSub, subDim)
+      .select(col("id.id").as("id"), col("id.cid").as("cid"), col("codes"))
+    // each query probes its nProbes nearest cells and takes the residual
+    // AGAINST EACH PROBED CELL's centroid (the §IV asymmetry)
+    val d2qc = col("nq") + col("nc") -
+      lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+    val pw = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val qprobes = prepared.filter(queryFilter)
+      .withColumn("nq", GraftFunctions.dot_long(col("qv"), col("qv")))
+      .crossJoin(broadcast(withNc))
+      .select(col("id"), col("qv"), col("cid"), col("cv"), d2qc.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbes)
+      .select(struct(col("id"), col("cid")).as("id"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+    // per-(query, probed cell) LUT over the query residual vs the
+    // residual codebook — numSub·ks integers each, KBs total, broadcast
+    val lut = subvectors(qprobes, numSub, subDim)
+      .join(broadcast(cb), Seq("sp"))
+      .select(col("id"), (col("sp") * ks + col("code")).as("slot"),
+        d2(col("sv"), col("cv")).as("pd"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+        s => s.getField("pd")).as("lut"))
+      .select(col("id.id").as("qid"), col("id.cid").as("pcid"), col("lut"))
+    val adist = aggregate(
+      sequence(lit(0), lit(numSub - 1)), lit(0L),
+      (acc, sp) => acc +
+        element_at(col("lut"), sp * ks + element_at(col("codes"), sp + 1) + 1))
+    val pairs = postings.join(broadcast(lut),
+        col("cid") === col("pcid") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"), adist.as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

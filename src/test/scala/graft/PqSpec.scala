@@ -79,4 +79,44 @@ class PqSpec extends SparkSpec {
     assert(r8 > r4, s"ks=8 recall $r8 must beat ks=4 recall $r4")
     truth.unpersist()
   }
+
+  test("ivfPq candidates come only from probed cells; probes buy recall") {
+    val queries = prepared.filter($"id" % 50 === 0)
+    def run(nProbes: Int): DataFrame =
+      Ann.ivfPq(prepared, kCells = 4, coarseIters = 1,
+        numSub = 4, subDim = 16, ks = 4, pqIters = 1,
+        nProbes = nProbes, k = 10, queryFilter = $"id" % 50 === 0).cache()
+    // posting-bounded: every returned neighbor's cell must be one of the
+    // query's nProbes nearest cells (the IVF contract — v10 scanned all)
+    val cents = Ann.kmeansCentroids(prepared, 4, 1)
+    val asg = Ann.assign(prepared, cents).select($"id", $"cid")
+    val d2qc = $"a.nq" + GraftFunctions.dot_long($"cv", $"cv") -
+      lit(2L) * GraftFunctions.dot_long($"a.qv", $"cv")
+    val pw = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+    val probed = queries.as("a").crossJoin(broadcast(cents))
+      .select($"a.id".as("qid"), $"cid", d2qc.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= 2)
+      .select($"qid", $"cid")
+    val one = run(2)
+    val offCell = one.join(asg.withColumnRenamed("id", "nid"), Seq("nid"))
+      .join(probed, Seq("qid", "cid"), "left_anti").count()
+    assert(offCell === 0, s"$offCell neighbors came from unprobed cells")
+    // nProbes = kCells degenerates to the full scan, so recall vs the
+    // 2-probe run can only grow (both measured against exact L2 truth)
+    val d2t = $"a.nq" + $"b.nq" - lit(2L) * GraftFunctions.dot_long($"a.qv", $"b.qv")
+    val wt = Window.partitionBy($"qid").orderBy($"d2", $"nid")
+    val truth = broadcast(queries.as("a"))
+      .join(prepared.as("b"), $"a.id" =!= $"b.id")
+      .select($"a.id".as("qid"), $"b.id".as("nid"), d2t.as("d2"))
+      .withColumn("rk", row_number().over(wt)).filter($"rk" <= 10).cache()
+    def recall(approx: DataFrame): Double =
+      truth.select($"qid", $"nid")
+        .join(approx.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+        .count().toDouble / truth.count()
+    val r2 = recall(one)
+    val rAll = recall(run(4))
+    assert(rAll >= r2, s"full-probe recall $rAll below 2-probe recall $r2")
+    assert(r2 > 0.0, s"2-probe ivfPq found no true neighbors at all")
+    truth.unpersist()
+  }
 }
