@@ -5082,7 +5082,71 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
              |       FROM ad)
              |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(adist AS BIGINT) AS adist
-             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- K3: grouped HLL census — the shape the sketch EXISTS for at
+    // 100 TB: distinct BIGRAM vocabulary per language over the exploded
+    // token stream (k2 sketched one column globally; bigrams make the
+    // per-group sets genuinely different — ~890-907 distinct over a
+    // 3.3x-skewed stream, en carries 11.5k of 26.7k pairs at sf0.01).
+    // The sketch makes the shuffle immune to that skew: map-side partial
+    // aggregation (plan-asserted in PlanAuditSpec) collapses every
+    // partition's bigrams into one 256-byte register set per (language,
+    // task), so the exchange carries groups x 256 bytes however many
+    // billions of tokens feed it, and the hot language never funnels its
+    // raw pairs through one reducer. Same exact-integer surfacing as k2
+    // (s, zeros, milli-quantized estimate) so DuckDB replays registers
+    // bit-for-bit.
+    Q("k3_hll_grouped",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.{Hll, Kmv}
+        t(s, dir, "documents")
+          .withColumn("tk", split($"text", " "))
+          .filter(size($"tk") >= 2)
+          .select($"lang", explode(expr(
+            """transform(sequence(0, size(tk) - 2),
+                 i -> concat(tk[i], ' ', tk[i+1]))""")).as("w"))
+          .groupBy($"lang")
+          .agg(countDistinct($"w").as("n_exact"),
+               Hll.sketch(Kmv.hash60($"w"), p = 8).as("hll"))
+          .select($"lang", $"n_exact",
+            $"hll._1".as("s"), $"hll._2".as("zeros"),
+            floor(Hll.estimate($"hll", p = 8) * lit(1000.0) + lit(0.5))
+              .cast("long").as("est_milli"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tks AS (SELECT lang, string_split(text, ' ') AS tk
+             |        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |wt AS (SELECT lang, unnest(list_transform(range(len(tk) - 1),
+             |          i -> tk[i+1] || ' ' || tk[i+2])) AS w
+             |        FROM tks),
+             |h AS (SELECT DISTINCT lang AS g,
+             |        ('0x'||substr(md5(w),1,15))::BIGINT AS hv FROM wt),
+             |b AS (SELECT g, hv // 4503599627370496 AS bucket,
+             |        hv % 4503599627370496 AS rest FROM h),
+             |r AS (SELECT g, bucket,
+             |        max(CASE WHEN rest = 0 THEN 53
+             |            ELSE 53 - length(bin(rest)) END) AS mj
+             |      FROM b GROUP BY g, bucket),
+             |agg AS (SELECT g,
+             |    CAST(sum(1::BIGINT << (53 - mj))
+             |      + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+             |    CAST(256 - count(*) AS BIGINT) AS zeros
+             |  FROM r GROUP BY g),
+             |x AS (SELECT lang AS g, count(DISTINCT w) AS n_exact
+             |      FROM wt GROUP BY 1),
+             |e AS (SELECT g, s, zeros,
+             |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+             |      * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+             |      / s::DOUBLE AS raw
+             |  FROM agg)
+             |SELECT e.g AS lang, CAST(x.n_exact AS BIGINT) AS n_exact,
+             |  e.s AS s, e.zeros AS zeros,
+             |  CAST(floor((CASE WHEN e.raw < 2.5::DOUBLE * 256.0::DOUBLE AND e.zeros > 0
+             |        THEN 256.0::DOUBLE * ln(256.0::DOUBLE / e.zeros::DOUBLE)
+             |        ELSE e.raw END) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS est_milli
+             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -71,6 +71,15 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch must combine map-side:\n$p")
   }
 
+  test("k3 grouped HLL partial-aggregates the token stream before the exchange") {
+    val p = plan("k3_hll_grouped")
+    // partial registers merge map-side: the exchange sits between a
+    // partial and a final aggregate, never under the raw exploded tokens
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      s"grouped sketch must combine map-side:\n$p")
+    assert(p.toLowerCase.contains("partial_"), s"no partial aggregation in plan:\n$p")
+  }
+
   test("d2 minhash verify never broadcasts the token-set table") {
     val df = Queries.all("d2_minhash_lsh")(spark, dir)
     // No explicit broadcast hint anywhere in the query (AQE stays free to
@@ -90,13 +99,15 @@ class PlanAuditSpec extends SparkSpec {
       s"d5 must block by LSH band equi-join, not all-pairs:\n$p")
   }
 
-  test("v6 kmeans: k-row centroid side broadcast, vectors never cartesian") {
+  test("v6 kmeans: assignment is a map-only projection — no join, no cartesian") {
     val p = plan("v6_kmeans_ivf")
-    // the n x k assignment join must ship the k x dim centroid table to
-    // the vectors (BroadcastNestedLoopJoin over a broadcast hint), never
-    // materialize an unbroadcast cartesian
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // small-k assignment inlines the centroid table as plan literals, so
+    // the n x k argmin is a codegen projection: the plan must contain NO
+    // join operator at all on the assignment path and never a cartesian
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"literal path should not need the centroid join:\n$p")
   }
 
   test("ivfKnn: candidates come from an equi-join on cell id, never all-pairs") {
