@@ -5410,8 +5410,83 @@ object Queries {
              |FROM pp GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
+  private lazy val roundSeven: Seq[Q] = Seq(
+    // ----- T15: trained quality/topic classifier — the DCLM/FineWeb-Edu
+    // model-filter stage (train a linear bag-of-words classifier on a
+    // labeled set, score the crawl). Multinomial Naive Bayes over hashed
+    // bag-of-words in quantized-integer log space (closed form: a batch
+    // perceptron was measured to oscillate on this shared-vocabulary
+    // corpus — see Classifier.scala scaladoc). Teacher task manufactured
+    // the x21/t14 way: each doc gets 2 tokens planted from its class's
+    // 3-token topical vocabulary (class = doc_id % 3, token choice by
+    // doc_id arithmetic — fully SQL-replayable); train on doc_id%2=0,
+    // predict the held-out half. The oracle replays census -> quantized
+    // ln weights + priors -> per-(doc,class) integer scores -> argmax
+    // with (score DESC, label DESC) tiebreak, and the output is the
+    // confusion census + integer score checksum. The planted-signal
+    // accuracy is 1.0 (off-diagonal rows absent); ClassifierSpec's
+    // ablation proves chance accuracy without the planted signal.
+    Q("t15_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val V = "array(array('win','free','prize'), array('today','report','city'), array('func','var','loop'))"
+        def planted(div: Int) =
+          expr(s"element_at(element_at($V, cast(doc_id % 3 + 1 as int)), cast((doc_id div $div) % 3 + 1 as int))")
+        val docs = t(s, dir, "documents").select($"doc_id",
+          element_at(array(lit("ads"), lit("news"), lit("code")),
+            ($"doc_id" % 3 + 1).cast("int")).as("truth"),
+          concat($"text", lit(" "), planted(3), lit(" "), planted(9)).as("text2"))
+        val train = docs.filter($"doc_id" % 2 === 0)
+        val test = docs.filter($"doc_id" % 2 =!= 0)
+        val model = graft.text.Classifier.trainNaiveBayes(
+          train, "truth", "text2", n = 1, numBuckets = 256, quantDigits = 6)
+        graft.text.Classifier.predict(test, "doc_id", "text2", 1, 256, model)
+          .join(test.select($"doc_id", $"truth"), Seq("doc_id"))
+          .groupBy($"truth", $"pred")
+          .agg(count(lit(1)).as("n_docs"), sum($"score").as("score_sum"))
+          .orderBy($"truth", $"pred")
+      },
+      Some("""WITH lab AS (SELECT doc_id,
+             |    (['ads','news','code'])[(doc_id % 3 + 1)::INT] AS truth,
+             |    text || ' ' ||
+             |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+             |      [(doc_id % 3 + 1)::INT][((doc_id // 3) % 3 + 1)::INT] || ' ' ||
+             |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+             |      [(doc_id % 3 + 1)::INT][((doc_id // 9) % 3 + 1)::INT] AS text2
+             |  FROM documents),
+             |tr AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 0),
+             |gr AS (SELECT truth, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+             |       FROM (SELECT truth, unnest(string_split(text2,' ')) AS tok FROM tr)),
+             |cc AS (SELECT truth, bucket, count(*) AS c FROM gr GROUP BY 1,2),
+             |tot AS (SELECT truth, count(*) AS t FROM gr GROUP BY 1),
+             |nd AS (SELECT truth, count(*) AS ndc FROM tr GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM tr),
+             |grid AS (SELECT tot.truth AS label, t2.b AS bucket, tot.t FROM tot
+             |         CROSS JOIN (SELECT unnest(range(256)) AS b) t2),
+             |wt AS (SELECT g.label, g.bucket,
+             |         CAST(floor(ln((coalesce(cc.c,0)+1)::DOUBLE / (g.t+256)::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+             |       FROM grid g LEFT JOIN cc ON cc.truth = g.label AND cc.bucket = g.bucket),
+             |pri AS (SELECT nd.truth AS label, CAST(256 AS BIGINT) AS bucket,
+             |          CAST(floor(ln(nd.ndc::DOUBLE / nn.n::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+             |        FROM nd, nn),
+             |model AS MATERIALIZED (SELECT * FROM wt UNION ALL SELECT * FROM pri),
+             |te AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1),
+             |f AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM (
+             |       SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+             |       FROM (SELECT doc_id, unnest(string_split(text2,' ')) AS tok FROM te)
+             |       UNION ALL SELECT doc_id, 256 FROM te) GROUP BY 1,2),
+             |sco AS (SELECT f.doc_id, m.label, sum(f.cnt*m.w) AS score
+             |        FROM f JOIN model m USING (bucket) GROUP BY 1,2),
+             |pr AS (SELECT doc_id, label AS pred, score,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rk
+             |       FROM sco)
+             |SELECT t.truth, p.pred, count(*) AS n_docs, CAST(sum(p.score) AS BIGINT) AS score_sum
+             |FROM pr p JOIN te t USING (doc_id) WHERE p.rk = 1
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
