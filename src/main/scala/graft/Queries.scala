@@ -5410,6 +5410,20 @@ object Queries {
              |FROM pp GROUP BY shard ORDER BY shard""".stripMargin))
   )
 
+  /** The t15/s8 teacher corpus: plant 2 tokens from the doc's class
+    * topical vocabulary (class = doc_id % 3; token choice by doc_id
+    * arithmetic — SQL-replayable). Works on batch AND streaming frames
+    * (pure projection). */
+  private def plantTopics(df: DataFrame): DataFrame = {
+    val V = "array(array('win','free','prize'), array('today','report','city'), array('func','var','loop'))"
+    def planted(div: Int) =
+      expr(s"element_at(element_at($V, cast(doc_id % 3 + 1 as int)), cast((doc_id div $div) % 3 + 1 as int))")
+    df.select(col("doc_id"),
+      element_at(array(lit("ads"), lit("news"), lit("code")),
+        (col("doc_id") % 3 + 1).cast("int")).as("truth"),
+      concat(col("text"), lit(" "), planted(3), lit(" "), planted(9)).as("text2"))
+  }
+
   private lazy val roundSeven: Seq[Q] = Seq(
     // ----- T15: trained quality/topic classifier — the DCLM/FineWeb-Edu
     // model-filter stage (train a linear bag-of-words classifier on a
@@ -5429,19 +5443,100 @@ object Queries {
     Q("t15_quality_classifier",
       (s, dir) => {
         import s.implicits._
-        val V = "array(array('win','free','prize'), array('today','report','city'), array('func','var','loop'))"
-        def planted(div: Int) =
-          expr(s"element_at(element_at($V, cast(doc_id % 3 + 1 as int)), cast((doc_id div $div) % 3 + 1 as int))")
-        val docs = t(s, dir, "documents").select($"doc_id",
-          element_at(array(lit("ads"), lit("news"), lit("code")),
-            ($"doc_id" % 3 + 1).cast("int")).as("truth"),
-          concat($"text", lit(" "), planted(3), lit(" "), planted(9)).as("text2"))
+        val docs = plantTopics(t(s, dir, "documents"))
         val train = docs.filter($"doc_id" % 2 === 0)
         val test = docs.filter($"doc_id" % 2 =!= 0)
         val model = graft.text.Classifier.trainNaiveBayes(
           train, "truth", "text2", n = 1, numBuckets = 256, quantDigits = 6)
         graft.text.Classifier.predict(test, "doc_id", "text2", 1, 256, model)
           .join(test.select($"doc_id", $"truth"), Seq("doc_id"))
+          .groupBy($"truth", $"pred")
+          .agg(count(lit(1)).as("n_docs"), sum($"score").as("score_sum"))
+          .orderBy($"truth", $"pred")
+      },
+      Some("""WITH lab AS (SELECT doc_id,
+             |    (['ads','news','code'])[(doc_id % 3 + 1)::INT] AS truth,
+             |    text || ' ' ||
+             |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+             |      [(doc_id % 3 + 1)::INT][((doc_id // 3) % 3 + 1)::INT] || ' ' ||
+             |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+             |      [(doc_id % 3 + 1)::INT][((doc_id // 9) % 3 + 1)::INT] AS text2
+             |  FROM documents),
+             |tr AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 0),
+             |gr AS (SELECT truth, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+             |       FROM (SELECT truth, unnest(string_split(text2,' ')) AS tok FROM tr)),
+             |cc AS (SELECT truth, bucket, count(*) AS c FROM gr GROUP BY 1,2),
+             |tot AS (SELECT truth, count(*) AS t FROM gr GROUP BY 1),
+             |nd AS (SELECT truth, count(*) AS ndc FROM tr GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM tr),
+             |grid AS (SELECT tot.truth AS label, t2.b AS bucket, tot.t FROM tot
+             |         CROSS JOIN (SELECT unnest(range(256)) AS b) t2),
+             |wt AS (SELECT g.label, g.bucket,
+             |         CAST(floor(ln((coalesce(cc.c,0)+1)::DOUBLE / (g.t+256)::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+             |       FROM grid g LEFT JOIN cc ON cc.truth = g.label AND cc.bucket = g.bucket),
+             |pri AS (SELECT nd.truth AS label, CAST(256 AS BIGINT) AS bucket,
+             |          CAST(floor(ln(nd.ndc::DOUBLE / nn.n::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+             |        FROM nd, nn),
+             |model AS MATERIALIZED (SELECT * FROM wt UNION ALL SELECT * FROM pri),
+             |te AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1),
+             |f AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM (
+             |       SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+             |       FROM (SELECT doc_id, unnest(string_split(text2,' ')) AS tok FROM te)
+             |       UNION ALL SELECT doc_id, 256 FROM te) GROUP BY 1,2),
+             |sco AS (SELECT f.doc_id, m.label, sum(f.cnt*m.w) AS score
+             |        FROM f JOIN model m USING (bucket) GROUP BY 1,2),
+             |pr AS (SELECT doc_id, label AS pred, score,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rk
+             |       FROM sco)
+             |SELECT t.truth, p.pred, count(*) AS n_docs, CAST(sum(p.score) AS BIGINT) AS score_sum
+             |FROM pr p JOIN te t USING (doc_id) WHERE p.rk = 1
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // ----- S8: STREAMING classifier scoring — the train-offline /
+    // score-online production pattern: the NB model is trained batch-side
+    // (same teacher corpus as t15) and BROADCAST into a stream-static
+    // join over the live held-out stream. The only stream state is the
+    // per-(doc, class) integer partial score (one aggregation — Spark
+    // allows exactly one per streaming query; in an unbounded deployment
+    // watermark it on arrival time); the prior add, argmax and confusion
+    // census run batch-side on the sink, where the integer scores make
+    // the answer exact. The streaming answer must CONVERGE to t15's
+    // batch answer — the oracle is the identical census -> weights ->
+    // scores -> argmax replay.
+    Q("s8_stream_classify",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val queryName = "graft_sclf_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val train = plantTopics(t(s, dir, "documents").filter($"doc_id" % 2 === 0))
+        val model = graft.text.Classifier.trainNaiveBayes(
+          train, "truth", "text2", n = 1, numBuckets = 256, quantDigits = 6)
+        val gramW = model.filter($"bucket" < 256)
+        val prior = model.filter($"bucket" === 256).select($"label", $"w".as("pw"))
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = plantTopics(
+              s.readStream.schema(schema)
+                .option("pathGlobFilter", "documents.parquet").parquet(dir)
+                .filter($"doc_id" % 2 =!= 0))
+            .select($"doc_id",
+              explode(graft.functions.GraftFunctions.ngram_hashes($"text2", 1)).as("g"))
+            .withColumn("bucket", pmod($"g", lit(256L)))
+            .join(broadcast(gramW), Seq("bucket"))
+            .groupBy($"doc_id", $"label")
+            .agg(sum($"w").as("gscore"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        val truth = plantTopics(t(s, dir, "documents").filter($"doc_id" % 2 =!= 0))
+          .select($"doc_id", $"truth")
+        s.table(queryName)
+          .join(broadcast(prior), Seq("label"))
+          .select($"doc_id", $"label", ($"gscore" + $"pw").as("score"))
+          .groupBy($"doc_id")
+          .agg(max(struct($"score", $"label")).as("m"))
+          .select($"doc_id", $"m.label".as("pred"), $"m.score".as("score"))
+          .join(truth, Seq("doc_id"))
           .groupBy($"truth", $"pred")
           .agg(count(lit(1)).as("n_docs"), sum($"score").as("score_sum"))
           .orderBy($"truth", $"pred")

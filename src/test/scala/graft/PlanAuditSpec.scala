@@ -206,6 +206,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(leaks.isEmpty, s"session confs leaked by declared queries:\n${leaks.mkString("\n")}")
   }
 
+  test("t15 NB classifier: model join broadcasts, scores partial-aggregate map-side") {
+    val p = plan("t15_quality_classifier")
+    // the C×(numBuckets+1) model must reach the gram stream via broadcast
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    // per-(doc, class) integer score sums must combine before the exchange
+    assert(p.contains("partial_sum"), s"scores must partial-aggregate:\n$p")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
