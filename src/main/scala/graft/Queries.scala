@@ -85,6 +85,97 @@ object Queries {
       |       WHERE rn = 1),
       |""".stripMargin
 
+  /** Shared DuckDB replay of the FULL IVF-ADC chain (v11/v12):
+    * 1-round coarse k-means over the quantized corpus, final cell
+    * assignment, residuals, 1-round 4x4 residual codebook, encoding,
+    * 2-probe cell ranking per query, per-(query, cell) LUT over the
+    * query residual, ADC sums over the probed postings. Ends with
+    * `rk` = the per-query (adist, nid) ADC ranking; each consumer
+    * appends its own tail (v11 takes the ADC top-5; v12 takes a
+    * top-20 shortlist and exact-re-ranks it). */
+  private lazy val ivfpqReplayChain: String =
+    """WITH q AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+      |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+      |       FROM q ORDER BY id LIMIT 4),
+      |e1 AS (SELECT q.id, c0.cid,
+      |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
+      |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
+      |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+      |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+      |       WHERE rn = 1),
+      |u1 AS (SELECT a1.cid, d,
+      |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+      |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+      |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+      |       UNION ALL
+      |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+      |e2 AS (SELECT q.id, c1.cid,
+      |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
+      |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
+      |ac AS (SELECT id, cid FROM (SELECT id, cid,
+      |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+      |       WHERE rn = 1),
+      |rv AS (SELECT q.id, ac.cid,
+      |         list_transform(range(64), d -> q.qv[d+1] - c1.cv[d+1]) AS qv
+      |       FROM q JOIN ac USING (id) JOIN c1 ON ac.cid = c1.cid),
+      |spt AS (SELECT CAST(i AS INT) AS sp FROM range(0,4) t(i)),
+      |sdt AS (SELECT CAST(i AS INT) AS d FROM range(0,16) t(i)),
+      |sv AS (SELECT rv.id, spt.sp,
+      |         list_transform(range(16), d -> rv.qv[spt.sp*16 + d + 1]) AS sv
+      |       FROM rv CROSS JOIN spt),
+      |p0 AS (SELECT sp, row_number() OVER (PARTITION BY sp ORDER BY id) - 1 AS code,
+      |         sv AS cv
+      |       FROM sv WHERE id IN (SELECT id FROM rv ORDER BY id LIMIT 4)),
+      |f1 AS (SELECT sv.id, sv.sp, p0.code,
+      |         sum((sv.sv[d+1]-p0.cv[d+1])*(sv.sv[d+1]-p0.cv[d+1])) AS d2
+      |       FROM sv JOIN p0 ON sv.sp = p0.sp CROSS JOIN sdt
+      |       GROUP BY sv.id, sv.sp, p0.code),
+      |g1 AS (SELECT id, sp, code FROM (SELECT id, sp, code,
+      |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM f1)
+      |       WHERE rn = 1),
+      |v1 AS (SELECT g1.sp, g1.code, d,
+      |         CAST(floor(CAST(sum(sv.sv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+      |       FROM g1 JOIN sv ON g1.id = sv.id AND g1.sp = sv.sp CROSS JOIN sdt
+      |       GROUP BY g1.sp, g1.code, d),
+      |p1 AS (SELECT sp, code, list(cv_d ORDER BY d) AS cv FROM v1 GROUP BY sp, code
+      |       UNION ALL
+      |       SELECT p0.sp, p0.code, p0.cv FROM p0
+      |       WHERE NOT EXISTS (SELECT 1 FROM v1
+      |                         WHERE v1.sp = p0.sp AND v1.code = p0.code)),
+      |f2 AS (SELECT sv.id, sv.sp, p1.code,
+      |         sum((sv.sv[d+1]-p1.cv[d+1])*(sv.sv[d+1]-p1.cv[d+1])) AS d2
+      |       FROM sv JOIN p1 ON sv.sp = p1.sp CROSS JOIN sdt
+      |       GROUP BY sv.id, sv.sp, p1.code),
+      |enc AS (SELECT id, sp, code FROM (SELECT id, sp, code,
+      |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM f2)
+      |       WHERE rn = 1),
+      |qq AS (SELECT id, qv FROM q WHERE id % 50 = 0),
+      |pe AS (SELECT qq.id, c1.cid,
+      |         sum((qq.qv[d+1]-c1.cv[d+1])*(qq.qv[d+1]-c1.cv[d+1])) AS d2
+      |       FROM qq CROSS JOIN c1 CROSS JOIN dim GROUP BY qq.id, c1.cid),
+      |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+      |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
+      |       WHERE rn <= 2),
+      |qrs AS (SELECT pb.qid, pb.cid, spt.sp,
+      |          list_transform(range(16),
+      |            d -> qq.qv[spt.sp*16 + d + 1] - c1.cv[spt.sp*16 + d + 1]) AS sv
+      |        FROM pb JOIN qq ON pb.qid = qq.id
+      |        JOIN c1 ON pb.cid = c1.cid CROSS JOIN spt),
+      |lut AS (SELECT qrs.qid, qrs.cid, p1.sp, p1.code,
+      |          sum((qrs.sv[d+1]-p1.cv[d+1])*(qrs.sv[d+1]-p1.cv[d+1])) AS pd
+      |        FROM qrs JOIN p1 ON qrs.sp = p1.sp CROSS JOIN sdt
+      |        GROUP BY qrs.qid, qrs.cid, p1.sp, p1.code),
+      |ad AS (SELECT lut.qid, ac.id AS nid, sum(lut.pd) AS adist
+      |       FROM ac JOIN lut ON ac.cid = lut.cid
+      |       JOIN enc ON enc.id = ac.id AND enc.sp = lut.sp AND enc.code = lut.code
+      |       WHERE ac.id <> lut.qid GROUP BY lut.qid, ac.id),
+      |rk AS (SELECT qid, nid, adist,
+      |         row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+      |       FROM ad)""".stripMargin
+
   private lazy val bpeTrainOracle8: String = {
     val rounds = (1 to 8).flatMap { r =>
       val prev = s"w${r - 1}"
@@ -5000,87 +5091,7 @@ object Queries {
             nProbes = 2, k = 5, queryFilter = $"id" % 50 === 0)
           .orderBy($"qid", $"rk")
       },
-      Some("""WITH q AS (SELECT vec_id AS id,
-             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
-             |  FROM embeddings),
-             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
-             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
-             |       FROM q ORDER BY id LIMIT 4),
-             |e1 AS (SELECT q.id, c0.cid,
-             |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
-             |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
-             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
-             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
-             |       WHERE rn = 1),
-             |u1 AS (SELECT a1.cid, d,
-             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
-             |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
-             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
-             |       UNION ALL
-             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
-             |e2 AS (SELECT q.id, c1.cid,
-             |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
-             |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
-             |ac AS (SELECT id, cid FROM (SELECT id, cid,
-             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
-             |       WHERE rn = 1),
-             |rv AS (SELECT q.id, ac.cid,
-             |         list_transform(range(64), d -> q.qv[d+1] - c1.cv[d+1]) AS qv
-             |       FROM q JOIN ac USING (id) JOIN c1 ON ac.cid = c1.cid),
-             |spt AS (SELECT CAST(i AS INT) AS sp FROM range(0,4) t(i)),
-             |sdt AS (SELECT CAST(i AS INT) AS d FROM range(0,16) t(i)),
-             |sv AS (SELECT rv.id, spt.sp,
-             |         list_transform(range(16), d -> rv.qv[spt.sp*16 + d + 1]) AS sv
-             |       FROM rv CROSS JOIN spt),
-             |p0 AS (SELECT sp, row_number() OVER (PARTITION BY sp ORDER BY id) - 1 AS code,
-             |         sv AS cv
-             |       FROM sv WHERE id IN (SELECT id FROM rv ORDER BY id LIMIT 4)),
-             |f1 AS (SELECT sv.id, sv.sp, p0.code,
-             |         sum((sv.sv[d+1]-p0.cv[d+1])*(sv.sv[d+1]-p0.cv[d+1])) AS d2
-             |       FROM sv JOIN p0 ON sv.sp = p0.sp CROSS JOIN sdt
-             |       GROUP BY sv.id, sv.sp, p0.code),
-             |g1 AS (SELECT id, sp, code FROM (SELECT id, sp, code,
-             |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM f1)
-             |       WHERE rn = 1),
-             |v1 AS (SELECT g1.sp, g1.code, d,
-             |         CAST(floor(CAST(sum(sv.sv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
-             |       FROM g1 JOIN sv ON g1.id = sv.id AND g1.sp = sv.sp CROSS JOIN sdt
-             |       GROUP BY g1.sp, g1.code, d),
-             |p1 AS (SELECT sp, code, list(cv_d ORDER BY d) AS cv FROM v1 GROUP BY sp, code
-             |       UNION ALL
-             |       SELECT p0.sp, p0.code, p0.cv FROM p0
-             |       WHERE NOT EXISTS (SELECT 1 FROM v1
-             |                         WHERE v1.sp = p0.sp AND v1.code = p0.code)),
-             |f2 AS (SELECT sv.id, sv.sp, p1.code,
-             |         sum((sv.sv[d+1]-p1.cv[d+1])*(sv.sv[d+1]-p1.cv[d+1])) AS d2
-             |       FROM sv JOIN p1 ON sv.sp = p1.sp CROSS JOIN sdt
-             |       GROUP BY sv.id, sv.sp, p1.code),
-             |enc AS (SELECT id, sp, code FROM (SELECT id, sp, code,
-             |         row_number() OVER (PARTITION BY id, sp ORDER BY d2, code) AS rn FROM f2)
-             |       WHERE rn = 1),
-             |qq AS (SELECT id, qv FROM q WHERE id % 50 = 0),
-             |pe AS (SELECT qq.id, c1.cid,
-             |         sum((qq.qv[d+1]-c1.cv[d+1])*(qq.qv[d+1]-c1.cv[d+1])) AS d2
-             |       FROM qq CROSS JOIN c1 CROSS JOIN dim GROUP BY qq.id, c1.cid),
-             |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
-             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
-             |       WHERE rn <= 2),
-             |qrs AS (SELECT pb.qid, pb.cid, spt.sp,
-             |          list_transform(range(16),
-             |            d -> qq.qv[spt.sp*16 + d + 1] - c1.cv[spt.sp*16 + d + 1]) AS sv
-             |        FROM pb JOIN qq ON pb.qid = qq.id
-             |        JOIN c1 ON pb.cid = c1.cid CROSS JOIN spt),
-             |lut AS (SELECT qrs.qid, qrs.cid, p1.sp, p1.code,
-             |          sum((qrs.sv[d+1]-p1.cv[d+1])*(qrs.sv[d+1]-p1.cv[d+1])) AS pd
-             |        FROM qrs JOIN p1 ON qrs.sp = p1.sp CROSS JOIN sdt
-             |        GROUP BY qrs.qid, qrs.cid, p1.sp, p1.code),
-             |ad AS (SELECT lut.qid, ac.id AS nid, sum(lut.pd) AS adist
-             |       FROM ac JOIN lut ON ac.cid = lut.cid
-             |       JOIN enc ON enc.id = ac.id AND enc.sp = lut.sp AND enc.code = lut.code
-             |       WHERE ac.id <> lut.qid GROUP BY lut.qid, ac.id),
-             |rk AS (SELECT qid, nid, adist,
-             |         row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
-             |       FROM ad)
+      Some(ivfpqReplayChain + """
              |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(adist AS BIGINT) AS adist
              |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
@@ -5577,7 +5588,38 @@ object Queries {
              |       FROM sco)
              |SELECT t.truth, p.pred, count(*) AS n_docs, CAST(sum(p.score) AS BIGINT) AS score_sum
              |FROM pr p JOIN te t USING (doc_id) WHERE p.rk = 1
-             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // ----- V12: IVF-ADC shortlist + EXACT re-rank — the complete
+    // production serving path (Jégou et al. 2011 §V recall@R protocol)
+    // that v11 + the PqSpec recall contract point at: ADC cannot rank
+    // inside a quantization cell, so its top-k is a SHORTLIST, and the
+    // second stage re-orders a kShort=20 shortlist by exact integer
+    // squared L2 (Ann.rerankExact — shortlist broadcast into two corpus
+    // scans; the corpus never shuffles; the per-query top-k window over
+    // 20-row groups is the only exchange). The oracle replays the entire
+    // v11 chain, takes the ADC top-20, and re-ranks it exactly.
+    Q("v12_ivfpq_rerank",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val short = Ann.ivfPq(prepared, kCells = 4, coarseIters = 1,
+          numSub = 4, subDim = 16, ks = 4, pqIters = 1,
+          nProbes = 2, k = 20, queryFilter = $"id" % 50 === 0)
+        Ann.rerankExact(short, prepared, k = 5).orderBy($"qid", $"rk")
+      },
+      Some(ivfpqReplayChain + """,
+             |sl AS (SELECT qid, nid FROM rk WHERE rk <= 20),
+             |ex AS (SELECT sl.qid, sl.nid,
+             |         sum((a.qv[d+1]-b.qv[d+1])*(a.qv[d+1]-b.qv[d+1])) AS dist
+             |       FROM sl JOIN q a ON a.id = sl.qid JOIN q b ON b.id = sl.nid
+             |       CROSS JOIN dim GROUP BY sl.qid, sl.nid),
+             |rr AS (SELECT qid, nid, dist,
+             |         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk2
+             |       FROM ex)
+             |SELECT qid, CAST(rk2 AS INT) AS rk, nid, CAST(dist AS BIGINT) AS dist
+             |FROM rr WHERE rk2 <= 5 ORDER BY qid, rk2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -622,4 +622,33 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("adist"))
   }
+
+  /** Exact re-rank of an ANN shortlist — the production SECOND stage
+    * (Jégou et al. 2011 §V "recall@R" protocol): ADC/IVF-ADC generate a
+    * kShort ≈ several×k candidate shortlist (they cannot rank inside a
+    * quantization cell — see PqSpec's recall contract), and this stage
+    * re-orders it by exact integer squared L2. `shortlist` is any
+    * (qid, nid, …) candidate table ([[pqAdcTopK]] / [[ivfPq]] output);
+    * `prepared` is the [[prepare]] view.
+    *
+    * Plan shape at scale: the shortlist (queries × kShort rows, KBs) is
+    * BROADCAST into two corpus scans that fetch the endpoint vectors —
+    * the corpus never shuffles, the exact math runs on |shortlist| rows
+    * only, and the per-query top-k window over kShort-row groups is the
+    * only exchange. Returns (qid, rk, nid, dist). */
+  def rerankExact(shortlist: DataFrame, prepared: DataFrame, k: Int): DataFrame = {
+    val cand = shortlist.select(col("qid"), col("nid"))
+    val nvecs = prepared
+      .select(col("id").as("nid"), col("qv").as("nv"), col("nq").as("nn"))
+      .join(broadcast(cand), Seq("nid"))
+    val qvecs = prepared.select(col("id").as("qid"), col("qv"), col("nq"))
+      .join(broadcast(cand.select(col("qid")).distinct()), Seq("qid"))
+    val dist = col("nq") + col("nn") -
+      lit(2L) * GraftFunctions.dot_long(col("qv"), col("nv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    nvecs.join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid"), col("nid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("dist"))
+  }
 }

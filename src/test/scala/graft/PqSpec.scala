@@ -174,4 +174,50 @@ class PqSpec extends SparkSpec {
     assert(r2 > 0.0, s"2-probe ivfPq found no true neighbors at all")
     truth.unpersist()
   }
+
+  test("rerankExact: complete shortlist reproduces exact top-k; ADC shortlist + re-rank beats direct ADC") {
+    // exact integer-L2 truth, same arithmetic as rerankExact
+    def l2truth(data: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+      val d2 = $"a.nq" + $"b.nq" - lit(2L) * GraftFunctions.dot_long($"a.qv", $"b.qv")
+      val w = Window.partitionBy($"qid").orderBy($"d2", $"nid")
+      broadcast(queries.as("a")).join(data.as("b"), $"a.id" =!= $"b.id")
+        .select($"a.id".as("qid"), $"b.id".as("nid"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+    }
+    // A. exactness: re-ranking the COMPLETE candidate set is brute force —
+    //    (qid, rk, nid, dist) must equal the exact ranking bit-for-bit
+    val queries = prepared.filter($"id" < 16)
+    val allPairs = broadcast(queries.select($"id".as("qid")))
+      .join(prepared.select($"id".as("nid")), $"qid" =!= $"nid")
+    val rr = Ann.rerankExact(allPairs, prepared, 10)
+    val truth = l2truth(prepared, queries, 10)
+      .select($"qid", $"rk", $"nid", $"d2".as("dist"))
+    assert(rr.exceptAll(truth).isEmpty && truth.exceptAll(rr).isEmpty,
+      "full-shortlist re-rank diverged from exact brute force")
+    // B. the production path on clustered data (same fixture as the
+    //    recall contract): direct ADC top-10 tie-collapses (~0.14), but
+    //    top-64 shortlist + exact re-rank recovers the true top-10
+    val rnd = new scala.util.Random(42)
+    val cents = Array.fill(16, 64)(rnd.nextInt(2001) - 1000)
+    val cl = (0 until 1024).map { i =>
+      val c = cents(i % 16)
+      (i.toLong, c.map(x => (x + rnd.nextInt(101) - 50).toLong).toSeq)
+    }.toDF("id", "qv")
+      .withColumn("nq", GraftFunctions.dot_long($"qv", $"qv")).cache()
+    val clq = cl.filter($"id" < 16)
+    val book = Ann.pqCodebook(cl, 4, 16, 16, 2)
+    val codes = Ann.pqEncode(cl, book, 4, 16)
+    val clTruth = l2truth(cl, clq, 10).cache()
+    def recall(approx: DataFrame): Double =
+      clTruth.select($"qid", $"nid")
+        .join(approx.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+        .count().toDouble / clTruth.count()
+    val direct = recall(Ann.pqAdcTopK(codes, book, clq, 4, 16, 16, 10))
+    val reranked = recall(
+      Ann.rerankExact(Ann.pqAdcTopK(codes, book, clq, 4, 16, 16, 64), cl, 10))
+    assert(reranked >= 0.9, s"shortlist+rerank recall@10 = $reranked")
+    assert(reranked > direct,
+      s"re-rank ($reranked) must beat direct ADC ($direct) on clustered data")
+    clTruth.unpersist(); cl.unpersist()
+  }
 }
