@@ -5619,7 +5619,175 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk2
              |       FROM ex)
              |SELECT qid, CAST(rk2 AS INT) AS rk, nid, CAST(dist AS BIGINT) AS dist
-             |FROM rr WHERE rk2 <= 5 ORDER BY qid, rk2""".stripMargin))
+             |FROM rr WHERE rk2 <= 5 ORDER BY qid, rk2""".stripMargin)),
+
+    // ----- S9: STREAMING incremental near-dup admission — x10's
+    // daily-ingest admission as a LIVE pipeline: new docs arrive in
+    // micro-batches and foreachBatch admits each batch against the
+    // stored LSH index (old-corpus band + shingle-set tables), then
+    // APPENDS the admitted docs' bands/sets to the index — the
+    // Structured Streaming foreachBatch-upsert pattern (in production
+    // the index tables live in storage and each micro-batch appends to
+    // them; here they accumulate through eager localCheckpoint, the
+    // same lineage-truncation discipline as x21). Unlike s6, admission
+    // is ORDER-DEPENDENT — an admitted doc blocks later near-dups — so
+    // batches are sequenced deterministically: the stream dir starts
+    // empty and each batch's one parquet file is written and fully
+    // drained before the next; batch i carries (doc_id div 5) % 4 = i.
+    // The oracle unrolls the four admission rounds against the growing
+    // index.
+    Q("s9_stream_admit",
+      (s, dir) => {
+        import s.implicits._
+        val D = graft.dedup.Dedup
+        val docs = t(s, dir, "documents")
+        val oldDf = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
+        val newDf = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
+          .select($"doc_id", $"text", $"n_chars").localCheckpoint(true)
+        val idx0 = D.buildIndex(oldDf, "doc_id", "text")
+        var idxBands = idx0._1.localCheckpoint(true)
+        var idxSets = idx0._2.localCheckpoint(true)
+        val admitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        val sdir = java.nio.file.Files.createTempDirectory("graft_s9_").toFile
+        sdir.deleteOnExit()
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(newDf.schema)
+            .parquet(sdir.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val b = batch.localCheckpoint(true)
+              if (b.count() > 0) {
+                val adm = D.admitIncrement(b, "doc_id", "text", idxBands, idxSets)
+                  .localCheckpoint(true)
+                val grown = D.buildIndex(adm, "doc_id", "text")
+                idxBands = idxBands.unionByName(grown._1).localCheckpoint(true)
+                idxSets = idxSets.unionByName(grown._2).localCheckpoint(true)
+                admitted += adm.withColumn("batch", lit(admitted.size.toLong))
+              }
+              ()
+            }
+            .start()
+          (0 until 4).foreach { bi =>
+            newDf.filter(expr(s"(doc_id div 5) % 4 = $bi"))
+              .coalesce(1).write.mode("append").parquet(sdir.getAbsolutePath)
+            q.processAllAvailable()
+          }
+          q.stop()
+        } }
+        admitted.reduce(_ unionByName _)
+          .groupBy($"batch")
+          .agg(count(lit(1)).as("n_admitted"), sum($"doc_id").as("sum_admitted"),
+               sum($"n_chars").as("chars_admitted"), min($"doc_id").as("min_admitted"))
+          .orderBy($"batch")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |sig AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS MATERIALIZED (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |sets AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |    tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents),
+             |b0 AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 0),
+             |b1 AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 1),
+             |b2 AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 2),
+             |b3 AS (SELECT * FROM bands WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 3),
+             |i0 AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 5 != 0),
+             |co0 AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+             |        FROM b0 n JOIN i0 o ON n.band = o.band AND n.key = o.key),
+             |rt0 AS (SELECT band, key, min(doc_id) AS root FROM b0
+             |        GROUP BY 1,2 HAVING count(*) > 1),
+             |cn0 AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |        FROM b0 b JOIN rt0 r ON b.band = r.band AND b.key = r.key
+             |        WHERE b.doc_id != r.root),
+             |rej0 AS (SELECT DISTINCT id_new FROM co0
+             |           JOIN sets sa ON id_new = sa.doc_id JOIN sets sb ON id_old = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9
+             |         UNION SELECT DISTINCT id_b FROM cn0
+             |           JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |a0 AS MATERIALIZED (SELECT doc_id FROM documents
+             |     WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 0
+             |       AND doc_id NOT IN (SELECT id_new FROM rej0)),
+             |i1 AS MATERIALIZED (SELECT * FROM i0 UNION ALL
+             |     SELECT b.doc_id, b.band, b.key FROM bands b JOIN a0 USING (doc_id)),
+             |co1 AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+             |        FROM b1 n JOIN i1 o ON n.band = o.band AND n.key = o.key),
+             |rt1 AS (SELECT band, key, min(doc_id) AS root FROM b1
+             |        GROUP BY 1,2 HAVING count(*) > 1),
+             |cn1 AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |        FROM b1 b JOIN rt1 r ON b.band = r.band AND b.key = r.key
+             |        WHERE b.doc_id != r.root),
+             |rej1 AS (SELECT DISTINCT id_new FROM co1
+             |           JOIN sets sa ON id_new = sa.doc_id JOIN sets sb ON id_old = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9
+             |         UNION SELECT DISTINCT id_b FROM cn1
+             |           JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |a1 AS MATERIALIZED (SELECT doc_id FROM documents
+             |     WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 1
+             |       AND doc_id NOT IN (SELECT id_new FROM rej1)),
+             |i2 AS MATERIALIZED (SELECT * FROM i1 UNION ALL
+             |     SELECT b.doc_id, b.band, b.key FROM bands b JOIN a1 USING (doc_id)),
+             |co2 AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+             |        FROM b2 n JOIN i2 o ON n.band = o.band AND n.key = o.key),
+             |rt2 AS (SELECT band, key, min(doc_id) AS root FROM b2
+             |        GROUP BY 1,2 HAVING count(*) > 1),
+             |cn2 AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |        FROM b2 b JOIN rt2 r ON b.band = r.band AND b.key = r.key
+             |        WHERE b.doc_id != r.root),
+             |rej2 AS (SELECT DISTINCT id_new FROM co2
+             |           JOIN sets sa ON id_new = sa.doc_id JOIN sets sb ON id_old = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9
+             |         UNION SELECT DISTINCT id_b FROM cn2
+             |           JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |a2 AS MATERIALIZED (SELECT doc_id FROM documents
+             |     WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 2
+             |       AND doc_id NOT IN (SELECT id_new FROM rej2)),
+             |i3 AS MATERIALIZED (SELECT * FROM i2 UNION ALL
+             |     SELECT b.doc_id, b.band, b.key FROM bands b JOIN a2 USING (doc_id)),
+             |co3 AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+             |        FROM b3 n JOIN i3 o ON n.band = o.band AND n.key = o.key),
+             |rt3 AS (SELECT band, key, min(doc_id) AS root FROM b3
+             |        GROUP BY 1,2 HAVING count(*) > 1),
+             |cn3 AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |        FROM b3 b JOIN rt3 r ON b.band = r.band AND b.key = r.key
+             |        WHERE b.doc_id != r.root),
+             |rej3 AS (SELECT DISTINCT id_new FROM co3
+             |           JOIN sets sa ON id_new = sa.doc_id JOIN sets sb ON id_old = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9
+             |         UNION SELECT DISTINCT id_b FROM cn3
+             |           JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |           WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |             / (len(sa.st)+len(sb.st)-len(list_intersect(sa.st, sb.st))) >= 0.9),
+             |a3 AS (SELECT doc_id FROM documents
+             |     WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 3
+             |       AND doc_id NOT IN (SELECT id_new FROM rej3)),
+             |allb AS (SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM a0
+             |  UNION ALL SELECT CAST(1 AS BIGINT), doc_id FROM a1
+             |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id FROM a2
+             |  UNION ALL SELECT CAST(3 AS BIGINT), doc_id FROM a3)
+             |SELECT batch, count(*) AS n_admitted,
+             |  CAST(sum(allb.doc_id) AS BIGINT) AS sum_admitted,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS chars_admitted,
+             |  min(allb.doc_id) AS min_admitted
+             |FROM allb JOIN documents d ON allb.doc_id = d.doc_id
+             |GROUP BY batch ORDER BY batch""".stripMargin))
   )
 
   private val qs: Seq[Q] =
