@@ -5787,7 +5787,44 @@ object Queries {
              |  CAST(sum(d.n_chars) AS BIGINT) AS chars_admitted,
              |  min(allb.doc_id) AS min_admitted
              |FROM allb JOIN documents d ON allb.doc_id = d.doc_id
-             |GROUP BY batch ORDER BY batch""".stripMargin))
+             |GROUP BY batch ORDER BY batch""".stripMargin)),
+
+    // ----- T16: BM25 ranked retrieval (Robertson & Zaragoza 2009) — the
+    // retrieval-based curation primitive: score every doc against a term
+    // query, keep the top-k. Query mixes the corpus's one rare term
+    // ('dup', df=25/500 — high idf) with two dense ones, so the ranking
+    // is idf-driven and the rare-term docs surface. Per-(doc, term)
+    // contributions are quantized to integer micro-units BEFORE the
+    // per-doc sum (x17/t13 discipline) — order-proof integer scores,
+    // replayed bit-for-bit. Plan: token stream filtered to query terms
+    // at the scan, 1-row stats broadcast, top-k is TakeOrderedAndProject
+    // (asserted in Bm25Spec) — no per-vocabulary state, no global sort.
+    Q("t16_bm25",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "join", "spark"), k = 10)
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+             |st AS (SELECT count(*) AS n_docs, sum(len(s)) AS total_len FROM dd),
+             |tk AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM dd),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM tk
+             |       WHERE tok IN ('dup','join','spark') GROUP BY doc_id, tok),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT tf.doc_id, CAST(floor(
+             |        ln((st.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5)
+             |             / (dfq.df::DOUBLE + 0.5) + 1.0)
+             |          * tf.tf::DOUBLE * (1.2 + 1.0)
+             |        / (tf.tf::DOUBLE + 1.2 * (0.25
+             |             + 0.75 * tf.dl::DOUBLE
+             |               / (st.total_len::DOUBLE / st.n_docs::DOUBLE)))
+             |        * 1000000.0 + 0.5) AS BIGINT) AS c
+             |      FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+             |sc AS (SELECT doc_id AS id, sum(c) AS score FROM c GROUP BY 1),
+             |r AS (SELECT id, score,
+             |        row_number() OVER (ORDER BY score DESC, id) AS rk FROM sc)
+             |SELECT CAST(rk AS INT) AS rk, id, CAST(score AS BIGINT) AS score
+             |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin))
   )
 
   private val qs: Seq[Q] =
