@@ -5824,7 +5824,58 @@ object Queries {
              |r AS (SELECT id, score,
              |        row_number() OVER (ORDER BY score DESC, id) AS rk FROM sc)
              |SELECT CAST(rk AS INT) AS rk, id, CAST(score AS BIGINT) AS score
-             |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin))
+             |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin)),
+
+    // ----- X22: temperature-based language sampling — the mixture
+    // BASELINE UniMax (x19) improves on: budget_l ∝ tokens_l^alpha
+    // with alpha = 0.5 (T = 2), capped at the language's own supply.
+    // The weight tokens^alpha is quantized to integer units BEFORE
+    // normalization (the x17/t13 discipline), so Z and every budget are
+    // exact integer arithmetic — order-proof and engine-replayable.
+    // Selection reuses Sample.unimaxSelect (budget-driven, policy-
+    // agnostic): same hash-ordered prefix, same census output shape as
+    // x19 so the two policies are directly comparable row-for-row.
+    Q("x22_temp_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Sample
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tk"))
+        val census = tok.groupBy($"lang").agg(sum($"tk").as("tokens"))
+        val budgets = Sample.temperatureBudgets(census, "lang", "tokens",
+          totalBudget = 12000L, alpha = 0.5)
+        val sel = Sample.unimaxSelect(tok, "lang", $"doc_id", "tk", budgets)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sel"), sum($"tk").as("tok_sel"))
+        budgets.join(sel, Seq("lang"), "left")
+          .select($"lang", $"tokens", $"budget",
+            coalesce($"n_sel", lit(0L)).as("n_sel"),
+            coalesce($"tok_sel", lit(0L)).as("tok_sel"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS tk FROM documents),
+             |c AS (SELECT lang, CAST(sum(tk) AS BIGINT) AS tokens FROM tok GROUP BY lang),
+             |w AS (SELECT lang, tokens,
+             |        CAST(floor(pow(tokens::DOUBLE, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS wq
+             |      FROM c),
+             |b AS (SELECT lang, tokens,
+             |        least(tokens, (12000 * wq) // (SELECT sum(wq) FROM w)) AS budget
+             |      FROM w),
+             |h AS (SELECT doc_id, lang, tk,
+             |        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv FROM tok),
+             |cum AS (SELECT lang, doc_id, tk,
+             |          sum(tk) OVER (PARTITION BY lang ORDER BY hv, doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS cm FROM h),
+             |sel AS (SELECT cum.lang, count(*) AS n_sel,
+             |          CAST(sum(tk) AS BIGINT) AS tok_sel
+             |        FROM cum JOIN b USING (lang) WHERE cm <= b.budget
+             |        GROUP BY cum.lang)
+             |SELECT b.lang, b.tokens, CAST(b.budget AS BIGINT) AS budget,
+             |  CAST(coalesce(sel.n_sel, 0) AS BIGINT) AS n_sel,
+             |  CAST(coalesce(sel.tok_sel, 0) AS BIGINT) AS tok_sel
+             |FROM b LEFT JOIN sel ON b.lang = sel.lang
+             |ORDER BY b.lang""".stripMargin))
   )
 
   private val qs: Seq[Q] =

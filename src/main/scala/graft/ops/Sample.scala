@@ -82,6 +82,36 @@ object Sample {
           .otherwise(greatest(col("tstar"), lit(0L))).as("budget"))
   }
 
+  /** Temperature-based language budgets — the mixture baseline UniMax
+    * improves on (Conneau et al. 2020 §3.1 exponentiated sampling;
+    * Chung et al. 2023's comparison axis): budget_l ∝ tokens_l^alpha
+    * (alpha = 1/T; alpha < 1 upweights low-resource languages), capped
+    * at the language's own token count. Closed form over the k-row
+    * census — no iteration, no corpus pass.
+    *
+    * Determinism discipline: the weight tokens^alpha is quantized to
+    * integer units BEFORE normalization, so both the normalizer Z and
+    * every budget are exact integer arithmetic ((totalBudget * wq) div
+    * Z) — aggregation-order-proof and engine-replayable. Pick
+    * quantDigits so totalBudget * max(wq) stays inside Long
+    * (the default 6 leaves headroom up to ~10^12-token corpora at
+    * billion-token budgets; drop digits as magnitudes grow). Feed the
+    * result to [[unimaxSelect]] — selection is budget-driven and shared
+    * between the two policies. */
+  def temperatureBudgets(census: DataFrame, langCol: String, tokensCol: String,
+                         totalBudget: Long, alpha: Double,
+                         quantDigits: Int = 6): DataFrame = {
+    val all = Window.partitionBy()
+    val q = math.pow(10.0, quantDigits)
+    census.select(col(langCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("wq",
+        floor(pow(col("tokens").cast("double"), lit(alpha)) * lit(q) + lit(0.5))
+          .cast("long"))
+      .withColumn("z", sum(col("wq")).over(all))
+      .select(col(langCol), col("tokens"),
+        least(col("tokens"), expr(s"($totalBudget * wq) div z")).as("budget"))
+  }
+
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),
     * keep each language's hash-ordered prefix of documents whose running
     * token total stays within the budget (a doc that would cross the

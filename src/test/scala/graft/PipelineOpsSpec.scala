@@ -185,6 +185,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature budgets: integer closed form, alpha<1 upweights low-resource") {
+    import spark.implicits._
+    import graft.ops.Sample
+    val census = Seq(("a", 100L), ("b", 400L), ("c", 2500L))
+      .toDF("lang", "tokens")
+    // alpha=0.5, quant 1e6: wq = [10e6, 20e6, 50e6], Z = 80e6 — budgets
+    // are exact integer shares (400*wq) div Z = [50, 100, 250]
+    val got = Sample.temperatureBudgets(census, "lang", "tokens",
+        totalBudget = 400L, alpha = 0.5)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 50L), ("b", 100L), ("c", 250L)))
+    // alpha < 1 upweights low-resource: a's budget share (12.5%) beats
+    // its raw token share (100/3000 = 3.3%); alpha = 1 recovers
+    // proportional shares exactly
+    val prop = Sample.temperatureBudgets(census, "lang", "tokens",
+        totalBudget = 400L, alpha = 1.0)
+      .orderBy("lang").collect().map(r => r.getLong(2)).toSeq
+    assert(prop == Seq(13L, 53L, 333L), s"alpha=1 shares: $prop")
+    // the per-language supply cap binds: a tiny corpus cannot be
+    // over-allocated no matter the temperature
+    val capped = Sample.temperatureBudgets(
+        Seq(("a", 2L), ("b", 10000L)).toDF("lang", "tokens"),
+        "lang", "tokens", totalBudget = 8000L, alpha = 0.25)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(capped("a") == 2L, s"cap must bind: $capped")
+    // never allocates more than the budget in total
+    val tot = Sample.temperatureBudgets(census, "lang", "tokens", 777L, 0.7)
+      .agg(org.apache.spark.sql.functions.sum("budget")).collect()(0).getLong(0)
+    assert(tot <= 777L, s"allocated $tot > budget")
+  }
+
   test("unimax select: hash-prefix within budget, excluded doc does not split") {
     import spark.implicits._
     import graft.ops.Sample
