@@ -5875,7 +5875,75 @@ object Queries {
              |  CAST(coalesce(sel.n_sel, 0) AS BIGINT) AS n_sel,
              |  CAST(coalesce(sel.tok_sel, 0) AS BIGINT) AS tok_sel
              |FROM b LEFT JOIN sel ON b.lang = sel.lang
-             |ORDER BY b.lang""".stripMargin))
+             |ORDER BY b.lang""".stripMargin)),
+
+    // ----- S10: streaming cardinality via HLL state — the production
+    // answer to "distinct users per window on a live stream": exact
+    // distinct is UNSUPPORTED in streaming aggregation (unbounded
+    // per-key state), and that is precisely what the sketch fixes — the
+    // HLL register array (256 B at p=8) IS the streaming state, merged
+    // duplicate-insensitively across micro-batches, so state per window
+    // is constant no matter how many events arrive. The deterministic
+    // register census (s, zeros) surfaces as exact integers; the exact
+    // count and the estimate are attached batch-side on the sink (the
+    // s8 pattern: keep the non-streamable step out of the stream). The
+    // oracle replays registers, linear-counting correction, and the
+    // exact count per day from the same rows.
+    Q("s10_stream_hll",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.{Hll, Kmv}
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_shll_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = fixed
+            .withWatermark("ts", "1 day")
+            .groupBy(window($"ts", "1 day").as("w"))
+            .agg(Hll.sketch(Kmv.hash60($"user_id"), p = 8).as("hll"))
+            .select($"w.start".as("day"), $"hll._1".as("s"), $"hll._2".as("zeros"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        val exact = t(s, dir, "events")
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(countDistinct($"user_id").as("n_exact"))
+        s.table(queryName).join(exact, Seq("day"))
+          .select($"day", $"n_exact", $"s", $"zeros",
+            floor(Hll.estimate(struct($"s".as("_1"), $"zeros".as("_2")), p = 8)
+              * lit(1000.0) + lit(0.5)).cast("long").as("est_milli"))
+          .orderBy($"day")
+      },
+      Some("""WITH h AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS g,
+             |        ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS hv FROM events),
+             |b AS (SELECT g, hv // 4503599627370496 AS bucket,
+             |        hv % 4503599627370496 AS rest FROM h),
+             |r AS (SELECT g, bucket,
+             |        max(CASE WHEN rest = 0 THEN 53
+             |            ELSE 53 - length(bin(rest)) END) AS mj
+             |      FROM b GROUP BY g, bucket),
+             |agg AS (SELECT g,
+             |    CAST(sum(1::BIGINT << (53 - mj))
+             |      + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+             |    CAST(256 - count(*) AS BIGINT) AS zeros
+             |  FROM r GROUP BY g),
+             |x AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS g,
+             |        count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+             |e AS (SELECT g, s, zeros,
+             |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+             |      * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+             |      / s::DOUBLE AS raw
+             |  FROM agg)
+             |SELECT e.g AS day, CAST(x.n_exact AS BIGINT) AS n_exact,
+             |  e.s AS s, e.zeros AS zeros,
+             |  CAST(floor((CASE WHEN e.raw < 2.5::DOUBLE * 256.0::DOUBLE AND e.zeros > 0
+             |        THEN 256.0::DOUBLE * ln(256.0::DOUBLE / e.zeros::DOUBLE)
+             |        ELSE e.raw END) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS est_milli
+             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
