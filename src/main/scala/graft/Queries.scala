@@ -5943,7 +5943,77 @@ object Queries {
              |  CAST(floor((CASE WHEN e.raw < 2.5::DOUBLE * 256.0::DOUBLE AND e.zeros > 0
              |        THEN 256.0::DOUBLE * ln(256.0::DOUBLE / e.zeros::DOUBLE)
              |        ELSE e.raw END) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS est_milli
-             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin))
+             |FROM e JOIN x ON e.g = x.g ORDER BY 1""".stripMargin)),
+
+    // ----- T17: Stupid Backoff LM scoring (Brants et al. 2007 §4) —
+    // the distributed-first LM beside t13's raw-bigram NLL: the score
+    // c(bigram)/c(prev) backs off to alpha·c(w)/N when the bigram is
+    // unseen, and needs NO normalization pass (why Google ran it over
+    // MapReduce counts instead of Kneser-Ney). Model = two hashed-
+    // bucket censuses (<= 2·1024 rows at any corpus size) trained on
+    // the t13 trusted slice; scoring is one scan with three broadcast
+    // joins. Per-position micro-nat integers (order-proof sums);
+    // the per-language census separately counts backoff positions
+    // (all languages back off rarely here — 1024 buckets over a tiny
+    // shared vocabulary collide densely, the documented hashed-LM
+    // approximation; raise numBuckets to sharpen it at scale).
+    Q("t17_stupid_backoff",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.{Dsir, StupidBackoff}
+        val docs = t(s, dir, "documents")
+        val ref = docs.filter($"lang" === "en" && $"doc_id" % 3 === 0)
+        val lmBi = Dsir.bucketCounts(ref, "text", 2, 1024)
+        val lmUni = Dsir.bucketCounts(ref, "text", 1, 1024)
+        val scored = StupidBackoff.score(docs, "doc_id", "text",
+          lmBi, lmUni, numBuckets = 1024)
+        docs.select($"doc_id", $"lang").join(scored, Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_pos").as("n_pos"),
+               sum($"n_backoff").as("n_backoff"), sum($"score").as("score_sum"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |ref AS (SELECT * FROM tk WHERE lang = 'en' AND doc_id % 3 = 0),
+             |bg AS (SELECT unnest(list_transform(range(len(s)-1),
+             |         i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |       FROM ref WHERE len(s) >= 2),
+             |ug AS (SELECT unnest(list_transform(range(len(s)),
+             |         i -> ('0x'||substr(md5(s[i+1]),1,15))::BIGINT % 1024)) AS b
+             |       FROM ref),
+             |lmb AS MATERIALIZED (SELECT b, count(*) AS c FROM bg GROUP BY b),
+             |lmu AS MATERIALIZED (SELECT b, count(*) AS c FROM ug GROUP BY b),
+             |nt AS (SELECT count(*) AS t FROM ug),
+             |pos AS (SELECT doc_id, lang,
+             |         unnest(list_transform(range(len(s)-1), i -> struct_pack(
+             |           bb := ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024,
+             |           bp := ('0x'||substr(md5(s[i+1]),1,15))::BIGINT % 1024,
+             |           bc := ('0x'||substr(md5(s[i+2]),1,15))::BIGINT % 1024))) AS x
+             |        FROM tk WHERE len(s) >= 2),
+             |d AS (SELECT doc_id, lang,
+             |        CASE WHEN coalesce(lb.c, 0) > 0 AND coalesce(lp.c, 0) > 0
+             |          THEN CAST(floor(-ln(lb.c::DOUBLE / lp.c::DOUBLE)
+             |                 * 1000000 + 0.5) AS BIGINT)
+             |          ELSE CAST(floor(-ln((0.4 * (coalesce(lc.c, 0) + 1)::DOUBLE)
+             |                 / ((nt.t + 1024)::DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |        END AS d,
+             |        CASE WHEN coalesce(lb.c, 0) > 0 AND coalesce(lp.c, 0) > 0
+             |          THEN 0 ELSE 1 END AS bo
+             |      FROM pos
+             |      LEFT JOIN lmb lb ON x.bb = lb.b
+             |      LEFT JOIN lmu lp ON x.bp = lp.b
+             |      LEFT JOIN lmu lc ON x.bc = lc.b, nt),
+             |ps AS (SELECT lang, CAST(sum(d) AS BIGINT) AS score_sum,
+             |         count(*) AS n_pos, CAST(sum(bo) AS BIGINT) AS n_backoff
+             |       FROM d GROUP BY lang),
+             |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+             |SELECT nd.lang, nd.n_docs,
+             |  CAST(coalesce(ps.n_pos, 0) AS BIGINT) AS n_pos,
+             |  CAST(coalesce(ps.n_backoff, 0) AS BIGINT) AS n_backoff,
+             |  CAST(coalesce(ps.score_sum, 0) AS BIGINT) AS score_sum
+             |FROM nd LEFT JOIN ps ON nd.lang = ps.lang
+             |ORDER BY nd.lang""".stripMargin))
   )
 
   private val qs: Seq[Q] =
