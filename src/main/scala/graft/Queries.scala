@@ -6013,7 +6013,50 @@ object Queries {
              |  CAST(coalesce(ps.n_backoff, 0) AS BIGINT) AS n_backoff,
              |  CAST(coalesce(ps.score_sum, 0) AS BIGINT) AS score_sum
              |FROM nd LEFT JOIN ps ON nd.lang = ps.lang
-             |ORDER BY nd.lang""".stripMargin))
+             |ORDER BY nd.lang""".stripMargin)),
+
+    // ----- K4: count-min frequency sketch (Cormode & Muthukrishnan
+    // 2005) — the third sketch beside KMV/HLL (those answer "how many
+    // distinct", this answers "how often"): d=4 hash rows × w=256
+    // counters over the token stream, built RELATIONALLY (the counter
+    // matrix is groupBy(row, bucket).count() — map-side combined,
+    // ≤ d·w rows cross the wire at any corpus size). Probes mix hot
+    // tokens, the rare 'dup', and an absent one; every estimate is an
+    // over-count (min across rows), compared here against the exact
+    // census the sketch replaces at scale. The oracle replays buckets,
+    // counters, probes, and exact counts.
+    Q("k4_countmin",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.CountMin
+        val toks = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("tok"))
+        val cm = CountMin.table(toks, $"tok", d = 4, w = 256)
+        val probes = Seq("batch", "join", "dup", "scan", "value", "zzz_absent")
+          .toDF("tok")
+        val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+        CountMin.estimate(cm, probes, $"tok", d = 4, w = 256)
+          .join(exact.withColumnRenamed("tok", "value"), Seq("value"), "left")
+          .select($"value", coalesce($"exact", lit(0L)).as("exact"), $"est")
+          .orderBy($"value")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+             |rb AS (SELECT r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||tok),1,15))::BIGINT % 256 AS bucket
+             |       FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |cm AS MATERIALIZED (SELECT rw, bucket, count(*) AS cnt
+             |      FROM rb GROUP BY 1, 2),
+             |pv AS (SELECT unnest(['batch','join','dup','scan','value','zzz_absent']) AS value),
+             |pb AS (SELECT value, r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||value),1,15))::BIGINT % 256 AS bucket
+             |       FROM pv CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |est AS (SELECT pb.value, min(coalesce(cm.cnt, 0)) AS est
+             |        FROM pb LEFT JOIN cm USING (rw, bucket) GROUP BY pb.value),
+             |ex AS (SELECT tok AS value, count(*) AS exact FROM toks GROUP BY 1)
+             |SELECT est.value, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact,
+             |  CAST(est.est AS BIGINT) AS est
+             |FROM est LEFT JOIN ex USING (value)
+             |ORDER BY est.value""".stripMargin))
   )
 
   private val qs: Seq[Q] =
