@@ -6059,8 +6059,44 @@ object Queries {
              |ORDER BY est.value""".stripMargin))
   )
 
+  private lazy val roundEight: Seq[Q] = Seq(
+    // ----- K5: histogram-census quantiles — per-group percentiles with
+    // NO sort and NO per-group value buffers (the census-not-sort
+    // discipline as a first-class operator). The only data-sized job is
+    // the map-side-combined (group, bucket) census (≤ #groups × #buckets
+    // rows shuffle); ranks are integer ceilings over the bounded table.
+    // Here: p50/p90/p99 of document length per language at bucket width
+    // 64 chars. The oracle replays buckets, running sums, and rank
+    // selection in exact integer arithmetic.
+    Q("k5_hist_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        graft.sketch.Census.histQuantiles(
+          t(s, dir, "documents"), $"n_chars", Seq("lang"),
+          bucketWidth = 64L, permille = Seq(500, 900, 990))
+          .orderBy($"lang", $"permille")
+      },
+      Some("""WITH census AS (
+             |  SELECT lang, (n_chars - ((n_chars % 64) + 64) % 64) // 64 AS bucket,
+             |         count(*) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, bucket,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total
+             |  FROM census),
+             |pm AS (SELECT CAST(unnest([500, 900, 990]) AS INT) AS permille),
+             |sel AS (
+             |  SELECT c.lang, pm.permille, min(c.bucket) AS b
+             |  FROM cum c CROSS JOIN pm
+             |  WHERE c.cum >= greatest(1, (pm.permille * c.total + 999) // 1000)
+             |  GROUP BY 1, 2)
+             |SELECT lang, permille, CAST((b + 1) * 64 - 1 AS BIGINT) AS q_upper
+             |FROM sel ORDER BY lang, permille""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
