@@ -6092,7 +6092,41 @@ object Queries {
              |  WHERE c.cum >= greatest(1, (pm.permille * c.total + 999) // 1000)
              |  GROUP BY 1, 2)
              |SELECT lang, permille, CAST((b + 1) * 64 - 1 AS BIGINT) AS q_upper
-             |FROM sel ORDER BY lang, permille""".stripMargin))
+             |FROM sel ORDER BY lang, permille""".stripMargin)),
+
+    // ----- K6: sketch-prefiltered heavy hitters — the canonical count-min
+    // two-pass. Pass 1 builds the d×w counter table; pass 2 computes the
+    // estimate MAP-SIDE (d broadcast joins + least, no exchange) and drops
+    // sub-threshold rows BEFORE the exact groupBy, so only candidates
+    // shuffle. w=16 forces real collisions (31-token vocabulary over 16
+    // buckets): the oracle replays the inflated est values, and the
+    // over-count guarantee (est ≥ exact) is what makes the prefilter
+    // lossless. Output: the true ≥940 heavy hitters with exact and est.
+    Q("k6_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.CountMin
+        val toks = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("tok"))
+        CountMin.heavyHitters(toks, $"tok", d = 4, w = 16, threshold = 940L)
+          .orderBy($"value")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+             |rb AS (SELECT tok, r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||tok),1,15))::BIGINT % 16 AS bucket
+             |       FROM toks CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |cm AS MATERIALIZED (SELECT rw, bucket, count(*) AS cnt
+             |      FROM rb GROUP BY 1, 2),
+             |ex AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1),
+             |eb AS (SELECT ex.tok, ex.exact, min(cm.cnt) AS est
+             |       FROM ex CROSS JOIN (SELECT unnest(range(4)) AS j) r
+             |       JOIN cm ON cm.rw = r.j AND cm.bucket =
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||ex.tok),1,15))::BIGINT % 16
+             |       GROUP BY 1, 2)
+             |SELECT tok AS value, CAST(exact AS BIGINT) AS exact,
+             |  CAST(est AS BIGINT) AS est
+             |FROM eb WHERE est >= 940 AND exact >= 940
+             |ORDER BY value""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -37,6 +37,45 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-row sketch estimate WITHOUT a shuffle: d broadcast hash joins
+    * against the ≤ d·w-row counter table (one per hash row, each keyed
+    * on that row's bucket), then `least` across the d probed counters —
+    * every step map-side, the stream never exchanges. Appends `est`. */
+  def estimateMapSide(df: DataFrame, valueCol: Column, cm: DataFrame,
+                      d: Int, w: Int): DataFrame = {
+    (0 until d).foldLeft(df.withColumn("__v", valueCol.cast("string"))) {
+      case (acc, j) =>
+        val cmj = cm.filter(col("row") === j)
+          .select(col("bucket").as(s"__b$j"), col("cnt").as(s"__c$j"))
+        acc.withColumn(s"__pb$j", bucket(col("__v"), j, w))
+          .join(broadcast(cmj), col(s"__pb$j") === col(s"__b$j"), "left")
+          .drop(s"__pb$j", s"__b$j")
+    }
+      .withColumn("est",
+        least((0 until d).map(j => coalesce(col(s"__c$j"), lit(0L))): _*))
+      .drop(((0 until d).map(j => s"__c$j") :+ "__v"): _*)
+  }
+
+  /** Heavy hitters ≥ `threshold` via the classic sketch-prefilter
+    * two-pass: pass 1 builds the sketch; pass 2 evaluates the estimate
+    * MAP-SIDE ([[estimateMapSide]]) and drops every row whose
+    * over-count is already below the threshold BEFORE the exact
+    * groupBy — so the exact pass shuffles only candidate rows (true
+    * heavy hitters + the sketch's bounded false positives), not the
+    * corpus. The over-count guarantee (est ≥ true count) makes the
+    * prefilter lossless: no true heavy hitter is ever dropped.
+    * Returns (value, exact, est) for values with exact ≥ threshold. */
+  def heavyHitters(df: DataFrame, valueCol: Column, d: Int, w: Int,
+                   threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1 (got $threshold)")
+    val cm = table(df, valueCol, d, w)
+    estimateMapSide(df, valueCol, cm, d, w)
+      .filter(col("est") >= threshold)
+      .groupBy(valueCol.cast("string").as("value"))
+      .agg(count(lit(1)).as("exact"), min(col("est")).as("est"))
+      .filter(col("exact") >= threshold)
+  }
+
   /** Point-query the sketch for each probe value: (value, est) with
     * est = min over rows of the probed counter (0 when a row's bucket
     * was never touched — only possible for values absent from the

@@ -59,4 +59,32 @@ class CountMinSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"counter build must map-side combine:\n$plan")
   }
+
+  test("heavy hitters: lossless prefilter (no false negatives), exact output") {
+    val exact = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val expect = exact.filter(_._2 >= 150L)
+    // collision-heavy width: prefilter is loose but must still be lossless
+    val hh = CountMin.heavyHitters(df, $"v", d = 4, w = 16, threshold = 150L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.map(t => t._1 -> t._2).toMap === expect,
+      "heavy-hitter set must equal the exact >= threshold census")
+    hh.foreach { case (w, ex, est) =>
+      assert(est >= ex, s"$w: est $est under-counts exact $ex")
+    }
+  }
+
+  test("heavy hitters: adequate width makes the prefilter selective") {
+    // w=4096 over 200 keys: near-collision-free, so candidate rows ~= true
+    // heavy-hitter rows; verify via estimateMapSide directly.
+    val cm = CountMin.table(df, $"v", d = 4, w = 4096)
+    val candidates = CountMin.estimateMapSide(df, $"v", cm, d = 4, w = 4096)
+      .filter(col("est") >= 150L)
+    val exactRows = words.count(w => words.count(_ == w) >= 150).toLong
+    assert(candidates.count() === exactRows,
+      "collision-free prefilter must pass exactly the true heavy-hitter rows")
+    val plan = candidates.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 4,
+      s"map-side estimate must be 4 broadcast joins, no exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join allowed:\n$plan")
+  }
 }
