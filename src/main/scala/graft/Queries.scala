@@ -6126,7 +6126,46 @@ object Queries {
              |SELECT tok AS value, CAST(exact AS BIGINT) AS exact,
              |  CAST(est AS BIGINT) AS est
              |FROM eb WHERE est >= 940 AND exact >= 940
-             |ORDER BY value""".stripMargin))
+             |ORDER BY value""".stripMargin)),
+
+    // ----- V13: scalar quantization (SQ8) top-k — the FAISS QT_8bit
+    // middle rung between exact vectors and PQ: one byte per dim on a
+    // per-dim [min,max] grid (8× smaller state; 256 levels/dim vs ADC's
+    // ks levels per 16-dim block, so no re-rank stage needed). Grid =
+    // dim-row census; encode = one map-side projection off the literal
+    // grid; query scan = broadcast codes, per-query top-k window the
+    // only exchange. The oracle replays grid, codes, and integer code-
+    // space L2 bit-for-bit.
+    Q("v13_sq8_topk",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val grid = Ann.sqParams(prepared)
+        val codes = Ann.sqEncode(prepared, grid)
+        Ann.sqTopK(codes, codes.filter($"id" % 50 === 0), k = 5)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dims AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dims),
+             |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+             |enc AS MATERIALIZED (SELECT px.id, px.d,
+             |         CASE WHEN g.mx = g.mn THEN 0
+             |              ELSE least(255, ((px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+             |       FROM px JOIN grid g USING (d)),
+             |qq AS (SELECT * FROM enc WHERE id % 50 = 0),
+             |pd AS (SELECT qq.id AS qid, e.id AS nid,
+             |         sum((qq.code - e.code) * (qq.code - e.code)) AS d2c
+             |       FROM qq JOIN enc e ON qq.d = e.d AND qq.id <> e.id
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT qid, nid, d2c,
+             |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk
+             |       FROM pd)
+             |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
+             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
   )
 
   private val qs: Seq[Q] =

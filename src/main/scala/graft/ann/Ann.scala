@@ -651,4 +651,57 @@ object Ann {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("dist"))
   }
+
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8 — the FAISS ScalarQuantizer QT_8bit path):
+  // one byte per dimension on a per-dimension [min, max] affine grid.
+  // The middle rung of the compression ladder — 8× smaller than the
+  // 64-bit quantized vectors with far higher fidelity than PQ's
+  // sub-byte codes (256 levels per dim vs ks levels per 16-dim block),
+  // so SQ8 top-k typically NEEDS no re-rank where ADC does. Same
+  // determinism discipline as PQ: grid, codes, and distances are all
+  // exact integer arithmetic, replayable by any engine.
+  // -------------------------------------------------------------------
+
+  /** The quantization grid: (d, mn, mx) per dimension — a map-side-
+    * combined census bounded at dim rows regardless of corpus size. */
+  def sqParams(prepared: DataFrame): DataFrame =
+    prepared.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Encode to byte codes: code_d = ⌊(x−mn_d)·255 / (mx_d−mn_d)⌋,
+    * clamped to [0, 255] (out-of-grid queries saturate), 0 on constant
+    * dims. The grid is collected to literal arrays (dim rows — the
+    * model-sized centroid-literal pattern), so encoding is ONE map-side
+    * projection: two zip_with passes, no join, no shuffle. The division
+    * subtracts `pmod` first, making the numerator an exact multiple —
+    * pure integer arithmetic. Returns (id, codes, ncode). */
+  def sqEncode(prepared: DataFrame, params: DataFrame): DataFrame = {
+    val grid = params.select(col("d"), col("mn"), col("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mnArr = array(grid.map(g => lit(g._2)): _*)
+    val spanArr = array(grid.map(g => lit(g._3 - g._2)): _*)
+    val shifted = zip_with(col("qv"), mnArr, (x, mn) => greatest(lit(0L), x - mn))
+    val codes = zip_with(shifted, spanArr, (y, s) =>
+      when(s === 0L, lit(0L)).otherwise(
+        least(lit(255L), (y * 255L - pmod(y * 255L, s)) / s cast "long")))
+    prepared.select(col("id"), codes.as("codes"))
+      .withColumn("ncode", GraftFunctions.dot_long(col("codes"), col("codes")))
+  }
+
+  /** Approximate top-k in SQ8 code space: integer squared L2 between
+    * code arrays. Encoded queries are broadcast, the code scan is
+    * map-side, and the per-query top-k window is the only exchange —
+    * the corpus never shuffles. Returns (qid, rk, nid, d2c). */
+  def sqTopK(codes: DataFrame, queryCodes: DataFrame, k: Int): DataFrame = {
+    val d2c = col("a.ncode") + col("b.ncode") -
+      lit(2L) * GraftFunctions.dot_long(col("a.codes"), col("b.codes"))
+    val pairs = broadcast(queryCodes.as("a"))
+      .join(codes.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"), d2c.as("d2c"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("d2c"))
+  }
 }

@@ -69,4 +69,35 @@ class RecallSpec extends SparkSpec {
     assert(ivf2 >= 0.50, s"ivf probe-2 recall $ivf2")
     assert(ivf2 > ivf1, "probe-2 must beat probe-1")
   }
+
+  test("SQ8: code-space top-10 nearly matches exact L2; encode is shuffle-free") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    val grid = Ann.sqParams(prepared)
+    assert(grid.count() === 64L, "grid must be one row per dimension")
+    val codes = Ann.sqEncode(prepared, grid).cache()
+    // exact truth on the SAME metric (squared L2 on quantized vectors) —
+    // brute-force cosine truth would confound metric and quantization.
+    val d = col("a.nq") + col("b.nq") -
+      lit(2L) * GraftFunctions.dot_long(col("a.qv"), col("b.qv"))
+    val pairs = broadcast(prepared.filter(qf).as("a"))
+      .join(prepared.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"), d.as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val l2truth = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    val r = recall(l2truth, Ann.sqTopK(codes, codes.filter(qf), 10))
+    // random gaussians put the true top-10 nearly equidistant (the ANN
+    // worst case, see class doc) — SQ8 still lands ~0.83 direct where
+    // 2-bit ADC sits ~0.14, and a cheap 3× shortlist + exact re-rank
+    // recovers near-exactness
+    assert(r >= 0.82, s"SQ8 direct recall@10 $r")
+    val rr = recall(l2truth,
+      Ann.rerankExact(Ann.sqTopK(codes, codes.filter(qf), 30), prepared, 10))
+    assert(rr >= 0.97, s"SQ8 top-30 + exact re-rank recall@10 $rr")
+    assert(rr > r, "re-rank must improve on direct code-space ranking")
+    val plan = Ann.sqEncode(prepared, grid).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"SQ8 encode must be a single map-side projection:\n$plan")
+    codes.unpersist()
+  }
 }
