@@ -6165,7 +6165,55 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk
              |       FROM pd)
              |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
-             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- S11: stream-STREAM interval join — the one Structured
+    // Streaming join family the s-queries didn't cover (s1-s10 are all
+    // stream-static or single-stream stateful). View→purchase attribution:
+    // each purchase joins every view by the same user in the preceding
+    // day. Both sides carry event-time watermarks, so the join STATE is
+    // bounded — Spark evicts view rows once the purchase watermark passes
+    // vts + 1 day (at scale this is what makes an unbounded two-stream
+    // join runnable at all). Inner join emits eagerly → deterministic
+    // under processAllAvailable; the memory sink is batch-aggregated and
+    // the oracle is the equivalent batch interval join.
+    Q("s11_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        def mk() = {
+          val st = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+        }
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val views = mk().filter($"event_type" === "view")
+            .select($"user_id".as("v_user"), $"ts".as("vts"))
+            .withWatermark("vts", "2 days")
+          val purchases = mk().filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"ts".as("pts"), $"value")
+            .withWatermark("pts", "2 days")
+          val q = views.join(purchases,
+              expr("v_user = p_user AND pts >= vts AND pts <= vts + interval 1 day"))
+            .select($"v_user".as("user_id"), quant($"value", 100).as("cents"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_attributed"), sum($"cents").as("sum_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT v.user_id, count(*) AS n_attributed,
+             |  CAST(sum(CAST(floor(p.value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND v.event_type = 'view' AND p.event_type = 'purchase'
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -214,6 +214,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"scores must partial-aggregate:\n$p")
   }
 
+  test("s11 stream-stream join: both sides watermarked, range-bounded condition") {
+    // the two properties that make two-stream join state EVICTABLE —
+    // without either, state grows without bound (asserted on the analyzed
+    // plan; the query itself executes eagerly under the oracle gate)
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch analysis ELIMINATES watermark nodes, so the audit must run on
+    // real streaming relations (never started — analysis only)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def mk() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = mk().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "2 days")
+    val purchases = mk().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "2 days")
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND pts >= vts AND pts <= vts + interval 1 day"))
+    val analyzed = joined.queryExecution.analyzed.toString
+    assert("EventTimeWatermark".r.findAllIn(analyzed).size === 2,
+      s"both join inputs must carry event-time watermarks:\n$analyzed")
+    assert(analyzed.contains("vts") && analyzed.contains("pts"),
+      "join condition must range-bound both event times")
+  }
+
   test("no query plans an un-asked-for cartesian product") {
     // j2_cross_small is the intentional tiny cross product; everything else must not.
     val offenders = Queries.all.keys.toSeq.sorted
