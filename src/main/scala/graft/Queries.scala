@@ -22,20 +22,29 @@ object Queries {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** Normalize the events `ts` column to a session-tz (UTC) TIMESTAMP,
+    * whatever physical shape the generator wrote it in: INT64 nanos
+    * (historical TIMESTAMP(NANOS) under the nanosAsLong knob) arrives as
+    * LongType; naive timestamp[us] (current generator) arrives as
+    * TIMESTAMP_NTZ under Spark's default inferTimestampNTZ. Both carry
+    * the same UTC instants, so the values — and every oracle hash — are
+    * unchanged; only the arrival type differs. */
+  private[graft] def normTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // self-sufficient under ANY session: events.parquet needs the nanos
     // knob, which is runtime-settable (verified) — so queries also work if
     // a harness supplies its own SparkSession without our configs.
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as LongType nanos;
-    // convert to a proper micros TIMESTAMP (values carry no sub-micro bits).
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    normTs(s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** 8-round unrolled BPE-training replay (census -> deterministic argmax
@@ -1486,8 +1495,7 @@ object Queries {
         val queryName = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+        val fixed = normTs(stream)
         withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = fixed
             .withWatermark("ts", "1 day")
@@ -1519,8 +1527,7 @@ object Queries {
         def mk() = {
           val st = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+          normTs(st)
         }
         withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = mk().union(mk())
@@ -2354,8 +2361,7 @@ object Queries {
         def mk() = {
           val st = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+          normTs(st)
         }
         val purchases = mk().filter($"event_type" === "purchase")
           .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_eid"))
@@ -5897,8 +5903,7 @@ object Queries {
         val queryName = "graft_shll_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val fixed = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+        val fixed = normTs(stream)
         withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val q = fixed
             .withWatermark("ts", "1 day")
@@ -6185,8 +6190,7 @@ object Queries {
         def mk() = {
           val st = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet").parquet(dir)
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            st.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else st
+          normTs(st)
         }
         withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
           val views = mk().filter($"event_type" === "view")

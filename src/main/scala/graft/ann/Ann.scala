@@ -140,11 +140,14 @@ object Ann {
     * side centroid seq. `vecs` must carry (id, qv, nq). */
   private def trainLiteral(vecs: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
     // init from the k smallest ids (same construction the SQL replay
-    // writes); collect is k rows by contract
+    // writes); collect is k rows by contract. orderBy+limit+collect
+    // returns rows already id-sorted (TakeOrderedAndProject), so the
+    // ordering works for ANY orderable id type — no materialized Long id
+    // (round-9 advice: the old sortBy(getLong) broke string-id callers).
     var cents: Seq[(Int, Seq[Long])] = vecs.orderBy(col("id")).limit(k)
-      .select(col("id"), col("qv")).collect()
-      .sortBy(_.getLong(0)).zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+      .select(col("qv")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](0)) }.toSeq
     var it = 0
     while (it < iters) {
       val census = vecs.withColumn("m", argminLiteral(cents))
@@ -440,19 +443,27 @@ object Ann {
   // -------------------------------------------------------------------
 
   /** (id, sp, sv): subvector `sp` (0-based) of each prepared vector.
-    * Guarded: a vector whose length differs from numSub·subDim would
-    * silently slice short arrays and return wrong distances, so the
-    * mismatch raises instead (round-8 advice). */
-  private def subvectors(prepared: DataFrame, numSub: Int, subDim: Int): DataFrame = {
-    val guarded = when(size(col("qv")) === lit(numSub * subDim), col("qv"))
-      .otherwise(raise_error(concat(
-        lit(s"PQ expects dim ${numSub * subDim} (numSub=$numSub x subDim=$subDim), got "),
-        size(col("qv")).cast("string"))))
+    * Guard-free by design: the round-8 per-row `when`/`raise_error`
+    * wrapper was re-evaluated inside every one of the numSub slices and
+    * cost the ADC scan 2.3× (round-9 verdict) — the dim contract is now
+    * checked ONCE driver-side at each public entry point
+    * ([[requireDim]]), keeping this hot projection pure codegen. */
+  private def subvectors(prepared: DataFrame, numSub: Int, subDim: Int): DataFrame =
     prepared.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(numSub - 1)),
-          sp => slice(guarded, sp * lit(subDim) + 1, lit(subDim))))
+          sp => slice(col("qv"), sp * lit(subDim) + 1, lit(subDim))))
       .as(Seq("sp", "sv")))
-  }
+
+  /** One-time driver-side dim check: a vector whose length differs from
+    * numSub·subDim would silently slice short arrays and return wrong
+    * distances. One limit-1 row decides (vectors of a prepared frame
+    * share one embedding schema by construction); the hot projection
+    * stays guard-free. */
+  private def requireDim(prepared: DataFrame, numSub: Int, subDim: Int): Unit =
+    prepared.select(size(col("qv")).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == numSub * subDim,
+        s"PQ expects dim ${numSub * subDim} (numSub=$numSub x subDim=$subDim), got ${r.getInt(0)}")
+    }
 
   /** Integer squared L2 between two equal-length long arrays, via the
     * codegen'd dot kernel: |a−b|² = a·a + b·b − 2 a·b. */
@@ -476,6 +487,7 @@ object Ann {
     * codes keep their previous entry (kmeans discipline). */
   def pqCodebook(prepared: DataFrame, numSub: Int, subDim: Int, ks: Int,
                  iters: Int): DataFrame = {
+    requireDim(prepared, numSub, subDim)
     val sub = subvectors(prepared, numSub, subDim)
     val initW = Window.partitionBy(col("sp")).orderBy(col("id"))
     var cb = subvectors(prepared.orderBy(col("id")).limit(ks), numSub, subDim)
@@ -504,11 +516,13 @@ object Ann {
     * index is THIS table (numSub small ints per row), the float
     * vectors never need to be touched again. */
   def pqEncode(prepared: DataFrame, codebook: DataFrame, numSub: Int,
-               subDim: Int): DataFrame =
+               subDim: Int): DataFrame = {
+    requireDim(prepared, numSub, subDim)
     pqAssign(subvectors(prepared, numSub, subDim), codebook)
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("sp"), col("code")))),
         s => s.getField("code")).as("codes"))
+  }
 
   /** ADC top-k: for each query, distance to EVERY encoded vector is the
     * sum of numSub lookup-table entries — no per-pair vector math. The
@@ -518,6 +532,16 @@ object Ann {
     * (qid, rk, nid, adist). */
   def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
                 numSub: Int, subDim: Int, ks: Int, k: Int): DataFrame = {
+    // a trained codebook holds exactly numSub·ks rows (empty codes keep
+    // their entry), so a caller-supplied ks that disagrees with the
+    // codebook would mis-index the LUT silently. Checked ONCE driver-side
+    // (the codebook is a KB-scale model frame — one count()); the round-8
+    // per-row `when`/`raise_error` form of this check sat on the ADC hot
+    // loop and cost 2.3× (round-9 verdict).
+    requireDim(queries, numSub, subDim)
+    val cbRows = codebook.count()
+    require(cbRows == numSub.toLong * ks,
+      s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} rows, got $cbRows")
     val lut = subvectors(queries, numSub, subDim)
       .join(broadcast(codebook), Seq("sp"))
       .select(col("id").as("qid"), (col("sp") * ks + col("code")).as("slot"),
@@ -525,15 +549,6 @@ object Ann {
       .groupBy(col("qid"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
         s => s.getField("pd")).as("lut"))
-      // a trained codebook holds exactly numSub·ks rows (empty codes keep
-      // their entry), so a caller-supplied ks that disagrees with the
-      // codebook would mis-index the LUT silently — raise instead
-      // (round-8 advice).
-      .withColumn("lut",
-        when(size(col("lut")) === lit(numSub * ks), col("lut"))
-          .otherwise(raise_error(concat(
-            lit(s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} LUT entries, got "),
-            size(col("lut")).cast("string")))))
     val adist = aggregate(
       sequence(lit(0), lit(numSub - 1)), lit(0L),
       (acc, sp) => acc +
@@ -582,7 +597,12 @@ object Ann {
       .join(broadcast(cents), Seq("cid"))
       .select(col("id"), col("cid"),
         zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
-      .persist() // consumed by codebook training, encoding, and postings
+      // consumed by codebook training, encoding, and postings; eager
+      // localCheckpoint (not persist) so the blocks are GC-reclaimed when
+      // the frame goes out of scope — ivfPq is a reusable library entry
+      // point and a session-lifetime cached corpus-sized RDD per call is
+      // a leak (round-9 advice)
+      .localCheckpoint(true)
     val cb = pqCodebook(resid.select(col("id"), col("qv")), numSub, subDim, ks, pqIters)
     // cid rides inside the group key so codes never rejoin the corpus
     val postings = pqEncode(

@@ -91,13 +91,15 @@ object Sample {
     *
     * Determinism discipline: the weight tokens^alpha is quantized to
     * integer units BEFORE normalization, so both the normalizer Z and
-    * every budget are exact integer arithmetic ((totalBudget * wq) div
-    * Z) — aggregation-order-proof and engine-replayable. Pick
-    * quantDigits so totalBudget * max(wq) stays inside Long
-    * (the default 6 leaves headroom up to ~10^12-token corpora at
-    * billion-token budgets; drop digits as magnitudes grow). Feed the
-    * result to [[unimaxSelect]] — selection is budget-driven and shared
-    * between the two policies. */
+    * every budget are exact integer arithmetic (floor(totalBudget · wq
+    * / Z)) — aggregation-order-proof and engine-replayable. The product
+    * totalBudget · wq runs through a DECIMAL(38,0) intermediate, NOT
+    * Long: at quantDigits=6 and alpha=0.5 a language beyond ~8.5e7
+    * tokens already pushed the Long product past 2^63 and non-ANSI
+    * Spark wrapped silently (round-9 advice); decimal keeps the math
+    * exact up to 10^38-scale products — beyond any realistic
+    * budget × weight. Feed the result to [[unimaxSelect]] — selection
+    * is budget-driven and shared between the two policies. */
   def temperatureBudgets(census: DataFrame, langCol: String, tokensCol: String,
                          totalBudget: Long, alpha: Double,
                          quantDigits: Int = 6): DataFrame = {
@@ -109,7 +111,8 @@ object Sample {
           .cast("long"))
       .withColumn("z", sum(col("wq")).over(all))
       .select(col(langCol), col("tokens"),
-        least(col("tokens"), expr(s"($totalBudget * wq) div z")).as("budget"))
+        least(col("tokens"),
+          expr(s"(CAST($totalBudget AS DECIMAL(38,0)) * wq) div z")).as("budget"))
   }
 
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),

@@ -43,6 +43,14 @@ object CountMin {
     * every step map-side, the stream never exchanges. Appends `est`. */
   def estimateMapSide(df: DataFrame, valueCol: Column, cm: DataFrame,
                       d: Int, w: Int): DataFrame = {
+    // the scratch names below would silently REPLACE same-named input
+    // columns (withColumn semantics) and corrupt downstream grouping —
+    // reject up front instead (round-9 advice)
+    val reserved = ("est" :: "__v" ::
+      (0 until d).flatMap(j => Seq(s"__pb$j", s"__b$j", s"__c$j")).toList).toSet
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"estimateMapSide reserves column names [${clash.mkString(", ")}] — rename them in the input")
     (0 until d).foldLeft(df.withColumn("__v", valueCol.cast("string"))) {
       case (acc, j) =>
         val cmj = cm.filter(col("row") === j)

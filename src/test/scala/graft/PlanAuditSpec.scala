@@ -223,9 +223,8 @@ class PlanAuditSpec extends SparkSpec {
     // batch analysis ELIMINATES watermark nodes, so the audit must run on
     // real streaming relations (never started — analysis only)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def mk() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def mk() = Queries.normTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val views = mk().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("vts"))
       .withWatermark("vts", "2 days")
