@@ -94,15 +94,13 @@ object Queries {
       |       WHERE rn = 1),
       |""".stripMargin
 
-  /** Shared DuckDB replay of the FULL IVF-ADC chain (v11/v12):
-    * 1-round coarse k-means over the quantized corpus, final cell
-    * assignment, residuals, 1-round 4x4 residual codebook, encoding,
-    * 2-probe cell ranking per query, per-(query, cell) LUT over the
-    * query residual, ADC sums over the probed postings. Ends with
-    * `rk` = the per-query (adist, nid) ADC ranking; each consumer
-    * appends its own tail (v11 takes the ADC top-5; v12 takes a
-    * top-20 shortlist and exact-re-ranks it). */
-  private lazy val ivfpqReplayChain: String =
+  /** Shared DuckDB replay of the COARSE quantizer (v11/v12/v14): 1-round
+    * 4-cell k-means over the quantized corpus (kmeans discipline:
+    * integer d2, (d2, cid) tiebreak, integer-rounded updates, init from
+    * the 4 smallest ids, empty cells keep their entry) ending with
+    * `c1` = trained centroids and `ac` = the final (id, cid)
+    * assignment. */
+  private lazy val coarseReplayPrefix: String =
     """WITH q AS (SELECT vec_id AS id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -127,7 +125,18 @@ object Queries {
       |ac AS (SELECT id, cid FROM (SELECT id, cid,
       |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
       |       WHERE rn = 1),
-      |rv AS (SELECT q.id, ac.cid,
+      |""".stripMargin
+
+  /** Shared DuckDB replay of the FULL IVF-ADC chain (v11/v12):
+    * [[coarseReplayPrefix]]'s coarse k-means + final cell assignment,
+    * then residuals, 1-round 4x4 residual codebook, encoding,
+    * 2-probe cell ranking per query, per-(query, cell) LUT over the
+    * query residual, ADC sums over the probed postings. Ends with
+    * `rk` = the per-query (adist, nid) ADC ranking; each consumer
+    * appends its own tail (v11 takes the ADC top-5; v12 takes a
+    * top-20 shortlist and exact-re-ranks it). */
+  private lazy val ivfpqReplayChain: String = coarseReplayPrefix +
+    """rv AS (SELECT q.id, ac.cid,
       |         list_transform(range(64), d -> q.qv[d+1] - c1.cv[d+1]) AS qv
       |       FROM q JOIN ac USING (id) JOIN c1 ON ac.cid = c1.cid),
       |spt AS (SELECT CAST(i AS INT) AS sp FROM range(0,4) t(i)),
@@ -6220,8 +6229,53 @@ object Queries {
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  private lazy val roundNine: Seq[Q] = Seq(
+    // ----- V14: IVF-SQ8 — the MIDDLE rung of the composed-index ladder
+    // (FAISS "IVF…,SQ8" — Ann.ivfSq): coarse k-means cells bound the
+    // scan exactly as v11 does (candidates ~ nProbes·n/kCells), but the
+    // postings hold SQ8 byte codes on ONE global per-dim grid, so there
+    // is no residual join at all — encoding is a pure map-side literal-
+    // grid projection, query codes are probe-independent, and 256
+    // levels/dim means no re-rank stage (v13's fidelity at v11's scan
+    // bound). The oracle replays coarse training → assignment → grid →
+    // codes → 2-probe ranking → code-space L2 → (d2c, nid) top-5.
+    Q("v14_ivfsq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        Ann.ivfSq(prepared, kCells = 4, coarseIters = 1, nProbes = 2, k = 5,
+            queryFilter = $"id" % 50 === 0)
+          .orderBy($"qid", $"rk")
+      },
+      Some(coarseReplayPrefix +
+        """px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
+          |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+          |enc AS MATERIALIZED (SELECT px.id, px.d,
+          |         CASE WHEN g.mx = g.mn THEN 0
+          |              ELSE least(255, ((px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+          |       FROM px JOIN grid g USING (d)),
+          |qq AS (SELECT id, qv FROM q WHERE id % 50 = 0),
+          |pe AS (SELECT qq.id, c1.cid,
+          |         sum((qq.qv[d+1]-c1.cv[d+1])*(qq.qv[d+1]-c1.cv[d+1])) AS d2
+          |       FROM qq CROSS JOIN c1 CROSS JOIN dim GROUP BY qq.id, c1.cid),
+          |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+          |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
+          |       WHERE rn <= 2),
+          |pd AS (SELECT pb.qid, ac.id AS nid,
+          |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
+          |       FROM pb JOIN ac ON ac.cid = pb.cid AND ac.id <> pb.qid
+          |       JOIN enc e ON e.id = ac.id
+          |       JOIN enc qe ON qe.id = pb.qid AND qe.d = e.d
+          |       GROUP BY 1, 2),
+          |rk AS (SELECT qid, nid, d2c,
+          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
+          |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
+          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

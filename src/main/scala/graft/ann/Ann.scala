@@ -724,4 +724,68 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("d2c"))
   }
+
+  /** IVF-SQ8 — the MIDDLE rung of the composed-index ladder (FAISS
+    * `IVF…,SQ8`): a coarse k-means quantizer routes every vector to a
+    * cell exactly as [[ivfPq]] does, but the postings store SQ8 byte
+    * codes on ONE global per-dimension grid instead of residual PQ
+    * codes. A query probes its `nProbes` nearest cells and scans only
+    * those postings in code space. Compared to the two neighbors on the
+    * ladder: [[sqTopK]] scans the whole corpus (no cells); [[ivfPq]]
+    * probes cells but quantizes to ks levels per 16-dim block and needs
+    * a [[rerankExact]] stage — SQ8's 256 levels/dim typically doesn't
+    * (see RecallSpec).
+    *
+    * Plan shape at scale: coarse training + assignment is [[kmeans]]'s
+    * map-only literal path; the grid is a dim-row census collected to
+    * plan literals, so ENCODING IS A PURE MAP-SIDE PROJECTION — unlike
+    * ivfPq there is no residual join at all (the global grid is
+    * cell-independent). Query codes are probe-independent for the same
+    * reason: queries×1 code rows (not ×nProbes), joined to their probe
+    * list (queries×nProbes rows, KBs) and BROADCAST into the postings
+    * scan, which stays map-side and touches only probed cells
+    * (candidates ~ nProbes·n/kCells). The per-query top-k window is the
+    * only shuffle — [[pqAdcTopK]]'s contract with sqTopK's fidelity.
+    *
+    * Determinism: kmeans discipline for the coarse stage, [[sqEncode]]'s
+    * exact integer grid arithmetic for codes — DuckDB replays coarse
+    * training, assignment, grid, codes, probing, and the (d2c, nid)
+    * ranking bit-for-bit (query `v14_ivfsq`). Returns
+    * (qid, rk, nid, d2c). */
+  def ivfSq(prepared: DataFrame, kCells: Int, coarseIters: Int,
+            nProbes: Int, k: Int, queryFilter: Column): DataFrame = {
+    val cents = kmeansCentroids(prepared, kCells, coarseIters)
+    val grid = sqParams(prepared)
+    // cid rides inside the id struct through the map-side encode, so
+    // codes never rejoin the corpus (ivfPq's discipline)
+    val postings = sqEncode(
+        assign(prepared, cents).select(struct(col("id"), col("cid")).as("id"), col("qv")),
+        grid)
+      .select(col("id.id").as("id"), col("id.cid").as("cid"),
+        col("codes"), col("ncode"))
+    val queries = prepared.filter(queryFilter)
+    // probe list: nProbes nearest cells per query against the k-row model
+    val withNc = cents.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+    val d2qc = col("nq") + col("nc") -
+      lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+    val pw = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(withNc))
+      .select(col("id"), col("cid"), d2qc.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbes)
+      .select(col("id").as("qid"), col("cid").as("pcid"))
+    // one code row per query (global grid — probe-independent), joined to
+    // its probe list: queries×nProbes rows total, broadcast
+    val qside = sqEncode(queries, grid)
+      .select(col("id").as("qid"), col("codes").as("qcodes"), col("ncode").as("qn"))
+      .join(probes, Seq("qid"))
+    val d2c = col("qn") + col("ncode") -
+      lit(2L) * GraftFunctions.dot_long(col("qcodes"), col("codes"))
+    val pairs = postings.join(broadcast(qside),
+        col("cid") === col("pcid") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), d2c.as("d2c"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("d2c"))
+  }
 }

@@ -220,4 +220,34 @@ class PqSpec extends SparkSpec {
       s"re-rank ($reranked) must beat direct ADC ($direct) on clustered data")
     clTruth.unpersist(); cl.unpersist()
   }
+
+  test("ivfSq: candidates only from probed cells; full probe degenerates to the full SQ8 scan") {
+    val queries = prepared.filter($"id" % 50 === 0)
+    def run(nProbes: Int): DataFrame =
+      Ann.ivfSq(prepared, kCells = 4, coarseIters = 1, nProbes = nProbes,
+        k = 10, queryFilter = $"id" % 50 === 0).cache()
+    // posting-bounded: every returned neighbor's cell must be one of the
+    // query's nProbes nearest cells (the IVF contract, same as ivfPq's)
+    val cents = Ann.kmeansCentroids(prepared, 4, 1)
+    val asg = Ann.assign(prepared, cents).select($"id", $"cid")
+    val d2qc = $"a.nq" + GraftFunctions.dot_long($"cv", $"cv") -
+      lit(2L) * GraftFunctions.dot_long($"a.qv", $"cv")
+    val pw = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+    val probed = queries.as("a").crossJoin(broadcast(cents))
+      .select($"a.id".as("qid"), $"cid", d2qc.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= 2)
+      .select($"qid", $"cid")
+    val two = run(2)
+    val offCell = two.join(asg.withColumnRenamed("id", "nid"), Seq("nid"))
+      .join(probed, Seq("qid", "cid"), "left_anti").count()
+    assert(offCell === 0, s"$offCell neighbors came from unprobed cells")
+    // the grid is GLOBAL (cell-independent), so nProbes = kCells probes
+    // every cell and must reproduce the full-corpus SQ8 scan bit-for-bit
+    val grid = Ann.sqParams(prepared)
+    val codes = Ann.sqEncode(prepared, grid)
+    val full = Ann.sqTopK(codes, codes.filter($"id" % 50 === 0), 10)
+    val all4 = run(4)
+    assert(all4.exceptAll(full).isEmpty && full.exceptAll(all4).isEmpty,
+      "full-probe ivfSq diverged from the full SQ8 scan")
+  }
 }

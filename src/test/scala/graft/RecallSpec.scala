@@ -100,4 +100,35 @@ class RecallSpec extends SparkSpec {
       s"SQ8 encode must be a single map-side projection:\n$plan")
     codes.unpersist()
   }
+
+  test("production path at sf0.1: ivfPq shortlist + exact re-rank clears its recall floor") {
+    // The two-stage SERVING chain (Jégou 2011 §V) as one contract — not
+    // its stages: IVF-ADC builds a posting-bounded 15×k shortlist, exact
+    // re-rank orders it. Truth is brute-force cosine (v1's metric): the
+    // fixture's embeddings are unit-norm, so cosine and the chain's
+    // integer-L2 rank identically and the comparison is metric-clean.
+    val dir01 = "/root/testdata/sf0.1"
+    val prep = Ann.prepare(
+      spark.read.parquet(s"$dir01/embeddings.parquet"), "vec_id", "embedding").cache()
+    val qf01 = col("id") % 40 === 0 // 50 queries over the 2000-vector corpus
+    val t01 = Ann.bruteForceKnn(prep, prep.filter(qf01), 10).cache()
+    // production-shaped settings: 8 cells (~250 postings each), 4 probes
+    // (~half the corpus scanned in code space), 16 codes × 4 subspaces
+    val shortlist = Ann.ivfPq(prep, kCells = 8, coarseIters = 2,
+      numSub = 4, subDim = 16, ks = 16, pqIters = 2,
+      nProbes = 4, k = 150, queryFilter = qf01).cache()
+    val served = Ann.rerankExact(shortlist, prep, 10)
+    val rChain = recall(t01, served)
+    val rDirect = recall(t01, shortlist.filter(col("rk") <= 10))
+    info(s"sf0.1 chain recall@10 = $rChain (direct ADC top-10 = $rDirect)")
+    // measured 0.464 vs direct ADC's 0.088 on random unit vectors (the
+    // worst case, see class doc — 4-bit codes collapse the nearly-
+    // equidistant true neighbors; the shortlist+re-rank stage is what
+    // recovers rank order, a 5.3× recall multiplier). Deterministic
+    // fixture → floor just under the measured value.
+    assert(rChain >= 0.45, s"sf0.1 ivfPq->rerankExact recall@10 = $rChain")
+    assert(rChain >= rDirect,
+      "exact re-rank must not lose recall vs the raw ADC ranking")
+    t01.unpersist(); shortlist.unpersist(); prep.unpersist()
+  }
 }
