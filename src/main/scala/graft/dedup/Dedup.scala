@@ -634,14 +634,19 @@ object Dedup {
     * The totalLineOccurrences/maxDocFreq bound means a LOW threshold on a
     * huge corpus can still exceed executor broadcast limits (10¹² lines
     * at maxDocFreq = 100 permits 10¹⁰ frequent hashes — round-8 advice).
-    * `broadcastFrequent = false` switches to a SALTED shuffled anti-join:
+    * The join strategy is derived FROM THE CENSUS, not a caller flag
+    * (round-9 verdict): the frequent set is materialized (eager
+    * localCheckpoint — it is the provably-small frame) and counted once;
+    * at most `maxBroadcastRows` rows (default 10⁶ ≈ 8 MB of longs) it is
+    * broadcast, beyond that the SALTED shuffled anti-join takes over:
     * the frequent side replicates `antiJoinSalt` ways and each line picks
     * a deterministic salt from (id, pos), so even a banner hash covering
     * half the corpus spreads over `antiJoinSalt` reducers instead of
-    * funneling through one. Same result, bounded-memory both sides.
+    * funneling through one. Same result, bounded-memory both sides —
+    * and the 100 TB caller can no longer pick the broadcast bomb.
     */
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
-                          maxDocFreq: Long, broadcastFrequent: Boolean = true,
+                          maxDocFreq: Long, maxBroadcastRows: Long = 1000000L,
                           antiJoinSalt: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -652,8 +657,13 @@ object Dedup {
       .groupBy($"lh").agg(count(lit(1)).as("docfreq"))
       .filter($"docfreq" > maxDocFreq)
       .select($"lh")
+      // materialized once (bounded: ≤ totalLineOccurrences/maxDocFreq
+      // rows) so the strategy count below doesn't re-run the census and
+      // the chosen join consumes the same blocks
+      .localCheckpoint(true)
     val survivors =
-      if (broadcastFrequent) lines.join(broadcast(frequent), Seq("lh"), "left_anti")
+      if (frequent.count() <= maxBroadcastRows)
+        lines.join(broadcast(frequent), Seq("lh"), "left_anti")
       else lines
         .withColumn("s", pmod(xxhash64($"id", $"pos"), lit(antiJoinSalt)).cast("int"))
         .join(frequent.withColumn("s",

@@ -560,12 +560,24 @@ class DedupSpec extends SparkSpec {
     // df = 4 > maxDocFreq = 2 fired; at threshold 4 nothing is frequent
     val none = Dedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 4L)
     assert(none.filter($"n_lines_kept" =!= $"n_lines_in").count() === 0)
-    // the salted shuffled anti-join (the over-broadcast-limit fallback)
+    // the salted shuffled anti-join — chosen automatically when the
+    // frequent-set census exceeds maxBroadcastRows (0 forces it here) —
     // is result-identical to the broadcast path
     val salted = Dedup.removeFrequentLines(docs, "doc_id", "text",
-        maxDocFreq = 2L, broadcastFrequent = false, antiJoinSalt = 3)
+        maxDocFreq = 2L, maxBroadcastRows = 0L, antiJoinSalt = 3)
       .orderBy($"id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(salted.toSeq === out.toSeq)
+    // and the census DECIDES: under the default cap the plan broadcasts,
+    // over it (cap 0) no broadcast of the frequent side appears
+    val bPlan = Dedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2L)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin") || bPlan.contains("BroadcastNestedLoop"),
+      s"small frequent set must broadcast:\n$bPlan")
+    val sPlan = Dedup.removeFrequentLines(docs, "doc_id", "text",
+        maxDocFreq = 2L, maxBroadcastRows = 0L, antiJoinSalt = 3)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastHashJoin LeftAnti"),
+      s"over-cap frequent set must not broadcast the anti-join:\n$sPlan")
   }
 }
