@@ -5208,232 +5208,10 @@ object Queries {
     // with an executor.
     Q("x21_pretrain_recipe",
       (s, dir) => {
-        import s.implicits._
-        val D = graft.dedup.Dedup
-        import graft.text.{C4, Dsir, Perplexity}
-        import graft.ops.Sample
-        val raw = t(s, dir, "documents")
-        val pages = raw.select($"doc_id", $"lang", $"text")
-          .withColumn("tk", split($"text", " "))
-          .withColumn("nl", expr("(size(tk) + 4) div 5").cast("int"))
-          .withColumn("base", expr(
-            """transform(sequence(0, nl - 1), i ->
-                 concat(array_join(slice(tk, i*5 + 1, 5), ' '),
-                        if((doc_id + i) % 3 != 0, '.', '')))"""))
-          .withColumn("wban", expr(
-            "if(doc_id % 2 = 0, concat(base, array('subscribe to our newsletter today.')), base)"))
-          .withColumn("withjs", expr(
-            "if(doc_id % 11 = 0, concat(wban, array('enable javascript now.')), wban)"))
-          .withColumn("withlorem", expr(
-            "if(doc_id % 17 = 0, concat(withjs, array('lorem ipsum.')), withjs)"))
-          .withColumn("withbrace", expr(
-            "if(doc_id % 23 = 0, concat(withlorem, array('schema {')), withlorem)"))
-          .withColumn("page", array_join($"withbrace", "\n"))
-          .select($"doc_id", $"lang", $"page")
-        val c4 = C4.clean(pages, "page", C4.Rules())
-          .filter($"reason" === "kept")
-          .select($"doc_id", $"lang", $"kept_text")
-        val tk2 = split($"kept_text", " ")
-        val gop = c4
-          .withColumn("nw", size(tk2).cast("long"))
-          .withColumn("sc", length($"kept_text") - $"nw" + 1)
-          .withColumn("nd", size(array_distinct(tk2)).cast("long"))
-          .withColumn("nstop", size(filter(tk2,
-            t => t.isin("join", "hash", "row", "scan", "batch"))).cast("long"))
-          .filter($"nw" >= 20 && $"nw" <= 200 &&
-            expr("(sc * 100) div nw") >= 300 && expr("(sc * 100) div nw") <= 1000 &&
-            expr("(nd * 100) div nw") >= 25 && $"nstop" >= 2)
-          .select($"doc_id", $"lang", $"kept_text").localCheckpoint(true)
-        val rw = D.removeFrequentLines(gop, "doc_id", "kept_text", maxDocFreq = 120L)
-          .select($"id".as("doc_id"), $"kept_text".as("text2"))
-          .join(gop.select($"doc_id", $"lang"), Seq("doc_id")).localCheckpoint(true)
-        val lm = Dsir.bucketCounts(
-          raw.filter($"lang" === "en" && $"doc_id" % 3 === 0), "text", 2, 1024)
-        val scored = Perplexity.nll(rw, "doc_id", "text2", lm, n = 2,
-          numBuckets = 1024, quantDigits = 6)
-        val wT = Window.partitionBy($"lang").orderBy($"mean_nll", $"doc_id")
-        val ppl = rw.join(scored.select($"doc_id", $"mean_nll"), Seq("doc_id"))
-          .withColumn("tc", ntile(3).over(wT)).filter($"tc" <= 2)
-          .select($"doc_id", $"lang", $"text2")
-        val keep = ppl.groupBy(md5($"text2").as("h"))
-          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-        val exd = ppl.join(keep, Seq("doc_id"), "left_semi").localCheckpoint(true)
-        val dd = withStreamPartitions(s, 8) {
-          D.dedupCorpus(exd, "doc_id", "text2", threshold = 0.8).localCheckpoint(true)
-        }
-        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 50 === 7
-        val cleanIds = D.decontaminate(
-            dd.filter(!evalSlice), dd.filter(evalSlice), "doc_id", "text2", shingleN = 3)
-          .filter($"matched" * 2 <= $"n_grams").select($"id".as("doc_id"))
-        val clean = dd.join(cleanIds, Seq("doc_id"), "left_semi")
-          .select($"doc_id", $"lang",
-            size(split($"text2", " ")).cast("long").as("tkn")).localCheckpoint(true)
-        val census = clean.groupBy($"lang").agg(sum($"tkn").as("tokens"))
-        val budgets = Sample.unimaxBudgets(census, "lang", "tokens",
-          totalBudget = 6000L, maxEpochs = 1)
-        val sel = Sample.unimaxSelect(clean, "lang", $"doc_id", "tkn", budgets)
-        val hkey = conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
-          .cast("long")
-        val base = sel.select($"doc_id", hkey.as("hkey"), $"tkn")
-          .withColumn("shard", pmod($"hkey", lit(4L)))
-        val wP = Window.partitionBy($"shard").orderBy($"hkey")
-        base.withColumn("e", sum($"tkn").over(wP))
-          .select($"shard", $"doc_id", $"e",
-            expr("(e - tkn) div 256").as("fc"), expr("(e - 1) div 256").as("lc"))
-          .groupBy($"shard")
-          .agg(count(lit(1)).as("n_docs"), max($"e").as("total_toks"),
-               expr("(max(e) + 255) div 256").as("n_chunks"),
-               sum(when($"fc" =!= $"lc", 1L).otherwise(0L)).as("n_crossers"),
-               sum($"fc" * $"doc_id").as("chunk_checksum"),
-               sum($"doc_id").as("id_checksum"))
-          .orderBy($"shard")
+        val (_, ppl) = recipeToPpl(s, dir)
+        recipeTail(s, ppl)
       },
-      Some("""WITH RECURSIVE
-             |s AS (SELECT doc_id, lang, string_split(text,' ') AS tk FROM documents),
-             |lb AS (SELECT doc_id, tk, unnest(range((len(tk)+4)//5)) AS i FROM s),
-             |l1 AS (SELECT doc_id, i,
-             |         array_to_string(tk[i*5+1:i*5+5],' ')
-             |           || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
-             |       FROM lb),
-             |exl AS (SELECT doc_id, 999998 AS i, 'subscribe to our newsletter today.' AS line
-             |         FROM s WHERE doc_id % 2 = 0
-             |       UNION ALL SELECT doc_id, 999999, 'enable javascript now.' FROM s WHERE doc_id % 11 = 0
-             |       UNION ALL SELECT doc_id, 1000000, 'lorem ipsum.' FROM s WHERE doc_id % 17 = 0
-             |       UNION ALL SELECT doc_id, 1000001, 'schema {' FROM s WHERE doc_id % 23 = 0),
-             |al AS MATERIALIZED (SELECT * FROM l1 UNION ALL SELECT * FROM exl),
-             |pg AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page
-             |       FROM al GROUP BY doc_id),
-             |kl AS MATERIALIZED (SELECT doc_id, i, line FROM al
-             |       WHERE regexp_matches(line, '[.!?"]$')
-             |         AND len(list_filter(string_split_regex(line,'\s+'), t -> len(t) > 0)) >= 3
-             |         AND NOT contains(lower(line), 'javascript')),
-             |ck AS MATERIALIZED (SELECT pg.doc_id,
-             |         coalesce(string_agg(kl.line, chr(10) ORDER BY kl.i), '') AS kept_text
-             |       FROM pg LEFT JOIN kl ON pg.doc_id = kl.doc_id GROUP BY pg.doc_id),
-             |c4 AS (SELECT pg.doc_id FROM pg JOIN ck ON pg.doc_id = ck.doc_id
-             |       WHERE NOT contains(lower(pg.page), 'lorem ipsum')
-             |         AND NOT contains(pg.page, '{')
-             |         AND length(regexp_replace(ck.kept_text, '[^.!?]', '', 'g')) >= 5),
-             |gin AS (SELECT c4.doc_id, d.lang, ck.kept_text, string_split(ck.kept_text, ' ') AS tk
-             |        FROM c4 JOIN ck ON c4.doc_id = ck.doc_id JOIN documents d ON c4.doc_id = d.doc_id),
-             |gop AS MATERIALIZED (SELECT doc_id, lang FROM gin
-             |        WHERE len(tk) BETWEEN 20 AND 200
-             |          AND ((length(kept_text) - len(tk) + 1)*100)//len(tk) BETWEEN 300 AND 1000
-             |          AND (len(list_distinct(tk))*100)//len(tk) >= 25
-             |          AND len(list_filter(tk, t -> t IN ('join','hash','row','scan','batch'))) >= 2),
-             |gl AS MATERIALIZED (SELECT g.doc_id, g.lang, kl.i AS pos, kl.line,
-             |         ('0x'||substr(md5(lower(trim(kl.line))),1,15))::BIGINT AS lh
-             |       FROM gop g JOIN kl ON g.doc_id = kl.doc_id),
-             |fr AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM gl)
-             |       GROUP BY lh HAVING count(*) > 120),
-             |kp AS (SELECT gl.doc_id, gl.pos, gl.line FROM gl
-             |       LEFT JOIN fr ON gl.lh = fr.lh WHERE fr.lh IS NULL),
-             |rw AS MATERIALIZED (SELECT g.doc_id, g.lang, coalesce(a.text2, '') AS text2
-             |       FROM gop g LEFT JOIN
-             |         (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2
-             |          FROM kp GROUP BY doc_id) a ON g.doc_id = a.doc_id),
-             |gtr AS (SELECT unnest(list_transform(range(len(tk)-1),
-             |          i -> ('0x'||substr(md5(tk[i+1]||' '||tk[i+2]),1,15))::BIGINT % 1024)) AS b
-             |        FROM s WHERE lang = 'en' AND doc_id % 3 = 0 AND len(tk) >= 2),
-             |lm AS MATERIALIZED (SELECT b, count(*) AS c FROM gtr GROUP BY b),
-             |lt AS MATERIALIZED (SELECT count(*) AS t FROM gtr),
-             |qtk AS MATERIALIZED (SELECT doc_id, lang, text2, string_split(text2,' ') AS s2 FROM rw),
-             |gsc AS (SELECT doc_id, unnest(list_transform(range(len(s2)-1),
-             |          i -> ('0x'||substr(md5(s2[i+1]||' '||s2[i+2]),1,15))::BIGINT % 1024)) AS b
-             |        FROM qtk WHERE len(s2) >= 2),
-             |qd AS (SELECT gsc.doc_id,
-             |        CAST(floor(-ln(((coalesce(lm.c, 0) + 1)::DOUBLE)
-             |                       / ((lt.t + 1024)::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d
-             |      FROM gsc LEFT JOIN lm ON gsc.b = lm.b, lt),
-             |scs AS (SELECT doc_id, sum(d) AS nll, count(*) AS n FROM qd GROUP BY doc_id),
-             |mm AS (SELECT q.doc_id, q.lang, q.text2,
-             |        CASE WHEN coalesce(scs.n, 0) > 0
-             |             THEN coalesce(scs.nll, 0) // scs.n ELSE 0 END AS mean_nll
-             |      FROM qtk q LEFT JOIN scs ON q.doc_id = scs.doc_id),
-             |ppl AS (SELECT doc_id, lang, text2 FROM
-             |         (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS tc
-             |          FROM mm)
-             |        WHERE tc <= 2),
-             |exd AS MATERIALIZED (SELECT p.* FROM ppl p JOIN
-             |         (SELECT min(doc_id) AS keep FROM ppl GROUP BY md5(text2)) e
-             |       ON p.doc_id = e.keep),
-             |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text2,' '))) AS tok FROM exd),
-             |sig AS (SELECT doc_id,
-             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
-             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
-             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
-             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
-             |  FROM toks GROUP BY doc_id),
-             |bands AS MATERIALIZED (
-             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
-             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
-             |roots AS (SELECT band, key, min(doc_id) AS root FROM bands
-             |          GROUP BY 1, 2 HAVING count(*) > 1),
-             |cand AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
-             |         FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
-             |         WHERE b.doc_id != r.root),
-             |sets AS MATERIALIZED (SELECT doc_id,
-             |         list_distinct(list_transform(string_split(text2,' '),
-             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM exd),
-             |pairs AS (SELECT id_a, id_b FROM cand
-             |  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
-             |  WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
-             |        / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.8),
-             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-             |reach AS (SELECT a, b FROM sym
-             |  UNION
-             |  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a WHERE reach.a != sym.b),
-             |labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
-             |losers AS (SELECT node FROM labels WHERE label < node),
-             |dd AS MATERIALIZED (SELECT * FROM exd WHERE doc_id NOT IN (SELECT node FROM losers)),
-             |ev AS MATERIALIZED (SELECT doc_id, lang,
-             |         ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
-             |         string_split(text2,' ') AS s3 FROM dd),
-             |gr AS MATERIALIZED (SELECT doc_id, is_eval,
-             |         list_distinct(list_transform(range(len(s3)-2),
-             |           i -> ('0x'||substr(md5(s3[i+1]||' '||s3[i+2]||' '||s3[i+3]),1,15))::BIGINT)) AS gs
-             |       FROM ev WHERE len(s3) >= 3),
-             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM gr WHERE is_eval),
-             |contam AS (
-             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS m
-             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM gr WHERE NOT is_eval) tg
-             |  LEFT JOIN eg ON tg.gram = eg.gram GROUP BY 1),
-             |clean AS MATERIALIZED (SELECT ev.doc_id, ev.lang, CAST(len(ev.s3) AS BIGINT) AS tkn
-             |        FROM ev JOIN contam c ON ev.doc_id = c.doc_id
-             |        WHERE NOT ev.is_eval AND c.m * 2 <= c.ng),
-             |cns AS (SELECT lang, CAST(sum(tkn) AS BIGINT) AS tokens FROM clean GROUP BY lang),
-             |r AS (SELECT lang, tokens, tokens * 1 AS cap,
-             |        row_number() OVER (ORDER BY tokens * 1, lang) AS i,
-             |        count(*) OVER () AS k,
-             |        sum(tokens * 1) OVER (ORDER BY tokens * 1, lang
-             |          ROWS UNBOUNDED PRECEDING) AS prefix
-             |      FROM cns),
-             |tt AS (SELECT *, (6000 - (prefix - cap)) // (k - i + 1) AS tcand,
-             |        ((6000 - (prefix - cap)) // (k - i + 1)) <= cap AS hit FROM r),
-             |st AS (SELECT *, min(CASE WHEN hit THEN i END) OVER () AS istar FROM tt),
-             |s2t AS (SELECT *, max(CASE WHEN i = istar THEN tcand END) OVER () AS tstar FROM st),
-             |b AS (SELECT lang, CASE WHEN istar IS NULL OR i < istar THEN cap
-             |             ELSE greatest(tstar, 0) END AS budget FROM s2t),
-             |hh AS (SELECT doc_id, lang, tkn,
-             |        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv FROM clean),
-             |cum AS (SELECT lang, doc_id, tkn,
-             |          sum(tkn) OVER (PARTITION BY lang ORDER BY hv, doc_id
-             |            ROWS UNBOUNDED PRECEDING) AS cm FROM hh),
-             |sel AS (SELECT cum.doc_id, cum.tkn FROM cum JOIN b USING (lang) WHERE cm <= b.budget),
-             |ph AS (SELECT doc_id, tkn,
-             |    ('0x'||substr(md5('pack:'||doc_id::VARCHAR),1,15))::BIGINT AS hkey FROM sel),
-             |pc AS (SELECT doc_id, hkey % 4 AS shard, tkn,
-             |        sum(tkn) OVER (PARTITION BY hkey % 4 ORDER BY hkey) AS e
-             |      FROM ph),
-             |pp AS (SELECT shard, doc_id, e, (e - tkn) // 256 AS fc, (e - 1) // 256 AS lc FROM pc)
-             |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
-             |  CAST(max(e) AS BIGINT) AS total_toks,
-             |  CAST((max(e) + 255) // 256 AS BIGINT) AS n_chunks,
-             |  CAST(sum(CASE WHEN fc <> lc THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
-             |  CAST(sum(fc * doc_id) AS BIGINT) AS chunk_checksum,
-             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
-             |FROM pp GROUP BY shard ORDER BY shard""".stripMargin))
+      Some(recipeSqlToPpl + recipeSqlTail("ppl")))
   )
 
   /** The t15/s8 teacher corpus: plant 2 tokens from the doc's class
@@ -6229,7 +6007,329 @@ object Queries {
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  /** The flagship-recipe chain, stage 1 (shared by x21/x23): manufacture
+    * pages -> C4 line+page rules -> Gopher hard gates -> frequent-line
+    * boilerplate removal -> CCNet perplexity tercile gate. Returns
+    * (raw documents, ppl survivors (doc_id, lang, text2)). See the x21
+    * comment block for the stage-barrier (localCheckpoint) rationale. */
+  private def recipeToPpl(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+        import s.implicits._
+        val D = graft.dedup.Dedup
+        import graft.text.{C4, Dsir, Perplexity}
+        import graft.ops.Sample
+        val raw = t(s, dir, "documents")
+        val pages = raw.select($"doc_id", $"lang", $"text")
+          .withColumn("tk", split($"text", " "))
+          .withColumn("nl", expr("(size(tk) + 4) div 5").cast("int"))
+          .withColumn("base", expr(
+            """transform(sequence(0, nl - 1), i ->
+                 concat(array_join(slice(tk, i*5 + 1, 5), ' '),
+                        if((doc_id + i) % 3 != 0, '.', '')))"""))
+          .withColumn("wban", expr(
+            "if(doc_id % 2 = 0, concat(base, array('subscribe to our newsletter today.')), base)"))
+          .withColumn("withjs", expr(
+            "if(doc_id % 11 = 0, concat(wban, array('enable javascript now.')), wban)"))
+          .withColumn("withlorem", expr(
+            "if(doc_id % 17 = 0, concat(withjs, array('lorem ipsum.')), withjs)"))
+          .withColumn("withbrace", expr(
+            "if(doc_id % 23 = 0, concat(withlorem, array('schema {')), withlorem)"))
+          .withColumn("page", array_join($"withbrace", "\n"))
+          .select($"doc_id", $"lang", $"page")
+        val c4 = C4.clean(pages, "page", C4.Rules())
+          .filter($"reason" === "kept")
+          .select($"doc_id", $"lang", $"kept_text")
+        val tk2 = split($"kept_text", " ")
+        val gop = c4
+          .withColumn("nw", size(tk2).cast("long"))
+          .withColumn("sc", length($"kept_text") - $"nw" + 1)
+          .withColumn("nd", size(array_distinct(tk2)).cast("long"))
+          .withColumn("nstop", size(filter(tk2,
+            t => t.isin("join", "hash", "row", "scan", "batch"))).cast("long"))
+          .filter($"nw" >= 20 && $"nw" <= 200 &&
+            expr("(sc * 100) div nw") >= 300 && expr("(sc * 100) div nw") <= 1000 &&
+            expr("(nd * 100) div nw") >= 25 && $"nstop" >= 2)
+          .select($"doc_id", $"lang", $"kept_text").localCheckpoint(true)
+        val rw = D.removeFrequentLines(gop, "doc_id", "kept_text", maxDocFreq = 120L)
+          .select($"id".as("doc_id"), $"kept_text".as("text2"))
+          .join(gop.select($"doc_id", $"lang"), Seq("doc_id")).localCheckpoint(true)
+        val lm = Dsir.bucketCounts(
+          raw.filter($"lang" === "en" && $"doc_id" % 3 === 0), "text", 2, 1024)
+        val scored = Perplexity.nll(rw, "doc_id", "text2", lm, n = 2,
+          numBuckets = 1024, quantDigits = 6)
+        val wT = Window.partitionBy($"lang").orderBy($"mean_nll", $"doc_id")
+        val ppl = rw.join(scored.select($"doc_id", $"mean_nll"), Seq("doc_id"))
+          .withColumn("tc", ntile(3).over(wT)).filter($"tc" <= 2)
+          .select($"doc_id", $"lang", $"text2")
+        (raw, ppl)
+  }
+
+  /** The flagship-recipe chain, stage 2 (shared by x21/x23), running on
+    * the quality-gated survivors: exact dedup keep-min -> minhash+CC
+    * near-dup removal -> eval-slice decontamination -> UniMax
+    * water-fill -> 256-token packing over 4 shards + export stats. */
+  private def recipeTail(s: SparkSession, gated: DataFrame): DataFrame = {
+        import s.implicits._
+        val D = graft.dedup.Dedup
+        import graft.ops.Sample
+        val keep = gated.groupBy(md5($"text2").as("h"))
+          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+        val exd = gated.join(keep, Seq("doc_id"), "left_semi").localCheckpoint(true)
+        val dd = withStreamPartitions(s, 8) {
+          D.dedupCorpus(exd, "doc_id", "text2", threshold = 0.8).localCheckpoint(true)
+        }
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 7
+        val cleanIds = D.decontaminate(
+            dd.filter(!evalSlice), dd.filter(evalSlice), "doc_id", "text2", shingleN = 3)
+          .filter($"matched" * 2 <= $"n_grams").select($"id".as("doc_id"))
+        val clean = dd.join(cleanIds, Seq("doc_id"), "left_semi")
+          .select($"doc_id", $"lang",
+            size(split($"text2", " ")).cast("long").as("tkn")).localCheckpoint(true)
+        val census = clean.groupBy($"lang").agg(sum($"tkn").as("tokens"))
+        val budgets = Sample.unimaxBudgets(census, "lang", "tokens",
+          totalBudget = 6000L, maxEpochs = 1)
+        val sel = Sample.unimaxSelect(clean, "lang", $"doc_id", "tkn", budgets)
+        val hkey = conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long")
+        val base = sel.select($"doc_id", hkey.as("hkey"), $"tkn")
+          .withColumn("shard", pmod($"hkey", lit(4L)))
+        val wP = Window.partitionBy($"shard").orderBy($"hkey")
+        base.withColumn("e", sum($"tkn").over(wP))
+          .select($"shard", $"doc_id", $"e",
+            expr("(e - tkn) div 256").as("fc"), expr("(e - 1) div 256").as("lc"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), max($"e").as("total_toks"),
+               expr("(max(e) + 255) div 256").as("n_chunks"),
+               sum(when($"fc" =!= $"lc", 1L).otherwise(0L)).as("n_crossers"),
+               sum($"fc" * $"doc_id").as("chunk_checksum"),
+               sum($"doc_id").as("id_checksum"))
+          .orderBy($"shard")
+  }
+
+  /** DuckDB replay of [[recipeToPpl]] — CTEs through `ppl`. */
+  private lazy val recipeSqlToPpl: String =
+    """WITH RECURSIVE
+             |s AS (SELECT doc_id, lang, string_split(text,' ') AS tk FROM documents),
+             |lb AS (SELECT doc_id, tk, unnest(range((len(tk)+4)//5)) AS i FROM s),
+             |l1 AS (SELECT doc_id, i,
+             |         array_to_string(tk[i*5+1:i*5+5],' ')
+             |           || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END AS line
+             |       FROM lb),
+             |exl AS (SELECT doc_id, 999998 AS i, 'subscribe to our newsletter today.' AS line
+             |         FROM s WHERE doc_id % 2 = 0
+             |       UNION ALL SELECT doc_id, 999999, 'enable javascript now.' FROM s WHERE doc_id % 11 = 0
+             |       UNION ALL SELECT doc_id, 1000000, 'lorem ipsum.' FROM s WHERE doc_id % 17 = 0
+             |       UNION ALL SELECT doc_id, 1000001, 'schema {' FROM s WHERE doc_id % 23 = 0),
+             |al AS MATERIALIZED (SELECT * FROM l1 UNION ALL SELECT * FROM exl),
+             |pg AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page
+             |       FROM al GROUP BY doc_id),
+             |kl AS MATERIALIZED (SELECT doc_id, i, line FROM al
+             |       WHERE regexp_matches(line, '[.!?"]$')
+             |         AND len(list_filter(string_split_regex(line,'\s+'), t -> len(t) > 0)) >= 3
+             |         AND NOT contains(lower(line), 'javascript')),
+             |ck AS MATERIALIZED (SELECT pg.doc_id,
+             |         coalesce(string_agg(kl.line, chr(10) ORDER BY kl.i), '') AS kept_text
+             |       FROM pg LEFT JOIN kl ON pg.doc_id = kl.doc_id GROUP BY pg.doc_id),
+             |c4 AS (SELECT pg.doc_id FROM pg JOIN ck ON pg.doc_id = ck.doc_id
+             |       WHERE NOT contains(lower(pg.page), 'lorem ipsum')
+             |         AND NOT contains(pg.page, '{')
+             |         AND length(regexp_replace(ck.kept_text, '[^.!?]', '', 'g')) >= 5),
+             |gin AS (SELECT c4.doc_id, d.lang, ck.kept_text, string_split(ck.kept_text, ' ') AS tk
+             |        FROM c4 JOIN ck ON c4.doc_id = ck.doc_id JOIN documents d ON c4.doc_id = d.doc_id),
+             |gop AS MATERIALIZED (SELECT doc_id, lang FROM gin
+             |        WHERE len(tk) BETWEEN 20 AND 200
+             |          AND ((length(kept_text) - len(tk) + 1)*100)//len(tk) BETWEEN 300 AND 1000
+             |          AND (len(list_distinct(tk))*100)//len(tk) >= 25
+             |          AND len(list_filter(tk, t -> t IN ('join','hash','row','scan','batch'))) >= 2),
+             |gl AS MATERIALIZED (SELECT g.doc_id, g.lang, kl.i AS pos, kl.line,
+             |         ('0x'||substr(md5(lower(trim(kl.line))),1,15))::BIGINT AS lh
+             |       FROM gop g JOIN kl ON g.doc_id = kl.doc_id),
+             |fr AS (SELECT lh FROM (SELECT DISTINCT doc_id, lh FROM gl)
+             |       GROUP BY lh HAVING count(*) > 120),
+             |kp AS (SELECT gl.doc_id, gl.pos, gl.line FROM gl
+             |       LEFT JOIN fr ON gl.lh = fr.lh WHERE fr.lh IS NULL),
+             |rw AS MATERIALIZED (SELECT g.doc_id, g.lang, coalesce(a.text2, '') AS text2
+             |       FROM gop g LEFT JOIN
+             |         (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2
+             |          FROM kp GROUP BY doc_id) a ON g.doc_id = a.doc_id),
+             |gtr AS (SELECT unnest(list_transform(range(len(tk)-1),
+             |          i -> ('0x'||substr(md5(tk[i+1]||' '||tk[i+2]),1,15))::BIGINT % 1024)) AS b
+             |        FROM s WHERE lang = 'en' AND doc_id % 3 = 0 AND len(tk) >= 2),
+             |lm AS MATERIALIZED (SELECT b, count(*) AS c FROM gtr GROUP BY b),
+             |lt AS MATERIALIZED (SELECT count(*) AS t FROM gtr),
+             |qtk AS MATERIALIZED (SELECT doc_id, lang, text2, string_split(text2,' ') AS s2 FROM rw),
+             |gsc AS (SELECT doc_id, unnest(list_transform(range(len(s2)-1),
+             |          i -> ('0x'||substr(md5(s2[i+1]||' '||s2[i+2]),1,15))::BIGINT % 1024)) AS b
+             |        FROM qtk WHERE len(s2) >= 2),
+             |qd AS (SELECT gsc.doc_id,
+             |        CAST(floor(-ln(((coalesce(lm.c, 0) + 1)::DOUBLE)
+             |                       / ((lt.t + 1024)::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d
+             |      FROM gsc LEFT JOIN lm ON gsc.b = lm.b, lt),
+             |scs AS (SELECT doc_id, sum(d) AS nll, count(*) AS n FROM qd GROUP BY doc_id),
+             |mm AS (SELECT q.doc_id, q.lang, q.text2,
+             |        CASE WHEN coalesce(scs.n, 0) > 0
+             |             THEN coalesce(scs.nll, 0) // scs.n ELSE 0 END AS mean_nll
+             |      FROM qtk q LEFT JOIN scs ON q.doc_id = scs.doc_id),
+             |ppl AS (SELECT doc_id, lang, text2 FROM
+             |         (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS tc
+             |          FROM mm)
+             |        WHERE tc <= 2),
+|""".stripMargin
+
+  /** DuckDB replay of [[recipeTail]] from the gated source CTE `src`. */
+  private def recipeSqlTail(src: String): String =
+    """exd AS MATERIALIZED (SELECT p.* FROM %SRC% p JOIN
+             |         (SELECT min(doc_id) AS keep FROM %SRC% GROUP BY md5(text2)) e
+             |       ON p.doc_id = e.keep),
+             |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text2,' '))) AS tok FROM exd),
+             |sig AS (SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS MATERIALIZED (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |roots AS (SELECT band, key, min(doc_id) AS root FROM bands
+             |          GROUP BY 1, 2 HAVING count(*) > 1),
+             |cand AS (SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |         FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
+             |         WHERE b.doc_id != r.root),
+             |sets AS MATERIALIZED (SELECT doc_id,
+             |         list_distinct(list_transform(string_split(text2,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM exd),
+             |pairs AS (SELECT id_a, id_b FROM cand
+             |  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |  WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.8),
+             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a WHERE reach.a != sym.b),
+             |labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+             |losers AS (SELECT node FROM labels WHERE label < node),
+             |dd AS MATERIALIZED (SELECT * FROM exd WHERE doc_id NOT IN (SELECT node FROM losers)),
+             |ev AS MATERIALIZED (SELECT doc_id, lang,
+             |         ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval,
+             |         string_split(text2,' ') AS s3 FROM dd),
+             |gr AS MATERIALIZED (SELECT doc_id, is_eval,
+             |         list_distinct(list_transform(range(len(s3)-2),
+             |           i -> ('0x'||substr(md5(s3[i+1]||' '||s3[i+2]||' '||s3[i+3]),1,15))::BIGINT)) AS gs
+             |       FROM ev WHERE len(s3) >= 3),
+             |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM gr WHERE is_eval),
+             |contam AS (
+             |  SELECT tg.doc_id, count(*) AS ng, count(eg.gram) AS m
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM gr WHERE NOT is_eval) tg
+             |  LEFT JOIN eg ON tg.gram = eg.gram GROUP BY 1),
+             |clean AS MATERIALIZED (SELECT ev.doc_id, ev.lang, CAST(len(ev.s3) AS BIGINT) AS tkn
+             |        FROM ev JOIN contam c ON ev.doc_id = c.doc_id
+             |        WHERE NOT ev.is_eval AND c.m * 2 <= c.ng),
+             |cns AS (SELECT lang, CAST(sum(tkn) AS BIGINT) AS tokens FROM clean GROUP BY lang),
+             |r AS (SELECT lang, tokens, tokens * 1 AS cap,
+             |        row_number() OVER (ORDER BY tokens * 1, lang) AS i,
+             |        count(*) OVER () AS k,
+             |        sum(tokens * 1) OVER (ORDER BY tokens * 1, lang
+             |          ROWS UNBOUNDED PRECEDING) AS prefix
+             |      FROM cns),
+             |tt AS (SELECT *, (6000 - (prefix - cap)) // (k - i + 1) AS tcand,
+             |        ((6000 - (prefix - cap)) // (k - i + 1)) <= cap AS hit FROM r),
+             |st AS (SELECT *, min(CASE WHEN hit THEN i END) OVER () AS istar FROM tt),
+             |s2t AS (SELECT *, max(CASE WHEN i = istar THEN tcand END) OVER () AS tstar FROM st),
+             |b AS (SELECT lang, CASE WHEN istar IS NULL OR i < istar THEN cap
+             |             ELSE greatest(tstar, 0) END AS budget FROM s2t),
+             |hh AS (SELECT doc_id, lang, tkn,
+             |        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv FROM clean),
+             |cum AS (SELECT lang, doc_id, tkn,
+             |          sum(tkn) OVER (PARTITION BY lang ORDER BY hv, doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS cm FROM hh),
+             |sel AS (SELECT cum.doc_id, cum.tkn FROM cum JOIN b USING (lang) WHERE cm <= b.budget),
+             |ph AS (SELECT doc_id, tkn,
+             |    ('0x'||substr(md5('pack:'||doc_id::VARCHAR),1,15))::BIGINT AS hkey FROM sel),
+             |pc AS (SELECT doc_id, hkey % 4 AS shard, tkn,
+             |        sum(tkn) OVER (PARTITION BY hkey % 4 ORDER BY hkey) AS e
+             |      FROM ph),
+             |pp AS (SELECT shard, doc_id, e, (e - tkn) // 256 AS fc, (e - 1) // 256 AS lc FROM pc)
+             |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+             |  CAST(max(e) AS BIGINT) AS total_toks,
+             |  CAST((max(e) + 255) // 256 AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN fc <> lc THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+             |  CAST(sum(fc * doc_id) AS BIGINT) AS chunk_checksum,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM pp GROUP BY shard ORDER BY shard""".stripMargin.replace("%SRC%", src)
+
+  /** DuckDB replay of the t15 NB train→score→gate block, spliced between
+    * [[recipeSqlToPpl]]'s `ppl` and [[recipeSqlTail]] (src = `mg`) for
+    * x23: the planted-topic teacher labels, one-pass census training to
+    * the dense C×257 quantized-log model, whole-corpus scoring, and the
+    * keep-top-slice gate (pred <> 'ads'). CTEs are n-prefixed to stay
+    * clear of the recipe chain's names. */
+  private lazy val nbGateReplaySql: String =
+    """nlab AS (SELECT doc_id,
+      |    (['ads','news','code'])[(doc_id % 3 + 1)::INT] AS truth,
+      |    text || ' ' ||
+      |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+      |      [(doc_id % 3 + 1)::INT][((doc_id // 3) % 3 + 1)::INT] || ' ' ||
+      |    ([['win','free','prize'],['today','report','city'],['func','var','loop']])
+      |      [(doc_id % 3 + 1)::INT][((doc_id // 9) % 3 + 1)::INT] AS text2
+      |  FROM documents),
+      |ntr AS MATERIALIZED (SELECT * FROM nlab WHERE doc_id % 2 = 0),
+      |ngr AS (SELECT truth, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+      |       FROM (SELECT truth, unnest(string_split(text2,' ')) AS tok FROM ntr)),
+      |ncc AS (SELECT truth, bucket, count(*) AS c FROM ngr GROUP BY 1,2),
+      |ntot AS (SELECT truth, count(*) AS t FROM ngr GROUP BY 1),
+      |nnd AS (SELECT truth, count(*) AS ndc FROM ntr GROUP BY 1),
+      |nnn AS (SELECT count(*) AS n FROM ntr),
+      |ngrid AS (SELECT ntot.truth AS label, t2.b AS bucket, ntot.t FROM ntot
+      |         CROSS JOIN (SELECT unnest(range(256)) AS b) t2),
+      |nwt AS (SELECT g.label, g.bucket,
+      |         CAST(floor(ln((coalesce(ncc.c,0)+1)::DOUBLE / (g.t+256)::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+      |       FROM ngrid g LEFT JOIN ncc ON ncc.truth = g.label AND ncc.bucket = g.bucket),
+      |npri AS (SELECT nnd.truth AS label, CAST(256 AS BIGINT) AS bucket,
+      |          CAST(floor(ln(nnd.ndc::DOUBLE / nnn.n::DOUBLE)*1000000 + 0.5) AS BIGINT) AS w
+      |        FROM nnd, nnn),
+      |nmodel AS MATERIALIZED (SELECT * FROM nwt UNION ALL SELECT * FROM npri),
+      |nf AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt FROM (
+      |       SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % 256 AS bucket
+      |       FROM (SELECT doc_id, unnest(string_split(text2,' ')) AS tok FROM nlab)
+      |       UNION ALL SELECT doc_id, 256 FROM nlab) GROUP BY 1,2),
+      |nsco AS (SELECT nf.doc_id, m.label, sum(nf.cnt*m.w) AS score
+      |        FROM nf JOIN nmodel m USING (bucket) GROUP BY 1,2),
+      |npr AS (SELECT doc_id, label AS pred,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rk
+      |       FROM nsco),
+      |ngate AS MATERIALIZED (SELECT doc_id FROM npr WHERE rk = 1 AND pred <> 'ads'),
+      |mg AS MATERIALIZED (SELECT p.* FROM ppl p JOIN ngate USING (doc_id)),
+      |""".stripMargin
+
   private lazy val roundNine: Seq[Q] = Seq(
+    // ----- X23: the flagship recipe v2 — the TRAINED-CLASSIFIER quality
+    // gate composed into the x21 chain (the DCLM arXiv:2406.11794 /
+    // FineWeb-Edu arXiv:2406.17557 pattern: the model-based filter is the
+    // recipe's central stage, not a side query). Same chain as x21
+    // through the perplexity terciles, then: train t15's multinomial NB
+    // on the deterministic labeled slice (planted-topic teacher corpus,
+    // train = doc_id%2=0), score the WHOLE corpus with the broadcast
+    // C×(buckets+1) model, keep the top slice (pred <> 'ads' —
+    // planted-signal accuracy is 1.0, so the gate is stable), and run the
+    // x21 tail (exact dedup → near-dup CC removal → decontamination →
+    // UniMax → packing) on the gated survivors. The oracle replays
+    // train → score → gate → recipe end-to-end: x21's replay chain with
+    // the t15 model CTEs spliced in between ppl and exd.
+    Q("x23_recipe_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val (raw, ppl) = recipeToPpl(s, dir)
+        val labeled = plantTopics(raw)
+        val model = graft.text.Classifier.trainNaiveBayes(
+          labeled.filter($"doc_id" % 2 === 0), "truth", "text2",
+          n = 1, numBuckets = 256, quantDigits = 6)
+        val gate = graft.text.Classifier.predict(labeled, "doc_id", "text2", 1, 256, model)
+          .filter($"pred" =!= "ads").select($"doc_id")
+        recipeTail(s, ppl.join(gate, Seq("doc_id"), "left_semi").localCheckpoint(true))
+      },
+      Some(recipeSqlToPpl + nbGateReplaySql + recipeSqlTail("mg"))),
+
     // ----- V14: IVF-SQ8 — the MIDDLE rung of the composed-index ladder
     // (FAISS "IVF…,SQ8" — Ann.ivfSq): coarse k-means cells bound the
     // scan exactly as v11 does (candidates ~ nProbes·n/kCells), but the
