@@ -6330,6 +6330,97 @@ object Queries {
       },
       Some(recipeSqlToPpl + nbGateReplaySql + recipeSqlTail("mg"))),
 
+    // ----- S12: watermark LATE-DATA EVICTION semantics under controlled
+    // arrival — the one Structured Streaming behavior a 100 TB pipeline
+    // RELIES on that s1-s11 only exercised implicitly (bounded state is
+    // asserted by construction there; here the admit/drop decision
+    // itself is the oracle). Arrival is staged into one-file micro-
+    // batches (maxFilesPerTrigger=1, modtime-ordered):
+    //   wave 1  the full events table — publishes wm = max(ts) - 2 days;
+    //   wave 2  a neutral nudge (re-arrival of the min-ts row): needed
+    //           because Spark 3.4+ filters late events with the PREVIOUS
+    //           batch's watermark (eventTimeWatermarkForLateEvents =
+    //           wm_{N-1}; eviction uses wm_N), so the wm wave 1 computed
+    //           only gates batches >= 3 — and the nudge itself proves
+    //           the lag contract: it is 30 days stale yet ADMITTED,
+    //           because its batch's late-watermark is still the epoch;
+    //   wave 3  re-arrivals of event_id%7=0 rows, ts shifted back 2 days
+    //           (odd ids — mostly inside still-open windows near the
+    //           range's end) or 10 days (even ids — hopelessly late,
+    //           windows finalized): dropped iff window end <= wm
+    //           (measured at sf0.001: 92 partial-aggregate rows dropped
+    //           by the watermark, the rest admitted);
+    //   waves 4/5  far-future sentinels that ratchet the watermark so
+    //           every real window is finalized and emitted in append
+    //           mode (their own windows stay open, never emitted, and
+    //           are filtered from the result).
+    // The oracle replays the rule exactly: wave-3 rows are admissible
+    // iff date_trunc(day, ts') + 1 day > max(ts) - 2 days, the nudge is
+    // always admitted. At sf0.01 that admits 23 re-arrivals and drops
+    // 1406 — both sides of the decision are exercised, and the final
+    // per-(day, type) counts can only match if Spark dropped EXACTLY
+    // the oracle's set.
+    Q("s12_stream_late_eviction",
+      (s, dir) => {
+        import s.implicits._
+        val base = normTs(s.read.parquet(s"$dir/events.parquet"))
+        val wave2 = base.filter($"event_id" % 7 === 0)
+          .withColumn("ts", when($"event_id" % 2 === 0,
+              $"ts" - expr("INTERVAL 10 DAYS"))
+            .otherwise($"ts" - expr("INTERVAL 2 DAYS")))
+        def sentinel(month: Int, off: Long) = s.range(1).selectExpr(
+          s"CAST(${9000000000L + off} AS BIGINT) AS event_id",
+          f"TIMESTAMP '2030-$month%02d-01 00:00:00' AS ts",
+          "CAST(0 AS BIGINT) AS user_id", "'__s' AS event_type",
+          "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s12_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          // modtime is the file source's arrival order — pin it
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val nudge = base.join(base.select(min($"ts").as("ts")), Seq("ts"))
+          .select(base.columns.map(col): _*)
+        writeWave(base, 1); writeWave(nudge, 2); writeWave(wave2, 3)
+        writeWave(sentinel(1, 0L), 4); writeWave(sentinel(2, 1L), 5)
+        val queryName = "graft_late_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .withWatermark("ts", "2 days")
+            .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+            .agg(count(lit(1)).as("n"), sum(quant($"value", 100)).as("sum_cents"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .filter($"event_type" =!= "__s") // sentinels never emit, but be explicit
+          .select($"w.start".as("day"), $"event_type", $"n", $"sum_cents")
+          .orderBy($"day", $"event_type")
+      },
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+             |w2 AS (SELECT ts - CASE WHEN event_id % 2 = 0 THEN INTERVAL 10 DAY
+             |                        ELSE INTERVAL 2 DAY END AS ts,
+             |              event_type, value
+             |       FROM events WHERE event_id % 7 = 0),
+             |adm AS (SELECT ts, event_type, value FROM events
+             |        UNION ALL
+             |        SELECT ts, event_type, value FROM events
+             |        WHERE ts = (SELECT min(ts) FROM events)
+             |        UNION ALL
+             |        SELECT w2.ts, w2.event_type, w2.value FROM w2, mx
+             |        WHERE date_trunc('day', w2.ts) + INTERVAL 1 DAY > mx.m - INTERVAL 2 DAY)
+             |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             |  count(*) AS n, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- V14: IVF-SQ8 — the MIDDLE rung of the composed-index ladder
     // (FAISS "IVF…,SQ8" — Ann.ivfSq): coarse k-means cells bound the
     // scan exactly as v11 does (candidates ~ nProbes·n/kCells), but the
