@@ -6462,7 +6462,97 @@ object Queries {
           |rk AS (SELECT qid, nid, d2c,
           |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
           |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
-          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- D11: densified one-permutation MinHash LSH — the modern
+    // production minhash (Li/Owen/Zhang 2012 + Shrivastava/Li 2014,
+    // Dedup.ophSignature): d2's pipeline with its dominant 100 TB cost
+    // term cut k×. Classic minhash evaluates k digests per token;
+    // hashing the token stream IS the bulk of minhash-LSH at corpus
+    // scale (banding/verify touch only signatures and candidates). OPH
+    // hashes each token ONCE — bin j = h mod 8, value h div 8, per-bin
+    // min, empty bins borrowing cyclically with a t·2^44 offset — then
+    // bands, candidates, and the exact-jaccard verify run exactly as
+    // d2. Output adds slot_matches (the OPH similarity estimate's
+    // numerator) so the oracle replays the estimator, not just the
+    // verified pairs.
+    Q("d11_minhash_oph",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val sig = graft.dedup.Dedup.ophSignature(docs, "doc_id", "text", k = 8)
+          .persist() // one O(docs × 8) table feeds bands, estimates, hot ids
+        val bands = sig.select($"id", posexplode(array(
+            md5(concat_ws(",", $"h0", $"h1", $"h2", $"h3")),
+            md5(concat_ws(",", $"h4", $"h5", $"h6", $"h7")))).as(Seq("band", "key")))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.id" < $"b.id")
+          .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+        val matches = (0 until 8).map(i =>
+          when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0)).reduce(_ + _)
+        // d2's 100 TB discipline: hot-bucket ids prune the token-set table
+        // before the verify joins; the pair stream is evaluated once
+        val hot = bands.groupBy($"band", $"key")
+          .agg(count(lit(1)).as("nb")).filter($"nb" > 1).drop("nb")
+        val candIds = bands.join(hot, Seq("band", "key"), "left_semi")
+          .select($"id").distinct()
+        val sets = docs.select($"doc_id".as("id"),
+          array_sort(array_distinct(transform(split($"text", " "),
+            tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))).as("st"))
+          .join(candIds, Seq("id"), "left_semi")
+        val j = graft.functions.GraftFunctions.sorted_jaccard_long($"s1.st", $"s2.st")
+        cand
+          .join(sig.as("sa"), $"id_a" === $"sa.id")
+          .join(sig.as("sb"), $"id_b" === $"sb.id")
+          .select($"id_a", $"id_b", matches.cast("int").as("slot_matches"))
+          .join(sets.as("s1"), $"id_a" === $"s1.id")
+          .join(sets.as("s2"), $"id_b" === $"s2.id")
+          .filter(j >= 0.95)
+          .select($"id_a", $"id_b", $"slot_matches", round(j, 6).as("jaccard"))
+          .distinct()
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |hv AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+             |bins AS (SELECT doc_id, h % 8 AS j, min(h // 8) AS v FROM hv GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM bins) d
+             |         CROSS JOIN (SELECT unnest(range(8)) AS j) g),
+             |dens AS (SELECT g.doc_id, g.j,
+             |           min_by(b.v + t.t * 17592186044416, t.t) AS hv
+             |         FROM grid g CROSS JOIN (SELECT unnest(range(8)) AS t) t
+             |         JOIN bins b ON b.doc_id = g.doc_id AND b.j = (g.j + t.t) % 8
+             |         GROUP BY 1, 2),
+             |sig AS MATERIALIZED (SELECT doc_id,
+             |    min(CASE WHEN j=0 THEN hv END) AS h0, min(CASE WHEN j=1 THEN hv END) AS h1,
+             |    min(CASE WHEN j=2 THEN hv END) AS h2, min(CASE WHEN j=3 THEN hv END) AS h3,
+             |    min(CASE WHEN j=4 THEN hv END) AS h4, min(CASE WHEN j=5 THEN hv END) AS h5,
+             |    min(CASE WHEN j=6 THEN hv END) AS h6, min(CASE WHEN j=7 THEN hv END) AS h7
+             |  FROM dens GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band,
+             |    md5(h0::VARCHAR||','||h1::VARCHAR||','||h2::VARCHAR||','||h3::VARCHAR) AS key FROM sig
+             |  UNION ALL
+             |  SELECT doc_id, 1,
+             |    md5(h4::VARCHAR||','||h5::VARCHAR||','||h6::VARCHAR||','||h7::VARCHAR) FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |sm AS (SELECT c.id_a, c.id_b,
+             |    CAST((sa.h0=sb.h0)::INT + (sa.h1=sb.h1)::INT + (sa.h2=sb.h2)::INT
+             |       + (sa.h3=sb.h3)::INT + (sa.h4=sb.h4)::INT + (sa.h5=sb.h5)::INT
+             |       + (sa.h6=sb.h6)::INT + (sa.h7=sb.h7)::INT AS INT) AS slot_matches
+             |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id),
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents)
+             |SELECT sm.id_a, sm.id_b, sm.slot_matches,
+             |  round(len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / len(list_distinct(sa.st || sb.st)), 6) AS jaccard
+             |FROM sm JOIN sets sa ON sm.id_a = sa.doc_id JOIN sets sb ON sm.id_b = sb.doc_id
+             |WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |      / len(list_distinct(sa.st || sb.st)) >= 0.95
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   private val qs: Seq[Q] =

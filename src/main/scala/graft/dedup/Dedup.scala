@@ -139,6 +139,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
   }
 
+  /** Densified ONE-PERMUTATION MinHash signature (Li, Owen & Zhang 2012;
+    * densification: Shrivastava & Li 2014 — the modern production
+    * minhash): ONE 60-bit hash per shingle routes it to bin
+    * j = h mod k with value v = h div k; the signature's slot j is the
+    * min v of its bin, and an EMPTY bin borrows from the nearest
+    * non-empty bin to its right (cyclically), offset by t·densifyC per
+    * step so borrowed values stay distinguishable. Collision probability
+    * per slot equals the Jaccard similarity, same as k independent
+    * minhashes — but the corpus is hashed ONCE instead of k times.
+    *
+    * Scale rationale: classic k-hash minhash ([[minhashSignature]])
+    * evaluates k digests per shingle, and hashing the token stream IS
+    * the dominant cost of minhash-LSH at 100 TB (the banding and verify
+    * joins touch only signatures and candidates). OPH makes signature
+    * construction one digest per shingle — a k× cut of the pipeline's
+    * biggest term — at an accuracy loss the densification bounds. Plan
+    * shape: explode → ONE groupBy(id) with k conditional mins (map-side
+    * combined, ≤ k values per doc cross the wire), densification is a
+    * pure projection (coalesce chain over the k bins). Deterministic:
+    * fixed hash, fixed rotation — engine-replayable (query `d11`).
+    * Returns (id, h0..h{k-1}) Long slots, null only for empty docs. */
+  def ophSignature(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, shingleN: Int = 1,
+                   densifyC: Long = 1L << 44): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("hv"))
+    val bins = (0 until k).map(j =>
+      min(when(pmod(col("hv"), lit(k.toLong)) === j, expr(s"hv div $k"))).as(s"m$j"))
+    val m = toks.groupBy(col("id")).agg(bins.head, bins.tail: _*)
+    val slots = (0 until k).map { j =>
+      coalesce((0 until k).map(t =>
+        col(s"m${(j + t) % k}") + lit(t.toLong * densifyC)): _*).as(s"h$j")
+    }
+    m.select(col("id") +: slots: _*)
+  }
+
   /** SimHash fingerprint (nBits <= 32) over distinct tokens. Compare with
     * [[graft.functions.GraftFunctions.hamming_dist]]. Token hash width
     * follows nBits: 4 md5 hex chars (16 bits) up to nBits=16 — the d3

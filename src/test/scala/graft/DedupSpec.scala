@@ -580,4 +580,46 @@ class DedupSpec extends SparkSpec {
     assert(!sPlan.contains("BroadcastHashJoin LeftAnti"),
       s"over-cap frequent set must not broadcast the anti-join:\n$sPlan")
   }
+
+  test("ophSignature: hash identity, densification closed form, estimator tracks jaccard") {
+    import spark.implicits._
+    val C = 1L << 44
+    // identical token SETS (order/dup-insensitive) -> identical signatures
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha alpha"),
+      (3L, "alpha beta gamma epsilon"),
+      (4L, "totally different words here"),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.ophSignature(docs, "doc_id", "text", k = 8).orderBy($"id").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sig(1L) === sig(2L), "same token set must give the same signature")
+    assert(sig(1L) !== sig(4L), "disjoint docs must differ")
+    // densification closed form: a 1-token doc has ONE real bin; slot j
+    // must equal v + t*C where t is the cyclic distance to that bin
+    val h = {
+      // same 60-bit md5 prefix the engine uses
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest("solo".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val (bin, v) = ((h % 8).toInt, h / 8)
+    (0 until 8).foreach { j =>
+      val t = ((bin - j) % 8 + 8) % 8
+      assert(sig(5L)(j) === v + t * C, s"slot $j of the 1-token doc")
+    }
+    // estimator direction: near-identical pair shares more slots than a
+    // disjoint pair
+    def slotMatches(a: Long, b: Long): Int =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }
+    assert(slotMatches(1L, 3L) > slotMatches(1L, 4L),
+      "3/4-jaccard pair must share more OPH slots than a disjoint pair")
+    // parallelism invariance of the whole signature table
+    val s1 = Dedup.ophSignature(docs.repartition(1), "doc_id", "text", 8)
+      .orderBy($"id").collect().toSeq
+    val s13 = Dedup.ophSignature(docs.repartition(13), "doc_id", "text", 8)
+      .orderBy($"id").collect().toSeq
+    assert(s1 === s13, "OPH signatures must be parallelism-invariant")
+  }
 }
