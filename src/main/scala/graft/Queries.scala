@@ -6552,7 +6552,62 @@ object Queries {
              |FROM sm JOIN sets sa ON sm.id_a = sa.doc_id JOIN sets sb ON sm.id_b = sb.doc_id
              |WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
              |      / len(list_distinct(sa.st || sb.st)) >= 0.95
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- X24: cross-corpus contamination MATRIX — the governance
+    // census a production pipeline publishes (Dedup.contaminationMatrix):
+    // x6 scored every train doc against ONE eval set; this reports the
+    // full (train shard × eval suite) grid in one pass per side — which
+    // shards are contaminated against which benchmarks, with zero-filled
+    // cells so absent contamination is reported, not omitted. Train
+    // shards = doc_id%4; suites = the x21-style deterministic slices
+    // (doc_id%50 = 7 → suiteA, = 13 → suiteB), excluded from the train
+    // side. Per cell: train docs, docs with >=1 shared 3-gram, docs over
+    // the 50% contamination threshold (exact integer matched*100 >
+    // 50*n_grams), total matched-gram volume. The eval gram table is the
+    // broadcast side; post-join aggregates touch hit rows only.
+    Q("x24_contamination_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val ev = docs.filter($"doc_id" % 50 === 7)
+            .select(lit("suiteA").as("suite"), $"text")
+          .unionByName(docs.filter($"doc_id" % 50 === 13)
+            .select(lit("suiteB").as("suite"), $"text"))
+        val train = docs.filter($"doc_id" % 50 =!= 7 && $"doc_id" % 50 =!= 13)
+          .select($"doc_id", concat(lit("shard"), $"doc_id" % 4).as("shard"), $"text")
+        graft.dedup.Dedup.contaminationMatrix(train, ev,
+            "doc_id", "shard", "suite", "text", shingleN = 3, docThresholdPct = 50)
+          .orderBy($"shard", $"suite")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+             |tr AS MATERIALIZED (SELECT doc_id, 'shard'||(doc_id%4)::VARCHAR AS shard,
+             |         list_distinct(list_transform(range(len(tk)-2),
+             |           i -> ('0x'||substr(md5(tk[i+1]||' '||tk[i+2]||' '||tk[i+3]),1,15))::BIGINT)) AS gs
+             |       FROM d WHERE doc_id % 50 NOT IN (7, 13) AND len(tk) >= 3),
+             |ev AS (SELECT 'suiteA' AS suite, tk FROM d WHERE doc_id % 50 = 7 AND len(tk) >= 3
+             |       UNION ALL
+             |       SELECT 'suiteB', tk FROM d WHERE doc_id % 50 = 13 AND len(tk) >= 3),
+             |eg AS (SELECT DISTINCT suite, unnest(list_distinct(list_transform(range(len(tk)-2),
+             |         i -> ('0x'||substr(md5(tk[i+1]||' '||tk[i+2]||' '||tk[i+3]),1,15))::BIGINT))) AS g
+             |       FROM ev),
+             |tg AS (SELECT doc_id, shard, unnest(gs) AS g FROM tr),
+             |hits AS (SELECT t.doc_id, t.shard, e.suite, count(*) AS matched
+             |         FROM tg t JOIN eg e USING (g) GROUP BY 1, 2, 3),
+             |nd AS (SELECT doc_id, len(gs) AS n_grams FROM tr),
+             |cell AS (SELECT h.shard, h.suite, count(*) AS n_hit_docs,
+             |           sum(CASE WHEN h.matched*100 > 50*nd.n_grams THEN 1 ELSE 0 END) AS n_contaminated,
+             |           sum(h.matched) AS matched_grams
+             |         FROM hits h JOIN nd USING (doc_id) GROUP BY 1, 2),
+             |grid AS (SELECT g.shard, s.suite, g.n_docs FROM
+             |           (SELECT shard, count(*) AS n_docs FROM tr GROUP BY 1) g
+             |         CROSS JOIN (SELECT DISTINCT suite FROM ev) s)
+             |SELECT grid.shard, grid.suite, CAST(grid.n_docs AS BIGINT) AS n_docs,
+             |  CAST(coalesce(cell.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+             |  CAST(coalesce(cell.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             |  CAST(coalesce(cell.matched_grams, 0) AS BIGINT) AS matched_grams
+             |FROM grid LEFT JOIN cell ON grid.shard = cell.shard AND grid.suite = cell.suite
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

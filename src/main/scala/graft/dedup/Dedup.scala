@@ -720,4 +720,60 @@ object Dedup {
         coalesce($"n_lines_kept", lit(0L)).as("n_lines_kept"),
         coalesce($"kept_text", lit("")).as("kept_text"))
   }
+
+  /** Cross-corpus contamination MATRIX — the governance census a real
+    * pipeline publishes: for every (train group × eval suite) cell, how
+    * many train documents share word-`shingleN`-grams with that suite,
+    * how many cross the per-doc contamination threshold, and the total
+    * matched-gram volume. Generalizes [[decontaminate]] (one eval set,
+    * per-doc rows) to the n×m report shape ("which train shards are
+    * contaminated against which benchmarks") in ONE pass per side.
+    *
+    * Scale shape: the train side is scanned twice and never shuffled at
+    * corpus size — once for the per-doc gram census (docs-sized output,
+    * map-side combined) and once exploded into the hit join, where the
+    * eval gram table (O(eval corpus), distinct (suite, gram) 8-byte
+    * keys) is the broadcast side under AQE; the only aggregations after
+    * the join run on HIT rows (bounded by overlap, not corpus). The
+    * final grid is groups×suites rows — the group census cross-joined
+    * with the KB-sized suite list, zero-filled where a cell has no
+    * overlap, so absent contamination is reported, not omitted.
+    *
+    * Thresholding is exact integer arithmetic (`matched·100 >
+    * pct·n_grams`) — engine-replayable (query `x24`). Returns
+    * (groupCol, suiteCol, n_docs, n_hit_docs, n_contaminated,
+    * matched_grams). */
+  def contaminationMatrix(train: DataFrame, evalDf: DataFrame,
+                          idCol: String, groupCol: String, suiteCol: String,
+                          textCol: String, shingleN: Int = 3,
+                          docThresholdPct: Int = 50): DataFrame = {
+    def withGrams(d: DataFrame) = d.filter(size(split(col(textCol), " ")) >= shingleN)
+    val nd = withGrams(train)
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        size(shingles(col(textCol), shingleN)).cast("long").as("n_grams"))
+    val groupCensus = nd.groupBy(col("grp")).agg(count(lit(1)).as("n_docs"))
+    val eg = withGrams(evalDf)
+      .select(col(suiteCol).as("suite"), explode(shingles(col(textCol), shingleN)).as("g"))
+      .distinct()
+    val suites = eg.select(col("suite")).distinct()
+    val hits = withGrams(train)
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        explode(shingles(col(textCol), shingleN)).as("g"))
+      .join(eg, Seq("g"))
+      .groupBy(col("id"), col("grp"), col("suite"))
+      .agg(count(lit(1)).as("matched"))
+      .join(nd.select(col("id"), col("n_grams")), Seq("id"))
+    val cells = hits.groupBy(col("grp"), col("suite"))
+      .agg(count(lit(1)).as("n_hit_docs"),
+        sum(when(col("matched") * 100 > lit(docThresholdPct) * col("n_grams"), 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        sum(col("matched")).as("matched_grams"))
+    groupCensus.crossJoin(broadcast(suites))
+      .join(cells, Seq("grp", "suite"), "left")
+      .select(col("grp").as(groupCol), col("suite").as(suiteCol),
+        col("n_docs"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
+  }
 }

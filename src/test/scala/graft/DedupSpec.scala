@@ -622,4 +622,33 @@ class DedupSpec extends SparkSpec {
       .orderBy($"id").collect().toSeq
     assert(s1 === s13, "OPH signatures must be parallelism-invariant")
   }
+
+  test("contaminationMatrix: hand-computed grid, zero-filled cells, threshold edge") {
+    import spark.implicits._
+    // suiteX = "a b c d e" (3 grams: abc, bcd, cde); suiteY = "p q r s" (2 grams)
+    val ev = Seq(("suiteX", "a b c d e"), ("suiteY", "p q r s")).toDF("suite", "text")
+    val train = Seq(
+      // g1 doc 1: grams abc,bcd,cde,def (matched 3/4 vs X -> 75% > 50% contaminated)
+      (1L, "g1", "a b c d e f"),
+      // g1 doc 2: grams xyz-ish, one gram pqr vs Y (1/3 -> 33%, hit not contaminated)
+      (2L, "g1", "p q r unrelated stuff"),
+      // g2 doc 3: no overlap at all
+      (3L, "g2", "completely separate tokens only"),
+      // g2 doc 4: exactly 50% (1 of 2 grams) vs X -> NOT contaminated (strict >)
+      (4L, "g2", "a b c zzz"),
+      // too short for 3-grams -> excluded from every census
+      (5L, "g2", "a b")
+    ).toDF("doc_id", "grp", "text")
+    val out = Dedup.contaminationMatrix(train, ev, "doc_id", "grp", "suite", "text",
+        shingleN = 3, docThresholdPct = 50)
+      .orderBy($"grp", $"suite").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("g1", "suiteX", 2L, 1L, 1L, 3L),   // doc1: 3 matched of 4, contaminated
+      ("g1", "suiteY", 2L, 1L, 0L, 1L),   // doc2: 1 matched of 3, below threshold
+      ("g2", "suiteX", 2L, 1L, 0L, 1L),   // doc4: exactly 50% — strict > excludes
+      ("g2", "suiteY", 2L, 0L, 0L, 0L)    // zero-filled cell, still present
+    ))
+  }
 }
