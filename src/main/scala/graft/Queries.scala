@@ -6607,7 +6607,79 @@ object Queries {
              |  CAST(coalesce(cell.n_contaminated, 0) AS BIGINT) AS n_contaminated,
              |  CAST(coalesce(cell.matched_grams, 0) AS BIGINT) AS matched_grams
              |FROM grid LEFT JOIN cell ON grid.shard = cell.shard AND grid.suite = cell.suite
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- S13: STREAMING ANN serving — the v14 index in deploy mode
+    // (the ANN twin of s8's train-offline/score-online): the coarse
+    // centroids, SQ8 grid, and encoded postings are built batch-side;
+    // query embeddings arrive on a stream, are quantized + SQ8-encoded
+    // map-side (pure projections off plan literals — no window, no
+    // shuffle on the stream), routed to their cell by Ann.assign's
+    // literal-centroid path (map-only codegen argmin — the reason the
+    // k<=64 literal path exists), and probe-1 equi-joined against the
+    // static postings on cid, so each micro-batch touches ~batch x
+    // n/kCells candidates, never the corpus. The only streaming state is
+    // one (d2c, nid) min-struct per query (complete mode). The oracle
+    // replays coarse training -> assignment -> grid -> codes -> own-cell
+    // scan -> (d2c, nid) nearest neighbor in exact integers.
+    Q("s13_stream_ann",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        import graft.functions.GraftFunctions
+        val batch = Ann.prepare(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding")
+        val cents = Ann.kmeansCentroids(batch, 4, 1)
+        val grid = Ann.sqParams(batch)
+        val postings = Ann.sqEncode(
+            Ann.assign(batch, cents).select(struct($"id", $"cid").as("id"), $"qv"), grid)
+          .select($"id.id".as("nid"), $"id.cid".as("cid"),
+            $"codes".as("ncodes"), $"ncode".as("nn"))
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val queryName = "graft_sann_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val st = s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          val prep = st.select($"vec_id".as("id"), Ann.quantize($"embedding").as("qv"))
+            .filter($"id" % 50 === 0)
+          val qcodes = Ann.sqEncode(
+              Ann.assign(prep, cents).select(struct($"id", $"cid").as("id"), $"qv"), grid)
+            .select($"id.id".as("qid"), $"id.cid".as("qcid"),
+              $"codes".as("qcodes"), $"ncode".as("qn"))
+          val d2c = $"qn" + $"nn" -
+            lit(2L) * GraftFunctions.dot_long($"qcodes", $"ncodes")
+          val q = qcodes.join(postings, $"qcid" === $"cid" && $"qid" =!= $"nid")
+            .select($"qid", $"nid", d2c.as("d2c"))
+            .groupBy($"qid")
+            .agg(min(struct($"d2c", $"nid")).as("m"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .select($"qid", $"m.nid".as("nid"), $"m.d2c".as("d2c"))
+          .orderBy($"qid")
+      },
+      Some(coarseReplayPrefix +
+        """px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
+          |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+          |enc AS MATERIALIZED (SELECT px.id, px.d,
+          |         CASE WHEN g.mx = g.mn THEN 0
+          |              ELSE least(255, ((px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+          |       FROM px JOIN grid g USING (d)),
+          |qq AS (SELECT id FROM q WHERE id % 50 = 0),
+          |pd AS (SELECT qq.id AS qid, an.id AS nid,
+          |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
+          |       FROM qq
+          |       JOIN ac aq ON aq.id = qq.id
+          |       JOIN ac an ON an.cid = aq.cid AND an.id <> qq.id
+          |       JOIN enc e ON e.id = an.id
+          |       JOIN enc qe ON qe.id = qq.id AND qe.d = e.d
+          |       GROUP BY 1, 2),
+          |rk AS (SELECT qid, nid, d2c,
+          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
+          |SELECT qid, nid, CAST(d2c AS BIGINT) AS d2c
+          |FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin))
   )
 
   private val qs: Seq[Q] =
