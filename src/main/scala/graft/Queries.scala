@@ -6679,7 +6679,49 @@ object Queries {
           |rk AS (SELECT qid, nid, d2c,
           |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
           |SELECT qid, nid, CAST(d2c AS BIGINT) AS d2c
-          |FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin))
+          |FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin)),
+
+    // ----- V15: binary (1-bit/dim) quantization + Hamming top-k — the
+    // BOTTOM rung of the compression ladder (Ann.binaryEncode/binaryTopK;
+    // Charikar 2002 sign codes): bit_d = [x_d > floor-mean pivot_d],
+    // packed 32 bits per word (both-engine-exact — a 64-bit pack would
+    // need the sign bit and DuckDB errors on BIGINT overflow), 32×
+    // smaller scan state than the raw quantized vectors. The pivot table
+    // is a dim-row census collected to plan literals, so encoding is one
+    // map-side projection; distance is the codegen'd popcount kernel per
+    // word; the per-query top-5 window is the only exchange. The oracle
+    // replays pivots → bits → packed words → Hamming ranking bit-for-bit.
+    Q("v15_binary_topk",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val codes = Ann.binaryEncode(prepared, Ann.binaryPivots(prepared))
+        Ann.binaryTopK(codes, codes.filter($"id" % 50 === 0), k = 5)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dims AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dims),
+             |pvt AS (SELECT d,
+             |          (sum(x) - ((sum(x) % count(*)) + count(*)) % count(*)) // count(*) AS pv
+             |        FROM px GROUP BY d),
+             |bits AS (SELECT px.id, px.d, CASE WHEN px.x > pvt.pv THEN 1 ELSE 0 END AS b
+             |         FROM px JOIN pvt USING (d)),
+             |wrd AS MATERIALIZED (SELECT id, d // 32 AS w,
+             |         sum(b * (1::BIGINT << (d % 32))) AS word
+             |       FROM bits GROUP BY 1, 2),
+             |qq AS (SELECT * FROM wrd WHERE id % 50 = 0),
+             |hd AS (SELECT qq.id AS qid, e.id AS nid,
+             |         sum(bit_count(xor(qq.word, e.word))) AS ham
+             |       FROM qq JOIN wrd e ON qq.w = e.w AND qq.id <> e.id
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT qid, nid, ham,
+             |         row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rk FROM hd)
+             |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(ham AS BIGINT) AS ham
+             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -788,4 +788,62 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("d2c"))
   }
+
+  // -------------------------------------------------------------------
+  // Binary quantization (1 bit/dim — the bottom rung of the compression
+  // ladder, below SQ8's byte codes): bit_d = [x_d > pivot_d], packed 32
+  // bits per 64-bit word so every intermediate stays exactly
+  // representable in BOTH engines (a 64-bit pack would need the sign
+  // bit; DuckDB BIGINT overflow is an error, not a wrap). Distance is
+  // Hamming — the codegen'd popcount kernel — which for sign codes is a
+  // monotone proxy of angular distance (Charikar 2002 SimHash bound:
+  // P[bit differs] = θ/π). 64-dim float vectors compress 32×: the scan
+  // state that decides in-memory vs spilled at 10¹¹ vectors.
+  // -------------------------------------------------------------------
+
+  /** Per-dimension integer pivot = floor(mean of quantized values) — a
+    * dim-row census (map-side combined), exact integer floor division
+    * (the pmod trick: `div` truncates toward zero on negatives). */
+  def binaryPivots(prepared: DataFrame): DataFrame =
+    prepared.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("d"),
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long").as("pv"))
+
+  /** Encode to packed sign bits: word w = Σ_{j<32} [x_{32w+j} > pv]·2^j,
+    * ⌈dim/32⌉ words per vector. The pivot table is collected to literal
+    * arrays (dim rows — the model-literal pattern), so encoding is ONE
+    * map-side projection: no join, no shuffle. Returns (id, bwords). */
+  def binaryEncode(prepared: DataFrame, pivots: DataFrame): DataFrame = {
+    val pv = pivots.select(col("d"), col("pv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val dim = pv.length
+    val pvArr = array(pv.map(p => lit(p._2)): _*)
+    val bits = zip_with(col("qv"), pvArr, (x, p) => when(x > p, 1L).otherwise(0L))
+    // MSB-first fold per 32-bit block: ((b31·2 + b30)·2 + …) = Σ b_j 2^j
+    val words = (0 until (dim + 31) / 32).map { w =>
+      aggregate(reverse(slice(bits, w * 32 + 1, math.min(32, dim - w * 32))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    }
+    prepared.select(col("id"), array(words: _*).as("bwords"))
+  }
+
+  /** Approximate top-k by Hamming distance over packed sign codes:
+    * queries broadcast, the code scan map-side (per-word codegen'd
+    * popcount, summed), the per-query top-k window the only exchange.
+    * Sign codes rank by angle class, so ties are dense — budget k as a
+    * SHORTLIST and re-rank with [[rerankExact]] (RecallSpec measures
+    * both). Returns (qid, rk, nid, ham). */
+  def binaryTopK(codes: DataFrame, queryCodes: DataFrame, k: Int): DataFrame = {
+    val ham = aggregate(
+      zip_with(col("a.bwords"), col("b.bwords"),
+        (x, y) => GraftFunctions.hamming_dist(x, y).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+    val pairs = broadcast(queryCodes.as("a"))
+      .join(codes.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"), ham.as("ham"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("ham"))
+  }
 }

@@ -101,6 +101,37 @@ class RecallSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("binary codes: Hamming ranks by angle; shortlist + re-rank recovers; encode is shuffle-free") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    val codes = Ann.binaryEncode(prepared, Ann.binaryPivots(prepared)).cache()
+    assert(codes.select(size(col("bwords"))).distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(2), "64 dims must pack into exactly two 32-bit words")
+    // exact truth on squared L2 (same metric family as the ladder's specs)
+    val d = col("a.nq") + col("b.nq") -
+      lit(2L) * GraftFunctions.dot_long(col("a.qv"), col("b.qv"))
+    val pairs = broadcast(prepared.filter(qf).as("a"))
+      .join(prepared.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"), d.as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val l2truth = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    val direct = recall(l2truth, Ann.binaryTopK(codes, codes.filter(qf), 10))
+    // 1 bit/dim on the gaussian worst case: far below SQ8's 0.83, far
+    // above chance (10/500 = 0.02) — the rung exists for its 32×
+    // footprint, and the two-stage pattern recovers most of the gap
+    val reranked = recall(l2truth,
+      Ann.rerankExact(Ann.binaryTopK(codes, codes.filter(qf), 60), prepared, 10))
+    info(s"binary direct recall@10 = $direct, top-60 + re-rank = $reranked")
+    assert(direct >= 0.25, s"binary direct recall@10 $direct (measured 0.264)")
+    assert(reranked >= 0.70, s"binary top-60 + re-rank recall@10 $reranked (measured 0.712)")
+    assert(reranked > direct, "re-rank must improve on raw Hamming ranking")
+    val plan = Ann.binaryEncode(prepared, Ann.binaryPivots(prepared))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"binary encode must be a single map-side projection:\n$plan")
+    codes.unpersist()
+  }
+
   test("production path at sf0.1: ivfPq shortlist + exact re-rank clears its recall floor") {
     // The two-stage SERVING chain (Jégou 2011 §V) as one contract — not
     // its stages: IVF-ADC builds a posting-bounded 15×k shortlist, exact
