@@ -252,4 +252,29 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
   }
+
+  test("d11 OPH signature: one groupBy with map-side partial mins, no per-hash scans") {
+    import graft.dedup.Dedup
+    val sig = Dedup.ophSignature(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8)
+    val p = sig.queryExecution.executedPlan.toString
+    // the k conditional mins partial-aggregate before the exchange —
+    // <= k values per doc cross the wire, never the token stream
+    assert(p.toLowerCase.contains("partial_"),
+      s"OPH bin mins must combine map-side:\n$p")
+    // classic minhash's failure mode was one corpus scan per hash; OPH
+    // reads the corpus once
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"OPH must scan the corpus exactly once:\n$p")
+  }
+
+  test("x24 contamination matrix: eval grams broadcast, train side joins map-side") {
+    val p = plan("x24_contamination_matrix")
+    // the distinct (suite, gram) table is the broadcast side of the hit
+    // join — the corpus-sized train gram stream must not shuffle to meet it
+    assert(p.contains("BroadcastHashJoin"),
+      s"hit join must broadcast the eval gram side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "matrix grid must come from the broadcast suite list, not a cartesian")
+  }
 }
