@@ -6721,7 +6721,87 @@ object Queries {
              |rk AS (SELECT qid, nid, ham,
              |         row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rk FROM hd)
              |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(ham AS BIGINT) AS ham
-             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+             |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- M6: multimodal (binary-blob) NEAR-dup — the dedup family
+    // applied to opaque blobs, closing the gap between m1-m5 (multimodal
+    // plumbing) and d1-d11 (text dedup): a 16-bin byte histogram per
+    // blob (m5's imperative kernel, full 16-dim vector) is a cheap
+    // content descriptor; hyperplane-LSH blocking (v2's md5-parity
+    // planes, 6 planes over dim 16) bounds the pair space exactly like
+    // the text/embedding paths — no all-pairs anywhere — and candidates
+    // verify by quantized cosine with the (cos DESC, nid) nearest
+    // neighbor reported per probe blob. At 100 TB: histogram = one
+    // narrow map stage, buckets = map-side projection, the only
+    // quadratic work is within-bucket and the verify joins carry 16
+    // longs per side. The oracle replays histogram → planes → buckets →
+    // within-bucket cosine → top-1 bit-for-bit.
+    Q("m6_blob_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions
+        val hist = t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val h = new Array[Long](16)
+              var i = 0
+              while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+              (id, h.toSeq)
+            }
+          }.toDF("id", "qv")
+          .withColumn("nq", GraftFunctions.dot_long($"qv", $"qv"))
+        val planes = Queries.lshPlanes(6, 16)
+        val bucket = (0 until 6).map { j =>
+          when(GraftFunctions.dot_long($"qv", typedLit(planes(j))) > 0, 1L << j)
+            .otherwise(0L)
+        }.reduce(_ + _)
+        val withB = hist.withColumn("bucket", bucket)
+        val probes = withB.filter($"id" % 10 === 0)
+          .select($"id".as("qid"), $"bucket", $"qv".as("qqv"), $"nq".as("qn"))
+        val cos = round(
+          GraftFunctions.dot_long($"qqv", $"nv").cast("double") /
+            (sqrt($"qn".cast("double")) * sqrt($"nn".cast("double"))), 6)
+        val pairs = probes.join(
+            withB.select($"id".as("nid"), $"bucket", $"qv".as("nv"), $"nq".as("nn")),
+            Seq("bucket"))
+          .filter($"qid" =!= $"nid")
+          .select($"qid", $"nid", cos.as("cos"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+        pairs.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"qid", $"nid", $"cos")
+          .orderBy($"qid")
+      },
+      Some("""WITH bts AS (SELECT doc_id, CAST(ord(text[i+1])//16 AS INT) AS bin
+             |      FROM (SELECT doc_id, text, CAST(unnest(range(0, len(text))) AS INT) AS i
+             |            FROM documents)),
+             |hist0 AS (SELECT doc_id, bin, count(*) AS c FROM bts GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, g.bin FROM (SELECT DISTINCT doc_id FROM documents) d
+             |         CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS bin) g),
+             |hist AS MATERIALIZED (SELECT g.doc_id, g.bin, coalesce(h.c, 0) AS c
+             |       FROM grid g LEFT JOIN hist0 h ON g.doc_id = h.doc_id AND g.bin = h.bin),
+             |planes AS (SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,6) t(j) CROSS JOIN range(0,16) u(i)),
+             |proj AS (SELECT doc_id, j, sum(c * sgn) AS p
+             |         FROM hist JOIN planes ON hist.bin = planes.i GROUP BY 1, 2),
+             |bk AS MATERIALIZED (SELECT doc_id,
+             |        CAST(sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+             |      FROM proj GROUP BY 1),
+             |nrm AS (SELECT doc_id, sum(c*c) AS nq FROM hist GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS qid, b.doc_id AS nid, sum(ha.c * hb.c) AS dp
+             |         FROM bk a JOIN bk b ON a.bucket = b.bucket
+             |           AND a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+             |         JOIN hist ha ON ha.doc_id = a.doc_id
+             |         JOIN hist hb ON hb.doc_id = b.doc_id AND ha.bin = hb.bin
+             |         GROUP BY 1, 2),
+             |cs AS (SELECT qid, nid,
+             |         round(dp / (sqrt(na.nq) * sqrt(nb.nq)), 6) AS cos
+             |       FROM dots JOIN nrm na ON qid = na.doc_id JOIN nrm nb ON nid = nb.doc_id),
+             |rk AS (SELECT qid, nid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cs)
+             |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin))
   )
 
   private val qs: Seq[Q] =
