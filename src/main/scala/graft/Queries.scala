@@ -6801,7 +6801,58 @@ object Queries {
              |       FROM dots JOIN nrm na ON qid = na.doc_id JOIN nrm nb ON nid = nb.doc_id),
              |rk AS (SELECT qid, nid, cos,
              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cs)
-             |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin))
+             |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin)),
+
+    // ----- X25: Z-order layout compaction census (ops.ZOrder — the
+    // Delta/Iceberg OPTIMIZE ZORDER physical-design shape, Morton 1966):
+    // interleave the bits of (user_id, event-minute) so rows close in
+    // BOTH dimensions land close in the 1-D sort — the property per-file
+    // min-max stats need to prune 2-D box predicates at 100 TB (a
+    // lexicographic sort prunes only its leading column; ZOrderSpec
+    // measures the pruning advantage directly). The census groups the
+    // corpus by z-prefix (z div 2^20 — the "file" granularity) and
+    // reports each bucket's (user, minute) bounding box: z-contiguous
+    // buckets must cover SMALL boxes on both dimensions at once, and the
+    // oracle replays the bit-interleave and the boxes exactly.
+    Q("x25_zorder",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.ZOrder
+        val e = t(s, dir, "events")
+          .withColumn("u", pmod($"user_id", lit(65536L)))
+          .withColumn("m", pmod(expr("unix_micros(ts) div 60000000"), lit(65536L)))
+        e.withColumn("z", ZOrder.zValue2($"u", $"m", bits = 16))
+          .groupBy(expr("z div 1048576").as("zb"))
+          .agg(count(lit(1)).as("n"),
+            min($"u").as("u_min"), max($"u").as("u_max"),
+            min($"m").as("m_min"), max($"m").as("m_max"))
+          .orderBy($"zb")
+      },
+      Some("""WITH e AS (SELECT user_id % 65536 AS u,
+             |         (epoch_us(ts) // 60000000) % 65536 AS m
+             |       FROM events),
+             |z AS (SELECT u, m,
+             |        (((u >> 0) & 1) * 1 + ((m >> 0) & 1) * 2
+             |       + ((u >> 1) & 1) * 4 + ((m >> 1) & 1) * 8
+             |       + ((u >> 2) & 1) * 16 + ((m >> 2) & 1) * 32
+             |       + ((u >> 3) & 1) * 64 + ((m >> 3) & 1) * 128
+             |       + ((u >> 4) & 1) * 256 + ((m >> 4) & 1) * 512
+             |       + ((u >> 5) & 1) * 1024 + ((m >> 5) & 1) * 2048
+             |       + ((u >> 6) & 1) * 4096 + ((m >> 6) & 1) * 8192
+             |       + ((u >> 7) & 1) * 16384 + ((m >> 7) & 1) * 32768
+             |       + ((u >> 8) & 1) * 65536 + ((m >> 8) & 1) * 131072
+             |       + ((u >> 9) & 1) * 262144 + ((m >> 9) & 1) * 524288
+             |       + ((u >> 10) & 1) * 1048576 + ((m >> 10) & 1) * 2097152
+             |       + ((u >> 11) & 1) * 4194304 + ((m >> 11) & 1) * 8388608
+             |       + ((u >> 12) & 1) * 16777216 + ((m >> 12) & 1) * 33554432
+             |       + ((u >> 13) & 1) * 67108864 + ((m >> 13) & 1) * 134217728
+             |       + ((u >> 14) & 1) * 268435456 + ((m >> 14) & 1) * 536870912
+             |       + ((u >> 15) & 1) * 1073741824 + ((m >> 15) & 1) * 2147483648) AS zv
+             |      FROM e)
+             |SELECT zv // 1048576 AS zb, count(*) AS n,
+             |  CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
+             |  CAST(min(m) AS BIGINT) AS m_min, CAST(max(m) AS BIGINT) AS m_max
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
