@@ -6852,7 +6852,56 @@ object Queries {
              |SELECT zv // 1048576 AS zb, count(*) AS n,
              |  CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
              |  CAST(min(m) AS BIGINT) AS m_min, CAST(max(m) AS BIGINT) AS m_max
-             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T18: memorization-risk census — the corpus-level statistic
+    // behind "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al. 2022) and memorization audits: the share of long
+    // (8-token) grams that are DOCUMENT-UNIQUE (docfreq = 1, the
+    // memorizable long tail) vs repeated across documents (the dup mass
+    // the d-operators remove). Per language: docs with >= 8 tokens,
+    // total distinct grams, unique grams, and the integer permille —
+    // exactly the number a dedup pass moves, so it doubles as the
+    // before/after meter for d1/d2/x5. Scale shape: the gram census is
+    // map-side combined (key space = distinct grams, not occurrences),
+    // docfreq=1 filtering happens ON the census (no second corpus
+    // pass), and the per-doc rollup joins grams to the census by the
+    // 8-byte hash — the t5/d8 discipline at 8-gram granularity.
+    Q("t18_memorization_census",
+      (s, dir) => {
+        import s.implicits._
+        val grams = t(s, dir, "documents")
+          .filter(size(split($"text", " ")) >= 8)
+          .select($"doc_id", $"lang",
+            explode(graft.dedup.Dedup.shingles($"text", 8)).as("g"))
+        val census = grams.groupBy($"g")
+          .agg(countDistinct($"doc_id").as("df"))
+        val perDoc = grams.join(census, Seq("g"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n8"),
+               sum(when($"df" === 1, 1L).otherwise(0L)).as("n_unique"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n8").as("grams"),
+               sum($"n_unique").as("unique_grams"),
+               expr("(sum(n_unique) * 1000) div sum(n8)").as("permille_unique"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS tk FROM documents
+             |        WHERE len(string_split(text,' ')) >= 8),
+             |g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(range(len(tk)-7),
+             |        i -> ('0x'||substr(md5(tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+             |              ||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]||' '||tk[i+8]),1,15))::BIGINT))) AS gh
+             |      FROM d),
+             |census AS (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+             |pd AS (SELECT g.doc_id, g.lang, count(*) AS n8,
+             |         sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS n_unique
+             |       FROM g JOIN census c USING (gh) GROUP BY 1, 2)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n8) AS BIGINT) AS grams,
+             |  CAST(sum(n_unique) AS BIGINT) AS unique_grams,
+             |  CAST(sum(n_unique) * 1000 // sum(n8) AS BIGINT) AS permille_unique
+             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
