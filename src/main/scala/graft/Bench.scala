@@ -40,6 +40,20 @@ object Bench {
   private val heavyThresholdSec = 1.0
   /** Timed max/min spread beyond this ⇒ one automatic full re-run. */
   private val spreadRerunFactor = 2.0
+  /** Timed-set median more than this × the query's own warm-up pass
+    * (plus [[warmupGapFloorSec]] absolute) ⇒ re-run. The warm-up runs
+    * FIRST in the query's window, right after the previous query's
+    * cache drop, so every per-session warming effect favors the TIMED
+    * passes — a timed set slower than its own just-completed warm-up is
+    * session-state noise (GC debt, cleaner backlog), not the query.
+    * Round-10 observation: t2_langid warm-up 0.53 s, timed samples
+    * 1.56/1.82/1.93 s (rising), load ~1.5 — neither the spread rule nor
+    * the load rule fires on a uniformly-inflated low-load window, but
+    * the warm-up gap is unmistakable. */
+  private val warmupGapFactor = 2.0
+  /** Absolute slack on the warm-up gap rule so micro-queries (tens of
+    * ms, where 2× is scheduler jitter) don't re-run forever. */
+  private val warmupGapFloorSec = 0.25
   /** 1-min load observed during a timed set above this ⇒ the window was
     * contended ⇒ one automatic full re-run even if the spread looked
     * tight (round-9 verdict: x12 committed 2.47 s vs 0.216 s with zero
@@ -97,6 +111,7 @@ object Bench {
 
     val passLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadFlagged = scala.collection.mutable.ArrayBuffer[String]()
+    val gapFlagged = scala.collection.mutable.ArrayBuffer[String]()
 
     val results = selected.map { case (name, fn) =>
       val l0 = load1m()
@@ -128,9 +143,17 @@ object Bench {
       // a contended-but-uniform window passes the spread rule, so load
       // gates the commit independently
       val maxLoad1 = (l0 +: pl.drop(set1Start).toSeq).max
+      // warm-up gap: the timed set is markedly slower than the query's
+      // own warm-up pass ⇒ transient session-state inflation suspected
+      val warmOk = warm.filter(_ >= 0)
+      def gapped(ts: Seq[Double]): Boolean = warmOk.nonEmpty && {
+        val m0 = med(ts)
+        m0 > warmupGapFactor * warmOk.min && m0 - warmOk.min > warmupGapFloorSec
+      }
       val (raw, m) =
         if (errors.contains(name) ||
-            (spread <= spreadRerunFactor && maxLoad1 <= loadRerunThreshold))
+            (spread <= spreadRerunFactor && maxLoad1 <= loadRerunThreshold &&
+             !gapped(set1)))
           (warm ++ set1, med(set1))
         else {
           // contended window suspected — re-measure; a busy machine only
@@ -142,6 +165,7 @@ object Bench {
           // both windows contended ⇒ the committed number is still
           // load-suspect — flag it in the artifact rather than pretend
           if (math.min(maxLoad1, maxLoad2) > loadRerunThreshold) loadFlagged += name
+          if (gapped(set1) && gapped(set2)) gapFlagged += name
           (warm ++ set1 ++ set2, math.min(med(set1), med(set2)))
         }
       passLoads(name) = pl.toSeq
@@ -153,6 +177,10 @@ object Bench {
       // runs can't build cache-eviction pressure that taxes whoever runs
       // later in the alphabet.
       spark.catalog.clearCache()
+      // GC breather: settle ContextCleaner/broadcast/codegen-cache debt
+      // NOW instead of letting it tax whichever query runs next (the
+      // round-10 t2 inflation ran at load 1.5 — heap churn, not CPU)
+      System.gc()
       val l1 = load1m()
       loads(name) = (l0, l1)
       System.err.println(f"[bench] $name%-24s median $m%8.3f s  load $l0%.1f->$l1%.1f" +
@@ -185,11 +213,13 @@ object Bench {
     val plJ = passLoads.map { case (k, v) => "\"" + k + "\":" + v.map(r4).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val flagJ = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val gapJ = gapFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val policy = s""""policy":{"warmup_discarded":$warmup,"n":$n,"n_heavy":${math.max(n, 5)},""" +
       s""""heavy_rule":"warmup>${heavyThresholdSec}s","spread_rerun":$spreadRerunFactor,""" +
-      s""""load_rerun":$loadRerunThreshold,"median_commit":"min-of-medians-on-rerun"}"""
+      s""""load_rerun":$loadRerunThreshold,"warmup_gap_rerun":$warmupGapFactor,""" +
+      s""""warmup_gap_floor_sec":$warmupGapFloorSec,"median_commit":"min-of-medians-on-rerun"}"""
     val fileLine = line.dropRight(1) +
-      s""","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
+      s""","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line: compact enough (<600 B) to survive any tail
