@@ -6723,6 +6723,85 @@ object Queries {
              |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(ham AS BIGINT) AS ham
              |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    // ----- V16: large-×-large semantic top-k JOIN (Ann.ivfSqJoin) —
+    // the corpus-to-corpus retrieval shape (RETRO neighbor fetch,
+    // cross-corpus semantic decontamination, kNN-LM datastore build)
+    // where BOTH sides are data-scale: every other ANN query broadcasts
+    // its query side; here the even-id half of the embeddings table is
+    // the corpus and the ENTIRE odd-id half is the query side. Coarse
+    // centroids + SQ8 grid are bounded models trained on the corpus;
+    // corpus rows assign+encode map-only; query rows route to their 2
+    // nearest cells via a literal-centroid argsort (no crossJoin, no
+    // window) and encode in the same projection; the ONE large-large
+    // exchange is the shuffled equi-join on cell id (pair volume =
+    // the IVF candidate count, task granularity = one cell); per-query
+    // top-3 window. Oracle replays training, grid (clamping exercised:
+    // the grid is corpus-only, so query values can fall outside),
+    // both encodes, routing, and ranking bit-for-bit.
+    Q("v16_ann_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        Ann.ivfSqJoin(prepared.filter($"id" % 2 === 0),
+            prepared.filter($"id" % 2 === 1),
+            kCells = 4, coarseIters = 1, nProbes = 2, k = 3)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |co AS (SELECT * FROM q WHERE id % 2 = 0),
+             |qu AS (SELECT * FROM q WHERE id % 2 = 1),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM co ORDER BY id LIMIT 4),
+             |e1 AS (SELECT co.id, c0.cid,
+             |         sum((co.qv[d+1]-c0.cv[d+1])*(co.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM co CROSS JOIN c0 CROSS JOIN dim GROUP BY co.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(co.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN co USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT co.id, c1.cid,
+             |         sum((co.qv[d+1]-c1.cv[d+1])*(co.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM co CROSS JOIN c1 CROSS JOIN dim GROUP BY co.id, c1.cid),
+             |ac AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |px AS (SELECT co.id, d, qv[d+1] AS x FROM co CROSS JOIN dim),
+             |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+             |encc AS MATERIALIZED (SELECT px.id, px.d,
+             |         CASE WHEN g.mx = g.mn THEN 0
+             |              ELSE least(255, (greatest(0, px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+             |       FROM px JOIN grid g USING (d)),
+             |qx AS (SELECT qu.id, d, qv[d+1] AS x FROM qu CROSS JOIN dim),
+             |encq AS MATERIALIZED (SELECT qx.id, qx.d,
+             |         CASE WHEN g.mx = g.mn THEN 0
+             |              ELSE least(255, (greatest(0, qx.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+             |       FROM qx JOIN grid g USING (d)),
+             |pe AS (SELECT qu.id, c1.cid,
+             |         sum((qu.qv[d+1]-c1.cv[d+1])*(qu.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM qu CROSS JOIN c1 CROSS JOIN dim GROUP BY qu.id, c1.cid),
+             |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
+             |       WHERE rn <= 2),
+             |pd AS (SELECT pb.qid, ac.id AS nid,
+             |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
+             |       FROM pb JOIN ac ON ac.cid = pb.cid
+             |       JOIN encc e ON e.id = ac.id
+             |       JOIN encq qe ON qe.id = pb.qid AND qe.d = e.d
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT qid, nid, d2c,
+             |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
+             |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
+             |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     // ----- M6: multimodal (binary-blob) NEAR-dup — the dedup family
     // applied to opaque blobs, closing the gap between m1-m5 (multimodal
     // plumbing) and d1-d11 (text dedup): a 16-bin byte histogram per

@@ -891,10 +891,18 @@ object Ann {
     * projection: two zip_with passes, no join, no shuffle. The division
     * subtracts `pmod` first, making the numerator an exact multiple —
     * pure integer arithmetic. Returns (id, codes, ncode). */
-  def sqEncode(prepared: DataFrame, params: DataFrame): DataFrame = {
-    val grid = params.select(col("d"), col("mn"), col("mx"))
+  def sqEncode(prepared: DataFrame, params: DataFrame): DataFrame =
+    sqEncodeWith(prepared, collectGrid(params))
+
+  /** Collect the dim-row grid once (so multi-encode plans — e.g.
+    * [[ivfSqJoin]]'s corpus + query sides — pay ONE census job). */
+  private def collectGrid(params: DataFrame): Array[(Int, Long, Long)] =
+    params.select(col("d"), col("mn"), col("mx"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+
+  private def sqEncodeWith(prepared: DataFrame,
+                           grid: Array[(Int, Long, Long)]): DataFrame = {
     val mnArr = array(grid.map(g => lit(g._2)): _*)
     val spanArr = array(grid.map(g => lit(g._3 - g._2)): _*)
     val shifted = zip_with(col("qv"), mnArr, (x, mn) => greatest(lit(0L), x - mn))
@@ -979,6 +987,83 @@ object Ann {
     val pairs = postings.join(broadcast(qside),
         col("cid") === col("pcid") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"), d2c.as("d2c"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("d2c"))
+  }
+
+  /** Large-×-large semantic top-k JOIN: for every vector of `queries`,
+    * its k nearest `corpus` vectors in SQ8 code space through an IVF
+    * coarse quantizer — the corpus-to-corpus retrieval shape (RETRO-
+    * style neighbor fetch, cross-corpus semantic decontamination,
+    * kNN-LM datastore build) where BOTH sides are data-scale and
+    * neither can be broadcast.
+    *
+    * Plan shape at 100 TB — every stage before the join is map-only:
+    * the coarse centroids and SQ grid are bounded models (k·dim /
+    * dim·2 rows) trained on the corpus side; corpus rows assign + encode
+    * in one projection ([[assign]]'s literal path, [[sqEncode]]);
+    * query rows route to their nProbes nearest cells via a literal
+    * centroid argsort expression (NO crossJoin, NO window — the
+    * routing that [[ivfSq]] does with a window over queries×kCells
+    * rows collapses to a per-row array_sort of kCells literal structs)
+    * and encode in the same projection. The single shuffle pair is the
+    * equi-join on cell id — a SHUFFLED join, not a broadcast: pair
+    * volume is the IVF candidate count (|queries|·nProbes·|corpus|/
+    * kCells), task granularity is one cell, so kCells must be sized
+    * ≥ a few × cluster cores (and AQE skew-join splits hot cells).
+    * The per-query top-k window is the only other exchange.
+    *
+    * Ids of the two sides are independent (no self-pair exclusion —
+    * distinct corpora); filter `qid === nid` downstream when joining a
+    * corpus to itself. Same determinism discipline as [[ivfSq]]; DuckDB
+    * replays coarse training, the grid, both encodes, routing, and the
+    * ranking bit-for-bit (query `v16_ann_join`).
+    * Returns (qid, rk, nid, d2c). */
+  def ivfSqJoin(corpus: DataFrame, queries: DataFrame, kCells: Int,
+                coarseIters: Int, nProbes: Int, k: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, kCells, coarseIters)
+    val grid = collectGrid(sqParams(corpus)) // one census job, both encodes
+    val postings = sqEncodeWith(
+        assign(corpus, cents).select(struct(col("id"), col("cid")).as("id"), col("qv")),
+        grid)
+      .select(col("id.id").as("nid"), col("id.cid").as("cid"),
+        col("codes"), col("ncode"))
+    val routed =
+      if (kCells <= maxLiteralCentroids) {
+        // literal probe routing: array_sort of kCells (score, cid)
+        // structs, score = nc − 2·q·c (the rank of d2 with the per-row
+        // constant |q|² dropped — same order, same (d2, cid) ties)
+        val centArr = cents.select(col("cid").cast("int"), col("cv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+        val entries = centArr.map { case (cid, cv) =>
+          val nc = cv.map(x => x * x).sum
+          struct((lit(nc) - lit(2L) * GraftFunctions.dot_long(col("qv"), typedLit(cv))).as("s"),
+                 lit(cid).as("c"))
+        }
+        queries.select(col("id"), col("qv"),
+            explode(slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nProbes)).as("p"))
+          .select(struct(col("id"), col("p.c").as("cid")).as("id"), col("qv"))
+      } else {
+        // large-kCells fallback: model broadcast + per-query window
+        val withNc = cents.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+        val nq = GraftFunctions.dot_long(col("qv"), col("qv"))
+        val d2qc = col("nq") + col("nc") -
+          lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv"))
+        val pw = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+        queries.withColumn("nq", nq).crossJoin(broadcast(withNc))
+          .select(col("id"), col("qv"), col("cid"), d2qc.as("d2"))
+          .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbes)
+          .select(struct(col("id"), col("cid")).as("id"), col("qv"))
+      }
+    val qside = sqEncodeWith(routed, grid)
+      .select(col("id.id").as("qid"), col("id.cid").as("qcid"),
+        col("codes").as("qcodes"), col("ncode").as("qn"))
+    val d2c = col("qn") + col("ncode") -
+      lit(2L) * GraftFunctions.dot_long(col("qcodes"), col("codes"))
+    // the one large-large exchange: shuffled equi-join on cell id
+    val pairs = postings.join(qside, col("cid") === col("qcid"))
+      .select(col("qid"), col("nid"), d2c.as("d2c"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2c"), col("nid"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("d2c"))

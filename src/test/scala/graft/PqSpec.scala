@@ -250,4 +250,50 @@ class PqSpec extends SparkSpec {
     assert(all4.exceptAll(full).isEmpty && full.exceptAll(all4).isEmpty,
       "full-probe ivfSq diverged from the full SQ8 scan")
   }
+
+  test("ivfSqJoin: probe-bounded large-large join; full probe = exact code-space join; no broadcast hint") {
+    val corpus = prepared.filter($"id" % 2 === 0)
+    val queries = prepared.filter($"id" % 2 === 1)
+    def run(nProbes: Int): DataFrame =
+      Ann.ivfSqJoin(corpus, queries, kCells = 4, coarseIters = 1,
+        nProbes = nProbes, k = 5).cache()
+    // posting-bounded: neighbors only from the query's 2 nearest cells
+    // (models trained on the CORPUS side)
+    val cents = Ann.kmeansCentroids(corpus, 4, 1)
+    val asg = Ann.assign(corpus, cents).select($"id".as("nid"), $"cid")
+    val d2qc = $"a.nq" + GraftFunctions.dot_long($"cv", $"cv") -
+      lit(2L) * GraftFunctions.dot_long($"a.qv", $"cv")
+    val pw = Window.partitionBy($"qid").orderBy($"d2", $"cid")
+    val probed = queries.as("a").crossJoin(broadcast(cents))
+      .select($"a.id".as("qid"), $"cid", d2qc.as("d2"))
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= 2)
+      .select($"qid", $"cid")
+    val two = run(2)
+    val offCell = two.join(asg, Seq("nid"))
+      .join(probed, Seq("qid", "cid"), "left_anti").count()
+    assert(offCell === 0, s"$offCell neighbors came from unprobed cells")
+    // the grid is corpus-global, so probing every cell must reproduce
+    // the exact all-pairs code-space ranking (queries x corpus)
+    val grid = Ann.sqParams(corpus)
+    val cc = Ann.sqEncode(corpus, grid)
+    val qc = Ann.sqEncode(queries, grid)
+    val d2c = $"qn" + $"ncode" -
+      lit(2L) * GraftFunctions.dot_long($"qcodes", $"codes")
+    val w = Window.partitionBy($"qid").orderBy($"d2c", $"nid")
+    val full = qc.select($"id".as("qid"), $"codes".as("qcodes"), $"ncode".as("qn"))
+      .crossJoin(cc.select($"id".as("nid"), $"codes", $"ncode"))
+      .select($"qid", $"nid", d2c.as("d2c"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"qid", $"rk", $"nid", $"d2c")
+    val all4 = run(4)
+    assert(all4.exceptAll(full).isEmpty && full.exceptAll(all4).isEmpty,
+      "full-probe ivfSqJoin diverged from the exact code-space join")
+    // both sides are data-scale: the library must not FORCE a broadcast
+    // on the cell-id join (the optimizer may still pick one for tiny
+    // inputs — that's adaptivity, not a plan hint)
+    val hinted = two.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, "ivfSqJoin must not broadcast-hint the large-large join")
+  }
 }
