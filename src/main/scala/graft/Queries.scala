@@ -5920,6 +5920,68 @@ object Queries {
              |FROM eb WHERE est >= 940 AND exact >= 940
              |ORDER BY value""".stripMargin)),
 
+    // ----- K7: theta-sketch SET OPERATIONS (Dasgupta et al., the Apache
+    // DataSketches theta family) — distinct-count union / intersection /
+    // difference of sets sketched INDEPENDENTLY. k1/k2 answer "how many
+    // distinct" for one stream; governance questions are relational: how
+    // many distinct tokens do the two corpus halves SHARE, how many are
+    // unique to each. Each side is scanned ONCE into a 64-long bottom-k
+    // sketch (mergeable state, map-side combined); every pairwise
+    // estimate is then pure expression arithmetic over two KB arrays —
+    // an n×m corpus grid costs n sketches, not n·m scans (the
+    // sketch-side companion of x24's exact overlap census). Estimates
+    // are exactly deterministic for the fixed 60-bit md5 hash; the
+    // oracle replays sketches, thetas, and every estimator bit-for-bit.
+    Q("k7_theta_ops",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.{Kmv, Theta}
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .filter(length($"tok") > 0)
+          .select(($"doc_id" % 2 === 0).as("side"), Kmv.hash60($"tok").as("h"))
+        val sk = toks.groupBy($"side").agg(Theta.sketch($"h", 64).as("sk"))
+        sk.filter($"side").select($"sk".as("ska"))
+          .crossJoin(sk.filter(!$"side").select($"sk".as("skb")))
+          .select(
+            Theta.distinctEstimate($"ska", 64).as("est_a"),
+            Theta.distinctEstimate($"skb", 64).as("est_b"),
+            Theta.unionEstimate($"ska", $"skb", 64).as("est_union"),
+            Theta.intersectEstimate($"ska", $"skb", 64).as("est_intersect"),
+            Theta.diffEstimate($"ska", $"skb", 64).as("est_diff_ab"),
+            Theta.diffEstimate($"skb", $"ska", 64).as("est_diff_ba"))
+      },
+      Some("""WITH tok AS (SELECT doc_id % 2 = 0 AS side,
+             |         ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+             |       FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |       WHERE len(t.tok) > 0),
+             |dh AS (SELECT DISTINCT side, h FROM tok),
+             |rk AS (SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rn FROM dh),
+             |ska AS (SELECT list(h ORDER BY h) AS sk FROM rk WHERE side AND rn <= 64),
+             |skb AS (SELECT list(h ORDER BY h) AS sk FROM rk WHERE NOT side AND rn <= 64),
+             |pair AS (SELECT a.sk AS ska, b.sk AS skb,
+             |           CASE WHEN len(a.sk) < 64 THEN 1152921504606846976 ELSE a.sk[64] END AS tha,
+             |           CASE WHEN len(b.sk) < 64 THEN 1152921504606846976 ELSE b.sk[64] END AS thb
+             |         FROM ska a CROSS JOIN skb b),
+             |p2 AS (SELECT *, least(tha, thb) AS thab,
+             |           len(list_filter(list_intersect(ska, skb), x -> x < least(tha, thb))) AS n_int,
+             |           len(list_filter(ska, x -> x < least(tha, thb) AND NOT list_contains(skb, x))) AS n_dab,
+             |           len(list_filter(skb, x -> x < least(tha, thb) AND NOT list_contains(ska, x))) AS n_dba,
+             |           list_sort(list_filter(list_distinct(list_concat(ska, skb)), x -> x < least(tha, thb))) AS mu
+             |         FROM pair)
+             |SELECT
+             |  CASE WHEN len(ska) < 64 THEN len(ska)
+             |       ELSE CAST(floor(63.0 * pow(2.0, 60) / CAST(ska[64] AS DOUBLE)) AS BIGINT) END AS est_a,
+             |  CASE WHEN len(skb) < 64 THEN len(skb)
+             |       ELSE CAST(floor(63.0 * pow(2.0, 60) / CAST(skb[64] AS DOUBLE)) AS BIGINT) END AS est_b,
+             |  CASE WHEN len(mu) > 64
+             |       THEN CAST(floor(63.0 * pow(2.0, 60) / CAST(mu[64] AS DOUBLE)) AS BIGINT)
+             |       ELSE CAST(floor(CAST(len(mu) AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) END AS est_union,
+             |  CAST(floor(CAST(n_int AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) AS est_intersect,
+             |  CAST(floor(CAST(n_dab AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) AS est_diff_ab,
+             |  CAST(floor(CAST(n_dba AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) AS est_diff_ba
+             |FROM p2""".stripMargin)),
+
     // ----- V13: scalar quantization (SQ8) top-k — the FAISS QT_8bit
     // middle rung between exact vectors and PQ: one byte per dim on a
     // per-dim [min,max] grid (8× smaller state; 256 levels/dim vs ADC's

@@ -24,34 +24,37 @@ object Kmv {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Insert a hash into a sorted bottom-k array (no-op on duplicates or
+    * values above the current k-th smallest). Shared by the estimate
+    * aggregator and [[Theta]]'s sketch-array aggregator. */
+  private[sketch] def insertBottomK(b: Array[Long], v: Long, k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, v)
+    if (pos >= 0) b // duplicate hash
+    else if (b.length < k) {
+      val ins = -pos - 1
+      val out = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+      out
+    } else if (v < b(k - 1)) {
+      val ins = -pos - 1
+      val out = new Array[Long](k)
+      System.arraycopy(b, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(b, ins, out, ins + 1, k - 1 - ins)
+      out
+    } else b
+  }
+
   /** Sorted array of the ≤k smallest DISTINCT hash values. */
   private final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Long] {
     override def zero: Array[Long] = Array.emptyLongArray
 
-    override def reduce(b: Array[Long], v: Long): Array[Long] = insert(b, v)
+    override def reduce(b: Array[Long], v: Long): Array[Long] = insertBottomK(b, v, k)
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-      b.foldLeft(a)(insert)
-
-    private def insert(b: Array[Long], v: Long): Array[Long] = {
-      val pos = java.util.Arrays.binarySearch(b, v)
-      if (pos >= 0) b // duplicate hash
-      else if (b.length < k) {
-        val ins = -pos - 1
-        val out = new Array[Long](b.length + 1)
-        System.arraycopy(b, 0, out, 0, ins)
-        out(ins) = v
-        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
-        out
-      } else if (v < b(k - 1)) {
-        val ins = -pos - 1
-        val out = new Array[Long](k)
-        System.arraycopy(b, 0, out, 0, ins)
-        out(ins) = v
-        System.arraycopy(b, ins, out, ins + 1, k - 1 - ins)
-        out
-      } else b
-    }
+      b.foldLeft(a)((acc, v) => insertBottomK(acc, v, k))
 
     override def finish(b: Array[Long]): Long =
       if (b.length < k) b.length.toLong
