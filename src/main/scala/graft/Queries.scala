@@ -6944,6 +6944,61 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cs)
              |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin)),
 
+    // ----- S14: streaming heavy hitters — count-min as BOUNDED stream
+    // state (the k4/k6 sketch meeting the streaming family, s10's HLL
+    // discipline for frequencies): exact per-key counting over an
+    // unbounded stream needs unbounded state, but the d×w counter
+    // matrix is a streaming aggregation with ≤ 256 state rows no matter
+    // the stream volume — count merges are order/batch-invariant, so
+    // the final streamed counters are bit-equal to a batch sketch of
+    // the same rows (what the oracle replays). Candidates + the exact
+    // lossless second pass (k6's over-count guarantee) attach batch-
+    // side on the sink; the threshold is 8‰ of the stream, so the gate
+    // scales with sf instead of pinning an absolute count.
+    Q("s14_stream_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.CountMin
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val queryName = "graft_scm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = CountMin.table(stream.select($"user_id"), $"user_id", d = 4, w = 64)
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        val cm = s.table(queryName)
+        val ev = t(s, dir, "events")
+        val tot = ev.agg(floor(count(lit(1)) * lit(8) / lit(1000)).cast("long").as("th"))
+        val users = ev.select($"user_id").distinct()
+        CountMin.estimate(cm, users, $"user_id", d = 4, w = 64)
+          .crossJoin(broadcast(tot))
+          .filter($"est" >= $"th")
+          .join(ev.groupBy($"user_id".cast("string").as("value"))
+                  .agg(count(lit(1)).as("exact")), Seq("value"))
+          .filter($"exact" >= $"th")
+          .select($"value", $"exact", $"est")
+          .orderBy($"value")
+      },
+      Some("""WITH rb AS (SELECT r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||user_id::VARCHAR),1,15))::BIGINT % 64 AS bucket
+             |       FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |cm AS MATERIALIZED (SELECT rw, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+             |th AS (SELECT (count(*) * 8) // 1000 AS th FROM events),
+             |us AS (SELECT DISTINCT user_id::VARCHAR AS value FROM events),
+             |pb AS (SELECT value, r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||value),1,15))::BIGINT % 64 AS bucket
+             |       FROM us CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |est AS (SELECT pb.value, min(coalesce(cm.cnt, 0)) AS est
+             |        FROM pb LEFT JOIN cm USING (rw, bucket) GROUP BY 1),
+             |ex AS (SELECT user_id::VARCHAR AS value, count(*) AS exact FROM events GROUP BY 1)
+             |SELECT est.value, CAST(ex.exact AS BIGINT) AS exact, CAST(est.est AS BIGINT) AS est
+             |FROM est JOIN ex USING (value) CROSS JOIN th
+             |WHERE est.est >= th.th AND ex.exact >= th.th
+             |ORDER BY est.value""".stripMargin)),
+
     // ----- X25: Z-order layout compaction census (ops.ZOrder — the
     // Delta/Iceberg OPTIMIZE ZORDER physical-design shape, Morton 1966):
     // interleave the bits of (user_id, event-minute) so rows close in
