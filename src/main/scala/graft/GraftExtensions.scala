@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.{DotLong, HammingDist, MinhashSig, NgramHash, SortedJaccard, SortedJaccardLong}
+import org.apache.spark.sql.graftx.{DotLong, HammingDist, MinhashSig, NgramHash, SortedJaccard, SortedJaccardLong, SortedIntersectLong}
 
 /** Cluster-wide registration of graft's native SQL functions:
   *
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SortedJaccard(es.head, es(1)))
     inject("sorted_jaccard_long", "sorted_jaccard_long(a, b) - jaccard of two sorted distinct BIGINT arrays",
       es => SortedJaccardLong(es.head, es(1)))
+    inject("sorted_intersect_long", "sorted_intersect_long(a, b) - intersection count of two sorted distinct BIGINT arrays",
+      es => SortedIntersectLong(es.head, es(1)))
     inject("hamming_dist", "hamming_dist(a, b) - bit-population distance of two BIGINTs",
       es => HammingDist(es.head, es(1)))
     def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()

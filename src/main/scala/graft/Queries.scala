@@ -6616,6 +6616,50 @@ object Queries {
              |      / len(list_distinct(sa.st || sb.st)) >= 0.95
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- D12: asymmetric CONTAINMENT join (Broder 1997 containment;
+    // prefix-filter candidate generation — Chaudhuri et al. ICDE 2006,
+    // PPJoin family): the near-dup class Jaccard LSH structurally
+    // MISSES — a short doc fully contained in a long one has Jaccard
+    // ≈ |A|/|B| and its minhash signatures disagree almost everywhere,
+    // yet it is exactly the quote/excerpt/wrapper duplication a
+    // pretraining corpus is full of. Candidates: order the gram
+    // universe by (docfreq, gram) rarest-first; each probe doc's
+    // pigeonhole prefix (|A| − ⌈t·|A|⌉ + 1 rarest grams) equi-joins the
+    // full inverted index — LOSSLESS for C(a→b) ≥ t, and join keys are
+    // low-docfreq by construction so the skewed common grams never
+    // enter the join. Verify: one merge-pass codegen intersect count
+    // on candidates only; all thresholds exact integer permille. The
+    // oracle replays census → prefix ranks → pigeonhole → candidates →
+    // verify bit-for-bit.
+    Q("d12_containment",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.Dedup.containmentPairs(
+            t(s, dir, "documents"), "doc_id", "text", n = 3, tPermille = 900)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH sp AS (SELECT doc_id AS id, string_split(text, ' ') AS s FROM documents),
+             |gr AS (SELECT id, list_sort(list_distinct(list_transform(range(len(s)-2),
+             |         i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT))) AS gs
+             |       FROM sp),
+             |gn AS (SELECT id, gs, len(gs) AS na FROM gr WHERE len(gs) > 0),
+             |occ AS (SELECT id, unnest(gs) AS g FROM gn),
+             |dfreq AS (SELECT g, count(*) AS df FROM occ GROUP BY 1),
+             |pref AS (SELECT id AS id_a, g FROM (
+             |           SELECT o.id, o.g, n.na,
+             |             row_number() OVER (PARTITION BY o.id ORDER BY d.df, o.g) AS rn
+             |           FROM occ o JOIN dfreq d USING (g) JOIN gn n USING (id))
+             |         WHERE rn <= na - (na * 900 + 999) // 1000 + 1),
+             |cand AS (SELECT DISTINCT p.id_a, o.id AS id_b
+             |         FROM pref p JOIN occ o USING (g) WHERE p.id_a <> o.id),
+             |ver AS (SELECT c.id_a, c.id_b, a.na AS n_a,
+             |          len(list_intersect(a.gs, b.gs)) AS inter
+             |        FROM cand c JOIN gn a ON a.id = c.id_a JOIN gn b ON b.id = c.id_b)
+             |SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a, CAST(inter AS BIGINT) AS inter,
+             |  CAST((inter * 1000) // n_a AS BIGINT) AS cont_pm
+             |FROM ver WHERE (inter * 1000) // n_a >= 900
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- X24: cross-corpus contamination MATRIX — the governance
     // census a production pipeline publishes (Dedup.contaminationMatrix):
     // x6 scored every train doc against ONE eval set; this reports the

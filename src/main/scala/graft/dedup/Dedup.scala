@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -244,6 +245,73 @@ object Dedup {
     * [[connectedComponents]]' fixpoint check. At 100 TB nothing reaches
     * this function without LSH pruning; the guard makes that a contract
     * instead of a comment. */
+  /** Asymmetric CONTAINMENT join — find (a, b) pairs where at least
+    * `tPermille`/1000 of a's shingle set lies inside b's
+    * (C(a→b) = |S(a) ∩ S(b)| / |S(a)|, Broder 1997 "containment"):
+    * quotes, excerpt pages, wrapper-around-original boilerplate — the
+    * near-dup class Jaccard-based LSH structurally MISSES, because a
+    * short doc fully contained in a long one has tiny Jaccard (|A|/|B|)
+    * and its MinHash signatures disagree almost everywhere.
+    *
+    * Candidate generation is the PREFIX FILTER of the set-similarity-
+    * join family (Chaudhuri, Ganti, Kaushik ICDE 2006; Xiao et al.
+    * PPJoin): order the gram universe globally by (docfreq, gram) —
+    * rarest first — and take each probe doc's first
+    * |A| − ⌈t·|A|⌉ + 1 grams in that order. Pigeonhole: if C(a→b) ≥ t,
+    * fewer than that many of a's grams can miss b, so at least one
+    * PREFIX gram of a is in b — an equi-join of prefixes against the
+    * full inverted index is a LOSSLESS candidate generator. Because
+    * prefixes take the RAREST grams, the join keys are low-docfreq by
+    * construction: candidate volume is Σ_g |prefix probes of g|·df(g)
+    * over rare g, never all-pairs, and the worst skew key is bounded by
+    * the census (the common grams that would explode the join never
+    * enter a prefix unless t is very low and docs are tiny).
+    *
+    * All thresholds are integer permille (⌈t·|A|⌉ = (t·|A| + 999) div
+    * 1000), so the whole pipeline — census, prefix rank, pigeonhole
+    * size, verify — is exact integer arithmetic any engine replays.
+    * Verify is one merge-pass intersect count
+    * ([[GraftFunctions.sorted_intersect_long]]) on the candidate pairs
+    * only. Returns (id_a, id_b, n_a, inter, cont_pm) with
+    * cont_pm = (inter·1000) div |S(a)| ≥ tPermille, id_a ≠ id_b (both
+    * directions reported independently — containment is asymmetric). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tPermille: Int): DataFrame = {
+    require(tPermille >= 1 && tPermille <= 1000,
+      s"tPermille must be in [1, 1000] (got $tPermille)")
+    val grams = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val occ = grams.select(col("id"), explode(col("gs")).as("g"))
+    // global rarity order: docfreq census over distinct (doc, gram)
+    val dfreq = occ.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // prefix size p = |A| - ceil(t*|A|/1000) + 1 (pigeonhole bound)
+    val pw = Window.partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val ceilT = {
+      // ceil(t·|A|/1000) in exact integers: (x − x mod 1000) / 1000 on
+      // the nudged numerator (the repo's pmod floor-division pattern)
+      val x = col("na") * tPermille + 999
+      ((x - pmod(x, lit(1000))) / 1000).cast("long")
+    }
+    val prefixes = occ.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(pw))
+      .join(grams.select(col("id"), size(col("gs")).as("na")), Seq("id"))
+      .filter(col("rn") <= col("na") - ceilT + 1)
+      .select(col("id").as("id_a"), col("g"))
+    val inv = occ.select(col("id").as("id_b"), col("g"))
+    val cand = prefixes.join(inv, Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = GraftFunctions.sorted_intersect_long(col("a.gs"), col("b.gs"))
+    cand.join(grams.as("a"), col("id_a") === col("a.id"))
+      .join(grams.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), size(col("a.gs")).cast("long").as("n_a"),
+        inter.cast("long").as("inter"))
+      .withColumn("cont_pm",
+        ((col("inter") * 1000 - pmod(col("inter") * 1000, col("n_a"))) / col("n_a"))
+          .cast("long"))
+      .filter(col("cont_pm") >= tPermille)
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxRows: Long = 100000L,

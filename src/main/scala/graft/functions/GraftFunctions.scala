@@ -12,6 +12,9 @@ object GraftFunctions {
   def sorted_jaccard(a: Column, b: Column): Column = GraftExpr.sortedJaccard(a, b)
   /** Jaccard of two sorted, distinct BIGINT (hash) arrays. */
   def sorted_jaccard_long(a: Column, b: Column): Column = GraftExpr.sortedJaccardLong(a, b)
+  /** Intersection COUNT of two sorted, distinct BIGINT (hash) arrays —
+    * the containment-verify kernel (C(A→B) = inter / |A|). */
+  def sorted_intersect_long(a: Column, b: Column): Column = GraftExpr.sortedIntersectLong(a, b)
   /** Bit-population distance of two BIGINTs (SimHash compare kernel). */
   def hamming_dist(a: Column, b: Column): Column = GraftExpr.hammingDist(a, b)
   /** 60-bit md5 hashes of word n-grams, one pass, document order. */

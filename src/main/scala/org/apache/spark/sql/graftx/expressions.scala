@@ -154,6 +154,54 @@ case class SortedJaccardLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection COUNT of two SORTED, DISTINCT long arrays via a single
+  * merge pass — the containment-verify kernel (containment C(A→B) =
+  * inter / |A| needs the raw count, not the Jaccard ratio). Same input
+  * contract as [[SortedJaccardLong]]: both sides must be
+  * array_sort(array_distinct(...)). */
+case class SortedIntersectLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance between two BIGINTs (bit population of xor) — the
   * SimHash comparison kernel. */
 case class HammingDist(left: Expression, right: Expression)
@@ -381,6 +429,7 @@ object GraftExpr {
   def minhashSig(text: Column, n: Int, k: Int): Column =
     col(MinhashSig(ex(text), n, k))
   def sortedJaccardLong(a: Column, b: Column): Column = col(SortedJaccardLong(ex(a), ex(b)))
+  def sortedIntersectLong(a: Column, b: Column): Column = col(SortedIntersectLong(ex(a), ex(b)))
   def sortedJaccard(a: Column, b: Column): Column = col(SortedJaccard(ex(a), ex(b)))
   def hammingDist(a: Column, b: Column): Column = col(HammingDist(ex(a), ex(b)))
 
@@ -389,6 +438,7 @@ object GraftExpr {
     reg.createOrReplaceTempFunction("dot_long", es => DotLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard", es => SortedJaccard(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard_long", es => SortedJaccardLong(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_long", es => SortedIntersectLong(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDist(es.head, es(1)), "scala_udf")
     def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("ngram_hashes",

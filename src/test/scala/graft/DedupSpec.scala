@@ -651,4 +651,37 @@ class DedupSpec extends SparkSpec {
       ("g2", "suiteY", 2L, 0L, 0L, 0L)    // zero-filled cell, still present
     ))
   }
+
+  test("containmentPairs: asymmetric hand case; prefix filter is lossless vs all-pairs") {
+    import spark.implicits._
+    // doc 2 is a strict excerpt of doc 1: every 1-gram of 2 is in 1
+    // (C(2→1) = 1000) but C(1→2) = 3/6 = 500 — asymmetry matters
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "beta gamma delta"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val hand = Dedup.containmentPairs(docs, "doc_id", "text", n = 1, tPermille = 900)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(hand.toSeq === Seq((2L, 1L, 1000L)))
+    // losslessness on real data: the prefix-filtered result must equal
+    // the exact all-pairs containment join (both directions)
+    val slice = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter($"doc_id" < 300)
+    val fast = Dedup.containmentPairs(slice, "doc_id", "text", n = 3, tPermille = 800)
+    val grams = slice.select($"doc_id".as("id"),
+      Dedup.shingles($"text", 3).as("gs")).filter(size($"gs") > 0)
+    val inter = graft.functions.GraftFunctions
+      .sorted_intersect_long($"a.gs", $"b.gs").cast("long")
+    val exact = grams.as("a").join(grams.as("b"), $"a.id" =!= $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        size($"a.gs").cast("long").as("n_a"), inter.as("inter"))
+      .withColumn("cont_pm",
+        (($"inter" * 1000 - pmod($"inter" * 1000, $"n_a")) / $"n_a").cast("long"))
+      .filter($"cont_pm" >= 800)
+    assert(fast.count() > 0, "slice should contain containment pairs")
+    assert(fast.exceptAll(exact).isEmpty && exact.exceptAll(fast).isEmpty,
+      "prefix-filtered containment diverged from the exact all-pairs join")
+  }
 }
