@@ -2190,6 +2190,44 @@ object Queries {
              |  CAST(sum(abs(epoch_us(c_ts) - epoch_us(p_ts))) AS BIGINT) AS sum_abs_gap_us
              |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- J8: large-×-large PURE range join (ops.RangeJoin.byBuckets) —
+    // the join cell j3/j6 leave open: a range-ONLY condition (no equi-
+    // key) between two data-scale sides plans as BroadcastNestedLoopJoin
+    // or a cartesian in naive Spark. Binning turns it into a shuffled
+    // equi-join on bucket id (each right row owns one bucket map-side,
+    // each left row explodes to the ≤2 buckets its window touches) with
+    // the exact inclusive range predicate as post-filter. Here: global
+    // error-burst attribution — for each purchase, the count of ERROR
+    // events of ANY user in the preceding 10 minutes (no shared key),
+    // rolled up to a (n_err → n_purchases) distribution. RangeJoinSpec
+    // pins equivalence to the naive theta join and that the plan carries
+    // no BNLJ/cartesian.
+    Q("j8_range_burst",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"ts".as("pts"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id".as("eid"), $"ts".as("ets"))
+        val perP = graft.ops.RangeJoin.byBuckets(
+            purchases, errors, $"pts", $"ets",
+            lowerSec = -600, upperSec = 0, bucketSec = 600)
+          .groupBy($"pid").agg(count(lit(1)).as("n_err"))
+        purchases.join(perP, Seq("pid"), "left")
+          .select(coalesce($"n_err", lit(0L)).as("n_err"))
+          .groupBy($"n_err").agg(count(lit(1)).as("n_purchases"))
+          .orderBy($"n_err")
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT ts AS ets FROM events WHERE event_type = 'error'),
+             |c AS (SELECT p.pid, count(e.ets) AS n_err
+             |      FROM p LEFT JOIN e
+             |        ON e.ets BETWEEN p.pts - INTERVAL 600 SECOND AND p.pts
+             |      GROUP BY p.pid)
+             |SELECT n_err, count(*) AS n_purchases
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- K1: KMV bottom-k distinct sketch vs exact — one-pass mergeable
     // bounded state (k=64 longs) with map-side partial aggregation; the
     // estimator (k-1)*2^60/h_k is hash-deterministic so DuckDB replays it
