@@ -7026,6 +7026,78 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cs)
              |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin)),
 
+    // ----- M7: PERCEPTUAL near-dup (dHash, Krawetz) — m6 deduped blobs
+    // by byte distribution; this is the image-content form: a REAL
+    // ImageIO decode (zlib inflate + PNG defilter, the m2 path), a
+    // deterministic 9×8 nearest-neighbor downsample, and the classic
+    // 64-bit difference hash (bit = right neighbor brighter), packed 32
+    // bits/word (v15's both-engine-exact discipline). Blocking is
+    // SimHash-style banding of the 64 bits (4×16-bit keys, equi-join —
+    // no all-pairs); verify is the codegen popcount over both words.
+    // The oracle recomputes sampling grid → bits → words → bands →
+    // Hamming from the original text (documents are ASCII so
+    // ord(char) == decoded byte — the m2/m4 contract), hash-gating the
+    // whole binary→PNG→ImageIO→fingerprint pipeline.
+    Q("m7_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{ImageCodec, PngFixtureCache}
+        import graft.functions.GraftFunctions
+        val words = PngFixtureCache.pngTable(s, dir)
+          .select($"doc_id", $"png_32")
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, png) =>
+              val (w, h, px) = ImageCodec.decodeGrayPng(png)
+              val (w0, w1) = ImageCodec.dHash64(w, h, px)
+              (id, w0, w1)
+            }
+          }.toDF("id", "w0", "w1")
+        val bands = words.select($"id", posexplode(array(
+            $"w0" % 65536, $"w0" / 65536 cast "long",
+            $"w1" % 65536, $"w1" / 65536 cast "long")).as(Seq("j", "key")))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.j" === $"b.j" && $"a.key" === $"b.key" && $"a.id" < $"b.id")
+          .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+        val ham = (GraftFunctions.hamming_dist($"wa.w0", $"wb.w0") +
+          GraftFunctions.hamming_dist($"wa.w1", $"wb.w1")).cast("int")
+        cand.join(words.as("wa"), $"id_a" === $"wa.id")
+          .join(words.as("wb"), $"id_b" === $"wb.id")
+          .select($"id_a", $"id_b", ham.as("ham"))
+          .filter($"ham" <= 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+             |         greatest((octet_length(encode(text)) + 31) // 32, 1) AS h
+             |       FROM documents),
+             |grid AS (SELECT r, c FROM range(8) t1(r), range(9) t2(c)),
+             |g AS (SELECT d.doc_id, grid.r, grid.c,
+             |        CASE WHEN ((grid.r*d.h)//8)*32 + (grid.c*32)//9 < d.n
+             |             THEN ord(d.text[((grid.r*d.h)//8)*32 + (grid.c*32)//9 + 1])
+             |             ELSE 0 END AS v
+             |      FROM d CROSS JOIN grid),
+             |bits AS (SELECT a.doc_id, a.r*8 + a.c AS k,
+             |           CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+             |         FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+             |         WHERE a.c < 8),
+             |words AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(sum(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k-32) ELSE 0 END) AS BIGINT) AS w1
+             |  FROM bits GROUP BY 1),
+             |bands AS (SELECT doc_id, j.j,
+             |    CASE j.j WHEN 0 THEN w0 % 65536 WHEN 1 THEN w0 // 65536
+             |             WHEN 2 THEN w1 % 65536 ELSE w1 // 65536 END AS key
+             |  FROM words CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+             |ver AS (SELECT c.id_a, c.id_b,
+             |          bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS ham
+             |        FROM cand c JOIN words wa ON wa.doc_id = c.id_a
+             |        JOIN words wb ON wb.doc_id = c.id_b)
+             |SELECT id_a, id_b, CAST(ham AS INT) AS ham
+             |FROM ver WHERE ham <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
     // ----- S14: streaming heavy hitters — count-min as BOUNDED stream
     // state (the k4/k6 sketch meeting the streaming family, s10's HLL
     // discipline for frequencies): exact per-key counting over an

@@ -81,4 +81,35 @@ object ImageCodec {
     }
     (w, h, out)
   }
+
+  /** 64-bit difference hash (dHash — the classic perceptual fingerprint:
+    * Krawetz's "kind of like that" construction) over a decoded gray
+    * raster: nearest-neighbor downsample to a 9×8 grid
+    * (g(r,c) = px[⌊r·h/8⌋·w + ⌊c·w/9⌋] — integer sampling so any engine
+    * replays it exactly), then bit k = r·8+c set iff g(r,c+1) > g(r,c).
+    * Packed 32 bits per word ((w0, w1)) — the v15 discipline: a 64-bit
+    * pack would need the sign bit and stop being exactly representable
+    * in engines whose BIGINT overflow errors rather than wraps.
+    * Robust to brightness scaling and small edits; two rasters of the
+    * same content differ in few bits (Hamming over the two words). */
+  def dHash64(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    require(w > 0 && h > 0 && px.length == w * h, s"bad raster: $w x $h for ${px.length}")
+    var w0 = 0L; var w1 = 0L
+    var r = 0
+    while (r < 8) {
+      val row = (r * h / 8) * w
+      var c = 0
+      while (c < 8) {
+        val a = px(row + c * w / 9)
+        val b = px(row + (c + 1) * w / 9)
+        if (b > a) {
+          val k = r * 8 + c
+          if (k < 32) w0 |= 1L << k else w1 |= 1L << (k - 32)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (w0, w1)
+  }
 }

@@ -45,4 +45,25 @@ class ImageCodecSpec extends AnyFunSuite {
       ImageCodec.encodeGrayPng(2, 2, Array.fill(5)(1.toByte))
     }
   }
+
+  test("dHash64: horizontal-gradient bits, brightness invariance, decode consistency") {
+    // strictly increasing rows: every right neighbor is brighter -> all
+    // 64 bits set -> w0 = w1 = 0xFFFFFFFF
+    val grad = Array.tabulate(9 * 8)(i => i % 9 * 10)
+    assert(ImageCodec.dHash64(9, 8, grad) === ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // constant raster: no bit set
+    assert(ImageCodec.dHash64(9, 8, Array.fill(72)(50)) === ((0L, 0L)))
+    // dHash depends only on neighbor DIFFERENCES -> +brightness invariant
+    val noisy = Array.tabulate(32 * 12)(i => (i * 37 + i / 32 * 11) % 90)
+    val brighter = noisy.map(_ + 100)
+    assert(ImageCodec.dHash64(32, 12, noisy) === ImageCodec.dHash64(32, 12, brighter))
+    // hash over a real PNG round-trip == hash over the raw raster
+    val bytes = ("pack my box with five dozen liquor jugs " * 9).getBytes("UTF-8")
+    val h = (bytes.length + 31) / 32
+    val padded = bytes ++ Array.fill(32 * h - bytes.length)(0.toByte)
+    val (w, hh, px) = ImageCodec.decodeGrayPng(ImageCodec.encodeGrayPng(32, h, padded))
+    assert(ImageCodec.dHash64(w, hh, px) ===
+      ImageCodec.dHash64(32, h, padded.map(b => b & 0xff)))
+    intercept[IllegalArgumentException] { ImageCodec.dHash64(3, 3, Array.fill(8)(0)) }
+  }
 }
