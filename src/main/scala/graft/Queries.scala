@@ -7026,6 +7026,51 @@ object Queries {
              |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cs)
              |SELECT qid, nid, cos FROM rk WHERE rk = 1 ORDER BY qid""".stripMargin)),
 
+    // ----- V17: signed-permutation PRETRANSFORM (the FAISS OPQ /
+    // RandomRotation slot, integer-exact form): an orthogonal signed
+    // permutation derived from md5(seed|d) — preserves every dot
+    // product and L2 distance EXACTLY in integers (a float rotation
+    // would re-quantize), while decorrelating the contiguous subspace
+    // slicing PQ/SQ rely on and killing per-dim sign bias. One map-side
+    // projection. The declared query runs brute-force top-5 THROUGH the
+    // transform: the oracle replays permutation ranks, sign parities,
+    // and the cosine ranking bit-for-bit, and exact invariance vs the
+    // untransformed ranking is pinned in RecallSpec.
+    Q("v17_rotation",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val rot = Ann.signedPermute(prepared, dim = 64, seed = "graft-rr")
+        Ann.bruteForceKnn(rot, rot.filter($"id" < 5), 5)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |perm AS (SELECT row_number() OVER (ORDER BY md5('graft-rr|'||CAST(d AS VARCHAR)), d) - 1 AS outd,
+             |                d AS src
+             |         FROM dim),
+             |sgn AS (SELECT d AS outd,
+             |          CASE WHEN ord(substr(md5('graft-rr|s|'||CAST(d AS VARCHAR)),1,1)) % 2 = 1
+             |               THEN -1 ELSE 1 END AS s
+             |        FROM dim),
+             |rot AS (SELECT q.id, list(q.qv[p.src+1] * g.s ORDER BY p.outd) AS qv
+             |        FROM q CROSS JOIN perm p JOIN sgn g ON g.outd = p.outd
+             |        GROUP BY q.id),
+             |n AS (SELECT id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM rot),
+             |pairs AS (
+             |  SELECT a.id AS qid, b.id AS nid,
+             |    round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) AS cos
+             |  FROM n a, n b WHERE a.id < 5 AND b.id != a.id)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+             |  FROM pairs)
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     // ----- M7: PERCEPTUAL near-dup (dHash, Krawetz) — m6 deduped blobs
     // by byte distribution; this is the image-content form: a REAL
     // ImageIO decode (zlib inflate + PNG defilter, the m2 path), a

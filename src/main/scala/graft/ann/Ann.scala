@@ -992,6 +992,33 @@ object Ann {
       .select(col("qid"), col("rk"), col("nid"), col("d2c"))
   }
 
+  /** Deterministic signed-permutation PRETRANSFORM (the FAISS
+    * OPQ/RandomRotation slot, integer-exact form): output dim d takes
+    * source dim π(d) times s(d) ∈ {−1, +1}, with π and s derived from
+    * md5(seed|d) — a SIGNED PERMUTATION matrix, i.e. an orthogonal
+    * rotation that preserves every dot product and L2 distance EXACTLY
+    * in integer arithmetic (no float rotation error, no re-quantization).
+    * Why it exists: PQ/SQ slice vectors into contiguous subspaces, so
+    * correlated ADJACENT dimensions land in the same codebook and waste
+    * its bits; a (seeded) permutation decorrelates the slicing at zero
+    * distance cost, and the sign flips kill any systematic per-dim bias.
+    * One map-side projection; `nq` is preserved (|Rx|² = |x|²).
+    * Exact-invariance contract: brute-force/IVF/ADC rankings on
+    * transformed vectors equal the untransformed rankings whenever the
+    * index math is distance-based (pinned by RecallSpec; DuckDB replays
+    * π, s, and the downstream chain bit-for-bit — query `v17`). */
+  def signedPermute(prepared: DataFrame, dim: Int, seed: String): DataFrame = {
+    val order = (0 until dim)
+      .map(d => (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$seed|$d"), d))
+      .sorted.map(_._2)
+    val sign = (0 until dim).map(d =>
+      if ((org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$seed|s|$d")
+        .charAt(0) & 1) == 1) -1L else 1L)
+    val out = array((0 until dim).map(d =>
+      element_at(col("qv"), order(d) + 1) * lit(sign(d))): _*)
+    prepared.withColumn("qv", out)
+  }
+
   /** Large-×-large semantic top-k JOIN: for every vector of `queries`,
     * its k nearest `corpus` vectors in SQ8 code space through an IVF
     * coarse quantizer — the corpus-to-corpus retrieval shape (RETRO-

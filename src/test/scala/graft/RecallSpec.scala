@@ -162,4 +162,25 @@ class RecallSpec extends SparkSpec {
       "exact re-rank must not lose recall vs the raw ADC ranking")
     t01.unpersist(); shortlist.unpersist(); prep.unpersist()
   }
+
+  test("signedPermute: exact invariance of distance-based rankings; norms preserved") {
+    val rot = Ann.signedPermute(prepared, dim = 64, seed = "graft-rr")
+    // |Rx|^2 == |x|^2 exactly (orthogonal signed permutation)
+    val badNorm = rot
+      .select((graft.functions.GraftFunctions.dot_long(col("qv"), col("qv"))
+        =!= col("nq")).as("bad"))
+      .filter(col("bad")).count()
+    assert(badNorm === 0, "signed permutation changed a vector norm")
+    // brute-force ranking through the transform is bit-identical
+    val through = Ann.bruteForceKnn(rot, rot.filter(qf), 10)
+    assert(through.exceptAll(truth).isEmpty && truth.exceptAll(through).isEmpty,
+      "brute-force ranking changed under the signed permutation")
+    // k-means/IVF is distance-based + per-dim equivariant -> invariant too
+    val ivfDirect = Ann.ivfKnn(prepared, kClusters = 8, trainIters = 2, k = 10,
+      nProbes = 2, queryFilter = qf)
+    val ivfRot = Ann.ivfKnn(rot, kClusters = 8, trainIters = 2, k = 10,
+      nProbes = 2, queryFilter = qf)
+    assert(ivfRot.exceptAll(ivfDirect).isEmpty && ivfDirect.exceptAll(ivfRot).isEmpty,
+      "IVF ranking changed under the signed permutation")
+  }
 }
