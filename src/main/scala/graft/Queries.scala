@@ -2344,6 +2344,42 @@ object Queries {
              |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- G2: sketch-driven AUTO-salt — the skew decision closed-loop
+    // (k4's count-min feeding g1's salted agg, Salt.autoFactor): the
+    // hottest key's row count is bounded by min-over-rows of the max
+    // bucket counter (a certified over-estimate — auto-salting can
+    // never under-split), the factor is ceil(estMax / targetRowsPerTask)
+    // clamped, and the salted aggregation runs at that factor. The
+    // oracle replays the sketch, the row-max/min bound, the factor
+    // arithmetic, AND the aggregate — so the plan DECISION itself is
+    // hash-gated, not just the result.
+    Q("g2_auto_salt",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val factor = graft.ops.Salt.autoFactor(
+          ev, $"event_type", targetRowsPerTask = 500L, d = 4, w = 1024)
+        graft.ops.Salt.saltedSumCount(
+            ev,
+            keys = Seq("event_type"),
+            sums = Seq("sum_cents" -> quant($"value", 100)),
+            saltOn = $"event_id",
+            saltBuckets = factor)
+          .withColumn("salt_factor", lit(factor.toLong))
+          .orderBy($"event_type")
+      },
+      Some("""WITH rb AS (SELECT r.j AS rw,
+             |         ('0x'||substr(md5(r.j::VARCHAR||'|'||event_type),1,15))::BIGINT % 1024 AS bucket
+             |       FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) r),
+             |cm AS (SELECT rw, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+             |mx AS (SELECT min(m) AS est FROM (SELECT rw, max(cnt) AS m FROM cm GROUP BY rw)),
+             |f AS (SELECT least(1024, greatest(1, (est + 499) // 500)) AS salt_factor FROM mx)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(f.salt_factor AS BIGINT) AS salt_factor
+             |FROM events CROSS JOIN f
+             |GROUP BY event_type, f.salt_factor ORDER BY event_type""".stripMargin)),
+
     // ----- X2: exact-size stratified sample — per language stratum, the
     // ceil(10% * N) docs with smallest md5(doc_id): deterministic across
     // runs/cluster sizes and stable under data growth (a doc leaves the

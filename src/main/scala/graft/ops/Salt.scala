@@ -39,6 +39,28 @@ object Salt {
            sums.map { case (n, _) => sum(s"__s_$n").as(n) }: _*)
   }
 
+  /** Sketch-driven salt factor — the skew DECISION made from data
+    * instead of a caller's guess (SCALE.md's "probe join keys against
+    * the sketch before choosing a salt factor", now a first-class
+    * operator): build a count-min sketch over the grouping key (ONE
+    * corpus pass, ≤ d·w-row model), bound the hottest key's row count
+    * by min over rows of (max bucket counter) — for every hash row the
+    * hot key lands in SOME bucket, so each row-max ≥ the true hot
+    * count and the min of row-maxes is a certified OVER-estimate:
+    * auto-salting can never under-split a hot key — then
+    * factor = clamp(⌈estMax / targetRowsPerTask⌉, 1, maxFactor).
+    * Driver-side decision off a bounded model (the
+    * removeFrequentLines census-decision discipline). */
+  def autoFactor(df: DataFrame, keyCol: Column, targetRowsPerTask: Long,
+                 d: Int = 4, w: Int = 1024, maxFactor: Int = 1024): Int = {
+    require(targetRowsPerTask >= 1, s"targetRowsPerTask must be >= 1")
+    val cm = graft.sketch.CountMin.table(df, keyCol, d, w)
+    val estMax = cm.groupBy(col("row")).agg(max(col("cnt")).as("m"))
+      .agg(min(col("m")).as("est")).collect()(0).getLong(0)
+    math.min(maxFactor.toLong,
+      math.max(1L, (estMax + targetRowsPerTask - 1) / targetRowsPerTask)).toInt
+  }
+
   /** Skew-safe equi-join: the big (hot-keyed) side gets a deterministic
     * salt from a high-cardinality column and the small side is
     * replicated across all salt buckets, so the effective join key

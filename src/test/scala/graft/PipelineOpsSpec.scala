@@ -108,6 +108,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("autoFactor: certified over-estimate of the hot key, clamps, collision-free exactness") {
+    import spark.implicits._
+    // hot key 'h' = 9000 rows, cold keys ~1000; w=1024 over 3 keys is
+    // collision-free, so estMax == the true hot count exactly
+    val df = spark.range(0, 10000)
+      .select(when(col("id") < 9000, lit("h"))
+        .otherwise((col("id") % 2).cast("string")).as("k"))
+    assert(Salt.autoFactor(df, col("k"), targetRowsPerTask = 1000) === 9)
+    assert(Salt.autoFactor(df, col("k"), targetRowsPerTask = 100000) === 1) // floor clamp
+    assert(Salt.autoFactor(df, col("k"), targetRowsPerTask = 1, maxFactor = 64) === 64) // ceiling clamp
+    // forced collisions (w=2): the bound may over-estimate but NEVER
+    // under-estimates the hot key -> factor never under-splits
+    val fSmall = Salt.autoFactor(df, col("k"), targetRowsPerTask = 1000, w = 2)
+    assert(fSmall >= 9, s"collision bound under-estimated the hot key: $fSmall")
+  }
+
   test("salted join equals plain join and joins on (keys, salt)") {
     import spark.implicits._
     // hot key: 90% of big-side rows share g=0
