@@ -3984,6 +3984,67 @@ object Queries {
              |SELECT change, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_checksum
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X26: changeset MERGE round-trip (ops.Merge.applyChangeset) —
+    // the Delta-style MERGE INTO primitive and the INVERSE of x12's
+    // snapshot diff: diff(A, B) applied back onto A must reproduce B
+    // EXACTLY. The query builds the same two snapshots as x12 (with
+    // real text payloads), derives the (op, id, payload) changeset from
+    // the full-outer diff, applies it, and emits the match census of
+    // merged-vs-B — a single ("match", N, Σid) row iff the round trip
+    // is exact; the oracle replays diff, merge semantics (delete drops,
+    // upsert replaces/adds, untouched passes through), and the census.
+    Q("x26_merge_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val snapA = docs.filter(pmod($"doc_id", lit(7L)) =!= 0L)
+          .select($"doc_id", $"text")
+        val snapB = docs.filter(pmod($"doc_id", lit(3L)) =!= 0L)
+          .select($"doc_id",
+            when(pmod($"doc_id", lit(11L)) === 0L, upper($"text"))
+              .otherwise($"text").as("text"))
+        val diff = snapA.as("a")
+          .join(snapB.as("b"), $"a.doc_id" === $"b.doc_id", "full_outer")
+          .select(
+            when($"b.doc_id".isNull, "delete").otherwise("upsert").as("op"),
+            coalesce($"a.doc_id", $"b.doc_id").as("doc_id"),
+            $"b.text".as("text"),
+            ($"a.doc_id".isNotNull && $"b.doc_id".isNotNull &&
+              $"a.text" === $"b.text").as("same"))
+          .filter(!$"same").drop("same")
+        val merged = graft.ops.Merge.applyChangeset(snapA, diff, "doc_id", "op")
+        merged.as("m").join(snapB.as("b"), $"m.doc_id" === $"b.doc_id", "full_outer")
+          .select(
+            when($"m.doc_id".isNull, "only_target")
+              .when($"b.doc_id".isNull, "only_merged")
+              .when($"m.text" === $"b.text", "match").otherwise("mismatch")
+              .as("status"),
+            coalesce($"m.doc_id", $"b.doc_id").as("id"))
+          .groupBy($"status").agg(count(lit(1)).as("n"), sum($"id").as("id_checksum"))
+          .orderBy($"status")
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+             |b AS (SELECT doc_id,
+             |        CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+             |      FROM documents WHERE doc_id % 3 != 0),
+             |diff AS (SELECT CASE WHEN b.doc_id IS NULL THEN 'delete' ELSE 'upsert' END AS op,
+             |                coalesce(a.doc_id, b.doc_id) AS doc_id, b.text AS text
+             |         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |         WHERE NOT (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+             |                    AND a.text = b.text)),
+             |m AS (SELECT coalesce(d.doc_id, a.doc_id) AS doc_id,
+             |             CASE WHEN d.op = 'upsert' THEN d.text ELSE a.text END AS text
+             |      FROM a FULL OUTER JOIN diff d ON a.doc_id = d.doc_id
+             |      WHERE NOT coalesce(d.op = 'delete', false)),
+             |cmp AS (SELECT CASE WHEN m.doc_id IS NULL THEN 'only_target'
+             |                    WHEN b.doc_id IS NULL THEN 'only_merged'
+             |                    WHEN m.text = b.text THEN 'match'
+             |                    ELSE 'mismatch' END AS status,
+             |               coalesce(m.doc_id, b.doc_id) AS id
+             |        FROM m FULL OUTER JOIN b ON m.doc_id = b.doc_id)
+             |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_checksum
+             |FROM cmp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X11: the FULL pretraining preprocessing pipeline as one lazy
     // chain — quality gate → exact dedup (keep-min per content hash) →
     // near-dup removal (star-edge LSH + connected components) →

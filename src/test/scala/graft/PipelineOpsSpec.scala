@@ -108,6 +108,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("applyChangeset: upsert adds and replaces, delete drops, untouched passes; missing cols rejected") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "extra")
+    val changes = Seq(
+      ("upsert", 2L, "B", 99L),  // replace
+      ("upsert", 4L, "d", 40L),  // add
+      ("delete", 3L, null.asInstanceOf[String], 0L)) // drop
+      .toDF("op", "id", "v", "extra")
+    val out = graft.ops.Merge.applyChangeset(snap, changes, "id", "op")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "B", 99L), (4L, "d", 40L)))
+    // delete of an absent id is a no-op, not a phantom row
+    val out2 = graft.ops.Merge.applyChangeset(snap,
+        Seq(("delete", 9L, "x", 0L)).toDF("op", "id", "v", "extra"), "id", "op")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out2 === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Merge.applyChangeset(snap, Seq(("upsert", 1L)).toDF("op", "id"), "id", "op")
+    }
+  }
+
   test("autoFactor: certified over-estimate of the hot key, clamps, collision-free exactness") {
     import spark.implicits._
     // hot key 'h' = 9000 rows, cold keys ~1000; w=1024 over 3 keys is
