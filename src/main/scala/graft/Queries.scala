@@ -222,6 +222,77 @@ object Queries {
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB replay of one Viterbi-EM unigram-LM training round
+    * (t19, Unigram.train with topMulti=12, maxPieceLen=4, iters=1):
+    * word census → occurrence-weighted substring seed → add-one
+    * micro-nat costs → the per-word Viterbi DP unrolled as 8 position
+    * stages (max word length in the fixture; (score, j) tiebreak) →
+    * backtracked paths (8 hop stages) → frequency-weighted piece
+    * counts → re-estimated costs. The bpeTrainOracle8 generation
+    * pattern: built programmatically, stage structure identical to the
+    * Scala DP. */
+  private lazy val unigramOracle: String = {
+    val L = 4
+    def branches(i: Int): Seq[String] =
+      (math.max(0, i - L) until i).map { j =>
+        if (j == 0)
+          s"""      SELECT wf.w AS w, k.cost AS score, 0 AS j
+             |      FROM wf JOIN k0 k ON k.piece = substr(wf.w, 1, $i)
+             |      WHERE len(wf.w) >= $i""".stripMargin
+        else
+          s"""      SELECT p.w, p.score + k.cost AS score, $j AS j
+             |      FROM b$j p JOIN k0 k ON k.piece = substr(p.w, ${j + 1}, ${i - j})
+             |      WHERE len(p.w) >= $i""".stripMargin
+      }
+    val stages = (1 to 8).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT w, score, j FROM (
+         |    SELECT c.w, c.score, c.j,
+         |      row_number() OVER (PARTITION BY c.w ORDER BY c.score, c.j) AS rn
+         |    FROM (
+         |${branches(i).mkString("\n      UNION ALL\n")}
+         |    ) c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val ball = (1 to 8).map(i => s"SELECT w, $i AS i, j FROM b$i")
+      .mkString("\n  UNION ALL ")
+    val hops = (1 to 8).map { h =>
+      s"""h$h AS (SELECT e.w, b.j AS nxt, substr(e.w, b.j + 1, e.pos - b.j) AS piece
+         |  FROM e${h - 1} e JOIN ball b ON b.w = e.w AND b.i = e.pos),
+         |e$h AS (SELECT w, nxt AS pos FROM h$h WHERE nxt > 0)""".stripMargin
+    }.mkString(",\n")
+    val paths = (1 to 8).map(h => s"SELECT w, piece FROM h$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS MATERIALIZED (SELECT w, count(*) AS f FROM toks WHERE len(w) > 0 GROUP BY 1),
+       |subs AS MATERIALIZED (SELECT substr(wf.w, p.st, q.l) AS piece, sum(wf.f) AS score
+       |  FROM wf
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INT) AS st) p
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${L + 1})) AS INT) AS l) q
+       |  WHERE p.st + q.l - 1 <= len(wf.w)
+       |  GROUP BY 1),
+       |pieces AS MATERIALIZED (SELECT piece FROM subs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT piece, row_number() OVER (ORDER BY score DESC, piece) AS rn
+       |                     FROM subs WHERE len(piece) > 1) WHERE rn <= 12),
+       |vs AS (SELECT count(*) AS v FROM pieces),
+       |c0 AS (SELECT p.piece, s.score AS cnt FROM pieces p JOIN subs s USING (piece)),
+       |t0 AS (SELECT sum(cnt) AS t FROM c0),
+       |k0 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
+       |  FROM c0 CROSS JOIN t0 CROSS JOIN vs),
+       |$stages,
+       |ball AS MATERIALIZED ($ball),
+       |e0 AS (SELECT w, len(w) AS pos FROM wf),
+       |$hops,
+       |pc AS (SELECT pp.piece, sum(wf.f) AS cnt
+       |  FROM ($paths) pp JOIN wf ON wf.w = pp.w GROUP BY 1),
+       |fc AS (SELECT p.piece, COALESCE(pc.cnt, 0) AS cnt FROM pieces p LEFT JOIN pc USING (piece)),
+       |tf AS (SELECT sum(cnt) AS t FROM fc)
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
+       |FROM fc CROSS JOIN tf CROSS JOIN vs
+       |ORDER BY piece""".stripMargin
+  }
+
   /** Exact integer cents/micros: floor(x*scale+0.5) as BIGINT. */
   private def quant(c: Column, scale: Long): Column =
     floor(c * scale.toDouble + 0.5).cast("long")
@@ -7393,7 +7464,28 @@ object Queries {
              |  CAST(sum(n8) AS BIGINT) AS grams,
              |  CAST(sum(n_unique) AS BIGINT) AS unique_grams,
              |  CAST(sum(n_unique) * 1000 // sum(n8) AS BIGINT) AS permille_unique
-             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T19: Unigram-LM tokenizer TRAINING (Kudo 2018 — the
+    // SentencePiece default algorithm) in the hard-EM (Viterbi) form
+    // whose every step is integer arithmetic: one corpus pass to the
+    // word census (the Bpe discipline — the corpus is never re-scanned),
+    // occurrence-weighted substring seeding (top-12 multi-char pieces +
+    // all chars for coverage), add-one-smoothed micro-nat costs, one
+    // Viterbi E-step per distinct word ((score, j) tiebreak = longest
+    // final piece), and M-step re-estimation. Completes the tokenizer
+    // family: BPE (t11 distributed, t12 local) + Unigram. The oracle
+    // unrolls the DP as 8 position stages + 8 backtrack hops
+    // (bpeTrainOracle8's generation pattern) and replays seed, costs,
+    // paths, counts, and re-estimated costs bit-for-bit.
+    Q("t19_unigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Unigram.train(t(s, dir, "documents"), "text",
+            topMulti = 12, maxPieceLen = 4, iters = 1)
+          .orderBy($"piece")
+      },
+      Some(unigramOracle))
   )
 
   private val qs: Seq[Q] =

@@ -1,0 +1,153 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece default algorithm), Spark-first, in the hard-EM
+  * (Viterbi) form whose every step is exact integer arithmetic an
+  * independent engine replays:
+  *
+  *  1. ONE corpus pass reduces to the word-frequency table (the
+  *     [[Bpe]] discipline — everything after runs on the
+  *     vocabulary-bounded table, the corpus is never re-scanned).
+  *  2. Seed vocabulary: every substring of every distinct word up to
+  *     `maxPieceLen`, scored Σ_w freq(w)·occurrences(sub, w); the top
+  *     `topMulti` multi-character pieces by (score DESC, piece ASC)
+  *     plus ALL single characters (coverage guarantee: any word is
+  *     segmentable).
+  *  3. `iters` rounds of Viterbi-EM: costs are integer micro-nats
+  *     cost(p) = ⌊−ln((cnt+1)/(T+|V|))·10⁶ + 0.5⌋ (add-one smoothing —
+  *     the Laplace-adjusted-branch discipline of [[StupidBackoff]] —
+  *     keeps every piece scoreable and the piece set fixed across
+  *     rounds); the E-step segments each distinct word by dynamic
+  *     programming (best(i) = min over j of best(j) + cost(w[j..i)),
+  *     ties broken to the SMALLEST j, i.e. the longest final piece),
+  *     counting pieces on best paths weighted by word frequency; the
+  *     M-step re-estimates costs from the count census.
+  *
+  * Scale shape: pass 1 is a map-side-combined groupBy; everything
+  * after runs on the collected word table — the [[Bpe.trainLocal]]
+  * discipline (the word table is vocabulary-bounded by assumption;
+  * guard it upstream the same way) — so training costs ZERO Spark jobs
+  * beyond the one reduction, killing the k-sequential-jobs bound an
+  * iterative distributed E-step would pay; the model is |V| rows at
+  * any corpus size, and [[segmentCounts]] applies it map-side with the
+  * model broadcast (the distributed half). Determinism: integer
+  * scores, fixed
+  * iteration count, explicit (score, j) and (score DESC, piece) ties —
+  * DuckDB replays seed → costs → Viterbi paths → counts → re-estimated
+  * costs bit-for-bit (query `t19_unigram_lm`).
+  */
+object Unigram {
+
+  /** Integer micro-nat cost under add-one smoothing. */
+  private def microNatCost(cnt: Long, total: Long, vocab: Int): Long =
+    math.floor(-math.log((cnt + 1).toDouble / (total + vocab).toDouble) * 1e6 + 0.5).toLong
+
+  /** Viterbi best segmentation of `w` under `cost`; every single char
+    * of `w` must be in `cost` (the seed guarantees it). Ties prefer the
+    * smallest split point j (the longest final piece). */
+  private[graft] def viterbi(w: String, cost: collection.Map[String, Long],
+                             maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MaxValue)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Long.MaxValue) {
+          cost.get(w.substring(j, i)) match {
+            case Some(c) =>
+              val s = best(j) + c
+              if (s < best(i)) { best(i) = s; back(i) = j }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(best(n) != Long.MaxValue, s"word '$w' not segmentable (char missing from vocab)")
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { val j = back(p); out = w.substring(j, p) :: out; p = j }
+    out
+  }
+
+  /** The word-frequency table: (w, f), vocabulary-bounded. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Train the unigram model. Returns (piece, cnt, cost): `cnt` the
+    * final-round Viterbi count, `cost` the re-estimated micro-nat cost. */
+  def train(df: DataFrame, textCol: String, topMulti: Int, maxPieceLen: Int,
+            iters: Int): DataFrame = {
+    require(topMulti >= 0 && maxPieceLen >= 1 && iters >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordFreq(df, textCol).as[(String, Long)].collect()
+    // NOTE: the word table is vocabulary-bounded (distinct words), the
+    // standard tokenizer-training assumption (Bpe.trainLocal's contract)
+    // — never corpus-sized.
+    val subScores = collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      var l = 1
+      while (l <= math.min(maxPieceLen, w.length)) {
+        var st = 0
+        while (st + l <= w.length) {
+          val p = w.substring(st, st + l)
+          subScores(p) = subScores.getOrElse(p, 0L) + f
+          st += 1
+        }
+        l += 1
+      }
+    }
+    val chars = subScores.keys.filter(_.length == 1).toSeq.sorted
+    val multi = subScores.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, s) => (-s, p) }.take(topMulti).map(_._1)
+    val pieces = (chars ++ multi).distinct.sorted
+    val vsize = pieces.size
+    // initial counts = seed substring scores
+    var counts: Map[String, Long] = pieces.map(p => p -> subScores(p)).toMap
+    var finalCounts: Map[String, Long] = Map.empty
+    var it = 0
+    while (it < iters) {
+      val total = counts.values.sum
+      val cost = counts.map { case (p, c) => p -> microNatCost(c, total, vsize) }
+      val tallies = collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, f) =>
+        viterbi(w, cost, maxPieceLen).foreach { p =>
+          tallies(p) = tallies.getOrElse(p, 0L) + f
+        }
+      }
+      finalCounts = pieces.map(p => p -> tallies.getOrElse(p, 0L)).toMap
+      counts = finalCounts
+      it += 1
+    }
+    val total = finalCounts.values.sum
+    pieces.map(p => (p, finalCounts(p), microNatCost(finalCounts(p), total, vsize)))
+      .toDF("piece", "cnt", "cost")
+  }
+
+  /** Segment a corpus with a trained model: per-row token count and the
+    * segmented pieces, computed map-side with the |V|-row model
+    * broadcast (join-free — the Bpe.segment discipline). */
+  def segmentCounts(df: DataFrame, textCol: String, model: DataFrame,
+                    maxPieceLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    val cost = model.select(col("piece"), col("cost")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(cost)
+    val seg = udf { text: String =>
+      if (text == null) 0
+      else text.split(" ").filter(_.nonEmpty)
+        .map(w => viterbi(w, bc.value, maxPieceLen).size).sum
+    }
+    df.withColumn("n_pieces", seg(col(textCol)))
+  }
+}
