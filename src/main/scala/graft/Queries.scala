@@ -712,6 +712,32 @@ object Queries {
              |        ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part)
              |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)),
 
+    // ----- O4: grouped top-k with BOUNDED state (ops.TopK) — o3's
+    // result through the scale plan: the window form shuffles EVERY row
+    // to its group's reducer and sorts there (exchange = corpus, one
+    // hot group = one task); the typed top-k aggregator keeps k pairs
+    // per group per task, so map-side partial aggregation ships
+    // ≤ groups×k rows (the KMV bottom-k discipline applied to ranking)
+    // and hot groups cost k buffer slots per task. Identical output to
+    // o3 — (price DESC, partkey) via a negated integer key — gated by
+    // the SAME oracle SQL; TopKSpec asserts the partial-aggregate plan
+    // (no Window, no corpus sort).
+    Q("o4_topk_bounded",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.TopK.perGroup(
+            t(s, dir, "part").withColumn("neg", -quant($"p_retailprice", 100)),
+            groupCols = Seq("p_brand"), sortKey = $"neg", tieKey = $"p_partkey",
+            k = 3, keyCol = "neg_price", idCol = "p_partkey")
+          .select($"p_brand", $"rk", $"p_partkey",
+            (-$"neg_price").as("price_cents"))
+          .orderBy($"p_brand", $"rk")
+      },
+      Some("""SELECT p_brand, rk, p_partkey, CAST(floor(p_retailprice*100+0.5) AS BIGINT) AS price_cents
+             |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+             |        ORDER BY p_retailprice DESC, p_partkey) AS rk FROM part)
+             |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)),
+
     // ----- U3: set operations
     Q("u3_setops",
       (s, dir) => {
