@@ -3068,6 +3068,88 @@ object Queries {
              |  CAST(min(doc_id) AS BIGINT) AS min_kept, CAST(max(doc_id) AS BIGINT) AS max_kept
              |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin)),
 
+    // ----- X27: LEAKAGE-SAFE train/test split — the split nobody ships
+    // without after near-dup analysis: a plain hash split leaks
+    // train→test through near-duplicate pairs (the benchmark-inflation
+    // failure decontamination papers document), so the unit of
+    // assignment must be the DUP CLUSTER, not the document. Chain:
+    // verified star edges (x5's LSH at 0.95) → connected components →
+    // every member inherits its cluster representative's hash split —
+    // leakage-free BY CONSTRUCTION, and the query also COMPUTES the
+    // mixed-cluster count (0) rather than asserting it. The oracle
+    // re-solves the pair graph with x5's independent recursive closure
+    // and replays rep → hash split → census.
+    Q("x27_leakage_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val edges = graft.dedup.Dedup.minhashStarEdges(
+            docs, "doc_id", "text", threshold = 0.95)
+          .select($"id_a", $"id_b")
+        val comp = withStreamPartitions(s, 8) {
+          graft.dedup.Dedup.connectedComponents(edges)
+        }
+        val withRep = docs.select($"doc_id")
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"component", $"doc_id").as("rep"))
+        val split = withRep.withColumn("split",
+          when(pmod(graft.sketch.Kmv.hash60($"rep"), lit(10L)) < 8, "train")
+            .otherwise("test"))
+        val mixed = split.groupBy($"rep")
+          .agg(countDistinct($"split").as("ns"))
+          .agg(sum(when($"ns" > 1, 1L).otherwise(0L)).as("mixed_clusters"))
+        split.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+          .crossJoin(broadcast(mixed))
+          .orderBy($"split")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(md5('0|'||tok)) AS h0, min(md5('1|'||tok)) AS h1,
+             |    min(md5('2|'||tok)) AS h2, min(md5('3|'||tok)) AS h3,
+             |    min(md5('4|'||tok)) AS h4, min(md5('5|'||tok)) AS h5,
+             |    min(md5('6|'||tok)) AS h6, min(md5('7|'||tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0||h1||h2||h3) AS key FROM sig UNION ALL
+             |  SELECT doc_id, 1, md5(h4||h5||h6||h7) FROM sig),
+             |roots AS (
+             |  SELECT band, key, min(doc_id) AS root FROM bands
+             |  GROUP BY 1, 2 HAVING count(*) > 1),
+             |cand AS (
+             |  SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+             |  FROM bands b JOIN roots r ON b.band = r.band AND b.key = r.key
+             |  WHERE b.doc_id != r.root),
+             |sets AS (SELECT doc_id, list_distinct(list_transform(string_split(text,' '),
+             |           tok -> ('0x'||substr(md5(tok),1,15))::BIGINT)) AS st FROM documents),
+             |pairs AS (
+             |  SELECT id_a, id_b
+             |  FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+             |  WHERE len(list_intersect(sa.st, sb.st))::DOUBLE
+             |        / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) >= 0.95),
+             |sym AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+             |  WHERE reach.a != sym.b),
+             |labels AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+             |rep AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+             |        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+             |sp AS (SELECT doc_id, rep,
+             |         CASE WHEN ('0x'||substr(md5(rep::VARCHAR),1,15))::BIGINT % 10 < 8
+             |              THEN 'train' ELSE 'test' END AS split FROM rep),
+             |mixed AS (SELECT count(*) AS mixed_clusters FROM (
+             |    SELECT rep FROM sp GROUP BY rep HAVING count(DISTINCT split) > 1))
+             |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(m.mixed_clusters AS BIGINT) AS mixed_clusters
+             |FROM sp CROSS JOIN mixed m GROUP BY split, m.mixed_clusters
+             |ORDER BY split""".stripMargin)),
+
     // ----- R8: bilinear warp scan, hash-gated EXACTLY — r7's same-CRS
     // fixture (10 m spec over an 8 m source) puts every fractional source
     // coordinate on an exact eighth, so the bilinear weights (.125/.375/
