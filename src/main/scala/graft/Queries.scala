@@ -3068,6 +3068,111 @@ object Queries {
              |  CAST(min(doc_id) AS BIGINT) AS min_kept, CAST(max(doc_id) AS BIGINT) AS max_kept
              |FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin)),
 
+    // ----- S15: streaming CDC apply — x26's MERGE in deploy mode: a
+    // snapshot maintained against a live changeset stream (the standard
+    // CDC-consumer shape). Three staged changeset files arrive in
+    // pinned order (maxFilesPerTrigger=1, the s12 discipline); each
+    // micro-batch applies Merge.applyChangeset to the running snapshot
+    // with an eager localCheckpoint (the s9 growing-state pattern —
+    // per-batch work is O(snapshot + batch), history never replayed
+    // through lineage). Order MATTERS (wave 3 re-upserts ids wave 2
+    // deleted) and the oracle replays the three sequential merges
+    // exactly, gating the final snapshot census.
+    Q("s15_stream_cdc",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val snap0 = docs.filter(pmod($"doc_id", lit(7L)) =!= 0L)
+          .select($"doc_id", $"text")
+        val w1 = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
+          .select(lit("upsert").as("op"), $"doc_id", upper($"text").as("text"))
+        val w2 = docs.filter(pmod($"doc_id", lit(9L)) === 0L)
+          .select(lit("delete").as("op"), $"doc_id", lit("").as("text"))
+        val w3 = docs.filter(pmod($"doc_id", lit(11L)) === 0L)
+          .select(lit("upsert").as("op"), $"doc_id",
+            concat($"text", lit(" v3")).as("text"))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s15_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        writeWave(w1, 1); writeWave(w2, 2); writeWave(w3, 3)
+        var snapshot = snap0.localCheckpoint(true)
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(w1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .writeStream.outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              snapshot = graft.ops.Merge
+                .applyChangeset(snapshot, batch, "doc_id", "op")
+                .localCheckpoint(true)
+            }.start()
+          q.processAllAvailable(); q.stop()
+        } }
+        snapshot.agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"),
+          sum(length($"text")).as("len_sum"))
+      },
+      Some("""WITH a0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+             |w1 AS (SELECT 'upsert' AS op, doc_id, upper(text) AS text
+             |       FROM documents WHERE doc_id % 5 = 0),
+             |w2 AS (SELECT 'delete' AS op, doc_id, '' AS text
+             |       FROM documents WHERE doc_id % 9 = 0),
+             |w3 AS (SELECT 'upsert' AS op, doc_id, text || ' v3' AS text
+             |       FROM documents WHERE doc_id % 11 = 0),
+             |s1 AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+             |              CASE WHEN c.op = 'upsert' THEN c.text ELSE s.text END AS text
+             |       FROM a0 s FULL OUTER JOIN w1 c ON s.doc_id = c.doc_id
+             |       WHERE NOT coalesce(c.op = 'delete', false)),
+             |s2 AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+             |              CASE WHEN c.op = 'upsert' THEN c.text ELSE s.text END AS text
+             |       FROM s1 s FULL OUTER JOIN w2 c ON s.doc_id = c.doc_id
+             |       WHERE NOT coalesce(c.op = 'delete', false)),
+             |s3 AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+             |              CASE WHEN c.op = 'upsert' THEN c.text ELSE s.text END AS text
+             |       FROM s2 s FULL OUTER JOIN w3 c ON s.doc_id = c.doc_id
+             |       WHERE NOT coalesce(c.op = 'delete', false))
+             |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(len(text)) AS BIGINT) AS len_sum FROM s3""".stripMargin)),
+
+    // ----- W6: time-decayed aggregation (freshness weighting) — the
+    // recency-weighted score a curation pipeline attaches to sources
+    // (fresh activity counts more than stale), built ORDER-FREE: a
+    // running EMA is a sequential recursion no shuffle can replay, but
+    // the decayed sum Σ v_i·decay(age_i) is commutative, and choosing
+    // half-life decay on whole-day ages makes every term an integer
+    // RIGHT SHIFT (v >> age_days — a dyadic weight, no float anywhere):
+    // map-side-combined groupBy, bit-exact in any engine, no IEEE
+    // exp()/summation-order hazard at all. Shift capped at 40 (a
+    // >40-day-old cent is worth 0 anyway).
+    Q("w6_decay",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val mx = ev.agg(max(unix_micros($"ts")).as("mt"))
+        val ageUs = $"mt" - unix_micros($"ts")
+        ev.crossJoin(broadcast(mx))
+          .withColumn("cents", quant($"value", 100))
+          .withColumn("age_d", least(lit(40L),
+            ((ageUs - pmod(ageUs, lit(86400000000L))) / lit(86400000000L)).cast("long")))
+          .withColumn("dec", expr("shiftright(cents, cast(age_d as int))"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"dec").as("decayed_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH mx AS (SELECT max(epoch_us(ts)) AS mt FROM events),
+             |d AS (SELECT user_id,
+             |        CAST(floor(value*100+0.5) AS BIGINT) >>
+             |          least(40, CAST((mx.mt - epoch_us(ts)) // 86400000000 AS BIGINT)) AS dec
+             |      FROM events CROSS JOIN mx)
+             |SELECT user_id, count(*) AS n, CAST(sum(dec) AS BIGINT) AS decayed_cents
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X27: LEAKAGE-SAFE train/test split — the split nobody ships
     // without after near-dup analysis: a plain hash split leaks
     // train→test through near-duplicate pairs (the benchmark-inflation
