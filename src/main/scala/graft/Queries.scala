@@ -2665,6 +2665,66 @@ object Queries {
              |      FROM documents)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- M8: AUDIO-modality features — the 1-D-signal member of the
+    // multimodal family (m2/m4 image decode/resize, m3 video frame
+    // sampling, m5/m6/m7 blob fingerprints): blob bytes as centered PCM
+    // samples (s = byte − 64), non-overlapping 64-sample frames, and
+    // the two classic frame features — energy Σs² and zero-crossing
+    // count — plus per-blob rollups (total/peak energy, total ZCR).
+    // The kernel is the real audio-UDF shape (imperative per-blob frame
+    // loop in mapPartitions, integer state only); frames are the
+    // windowing structure a real spectral pipeline hangs FFTs on. The
+    // oracle recomputes samples, frames, energies, and sign crossings
+    // from the original text in exact integers.
+    Q("m8_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("pcm"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, b) =>
+              val frames = b.length / 64
+              var te = 0L; var zc = 0L; var peak = 0L
+              var f = 0
+              while (f < frames) {
+                var e = 0L; var z = 0L
+                var i = f * 64; val end = i + 64
+                while (i < end) {
+                  val v = (b(i) & 0xff) - 64
+                  e += v.toLong * v
+                  if (i + 1 < end) {
+                    val w = (b(i + 1) & 0xff) - 64
+                    if (v * w < 0) z += 1
+                  }
+                  i += 1
+                }
+                te += e; zc += z; if (e > peak) peak = e
+                f += 1
+              }
+              (id, frames, te, zc, peak)
+            }
+          }.toDF("doc_id", "n_frames", "energy", "zcr", "peak_energy")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+             |fr AS (SELECT doc_id, CAST(unnest(range(0, n // 64)) AS INT) AS f, text FROM d),
+             |sm AS (SELECT doc_id, f, q.i, ord(text[f*64 + q.i + 1]) - 64 AS s
+             |       FROM fr CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) q),
+             |fe AS (SELECT doc_id, f, sum(s*s) AS e,
+             |         sum(CASE WHEN i < 63 AND s * lead_s < 0 THEN 1 ELSE 0 END) AS z
+             |       FROM (SELECT *, lead(s) OVER (PARTITION BY doc_id, f ORDER BY i) AS lead_s
+             |             FROM sm)
+             |       GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, count(*) AS n_frames, sum(e) AS energy,
+             |          sum(z) AS zcr, max(e) AS peak FROM fe GROUP BY 1)
+             |SELECT d.doc_id, CAST(COALESCE(a.n_frames, 0) AS INT) AS n_frames,
+             |  CAST(COALESCE(a.energy, 0) AS BIGINT) AS energy,
+             |  CAST(COALESCE(a.zcr, 0) AS BIGINT) AS zcr,
+             |  CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak_energy
+             |FROM d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ----- T8: rolling-hash fingerprinting / content-defined chunking —
     // Rabin-Karp polynomial hash (base 31, window 8) updated in O(1) per
     // byte in an imperative mapPartitions loop (the real CDC scan shape);
@@ -3008,6 +3068,59 @@ object Queries {
              |g AS (SELECT fp, count(*) AS sz, min(doc_id) AS rep FROM f GROUP BY fp)
              |SELECT sz, count(*) AS n_clusters, CAST(sum(rep) AS BIGINT) AS sum_rep
              |FROM g GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // ----- X28: integer PageRank over the dup graph (graph.PageRank) —
+    // the second graph primitive beside x4's connected components:
+    // components say WHICH docs cluster, centrality says which member
+    // is the HUB (the canonical-representative choice that beats
+    // min-id when clusters are stars/chains of variants). Exact-integer
+    // power iteration: micro-unit ranks, per-round floor divisions
+    // (pmod discipline), fixed 3 rounds — the oracle unrolls all three
+    // rounds in SQL and replays edge build → degrees → every round →
+    // final ranks bit-for-bit.
+    Q("x28_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id",
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")
+        val edges = docs.withColumn("prev", lag($"doc_id", 1).over(w))
+          .filter($"prev".isNotNull)
+          .select($"prev".as("a"), $"doc_id".as("b"))
+        val ranks = withStreamPartitions(s, 8) {
+          graft.graph.PageRank.integerRanks(edges, rounds = 3)
+        }
+        ranks.orderBy($"node")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents),
+             |e0 AS (SELECT doc_id, lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev FROM f),
+             |ed AS (SELECT prev AS a, doc_id AS b FROM e0 WHERE prev IS NOT NULL),
+             |sym AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+             |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+             |r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+             |c1 AS (SELECT s.b AS node, r.rank // d.deg AS c
+             |       FROM sym s JOIN r0 r ON r.node = s.a JOIN deg d ON d.a = s.a),
+             |r1 AS (SELECT deg.a AS node,
+             |         150000 + (COALESCE(t.s, 0) * 850000) // 1000000 AS rank
+             |       FROM deg LEFT JOIN (SELECT node, sum(c) AS s FROM c1 GROUP BY 1) t
+             |         ON t.node = deg.a),
+             |c2 AS (SELECT s.b AS node, r.rank // d.deg AS c
+             |       FROM sym s JOIN r1 r ON r.node = s.a JOIN deg d ON d.a = s.a),
+             |r2 AS (SELECT deg.a AS node,
+             |         150000 + (COALESCE(t.s, 0) * 850000) // 1000000 AS rank
+             |       FROM deg LEFT JOIN (SELECT node, sum(c) AS s FROM c2 GROUP BY 1) t
+             |         ON t.node = deg.a),
+             |c3 AS (SELECT s.b AS node, r.rank // d.deg AS c
+             |       FROM sym s JOIN r2 r ON r.node = s.a JOIN deg d ON d.a = s.a),
+             |r3 AS (SELECT deg.a AS node,
+             |         150000 + (COALESCE(t.s, 0) * 850000) // 1000000 AS rank
+             |       FROM deg LEFT JOIN (SELECT node, sum(c) AS s FROM c3 GROUP BY 1) t
+             |         ON t.node = deg.a)
+             |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
 
     // ----- X5: the FULL near-dup removal chain, oracle-gated end to end —
     // Dedup.dedupCorpus (LSH pairs -> connected components -> keep min-id
