@@ -3069,6 +3069,29 @@ object Queries {
              |SELECT sz, count(*) AS n_clusters, CAST(sum(rep) AS BIGINT) AS sum_rep
              |FROM g GROUP BY sz ORDER BY sz""".stripMargin)),
 
+    // ----- X29: frequency cap per source (Sample.capPerGroup) — the
+    // hot-domain downsampling a crawl pipeline applies (at most `cap`
+    // docs per source), selected in x2's deterministic hash order but
+    // executed through o4's bounded-state top-k aggregator instead of a
+    // corpus-shuffling window: map-side partials ship ≤ groups×cap
+    // pairs, kept rows return by equi-join. The oracle replays the
+    // hash ranking + cap + census.
+    Q("x29_source_cap",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sample.capPerGroup(
+            t(s, dir, "documents"), Seq("source"), $"doc_id", cap = 10)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM r WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X28: integer PageRank over the dup graph (graph.PageRank) —
     // the second graph primitive beside x4's connected components:
     // components say WHICH docs cluster, centrality says which member

@@ -33,6 +33,31 @@ object Sample {
       .drop("__nt", "__rn")
   }
 
+  /** Frequency CAP per group — keep at most `cap` rows per group (the
+    * per-domain / per-cluster downsampling a crawl pipeline applies to
+    * hot sources), selected by the [[stratifiedExact]] hash order
+    * (deterministic across runs/engines, stable under data growth: a
+    * kept row leaves only when smaller hashes arrive). Unlike
+    * stratifiedExact's window (corpus shuffle + per-group sort), the
+    * selection runs through [[TopK.perGroup]]'s bounded-state
+    * aggregator: map-side partial aggregation ships ≤ groups×cap
+    * (hash, id) pairs, hot groups cost cap buffer slots per task, and
+    * the kept rows come back by equi-join on (group, id). `idCol` must
+    * be integral (cast to long) and unique. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: Column,
+                  cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    val reserved = Seq("__capid", "__caph").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved scratch columns present: ${reserved.mkString(", ")}")
+    val keyed = df.withColumn("__capid", idCol.cast("long"))
+      .withColumn("__caph", graft.sketch.Kmv.hash60(col("__capid")))
+    val sel = TopK.perGroup(keyed, groupCols, col("__caph"), col("__capid"),
+        cap, keyCol = "__caph", idCol = "__capid")
+      .select(groupCols.map(col) :+ col("__capid"): _*)
+    keyed.join(sel, groupCols :+ "__capid").drop("__caph", "__capid")
+  }
+
   /** Approximate fraction sample, fully per-row (no shuffle, no state):
     * keep rows whose hash bucket falls below `fraction` of the bucket
     * space. The scale path when exact stratum sizes don't matter. */

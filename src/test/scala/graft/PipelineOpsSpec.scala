@@ -108,6 +108,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("capPerGroup: cap enforced, stable under growth, equals the window form") {
+    import spark.implicits._
+    val df = spark.range(0, 900)
+      .select(($"id" % 3).cast("string").as("g"), $"id".as("v"), ($"id" * 7).as("payload"))
+    val capped = graft.ops.Sample.capPerGroup(df, Seq("g"), $"v", cap = 5)
+    assert(capped.groupBy($"g").count().collect().forall(_.getLong(1) === 5L))
+    // same selection as the window-rank form (the stratifiedExact order)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy(graft.sketch.Kmv.hash60($"v").asc, $"v".asc)
+    val win = df.withColumn("__rn", row_number().over(w)).filter($"__rn" <= 5).drop("__rn")
+    assert(capped.exceptAll(win).isEmpty && win.exceptAll(capped).isEmpty)
+    // growth stability: adding rows only ever evicts, never reshuffles
+    // the survivors' identity arbitrarily — kept set of the SUBSET is a
+    // superset-filtered version of the full kept set restricted to it
+    val small = df.filter($"v" < 450)
+    val keptSmall = graft.ops.Sample.capPerGroup(small, Seq("g"), $"v", 5)
+      .select($"v").as[Long].collect().toSet
+    val keptFullIds = capped.select($"v").as[Long].collect().toSet
+    assert(keptFullIds.filter(_ < 450).subsetOf(keptSmall),
+      "a row kept in the full corpus must be kept in any prefix containing it")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sample.capPerGroup(df, Seq("g"), $"v", 0)
+    }
+  }
+
   test("applyChangeset: upsert adds and replaces, delete drops, untouched passes; missing cols rejected") {
     import spark.implicits._
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
