@@ -2123,6 +2123,46 @@ object Queries {
              |SELECT yc AS "yChunk", xc AS "xChunk", n_tiles, px_sum
              |FROM ch ORDER BY 1, 2""".stripMargin)),
 
+    // ----- R10: DSv2 AGGREGATE pushdown (SupportsPushDownAggregates) —
+    // the catalog-style questions a planner asks before scheduling IO
+    // ("how many tiles, what time range, which bands") answered from
+    // the metadata work-list with ZERO pixel IO and zero executor scan
+    // tasks: the source detects a global COUNT/MIN/MAX over metadata
+    // columns, computes it on the DRIVER from the same pushed-filter-
+    // pruned enumeration the scan would use, and emits one row
+    // (complete pushdown — Spark plans no aggregate at all, asserted in
+    // TileSourceV2Spec along with the zero-pixel-read counter and the
+    // grouped/filtered fallback cases). Oracle derives the same numbers
+    // from the r5 fixture geometry first-principles.
+    Q("r10_dsv2_agg",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+        val items = (0 until 10).map { i =>
+          val off = (i % 3) * 1280.0
+          StacItem(s"scene-$i", Some(f"2024-06-${i + 1}%02dT10:00:00Z"), epsg = Some(32633),
+            assets = Seq("red", "green", "nir").map { band =>
+              band -> StacAsset(s"fake://$band/$i",
+                bbox = Some(Bounds(399960 + off, 4990200 - off, 399960 + off + 2560, 4990200 - off + 2560)),
+                shape = Some((256, 256)),
+                transform = Some(AffineTransform.northUp(399960 + off, 4990200 - off + 2560, 10.0, 10.0)))
+            }.toMap)
+        }
+        val plan = Prepare(items, PrepareOptions(assets = Some(Seq("red", "green", "nir"))))
+        graft.scan.v2.TileSourceV2.scan(s, plan.assetTable, plan.spec, chunk = 256)
+          .agg(count(lit(1)).as("n_tiles"),
+            min($"timeMicros").as("min_t"), max($"timeMicros").as("max_t"),
+            min($"band").as("min_band"), max($"band").as("max_band"))
+      },
+      Some("""WITH it AS (SELECT CAST(i AS INT) AS i, (i % 3) * 128 AS off FROM range(0, 10) t(i)),
+             |nch AS (SELECT i, CASE off WHEN 128 THEN 4 ELSE 1 END AS nc FROM it),
+             |tm AS (SELECT i, epoch_us(TIMESTAMP '2024-06-01 10:00:00' + (i * INTERVAL 1 DAY)) AS t FROM it)
+             |SELECT CAST(3 * (SELECT sum(nc) FROM nch) AS BIGINT) AS n_tiles,
+             |  CAST((SELECT min(t) FROM tm) AS BIGINT) AS min_t,
+             |  CAST((SELECT max(t) FROM tm) AS BIGINT) AS max_t,
+             |  'green' AS min_band, 'red' AS max_band""".stripMargin)),
+
     // ----- O2: monotonicity audit — lag-based order check per key
     // (the reference asserts x/y index monotonicity, geom_utils.py:176-183;
     // here as a first-class audit operator over event streams).

@@ -138,10 +138,12 @@ final class TileTable(plan: ScanPlan) extends Table with SupportsRead {
 }
 
 final class TileScanBuilder(plan: ScanPlan)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TileSourceV2.schema
+  private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(TileFilterEval.supported)
@@ -152,7 +154,153 @@ final class TileScanBuilder(plan: ScanPlan)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TileScanV2(plan, pushed, required)
+  // ---- aggregate pushdown (SupportsPushDownAggregates) ----------------
+  // The row set is METADATA-DETERMINED (one row per planned (asset,
+  // chunk) read; pixels are only materialized when the pixel column is
+  // required), so global COUNT(*)/MIN/MAX over metadata columns are
+  // answerable on the DRIVER from the work-list with ZERO pixel IO and
+  // zero executor tasks beyond emitting one row. Spark only offers the
+  // aggregate when no post-scan filter remains, and our residual policy
+  // re-evaluates every filter post-scan — so the pushdown engages on
+  // unfiltered scans, exactly the catalog-style "how many tiles / what
+  // time range" questions a planner asks before scheduling IO.
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def metaCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 && f.fieldNames()(0) != "pixels" =>
+        TileSourceV2.schema.fields.find(_.name == f.fieldNames()(0))
+      case _ => None
+    }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => metaCol(m.column).isDefined
+        case m: Max => metaCol(m.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new TileAggScanV2(plan, pushed, agg)
+    case None => new TileScanV2(plan, pushed, required)
+  }
+}
+
+/** Completely-pushed-down aggregate scan: the answer is computed on the
+  * driver from the metadata work-list (same enumeration + pushed-filter
+  * pruning as [[TileScanV2]]) and shipped as ONE row from one empty
+  * partition — no reader opens, no pixel bytes move. */
+final class TileAggScanV2(
+    plan: ScanPlan,
+    pushed: Array[Filter],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): StructField =
+    TileSourceV2.schema.fields
+      .find(_.name == e.asInstanceOf[NamedReference].fieldNames()(0)).get
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (m: Min, i) =>
+        val f = fieldOf(m.column); StructField(s"min_${f.name}_$i", f.dataType, nullable = true)
+      case (m: Max, i) =>
+        val f = fieldOf(m.column); StructField(s"max_${f.name}_$i", f.dataType, nullable = true)
+      case (other, _) => throw new IllegalStateException(s"unpushable aggregate $other")
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_tiles AGG-PUSHDOWN [${agg.aggregateExpressions.mkString(", ")}] pushed=[${pushed.mkString(", ")}]"
+
+  /** Metadata value of one planned read, mirroring the reader's
+    * projection exactly (rowOff/colOff are chunk-relative). */
+  private def metaValue(name: String, a: AssetRow, yc: Int, xc: Int, win: Window): Any =
+    name match {
+      case "itemIdx" => a.itemIdx
+      case "assetIdx" => a.assetIdx
+      case "band" => a.band
+      case "timeMicros" => a.timeMicros
+      case "yChunk" => yc
+      case "xChunk" => xc
+      case "rowOff" => win.rowOff - yc * plan.chunk
+      case "colOff" => win.colOff - xc * plan.chunk
+      case "height" => win.height
+      case "width" => win.width
+    }
+
+  private lazy val resultValues: Array[Any] = {
+    val grid = TileScan.chunkGrid(plan.spec, plan.chunk)
+    var count = 0L
+    val mins = mutable.HashMap.empty[String, Any]
+    val maxs = mutable.HashMap.empty[String, Any]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Int, y: Int) => x < y
+      case (x: Long, y: Long) => x < y
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case _ => false
+    }
+    val neededCols = agg.aggregateExpressions.collect {
+      case m: Min => fieldOf(m.column).name
+      case m: Max => fieldOf(m.column).name
+    }.distinct
+    for {
+      a <- plan.assets if a.url != null
+      assetWin = plan.spec.windowFor(a.bounds)
+      if !assetWin.isEmpty
+      (yc, xc, cw) <- grid
+      if cw.intersects(assetWin)
+      if pushed.forall(TileFilterEval.eval(_, a, yc, xc))
+    } {
+      count += 1
+      val win = cw.intersect(assetWin)
+      neededCols.foreach { c =>
+        val v = metaValue(c, a, yc, xc, win)
+        if (!mins.contains(c) || lt(v, mins(c))) mins(c) = v
+        if (!maxs.contains(c) || lt(maxs(c), v)) maxs(c) = v
+      }
+    }
+    agg.aggregateExpressions.map {
+      case _: CountStar => count: Any
+      case m: Min => mins.getOrElse(fieldOf(m.column).name, null)
+      case m: Max => maxs.getOrElse(fieldOf(m.column).name, null)
+      case other => throw new IllegalStateException(s"unpushable aggregate $other")
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultPartition(resultValues))
+  override def createReaderFactory(): PartitionReaderFactory = AggResultReaderFactory
+}
+
+final case class AggResultPartition(values: Array[Any]) extends InputPartition
+
+object AggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = partition.asInstanceOf[AggResultPartition].values
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        values.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+      override def close(): Unit = ()
+    }
 }
 
 /** Evaluates pushable filters against work-list metadata (asset × chunk). */

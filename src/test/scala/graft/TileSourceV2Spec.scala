@@ -134,4 +134,47 @@ class TileSourceV2Spec extends SparkSpec {
     // return nothing; exact Long comparison keeps them
     assert(rows == Seq(0))
   }
+
+  test("aggregate pushdown: count/min/max answered from metadata, zero pixel IO, one row from the driver") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val df = TileSourceV2.scan(spark, assets, spec, chunk,
+        readerFor = CountingReads.factory)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"timeMicros").as("tmin"),
+        org.apache.spark.sql.functions.max($"timeMicros").as("tmax"),
+        org.apache.spark.sql.functions.min($"band").as("bmin"),
+        org.apache.spark.sql.functions.max($"band").as("bmax"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHDOWN"), s"aggregate was not pushed:\n$plan")
+    val r = df.collect().head
+    // ground truth from the unaggregated scan
+    val base = TileSourceV2.scan(spark, assets, spec, chunk)
+    val want = base.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min($"timeMicros"),
+      org.apache.spark.sql.functions.max($"timeMicros"),
+      org.apache.spark.sql.functions.min($"band"),
+      org.apache.spark.sql.functions.max($"band")).collect().head
+    assert(r.toSeq === want.toSeq)
+    assert(CountingReads.reads.get() == 0, "aggregate pushdown must not read pixels")
+  }
+
+  test("aggregate pushdown declines: grouped, pixel-typed, or filtered aggregates fall back correctly") {
+    import spark.implicits._
+    // grouped -> not pushed, still correct
+    val grouped = TileSourceV2.scan(spark, assets, spec, chunk)
+      .groupBy($"band").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    assert(grouped.orderBy($"band").as[(String, Long)].collect().toSeq ===
+      Seq(("nir", 5L), ("red", 5L)))
+    // filtered -> residual filter blocks complete pushdown; result correct
+    val filtered = TileSourceV2.scan(spark, assets, spec, chunk)
+      .filter($"band" === "red")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    assert(filtered.as[Long].collect().head === 5L)
+  }
 }
