@@ -139,11 +139,20 @@ final class TileTable(plan: ScanPlan) extends Table with SupportsRead {
 
 final class TileScanBuilder(plan: ScanPlan)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TileSourceV2.schema
   private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+  private var limit: Int = -1
+
+  /** Limit pushdown: LIMIT semantics permit ANY n rows, and the row set
+    * is the planned work-list — so the scan truncates the work-list to
+    * the first n reads in deterministic enumeration order and schedules
+    * IO for THOSE ONLY ("show me a few example tiles" costs a few tile
+    * reads, not a corpus scan). Spark still applies its own Limit on
+    * top (we return true = pushed, and emit exactly n rows). */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(TileFilterEval.supported)
@@ -191,7 +200,7 @@ final class TileScanBuilder(plan: ScanPlan)
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new TileAggScanV2(plan, pushed, agg)
-    case None => new TileScanV2(plan, pushed, required)
+    case None => new TileScanV2(plan, pushed, required, limit)
   }
 }
 
@@ -359,14 +368,16 @@ private[v2] object TileFilterEval {
   }
 }
 
-final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructType)
+final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructType,
+                       limit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_tiles chunk=${plan.chunk} pushed=[${pushed.mkString(", ")}]"
+    s"graft_tiles chunk=${plan.chunk} pushed=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" LIMIT-PUSHDOWN $limit" else "")
 
   private lazy val partitions = computePartitions()
 
@@ -382,7 +393,9 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning._
     // only meaningful while the key columns survive column pruning
-    if (partitions.nonEmpty &&
+    // a limit-truncated scan mixes chunks inside one partition — never
+    // advertise chunk keying for it
+    if (limit < 0 && partitions.nonEmpty &&
         required.fieldNames.contains("yChunk") && required.fieldNames.contains("xChunk"))
       new KeyGroupedPartitioning(
         Array(Expressions.identity("yChunk"), Expressions.identity("xChunk")),
@@ -406,7 +419,15 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
       if pushed.forall(TileFilterEval.eval(_, a, yc, xc))
     } byChunk.getOrElseUpdate((yc, xc), mutable.ArrayBuffer.empty) +=
         PlannedRead(a, yc, xc, cw.intersect(assetWin))
-    byChunk.values.map(rs => TileInputPartition(rs.toArray): InputPartition).toArray
+    val parts = byChunk.values.map(rs => TileInputPartition(rs.toArray): InputPartition)
+    if (limit < 0) parts.toArray
+    else {
+      // pushed LIMIT: keep the first `limit` reads in enumeration order
+      // (one partition suffices — n is interactive-sized by contract)
+      val take = parts.iterator
+        .flatMap(_.asInstanceOf[TileInputPartition].reads).take(limit).toArray
+      if (take.isEmpty) Array.empty else Array(TileInputPartition(take))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

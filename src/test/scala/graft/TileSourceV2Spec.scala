@@ -160,6 +160,22 @@ class TileSourceV2Spec extends SparkSpec {
     assert(CountingReads.reads.get() == 0, "aggregate pushdown must not read pixels")
   }
 
+  test("limit pushdown: n example tiles cost n reads, not a corpus scan") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val df = TileSourceV2.scan(spark, assets, spec, chunk,
+        readerFor = CountingReads.factory)
+      .limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LIMIT-PUSHDOWN 3"), s"limit was not pushed:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(CountingReads.reads.get() <= 3,
+      s"pushed limit must bound pixel IO, saw ${CountingReads.reads.get()} reads")
+    // full scan unaffected (limit state is per-builder)
+    assert(TileSourceV2.scan(spark, assets, spec, chunk).count() > 3)
+  }
+
   test("aggregate pushdown declines: grouped, pixel-typed, or filtered aggregates fall back correctly") {
     import spark.implicits._
     // grouped -> not pushed, still correct
