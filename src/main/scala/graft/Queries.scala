@@ -4885,6 +4885,135 @@ object Queries {
              |FROM a3 LEFT JOIN drp ON a3.id = drp.id
              |GROUP BY a3.cid ORDER BY a3.cid""".stripMargin)),
 
+    // ----- X30: the VECTOR-side flagship — the semantic curation +
+    // serving recipe as ONE oracle-gated chain (x21/x23 are the text
+    // flagships; this is the embedding pipeline a RAG/retrieval stack
+    // ships): SemDeDup over the corpus (d9's clustering + cosine drop
+    // rule) → IVF-SQ8 index built on the SURVIVORS (v14's bounded
+    // models, map-only encodes) → every standard query served through
+    // the large-scale path — probe-bounded code-space shortlist
+    // (v16's join shape) → exact integer-L2 re-rank (v12's second
+    // stage), self-matches excluded. Every stage is an operator already
+    // oracle-gated alone; this gates their COMPOSITION: the DuckDB
+    // replay chains the d9 semdedup CTEs, coarse training over the
+    // kept set, the corpus-only grid, both encodes, 2-probe routing,
+    // the top-16 shortlist, and the exact re-rank, bit-for-bit.
+    Q("x30_semantic_recipe",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .persist() // feeds semdedup, the index, queries, and the re-rank
+        val sd = Ann.semDedup(prepared, k = 8, iters = 2, tau = 0.40)
+        val kept = prepared.join(
+          sd.filter(!$"drop").select($"id"), Seq("id"), "left_semi")
+        val queries = prepared.filter($"id" % 50 === 0)
+        val shortlist = Ann.ivfSqJoin(kept, queries,
+            kCells = 4, coarseIters = 1, nProbes = 2, k = 16)
+          .filter($"qid" =!= $"nid")
+        Ann.rerankExact(shortlist, prepared, 3)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dim AS (SELECT CAST(i AS INT) AS d FROM range(0,64) t(i)),
+             |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM q ORDER BY id LIMIT 8),
+             |e1 AS (SELECT q.id, c0.cid,
+             |         sum((q.qv[d+1]-c0.cv[d+1])*(q.qv[d+1]-c0.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c0 CROSS JOIN dim GROUP BY q.id, c0.cid),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e1)
+             |       WHERE rn = 1),
+             |u1 AS (SELECT a1.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a1 JOIN q USING (id) CROSS JOIN dim GROUP BY a1.cid, d),
+             |c1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c0.cid, c0.cv FROM c0 WHERE c0.cid NOT IN (SELECT cid FROM u1)),
+             |e2 AS (SELECT q.id, c1.cid,
+             |         sum((q.qv[d+1]-c1.cv[d+1])*(q.qv[d+1]-c1.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c1 CROSS JOIN dim GROUP BY q.id, c1.cid),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e2)
+             |       WHERE rn = 1),
+             |u2 AS (SELECT a2.cid, d,
+             |         CAST(floor(CAST(sum(q.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM a2 JOIN q USING (id) CROSS JOIN dim GROUP BY a2.cid, d),
+             |c2 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM u2 GROUP BY cid
+             |       UNION ALL
+             |       SELECT c1.cid, c1.cv FROM c1 WHERE c1.cid NOT IN (SELECT cid FROM u2)),
+             |e3 AS (SELECT q.id, c2.cid,
+             |         sum((q.qv[d+1]-c2.cv[d+1])*(q.qv[d+1]-c2.cv[d+1])) AS d2
+             |       FROM q CROSS JOIN c2 CROSS JOIN dim GROUP BY q.id, c2.cid),
+             |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM e3)
+             |       WHERE rn = 1),
+             |nn AS (SELECT id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |pp AS (SELECT x.id AS id_a, y.id AS id_b,
+             |        round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |              / (sqrt(a.nq::DOUBLE)*sqrt(b.nq::DOUBLE)), 6) AS cos
+             |      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.id < y.id
+             |      JOIN nn a ON x.id = a.id JOIN nn b ON y.id = b.id),
+             |drp AS (SELECT DISTINCT id_b AS id FROM pp WHERE cos >= 0.40),
+             |kq AS MATERIALIZED (SELECT q.id, q.qv FROM q LEFT JOIN drp ON q.id = drp.id
+             |      WHERE drp.id IS NULL),
+             |k0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv AS cv
+             |       FROM kq ORDER BY id LIMIT 4),
+             |f1 AS (SELECT kq.id, k0.cid,
+             |         sum((kq.qv[d+1]-k0.cv[d+1])*(kq.qv[d+1]-k0.cv[d+1])) AS d2
+             |       FROM kq CROSS JOIN k0 CROSS JOIN dim GROUP BY kq.id, k0.cid),
+             |b1 AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM f1)
+             |       WHERE rn = 1),
+             |v1 AS (SELECT b1.cid, d,
+             |         CAST(floor(CAST(sum(kq.qv[d+1]) AS DOUBLE)/count(*) + 0.5) AS BIGINT) AS cv_d
+             |       FROM b1 JOIN kq USING (id) CROSS JOIN dim GROUP BY b1.cid, d),
+             |kc1 AS (SELECT cid, list(cv_d ORDER BY d) AS cv FROM v1 GROUP BY cid
+             |       UNION ALL
+             |       SELECT k0.cid, k0.cv FROM k0 WHERE k0.cid NOT IN (SELECT cid FROM v1)),
+             |f2 AS (SELECT kq.id, kc1.cid,
+             |         sum((kq.qv[d+1]-kc1.cv[d+1])*(kq.qv[d+1]-kc1.cv[d+1])) AS d2
+             |       FROM kq CROSS JOIN kc1 CROSS JOIN dim GROUP BY kq.id, kc1.cid),
+             |ac AS (SELECT id, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM f2)
+             |       WHERE rn = 1),
+             |px AS (SELECT kq.id, d, qv[d+1] AS x FROM kq CROSS JOIN dim),
+             |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+             |encc AS MATERIALIZED (SELECT px.id, px.d,
+             |         CASE WHEN g.mx = g.mn THEN 0
+             |              ELSE least(255, (greatest(0, px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+             |       FROM px JOIN grid g USING (d)),
+             |qu AS (SELECT id, qv FROM q WHERE id % 50 = 0),
+             |qx AS (SELECT qu.id, d, qv[d+1] AS x FROM qu CROSS JOIN dim),
+             |encq AS MATERIALIZED (SELECT qx.id, qx.d,
+             |         CASE WHEN g.mx = g.mn THEN 0
+             |              ELSE least(255, (greatest(0, qx.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+             |       FROM qx JOIN grid g USING (d)),
+             |pe AS (SELECT qu.id, kc1.cid,
+             |         sum((qu.qv[d+1]-kc1.cv[d+1])*(qu.qv[d+1]-kc1.cv[d+1])) AS d2
+             |       FROM qu CROSS JOIN kc1 CROSS JOIN dim GROUP BY qu.id, kc1.cid),
+             |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+             |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
+             |       WHERE rn <= 2),
+             |pd AS (SELECT pb.qid, ac.id AS nid,
+             |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
+             |       FROM pb JOIN ac ON ac.cid = pb.cid
+             |       JOIN encc e ON e.id = ac.id
+             |       JOIN encq qe ON qe.id = pb.qid AND qe.d = e.d
+             |       GROUP BY 1, 2),
+             |sl AS (SELECT qid, nid FROM (SELECT qid, nid, d2c,
+             |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rn FROM pd)
+             |       WHERE rn <= 16 AND qid != nid),
+             |rr AS (SELECT sl.qid, sl.nid,
+             |         a.nq + b.nq - 2 * list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS dist
+             |       FROM sl JOIN nn a ON a.id = sl.qid JOIN nn b ON b.id = sl.nid),
+             |fin AS (SELECT qid, nid, dist,
+             |         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk FROM rr)
+             |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(dist AS BIGINT) AS dist
+             |FROM fin WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     // ----- X14: the corpus-REWRITE pipeline — the round-6 capstone
     // composing the new operators in the order a production pipeline runs
     // them: (1) Gopher hard rules (t10's gates) drop junk docs FIRST, so
