@@ -127,6 +127,35 @@ object Queries {
       |       WHERE rn = 1),
       |""".stripMargin
 
+  /** Shared DuckDB replay of the IVF-SQ8 serving chain (v14 and the
+    * v18 persistence round-trip — persisted-index serving must be
+    * bit-identical to in-memory serving, so both gates share one
+    * oracle). */
+  private lazy val ivfSqOracle: String = coarseReplayPrefix +
+        """px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
+          |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+          |enc AS MATERIALIZED (SELECT px.id, px.d,
+          |         CASE WHEN g.mx = g.mn THEN 0
+          |              ELSE least(255, ((px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
+          |       FROM px JOIN grid g USING (d)),
+          |qq AS (SELECT id, qv FROM q WHERE id % 50 = 0),
+          |pe AS (SELECT qq.id, c1.cid,
+          |         sum((qq.qv[d+1]-c1.cv[d+1])*(qq.qv[d+1]-c1.cv[d+1])) AS d2
+          |       FROM qq CROSS JOIN c1 CROSS JOIN dim GROUP BY qq.id, c1.cid),
+          |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+          |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
+          |       WHERE rn <= 2),
+          |pd AS (SELECT pb.qid, ac.id AS nid,
+          |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
+          |       FROM pb JOIN ac ON ac.cid = pb.cid AND ac.id <> pb.qid
+          |       JOIN enc e ON e.id = ac.id
+          |       JOIN enc qe ON qe.id = pb.qid AND qe.d = e.d
+          |       GROUP BY 1, 2),
+          |rk AS (SELECT qid, nid, d2c,
+          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
+          |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
+          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   /** Shared DuckDB replay of the FULL IVF-ADC chain (v11/v12):
     * [[coarseReplayPrefix]]'s coarse k-means + final cell assignment,
     * then residuals, 1-round 4x4 residual codebook, encoding,
@@ -7225,30 +7254,38 @@ object Queries {
             queryFilter = $"id" % 50 === 0)
           .orderBy($"qid", $"rk")
       },
-      Some(coarseReplayPrefix +
-        """px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
-          |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
-          |enc AS MATERIALIZED (SELECT px.id, px.d,
-          |         CASE WHEN g.mx = g.mn THEN 0
-          |              ELSE least(255, ((px.x - g.mn) * 255) // (g.mx - g.mn)) END AS code
-          |       FROM px JOIN grid g USING (d)),
-          |qq AS (SELECT id, qv FROM q WHERE id % 50 = 0),
-          |pe AS (SELECT qq.id, c1.cid,
-          |         sum((qq.qv[d+1]-c1.cv[d+1])*(qq.qv[d+1]-c1.cv[d+1])) AS d2
-          |       FROM qq CROSS JOIN c1 CROSS JOIN dim GROUP BY qq.id, c1.cid),
-          |pb AS (SELECT id AS qid, cid FROM (SELECT id, cid,
-          |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM pe)
-          |       WHERE rn <= 2),
-          |pd AS (SELECT pb.qid, ac.id AS nid,
-          |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
-          |       FROM pb JOIN ac ON ac.cid = pb.cid AND ac.id <> pb.qid
-          |       JOIN enc e ON e.id = ac.id
-          |       JOIN enc qe ON qe.id = pb.qid AND qe.d = e.d
-          |       GROUP BY 1, 2),
-          |rk AS (SELECT qid, nid, d2c,
-          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
-          |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
-          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+      Some(ivfSqOracle)),
+
+    // ----- V18: index PERSISTENCE round-trip — the operational claim
+    // behind the "stored index" designs (x10's dedup index, s13's
+    // deploy mode) made first-class for vectors: the IVF-SQ8 index is
+    // three plain DataFrames of primitive columns (centroids kCells
+    // rows, grid dim rows, postings one byte-code row per vector), so
+    // it round-trips through PARQUET with no custom format — build
+    // once, write, reload in a fresh lineage, serve forever; the
+    // corpus floats are never read again. The query writes all three
+    // artifacts to disk, reloads them in fresh lineages, serves from
+    // the RELOADED tables, and is gated by v14's exact oracle —
+    // persisted-index serving must be bit-identical to in-memory
+    // serving.
+    Q("v18_index_persist",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val idx = Ann.ivfSqBuild(prepared, kCells = 4, coarseIters = 1)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_v18_").toString
+        idx.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+        idx.grid.write.mode("overwrite").parquet(s"$tmp/grid")
+        idx.postings.write.mode("overwrite").parquet(s"$tmp/postings")
+        val reloaded = Ann.IvfSqIndex(
+          s.read.parquet(s"$tmp/centroids"),
+          s.read.parquet(s"$tmp/grid"),
+          s.read.parquet(s"$tmp/postings"))
+        Ann.ivfSqServe(reloaded, prepared.filter($"id" % 50 === 0), nProbes = 2, k = 5)
+          .orderBy($"qid", $"rk")
+      },
+      Some(ivfSqOracle)),
 
     // ----- D11: densified one-permutation MinHash LSH — the modern
     // production minhash (Li/Owen/Zhang 2012 + Shrivastava/Li 2014,

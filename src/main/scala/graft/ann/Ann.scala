@@ -957,6 +957,26 @@ object Ann {
     * (qid, rk, nid, d2c). */
   def ivfSq(prepared: DataFrame, kCells: Int, coarseIters: Int,
             nProbes: Int, k: Int, queryFilter: Column): DataFrame = {
+    val idx = ivfSqBuild(prepared, kCells, coarseIters)
+    ivfSqServe(idx, prepared.filter(queryFilter), nProbes, k)
+  }
+
+  /** The three PERSISTABLE artifacts of an IVF-SQ8 index — all plain
+    * DataFrames of primitive columns, so the index round-trips through
+    * parquet (or any table format) with no custom serialization:
+    * `centroids` (cid, cv) — kCells rows; `grid` (d, mn, mx) — dim
+    * rows; `postings` (id, cid, codes, ncode) — one row per corpus
+    * vector, byte codes only. Build once when the corpus is (re)built,
+    * write all three, and serve forever from the tables (the
+    * [[graft.dedup.Dedup.buildIndex]] stored-index discipline applied
+    * to vectors); the corpus floats are never needed again. */
+  final case class IvfSqIndex(centroids: DataFrame, grid: DataFrame,
+                              postings: DataFrame)
+
+  /** Build the index artifacts (one coarse training + one map-only
+    * assign/encode pass; the grid census is the only other corpus
+    * touch). */
+  def ivfSqBuild(prepared: DataFrame, kCells: Int, coarseIters: Int): IvfSqIndex = {
     val cents = kmeansCentroids(prepared, kCells, coarseIters)
     val grid = sqParams(prepared)
     // cid rides inside the id struct through the map-side encode, so
@@ -966,7 +986,18 @@ object Ann {
         grid)
       .select(col("id.id").as("id"), col("id.cid").as("cid"),
         col("codes"), col("ncode"))
-    val queries = prepared.filter(queryFilter)
+    IvfSqIndex(cents, grid, postings)
+  }
+
+  /** Serve queries from (possibly reloaded) index artifacts — the back
+    * half of [[ivfSq]], unchanged plan shape: model-broadcast probing,
+    * map-side query encode, probe-bounded code scan, one top-k window. */
+  def ivfSqServe(idx: IvfSqIndex, queries0: DataFrame, nProbes: Int,
+                 k: Int): DataFrame = {
+    val cents = idx.centroids
+    val grid = idx.grid
+    val postings = idx.postings
+    val queries = queries0
     // probe list: nProbes nearest cells per query against the k-row model
     val withNc = cents.withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
     val d2qc = col("nq") + col("nc") -
