@@ -3345,6 +3345,74 @@ object Queries {
              |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
              |  CAST(sum(len(text)) AS BIGINT) AS len_sum FROM s3""".stripMargin)),
 
+    // ----- S16: streaming LEADERBOARD — bounded top-k as STREAM state
+    // (o4's aggregator meeting mapGroupsWithState): per event type,
+    // keep the running top-3 purchases by cents plus a seen-counter.
+    // State per key is k pairs + one long — bounded at any stream
+    // length — and a top-k SET is arrival-order-independent (same k
+    // best whatever the interleaving), so the staged 3-wave arrival
+    // (s12 discipline) must land on the batch answer exactly. Update
+    // mode emits per touched key per trigger; the final answer is the
+    // max-n_seen row per key, gated by the batch top-3 oracle.
+    Q("s16_stream_leaderboard",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val base = t(s, dir, "events")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s16_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val slim = base.select($"event_type", $"event_id", quant($"value", 100).as("cents"))
+        (0 until 3).foreach(w => writeWave(slim.filter(pmod($"event_id", lit(3L)) === w), w + 1))
+        val queryName = "graft_lb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(slim.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[(String, Long, Long)]
+            .groupByKey(_._1)
+            .mapGroupsWithState[(Long, Seq[(Long, Long)]), (String, Long, String)](
+              GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+              val (n0, top0) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+              var n = n0; var top = top0
+              rows.foreach { case (_, id, cents) =>
+                n += 1
+                top = ((-cents, id) +: top).sorted.take(3)
+              }
+              state.update((n, top))
+              (key, n, top.map(_._2).mkString(","))
+            }
+            .toDF("event_type", "n_seen", "top_ids")
+            .writeStream.outputMode("update")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"n_seen".desc)
+        s.table(queryName)
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"event_type", $"n_seen", $"top_ids")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |         CAST(floor(value*100+0.5) AS BIGINT) AS cents FROM events),
+             |rk AS (SELECT event_type, event_id,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY cents DESC, event_id) AS rn FROM e),
+             |top AS (SELECT event_type,
+             |          string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+             |        FROM rk WHERE rn <= 3 GROUP BY 1),
+             |cnt AS (SELECT event_type, count(*) AS n_seen FROM e GROUP BY 1)
+             |SELECT c.event_type, CAST(c.n_seen AS BIGINT) AS n_seen, t.top_ids
+             |FROM cnt c JOIN top t USING (event_type) ORDER BY 1""".stripMargin)),
+
     // ----- W6: time-decayed aggregation (freshness weighting) — the
     // recency-weighted score a curation pipeline attaches to sources
     // (fresh activity counts more than stale), built ORDER-FREE: a
@@ -6734,6 +6802,38 @@ object Queries {
              |  CAST(floor(CAST(n_dab AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) AS est_diff_ab,
              |  CAST(floor(CAST(n_dba AS DOUBLE) * pow(2.0, 60) / CAST(thab AS DOUBLE)) AS BIGINT) AS est_diff_ba
              |FROM p2""".stripMargin)),
+
+    // ----- K9: uniform sample of the DISTINCT domain without a global
+    // distinct (bottom-k sampling — the second life of the theta
+    // sketch): min-wise hashing makes the k smallest hashes a uniform
+    // sample of the distinct VALUE domain (not frequency-weighted —
+    // every distinct token equally likely, however often it occurs),
+    // and the sketch is mergeable map-side-combined state, so the
+    // corpus never shuffles; values come back by joining the k-row
+    // broadcast hash set against the raw token stream and distinct-ing
+    // the ≤ k·occurrence matches (tiny), never the corpus. The oracle
+    // replays hash ranking → bottom-20 → value recovery.
+    Q("k9_distinct_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.{Kmv, Theta}
+        val toks = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("tok"))
+          .filter(length($"tok") > 0)
+          .select($"tok", Kmv.hash60($"tok").as("h"))
+        val sk = toks.agg(Theta.sketch($"h", 20).as("sk"))
+          .select(explode($"sk").as("h"))
+        toks.join(broadcast(sk), Seq("h"))
+          .select($"tok").distinct()
+          .orderBy($"tok")
+      },
+      Some("""WITH tok AS (SELECT DISTINCT t.tok,
+             |         ('0x'||substr(md5(t.tok),1,15))::BIGINT AS h
+             |       FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |       WHERE len(t.tok) > 0),
+             |bk AS (SELECT h FROM (SELECT DISTINCT h FROM tok)
+             |       ORDER BY h LIMIT 20)
+             |SELECT tok FROM tok JOIN bk USING (h) ORDER BY tok""".stripMargin)),
 
     // ----- V13: scalar quantization (SQ8) top-k — the FAISS QT_8bit
     // middle rung between exact vectors and PQ: one byte per dim on a
