@@ -260,42 +260,60 @@ object Queries {
     * counts → re-estimated costs. The bpeTrainOracle8 generation
     * pattern: built programmatically, stage structure identical to the
     * Scala DP. */
-  private lazy val unigramOracle: String = {
+  /** The unrolled Viterbi DP (8 position stages + 8 backtrack hops)
+    * under cost table `costTable` (piece, cost), CTE names prefixed
+    * with `p` so two DP rounds coexist in one query (t19 trains under
+    * k0; t20 additionally TOKENIZES under the trained k1). Returns
+    * (ctes, pathsUnion): `pathsUnion` yields one row per (w, piece) on
+    * each word's best path. */
+  private def viterbiDpCtes(costTable: String, p: String): (String, String) = {
     val L = 4
     def branches(i: Int): Seq[String] =
       (math.max(0, i - L) until i).map { j =>
         if (j == 0)
           s"""      SELECT wf.w AS w, k.cost AS score, 0 AS j
-             |      FROM wf JOIN k0 k ON k.piece = substr(wf.w, 1, $i)
+             |      FROM wf JOIN $costTable k ON k.piece = substr(wf.w, 1, $i)
              |      WHERE len(wf.w) >= $i""".stripMargin
         else
-          s"""      SELECT p.w, p.score + k.cost AS score, $j AS j
-             |      FROM b$j p JOIN k0 k ON k.piece = substr(p.w, ${j + 1}, ${i - j})
-             |      WHERE len(p.w) >= $i""".stripMargin
+          s"""      SELECT q.w, q.score + k.cost AS score, $j AS j
+             |      FROM ${p}b$j q JOIN $costTable k ON k.piece = substr(q.w, ${j + 1}, ${i - j})
+             |      WHERE len(q.w) >= $i""".stripMargin
       }
     val stages = (1 to 8).map { i =>
-      s"""b$i AS MATERIALIZED (SELECT w, score, j FROM (
+      s"""${p}b$i AS MATERIALIZED (SELECT w, score, j FROM (
          |    SELECT c.w, c.score, c.j,
          |      row_number() OVER (PARTITION BY c.w ORDER BY c.score, c.j) AS rn
          |    FROM (
          |${branches(i).mkString("\n      UNION ALL\n")}
          |    ) c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val ball = (1 to 8).map(i => s"SELECT w, $i AS i, j FROM b$i")
+    val ball = (1 to 8).map(i => s"SELECT w, $i AS i, j FROM ${p}b$i")
       .mkString("\n  UNION ALL ")
     val hops = (1 to 8).map { h =>
-      s"""h$h AS (SELECT e.w, b.j AS nxt, substr(e.w, b.j + 1, e.pos - b.j) AS piece
-         |  FROM e${h - 1} e JOIN ball b ON b.w = e.w AND b.i = e.pos),
-         |e$h AS (SELECT w, nxt AS pos FROM h$h WHERE nxt > 0)""".stripMargin
+      s"""${p}h$h AS (SELECT e.w, b.j AS nxt, substr(e.w, b.j + 1, e.pos - b.j) AS piece
+         |  FROM ${p}e${h - 1} e JOIN ${p}ball b ON b.w = e.w AND b.i = e.pos),
+         |${p}e$h AS (SELECT w, nxt AS pos FROM ${p}h$h WHERE nxt > 0)""".stripMargin
     }.mkString(",\n")
-    val paths = (1 to 8).map(h => s"SELECT w, piece FROM h$h")
+    val paths = (1 to 8).map(h => s"SELECT w, piece FROM ${p}h$h")
       .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    val ctes =
+      s"""$stages,
+         |${p}ball AS MATERIALIZED ($ball),
+         |${p}e0 AS (SELECT w, len(w) AS pos FROM wf),
+         |$hops""".stripMargin
+    (ctes, paths)
+  }
+
+  /** Shared training prelude: word census → substring seeding → initial
+    * add-one-smoothed costs k0 (Unigram.train's steps 1-2 + the first
+    * cost table). */
+  private val unigramTrainCtes: String =
+    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |wf AS MATERIALIZED (SELECT w, count(*) AS f FROM toks WHERE len(w) > 0 GROUP BY 1),
        |subs AS MATERIALIZED (SELECT substr(wf.w, p.st, q.l) AS piece, sum(wf.f) AS score
        |  FROM wf
        |  CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INT) AS st) p
-       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${L + 1})) AS INT) AS l) q
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, 5)) AS INT) AS l) q
        |  WHERE p.st + q.l - 1 <= len(wf.w)
        |  GROUP BY 1),
        |pieces AS MATERIALIZED (SELECT piece FROM subs WHERE len(piece) = 1
@@ -307,11 +325,12 @@ object Queries {
        |t0 AS (SELECT sum(cnt) AS t FROM c0),
        |k0 AS MATERIALIZED (SELECT piece,
        |    CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
-       |  FROM c0 CROSS JOIN t0 CROSS JOIN vs),
-       |$stages,
-       |ball AS MATERIALIZED ($ball),
-       |e0 AS (SELECT w, len(w) AS pos FROM wf),
-       |$hops,
+       |  FROM c0 CROSS JOIN t0 CROSS JOIN vs)""".stripMargin
+
+  private lazy val unigramOracle: String = {
+    val (dp, paths) = viterbiDpCtes("k0", "")
+    s"""WITH $unigramTrainCtes,
+       |$dp,
        |pc AS (SELECT pp.piece, sum(wf.f) AS cnt
        |  FROM ($paths) pp JOIN wf ON wf.w = pp.w GROUP BY 1),
        |fc AS (SELECT p.piece, COALESCE(pc.cnt, 0) AS cnt FROM pieces p LEFT JOIN pc USING (piece)),
@@ -320,6 +339,33 @@ object Queries {
        |  CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
        |FROM fc CROSS JOIN tf CROSS JOIN vs
        |ORDER BY piece""".stripMargin
+  }
+
+  /** t20: train (the t19 chain, E-step under k0 → re-estimated costs
+    * k1), then TOKENIZE every document under k1 — a SECOND unrolled DP
+    * (prefix `f`) over the word census, piece counts joined back onto
+    * the documents. */
+  private lazy val unigramTokenizeOracle: String = {
+    val (dp0, paths0) = viterbiDpCtes("k0", "")
+    val (dp1, paths1) = viterbiDpCtes("k1", "f")
+    s"""WITH $unigramTrainCtes,
+       |$dp0,
+       |pc AS (SELECT pp.piece, sum(wf.f) AS cnt
+       |  FROM ($paths0) pp JOIN wf ON wf.w = pp.w GROUP BY 1),
+       |fc AS (SELECT p.piece, COALESCE(pc.cnt, 0) AS cnt FROM pieces p LEFT JOIN pc USING (piece)),
+       |tf AS (SELECT sum(cnt) AS t FROM fc),
+       |k1 AS MATERIALIZED (SELECT piece,
+       |    CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
+       |  FROM fc CROSS JOIN tf CROSS JOIN vs),
+       |$dp1,
+       |wpc AS (SELECT w, count(*) AS np FROM ($paths1) pp GROUP BY 1),
+       |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |ds AS (SELECT doc_id, sum(wpc.np) AS np
+       |  FROM (SELECT doc_id, w FROM dtoks WHERE len(w) > 0) d JOIN wpc USING (w)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(ds.np, 0) AS BIGINT) AS n_pieces
+       |FROM documents d LEFT JOIN ds USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Exact integer cents/micros: floor(x*scale+0.5) as BIGINT. */
@@ -8143,8 +8189,138 @@ object Queries {
       Some(unigramOracle))
   )
 
+  private lazy val roundTen: Seq[Q] = Seq(
+    // ----- K8: AMS F2 sketch (Alon-Matias-Szegedy 1996) — the second
+    // frequency moment (self-join size / skew concentration) of the
+    // token distribution from d=9 integer counters TOTAL. The sketch is
+    // one map-side-combined groupBy(j).sum(sign) — the shuffle carries
+    // 9 longs at any corpus size — and the committed estimate is the
+    // deterministic median of the 9 squares ((z², j) tiebreak). Beside
+    // KMV/HLL ("how many distinct") and count-min ("how often is v"),
+    // this answers "how CONCENTRATED is the whole distribution" — the
+    // planner's skew statistic. Exact F2 alongside for the error gate;
+    // the oracle replays signs, counters, squares, median, and exact.
+    Q("k8_ams_f2",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.Ams
+        val toks = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("tok"))
+        val exact = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+          .agg(sum($"c" * $"c").as("exact"))
+        Ams.f2Estimate(Ams.f2Sketch(toks, $"tok", d = 9), d = 9)
+          .crossJoin(exact) // 1-row × 1-row
+          .select($"est".cast("long").as("est"), $"exact".cast("long").as("exact"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+             |sgn AS (SELECT r.j AS j,
+             |          1 - 2*(('0x'||substr(md5(r.j::VARCHAR||'|'||tok),1,15))::BIGINT % 2) AS s
+             |        FROM toks CROSS JOIN (SELECT unnest(range(9)) AS j) r),
+             |z AS (SELECT j, sum(s) AS z FROM sgn GROUP BY 1),
+             |z2 AS (SELECT j, z*z AS z2 FROM z),
+             |med AS (SELECT z2 FROM (SELECT z2, row_number() OVER (ORDER BY z2, j) AS rn
+             |                        FROM z2) WHERE rn = 5),
+             |ex AS (SELECT sum(c*c) AS exact FROM (SELECT count(*) AS c FROM toks GROUP BY tok))
+             |SELECT CAST(med.z2 AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
+             |FROM med CROSS JOIN ex""".stripMargin)),
+
+    // ----- W7: gap fill / densify — resample the sparse per-type event
+    // stream onto the complete daily grid, carrying the last observation
+    // forward through the holes (the step every temporal model assumes).
+    // Grid bounds are a 1-row global fold (a literal crossJoin, not a
+    // join); the grid is keys × buckets rows (census-sized); the fill is
+    // ONE window pass per key (`last ignoreNulls` over
+    // unbounded-preceding) — single-value state per key. Values are
+    // per-row-quantized integers before summing, so both engines agree
+    // bit-for-bit. `filled` 0=observed / 1=carried / 2=before-first.
+    Q("w7_gap_fill",
+      (s, dir) => {
+        import s.implicits._
+        val obs = t(s, dir, "events")
+          .groupBy($"event_type", expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(quant($"value", 100)).as("cents"))
+        graft.ops.GapFill.forwardFill(obs, "event_type", "day", "cents")
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH obs AS (SELECT event_type, epoch(ts)::BIGINT // 86400 AS day,
+             |          sum(CAST(floor(value*100+0.5) AS BIGINT)) AS cents
+             |        FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+             |grid AS (SELECT k.event_type, CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day
+             |         FROM (SELECT DISTINCT event_type FROM obs) k CROSS JOIN b),
+             |j AS (SELECT g.event_type, g.day, o.cents FROM grid g
+             |      LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day)
+             |SELECT event_type, day,
+             |  last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             |  CASE WHEN cents IS NOT NULL THEN 0
+             |       WHEN last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL THEN 1
+             |       ELSE 2 END AS filled
+             |FROM j ORDER BY event_type, day""".stripMargin)),
+
+    // ----- J9: spatial radius join via integer grid-cell blocking — the
+    // planar member of the no-all-pairs family (LSH bands, IVF cells,
+    // j8's interval buckets). Deterministic integer coordinates are
+    // hash-derived per key; candidate pairs come from an EQUI-join on
+    // grid cells (probe side ×9 neighbor replication — constant, never
+    // data-dependent), then the exact integer L2² predicate verifies.
+    // The ORACLE is the quadratic ALL-PAIRS definition — a hash-join
+    // blocking scheme gated against exhaustive ground truth proves the
+    // 3×3 neighborhood loses no true pair. Shuffle volume 9·|A| + |B|;
+    // per-cell work bounded by spatial density, not corpus size.
+    Q("j9_spatial_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.Kmv
+        def coord(key: Column, axis: String): Column =
+          pmod(Kmv.hash60(concat(key.cast("string"), lit(axis))), lit(1024L))
+        val cust = t(s, dir, "customer").select($"c_custkey".as("a_id"),
+          coord($"c_custkey", "x").as("x"), coord($"c_custkey", "y").as("y"))
+        val supp = t(s, dir, "supplier").select($"s_suppkey".as("id"),
+          coord($"s_suppkey", "x").as("x"), coord($"s_suppkey", "y").as("y"))
+        graft.ops.SpatialJoin.radiusJoin(cust, supp, cellSize = 32L, r2 = 1024L)
+          .select($"a_id".as("c_custkey"), $"b_id".as("s_suppkey"), $"d2")
+          .orderBy($"c_custkey", $"s_suppkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    ('0x'||substr(md5(c_custkey::VARCHAR||'x'),1,15))::BIGINT % 1024 AS x,
+             |    ('0x'||substr(md5(c_custkey::VARCHAR||'y'),1,15))::BIGINT % 1024 AS y
+             |  FROM customer),
+             |s AS (SELECT s_suppkey,
+             |    ('0x'||substr(md5(s_suppkey::VARCHAR||'x'),1,15))::BIGINT % 1024 AS x,
+             |    ('0x'||substr(md5(s_suppkey::VARCHAR||'y'),1,15))::BIGINT % 1024 AS y
+             |  FROM supplier)
+             |SELECT c.c_custkey, s.s_suppkey,
+             |  CAST((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) AS BIGINT) AS d2
+             |FROM c CROSS JOIN s
+             |WHERE (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) <= 1024
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ----- T20: unigram-LM TOKENIZE — the apply half of t19 (train →
+    // segment, the SentencePiece usage pattern). The |V|-row trained
+    // model is broadcast and segmentation is map-side Viterbi per word
+    // (join-free, the Bpe.segment discipline); per-document piece
+    // counts are the packing/budgeting currency every downstream
+    // sampler (x19/x22) spends. The oracle replays BOTH DP rounds:
+    // train under k0 → re-estimated costs k1 → a second unrolled
+    // Viterbi under k1 → per-word piece counts joined back onto the
+    // documents.
+    Q("t20_unigram_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val model = graft.text.Unigram.train(docs, "text",
+          topMulti = 12, maxPieceLen = 4, iters = 1)
+        graft.text.Unigram.segmentCounts(docs, "text", model, maxPieceLen = 4)
+          .select($"doc_id", $"n_pieces".cast("long").as("n_pieces"))
+          .orderBy($"doc_id")
+      },
+      Some(unigramTokenizeOracle))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
