@@ -8190,6 +8190,53 @@ object Queries {
   )
 
   private lazy val roundTen: Seq[Q] = Seq(
+    // ----- R11: DSv2 RUNTIME filtering (SupportsRuntimeFiltering — DPP
+    // for tile IO). The serving-path shape: the band list to read is
+    // COMPUTED (a filtered dim), so no static pushdown can prune the
+    // scan; at execution Spark evaluates the dim side first and hands
+    // the surviving IN-set to the source, which drops the pruned READS
+    // from the work-list before any pixel IO (partition shells survive
+    // so the scan's KeyGroupedPartitioning stays truthful — asserted in
+    // TileSourceV2Spec along with the read-counter proof that nir/green
+    // tiles are never opened when the dim keeps red alone). Here the dim
+    // keeps {red, nir} of 3 bands; per-(band, chunk) tile counts and
+    // pixel-size sums replay from the 10-scene fixture geometry.
+    Q("r11_dsv2_runtime",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+        val items = (0 until 10).map { i =>
+          val off = (i % 3) * 1280.0
+          StacItem(s"scene-$i", Some(f"2024-06-${i + 1}%02dT10:00:00Z"), epsg = Some(32633),
+            assets = Seq("red", "green", "nir").map { band =>
+              band -> StacAsset(s"fake://$band/$i",
+                bbox = Some(Bounds(399960 + off, 4990200 - off, 399960 + off + 2560, 4990200 - off + 2560)),
+                shape = Some((256, 256)),
+                transform = Some(AffineTransform.northUp(399960 + off, 4990200 - off + 2560, 10.0, 10.0)))
+            }.toMap)
+        }
+        val plan = Prepare(items, PrepareOptions(assets = Some(Seq("red", "green", "nir"))))
+        val tiles = graft.scan.v2.TileSourceV2.scan(s, plan.assetTable, plan.spec, chunk = 256)
+        val dim = Seq(("red", 1), ("nir", 1), ("green", 0)).toDF("b", "keep")
+        val sel = dim.filter($"keep" === 1)
+        tiles.join(sel, tiles("band") === sel("b"))
+          .groupBy($"band", $"yChunk", $"xChunk")
+          .agg(count(lit(1)).as("n_tiles"), sum(size($"pixels")).as("px_sum"))
+          .orderBy($"band", $"yChunk", $"xChunk")
+      },
+      Some("""WITH sc AS (SELECT CAST(i AS INT) AS i, (i % 3) * 128 AS o FROM range(0,10) t(i)),
+             |px AS (SELECT r, c FROM range(0,512) t(r) CROSS JOIN range(0,512) u(c)),
+             |hits AS (SELECT s.i, r, c FROM px JOIN sc s
+             |         ON r >= s.o AND r < s.o+256 AND c >= s.o AND c < s.o+256),
+             |ch AS (SELECT CAST(r//256 AS INT) AS yc, CAST(c//256 AS INT) AS xc,
+             |              CAST(count(*) AS BIGINT) AS px_sum,
+             |              CAST(count(DISTINCT i) AS BIGINT) AS n_tiles
+             |       FROM hits GROUP BY 1, 2),
+             |b AS (SELECT unnest(['nir','red']) AS band)
+             |SELECT b.band AS band, yc AS "yChunk", xc AS "xChunk", n_tiles, px_sum
+             |FROM ch CROSS JOIN b ORDER BY 1, 2, 3""".stripMargin)),
+
     // ----- K8: AMS F2 sketch (Alon-Matias-Szegedy 1996) — the second
     // frequency moment (self-join size / skew concentration) of the
     // token distribution from d=9 integer counters TOTAL. The sketch is

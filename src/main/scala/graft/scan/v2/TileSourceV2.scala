@@ -371,7 +371,8 @@ private[v2] object TileFilterEval {
 final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructType,
                        limit: Int = -1)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -380,6 +381,43 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
       (if (limit >= 0) s" LIMIT-PUSHDOWN $limit" else "")
 
   private lazy val partitions = computePartitions()
+
+  // ---- runtime filtering (SupportsRuntimeFiltering) -------------------
+  // Dynamic partition pruning for tile IO: when this scan sits under a
+  // join on a metadata column (band / item / time / chunk coords), the
+  // optimizer evaluates the OTHER side first and hands the surviving key
+  // set here as an IN-filter at execution time — pruning the planned
+  // reads with information no static pushdown could know. At 100 TB
+  // "scan the tiles matching this (small, computed) item list" is the
+  // dominant serving query; runtime filtering turns it from full-scan +
+  // post-join-discard into exactly-the-needed reads.
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    // only columns that survived pruning: Spark resolves these against
+    // the scan OUTPUT, and a pruned column would fail analysis
+    Array("band", "itemIdx", "timeMicros", "yChunk", "xChunk")
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(TileFilterEval.supported)
+
+  /** Runtime filters drop READS, never partitions: the partition list
+    * (count + keys) must survive runtime filtering unchanged, or the
+    * KeyGroupedPartitioning this scan advertised at plan time would lie
+    * to the exchange-free aggregation sitting on top of it. An
+    * empty-read shell costs one no-op task; the pruned IO is the win. */
+  private def runtimeFiltered(parts: Array[InputPartition]): Array[InputPartition] =
+    if (runtime.isEmpty) parts
+    else parts.map { p =>
+      val tp = p.asInstanceOf[TileInputPartition]
+      tp.copy(reads = tp.reads.filter(r =>
+        runtime.forall(TileFilterEval.eval(_, r.asset, r.yChunk, r.xChunk))))
+    }
 
   /** Advertise the scan's NATIVE clustering: one input partition per
     * (yChunk, xChunk), so any aggregation or join whose keys contain the
@@ -403,7 +441,7 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
     else new UnknownPartitioning(0)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def planInputPartitions(): Array[InputPartition] = runtimeFiltered(partitions)
 
   private def computePartitions(): Array[InputPartition] = {
     val grid = TileScan.chunkGrid(plan.spec, plan.chunk)
@@ -419,14 +457,17 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
       if pushed.forall(TileFilterEval.eval(_, a, yc, xc))
     } byChunk.getOrElseUpdate((yc, xc), mutable.ArrayBuffer.empty) +=
         PlannedRead(a, yc, xc, cw.intersect(assetWin))
-    val parts = byChunk.values.map(rs => TileInputPartition(rs.toArray): InputPartition)
+    val parts = byChunk.map { case ((yc, xc), rs) =>
+      TileInputPartition(yc, xc, rs.toArray): InputPartition
+    }
     if (limit < 0) parts.toArray
     else {
       // pushed LIMIT: keep the first `limit` reads in enumeration order
       // (one partition suffices — n is interactive-sized by contract)
       val take = parts.iterator
         .flatMap(_.asInstanceOf[TileInputPartition].reads).take(limit).toArray
-      if (take.isEmpty) Array.empty else Array(TileInputPartition(take))
+      if (take.isEmpty) Array.empty
+      else Array(TileInputPartition(take.head.yChunk, take.head.xChunk, take))
     }
   }
 
@@ -437,12 +478,15 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
 
 final case class PlannedRead(asset: AssetRow, yChunk: Int, xChunk: Int, window: Window)
 
-final case class TileInputPartition(reads: Array[PlannedRead]) extends InputPartition
+final case class TileInputPartition(yChunk: Int, xChunk: Int, reads: Array[PlannedRead])
+    extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** All reads in one partition share a chunk by construction; the key
-    * backs the scan's reported KeyGroupedPartitioning. */
+    * backs the scan's reported KeyGroupedPartitioning. The key lives on
+    * the partition (not `reads.head`) so a runtime-filtered shell with
+    * zero surviving reads still reports its chunk. */
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](reads.head.yChunk, reads.head.xChunk))
+    new GenericInternalRow(Array[Any](yChunk, xChunk))
 }
 
 final case class TileReaderFactory(

@@ -176,6 +176,48 @@ class TileSourceV2Spec extends SparkSpec {
     assert(TileSourceV2.scan(spark, assets, spec, chunk).count() > 3)
   }
 
+  test("runtime filtering prunes reads but preserves partition count and keys") {
+    import graft.scan.v2._
+    import org.apache.spark.sql.sources.In
+    val plan = ScanPlan(assets, spec, chunk, a => FakeReader(a.url),
+      ErrorsAsNodata.none, applyRescale = true)
+    val scan = new TileScanBuilder(plan).build()
+    val before = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[TileInputPartition])
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.fieldNames()(0)).toSet ===
+      Set("band", "itemIdx", "timeMicros", "yChunk", "xChunk"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](In("band", Array("red"))))
+    val after = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[TileInputPartition])
+    // partition shells survive (KeyGroupedPartitioning must stay truthful)
+    assert(after.length === before.length)
+    assert(after.map(p => (p.yChunk, p.xChunk)).toSeq ===
+      before.map(p => (p.yChunk, p.xChunk)).toSeq)
+    // but only the surviving band's reads remain
+    assert(after.flatMap(_.reads).forall(_.asset.band == "red"))
+    assert(after.map(_.reads.length).sum === 5)
+    assert(before.map(_.reads.length).sum === 10)
+  }
+
+  test("runtime filtering end-to-end: a selective dim join prunes pixel IO (DPP for tiles)") {
+    import spark.implicits._
+    CountingReads.reads.set(0)
+    val dim = Seq(("red", 1), ("blue", 2)).toDF("b", "flag")
+    val tiles = TileSourceV2.scan(spark, assets, spec, chunk,
+      readerFor = CountingReads.factory)
+    val sel = dim.filter($"flag" === 1)
+    val joined = tiles.join(sel, tiles("band") === sel("b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val n = joined.as[Long].collect().head
+    assert(n === 5L) // red: full-footprint item 0 (4 chunks) + quarter item 1 (1 chunk)
+    // the runtime IN-filter must have kept nir tiles from being read;
+    // if DPP did not engage this assert catches it (10 = all reads)
+    assert(CountingReads.reads.get() <= 5,
+      s"runtime filtering should prune nir reads, saw ${CountingReads.reads.get()}")
+  }
+
   test("aggregate pushdown declines: grouped, pixel-typed, or filtered aggregates fall back correctly") {
     import spark.implicits._
     // grouped -> not pushed, still correct
