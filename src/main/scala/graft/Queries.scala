@@ -127,12 +127,11 @@ object Queries {
       |       WHERE rn = 1),
       |""".stripMargin
 
-  /** Shared DuckDB replay of the IVF-SQ8 serving chain (v14 and the
-    * v18 persistence round-trip — persisted-index serving must be
-    * bit-identical to in-memory serving, so both gates share one
-    * oracle). */
-  private lazy val ivfSqOracle: String = coarseReplayPrefix +
-        """px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
+  /** Shared DuckDB replay of the IVF-SQ8 serving chain. `extraCand` is
+    * spliced into the candidate join (empty for unfiltered serving;
+    * v19 passes a label join for the hybrid-search gate). */
+  private def ivfSqOracleBody(extraCand: String): String = coarseReplayPrefix +
+        s"""px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
           |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
           |enc AS MATERIALIZED (SELECT px.id, px.d,
           |         CASE WHEN g.mx = g.mn THEN 0
@@ -148,6 +147,7 @@ object Queries {
           |pd AS (SELECT pb.qid, ac.id AS nid,
           |         sum((qe.code - e.code) * (qe.code - e.code)) AS d2c
           |       FROM pb JOIN ac ON ac.cid = pb.cid AND ac.id <> pb.qid
+          |       $extraCand
           |       JOIN enc e ON e.id = ac.id
           |       JOIN enc qe ON qe.id = pb.qid AND qe.d = e.d
           |       GROUP BY 1, 2),
@@ -155,6 +155,17 @@ object Queries {
           |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
           |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
           |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** v14 and the v18 persistence round-trip share one oracle —
+    * persisted-index serving must be bit-identical to in-memory
+    * serving. */
+  private lazy val ivfSqOracle: String = ivfSqOracleBody("")
+
+  /** v19: the same chain with the candidate set PRE-filtered to
+    * label 3 (hybrid search — the filter restricts candidates before
+    * ranking, so every returned neighbor satisfies it). */
+  private lazy val ivfSqFilteredOracle: String = ivfSqOracleBody(
+    "JOIN (SELECT vec_id AS id, label FROM embeddings) lb ON lb.id = ac.id AND lb.label = 3")
 
   /** Shared DuckDB replay of the FULL IVF-ADC chain (v11/v12):
     * [[coarseReplayPrefix]]'s coarse k-means + final cell assignment,
@@ -8363,7 +8374,34 @@ object Queries {
           .select($"doc_id", $"n_pieces".cast("long").as("n_pieces"))
           .orderBy($"doc_id")
       },
-      Some(unigramTokenizeOracle))
+      Some(unigramTokenizeOracle)),
+
+    // ----- V19: FILTERED ANN (hybrid search) — "vector top-k + WHERE
+    // clause", the feature every production vector store ships (FAISS
+    // IDSelector, Milvus/pgvector scalar filtering). Semantics are
+    // PRE-filter: the label predicate restricts the candidate set
+    // BEFORE ranking (a post-filter of unfiltered top-k under-fills
+    // whenever the filter is selective — the classic hybrid-search
+    // bug). The attribute rides as an ordinary postings COLUMN
+    // (index-as-tables: one build-time equi-join attaches it), so with
+    // parquet-persisted artifacts the predicate pushes into the file
+    // scan and data skipping prunes row groups before the probe join.
+    // Oracle = the v14 chain with the label join spliced into the
+    // candidate step.
+    Q("v19_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val idx = Ann.ivfSqBuild(prepared, kCells = 4, coarseIters = 1)
+        // attributes become postings columns (the index-as-tables way)
+        val labels = t(s, dir, "embeddings").select($"vec_id".as("id"), $"label")
+        val withAttrs = idx.copy(postings = idx.postings.join(labels, Seq("id")))
+        Ann.ivfSqServeWhere(withAttrs, prepared.filter($"id" % 50 === 0),
+            nProbes = 2, k = 5, pred = $"label" === 3)
+          .orderBy($"qid", $"rk")
+      },
+      Some(ivfSqFilteredOracle))
   )
 
   private val qs: Seq[Q] =

@@ -1023,6 +1023,31 @@ object Ann {
       .select(col("qid"), col("rk"), col("nid"), col("d2c"))
   }
 
+  /** FILTERED (hybrid) serving — top-k among index vectors satisfying a
+    * metadata predicate, the "vector search + WHERE clause" every
+    * production vector store ships (FAISS IDSelector / Milvus scalar
+    * filtering). Semantics are PRE-filter: the predicate restricts the
+    * candidate set BEFORE ranking, so all k results satisfy it (a
+    * post-filter of an unfiltered top-k under-fills whenever the filter
+    * is selective — the classic hybrid-search bug).
+    *
+    * Plan shape: the predicate lands directly on the postings scan —
+    * with parquet-persisted artifacts ([[ivfSqBuild]]'s index-as-tables
+    * contract; attributes are ordinary postings columns riding beside
+    * the codes) Catalyst pushes it into the file scan, so data skipping
+    * prunes whole row groups before the probe join. Everything else is
+    * [[ivfSqServe]] unchanged: probe-bounded candidates, one top-k
+    * window.
+    *
+    * Caveat the caller owns: with selectivity s, probed candidates drop
+    * to ~ s·nProbes·n/kCells — a very selective filter needs wider
+    * nProbes (or a full-probe fall-back) to keep k results; the
+    * filtered result equals brute-force-over-the-filtered-subset in
+    * code space when nProbes = kCells (RecallSpec pins both laws). */
+  def ivfSqServeWhere(idx: IvfSqIndex, queries0: DataFrame, nProbes: Int,
+                      k: Int, pred: Column): DataFrame =
+    ivfSqServe(idx.copy(postings = idx.postings.filter(pred)), queries0, nProbes, k)
+
   /** Deterministic signed-permutation PRETRANSFORM (the FAISS
     * OPQ/RandomRotation slot, integer-exact form): output dim d takes
     * source dim π(d) times s(d) ∈ {−1, +1}, with π and s derived from

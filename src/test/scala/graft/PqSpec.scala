@@ -251,6 +251,29 @@ class PqSpec extends SparkSpec {
       "full-probe ivfSq diverged from the full SQ8 scan")
   }
 
+  test("ivfSqServeWhere: pre-filter semantics — every result satisfies the predicate; full probe == brute force over the filtered subset") {
+    val idx = Ann.ivfSqBuild(prepared, kCells = 4, coarseIters = 1)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"label")
+    val withAttrs = idx.copy(postings = idx.postings.join(labels, Seq("id")))
+    val queries = prepared.filter($"id" % 50 === 0)
+    val got = Ann.ivfSqServeWhere(withAttrs, queries, nProbes = 2, k = 5,
+      pred = $"label" === 3).cache()
+    // pre-filter law: no returned neighbor violates the predicate
+    val bad = got.join(labels.withColumnRenamed("id", "nid"), Seq("nid"))
+      .filter($"label" =!= 3).count()
+    assert(bad === 0, s"$bad neighbors violate the filter")
+    assert(got.count() > 0)
+    // full probe == sqTopK over the filtered code subset, bit-for-bit
+    val codes = Ann.sqEncode(prepared, idx.grid)
+    val filteredCodes = codes.join(labels.filter($"label" === 3).select($"id"), Seq("id"))
+    val brute = Ann.sqTopK(filteredCodes, Ann.sqEncode(queries, idx.grid), 5)
+    val full = Ann.ivfSqServeWhere(withAttrs, queries, nProbes = 4, k = 5,
+      pred = $"label" === 3)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty,
+      "full-probe filtered serving diverged from brute force over the filtered subset")
+  }
+
   test("ivfSqJoin: probe-bounded large-large join; full probe = exact code-space join; no broadcast hint") {
     val corpus = prepared.filter($"id" % 2 === 0)
     val queries = prepared.filter($"id" % 2 === 1)
