@@ -8401,7 +8401,155 @@ object Queries {
             nProbes = 2, k = 5, pred = $"label" === 3)
           .orderBy($"qid", $"rk")
       },
-      Some(ivfSqFilteredOracle))
+      Some(ivfSqFilteredOracle)),
+
+    // ----- S17: streaming GAP DETECTION (downtime / feed-health
+    // monitoring) — the streaming complement of w7's batch densify:
+    // per event type, every consecutive-pair gap over 2 h is an
+    // incident row. Gap pairs are ORDER-sensitive, so the staged waves
+    // split by TIME RANGE (equal-ts events always share a wave — the
+    // split key is ts itself), arrival order across waves preserves
+    // event-time order, and each batch is sorted by (ts, id) inside
+    // the group function. State per key is ONE (ts, id) pair at any
+    // stream length; cross-wave pairs come from the state-to-first
+    // stitch, so the union of within- and cross-wave pairs is exactly
+    // the batch lag() pair set — gated by that oracle.
+    Q("s17_stream_gap_detect",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val thresholdUs = 7200000000L // 2 h
+        val base = t(s, dir, "events")
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s17_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val slim = base.select($"event_type", $"event_id", unix_micros($"ts").as("tus"))
+        val b = slim.agg(min($"tus").as("lo"), max($"tus").as("hi")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+        writeWave(slim.filter($"tus" < cut1), 1)
+        writeWave(slim.filter($"tus" >= cut1 && $"tus" < cut2), 2)
+        writeWave(slim.filter($"tus" >= cut2), 3)
+        val queryName = "graft_gap_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(slim.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[(String, Long, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long)](
+              OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+              val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+              var prev = state.getOption // (last_ts, last_id)
+              val out = Seq.newBuilder[(String, Long, Long, Long)]
+              sorted.foreach { case (_, id, ts) =>
+                prev match {
+                  case Some((pts, pid)) if ts - pts > thresholdUs =>
+                    out += ((key, pid, id, ts - pts))
+                  case _ =>
+                }
+                prev = Some((ts, id))
+              }
+              prev.foreach(state.update)
+              out.result().iterator
+            }
+            .toDF("event_type", "prev_id", "next_id", "gap_us")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName).orderBy($"event_type", $"prev_id", $"next_id")
+      },
+      Some("""WITH g AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
+             |         lag(event_id) OVER (PARTITION BY event_type
+             |           ORDER BY epoch_us(ts), event_id) AS pid,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY event_type
+             |           ORDER BY epoch_us(ts), event_id) AS pts
+             |       FROM events)
+             |SELECT event_type, pid AS prev_id, event_id AS next_id,
+             |  CAST(tus - pts AS BIGINT) AS gap_us
+             |FROM g WHERE tus - pts > 7200000000
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- X31: compaction PLANNING (Delta/Iceberg OPTIMIZE's
+    // scheduling half) — the small-file problem solved as metadata
+    // arithmetic: cumulative-sum binning assigns files to ~target-byte
+    // rewrite bins in a deterministic per-group order, so two planners
+    // looking at the same census emit the SAME plan (reproducible
+    // retries). One window pass over the file-count-sized census; no
+    // data files are read to plan. documents stand in as the file
+    // census (doc_id = file key, n_chars = bytes, source = table
+    // partition); per-bin rollup gates count, bytes, and the id span.
+    Q("x31_compaction_bins",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Compaction.binBySize(
+            t(s, dir, "documents").select($"source", $"doc_id", $"n_chars"),
+            groupCol = $"source", orderCol = $"doc_id",
+            bytesCol = $"n_chars", targetBytes = 4096L)
+          .groupBy($"source", $"bin")
+          .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"source", $"bin")
+      },
+      Some("""WITH c AS (SELECT source, doc_id, n_chars,
+             |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+             |           - n_chars AS cb
+             |       FROM documents)
+             |SELECT source, CAST(cb // 4096 AS BIGINT) AS bin,
+             |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- W8: integer EWMA smoothing — the trend signal over w7's
+    // densified grid, ORDER-SAFE: a running EMA is a sequential
+    // recursion no shuffle replays, but the W-term truncated form
+    // Σ_{j<8} v_{t-j}·2^(7-j) (α = 1/2, dyadic weights — w6's
+    // discipline applied along time instead of age) is a plain
+    // windowed weighted sum: 8 lag() terms in ONE window pass per key,
+    // exact integer arithmetic, missing buckets contribute 0 via the
+    // gap-filled grid. Composition gate: GapFill feeds the smoother
+    // inside one plan.
+    Q("w8_ewma",
+      (s, dir) => {
+        import s.implicits._
+        val obs = t(s, dir, "events")
+          .groupBy($"event_type", expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(quant($"value", 100)).as("cents"))
+        val filled = graft.ops.GapFill.forwardFill(obs, "event_type", "day", "cents")
+          .select($"event_type", $"day",
+            when($"filled" === 0, $"v").otherwise(lit(0L)).as("c"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val terms = ($"c" * lit(128L)) +: (1 until 8).map(j =>
+          coalesce(lag($"c", j).over(w), lit(0L)) * lit(1L << (7 - j)))
+        val ewma = terms.reduce(_ + _)
+        filled.withColumn("ewma256", ewma)
+          .select($"event_type", $"day", $"c", $"ewma256")
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH obs AS (SELECT event_type, epoch(ts)::BIGINT // 86400 AS day,
+             |          sum(CAST(floor(value*100+0.5) AS BIGINT)) AS cents
+             |        FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+             |grid AS (SELECT k.event_type, CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day
+             |         FROM (SELECT DISTINCT event_type FROM obs) k CROSS JOIN b),
+             |f AS (SELECT g.event_type, g.day, coalesce(o.cents, 0) AS c
+             |      FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day),
+             |e AS (SELECT event_type, day, c,
+             |        c * 128 + coalesce(lag(c, 1) OVER w, 0) * 64
+             |        + coalesce(lag(c, 2) OVER w, 0) * 32 + coalesce(lag(c, 3) OVER w, 0) * 16
+             |        + coalesce(lag(c, 4) OVER w, 0) * 8 + coalesce(lag(c, 5) OVER w, 0) * 4
+             |        + coalesce(lag(c, 6) OVER w, 0) * 2 + coalesce(lag(c, 7) OVER w, 0) AS ewma256
+             |      FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day))
+             |SELECT event_type, day, CAST(c AS BIGINT) AS c, CAST(ewma256 AS BIGINT) AS ewma256
+             |FROM e ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

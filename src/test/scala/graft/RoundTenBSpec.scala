@@ -132,6 +132,59 @@ class RoundTenBSpec extends SparkSpec with GenChecks {
     }
   }
 
+  // --------------------------------------------------------- Compaction
+
+  test("Compaction.binBySize == scala prefix-sum reference; bins fill to target") {
+    import spark.implicits._
+    val gen = for {
+      ng <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, ng - 1)
+        b <- Gen.choose(1L, 500L)
+      } yield (s"g$g", b))
+      target <- Gen.oneOf(256L, 1000L, 4096L)
+    } yield (rows.zipWithIndex.map { case ((g, b), i) => (g, i.toLong, b) }, target)
+    forAllN(gen, n = 8) { case (rows, target) =>
+      val df = rows.toDF("src", "fid", "bytes")
+      val got = graft.ops.Compaction.binBySize(df, $"src", $"fid", $"bytes", target)
+        .select($"src", $"fid", $"bin").as[(String, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        var cum = 0L
+        grp.sortBy(_._2).map { case (g, fid, b) =>
+          val bin = cum / target; cum += b; (g, fid, bin)
+        }
+      }.toSet
+      assert(got === want, s"target=$target rows=$rows")
+      // fill law: every bin but the last in each group spans >= target bytes
+      // (the next file started a new bin only because the running sum crossed)
+      val byBin = rows.groupBy(_._1).flatMap { case (g, grp) =>
+        var cum = 0L
+        val binned = grp.sortBy(_._2).map { case (_, _, b) =>
+          val bin = cum / target; cum += b; (bin, b)
+        }
+        val last = binned.map(_._1).max
+        binned.groupBy(_._1).collect {
+          case (bin, fs) if bin < last => (g, bin, fs.map(_._2).sum)
+        }
+      }
+      byBin.foreach { case (g, bin, tot) =>
+        assert(tot >= target - 499L, s"group $g bin $bin underfilled: $tot")
+      }
+    }
+  }
+
+  test("Compaction.binBySize is deterministic across partitionings") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"s${i % 4}", i.toLong, (i * 37L) % 300 + 1))
+    def run(parts: Int) =
+      graft.ops.Compaction.binBySize(rows.toDF("src", "fid", "bytes").repartition(parts),
+          $"src", $"fid", $"bytes", 1024L)
+        .select($"src", $"fid", $"bin").as[(String, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1) === run(13))
+  }
+
   test("SpatialJoin.radiusJoin refuses a cell smaller than the radius") {
     import spark.implicits._
     val p = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
