@@ -8549,7 +8549,69 @@ object Queries {
              |        + coalesce(lag(c, 6) OVER w, 0) * 2 + coalesce(lag(c, 7) OVER w, 0) AS ewma256
              |      FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day))
              |SELECT event_type, day, CAST(c AS BIGINT) AS c, CAST(ewma256 AS BIGINT) AS ewma256
-             |FROM e ORDER BY 1, 2""".stripMargin))
+             |FROM e ORDER BY 1, 2""".stripMargin)),
+
+    // ----- M9: shot-boundary detection — the video-side segmentation
+    // primitive (m3 samples frames; this finds the CUTS between them):
+    // per 64-byte frame a 16-bin coarse byte histogram (m5's
+    // descriptor), consecutive-frame L1 distance, boundary where the
+    // content distribution shifts (L1 > 16, the p90 of the fixture's
+    // deltas). The imperative per-blob frame loop is m8's real
+    // media-UDF batch shape — per-row state is two 16-int histograms
+    // regardless of blob size, embarrassingly parallel. The oracle
+    // replays histograms on the FULL 16-bin grid (absent bins count 0
+    // in the L1), per-bin lag deltas, thresholding, and rollups.
+    Q("m9_shot_boundaries",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"doc_id" < 200)
+          .select($"doc_id", $"text".cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, b) =>
+              val frames = b.length / 64
+              val hist = new Array[Int](16)
+              val prev = new Array[Int](16)
+              var cuts = 0L; var maxL1 = 0L
+              var f = 0
+              while (f < frames) {
+                java.util.Arrays.fill(hist, 0)
+                var i = f * 64; val end = i + 64
+                while (i < end) { hist((b(i) & 0xff) >> 4) += 1; i += 1 }
+                if (f > 0) {
+                  var l1 = 0L; var k = 0
+                  while (k < 16) { l1 += math.abs(hist(k) - prev(k)); k += 1 }
+                  if (l1 > 16L) cuts += 1
+                  if (l1 > maxL1) maxL1 = l1
+                }
+                System.arraycopy(hist, 0, prev, 0, 16)
+                f += 1
+              }
+              (id, frames, cuts, maxL1)
+            }
+          }.toDF("doc_id", "n_frames", "n_cuts", "max_delta")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id < 200),
+             |fr AS (SELECT doc_id, CAST(unnest(range(0, n // 64)) AS INT) AS f, text FROM d),
+             |sm AS (SELECT doc_id, f, ord(text[f*64 + q.i + 1]) // 16 AS bin
+             |       FROM fr CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) q),
+             |h AS (SELECT doc_id, f, bin, count(*) AS c FROM sm GROUP BY 1, 2, 3),
+             |gb AS (SELECT fr.doc_id, fr.f, b.b AS bin, coalesce(h.c, 0) AS c
+             |       FROM fr CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS b) b
+             |       LEFT JOIN h ON h.doc_id = fr.doc_id AND h.f = fr.f AND h.bin = b.b),
+             |dl AS (SELECT doc_id, bin, f,
+             |         abs(c - lag(c) OVER (PARTITION BY doc_id, bin ORDER BY f)) AS ad
+             |       FROM gb),
+             |l1 AS (SELECT doc_id, f, sum(ad) AS l1 FROM dl WHERE ad IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT doc_id, sum(CASE WHEN l1 > 16 THEN 1 ELSE 0 END) AS n_cuts,
+             |        max(l1) AS max_delta
+             |      FROM l1 GROUP BY 1)
+             |SELECT d.doc_id, CAST(d.n // 64 AS INT) AS n_frames,
+             |  CAST(coalesce(r.n_cuts, 0) AS BIGINT) AS n_cuts,
+             |  CAST(coalesce(r.max_delta, 0) AS BIGINT) AS max_delta
+             |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
   private val qs: Seq[Q] =
