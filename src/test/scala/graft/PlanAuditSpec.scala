@@ -277,4 +277,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "matrix grid must come from the broadcast suite list, not a cartesian")
   }
+
+  test("w7/w8 fill + smoothing windows are keyed — no global single-partition window") {
+    // the 1-row bounds fold legitimately plans a SinglePartition
+    // exchange; the WINDOW itself must stay partitioned by the key or a
+    // hot key would serialize the whole series through one task
+    for (q <- Seq("w7_gap_fill", "w8_ewma")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(event_type"),
+        s"$q window must partition by event_type:\n$p")
+    }
+  }
+
+  test("x31 compaction binning: window partitioned by table group, census aggregates map-side") {
+    val p = plan("x31_compaction_bins")
+    assert(p.contains("windowspecdefinition(source"),
+      s"prefix sum must partition by source:\n$p")
+    assert(p.toLowerCase.contains("partial_"),
+      s"per-bin rollup must combine map-side:\n$p")
+  }
+
+  test("j9 spatial join: equi-join on cells — no BNLJ, no cartesian (query-level)") {
+    val p = plan("j9_spatial_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"radius join must block via the cell equi-join:\n$p")
+  }
 }

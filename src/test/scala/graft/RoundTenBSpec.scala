@@ -115,8 +115,8 @@ class RoundTenBSpec extends SparkSpec with GenChecks {
       as <- Gen.listOfN(na, Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-100L, 100L)))
       bs <- Gen.listOfN(nb, Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-100L, 100L)))
       r2 <- Gen.oneOf(0L, 25L, 400L, 2500L)
-      slack <- Gen.choose(0L, 20L)
-    } yield (as, bs, r2, math.ceil(math.sqrt(r2.toDouble)).toLong.max(1L) + slack)
+      margin <- Gen.choose(0L, 20L)
+    } yield (as, bs, r2, math.ceil(math.sqrt(r2.toDouble)).toLong.max(1L) + margin)
     forAllN(gen, n = 8) { case (as, bs, r2, cs) =>
       val a = as.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("aid", "x", "y")
       val b = bs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("bid", "x", "y")
