@@ -8271,9 +8271,9 @@ object Queries {
           .select($"est".cast("long").as("est"), $"exact".cast("long").as("exact"))
       },
       Some("""WITH toks AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
-             |sgn AS (SELECT r.j AS j,
-             |          1 - 2*(('0x'||substr(md5(r.j::VARCHAR||'|'||tok),1,15))::BIGINT % 2) AS s
-             |        FROM toks CROSS JOIN (SELECT unnest(range(9)) AS j) r),
+             |hs AS (SELECT ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+             |sgn AS (SELECT r.j AS j, 1 - 2*((h >> r.j) & 1) AS s
+             |        FROM hs CROSS JOIN (SELECT CAST(unnest(range(9)) AS INT) AS j) r),
              |z AS (SELECT j, sum(s) AS z FROM sgn GROUP BY 1),
              |z2 AS (SELECT j, z*z AS z2 FROM z),
              |med AS (SELECT z2 FROM (SELECT z2, row_number() OVER (ORDER BY z2, j) AS rn

@@ -23,20 +23,25 @@ import org.apache.spark.sql.functions._
   * answer "how many distinct" / "how often does v occur"; this answers
   * "how concentrated is the whole distribution").
   *
-  * Determinism: the sign is bit 0 of the same md5-derived 60-bit hash
-  * family [[CountMin]] uses (`hash60(j || '|' || v)`), so DuckDB
-  * replays signs, counters, squares, and the median pick exactly.
+  * Determinism: counter j's sign is bit j of the value's single
+  * md5-derived 60-bit hash ([[Kmv.hash60]] — one digest per row for
+  * all d counters), so DuckDB replays signs, counters, squares, and
+  * the median pick exactly.
   */
 object Ams {
 
   /** The d-counter sketch: (j, z) for j ∈ [0, d). One corpus scan,
-    * map-side combined; d rows out. */
+    * map-side combined; d rows out. Counter j's sign is BIT j of the
+    * value's single 60-bit hash — one digest per row however large d
+    * is (the md5 bits are independent, the standard one-hash-many-bits
+    * economy; d ≤ 60 keeps every counter on a distinct bit). At 100 TB
+    * the digest is the scan's dominant per-row cost, so this is a d×
+    * saving over hashing (j, v) pairs. */
   def f2Sketch(df: DataFrame, valueCol: Column, d: Int): DataFrame = {
-    require(d >= 1, s"need d >= 1 (got $d)")
-    val sign = lit(1L) - lit(2L) * pmod(
-      Kmv.hash60(concat(col("__j").cast("string"), lit("|"), valueCol.cast("string"))),
-      lit(2L))
-    df.select(explode(sequence(lit(0), lit(d - 1))).as("__j"), valueCol)
+    require(d >= 1 && d <= 60, s"need 1 <= d <= 60 (got $d)")
+    val sign = lit(1L) - lit(2L) * pmod(expr("shiftright(__h, cast(__j as int))"), lit(2L))
+    df.select(Kmv.hash60(valueCol).as("__h"))
+      .select(col("__h"), explode(sequence(lit(0), lit(d - 1))).as("__j"))
       .select(col("__j").as("j"), sign.as("s"))
       .groupBy(col("j"))
       .agg(sum(col("s")).as("z"))

@@ -23,11 +23,26 @@ class RoundTenBSpec extends SparkSpec with GenChecks {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    def sign(j: Int, v: String): Long = 1L - 2L * (((hash60(s"$j|$v") % 2) + 2) % 2)
+    def sign(j: Int, v: String): Long = 1L - 2L * ((hash60(v) >> j) & 1L)
     val want = vals.map(sign(0, _)).sum
     assert(z === want)
     val est = graft.sketch.Ams.f2Estimate(sk, d = 1).select($"est").as[Long].collect().head
     assert(est === want * want)
+  }
+
+  test("Ams: d=3 counters match per-bit scala signs") {
+    import spark.implicits._
+    val vals = (1 to 100).map(i => s"w${i % 23}")
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val got = graft.sketch.Ams.f2Sketch(vals.toDF("v"), $"v", d = 3)
+      .orderBy($"j").as[(Int, Long)].collect().toSeq
+    val want = (0 until 3).map(j =>
+      (j, vals.map(v => 1L - 2L * ((hash60(v) >> j) & 1L)).sum))
+    assert(got === want)
   }
 
   test("Ams: estimate is within 4/sqrt(d) relative error of exact F2 on a zipf-ish stream") {
