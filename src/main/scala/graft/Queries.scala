@@ -8403,6 +8403,73 @@ object Queries {
       },
       Some(ivfSqFilteredOracle)),
 
+    // ----- V20: index-quality census — the MONITORING third of index
+    // operation (build v14/v18, serve s13, watch THIS): per coarse
+    // cell, population and inertia (Σ integer d2 to the assigned
+    // centroid) from one map-side pass ending in a kCells-row
+    // aggregate. Cell balance decides serve-time task granularity (a
+    // hot cell is a hot partition — g2's skew loop applied to vectors);
+    // inertia drift is the re-train trigger. The oracle reuses the
+    // coarse-replay prefix: assigned distances are e2 rows matching the
+    // final assignment.
+    Q("v20_index_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val cents = Ann.kmeansCentroids(prepared, k = 4, iters = 1)
+        Ann.indexStats(prepared, cents).orderBy($"cid")
+      },
+      Some(coarseReplayPrefix +
+        """st AS (SELECT ac.cid, count(*) AS n_points, sum(e2.d2) AS inertia
+          |       FROM ac JOIN e2 ON e2.id = ac.id AND e2.cid = ac.cid
+          |       GROUP BY 1)
+          |SELECT cid, CAST(n_points AS BIGINT) AS n_points,
+          |  CAST(inertia AS BIGINT) AS inertia
+          |FROM st ORDER BY cid""".stripMargin)),
+
+    // ----- J10: interval × interval OVERLAP join — the range-join cell
+    // j8 leaves open (j8: point-in-window; here BOTH sides are spans
+    // and a pair qualifies iff they intersect — concurrent sessions,
+    // incident-to-maintenance correlation). Both sides explode to the
+    // buckets their span covers; the RESPONSIBILITY RULE — emit only in
+    // the bucket holding max(start_l, start_r), the overlap's left
+    // edge, unique per pair and covered by both — makes every pair
+    // surface exactly once with NO dedup pass. Purchase spans
+    // (1-3 h by event_id) × error spans (1-5 h); per-purchase rollup of
+    // concurrent errors and total overlap time. Oracle = the quadratic
+    // theta-join definition, proving the bucketing + responsibility
+    // rule lossless and duplicate-free.
+    Q("j10_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val lhs = ev.filter($"event_type" === "purchase" && $"event_id" % 4 === 0)
+          .select($"event_id".as("pid"), $"ts".as("pts"),
+            timestamp_micros(unix_micros($"ts") +
+              ($"event_id" % 3 + 1) * lit(3600000000L)).as("pte"))
+        val rhs = ev.filter($"event_type" === "error" && $"event_id" % 4 === 1)
+          .select($"event_id".as("eid"), $"ts".as("ets"),
+            timestamp_micros(unix_micros($"ts") +
+              ($"event_id" % 5 + 1) * lit(3600000000L)).as("ete"))
+        graft.ops.RangeJoin.intervalOverlap(lhs, rhs,
+            $"pts", $"pte", $"ets", $"ete", bucketSec = 3600L)
+          .groupBy($"pid")
+          .agg(count(lit(1)).as("n_concurrent"), sum($"overlap_us").as("overlap_us_sum"))
+          .orderBy($"pid")
+      },
+      Some("""WITH l AS (SELECT event_id AS pid, epoch_us(ts) AS ls,
+             |         epoch_us(ts + (event_id % 3 + 1) * INTERVAL 1 HOUR) AS le
+             |       FROM events WHERE event_type = 'purchase' AND event_id % 4 = 0),
+             |r AS (SELECT event_id AS eid, epoch_us(ts) AS rs,
+             |         epoch_us(ts + (event_id % 5 + 1) * INTERVAL 1 HOUR) AS re
+             |       FROM events WHERE event_type = 'error' AND event_id % 4 = 1),
+             |p AS (SELECT l.pid, least(l.le, r.re) - greatest(l.ls, r.rs) AS ov
+             |      FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le)
+             |SELECT pid, count(*) AS n_concurrent,
+             |  CAST(sum(ov) AS BIGINT) AS overlap_us_sum
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- S17: streaming GAP DETECTION (downtime / feed-health
     // monitoring) — the streaming complement of w7's batch densify:
     // per event type, every consecutive-pair gap over 2 h is an

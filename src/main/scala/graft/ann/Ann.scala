@@ -1048,6 +1048,27 @@ object Ann {
                       k: Int, pred: Column): DataFrame =
     ivfSqServe(idx.copy(postings = idx.postings.filter(pred)), queries0, nProbes, k)
 
+  /** Index-quality census — the monitoring half of index OPERATION
+    * (build: [[ivfSqBuild]]; serve: [[ivfSqServe]]; watch: this): per
+    * coarse cell, population and inertia (Σ integer d2 to the assigned
+    * centroid). Cell-balance skew decides task granularity at serve
+    * time (a hot cell is a hot partition) and inertia drift is the
+    * re-train trigger — both from ONE map-side pass over the corpus
+    * (assignment is the literal-centroid codegen argmin for small k,
+    * the broadcast argmin beyond) ending in a kCells-row aggregate;
+    * the shuffle carries the MODEL-sized census, never the corpus.
+    * Deterministic integer arithmetic end-to-end (query `v20`). */
+  def indexStats(prepared: DataFrame, centroids: DataFrame): DataFrame = {
+    val withNc = centroids.select(col("cid"), col("cv"))
+      .withColumn("nc", GraftFunctions.dot_long(col("cv"), col("cv")))
+    assign(prepared, centroids)
+      .join(broadcast(withNc), Seq("cid"))
+      .withColumn("d2", GraftFunctions.dot_long(col("qv"), col("qv")) + col("nc") -
+        lit(2L) * GraftFunctions.dot_long(col("qv"), col("cv")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("d2")).as("inertia"))
+  }
+
   /** Deterministic signed-permutation PRETRANSFORM (the FAISS
     * OPQ/RandomRotation slot, integer-exact form): output dim d takes
     * source dim π(d) times s(d) ∈ {−1, +1}, with π and s derived from

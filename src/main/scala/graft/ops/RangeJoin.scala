@@ -62,4 +62,55 @@ object RangeJoin {
       .filter(rm.between(lm + lowerSec * 1000000L, lm + upperSec * 1000000L))
       .drop("__bkt")
   }
+
+  /** Interval × interval OVERLAP join — the remaining range-join cell
+    * after [[byBuckets]] (point-in-window): BOTH sides are intervals
+    * and a pair qualifies iff they intersect (`l.start ≤ r.end AND
+    * r.start ≤ l.end`, inclusive ends — concurrent sessions,
+    * incident-to-maintenance correlation, co-occurring spans). Naive
+    * Spark plans this as BNLJ/cartesian exactly like the point case.
+    *
+    * Both sides explode to every bucket their interval covers (explode
+    * factor = interval length in buckets — guarded per row at ≤
+    * `maxSpanBuckets` by a pre-explode raise_error, ONE comparison per
+    * input row, not per element: the v10 lesson about hot-loop guards).
+    * An overlapping pair shares every bucket of the overlap, so it
+    * would meet once PER shared bucket; the responsibility rule —
+    * emit only in the bucket containing `max(l.start, r.start)`, the
+    * overlap's left edge, unique per pair and covered by both sides —
+    * makes each pair surface EXACTLY once with no post-dedup pass.
+    * Shuffle volume is Σ interval-lengths in buckets; per-bucket work
+    * is the true concurrent-pair count; AQE splits hot buckets.
+    * Returns left.* ++ right.* ++ `overlap_us`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: Column, lEnd: Column,
+                      rStart: Column, rEnd: Column,
+                      bucketSec: Long, maxSpanBuckets: Int = 64,
+                      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive (got $bucketSec)")
+    require(maxSpanBuckets >= 1, s"maxSpanBuckets must be >= 1 (got $maxSpanBuckets)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.subsetOf(keys.toSet),
+      s"non-key columns shared by both sides: ${(overlap -- keys).mkString(", ")} — rename them")
+    require(!left.columns.contains("__bkt") && !right.columns.contains("__bkt"),
+      "__bkt is a reserved scratch column name")
+    val w = bucketSec * 1000000L
+    val ls = unix_micros(lStart); val le = unix_micros(lEnd)
+    val rs = unix_micros(rStart); val re = unix_micros(rEnd)
+    def spanGuarded(s: Column, e: Column, side: String): Column = {
+      val span = floorDiv(e, w) - floorDiv(s, w)
+      when(e < s, raise_error(lit(s"$side interval has end < start")))
+        .when(span > maxSpanBuckets, raise_error(concat(
+          lit(s"$side interval spans "), span,
+          lit(s" buckets > maxSpanBuckets=$maxSpanBuckets — raise bucketSec"))))
+        .otherwise(sequence(floorDiv(s, w), floorDiv(e, w)))
+    }
+    val lx = left.withColumn("__bkt", explode(spanGuarded(ls, le, "left")))
+    val rx = right.withColumn("__bkt", explode(spanGuarded(rs, re, "right")))
+    lx.join(rx, ("__bkt" +: keys).toSeq)
+      .filter(ls <= re && rs <= le)
+      .filter(col("__bkt") === floorDiv(greatest(ls, rs), w))
+      .withColumn("overlap_us", least(le, re) - greatest(ls, rs))
+      .drop("__bkt")
+  }
 }

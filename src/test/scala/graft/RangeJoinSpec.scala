@@ -71,4 +71,52 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.byBuckets(p, e, $"pts", $"ets", -600, 0, 600)
     }
   }
+
+  test("intervalOverlap == quadratic overlap join, each pair exactly once") {
+    import org.scalacheck.Gen
+    val gen = for {
+      nl <- Gen.choose(1, 25); nr <- Gen.choose(1, 25)
+      mk = for {
+        s <- Gen.choose(0L, 50000L); len <- Gen.choose(0L, 8000L)
+      } yield (s, s + len)
+      ls <- Gen.listOfN(nl, mk); rs <- Gen.listOfN(nr, mk)
+      bucket <- Gen.oneOf(500L, 1024L, 7919L)
+    } yield (ls, rs, bucket)
+    new GenChecks {}.forAllN(gen, n = 8) { case (ls, rs, bucket) =>
+      val l = ls.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+      }.toDF("lid", "lst", "len_")
+      val r = rs.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+      }.toDF("rid", "rst", "ren")
+      val got = RangeJoin.intervalOverlap(l, r, $"lst", $"len_", $"rst", $"ren", bucket)
+        .select($"lid", $"rid", $"overlap_us").as[(Long, Long, Long)].collect().toSeq
+      // exactly once: the collected MULTISET equals the quadratic set
+      val want = (for {
+        ((als, ale), ai) <- ls.zipWithIndex
+        ((brs, bre), bi) <- rs.zipWithIndex
+        if als <= bre && brs <= ale
+      } yield (ai.toLong, bi.toLong,
+        (math.min(ale, bre) - math.max(als, brs)) * 1000000L)).toSeq
+      assert(got.sorted === want.sorted, s"bucket=$bucket ls=$ls rs=$rs")
+    }
+  }
+
+  test("intervalOverlap guards: reversed interval and over-long span raise in-plan") {
+    val l = Seq((1L, new java.sql.Timestamp(2000L), new java.sql.Timestamp(1000L)))
+      .toDF("lid", "lst", "len_")
+    val r = Seq((1L, new java.sql.Timestamp(0L), new java.sql.Timestamp(1000L)))
+      .toDF("rid", "rst", "ren")
+    val e1 = intercept[Exception] {
+      RangeJoin.intervalOverlap(l, r, $"lst", $"len_", $"rst", $"ren", 1L).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("end < start"))
+    val l2 = Seq((1L, new java.sql.Timestamp(0L), new java.sql.Timestamp(400000000L)))
+      .toDF("lid", "lst", "len_")
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(l2, r, $"lst", $"len_", $"rst", $"ren", 1L,
+        maxSpanBuckets = 16).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("maxSpanBuckets"))
+  }
 }
