@@ -8470,6 +8470,101 @@ object Queries {
              |  CAST(sum(ov) AS BIGINT) AS overlap_us_sum
              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X32: DATASET CARD — the governance datasheet (Gebru et al.
+    // 2021 "Datasheets for Datasets" made computable): ONE composed
+    // plan emitting the per-language release-gate row a data team
+    // signs off on — volume (docs, chars), length p50 (k5's
+    // histogram-census quantile: no sort), exact-dup exposure (d1's
+    // hash census joined back per language), eval-contamination
+    // exposure (x6's 3-gram decontamination, matched docs per
+    // language), and heuristic-quality pass rate (t3's score ≥ 0.7).
+    // Every section reuses the already-audited library operator; the
+    // card gates their COMPOSITION in one oracle. At 100 TB each
+    // section is census/broadcast-shaped (no new shuffle class), so
+    // the card costs a handful of corpus passes and joins on a
+    // languages-sized table.
+    Q("x32_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val evalSlice = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 50 === 7
+        val train = docs.filter(!evalSlice)
+        val base = train.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+        val p50 = graft.sketch.Census.histQuantiles(train, $"n_chars", Seq("lang"),
+            bucketWidth = 64L, permille = Seq(500))
+          .select($"lang", $"q_upper".as("len_p50_upper"))
+        val dupHashes = train.groupBy(md5($"text").as("h"))
+          .agg(count(lit(1)).as("c")).filter($"c" > 1).select($"h")
+        val dupDocs = train.select($"lang", md5($"text").as("h"))
+          .join(dupHashes, Seq("h"))
+          .groupBy($"lang").agg(count(lit(1)).as("n_exact_dup_docs"))
+        val cont = graft.dedup.Dedup.decontaminate(
+            train, docs.filter(evalSlice), "doc_id", "text", shingleN = 3)
+          .filter($"matched" > 0).select($"id".as("doc_id"))
+          .join(train.select($"doc_id", $"lang"), Seq("doc_id"))
+          .groupBy($"lang").agg(count(lit(1)).as("n_contaminated"))
+        val ntok = size(split($"text", " ")).cast("double")
+        val ndist = size(array_distinct(split($"text", " "))).cast("double")
+        val score = lit(0.4) * least($"n_chars" / 400.0, lit(1.0)) +
+          lit(0.3) * least(ntok / 80.0, lit(1.0)) + lit(0.3) * (ndist / ntok)
+        val qual = train
+          .select($"lang", when(floor(score * 10) >= 7, 1L).otherwise(0L).as("p"))
+          .groupBy($"lang").agg(sum($"p").as("n_quality_pass"))
+        base.join(p50, Seq("lang"))
+          .join(dupDocs, Seq("lang"), "left")
+          .join(cont, Seq("lang"), "left")
+          .join(qual, Seq("lang"))
+          .select($"lang", $"n_docs", $"chars_total", $"len_p50_upper",
+            coalesce($"n_exact_dup_docs", lit(0L)).as("n_exact_dup_docs"),
+            coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+            $"n_quality_pass")
+          .orderBy($"lang")
+      },
+      Some("""WITH base0 AS (SELECT *,
+             |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 50 = 7 AS is_eval
+             |  FROM documents),
+             |tr AS (SELECT * FROM base0 WHERE NOT is_eval),
+             |ev AS (SELECT * FROM base0 WHERE is_eval),
+             |b AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars_total
+             |      FROM tr GROUP BY 1),
+             |census AS (SELECT lang, (n_chars - ((n_chars % 64) + 64) % 64) // 64 AS bucket,
+             |         count(*) AS cnt FROM tr GROUP BY 1, 2),
+             |cum AS (SELECT lang, bucket,
+             |         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+             |         sum(cnt) OVER (PARTITION BY lang) AS total FROM census),
+             |sel AS (SELECT lang, min(bucket) AS bkt FROM cum
+             |        WHERE cum >= greatest(1, (500 * total + 999) // 1000) GROUP BY 1),
+             |p50 AS (SELECT lang, (bkt + 1) * 64 - 1 AS len_p50_upper FROM sel),
+             |dh AS (SELECT md5(text) AS h FROM tr GROUP BY 1 HAVING count(*) > 1),
+             |dd AS (SELECT lang, count(*) AS n_exact_dup_docs
+             |       FROM tr JOIN dh ON md5(tr.text) = dh.h GROUP BY 1),
+             |evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(s)-2),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT))) AS g
+             |        FROM (SELECT string_split(text,' ') AS s FROM ev) WHERE len(s) >= 3),
+             |trg AS (SELECT doc_id, lang,
+             |          unnest(list_distinct(list_transform(range(len(s)-2),
+             |            i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]||' '||s[i+3]),1,15))::BIGINT))) AS g
+             |        FROM (SELECT doc_id, lang, string_split(text,' ') AS s FROM tr)
+             |        WHERE len(s) >= 3),
+             |cont AS (SELECT lang, count(DISTINCT doc_id) AS n_contaminated
+             |         FROM trg JOIN evg USING (g) GROUP BY 1),
+             |qual AS (SELECT lang, sum(CASE WHEN floor((0.4*least(n_chars/400.0, 1.0)
+             |           + 0.3*least(len(string_split(text,' '))/80.0, 1.0)
+             |           + 0.3*(len(list_distinct(string_split(text,' ')))::DOUBLE
+             |                  / len(string_split(text,' '))))*10) >= 7
+             |           THEN 1 ELSE 0 END) AS n_quality_pass
+             |        FROM tr GROUP BY 1)
+             |SELECT b.lang, b.n_docs, CAST(b.chars_total AS BIGINT) AS chars_total,
+             |  CAST(p50.len_p50_upper AS BIGINT) AS len_p50_upper,
+             |  CAST(coalesce(dd.n_exact_dup_docs, 0) AS BIGINT) AS n_exact_dup_docs,
+             |  CAST(coalesce(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             |  CAST(qual.n_quality_pass AS BIGINT) AS n_quality_pass
+             |FROM b JOIN p50 USING (lang) LEFT JOIN dd USING (lang)
+             |LEFT JOIN cont USING (lang) JOIN qual USING (lang)
+             |ORDER BY lang""".stripMargin)),
+
     // ----- S17: streaming GAP DETECTION (downtime / feed-health
     // monitoring) — the streaming complement of w7's batch densify:
     // per event type, every consecutive-pair gap over 2 h is an
