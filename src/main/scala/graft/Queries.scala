@@ -8776,8 +8776,203 @@ object Queries {
              |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
+  private lazy val roundTenC: Seq[Q] = Seq(
+    // ----- T21: interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+    // Chen & Goodman 1998 §2.7) — the accuracy step past t17's Stupid
+    // Backoff: absolute discounting moves mass from seen bigrams to the
+    // CONTINUATION distribution (distinct-left-context counts, not raw
+    // frequency). The whole model is ONE bounded (bp, bc, c) census
+    // (≤ 256² rows) from which prev totals, both N1+ censuses, and the
+    // distinct-bigram total all derive — training is one map-side
+    // groupBy, scoring three broadcast joins; no corpus shuffle. The
+    // oracle replays census, derivations, both branches, and the
+    // micro-nat quantization bit-for-bit.
+    Q("t21_kneser_ney",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.KneserNey
+        val docs = t(s, dir, "documents")
+        val ref = docs.filter($"lang" === "en" && $"doc_id" % 3 === 0)
+        val census = KneserNey.bigramCensus(ref, "text", numBuckets = 256)
+        val scored = KneserNey.score(docs, "doc_id", "text", census, numBuckets = 256)
+        docs.select($"doc_id", $"lang").join(scored, Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_pos").as("n_pos"),
+               sum($"n_backoff").as("n_backoff"), sum($"score").as("score_sum"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s FROM documents),
+             |ref AS (SELECT * FROM tk WHERE lang = 'en' AND doc_id % 3 = 0),
+             |bg AS (SELECT unnest(list_transform(range(len(s)-1), i -> struct_pack(
+             |         bp := ('0x'||substr(md5(s[i+1]),1,15))::BIGINT % 256,
+             |         bc := ('0x'||substr(md5(s[i+2]),1,15))::BIGINT % 256))) AS x
+             |       FROM ref WHERE len(s) >= 2),
+             |cen AS MATERIALIZED (SELECT x.bp AS bp, x.bc AS bc, count(*) AS c
+             |       FROM bg GROUP BY 1, 2),
+             |pv AS MATERIALIZED (SELECT bp, sum(c) AS cp, count(*) AS n1p FROM cen GROUP BY 1),
+             |ct AS MATERIALIZED (SELECT bc, count(*) AS n1c FROM cen GROUP BY 1),
+             |st AS (SELECT count(*) AS nt FROM cen),
+             |pos AS (SELECT doc_id, lang, unnest(list_transform(range(len(s)-1), i -> struct_pack(
+             |          bp := ('0x'||substr(md5(s[i+1]),1,15))::BIGINT % 256,
+             |          bc := ('0x'||substr(md5(s[i+2]),1,15))::BIGINT % 256))) AS x
+             |        FROM tk WHERE len(s) >= 2),
+             |d AS (SELECT doc_id, lang,
+             |        CASE WHEN coalesce(pv.cp, 0) > 0
+             |          THEN CAST(floor(-ln((greatest(coalesce(cen.c, 0)::DOUBLE - 0.75, 0.0)
+             |                 + (0.75 * pv.n1p::DOUBLE)
+             |                   * ((coalesce(ct.n1c, 0) + 1)::DOUBLE / (st.nt + 256)::DOUBLE))
+             |                 / pv.cp::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |          ELSE CAST(floor(-ln((coalesce(ct.n1c, 0) + 1)::DOUBLE
+             |                 / (st.nt + 256)::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |        END AS d,
+             |        CASE WHEN coalesce(pv.cp, 0) > 0 THEN 0 ELSE 1 END AS bo
+             |      FROM pos
+             |      LEFT JOIN cen ON x.bp = cen.bp AND x.bc = cen.bc
+             |      LEFT JOIN pv ON x.bp = pv.bp
+             |      LEFT JOIN ct ON x.bc = ct.bc, st),
+             |ps AS (SELECT lang, CAST(sum(d) AS BIGINT) AS score_sum, count(*) AS n_pos,
+             |         CAST(sum(bo) AS BIGINT) AS n_backoff FROM d GROUP BY lang),
+             |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+             |SELECT nd.lang, nd.n_docs,
+             |  CAST(coalesce(ps.n_pos, 0) AS BIGINT) AS n_pos,
+             |  CAST(coalesce(ps.n_backoff, 0) AS BIGINT) AS n_backoff,
+             |  CAST(coalesce(ps.score_sum, 0) AS BIGINT) AS score_sum
+             |FROM nd LEFT JOIN ps ON nd.lang = ps.lang
+             |ORDER BY nd.lang""".stripMargin)),
+
+    // ----- X33: deterministic proportional interleave
+    // (Sample.interleaveOrder) — the "data order file" stage after the
+    // x19/x22 budget policies: fair-queueing virtual-finish-time keys
+    // ((2r−1)·10^18 div 2m through DECIMAL(38,0)) spread each language
+    // evenly through the global sequence, so every training prefix is
+    // the same mixture as the whole. The gate checks the evenness
+    // PROPERTIES (per-language pos extremes, sum, and max gap between
+    // consecutive occurrences), which pin every position: the oracle
+    // replays ranks, keys, the global order, and the gap census.
+    Q("x33_train_order",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"pos")
+        graft.ops.Sample.interleaveOrder(
+            t(s, dir, "documents"), "lang", $"doc_id")
+          .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+               min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+               sum($"pos").as("pos_sum"),
+               coalesce(max($"gap"), lit(0L)).cast("long").as("max_gap"))
+          .orderBy($"lang")
+      },
+      Some("""WITH m AS (SELECT lang, count(*) AS mm FROM documents GROUP BY 1),
+             |r AS (SELECT d.lang, doc_id, mm,
+             |        row_number() OVER (PARTITION BY d.lang
+             |          ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+             |      FROM documents d JOIN m USING (lang)),
+             |k AS (SELECT lang, rn,
+             |        (CAST(2*rn-1 AS HUGEINT) * 1000000000000000000) // (2*mm) AS key
+             |      FROM r),
+             |p AS (SELECT lang, row_number() OVER (ORDER BY key, lang, rn) AS pos FROM k),
+             |g AS (SELECT lang, pos,
+             |        pos - lag(pos) OVER (PARTITION BY lang ORDER BY pos) AS gap FROM p)
+             |SELECT lang, count(*) AS n,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos,
+             |  CAST(sum(pos) AS BIGINT) AS pos_sum,
+             |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- D13: SOFT dedup (Dedup.softDedupWeights) — downweight
+    // duplicates instead of dropping them (the reweighting alternative
+    // the D4 line compares against hard removal): every member of a
+    // size-m cluster gets ⌊10^6/m⌋ ppm, so a cluster contributes ~one
+    // doc of effective weight and no arbitrary survivor choice is made.
+    // Clusters here are x4's exact-fingerprint components (adjacent-id
+    // chain edges → connectedComponents); the census + equi-join adds
+    // no pair space. The oracle derives the same weights from the
+    // fingerprint groups directly and replays the per-language
+    // effective-token census.
+    Q("d13_soft_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", size(split($"text", " ")).as("tok"),
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id")
+        val edges = docs.withColumn("prev", lag($"doc_id", 1).over(w))
+          .filter($"prev".isNotNull)
+          .select($"prev".as("id_a"), $"doc_id".as("id_b"))
+        val comp = withStreamPartitions(s, 8) {
+          graft.dedup.Dedup.connectedComponents(edges)
+        }
+        val withC = docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .select($"doc_id", $"lang", $"tok",
+            coalesce($"component", $"doc_id").as("cluster"))
+        graft.dedup.Dedup.softDedupWeights(withC, "doc_id", "cluster")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"weight_ppm").as("w_sum"),
+               sum($"tok" * $"weight_ppm").as("eff_tokens_ppm"),
+               sum(when($"cluster_sz" > 1, 1L).otherwise(0L)).as("n_in_dup"))
+          .orderBy($"lang")
+      },
+      Some("""WITH f AS (SELECT doc_id, lang, len(string_split(text,' ')) AS tok,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, count(*) AS sz FROM f GROUP BY fp),
+             |wt AS (SELECT f.doc_id, f.lang, f.tok, g.sz, 1000000 // g.sz AS w
+             |       FROM f JOIN g USING (fp))
+             |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS w_sum,
+             |  CAST(sum(tok * w) AS BIGINT) AS eff_tokens_ppm,
+             |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup
+             |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- M10: voice-activity segmentation — gaps-and-islands over
+    // per-frame energy (m8's frame/energy conventions: 64-byte frames,
+    // centered samples, integer energy): a frame is ACTIVE when its
+    // energy exceeds the threshold, and consecutive active frames merge
+    // into segments. The engine runs the real streaming-scan shape (one
+    // imperative pass per blob, O(1) state — the form a PCM decoder
+    // feeds); the oracle replays frames → energies → threshold →
+    // islands (f − row_number trick) → per-doc segment census.
+    Q("m10_vad_segments",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("pcm"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, b) =>
+              val (frames, nAct, nSeg, maxRun) =
+                graft.multimodal.Audio.vadStats(b, frameLen = 64, thr = 100000L)
+              (id, frames, nAct, nSeg, maxRun)
+            }
+          }.toDF("doc_id", "n_frames", "n_active", "n_segs", "max_run")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+             |fr AS (SELECT doc_id, CAST(unnest(range(0, n // 64)) AS INT) AS f, text FROM d),
+             |sm AS (SELECT doc_id, f, ord(text[f*64 + q.i + 1]) - 64 AS sv
+             |       FROM fr CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) q),
+             |fe AS (SELECT doc_id, f, sum(sv*sv) AS e FROM sm GROUP BY 1, 2),
+             |af AS (SELECT doc_id, f FROM fe WHERE e > 100000),
+             |isl AS (SELECT doc_id, f,
+             |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+             |        FROM af),
+             |runs AS (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(len) AS n_active, count(*) AS n_segs,
+             |          max(len) AS max_run FROM runs GROUP BY 1)
+             |SELECT d.doc_id, CAST(d.n // 64 AS INT) AS n_frames,
+             |  CAST(coalesce(a.n_active, 0) AS BIGINT) AS n_active,
+             |  CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+             |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run
+             |FROM d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

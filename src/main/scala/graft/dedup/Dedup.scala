@@ -844,4 +844,33 @@ object Dedup {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
   }
+
+  /** SOFT dedup — downweight duplicates instead of dropping them
+    * (the reweighting alternative the D4 line of work (Tirumala et al.
+    * 2023, arXiv:2308.12284) compares against hard removal: a cluster of
+    * near-identical docs should contribute ~one doc's worth of gradient,
+    * but WHICH copy survives shouldn't matter). Given a cluster
+    * assignment (`idCol`, `clusterCol`) — exact-hash groups, LSH
+    * components from [[connectedComponents]], or SemDeDup cells — every
+    * member of a size-m cluster gets integer weight ⌊10^6/m⌋ ppm
+    * (singletons keep exactly 1 000 000), so Σ weights ≈ 10^6 ·
+    * n_clusters and a sampler consuming the weights sees each cluster
+    * once in expectation.
+    *
+    * Plan shape: one map-side-combined groupBy(cluster) census + one
+    * broadcast-or-shuffle equi-join back on the cluster id — no pair
+    * space, no corpus self-join; composes with the same bucketed edge
+    * generators as hard dedup, so the 100 TB story is whatever the
+    * cluster assignment's was. Returns the input rows + (cluster_sz,
+    * weight_ppm). */
+  def softDedupWeights(clusters: DataFrame, idCol: String,
+                       clusterCol: String): DataFrame = {
+    val reserved = Seq("cluster_sz", "weight_ppm").filter(clusters.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved output columns present: ${reserved.mkString(", ")}")
+    val sizes = clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_sz"))
+    clusters.join(sizes, Seq(clusterCol))
+      .withColumn("weight_ppm", expr("1000000 div cluster_sz"))
+  }
 }

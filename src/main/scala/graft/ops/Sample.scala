@@ -140,6 +140,44 @@ object Sample {
           expr(s"(CAST($totalBudget AS DECIMAL(38,0)) * wq) div z")).as("budget"))
   }
 
+  /** Deterministic proportional interleave — the ORDER the training job
+    * reads the mixed corpus in (the "data order file" step after
+    * [[unimaxBudgets]]/[[temperatureBudgets]] pick WHAT to train on):
+    * each group's rows spread evenly through the global sequence, so no
+    * source clumps and every prefix of the order is (within rounding)
+    * the same mixture as the whole — the property curriculum-free
+    * pretraining wants from its shuffle, delivered deterministically.
+    *
+    * The schedule is fair-queueing's virtual-finish-time rule: rank each
+    * group's rows r = 1..m_g in [[stratifiedExact]] hash order, give row
+    * r the key (2r−1)/(2·m_g) ∈ (0,1) — the midpoint of its equal slice
+    * — and emit rows globally by key. Computed as integer
+    * ((2r−1)·10^18) div (2·m_g) through DECIMAL(38,0) (the
+    * [[temperatureBudgets]] overflow discipline: (2r−1)·10^18 passes
+    * Long at r ≈ 4.6e6 — far below a 100 TB corpus), ties broken by
+    * (group, r) — exact, engine-replayable arithmetic end to end.
+    *
+    * Plan shape at scale: the per-group census is a k-row broadcast;
+    * ranking is one shuffle by group (same stratum-fits-a-task caveat as
+    * [[stratifiedExact]] — salt-split a dominant group); the final
+    * range-partitioned sort by key IS the requested output (a global
+    * order cannot cost less). Returns the input rows + (pos) with pos =
+    * 1..N in interleave order. */
+  def interleaveOrder(df: DataFrame, groupCol: String, idCol: Column): DataFrame = {
+    val reserved = Seq("__im", "__ir", "__ik", "pos").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved scratch columns present: ${reserved.mkString(", ")}")
+    val part = Window.partitionBy(col(groupCol))
+    val byHash = part.orderBy(graft.sketch.Kmv.hash60(idCol).asc, idCol.asc)
+    df.withColumn("__im", count(lit(1)).over(part))
+      .withColumn("__ir", row_number().over(byHash))
+      .withColumn("__ik", expr(
+        "(CAST(2 * __ir - 1 AS DECIMAL(38,0)) * 1000000000000000000) div (2 * __im)"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("__ik").asc, col(groupCol).asc, col("__ir").asc)))
+      .drop("__im", "__ir", "__ik")
+  }
+
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),
     * keep each language's hash-ordered prefix of documents whose running
     * token total stays within the budget (a doc that would cross the

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.KneserNey
+import graft.ops.Sample
+import graft.dedup.Dedup
+import graft.multimodal.Audio
+
+/** Round-10 late additions: Kneser-Ney LM, proportional interleave,
+  * soft dedup weights, VAD segmentation — each against an independent
+  * driver-side replay or a closed-form property. */
+class RoundTenCSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 64
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  private def bucket(s: String, b: Int = B): Long =
+    (BigInt(md5hex(s).take(15), 16) % b).toLong
+
+  // ------------------------------------------------------- Kneser-Ney
+
+  /** Independent driver-side replay of the engine formula. */
+  private def knExpected(refTexts: Seq[String], text: String,
+                         d: Double = 0.75): (Long, Long, Long) = {
+    val big = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    refTexts.foreach { t =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (bucket(p(0)), bucket(p(1))); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val cp = big.groupBy(_._1._1).map { case (bp, m) => bp -> m.values.sum }
+    val n1p = big.groupBy(_._1._1).map { case (bp, m) => bp -> m.size.toLong }
+    val n1c = big.groupBy(_._1._2).map { case (bc, m) => bc -> m.size.toLong }
+    val nt = big.size.toLong
+    var score = 0L; var nPos = 0L; var nBo = 0L
+    text.split(" ", -1).sliding(2).filter(_.length == 2).foreach { p =>
+      val bp = bucket(p(0)); val bc = bucket(p(1))
+      val pcont = (n1c.getOrElse(bc, 0L) + 1).toDouble / (nt + B).toDouble
+      val prob =
+        if (cp.getOrElse(bp, 0L) > 0) {
+          (math.max(big.getOrElse((bp, bc), 0L).toDouble - d, 0.0) +
+            (d * n1p(bp).toDouble) * pcont) / cp(bp).toDouble
+        } else { nBo += 1; pcont }
+      score += math.floor(-math.log(prob) * 1e6 + 0.5).toLong
+      nPos += 1
+    }
+    (score, nPos, nBo)
+  }
+
+  test("KneserNey: both branches match the independent replay") {
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug",
+                  "a cat and a dog", "the cat ate the fish")
+    val target = Seq("the cat sat on the rug",      // mostly seen
+                     "zzz qqq unseen prev tokens")  // backoff-heavy
+    val refDf = ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = target.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val cen = KneserNey.bigramCensus(refDf, "text", B)
+    val got = KneserNey.score(docs, "doc_id", "text", cen, B)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    target.zipWithIndex.foreach { case (t, i) =>
+      val (s, n, bo) = knExpected(ref, t)
+      assert(got(i) === ((i.toLong, s, n, bo)), s"doc $i")
+    }
+    // the second doc must actually exercise the backoff branch
+    assert(got(1)._4 > 0)
+  }
+
+  test("KneserNey: < 2 tokens scores (0, 0, 0); result is parallelism-invariant") {
+    val refDf = Seq((1L, "x y x z")).toDF("doc_id", "text")
+    val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
+    val cen = KneserNey.bigramCensus(refDf, "text", B)
+    val r1 = KneserNey.score(docs, "doc_id", "text", cen, B)
+      .orderBy($"doc_id").collect()
+    assert(r1(0).getLong(1) === 0L && r1(0).getLong(2) === 0L)
+    val r4 = KneserNey.score(docs.repartition(4), "doc_id", "text", cen, B)
+      .orderBy($"doc_id").collect()
+    assert(r1.toSeq === r4.toSeq)
+  }
+
+  // ------------------------------------------------- interleaveOrder
+
+  test("interleaveOrder: pos is a permutation and groups spread evenly") {
+    val rows = (1L to 40L).map(i => (i, if (i % 4 == 0) "small" else "big"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sample.interleaveOrder(df, "lang", $"doc_id")
+    val pos = out.select($"pos").as[Int].collect().sorted
+    assert(pos.toSeq === (1 to 40))
+    // evenness: a group with m of N rows never waits longer than
+    // ceil(N/m) + (#groups) positions between occurrences
+    val byLang = out.select($"lang", $"pos").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val n = 40
+    byLang.foreach { case (lang, ps) =>
+      val m = ps.size
+      val maxGap = (ps.head +: ps.sliding(2).collect { case Seq(a, b) => b - a }.toSeq).max
+      assert(maxGap <= n / m + 2, s"$lang gap $maxGap")
+    }
+    // deterministic: same input, same order
+    val again = Sample.interleaveOrder(df, "lang", $"doc_id")
+      .select($"doc_id", $"pos").as[(Long, Int)].collect().sortBy(_._1)
+    assert(again.toSeq === out.select($"doc_id", $"pos").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq)
+  }
+
+  test("interleaveOrder: matches the driver-side fair-queueing replay") {
+    val rows = (1L to 12L).map(i => (i, if (i <= 8) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = Sample.interleaveOrder(df, "lang", $"doc_id")
+      .select($"doc_id", $"pos").as[(Long, Int)].collect().toMap
+    // replay: rank per group by (md5-hash, id), key = (2r-1)*1e18 / (2m)
+    val byLang = rows.groupBy(_._2)
+    val keyed = byLang.toSeq.flatMap { case (lang, rs) =>
+      val ranked = rs.map(_._1).sortBy(id => (bucket60(id), id)).zipWithIndex
+      ranked.map { case (id, r0) =>
+        val r = r0 + 1
+        val key = (BigInt(2 * r - 1) * BigInt("1000000000000000000")) / (2 * rs.size)
+        (key, lang, r, id)
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    keyed.zipWithIndex.foreach { case ((_, _, _, id), i) =>
+      assert(got(id) === i + 1, s"doc $id")
+    }
+  }
+
+  private def bucket60(id: Long): BigInt = BigInt(md5hex(id.toString).take(15), 16)
+
+  test("interleaveOrder: reserved column names are rejected") {
+    val df = Seq((1L, "a", 5)).toDF("doc_id", "lang", "pos")
+    intercept[IllegalArgumentException] {
+      Sample.interleaveOrder(df, "lang", $"doc_id")
+    }
+  }
+
+  // ------------------------------------------------ softDedupWeights
+
+  test("softDedupWeights: ppm weights are floor(1e6/m); singletons keep 1e6") {
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 30L), (6L, 30L))
+      .toDF("id", "cluster")
+    val got = Dedup.softDedupWeights(clusters, "id", "cluster")
+      .select($"id", $"cluster_sz", $"weight_ppm").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (5L, 2L, 500000L), (6L, 2L, 500000L)))
+  }
+
+  test("softDedupWeights: reserved output columns are rejected") {
+    val bad = Seq((1L, 1L, 9L)).toDF("id", "cluster", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      Dedup.softDedupWeights(bad, "id", "cluster")
+    }
+  }
+
+  // ------------------------------------------------------ Audio.vadStats
+
+  test("vadStats: islands merge, gaps split, threshold is strict") {
+    // frame energy: all bytes 64 -> sample 0 -> e = 0; all bytes 127 ->
+    // sample 63 -> e = 63*63*4 = 15876 per 4-byte frame
+    def frame(sample: Int, len: Int): Array[Byte] =
+      Array.fill(len)((sample + 64).toByte)
+    val loud = frame(63, 4); val quiet = frame(0, 4)
+    val pcm = loud ++ loud ++ quiet ++ loud ++ quiet ++ quiet ++ loud ++ loud ++ loud
+    val (nf, na, ns, mr) = Audio.vadStats(pcm, frameLen = 4, thr = 15875L)
+    assert((nf, na, ns, mr) === ((9, 6L, 3L, 3L)))
+    // threshold equal to the energy is NOT active (strict >)
+    assert(Audio.vadStats(loud, 4, thr = 15876L) === ((1, 0L, 0L, 0L)))
+    // trailing partial frame is ignored
+    assert(Audio.vadStats(loud ++ frame(63, 3), 4, 15875L) === ((1, 1L, 1L, 1L)))
+    // empty blob
+    assert(Audio.vadStats(Array.empty[Byte], 4, 0L) === ((0, 0L, 0L, 0L)))
+  }
+}
