@@ -8968,7 +8968,137 @@ object Queries {
              |  CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
              |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run
              |FROM d LEFT JOIN agg a USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- X34: the MIXING capstone — soft dedup → effective-token
+    // census → temperature budgets → hash-prefix selection →
+    // proportional interleave, composed as one plan: duplicates
+    // downweighted (not dropped) feed the budget policy, so an
+    // over-crawled language's dup-inflated volume no longer buys it
+    // budget; selection and the global data order then follow x22/x33.
+    // Each stage is an already-audited library operator (d13, x22, x33);
+    // the gate checks their COMPOSITION end-to-end: the oracle replays
+    // fingerprint weights → census → integer water-filling → cumsum
+    // selection → fair-queueing order → per-language order census.
+    Q("x34_mix_order",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Sample
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tk"),
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("cluster"))
+        val weighted = graft.dedup.Dedup.softDedupWeights(docs, "doc_id", "cluster")
+        val census = weighted.groupBy($"lang")
+          .agg(expr("sum(tk * weight_ppm) div 1000000").as("tokens"))
+        val budgets = Sample.temperatureBudgets(census, "lang", "tokens",
+          totalBudget = 12000L, alpha = 0.5)
+        val sel = Sample.unimaxSelect(weighted.select($"doc_id", $"lang", $"tk"),
+            "lang", $"doc_id", "tk", budgets)
+          .select($"doc_id", $"lang", $"tk")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"pos")
+        Sample.interleaveOrder(sel, "lang", $"doc_id")
+          .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"tk").as("tok_sel"),
+               min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+               sum($"pos").as("pos_sum"),
+               coalesce(max($"gap"), lit(0L)).cast("long").as("max_gap"))
+          .orderBy($"lang")
+      },
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS tk,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, count(*) AS sz FROM f GROUP BY fp),
+             |wt AS (SELECT f.doc_id, f.lang, f.tk, 1000000 // g.sz AS w
+             |       FROM f JOIN g USING (fp)),
+             |c AS (SELECT lang, sum(tk * w) // 1000000 AS tokens FROM wt GROUP BY lang),
+             |wq AS (SELECT lang, tokens,
+             |         CAST(floor(pow(tokens::DOUBLE, 0.5) * 1000000.0 + 0.5) AS BIGINT) AS wq
+             |       FROM c),
+             |b AS (SELECT lang, tokens,
+             |        least(tokens, (12000 * wq) // (SELECT sum(wq) FROM wq)) AS budget
+             |      FROM wq),
+             |h AS (SELECT doc_id, lang, tk,
+             |        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv FROM wt),
+             |cum AS (SELECT lang, doc_id, tk, hv,
+             |          sum(tk) OVER (PARTITION BY lang ORDER BY hv, doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS cm FROM h),
+             |sel AS (SELECT cum.lang, doc_id, tk, hv
+             |        FROM cum JOIN b USING (lang) WHERE cm <= b.budget),
+             |m AS (SELECT lang, count(*) AS mm FROM sel GROUP BY 1),
+             |r AS (SELECT s.lang, doc_id, tk, mm,
+             |        row_number() OVER (PARTITION BY s.lang ORDER BY hv, doc_id) AS rn
+             |      FROM sel s JOIN m USING (lang)),
+             |k AS (SELECT lang, tk, rn,
+             |        (CAST(2*rn-1 AS HUGEINT) * 1000000000000000000) // (2*mm) AS key
+             |      FROM r),
+             |p AS (SELECT lang, tk, row_number() OVER (ORDER BY key, lang, rn) AS pos FROM k),
+             |gp AS (SELECT lang, tk, pos,
+             |         pos - lag(pos) OVER (PARTITION BY lang ORDER BY pos) AS gap FROM p)
+             |SELECT lang, count(*) AS n, CAST(sum(tk) AS BIGINT) AS tok_sel,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos,
+             |  CAST(sum(pos) AS BIGINT) AS pos_sum,
+             |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+             |FROM gp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- M11: ViT-style patch extraction (Dosovitskiy et al. 2021's
+    // pre-projection step) over the m2 fixture rasters: REAL ImageIO
+    // PNG decode, then the ⌊h/8⌋×⌊w/8⌋ full-patch grid with per-patch
+    // integer sums — the batch shape a patch-embedding UDF feeds. Gray
+    // samples round-trip exactly (m2), so the oracle recomputes every
+    // patch sum from the text layout (wd = n%64+1 row-major raster,
+    // zero padding), including the row-major argmax with smallest-index
+    // tiebreak and the all-padding zero-patch census.
+    Q("m11_patch_grid",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{ImageCodec, Patches, PngFixtureCache}
+        PngFixtureCache.pngTable(s, dir)
+          .select($"doc_id", $"png_var")
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, png) =>
+              val (w, h, px) = ImageCodec.decodeGrayPng(png)
+              val (nPr, nPc, total, mx, am, nz) = Patches.patchStats(px, w, h, p = 8)
+              (id, nPr, nPc, total, mx, am, nz)
+            }
+          }.toDF("doc_id", "n_pr", "n_pc", "patch_sum", "max_patch",
+                 "argmax_patch", "n_zero")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+             |        octet_length(encode(text)) % 64 + 1 AS wd
+             |      FROM documents),
+             |pp AS (SELECT doc_id, text, n, wd,
+             |         CAST(greatest((n + wd - 1) // wd, 1) // 8 AS INT) AS npr,
+             |         CAST(wd // 8 AS INT) AS npc
+             |       FROM b),
+             |cells AS (SELECT doc_id, text, n, npc,
+             |        pr.v AS pr, pc.v AS pc,
+             |        (pr.v*8 + i.v//8) * wd + pc.v*8 + i.v%8 AS idx
+             |      FROM pp
+             |      CROSS JOIN (SELECT CAST(unnest(range(0,8)) AS INT) AS v) pr
+             |      CROSS JOIN (SELECT CAST(unnest(range(0,8)) AS INT) AS v) pc
+             |      CROSS JOIN (SELECT CAST(unnest(range(0,64)) AS INT) AS v) i
+             |      WHERE pr.v < npr AND pc.v < npc),
+             |ps AS (SELECT doc_id, pr, pc, npc,
+             |         sum(CASE WHEN idx < n THEN ord(text[idx + 1]) ELSE 0 END) AS s
+             |       FROM cells GROUP BY 1, 2, 3, 4),
+             |mx AS (SELECT doc_id, max(s) AS maxs FROM ps GROUP BY 1),
+             |ag AS (SELECT ps.doc_id, sum(s) AS total, max(s) AS maxs,
+             |         min(CASE WHEN s = mx.maxs THEN pr * npc + pc END) AS am,
+             |         sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS nz
+             |       FROM ps JOIN mx USING (doc_id) GROUP BY 1)
+             |SELECT pp.doc_id, pp.npr AS n_pr, pp.npc AS n_pc,
+             |  CAST(coalesce(ag.total, 0) AS BIGINT) AS patch_sum,
+             |  CAST(coalesce(ag.maxs, 0) AS BIGINT) AS max_patch,
+             |  CAST(coalesce(ag.am, -1) AS INT) AS argmax_patch,
+             |  CAST(coalesce(ag.nz, 0) AS BIGINT) AS n_zero
+             |FROM pp LEFT JOIN ag ON pp.doc_id = ag.doc_id
+             |ORDER BY pp.doc_id""".stripMargin))
   )
 
   private val qs: Seq[Q] =

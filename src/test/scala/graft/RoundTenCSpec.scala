@@ -154,6 +154,37 @@ class RoundTenCSpec extends SparkSpec {
 
   // ------------------------------------------------------ Audio.vadStats
 
+  // ---------------------------------------------------- Patches.patchStats
+
+  test("patchStats: grid shape, sums, row-major argmax with min-index ties, zeros") {
+    // 5x4 raster, p=2 -> full grid 2x2 (last col+row dropped)
+    // values laid row-major; patch (0,0) = {1,2,6,7}=16, (0,1) = {3,4,8,9}=24,
+    // (1,0) = {11,12,16,17}=56, (1,1) = {13,14,18,19}=64
+    val px = (1 to 20).toArray // w=5 -> rows: 1..5 / 6..10 / 11..15 / 16..20
+    val (nPr, nPc, total, mx, am, nz) = multimodal.Patches.patchStats(px, w = 5, h = 4, p = 2)
+    assert((nPr, nPc) === ((2, 2)))
+    assert(total === 16L + 24L + 56L + 64L)
+    assert(mx === 64L && am === 3)
+    assert(nz === 0L)
+    // tie on max -> smallest row-major index wins
+    val flat = Array.fill(16)(7)
+    val (_, _, _, m2, a2, _) = multimodal.Patches.patchStats(flat, 4, 4, 2)
+    assert(m2 === 28L && a2 === 0)
+    // all-zero patches counted; raster smaller than one patch -> empty grid
+    val zeros = Array.fill(16)(0)
+    assert(multimodal.Patches.patchStats(zeros, 4, 4, 2) === ((2, 2, 0L, 0L, 0, 4L)))
+    assert(multimodal.Patches.patchStats(Array(1, 2), 2, 1, 8) === ((0, 0, 0L, 0L, -1, 0L)))
+  }
+
+  test("patchStats: guards reject bad patch size and short buffers") {
+    intercept[IllegalArgumentException] {
+      multimodal.Patches.patchStats(Array(1), 1, 1, 0)
+    }
+    intercept[IllegalArgumentException] {
+      multimodal.Patches.patchStats(Array(1, 2, 3), 2, 2, 1)
+    }
+  }
+
   test("vadStats: islands merge, gaps split, threshold is strict") {
     // frame energy: all bytes 64 -> sample 0 -> e = 0; all bytes 127 ->
     // sample 63 -> e = 63*63*4 = 15876 per 4-byte frame
