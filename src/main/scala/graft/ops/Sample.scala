@@ -159,23 +159,45 @@ object Sample {
     *
     * Plan shape at scale: the per-group census is a k-row broadcast;
     * ranking is one shuffle by group (same stratum-fits-a-task caveat as
-    * [[stratifiedExact]] — salt-split a dominant group); the final
-    * range-partitioned sort by key IS the requested output (a global
-    * order cannot cost less). Returns the input rows + (pos) with pos =
-    * 1..N in interleave order. */
+    * [[stratifiedExact]] — salt-split a dominant group); the global rank
+    * is a RANGE-PARTITIONED sort plus per-partition row numbers lifted by
+    * broadcast prefix offsets — never a single-partition window (the
+    * global-row_number trap serializes 100 TB through one task). The
+    * offset census is one ≤#partitions-row collect, so this call runs a
+    * job eagerly (the kmeans/BPE bounded-census discipline). The full
+    * sort key (key, group, rank) is tie-free, so ANY contiguous range
+    * boundary choice yields the same global ranks — pos is deterministic
+    * across runs, cluster sizes, and partition counts. Returns the input
+    * rows + (pos) with pos = 1..N in interleave order. */
   def interleaveOrder(df: DataFrame, groupCol: String, idCol: Column): DataFrame = {
-    val reserved = Seq("__im", "__ir", "__ik", "pos").filter(df.columns.contains)
+    val reserved = Seq("__im", "__ir", "__ik", "__pid", "pos").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"reserved scratch columns present: ${reserved.mkString(", ")}")
     val part = Window.partitionBy(col(groupCol))
     val byHash = part.orderBy(graft.sketch.Kmv.hash60(idCol).asc, idCol.asc)
-    df.withColumn("__im", count(lit(1)).over(part))
+    val keyed = df.withColumn("__im", count(lit(1)).over(part))
       .withColumn("__ir", row_number().over(byHash))
       .withColumn("__ik", expr(
         "(CAST(2 * __ir - 1 AS DECIMAL(38,0)) * 1000000000000000000) div (2 * __im)"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("__ik").asc, col(groupCol).asc, col("__ir").asc)))
-      .drop("__im", "__ir", "__ik")
+    val sortKeys = Seq(col("__ik").asc, col(groupCol).asc, col("__ir").asc)
+    val sorted = keyed
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // census + final projection share one pass
+    // exclusive prefix offsets over the ≤#partitions-row census
+    val counts = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.foldLeft(Map.empty[Int, Long] -> 0L) {
+      case ((m, acc), (pid, n)) => (m + (pid -> acc), acc + n)
+    }._1
+    val inPart = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
+    sorted
+      .withColumn("pos",
+        (element_at(typedLit(offsets), col("__pid")) + row_number().over(inPart))
+          .cast("long"))
+      .drop("__im", "__ir", "__ik", "__pid")
   }
 
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),

@@ -302,4 +302,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"radius join must block via the cell equi-join:\n$p")
   }
+
+  test("t21 Kneser-Ney: every model join broadcasts — the corpus never shuffles for scoring") {
+    val p = plan("t21_kneser_ney")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"census/prev/cont model joins must broadcast (got $bhj):\n$p")
+  }
+
+  test("x33 interleave: no single-partition exchange — global rank via range partitions + offsets") {
+    val p = plan("x33_train_order")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the global rank must not serialize through one task:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"rank/gap windows must key by lang:\n$p")
+  }
 }

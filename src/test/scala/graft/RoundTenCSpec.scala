@@ -85,11 +85,11 @@ class RoundTenCSpec extends SparkSpec {
     val rows = (1L to 40L).map(i => (i, if (i % 4 == 0) "small" else "big"))
     val df = rows.toDF("doc_id", "lang")
     val out = Sample.interleaveOrder(df, "lang", $"doc_id")
-    val pos = out.select($"pos").as[Int].collect().sorted
-    assert(pos.toSeq === (1 to 40))
+    val pos = out.select($"pos").as[Long].collect().sorted
+    assert(pos.toSeq === (1L to 40L))
     // evenness: a group with m of N rows never waits longer than
     // ceil(N/m) + (#groups) positions between occurrences
-    val byLang = out.select($"lang", $"pos").as[(String, Int)].collect()
+    val byLang = out.select($"lang", $"pos").as[(String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     val n = 40
     byLang.foreach { case (lang, ps) =>
@@ -99,16 +99,21 @@ class RoundTenCSpec extends SparkSpec {
     }
     // deterministic: same input, same order
     val again = Sample.interleaveOrder(df, "lang", $"doc_id")
-      .select($"doc_id", $"pos").as[(Long, Int)].collect().sortBy(_._1)
-    assert(again.toSeq === out.select($"doc_id", $"pos").as[(Long, Int)]
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === out.select($"doc_id", $"pos").as[(Long, Long)]
       .collect().sortBy(_._1).toSeq)
+    // no single-partition window anywhere in the plan (the global-rank
+    // trap this operator exists to avoid)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank must not serialize through one task:\n$plan")
   }
 
   test("interleaveOrder: matches the driver-side fair-queueing replay") {
     val rows = (1L to 12L).map(i => (i, if (i <= 8) "a" else "b"))
     val df = rows.toDF("doc_id", "lang")
     val got = Sample.interleaveOrder(df, "lang", $"doc_id")
-      .select($"doc_id", $"pos").as[(Long, Int)].collect().toMap
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
     // replay: rank per group by (md5-hash, id), key = (2r-1)*1e18 / (2m)
     val byLang = rows.groupBy(_._2)
     val keyed = byLang.toSeq.flatMap { case (lang, rs) =>
@@ -120,7 +125,7 @@ class RoundTenCSpec extends SparkSpec {
       }
     }.sortBy(t => (t._1, t._2, t._3))
     keyed.zipWithIndex.foreach { case ((_, _, _, id), i) =>
-      assert(got(id) === i + 1, s"doc $id")
+      assert(got(id) === (i + 1).toLong, s"doc $id")
     }
   }
 

@@ -104,4 +104,122 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
       assert(got === want)
     }
   }
+
+  // ---- round-10C late additions: KN scoring, interleave, patch/VAD kernels
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  private def h60(s: String): BigInt = BigInt(md5hex(s).take(15), 16)
+
+  test("KneserNey.score == driver replay on random corpora (both branches)") {
+    import spark.implicits._
+    val B = 32
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "zz", "qq")
+    val doc = Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      nr <- Gen.choose(1, 6); ref <- Gen.listOfN(nr, doc)
+      nt <- Gen.choose(1, 5); tgt <- Gen.listOfN(nt, doc)
+    } yield (ref, tgt)
+    forAllN(gen, n = 5) { case (ref, tgt) =>
+      val refDf = ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val docs = tgt.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cen = graft.text.KneserNey.bigramCensus(refDf, "text", B)
+      val got = graft.text.KneserNey.score(docs, "doc_id", "text", cen, B)
+        .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      // driver replay
+      val big = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      def bk(w: String) = (h60(w) % B).toLong
+      ref.foreach(_.split(" ", -1).sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (bk(p(0)), bk(p(1))); big(k) = big.getOrElse(k, 0L) + 1
+      })
+      val cp = big.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+      val n1p = big.groupBy(_._1._1).map { case (k, m) => k -> m.size.toLong }
+      val n1c = big.groupBy(_._1._2).map { case (k, m) => k -> m.size.toLong }
+      val nt = big.size.toLong
+      val want = tgt.zipWithIndex.map { case (t, i) =>
+        var sc = 0L; var np = 0L; var bo = 0L
+        t.split(" ", -1).sliding(2).filter(_.length == 2).foreach { p =>
+          val pcont = (n1c.getOrElse(bk(p(1)), 0L) + 1).toDouble / (nt + B).toDouble
+          val prob =
+            if (cp.getOrElse(bk(p(0)), 0L) > 0)
+              (math.max(big.getOrElse((bk(p(0)), bk(p(1))), 0L).toDouble - 0.75, 0.0) +
+                (0.75 * n1p(bk(p(0))).toDouble) * pcont) / cp(bk(p(0))).toDouble
+            else { bo += 1; pcont }
+          sc += math.floor(-math.log(prob) * 1e6 + 0.5).toLong; np += 1
+        }
+        (i.toLong, sc, np, bo)
+      }
+      assert(got === want, s"ref=$ref tgt=$tgt")
+    }
+  }
+
+  test("interleaveOrder == fair-queueing replay on random group mixes") {
+    import spark.implicits._
+    val gen = for {
+      sizes <- Gen.listOfN(4, Gen.choose(0, 9))
+    } yield sizes
+    forAllN(gen, n = 5) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (m, g) =>
+        (0 until m).map(j => ((g * 100 + j).toLong, s"g$g"))
+      }
+      if (rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "lang")
+        val got = graft.ops.Sample.interleaveOrder(df, "lang", $"doc_id")
+          .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+        val keyed = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+          rs.map(_._1).sortBy(id => (h60(id.toString), id)).zipWithIndex.map {
+            case (id, r0) =>
+              val r = r0 + 1
+              ((BigInt(2 * r - 1) * BigInt("1000000000000000000")) / (2 * rs.size),
+                lang, r, id)
+          }
+        }.sortBy(t => (t._1, t._2, t._3))
+        val want = keyed.zipWithIndex.map { case ((_, _, _, id), i) => id -> (i + 1).toLong }.toMap
+        assert(got === want, s"sizes=$sizes")
+      }
+    }
+  }
+
+  test("patchStats == naive reference on random rasters") {
+    val gen = for {
+      w <- Gen.choose(1, 20); h <- Gen.choose(1, 20); p <- Gen.choose(1, 4)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, p, px.toArray)
+    forAllN(gen, n = 60) { case (w, h, p, px) =>
+      val got = graft.multimodal.Patches.patchStats(px, w, h, p)
+      val nPr = h / p; val nPc = w / p
+      val sums = for (pr <- 0 until nPr; pc <- 0 until nPc) yield
+        (for (i <- 0 until p; j <- 0 until p) yield px((pr * p + i) * w + pc * p + j).toLong).sum
+      val want =
+        if (sums.isEmpty) (nPr, nPc, 0L, 0L, -1, 0L)
+        else (nPr, nPc, sums.sum, sums.max, sums.indexOf(sums.max),
+              sums.count(_ == 0L).toLong)
+      assert(got === want, s"w=$w h=$h p=$p")
+    }
+  }
+
+  test("vadStats == islands reference on random frames") {
+    val gen = for {
+      nb <- Gen.choose(0, 300)
+      b <- Gen.listOfN(nb, Gen.choose(0, 255))
+      fl <- Gen.oneOf(4, 8, 16)
+      thr <- Gen.oneOf(0L, 5000L, 50000L)
+    } yield (b.map(_.toByte).toArray, fl, thr)
+    forAllN(gen, n = 60) { case (b, fl, thr) =>
+      val got = graft.multimodal.Audio.vadStats(b, fl, thr)
+      val frames = b.length / fl
+      val active = (0 until frames).map { f =>
+        (0 until fl).map { i => val v = (b(f * fl + i) & 0xff) - 64; v.toLong * v }.sum > thr
+      }
+      val runs = active.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      val want = (frames, active.count(identity).toLong, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max)
+      assert(got === want, s"len=${b.length} fl=$fl thr=$thr")
+    }
+  }
 }
