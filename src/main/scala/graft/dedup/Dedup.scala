@@ -861,8 +861,10 @@ object Dedup {
     * broadcast-or-shuffle equi-join back on the cluster id — no pair
     * space, no corpus self-join; composes with the same bucketed edge
     * generators as hard dedup, so the 100 TB story is whatever the
-    * cluster assignment's was. Returns the input rows + (cluster_sz,
-    * weight_ppm). */
+    * cluster assignment's was. The input plan feeds both the census and
+    * the join (no CSE across branches) — persist/localCheckpoint
+    * upstream when the assignment is expensive to recompute. Returns
+    * the input rows + (cluster_sz, weight_ppm). */
   def softDedupWeights(clusters: DataFrame, idCol: String,
                        clusterCol: String): DataFrame = {
     val reserved = Seq("cluster_sz", "weight_ppm").filter(clusters.columns.contains)

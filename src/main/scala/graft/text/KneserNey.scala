@@ -62,13 +62,19 @@ object KneserNey {
     require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
     val q = math.pow(10.0, quantDigits)
     val b = lit(numBuckets.toLong)
+    // four consumers derive from the census (bigram join, prev, cont,
+    // stats) and Spark does no CSE across branches — materialize the
+    // ≤ B²-row model ONCE so the reference corpus is scanned once, not
+    // four times (the semDedup persisted-branch discipline; eager
+    // localCheckpoint so the KB-scale blocks free with the frame)
+    val cen = census.localCheckpoint(true)
     // bounded derivations of the census: prev totals + continuation
     // fan-outs (each census row is one distinct (bp, bc) pair, so
     // count(*) IS the N1+ statistic)
-    val prev = census.groupBy(col("bp"))
+    val prev = cen.groupBy(col("bp"))
       .agg(sum(col("c")).as("cp"), count(lit(1)).as("n1p"))
-    val cont = census.groupBy(col("bc")).agg(count(lit(1)).as("n1c"))
-    val stats = census.agg(count(lit(1)).as("nt"))
+    val cont = cen.groupBy(col("bc")).agg(count(lit(1)).as("n1c"))
+    val stats = cen.agg(count(lit(1)).as("nt"))
     val pairs = docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -90,7 +96,7 @@ object KneserNey {
     val nats = (p: org.apache.spark.sql.Column) =>
       floor(-log(p) * q + 0.5).cast("long")
     val perDoc = pairs
-      .join(broadcast(census.select(col("bp"), col("bc"), col("c").as("cb"))),
+      .join(broadcast(cen.select(col("bp"), col("bc"), col("c").as("cb"))),
         Seq("bp", "bc"), "left")
       .join(broadcast(prev), Seq("bp"), "left")
       .join(broadcast(cont), Seq("bc"), "left")
