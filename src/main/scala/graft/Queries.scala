@@ -9044,6 +9044,81 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X35: curriculum data order (Bengio et al. 2009) — the
+    // difficulty-staged variant of x33: per-language perplexity
+    // TERCILES (t13's partitioned ntile — easy terciles first) become
+    // the training phases, and within each phase languages interleave
+    // proportionally (Sample.interleaveOrderPhased). Every stage is
+    // deterministic and already audited (t13 scoring, x33 schedule);
+    // the oracle replays LM → per-doc mean NLL → per-lang terciles →
+    // phased fair-queueing order → per-(phase, lang) order census.
+    Q("x35_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.{Dsir, Perplexity}
+        val docs = t(s, dir, "documents")
+        val lm = Dsir.bucketCounts(
+          docs.filter($"lang" === "en" && $"doc_id" % 3 === 0), "text", 2, 1024)
+        val scored = Perplexity.nll(docs, "doc_id", "text", lm, n = 2,
+          numBuckets = 1024, quantDigits = 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"mean_nll", $"doc_id")
+        val phased = docs.select($"doc_id", $"lang").join(scored, Seq("doc_id"))
+          .withColumn("phase", ntile(3).over(w))
+          .select($"doc_id", $"lang", $"phase")
+        val gw = org.apache.spark.sql.expressions.Window
+          .partitionBy($"phase", $"lang").orderBy($"pos")
+        graft.ops.Sample.interleaveOrderPhased(phased, "phase", "lang", $"doc_id")
+          .withColumn("gap", $"pos" - lag($"pos", 1).over(gw))
+          .groupBy($"phase", $"lang")
+          .agg(count(lit(1)).as("n"),
+               min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+               sum($"pos").as("pos_sum"),
+               coalesce(max($"gap"), lit(0L)).cast("long").as("max_gap"))
+          .orderBy($"phase", $"lang")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS s
+             |           FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |        unnest(list_transform(range(len(s)-1),
+             |          i -> ('0x'||substr(md5(s[i+1]||' '||s[i+2]),1,15))::BIGINT % 1024)) AS b
+             |      FROM tk WHERE len(s) >= 2),
+             |lm AS (SELECT b, count(*) AS c FROM g
+             |       WHERE lang = 'en' AND doc_id % 3 = 0 GROUP BY b),
+             |lt AS (SELECT count(*) AS t FROM g
+             |       WHERE lang = 'en' AND doc_id % 3 = 0),
+             |q AS (SELECT g.doc_id,
+             |        CAST(floor(-ln(((coalesce(lm.c, 0) + 1)::DOUBLE)
+             |                       / ((lt.t + 1024)::DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d
+             |      FROM g LEFT JOIN lm ON g.b = lm.b, lt),
+             |sc AS (SELECT doc_id, sum(d) AS nll, count(*) AS n FROM q GROUP BY doc_id),
+             |m AS (SELECT d.doc_id, d.lang,
+             |        CASE WHEN coalesce(sc.n, 0) > 0
+             |             THEN coalesce(sc.nll, 0) // sc.n ELSE 0 END AS mean_nll
+             |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+             |ph AS (SELECT doc_id, lang,
+             |         ntile(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS phase
+             |       FROM m),
+             |cnt AS (SELECT phase, lang, count(*) AS mm FROM ph GROUP BY 1, 2),
+             |r AS (SELECT ph.phase, ph.lang, doc_id, mm,
+             |        row_number() OVER (PARTITION BY ph.phase, ph.lang
+             |          ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rn
+             |      FROM ph JOIN cnt USING (phase, lang)),
+             |k AS (SELECT phase, lang, rn,
+             |        (CAST(2*rn-1 AS HUGEINT) * 1000000000000000000) // (2*mm) AS key
+             |      FROM r),
+             |p AS (SELECT phase, lang,
+             |        row_number() OVER (ORDER BY phase, key, lang, rn) AS pos FROM k),
+             |gp AS (SELECT phase, lang, pos,
+             |         pos - lag(pos) OVER (PARTITION BY phase, lang ORDER BY pos) AS gap
+             |       FROM p)
+             |SELECT phase, lang, count(*) AS n,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos,
+             |  CAST(sum(pos) AS BIGINT) AS pos_sum,
+             |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+             |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- M11: ViT-style patch extraction (Dosovitskiy et al. 2021's
     // pre-projection step) over the m2 fixture rasters: REAL ImageIO
     // PNG decode, then the ⌊h/8⌋×⌊w/8⌋ full-patch grid with per-patch

@@ -169,17 +169,33 @@ object Sample {
     * boundary choice yields the same global ranks — pos is deterministic
     * across runs, cluster sizes, and partition counts. Returns the input
     * rows + (pos) with pos = 1..N in interleave order. */
-  def interleaveOrder(df: DataFrame, groupCol: String, idCol: Column): DataFrame = {
+  def interleaveOrder(df: DataFrame, groupCol: String, idCol: Column): DataFrame =
+    interleaveCore(df, Nil, groupCol, idCol)
+
+  /** CURRICULUM variant of [[interleaveOrder]]: the order is phase-major
+    * (easy → hard, or whatever `phaseCol` encodes, ascending), and
+    * WITHIN each phase the groups interleave proportionally — Bengio
+    * et al. 2009's curriculum schedule with the x33 mixture guarantee
+    * per stage. Same plan shape; the rank window and census key by
+    * (phase, group) and the phase leads the global sort key. */
+  def interleaveOrderPhased(df: DataFrame, phaseCol: String, groupCol: String,
+                            idCol: Column): DataFrame =
+    interleaveCore(df, Seq(phaseCol), groupCol, idCol)
+
+  private def interleaveCore(df: DataFrame, phaseCols: Seq[String],
+                             groupCol: String, idCol: Column): DataFrame = {
     val reserved = Seq("__im", "__ir", "__ik", "__pid", "pos").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"reserved scratch columns present: ${reserved.mkString(", ")}")
-    val part = Window.partitionBy(col(groupCol))
+    val pCols = phaseCols.map(col)
+    val part = Window.partitionBy(pCols :+ col(groupCol): _*)
     val byHash = part.orderBy(graft.sketch.Kmv.hash60(idCol).asc, idCol.asc)
     val keyed = df.withColumn("__im", count(lit(1)).over(part))
       .withColumn("__ir", row_number().over(byHash))
       .withColumn("__ik", expr(
         "(CAST(2 * __ir - 1 AS DECIMAL(38,0)) * 1000000000000000000) div (2 * __im)"))
-    val sortKeys = Seq(col("__ik").asc, col(groupCol).asc, col("__ir").asc)
+    val sortKeys = pCols.map(_.asc) ++
+      Seq(col("__ik").asc, col(groupCol).asc, col("__ir").asc)
     val sorted = keyed
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)

@@ -131,6 +131,32 @@ class RoundTenCSpec extends SparkSpec {
 
   private def bucket60(id: Long): BigInt = BigInt(md5hex(id.toString).take(15), 16)
 
+  test("interleaveOrderPhased: phases stay contiguous and each phase interleaves") {
+    // phase 1: a(4) b(2); phase 2: a(2) b(4)
+    val rows = Seq(
+      (1L, "a", 1), (2L, "a", 1), (3L, "a", 1), (4L, "a", 1), (5L, "b", 1), (6L, "b", 1),
+      (7L, "a", 2), (8L, "a", 2), (9L, "b", 2), (10L, "b", 2), (11L, "b", 2), (12L, "b", 2))
+    val df = rows.toDF("doc_id", "lang", "phase")
+    val out = Sample.interleaveOrderPhased(df, "phase", "lang", $"doc_id")
+      .select($"doc_id", $"lang", $"phase", $"pos")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._4)
+    assert(out.map(_._4).toSeq === (1L to 12L))
+    // every phase-1 position precedes every phase-2 position
+    val p1 = out.filter(_._3 == 1).map(_._4); val p2 = out.filter(_._3 == 2).map(_._4)
+    assert(p1.max < p2.min)
+    // within each phase the order matches the unphased interleave of
+    // that phase's rows (pos shifted by the phase offset)
+    for (ph <- Seq(1, 2)) {
+      val slice = rows.filter(_._3 == ph).map { case (id, g, _) => (id, g) }
+      val want = Sample.interleaveOrder(slice.toDF("doc_id", "lang"), "lang", $"doc_id")
+        .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+      val offset = out.filter(_._3 == ph).map(_._4).min - 1
+      out.filter(_._3 == ph).foreach { case (id, _, _, pos) =>
+        assert(pos - offset === want(id), s"phase $ph doc $id")
+      }
+    }
+  }
+
   test("interleaveOrder: reserved column names are rejected") {
     val df = Seq((1L, "a", 5)).toDF("doc_id", "lang", "pos")
     intercept[IllegalArgumentException] {
