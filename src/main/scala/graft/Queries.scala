@@ -9119,6 +9119,60 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- R12: DSv2 statistics reporting (SupportsReportStatistics) —
+    // the optimizer-facing third of the source beside pushdown (r5/r10)
+    // and runtime filtering (r11): without reported stats a DSv2
+    // relation defaults to an effectively-infinite sizeInBytes and a
+    // planned-small tile scan joined to a fact table sort-merges BOTH
+    // sides; with the work-list census reported (rows = planned reads,
+    // bytes reflecting column pruning — a metadata projection is KBs),
+    // Catalyst puts the tile side under a BroadcastHashJoin with NO
+    // hint anywhere. The serving-path shape at 100 TB: "attach each
+    // fact row to its tile's metadata" must broadcast the work-list,
+    // never shuffle the fact table. The broadcast choice is
+    // plan-asserted (TileSourceV2Spec); here the JOIN RESULT is
+    // oracle-gated: per band, supplier rows × planned tiles and the
+    // window-pixel totals replay from the 10-scene fixture geometry.
+    Q("r12_dsv2_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds}
+        import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+        val items = (0 until 10).map { i =>
+          val off = (i % 3) * 1280.0
+          StacItem(s"scene-$i", Some(f"2024-06-${i + 1}%02dT10:00:00Z"), epsg = Some(32633),
+            assets = Seq("red", "green", "nir").map { band =>
+              band -> StacAsset(s"fake://$band/$i",
+                bbox = Some(Bounds(399960 + off, 4990200 - off, 399960 + off + 2560, 4990200 - off + 2560)),
+                shape = Some((256, 256)),
+                transform = Some(AffineTransform.northUp(399960 + off, 4990200 - off + 2560, 10.0, 10.0)))
+            }.toMap)
+        }
+        val plan = Prepare(items, PrepareOptions(assets = Some(Seq("red", "green", "nir"))))
+        val tiles = graft.scan.v2.TileSourceV2.scan(s, plan.assetTable, plan.spec, chunk = 256)
+        val sup = t(s, dir, "supplier").select(
+          element_at(array(lit("red"), lit("green"), lit("nir")),
+            (pmod($"s_suppkey", lit(3)) + 1).cast("int")).as("band"))
+        // no broadcast() hint: the scan's reported statistics decide
+        sup.join(tiles.select($"band", ($"height" * $"width").as("pxn")), Seq("band"))
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_pairs"), sum($"pxn").as("px_sum"))
+          .orderBy($"band")
+      },
+      Some("""WITH sc AS (SELECT CAST(i AS INT) AS i, (i % 3) * 128 AS o FROM range(0,10) t(i)),
+             |px AS (SELECT r, c FROM range(0,512) t(r) CROSS JOIN range(0,512) u(c)),
+             |hits AS (SELECT s.i, r, c FROM px JOIN sc s
+             |         ON r >= s.o AND r < s.o+256 AND c >= s.o AND c < s.o+256),
+             |tl AS (SELECT (SELECT count(*) FROM
+             |                (SELECT DISTINCT i, r//256, c//256 FROM hits)) AS n_tiles,
+             |              (SELECT count(*) FROM hits) AS px_total),
+             |lb AS (SELECT CASE s_suppkey % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+             |              ELSE 'nir' END AS band, count(*) AS nsup
+             |       FROM supplier GROUP BY 1)
+             |SELECT lb.band, CAST(lb.nsup * tl.n_tiles AS BIGINT) AS n_pairs,
+             |  CAST(lb.nsup * tl.px_total AS BIGINT) AS px_sum
+             |FROM lb CROSS JOIN tl ORDER BY lb.band""".stripMargin)),
+
     // ----- M11: ViT-style patch extraction (Dosovitskiy et al. 2021's
     // pre-projection step) over the m2 fixture rasters: REAL ImageIO
     // PNG decode, then the ⌊h/8⌋×⌊w/8⌋ full-patch grid with per-patch

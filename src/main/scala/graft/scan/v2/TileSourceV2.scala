@@ -372,9 +372,44 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
                        limit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  // ---- statistics (SupportsReportStatistics) --------------------------
+  // Accurate source stats are what let Catalyst pick the join strategy
+  // WITHOUT hints: a DSv2 relation with no statistics defaults to
+  // `spark.sql.defaultSizeInBytes` (effectively infinite), so a
+  // planned-small tile scan joined to a fact table would sort-merge both
+  // sides; reporting the true work-list size keeps it under the
+  // auto-broadcast threshold and the scan side broadcasts itself. Both
+  // numbers come from the SAME pushed-filter-pruned metadata enumeration
+  // the scan executes — row count = planned reads, bytes = Σ window
+  // pixels × 8 (+ per-row metadata) — so estimation stays metadata
+  // arithmetic (the r10 agg-pushdown discipline), no reader opens.
+  // Runtime filters arrive AFTER optimization, so stats are pre-runtime
+  // by construction (an over- never under-estimate). Column pruning IS
+  // reflected: a metadata-only projection (pixels pruned) reports KBs,
+  // which is exactly what lets a planned tile WORK-LIST join a fact
+  // table broadcast-side — the serving-path join r12 gates.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val pixelCol = required.fieldNames.contains("pixels")
+    var rows = 0L
+    var bytes = 0L
+    partitions.foreach { p =>
+      p.asInstanceOf[TileInputPartition].reads.foreach { r =>
+        rows += 1
+        bytes += 48L +
+          (if (pixelCol) r.window.height.toLong * r.window.width * 8 else 0L)
+      }
+    }
+    val (nRows, nBytes) = (rows, bytes)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(nBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(nRows)
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_tiles chunk=${plan.chunk} pushed=[${pushed.mkString(", ")}]" +

@@ -235,4 +235,32 @@ class TileSourceV2Spec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
     assert(filtered.as[Long].collect().head === 5L)
   }
+
+  test("reported statistics: work-list census, pruning-aware, drives hint-free broadcast") {
+    import spark.implicits._
+    def leafStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats
+    val tiles = TileSourceV2.scan(spark, assets, spec, chunk).toDF()
+    // 10 planned reads (item0 full grid x2 bands + item1 one chunk x2),
+    // each an 8x8 window: 48 B shell + 512 B pixels
+    val full = leafStats(tiles)
+    assert(full.rowCount.contains(BigInt(10)), s"rowCount: $full")
+    assert(full.sizeInBytes === BigInt(10 * (48 + 64 * 8)), s"bytes: $full")
+    // column pruning collapses bytes to the metadata shells
+    val meta = leafStats(tiles.select($"band", $"height", $"width"))
+    assert(meta.sizeInBytes === BigInt(10 * 48), s"pruned bytes: $meta")
+    // pushed filters shrink the census before any IO
+    val red = leafStats(tiles.filter($"band" === "red"))
+    assert(red.rowCount.contains(BigInt(5)), s"filtered rowCount: $red")
+    // the payoff: a fact table joins the planned work-list with NO hint
+    // and the tile side broadcasts itself on reported stats alone
+    val fact = spark.range(0, 3000000).select(
+      org.apache.spark.sql.functions.when($"id" % 2 === 0, "red")
+        .otherwise("nir").as("band"), $"id")
+    val pre = fact.join(tiles.select($"band", $"height"), Seq("band"))
+      .queryExecution.sparkPlan.toString
+    assert(pre.contains("BroadcastHashJoin"),
+      s"reported stats must drive a hint-free broadcast:\n$pre")
+    assert(!pre.contains("SortMergeJoin"), s"fact side must not shuffle:\n$pre")
+  }
 }
