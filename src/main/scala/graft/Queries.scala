@@ -9119,6 +9119,65 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- J11: linear-interpolation as-of join (AsOfJoin.interpolate)
+    // — the feature-pipeline join pandas spells merge_asof+interp: each
+    // purchase gets the click VALUE linearly interpolated between the
+    // user's bracketing clicks, v(t) = (vb·(tf−t) + vf·(t−tb))/(tf−tb)
+    // in integer micro-units via DECIMAL(38,0) (symmetric form keeps the
+    // numerator non-negative so trunc and floor division agree across
+    // engines). Same single-shuffle tagged-union plan as j6/j7; boundary
+    // rows extrapolate flat. The oracle brackets with two DuckDB ASOF
+    // joins (backward >=, strict forward <; equal-time clicks dedupe to
+    // max event_id backward / min forward — the engine's sort order) and
+    // replays the HUGEINT lerp bit-for-bit.
+    Q("j11_asof_lerp",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .withColumn("tm", unix_micros($"ts"))
+          .withColumn("vq", round($"value" * 100).cast("long"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"tm", $"event_id")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"tm", $"vq", $"event_id")
+        graft.ops.AsOfJoin.interpolate(purchases, clicks,
+            key = Seq("user_id"), time = "tm", valueQ = "vq",
+            tiebreak = Seq("event_id"), outCol = "lerp_q")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purch"),
+               count($"lerp_q").as("n_matched"),
+               sum(coalesce($"lerp_q", lit(0L))).as("sum_lerp_q"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tm, event_type,
+             |             CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+             |p AS (SELECT user_id, event_id, tm FROM e WHERE event_type = 'purchase'),
+             |cb AS (SELECT user_id, tm, arg_max(vq, event_id) AS vq
+             |       FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+             |cf AS (SELECT user_id, tm, arg_min(vq, event_id) AS vq
+             |       FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+             |jb AS (SELECT p.user_id, p.event_id, p.tm, cb.tm AS tb, cb.vq AS vb
+             |       FROM p ASOF LEFT JOIN cb
+             |         ON p.user_id = cb.user_id AND p.tm >= cb.tm),
+             |jf AS (SELECT p.user_id, p.event_id, cf.tm AS tf, cf.vq AS vf
+             |       FROM p ASOF LEFT JOIN cf
+             |         ON p.user_id = cf.user_id AND p.tm < cf.tm),
+             |j AS (SELECT jb.user_id, jb.tm, jb.tb, jb.vb, jf.tf, jf.vf
+             |      FROM jb JOIN jf
+             |        ON jb.user_id = jf.user_id AND jb.event_id = jf.event_id),
+             |l AS (SELECT user_id,
+             |        CASE
+             |          WHEN tb IS NOT NULL AND tf IS NOT NULL THEN
+             |            (CAST(vb AS HUGEINT) * 1000000 * (tf - tm) +
+             |             CAST(vf AS HUGEINT) * 1000000 * (tm - tb)) // (tf - tb)
+             |          WHEN tb IS NOT NULL THEN CAST(vb AS HUGEINT) * 1000000
+             |          WHEN tf IS NOT NULL THEN CAST(vf AS HUGEINT) * 1000000
+             |        END AS lerp_q
+             |      FROM j)
+             |SELECT user_id, count(*) AS n_purch, count(lerp_q) AS n_matched,
+             |  CAST(sum(COALESCE(lerp_q, 0)) AS BIGINT) AS sum_lerp_q
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- R12: DSv2 statistics reporting (SupportsReportStatistics) —
     // the optimizer-facing third of the source beside pushdown (r5/r10)
     // and runtime filtering (r11): without reported stats a DSv2

@@ -88,6 +88,55 @@ object AsOfJoin {
       .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
   }
 
+  /** Linear-INTERPOLATION as-of join — the feature-pipeline variant of
+    * [[backward]]/[[nearest]] (pandas `merge_asof` + interpolation, the
+    * time-series feature join): for every left row, the right-side value
+    * is linearly interpolated between the bracketing right rows,
+    *
+    *   v(t) = (vb·(tf − t) + vf·(t − tb)) / (tf − tb)
+    *
+    * computed in integer micro-units through DECIMAL(38,0) — the
+    * symmetric form keeps the numerator non-negative for non-negative
+    * quantized values, so truncating and flooring division agree and any
+    * engine replays it exactly (the temperatureBudgets discipline). One
+    * boundary row (only a prev, or only a next) extrapolates flat; no
+    * right rows at all yields null. A right row at exactly the left time
+    * is the backward bracket (tb = t), making v(t) = vb exactly; the
+    * forward bracket is strictly later, so tf > tb always and the
+    * denominator never vanishes.
+    *
+    * `time` must be an integral column (e.g. unix micros); `valueQ` a
+    * non-negative integral quantized value on the right side. Same
+    * single-shuffle tagged-union plan as backward/nearest: the backward
+    * bracket is a running `last()`, the forward a running `first()`,
+    * over ONE sort per key. Returns the left rows + `outCol` =
+    * v(t)·10^6 in micro-units (null when no bracket exists). */
+  def interpolate(left: DataFrame,
+                  right: DataFrame,
+                  key: Seq[String],
+                  time: String,
+                  valueQ: String,
+                  tiebreak: Seq[String] = Nil,
+                  outCol: String = "lerp_q"): DataFrame = {
+    val (tagged, w) = taggedUnion(left, right, key, time, Seq(valueQ), tiebreak)
+    val back = last("__rp", ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first("__rp", ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val lerp = expr(
+      s"(CAST(__b.$valueQ AS DECIMAL(38,0)) * 1000000 * (__f.__rt - __time) + " +
+      s"CAST(__f.$valueQ AS DECIMAL(38,0)) * 1000000 * (__time - __b.__rt)) " +
+      s"div (__f.__rt - __b.__rt)")
+    val out = when(col("__b").isNotNull && col("__f").isNotNull, lerp.cast("long"))
+      .when(col("__b").isNotNull, col(s"__b.$valueQ").cast("long") * 1000000L)
+      .when(col("__f").isNotNull, col(s"__f.$valueQ").cast("long") * 1000000L)
+    tagged
+      .withColumn("__b", back)
+      .withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*"), out.as(outCol))
+  }
+
   /** Tag, union and sort both sides; shared by backward/nearest. The
     * right payload struct carries the right time as `__rt` so distance
     * math needs no second join. */

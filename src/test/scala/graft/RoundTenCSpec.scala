@@ -164,6 +164,41 @@ class RoundTenCSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ AsOfJoin.interpolate
+
+  test("interpolate: brackets lerp exactly, boundaries extrapolate flat, exact hits win") {
+    import graft.ops.AsOfJoin
+    // right series for key k: t=10 v=100, t=20 v=200, t=40 v=100
+    val right = Seq((1L, "k", 10L, 100L), (2L, "k", 20L, 200L), (3L, "k", 40L, 100L))
+      .toDF("event_id", "key", "tm", "vq")
+    val left = Seq(
+      (10L, "k", 15L),  // midway 10..20 -> 150
+      (11L, "k", 20L),  // exact hit -> 200
+      (12L, "k", 35L),  // 3/4 of 20..40 -> 125
+      (13L, "k", 5L),   // before first -> flat 100
+      (14L, "k", 99L),  // after last -> flat 100
+      (15L, "z", 50L))  // no right rows -> null
+      .toDF("id", "key", "tm")
+    val got = AsOfJoin.interpolate(left, right, Seq("key"), "tm", "vq",
+        tiebreak = Seq("event_id"))
+      .select($"id", $"lerp_q").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(10L) === Some(150000000L))
+    assert(got(11L) === Some(200000000L))
+    assert(got(12L) === Some(125000000L))
+    assert(got(13L) === Some(100000000L))
+    assert(got(14L) === Some(100000000L))
+    assert(got(15L) === None)
+    // equal-time right rows: backward takes max event_id, forward min
+    val dup = Seq((5L, "k", 30L, 10L), (6L, "k", 30L, 50L)).toDF("event_id", "key", "tm", "vq")
+    val probes = Seq((20L, "k", 30L), (21L, "k", 25L)).toDF("id", "key", "tm")
+    val g2 = AsOfJoin.interpolate(probes, dup, Seq("key"), "tm", "vq",
+        tiebreak = Seq("event_id"))
+      .select($"id", $"lerp_q").as[(Long, Long)].collect().toMap
+    assert(g2(20L) === 50000000L) // exact hit -> backward bracket, max event_id
+    assert(g2(21L) === 10000000L) // forward-only -> flat, min event_id
+  }
+
   // ------------------------------------------------ softDedupWeights
 
   test("softDedupWeights: ppm weights are floor(1e6/m); singletons keep 1e6") {
