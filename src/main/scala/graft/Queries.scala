@@ -9119,6 +9119,65 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- W9: integer anomaly flags over the EWMA prediction — the
+    // monitoring epilogue of the w6/w7/w8 family: the PRIOR-8-day
+    // dyadic EWMA (weights 128..1, Σ=255 — w8's kernel shifted one day
+    // so the current value never predicts itself) is the forecast, and
+    // a day is anomalous when the observed value leaves the [p/2, 2p]
+    // band — all INTEGER cross-multiplications (c·255 vs 2·p256), no
+    // division anywhere, so any engine replays the flags bit-for-bit.
+    // Early days with no history predict 0 and flag high on first
+    // activity (deterministic, replayed). Windows key by event_type;
+    // composed over w7's gap-filled grid inside the same plan.
+    Q("w9_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val obs = t(s, dir, "events")
+          .groupBy($"event_type", expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(quant($"value", 100)).as("cents"))
+        val filled = graft.ops.GapFill.forwardFill(obs, "event_type", "day", "cents")
+          .select($"event_type", $"day",
+            when($"filled" === 0, $"v").otherwise(lit(0L)).as("c"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val p256 = (1 to 8).map(j =>
+          coalesce(lag($"c", j).over(w), lit(0L)) * lit(1L << (8 - j))).reduce(_ + _)
+        filled.withColumn("p256", p256)
+          .withColumn("dev", abs($"c" * 255L - $"p256"))
+          .withColumn("hi", ($"c" * 255L > $"p256" * 2L).cast("long"))
+          .withColumn("lo", ($"c" * 255L * 2L < $"p256").cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"hi").as("n_hi"), sum($"lo").as("n_lo"),
+               coalesce(min(when($"hi" === 1L || $"lo" === 1L, $"day")), lit(-1L))
+                 .as("first_anom"),
+               max($"dev").as("max_dev"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH obs AS (SELECT event_type, epoch(ts)::BIGINT // 86400 AS day,
+             |          sum(CAST(floor(value*100+0.5) AS BIGINT)) AS cents
+             |        FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+             |grid AS (SELECT k.event_type, CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day
+             |         FROM (SELECT DISTINCT event_type FROM obs) k CROSS JOIN b),
+             |f AS (SELECT g.event_type, g.day, coalesce(o.cents, 0) AS c
+             |      FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day),
+             |e AS (SELECT event_type, day, c,
+             |        coalesce(lag(c, 1) OVER w, 0) * 128 + coalesce(lag(c, 2) OVER w, 0) * 64
+             |        + coalesce(lag(c, 3) OVER w, 0) * 32 + coalesce(lag(c, 4) OVER w, 0) * 16
+             |        + coalesce(lag(c, 5) OVER w, 0) * 8 + coalesce(lag(c, 6) OVER w, 0) * 4
+             |        + coalesce(lag(c, 7) OVER w, 0) * 2 + coalesce(lag(c, 8) OVER w, 0) AS p256
+             |      FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |a AS (SELECT event_type, day, c, p256,
+             |        abs(c * 255 - p256) AS dev,
+             |        CASE WHEN c * 255 > p256 * 2 THEN 1 ELSE 0 END AS hi,
+             |        CASE WHEN c * 255 * 2 < p256 THEN 1 ELSE 0 END AS lo
+             |      FROM e)
+             |SELECT event_type, count(*) AS n_days,
+             |  CAST(sum(hi) AS BIGINT) AS n_hi, CAST(sum(lo) AS BIGINT) AS n_lo,
+             |  CAST(coalesce(min(CASE WHEN hi = 1 OR lo = 1 THEN day END), -1) AS BIGINT)
+             |    AS first_anom,
+             |  CAST(max(dev) AS BIGINT) AS max_dev
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- J11: linear-interpolation as-of join (AsOfJoin.interpolate)
     // — the feature-pipeline join pandas spells merge_asof+interp: each
     // purchase gets the click VALUE linearly interpolated between the
