@@ -282,11 +282,23 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row bounds fold legitimately plans a SinglePartition
     // exchange; the WINDOW itself must stay partitioned by the key or a
     // hot key would serialize the whole series through one task
-    for (q <- Seq("w7_gap_fill", "w8_ewma")) {
+    for (q <- Seq("w7_gap_fill", "w8_ewma", "w9_anomaly")) {
       val p = plan(q)
       assert(p.contains("windowspecdefinition(event_type"),
         s"$q window must partition by event_type:\n$p")
     }
+  }
+
+  test("j11 interpolation join: one key-partitioned window, no join node at all") {
+    // the tagged-union plan replaces the as-of join with a union + ONE
+    // window pass per key — a Join operator appearing here would mean
+    // the quadratic range-join formulation snuck back in
+    val p = plan("j11_asof_lerp")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"bracket windows must partition by user_id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"interpolate must not plan a join:\n$p")
   }
 
   test("x31 compaction binning: window partitioned by table group, census aggregates map-side") {
