@@ -9119,6 +9119,115 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
+    // detector as live monitoring state: per event_type the state is
+    // ONE (lastDay, 8-value ring) — ~9 longs at any stream length — and
+    // each batch walks the day grid forward from the state, zero-filling
+    // unobserved days (w7's grid fill as streaming catch-up), emitting
+    // the same division-free [p/2, 2p] band flags as w9. Waves stage by
+    // DAY RANGE (a day never splits across batches, so batch-local day
+    // totals are complete — the s17 staging discipline); the per-key
+    // grid runs first-observed-day → last-observed-day. The oracle
+    // replays the per-key grid, all 8 lag terms, and the flag census.
+    Q("s18_stream_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val base = t(s, dir, "events")
+        val slim = base.select($"event_type",
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          quant($"value", 100).as("cq"))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s18_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val b = slim.agg(min($"day").as("lo"), max($"day").as("hi")).head()
+        val (dlo, dhi) = (b.getLong(0), b.getLong(1))
+        val (d1, d2) = (dlo + (dhi - dlo) / 3, dlo + 2 * ((dhi - dlo) / 3))
+        writeWave(slim.filter($"day" < d1), 1)
+        writeWave(slim.filter($"day" >= d1 && $"day" < d2), 2)
+        writeWave(slim.filter($"day" >= d2), 3)
+        val queryName = "graft_anom_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(slim.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[(String, Long, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Seq[Long]),
+                                    (String, Long, Long, Long, Long, Long, Long)](
+              OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+              val byDay = rows.toSeq.groupBy(_._2)
+                .map { case (d, rs) => d -> rs.map(_._3).sum }
+              if (byDay.isEmpty) Iterator.empty
+              else {
+                val maxDay = byDay.keys.max
+                var (lastDay, ring) =
+                  state.getOption.getOrElse((byDay.keys.min - 1, Seq.empty[Long]))
+                val out = Seq.newBuilder[(String, Long, Long, Long, Long, Long, Long)]
+                var d = lastDay + 1
+                while (d <= maxDay) {
+                  val c = byDay.getOrElse(d, 0L)
+                  val p256 = ring.zipWithIndex
+                    .map { case (v, i) => v * (1L << (7 - i)) }.sum
+                  val hi = if (c * 255L > p256 * 2L) 1L else 0L
+                  val lo = if (c * 255L * 2L < p256) 1L else 0L
+                  out += ((key, d, c, p256, hi, lo, math.abs(c * 255L - p256)))
+                  ring = (c +: ring).take(8)
+                  d += 1
+                }
+                state.update((maxDay, ring))
+                out.result().iterator
+              }
+            }
+            .toDF("event_type", "day", "c", "p256", "hi", "lo", "dev")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"hi").as("n_hi"), sum($"lo").as("n_lo"),
+               coalesce(min(when($"hi" === 1L || $"lo" === 1L, $"day")), lit(-1L))
+                 .as("first_anom"),
+               max($"dev").as("max_dev"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH obs AS (SELECT event_type, epoch(ts)::BIGINT // 86400 AS day,
+             |          sum(CAST(floor(value*100+0.5) AS BIGINT)) AS cents
+             |        FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+             |      FROM obs GROUP BY 1),
+             |grid AS (SELECT b.event_type,
+             |           CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day
+             |         FROM b),
+             |f AS (SELECT g.event_type, g.day, coalesce(o.cents, 0) AS c
+             |      FROM grid g LEFT JOIN obs o
+             |        ON g.event_type = o.event_type AND g.day = o.day),
+             |e AS (SELECT event_type, day, c,
+             |        coalesce(lag(c, 1) OVER w, 0) * 128 + coalesce(lag(c, 2) OVER w, 0) * 64
+             |        + coalesce(lag(c, 3) OVER w, 0) * 32 + coalesce(lag(c, 4) OVER w, 0) * 16
+             |        + coalesce(lag(c, 5) OVER w, 0) * 8 + coalesce(lag(c, 6) OVER w, 0) * 4
+             |        + coalesce(lag(c, 7) OVER w, 0) * 2 + coalesce(lag(c, 8) OVER w, 0) AS p256
+             |      FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             |a AS (SELECT event_type, day, c, p256,
+             |        abs(c * 255 - p256) AS dev,
+             |        CASE WHEN c * 255 > p256 * 2 THEN 1 ELSE 0 END AS hi,
+             |        CASE WHEN c * 255 * 2 < p256 THEN 1 ELSE 0 END AS lo
+             |      FROM e)
+             |SELECT event_type, count(*) AS n_days,
+             |  CAST(sum(hi) AS BIGINT) AS n_hi, CAST(sum(lo) AS BIGINT) AS n_lo,
+             |  CAST(coalesce(min(CASE WHEN hi = 1 OR lo = 1 THEN day END), -1) AS BIGINT)
+             |    AS first_anom,
+             |  CAST(max(dev) AS BIGINT) AS max_dev
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- W9: integer anomaly flags over the EWMA prediction — the
     // monitoring epilogue of the w6/w7/w8 family: the PRIOR-8-day
     // dyadic EWMA (weights 128..1, Σ=255 — w8's kernel shifted one day
