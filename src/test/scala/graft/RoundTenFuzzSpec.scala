@@ -181,6 +181,47 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
     }
   }
 
+  test("AsOfJoin.interpolate == bracket-and-lerp reference on random series") {
+    import spark.implicits._
+    val gen = for {
+      nr <- Gen.choose(0, 10)
+      rts <- Gen.listOfN(nr, Gen.choose(0L, 50L))
+      rvs <- Gen.listOfN(nr, Gen.choose(0L, 1000L))
+      nl <- Gen.choose(1, 8)
+      lts <- Gen.listOfN(nl, Gen.choose(-5L, 60L))
+    } yield (rts.zip(rvs), lts)
+    forAllN(gen, n = 8) { case (rightRows, leftTs) =>
+      val right = rightRows.zipWithIndex
+        .map { case ((t, v), i) => (i.toLong, "k", t, v) }
+        .toDF("event_id", "key", "tm", "vq")
+      val left = leftTs.zipWithIndex.map { case (t, i) => (i.toLong, "k", t) }
+        .toDF("id", "key", "tm")
+      val got = graft.ops.AsOfJoin.interpolate(left, right, Seq("key"), "tm", "vq",
+          tiebreak = Seq("event_id"))
+        .select($"id", $"lerp_q").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      leftTs.zipWithIndex.foreach { case (t, i) =>
+        // backward bracket: latest tm <= t, ties -> max event_id;
+        // forward: earliest tm > t (strict), ties -> min event_id
+        val indexed = rightRows.zipWithIndex.map { case ((rt, rv), ei) => (rt, rv, ei) }
+        val b = indexed.filter(_._1 <= t)
+          .sortBy(r => (-r._1, -r._3)).headOption
+        val f = indexed.filter(_._1 > t)
+          .sortBy(r => (r._1, r._3)).headOption
+        val want = (b, f) match {
+          case (Some((tb, vb, _)), Some((tf, vf, _))) =>
+            Some(((BigInt(vb) * 1000000 * (tf - t) + BigInt(vf) * 1000000 * (t - tb)) /
+              (tf - tb)).toLong)
+          case (Some((_, vb, _)), None) => Some(vb * 1000000L)
+          case (None, Some((_, vf, _))) => Some(vf * 1000000L)
+          case _ => None
+        }
+        assert(got(i.toLong) === want, s"t=$t right=$rightRows")
+      }
+    }
+  }
+
   test("patchStats == naive reference on random rasters") {
     val gen = for {
       w <- Gen.choose(1, 20); h <- Gen.choose(1, 20); p <- Gen.choose(1, 4)
