@@ -262,6 +262,46 @@ object Queries {
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
   }
 
+  /** 8-round unrolled WordPiece-training replay — the bpeTrainOracle8
+    * skeleton with the argmax swapped to the likelihood-gain score:
+    * each round adds a SYMBOL census y$r beside the pair census p$r and
+    * picks max ⌊c·10^12 / (c(a)·c(b))⌋ (HUGEINT, (sq desc, a, b) ties),
+    * then applies the same greedy list_reduce merge. */
+  private lazy val wordPieceOracle8: String = {
+    val rounds = (1 to 8).flatMap { r =>
+      val prev = s"w${r - 1}"
+      val census =
+        s"""p$r AS MATERIALIZED (SELECT u.a AS a, u.b AS b, sum(cnt) AS c
+           |  FROM (SELECT cnt, unnest(list_transform(range(len(s)-1),
+           |          i -> {'a': s[i+1], 'b': s[i+2]})) AS u
+           |        FROM $prev WHERE len(s) >= 2) GROUP BY 1, 2),
+           |y$r AS MATERIALIZED (SELECT u AS sym, sum(cnt) AS cs
+           |  FROM (SELECT cnt, unnest(s) AS u FROM $prev) GROUP BY 1),
+           |b$r AS MATERIALIZED (SELECT a, b, c,
+           |    (CAST(c AS HUGEINT) * 1000000000000)
+           |      // (CAST(sa.cs AS HUGEINT) * sb.cs) AS sq
+           |  FROM p$r JOIN y$r sa ON sa.sym = p$r.a
+           |  JOIN y$r sb ON sb.sym = p$r.b
+           |  ORDER BY sq DESC, a, b LIMIT 1)""".stripMargin
+      val merge =
+        s"""w$r AS MATERIALIZED (SELECT w, cnt, CASE WHEN len(s) < 2 THEN s ELSE
+           |    list_reduce(list_transform(s, x -> [x]),
+           |      (acc, x) -> CASE WHEN acc[-1] = m.ma AND x[1] = m.mb
+           |                  THEN acc[1:len(acc)-1] || [m.ma || m.mb]
+           |                  ELSE acc || x END) END AS s
+           |  FROM $prev CROSS JOIN (SELECT a AS ma, b AS mb FROM b$r) m)""".stripMargin
+      if (r < 8) Seq(census, merge) else Seq(census)
+    }.mkString(",\n")
+    val finals = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS c, CAST(sq AS BIGINT) AS sq FROM b$r""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
+       |$rounds
+       |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB replay of one Viterbi-EM unigram-LM training round
     * (t19, Unigram.train with topMulti=12, maxPieceLen=4, iters=1):
     * word census → occurrence-weighted substring seed → add-one
@@ -9118,6 +9158,22 @@ object Queries {
              |  CAST(sum(pos) AS BIGINT) AS pos_sum,
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- T22: WordPiece training (Schuster & Nakajima 2012 — the
+    // BERT vocabulary builder), completing the tokenizer triad beside
+    // BPE (t11/t12) and Unigram (t19/t20). The BPE skeleton with the
+    // argmax swapped to the LIKELIHOOD-gain score c(ab)/(c(a)·c(b)),
+    // quantized to integer picoparts through DECIMAL(38,0); each round
+    // adds one vocabulary-bounded symbol census beside the pair census.
+    // The oracle unrolls all 8 rounds (census → score argmax → greedy
+    // merge) programmatically, the bpeTrainOracle8 pattern.
+    Q("t22_wordpiece",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.WordPiece.train(t(s, dir, "documents"), "text", numMerges = 8)
+          .orderBy($"rank")
+      },
+      Some(wordPieceOracle8)),
 
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is

@@ -164,6 +164,31 @@ class RoundTenCSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ WordPiece.train
+
+  test("WordPiece: likelihood argmax beats raw count; scores replay exactly") {
+    // (a,b) is the most FREQUENT pair (10) but 'a'/'b' are diluted by
+    // singles (ca=cb=15); (c,d) is rarer (3) but perfectly cohesive
+    // (cc=cd=3) -> WordPiece must pick (c,d) first where BPE picks (a,b)
+    val docs = (Seq.fill(10)("ab") ++ Seq.fill(3)("cd") ++
+      Seq.fill(5)("a") ++ Seq.fill(5)("b")).mkString(" ")
+    val df = Seq((1L, docs)).toDF("doc_id", "text")
+    val wp = graft.text.WordPiece.train(df, "text", numMerges = 1).collect()
+    assert(wp.length === 1)
+    assert((wp(0).getString(1), wp(0).getString(2)) === (("c", "d")))
+    assert(wp(0).getLong(4) === 3L)
+    // sq = floor(3e12 / (3*3))
+    assert(wp(0).getLong(5) === 3000000000000L / 9)
+    val bpe = graft.text.Bpe.train(df, "text", numMerges = 1)
+      .select($"left", $"right").collect()
+    assert((bpe(0).getString(0), bpe(0).getString(1)) === (("a", "b")))
+    // parallelism invariance of a 2-round train
+    val r1 = graft.text.WordPiece.train(df, "text", 2).collect().map(_.toSeq)
+    val r4 = graft.text.WordPiece.train(df.repartition(4), "text", 2)
+      .collect().map(_.toSeq)
+    assert(r1.toSeq === r4.toSeq)
+  }
+
   // ------------------------------------------------ AsOfJoin.interpolate
 
   test("interpolate: brackets lerp exactly, boundaries extrapolate flat, exact hits win") {
