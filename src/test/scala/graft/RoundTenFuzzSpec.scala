@@ -240,6 +240,57 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
     }
   }
 
+  test("WordPiece.train == driver greedy-merge reference on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("ab", "abc", "cd", "aab", "bc", "a", "d")
+    val gen = for {
+      n <- Gen.choose(3, 20)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    forAllN(gen, n = 5) { ws =>
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.text.WordPiece.train(df, "text", numMerges = 3)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(4), r.getLong(5))).toSeq
+      // driver replay: word census -> per-round symbol+pair census ->
+      // score argmax -> greedy merge
+      var words = ws.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector, g.size.toLong)
+      }.toVector
+      val want = Seq.newBuilder[(Int, String, String, Long, Long)]
+      for (r <- 1 to 3) {
+        val sym = scala.collection.mutable.Map.empty[String, Long]
+        val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (s, cnt) =>
+          s.foreach(x => sym(x) = sym.getOrElse(x, 0L) + cnt)
+          s.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p(0), p(1)); pair(k) = pair.getOrElse(k, 0L) + cnt
+          }
+        }
+        if (pair.nonEmpty) {
+          val scored = pair.toSeq.map { case ((a, b), c) =>
+            val sq = (BigInt(c) * BigInt("1000000000000") /
+              (BigInt(sym(a)) * sym(b))).toLong
+            (a, b, c, sq)
+          }
+          val (a, b, c, sq) = scored.minBy { case (a, b, _, sq) => (-sq, a, b) }
+          want += ((r, a, b, c, sq))
+          words = words.map { case (s, cnt) =>
+            val out = Vector.newBuilder[String]
+            var acc = Vector.empty[String]
+            s.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc = acc.dropRight(1) :+ (a + b)
+              else acc = acc :+ x
+            }
+            (acc, cnt)
+          }
+        }
+      }
+      assert(got === want.result(), s"ws=$ws")
+    }
+  }
+
   test("vadStats == islands reference on random frames") {
     val gen = for {
       nb <- Gen.choose(0, 300)
