@@ -118,6 +118,8 @@ object AsOfJoin {
                   valueQ: String,
                   tiebreak: Seq[String] = Nil,
                   outCol: String = "lerp_q"): DataFrame = {
+    require(!left.columns.contains(outCol),
+      s"output column '$outCol' already exists on the left side — pass a different outCol")
     val (tagged, w) = taggedUnion(left, right, key, time, Seq(valueQ), tiebreak)
     val back = last("__rp", ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
