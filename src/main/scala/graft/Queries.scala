@@ -9159,6 +9159,32 @@ object Queries {
              |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
              |FROM gp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- A10: GROUPING SETS — the aggregation-lattice variant a9's
+    // rollup/cube cannot spell: an arbitrary set list (here {(rf, ls),
+    // (ls), ()} — the (rf) level deliberately SKIPPED, which is exactly
+    // what distinguishes explicit sets from rollup). One shuffle
+    // computes every requested level (Catalyst expands the sets into a
+    // single Expand + aggregate — no per-level re-scan), the same
+    // economics that make report lattices affordable at 100 TB.
+    Q("a10_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+            $"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity").cast("long").as("sum_qty"), count(lit(1)).as("n"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+                  coalesce($"l_linestatus", lit("ALL")).as("ls"),
+                  $"sum_qty", $"n")
+          .orderBy($"rf", $"ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
     // ----- T22: WordPiece training (Schuster & Nakajima 2012 — the
     // BERT vocabulary builder), completing the tokenizer triad beside
     // BPE (t11/t12) and Unigram (t19/t20). The BPE skeleton with the
