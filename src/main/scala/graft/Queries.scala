@@ -8349,8 +8349,8 @@ object Queries {
              |j AS (SELECT g.event_type, g.day, o.cents FROM grid g
              |      LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day)
              |SELECT event_type, day,
-             |  last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             |  CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v,
              |  CASE WHEN cents IS NOT NULL THEN 0
              |       WHEN last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL THEN 1

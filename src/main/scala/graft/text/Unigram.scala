@@ -84,16 +84,37 @@ object Unigram {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
 
   /** Train the unigram model. Returns (piece, cnt, cost): `cnt` the
-    * final-round Viterbi count, `cost` the re-estimated micro-nat cost. */
+    * final-round Viterbi count, `cost` the re-estimated micro-nat cost.
+    *
+    * Driver memory is bounded by the word-form census: the collected
+    * table is O(forms), and the seed substring map is O(positions ×
+    * maxPieceLen) — so, like [[Bpe.trainLocal]], the collect is GUARDED
+    * by a census that runs first. Inputs past either cap (character
+    * n-gram soup, genomic k-mers — not a natural language) fail loudly
+    * instead of OOMing the driver. */
   def train(df: DataFrame, textCol: String, topMulti: Int, maxPieceLen: Int,
-            iters: Int): DataFrame = {
+            iters: Int, maxWordForms: Long = 50000000L,
+            maxSymbolPositions: Long = 500000000L): DataFrame = {
     require(topMulti >= 0 && maxPieceLen >= 1 && iters >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val words = wordFreq(df, textCol).as[(String, Long)].collect()
-    // NOTE: the word table is vocabulary-bounded (distinct words), the
-    // standard tokenizer-training assumption (Bpe.trainLocal's contract)
-    // — never corpus-sized.
+    val wordsDf = wordFreq(df, textCol).persist()
+    val stats = wordsDf.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+      .collect()(0)
+    val (nForms, nPositions) = (stats.getLong(0), stats.getLong(1))
+    require(nForms <= maxWordForms,
+      s"Unigram.train: $nForms distinct word forms > maxWordForms=" +
+      s"$maxWordForms — this input is not language-bounded, so the " +
+      "driver-side EM loop would not fit. Pre-filter the corpus (or " +
+      "raise maxWordForms); a distributed E-step would broadcast the " +
+      "|V|-row cost table and run Viterbi per word form in mapPartitions.")
+    require(nPositions <= maxSymbolPositions,
+      s"Unigram.train: $nPositions total symbol positions > " +
+      s"maxSymbolPositions=$maxSymbolPositions — the seed substring " +
+      "census is O(positions x maxPieceLen), so this table would not " +
+      "fit a driver. Pre-filter the corpus or raise maxSymbolPositions.")
+    val words = wordsDf.as[(String, Long)].collect()
+    wordsDf.unpersist()
     val subScores = collection.mutable.Map.empty[String, Long]
     words.foreach { case (w, f) =>
       var l = 1

@@ -47,6 +47,20 @@ class UnigramSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("train refuses a non-language-bounded word table, loudly") {
+    val docs = Seq("a b c d e f g h").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docs, "text", topMulti = 2, maxPieceLen = 2, iters = 1,
+        maxWordForms = 4)
+    }
+    assert(e.getMessage.contains("maxWordForms"))
+    val e2 = intercept[IllegalArgumentException] {
+      Unigram.train(docs, "text", topMulti = 2, maxPieceLen = 2, iters = 1,
+        maxSymbolPositions = 3)
+    }
+    assert(e2.getMessage.contains("maxSymbolPositions"))
+  }
+
   test("train is partitioning-invariant (1 vs 13 partitions)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def run(parts: Int) =
