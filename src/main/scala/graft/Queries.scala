@@ -9201,6 +9201,24 @@ object Queries {
       },
       Some(wordPieceOracle8)),
 
+    // ----- T23: WordPiece training, the AT-SCALE trainer (the t12
+    // discipline applied to the third tokenizer): one corpus-sized
+    // word-frequency reduction, then the indexed merge loop driver-side
+    // with ZERO further Spark jobs — where train's one-job-per-merge
+    // bound makes a 30k-merge vocabulary 30k sequential censuses. The
+    // likelihood argmax needs an extra index vs BPE's (symbol→pairs, to
+    // rescore pairs whose DENOMINATOR changed — design in
+    // WordPiece.trainLocal). Bit-identical to t22 by construction, so it
+    // shares t22's 8-round unrolled oracle: the SQL replay gates BOTH
+    // trainers independently.
+    Q("t23_wordpiece_local",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.WordPiece.trainLocal(t(s, dir, "documents"), "text", numMerges = 8)
+          .orderBy($"rank")
+      },
+      Some(wordPieceOracle8)),
+
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is
     // ONE (lastDay, 8-value ring) — ~9 longs at any stream length — and

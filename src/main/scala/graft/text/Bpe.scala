@@ -156,7 +156,7 @@ object Bpe {
 
   /** Unsigned-UTF-8-byte string comparison — Spark's binary collation,
     * the ordering `train`'s orderBy(col("a"), col("b")) tie-break uses. */
-  private def utf8Compare(x: String, y: String): Int = {
+  private[text] def utf8Compare(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)
@@ -175,7 +175,7 @@ object Bpe {
     * may repeat or go stale (a word rewritten by an earlier merge); the
     * consumer re-checks membership, so appends never need dedup beyond
     * the cheap adjacent-duplicate skip. */
-  private final class IntBuf {
+  private[text] final class IntBuf {
     private var a = new Array[Int](4)
     private var n = 0
     def +=(v: Int): Unit = {

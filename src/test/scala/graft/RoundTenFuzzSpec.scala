@@ -252,6 +252,10 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
       val got = graft.text.WordPiece.train(df, "text", numMerges = 3)
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getLong(4), r.getLong(5))).toSeq
+      val gotLocal = graft.text.WordPiece.trainLocal(df, "text", numMerges = 3)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(gotLocal === got, s"trainLocal diverged, ws=$ws")
       // driver replay: word census -> per-round symbol+pair census ->
       // score argmax -> greedy merge
       var words = ws.groupBy(identity).map { case (w, g) =>

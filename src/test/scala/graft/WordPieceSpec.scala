@@ -1,0 +1,56 @@
+package graft
+
+import graft.text.WordPiece
+
+/** WordPiece.trainLocal — the indexed driver-side merge loop — against
+  * the distributed train (bit-identical merge tables), plus the
+  * non-language-bounded input guard and the many-merge bound. */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainLocal == train on the documents table, 24 merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = WordPiece.train(docs, "text", numMerges = 24)
+      .collect().map(_.toSeq).toSeq
+    val b = WordPiece.trainLocal(docs, "text", numMerges = 24)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("trainLocal == train when the corpus merges out before numMerges") {
+    // tiny corpus: both loops must stop at the same (early) round
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val a = WordPiece.train(df, "text", numMerges = 10).collect().map(_.toSeq).toSeq
+    val b = WordPiece.trainLocal(df, "text", numMerges = 10).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.length < 10)
+  }
+
+  test("trainLocal: 256 merges stay driver-cheap (no per-merge Spark jobs)") {
+    // pseudo-random multi-char words so 256 merge rounds exist
+    val rng = new scala.util.Random(7)
+    val words = (1 to 4000).map { _ =>
+      val n = 3 + rng.nextInt(8)
+      (1 to n).map(_ => ('a' + rng.nextInt(12)).toChar).mkString
+    }
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val m = WordPiece.trainLocal(docs, "text", numMerges = 256).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length == 256)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 256))
+    assert(secs < 60.0, s"256 merges took $secs s — the local loop is not bounded")
+  }
+
+  test("trainLocal refuses a non-language-bounded word table, loudly") {
+    val docs = Seq("a b c d e f g h").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.trainLocal(docs, "text", numMerges = 1, maxWordForms = 4)
+    }
+    assert(e.getMessage.contains("WordPiece.train"))
+    val e2 = intercept[IllegalArgumentException] {
+      WordPiece.trainLocal(docs, "text", numMerges = 1, maxSymbolPositions = 3)
+    }
+    assert(e2.getMessage.contains("maxSymbolPositions"))
+  }
+}
