@@ -319,4 +319,43 @@ class PqSpec extends SparkSpec {
     }
     assert(hinted.isEmpty, "ivfSqJoin must not broadcast-hint the large-large join")
   }
+
+  test("ivfSqJoin: AQE splits the hot cell of a clustered corpus (skew-join fires)") {
+    // SCALE.md's 100 TB claim for v16 is "one shuffled equi-join on cell
+    // id, AQE splits hot cells" — this is the local evidence: 95% of the
+    // corpus lands in ONE tight ball (one IVF cell), every query routes
+    // to it, and with test-sized skew thresholds the final adaptive plan
+    // must show the skew-join split, with output identical to the
+    // unsplit run.
+    val dim = 16
+    val corpus = spark.range(20000).select($"id",
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => when($"id" % 20 === 0, pmod(hash($"id" * 31 + d), lit(1000)).cast("long"))
+          .otherwise(pmod(hash($"id" * 7 + d), lit(5)).cast("long"))).as("qv"))
+    val queries = spark.range(2000).select(($"id" + 1000000).as("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => pmod(hash($"id" * 13 + d), lit(5)).cast("long")).as("qv"))
+    def run(): (Seq[org.apache.spark.sql.Row], Boolean) = {
+      val out = Ann.ivfSqJoin(corpus, queries, kCells = 4, coarseIters = 1,
+        nProbes = 1, k = 3).orderBy($"qid", $"rk")
+      val rows = out.collect().toSeq
+      (rows, out.queryExecution.executedPlan.toString.contains("skew=true"))
+    }
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    val (baseline, _) = run() // production thresholds: no split expected
+    try {
+      conf.set(keys(0), "8KB") // test-sized skew threshold (prod: 256MB)
+      conf.set(keys(1), "2KB")
+      conf.set(keys(2), "-1") // both sides "large": forbid broadcast
+      val (split, fired) = run()
+      assert(fired, "AQE skew-join did not split the hot cell")
+      assert(split === baseline,
+        "skew-split run diverged from the unsplit ranking")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
