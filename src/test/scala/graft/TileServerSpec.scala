@@ -83,6 +83,70 @@ class TileServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("parallel HTTP GETs: cache-coherent, never a duplicate warp per tile key") {
+    import spark.implicits._
+    val items = Seq(StacItem("s0", Some("2024-06-01T00:00:00Z"), epsg = Some(32633),
+      assets = Map("gray" -> StacAsset("fake://gray/0",
+        bbox = Some(Bounds(399960, 4990200, 402520, 4992760)),
+        shape = Some((256, 256)),
+        transform = Some(AffineTransform.northUp(399960, 4992760, 10, 10))))))
+    val plan = Prepare(items)
+    val composite = Mosaic(TileScan.scan(spark, plan.assetTable, plan.spec, 128), 128)
+      .map(c => Tile(0, 0, c.band, 0L, c.yChunk, c.xChunk, 0, 0, c.height, c.width, c.pixels))
+    val server = new TileServer(composite, plan.spec, 128, range = Some((0.0, 255.0)))
+    val port = server.start()
+    try {
+      val (cx, cy) = ((399960 + 402520) / 2.0, (4990200 + 4992760) / 2.0)
+      val (lon, lat) = graft.core.Proj.transform(32633, 4326, cx, cy)
+      val (tx, ty) = Xyz.tileOf(lon, lat, 12)
+      def get(path: String): Array[Byte] = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200, path)
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.getInputStream.close(); bytes
+      }
+      // two distinct tile keys, 8 concurrent GETs each, through the
+      // server's own 4-thread HTTP pool (the show.py:259-274 map-pan
+      // shape: the same tiles fired from several connections at once)
+      val keys = Seq(s"/12/$tx/$ty.png", s"/12/${tx + 1}/$ty.png")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      def volley(): Map[String, Seq[Array[Byte]]] = {
+        val fs = for (k <- keys; _ <- 0 until 8) yield k -> pool.submit(
+          new java.util.concurrent.Callable[Array[Byte]] {
+            def call(): Array[Byte] = get(k)
+          })
+        fs.groupBy(_._1).view.mapValues(_.map(_._2.get())).toMap
+      }
+      val first = volley()
+      // per-key coherence: every concurrent response is byte-identical
+      first.foreach { case (k, pngs) =>
+        assert(pngs.forall(_.sameElements(pngs.head)), s"$k responses diverged")
+      }
+      // prefetch of the 4-neighborhood may still be in flight — wait for
+      // the miss counter to go quiet before pinning the render census
+      var last = -1L
+      var settled = server.stats.misses
+      while (settled != last) {
+        last = settled; Thread.sleep(300); settled = server.stats.misses
+      }
+      // no duplicate warp per key: every miss is a DISTINCT tile key
+      // (2 requested + at most their 7 distinct prefetch neighbors)
+      assert(settled <= 9, s"more renders than distinct tile keys: $settled")
+      // a second volley is all cache hits — zero new Spark jobs — and
+      // byte-identical to the first
+      val h0 = server.stats.hits
+      val second = volley()
+      pool.shutdown()
+      assert(server.stats.misses == settled,
+        "warm-cache volley re-rendered a tile")
+      assert(server.stats.hits >= h0 + 16)
+      second.foreach { case (k, pngs) =>
+        pngs.foreach(p => assert(p.sameElements(first(k).head), s"$k changed after caching"))
+      }
+    } finally server.stop()
+  }
+
   test("Stack.serve: the one-call show() analog serves RGB tiles over HTTP") {
     val bounds = Bounds(399960, 4990200, 402520, 4992760)
     val assets = Seq("red", "grn", "nir").map { b =>
