@@ -9403,7 +9403,7 @@ object Queries {
         import s.implicits._
         val ev = t(s, dir, "events")
           .withColumn("tm", unix_micros($"ts"))
-          .withColumn("vq", round($"value" * 100).cast("long"))
+          .withColumn("vq", quant($"value", 100))
         val purchases = ev.filter($"event_type" === "purchase")
           .select($"user_id", $"tm", $"event_id")
         val clicks = ev.filter($"event_type" === "click")
@@ -9418,7 +9418,7 @@ object Queries {
           .orderBy($"user_id")
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tm, event_type,
-             |             CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+             |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq FROM events),
              |p AS (SELECT user_id, event_id, tm FROM e WHERE event_type = 'purchase'),
              |cb AS (SELECT user_id, tm, arg_max(vq, event_id) AS vq
              |       FROM e WHERE event_type = 'click' GROUP BY 1, 2),

@@ -120,7 +120,21 @@ object AsOfJoin {
                   outCol: String = "lerp_q"): DataFrame = {
     require(!left.columns.contains(outCol),
       s"output column '$outCol' already exists on the left side — pass a different outCol")
-    val (tagged, w) = taggedUnion(left, right, key, time, Seq(valueQ), tiebreak)
+    // The cross-engine determinism argument (truncating `div` == floor
+    // `//`) holds only for a non-negative numerator, i.e. non-negative
+    // valueQ — ENFORCE it per row instead of documenting it: assert_true
+    // rides the same projection (codegen'd comparison, no extra job or
+    // shuffle), so a negative quantized value fails loudly at the first
+    // task that sees one. Nulls pass through (they lerp to null).
+    val nonNeg = when(
+      assert_true(coalesce(col(valueQ) >= 0, lit(true)),
+        concat(lit(s"AsOfJoin.interpolate: negative $valueQ="),
+          col(valueQ).cast("string"),
+          lit(" — truncating vs flooring division diverge for negative " +
+              "values; offset the quantized value to be non-negative"))).isNull,
+      col(valueQ))
+    val guarded = right.withColumn(valueQ, nonNeg)
+    val (tagged, w) = taggedUnion(left, guarded, key, time, Seq(valueQ), tiebreak)
     val back = last("__rp", ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val fwd = first("__rp", ignoreNulls = true)

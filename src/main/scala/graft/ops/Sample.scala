@@ -196,12 +196,22 @@ object Sample {
         "(CAST(2 * __ir - 1 AS DECIMAL(38,0)) * 1000000000000000000) div (2 * __im)"))
     val sortKeys = pCols.map(_.asc) ++
       Seq(col("__ik").asc, col(groupCol).asc, col("__ir").asc)
+    // The census below and the final projection must see the SAME range
+    // boundaries (repartitionByRange samples, so two independent plans
+    // of this frame could place rows in different partitions) — persist
+    // pins one physical frame for both. persist, NOT localCheckpoint:
+    // the retained lineage makes an executor-loss recompute flow through
+    // the already-built exchange (fixed partitioner object, same shuffle
+    // outputs → identical pids), where checkpointed blocks would be
+    // simply lost and fail the query.
     val sorted = keyed
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // census + final projection share one pass
-    // exclusive prefix offsets over the ≤#partitions-row census
+      .persist()
+    // exclusive prefix offsets over the ≤#partitions-row census — this
+    // collect is an EAGER job at construction time (inherent: the
+    // offsets are literals in the returned plan)
     val counts = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

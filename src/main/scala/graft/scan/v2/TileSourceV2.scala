@@ -393,7 +393,11 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
   // reflected: a metadata-only projection (pixels pruned) reports KBs,
   // which is exactly what lets a planned tile WORK-LIST join a fact
   // table broadcast-side — the serving-path join r12 gates.
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+  // Catalyst may ask for stats several times per query; the census walks
+  // every planned read, so it is computed once (lazy, beside
+  // `partitions`) — optimizer cost stays O(planned reads), not
+  // O(planned reads × estimation calls).
+  private lazy val statsCensus: (Long, Long) = {
     val pixelCol = required.fieldNames.contains("pixels")
     var rows = 0L
     var bytes = 0L
@@ -404,7 +408,10 @@ final class TileScanV2(plan: ScanPlan, pushed: Array[Filter], required: StructTy
           (if (pixelCol) r.window.height.toLong * r.window.width * 8 else 0L)
       }
     }
-    val (nRows, nBytes) = (rows, bytes)
+    (rows, bytes)
+  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (nRows, nBytes) = statsCensus
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(nBytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(nRows)
