@@ -8237,6 +8237,24 @@ object Queries {
             topMulti = 12, maxPieceLen = 4, iters = 1)
           .orderBy($"piece")
       },
+      Some(unigramOracle)),
+
+    // ----- T24: Unigram training, the NO-CEILING trainer
+    // (Unigram.trainDistributed — t19's EM with the word table never
+    // collected: distributed substring census for the seed, |V|-row
+    // cost broadcast + map-side Viterbi + census-sized M-step per
+    // iteration, one Spark job each). This is the escape hatch
+    // Unigram.train's language-bounded guard points at; bit-identical
+    // to train by construction (UnigramSpec pins multi-iter parity), so
+    // it shares t19's independently-unrolled SQL oracle — the replay
+    // gates BOTH trainers.
+    Q("t24_unigram_distributed",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Unigram.trainDistributed(t(s, dir, "documents"), "text",
+            topMulti = 12, maxPieceLen = 4, iters = 1)
+          .orderBy($"piece")
+      },
       Some(unigramOracle))
   )
 

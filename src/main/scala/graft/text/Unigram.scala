@@ -105,14 +105,14 @@ object Unigram {
     require(nForms <= maxWordForms,
       s"Unigram.train: $nForms distinct word forms > maxWordForms=" +
       s"$maxWordForms — this input is not language-bounded, so the " +
-      "driver-side EM loop would not fit. Pre-filter the corpus (or " +
-      "raise maxWordForms); a distributed E-step would broadcast the " +
-      "|V|-row cost table and run Viterbi per word form in mapPartitions.")
+      "driver-side EM loop would not fit. Use Unigram.trainDistributed " +
+      "(no driver ceiling, bit-identical output) or raise maxWordForms.")
     require(nPositions <= maxSymbolPositions,
       s"Unigram.train: $nPositions total symbol positions > " +
       s"maxSymbolPositions=$maxSymbolPositions — the seed substring " +
       "census is O(positions x maxPieceLen), so this table would not " +
-      "fit a driver. Pre-filter the corpus or raise maxSymbolPositions.")
+      "fit a driver. Use Unigram.trainDistributed (no driver ceiling, " +
+      "bit-identical output) or raise maxSymbolPositions.")
     val words = wordsDf.as[(String, Long)].collect()
     wordsDf.unpersist()
     val subScores = collection.mutable.Map.empty[String, Long]
@@ -152,6 +152,77 @@ object Unigram {
     }
     val total = finalCounts.values.sum
     pieces.map(p => (p, finalCounts(p), microNatCost(finalCounts(p), total, vsize)))
+      .toDF("piece", "cnt", "cost")
+  }
+
+  /** The NO-CEILING trainer — bit-identical output to [[train]], but the
+    * word table never collects: this is the distributed E-step [[train]]'s
+    * guard error message points at, for inputs past the language-bounded
+    * caps (character n-gram soup, genomic k-mers — word-form tables that
+    * are corpus-sized, not vocabulary-sized).
+    *
+    * Execution split per step:
+    *  - SEED: the substring census is a distributed explode + map-side-
+    *    combined groupBy over the word table (positions × maxPieceLen
+    *    rows in flight, never materialized); only the RESULTING
+    *    vocabulary collects — |V| = alphabet + topMulti rows by
+    *    construction (the model-literal pattern), with the top-multi cut
+    *    an orderBy(score desc, piece).limit(topMulti).
+    *  - E-STEP (× iters): the |V|-row cost table broadcasts; Viterbi
+    *    segmentation runs per word form in a flatMap (map-side, no
+    *    shuffle in); the piece census is one groupBy(piece).sum whose
+    *    result is again ≤|V| rows. One Spark job per iteration — fine
+    *    at Unigram's single-digit `iters`, unlike BPE's 30k merges
+    *    (which is why BPE's no-ceiling form does not exist and its
+    *    trainLocal guard is a hard stop).
+    *  - M-STEP: cost re-estimation on the |V|-row census, driver-side
+    *    integer arithmetic.
+    *
+    * Driver memory is O(|V|) at any corpus size. UnigramSpec pins
+    * bit-parity against [[train]]; query `t24_unigram_distributed`
+    * gates it against t19's independent SQL replay. */
+  def trainDistributed(df: DataFrame, textCol: String, topMulti: Int,
+                       maxPieceLen: Int, iters: Int): DataFrame = {
+    require(topMulti >= 0 && maxPieceLen >= 1 && iters >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordFreq(df, textCol).persist()
+    // distributed substring census: every (start, len <= maxPieceLen)
+    // substring of every distinct word, weighted by word frequency
+    val subs = words.select(explode(expr(
+        s"flatten(transform(sequence(1, least($maxPieceLen, length(w))), " +
+        s"l -> transform(sequence(1, length(w) - l + 1), " +
+        s"st -> substring(w, st, l))))")).as("p"), col("f"))
+      .groupBy(col("p")).agg(sum(col("f")).as("s"))
+      .persist()
+    val charRows = subs.filter(length(col("p")) === 1).collect()
+    val multiRows = subs.filter(length(col("p")) > 1)
+      .orderBy(col("s").desc, col("p")).limit(topMulti).collect()
+    subs.unpersist()
+    val seed = (charRows ++ multiRows).map(r => r.getString(0) -> r.getLong(1))
+    val pieces = seed.map(_._1).distinct.sorted
+    val seedMap = seed.toMap
+    val vsize = pieces.length
+    var counts: Map[String, Long] = pieces.map(p => p -> seedMap(p)).toMap
+    var it = 0
+    while (it < iters) {
+      val total = counts.values.sum
+      val cost = counts.map { case (p, c) => p -> microNatCost(c, total, vsize) }
+      val bc = spark.sparkContext.broadcast(cost)
+      val mpl = maxPieceLen
+      // E-step: ONE distributed pass — Viterbi per word form map-side,
+      // piece census <= |V| rows back to the driver
+      val tallies = words.as[(String, Long)]
+        .flatMap { case (w, f) => viterbi(w, bc.value, mpl).map(p => (p, f)) }
+        .groupBy(col("_1")).agg(sum(col("_2")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      bc.destroy()
+      counts = pieces.map(p => p -> tallies.getOrElse(p, 0L)).toMap
+      it += 1
+    }
+    words.unpersist()
+    val total = counts.values.sum
+    pieces.toSeq.map(p => (p, counts(p), microNatCost(counts(p), total, vsize)))
       .toDF("piece", "cnt", "cost")
   }
 

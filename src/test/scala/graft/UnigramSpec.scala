@@ -61,6 +61,22 @@ class UnigramSpec extends SparkSpec {
     assert(e2.getMessage.contains("maxSymbolPositions"))
   }
 
+  test("trainDistributed == train (the no-ceiling E-step), multi-iter, any partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pin(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"piece").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = pin(Unigram.train(docs, "text", topMulti = 12, maxPieceLen = 4, iters = 3))
+    val dist = pin(Unigram.trainDistributed(docs, "text", topMulti = 12,
+      maxPieceLen = 4, iters = 3))
+    assert(dist === local)
+    // and at a different parallelism (the broadcast/census path must not
+    // depend on partition layout)
+    val dist13 = pin(Unigram.trainDistributed(docs.repartition(13), "text",
+      topMulti = 12, maxPieceLen = 4, iters = 3))
+    assert(dist13 === local)
+  }
+
   test("train is partitioning-invariant (1 vs 13 partitions)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def run(parts: Int) =
