@@ -267,7 +267,11 @@ object Queries {
     * each round adds a SYMBOL census y$r beside the pair census p$r and
     * picks max ⌊c·10^12 / (c(a)·c(b))⌋ (HUGEINT, (sq desc, a, b) ties),
     * then applies the same greedy list_reduce merge. */
-  private lazy val wordPieceOracle8: String = {
+  /** The w0 word census + 8 unrolled WordPiece training rounds (pair
+    * census p$r, symbol census y$r, likelihood argmax b$r, greedy merge
+    * w$r) — shared by t22/t23 (training replay) and t25 (which derives
+    * the learned vocabulary from the b$r winners). */
+  private lazy val wordPieceRoundCtes: String = {
     val rounds = (1 to 8).flatMap { r =>
       val prev = s"w${r - 1}"
       val census =
@@ -292,14 +296,54 @@ object Queries {
            |  FROM $prev CROSS JOIN (SELECT a AS ma, b AS mb FROM b$r) m)""".stripMargin
       if (r < 8) Seq(census, merge) else Seq(census)
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val wordPieceOracle8: String = {
     val finals = (1 to 8).map(r =>
       s"""SELECT CAST($r AS INT) AS rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS c, CAST(sq AS BIGINT) AS sq FROM b$r""")
       .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(len(w)), i -> w[i+1]) AS s
-       |  FROM (SELECT w, count(*) AS cnt
-       |        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY w)),
-       |$rounds
+    s"""WITH $wordPieceRoundCtes
        |SELECT * FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
+  /** Max-munch segmentation replay (t25): the trained vocab = the 8
+    * b$r winners + single chars past the 1%-of-corpus cutoff (integer
+    * cross-multiplication); per (word, pos) the longest matching piece
+    * precomputes as `munch`, and a RECURSIVE walk follows the (single-
+    * chain) links — a word whose walk dies before len+1 is [UNK]. */
+  private lazy val wordPieceSegmentOracle: String = {
+    val vocabUnion = (1 to 8).map(r => s"SELECT a||b AS p FROM b$r").mkString(" UNION ")
+    s"""WITH RECURSIVE $wordPieceRoundCtes,
+       |cc AS (SELECT u AS ch, sum(cnt) AS n
+       |       FROM (SELECT cnt, unnest(s) AS u FROM w0) GROUP BY 1),
+       |tot AS (SELECT sum(n) AS t FROM cc),
+       |vocab AS MATERIALIZED ($vocabUnion
+       |  UNION SELECT ch AS p FROM cc, tot WHERE 100 * n >= t),
+       |wp AS (SELECT w, unnest(range(1, len(w) + 1)) AS pos FROM w0),
+       |munch AS MATERIALIZED (SELECT wp.w, wp.pos, max(length(v.p)) AS step
+       |  FROM wp JOIN vocab v ON substr(wp.w, wp.pos, length(v.p)) = v.p
+       |  GROUP BY 1, 2),
+       |walk(w, pos, n) AS (
+       |  SELECT w, 1, 0 FROM w0
+       |  UNION ALL
+       |  SELECT walk.w, walk.pos + m.step, walk.n + 1
+       |  FROM walk JOIN munch m ON m.w = walk.w AND m.pos = walk.pos
+       |  WHERE walk.pos <= len(walk.w)),
+       |term AS (SELECT w, max(pos) AS endpos, max(n) AS np FROM walk GROUP BY 1),
+       |seg AS (SELECT w,
+       |  CASE WHEN endpos = len(w) + 1 THEN np ELSE 1 END AS n_pieces,
+       |  CASE WHEN endpos = len(w) + 1 THEN 0 ELSE 1 END AS unk FROM term),
+       |docw AS (SELECT lang, w FROM
+       |  (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(s.n_pieces) AS BIGINT) AS sum_pieces,
+       |  CAST(sum(s.unk) AS BIGINT) AS n_unk_words
+       |FROM docw JOIN seg s USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB replay of one Viterbi-EM unigram-LM training round
@@ -9236,6 +9280,40 @@ object Queries {
           .orderBy($"rank")
       },
       Some(wordPieceOracle8)),
+
+    // ----- T25: WordPiece INFERENCE (WordPiece.segmentGreedy) — the
+    // runtime half of t22/t23: BERT's max-munch tokenizer over the
+    // trained vocabulary (the 8 learned merges + single chars past a
+    // deterministic 1%-of-corpus frequency cutoff — the cutoff is what
+    // gives the fixture real [UNK]s: 'q'/'j' sit under 1% at every sf,
+    // so words containing them unmatchably die mid-walk unless a merge
+    // covers the position). Scan is map-side with the |V|-row vocab
+    // broadcast, join-free; per-lang word/piece/[UNK] census. The
+    // oracle replays training (the shared 8-round CTEs), the char
+    // cutoff, the per-(word,pos) longest-match table, and the greedy
+    // walk as a RECURSIVE chain.
+    Q("t25_wordpiece_segment",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merged = graft.text.WordPiece.train(docs, "text", numMerges = 8)
+          .select($"merged").collect().map(_.getString(0)).toSeq
+        val cc = docs.select(explode(split($"text", " ")).as("w"))
+          .filter(length($"w") >= 1)
+          .select(explode(expr(
+            "transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))")).as("c"))
+          .groupBy($"c").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val totalC = cc.map(_._2).sum
+        val kept = cc.filter { case (_, n) => 100L * n >= totalC }.map(_._1)
+        graft.text.WordPiece.segmentGreedy(docs, "text", (kept ++ merged).toSeq)
+          .groupBy($"lang")
+          .agg(sum($"n_words").as("n_words"),
+               sum($"n_pieces").as("sum_pieces"),
+               sum($"n_unk").as("n_unk_words"))
+          .orderBy($"lang")
+      },
+      Some(wordPieceSegmentOracle)),
 
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is

@@ -136,6 +136,55 @@ object WordPiece {
       .toDF("rank", "left", "right", "merged", "c", "sq")
   }
 
+  /** BERT-style runtime tokenizer: greedy longest-match-first
+    * ("max-munch") segmentation over a FIXED vocabulary — the inference
+    * half of WordPiece (Schuster & Nakajima 2012 §3; BERT's
+    * WordpieceTokenizer), where training ([[train]]/[[trainLocal]])
+    * produces the vocab. At each position the longest vocab piece
+    * matching the remainder is consumed; a word with an unmatchable
+    * position maps to ONE unknown token (BERT's [UNK]), counted in
+    * `n_unk`. Map-side with the model broadcast (the [[Unigram
+    * .segmentCounts]] discipline — vocab is |V|-bounded, the scan is
+    * join-free). Adds per-row `n_words`, `n_pieces` (UNK words
+    * contribute 1), `n_unk`. */
+  def segmentGreedy(df: DataFrame, textCol: String, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "WordPiece.segmentGreedy: empty vocabulary")
+    val clash = Seq("n_words", "n_pieces", "n_unk").filter(df.columns.contains)
+    require(clash.isEmpty, s"output columns already present: ${clash.mkString(", ")}")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast((vocab.toSet, vocab.map(_.length).max))
+    val seg = udf { text: String =>
+      val (set, maxLen) = bc.value
+      if (text == null) Array(0L, 0L, 0L)
+      else {
+        var words = 0L; var pieces = 0L; var unk = 0L
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            words += 1
+            var pos = 0; var n = 0L; var dead = false
+            while (!dead && pos < w.length) {
+              var l = math.min(maxLen, w.length - pos)
+              var step = 0
+              while (step == 0 && l >= 1) {
+                if (set.contains(w.substring(pos, pos + l))) step = l
+                l -= 1
+              }
+              if (step == 0) dead = true
+              else { pos += step; n += 1 }
+            }
+            if (dead) { pieces += 1; unk += 1 } else pieces += n
+          }
+        }
+        Array(words, pieces, unk)
+      }
+    }
+    df.withColumn("__seg", seg(col(textCol)))
+      .withColumn("n_words", element_at(col("__seg"), 1))
+      .withColumn("n_pieces", element_at(col("__seg"), 2))
+      .withColumn("n_unk", element_at(col("__seg"), 3))
+      .drop("__seg")
+  }
+
   private val Picoparts = BigInt(1000000000000L)
 
   /** ⌊c·10¹² / (ca·cb)⌋ through BigInt — [[train]]'s DECIMAL(38,0) `div`

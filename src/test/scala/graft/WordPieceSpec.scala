@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.WordPiece
+import org.apache.spark.sql.functions._
 
 /** WordPiece.trainLocal — the indexed driver-side merge loop — against
   * the distributed train (bit-identical merge tables), plus the
@@ -40,6 +41,22 @@ class WordPieceSpec extends SparkSpec {
     assert(m.length == 256)
     assert(m.map(_.getInt(0)).toSeq == (1 to 256))
     assert(secs < 60.0, s"256 merges took $secs s — the local loop is not bounded")
+  }
+
+  test("segmentGreedy: max-munch prefers the longest piece; dead words are one [UNK]") {
+    val docs = Seq((1L, "abab ab abc axb"), (2L, "a  b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = WordPiece.segmentGreedy(docs, "text", Seq("a", "b", "ab", "abc"))
+      .orderBy($"doc_id")
+      .select($"n_words", $"n_pieces", $"n_unk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: abab=[ab,ab]; ab=[ab]; abc=[abc] (munch beats ab+?); axb dies
+    // at 'x' -> ONE unk token. doc 2: double space yields no empty word.
+    assert(out === Seq((4L, 5L, 1L), (2L, 2L, 0L), (0L, 0L, 0L)))
+    val clash = intercept[IllegalArgumentException] {
+      WordPiece.segmentGreedy(docs.withColumn("n_unk", lit(1)), "text", Seq("a"))
+    }
+    assert(clash.getMessage.contains("n_unk"))
   }
 
   test("trainLocal refuses a non-language-bounded word table, loudly") {
