@@ -9315,6 +9315,81 @@ object Queries {
       },
       Some(wordPieceSegmentOracle)),
 
+    // ----- X36: HYBRID retrieval via reciprocal-rank fusion
+    // (ops.Fusion.rrf — Cormack et al. 2009): the BM25 lexical arm
+    // (t16's operator, top-20 for a 3-term query) and the semantic arm
+    // (v1's quantized-cosine ranking for one query vector, top-20) fuse
+    // rank-based — ⌊10¹²/(60+rk)⌋ integer contributions summed per id —
+    // so the arms' incommensurable score scales need no calibration.
+    // This is the retrieval shape RAG data curation runs at 100 TB:
+    // each arm is already bounded (TakeOrderedAndProject / probe-bounded
+    // postings), fusion touches Σk rows. The oracle replays both arms
+    // (the t16 and v1 replays verbatim) and the integer fusion.
+    Q("x36_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        // fusion needs ONE id space: rank only the docs that have an
+        // embedding counterpart (doc_id = vec_id), i.e. the corpus
+        // slice both arms can speak about — a semi-join, so the bound
+        // is derived from the data at any sf, never hardcoded
+        val emb = t(s, dir, "embeddings")
+        val corpus = t(s, dir, "documents")
+          .join(emb.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
+        val lex = graft.text.Bm25.topK(corpus, "doc_id", "text",
+            Seq("dup", "join", "spark"), k = 60)
+          .select($"id", $"rk")
+        val v = emb
+          .select($"vec_id", qvec($"embedding").as("qv"))
+          .withColumn("nq", dotq($"qv", $"qv"))
+        val q = v.filter($"vec_id" === 0)
+        val pairs = broadcast(q.as("a")).join(v.as("b"), $"a.vec_id" =!= $"b.vec_id")
+          .select($"b.vec_id".as("id"),
+            cosq($"a.qv", $"b.qv", $"a.nq", $"b.nq").as("cos"))
+        val wv = Window.orderBy($"cos".desc, $"id")
+        val sem = pairs.orderBy($"cos".desc, $"id").limit(60)
+          .withColumn("rk", row_number().over(wv)).select($"id", $"rk")
+        graft.ops.Fusion.rrf(Seq(lex, sem), topK = 15).orderBy($"rk")
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text,' ') AS s FROM documents
+             |        WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+             |st AS (SELECT count(*) AS n_docs, sum(len(s)) AS total_len FROM dd),
+             |tk AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM dd),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM tk
+             |       WHERE tok IN ('dup','join','spark') GROUP BY doc_id, tok),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |c AS (SELECT tf.doc_id, CAST(floor(
+             |        ln((st.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5)
+             |             / (dfq.df::DOUBLE + 0.5) + 1.0)
+             |          * tf.tf::DOUBLE * (1.2 + 1.0)
+             |        / (tf.tf::DOUBLE + 1.2 * (0.25
+             |             + 0.75 * tf.dl::DOUBLE
+             |               / (st.total_len::DOUBLE / st.n_docs::DOUBLE)))
+             |        * 1000000.0 + 0.5) AS BIGINT) AS c
+             |      FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+             |sc AS (SELECT doc_id AS id, sum(c) AS score FROM c GROUP BY 1),
+             |lex AS (SELECT id, rk FROM (SELECT id,
+             |          row_number() OVER (ORDER BY score DESC, id) AS rk FROM sc)
+             |        WHERE rk <= 60),
+             |qv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |nn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM qv),
+             |semc AS (SELECT b.vec_id AS id,
+             |    round(list_sum(list_transform(list_zip(a.qv,b.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE)), 6) AS cos
+             |  FROM nn a, nn b WHERE a.vec_id = 0 AND b.vec_id != 0),
+             |sem AS (SELECT id, rk FROM (SELECT id,
+             |          row_number() OVER (ORDER BY cos DESC, id) AS rk FROM semc)
+             |        WHERE rk <= 60),
+             |u AS (SELECT id, 1000000000000 // (60 + rk) AS c FROM lex
+             |      UNION ALL SELECT id, 1000000000000 // (60 + rk) FROM sem),
+             |f AS (SELECT id, CAST(sum(c) AS BIGINT) AS score, count(*) AS n_arms
+             |      FROM u GROUP BY 1)
+             |SELECT CAST(rk AS INT) AS rk, id, score, n_arms FROM
+             |  (SELECT id, score, n_arms,
+             |     row_number() OVER (ORDER BY score DESC, id) AS rk FROM f)
+             |WHERE rk <= 15 ORDER BY rk""".stripMargin)),
+
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is
     // ONE (lastDay, 8-value ring) — ~9 longs at any stream length — and
