@@ -1221,6 +1221,44 @@ object Queries {
   private def cosq(qa: Column, qb: Column, na: Column, nb: Column): Column =
     round(dotq(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
 
+  /** 5-round unrolled MMR greedy replay (v21): relevance ranking → the
+    * 12-row shortlist → pairwise sims → per round, the (rel − maxSim
+    * over selected) argmax with (score desc, id) ties — the engine's
+    * driver loop as chained CTEs. */
+  private lazy val mmrOracle5: String = {
+    val rounds = (2 to 5).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""cand$r AS (SELECT c.id, c.rel, max(s.s) AS ms
+         |  FROM short c JOIN sim s ON s.ia = c.id JOIN $prev t ON s.ib = t.id
+         |  WHERE c.id NOT IN (SELECT id FROM $prev) GROUP BY c.id, c.rel),
+         |p$r AS (SELECT $r AS rk, id, rel, rel - ms AS score FROM cand$r
+         |        ORDER BY score DESC, id LIMIT 1),
+         |sel$r AS (SELECT id FROM $prev UNION ALL SELECT id FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qq AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM qq),
+       |relt AS (SELECT b.vec_id AS id, b.qv AS v,
+       |    round(list_sum(list_transform(list_zip(a.qv,b.qv), z -> z[1]*z[2]))::DOUBLE
+       |          / (sqrt(a.nq::DOUBLE)*sqrt(b.nq::DOUBLE)), 6) AS rel
+       |  FROM nn a, nn b WHERE a.vec_id = 0 AND b.vec_id != 0),
+       |short AS (SELECT id, v, rel FROM (SELECT id, v, rel,
+       |    row_number() OVER (ORDER BY rel DESC, id) AS rk FROM relt) WHERE rk <= 12),
+       |sim AS (SELECT a.id AS ia, b.id AS ib,
+       |    round(list_sum(list_transform(list_zip(a.v,b.v), z -> z[1]*z[2]))::DOUBLE
+       |          / (sqrt(list_sum(list_transform(a.v, x->x*x))::DOUBLE)
+       |             * sqrt(list_sum(list_transform(b.v, x->x*x))::DOUBLE)), 6) AS s
+       |  FROM short a, short b WHERE a.id != b.id),
+       |p1 AS (SELECT 1 AS rk, id, rel, rel AS score FROM short ORDER BY score DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM p1),
+       |$rounds
+       |SELECT CAST(rk AS INT) AS rk, id, rel, score AS mmr FROM
+       |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+       |   UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+       |ORDER BY rk""".stripMargin
+  }
+
   private val textDedup: Seq[Q] = Seq(
 
     // ----- T1: token counting + basic text stats
@@ -9389,6 +9427,28 @@ object Queries {
              |  (SELECT id, score, n_arms,
              |     row_number() OVER (ORDER BY score DESC, id) AS rk FROM f)
              |WHERE rk <= 15 ORDER BY rk""".stripMargin)),
+
+    // ----- V21: MMR diversification (ann.Mmr.diversify, λ=1/2) — the
+    // retrieval-results deduper: the top-12 cosine shortlist for one
+    // query re-ranks so each of 5 picks maximizes rel − max-sim-to-
+    // selected. The shortlist is the scale contract (it arrives bounded
+    // from the ANN arm); the m² sim table computes in Spark with v1's
+    // rounding convention and the greedy loop is driver arithmetic on
+    // those exact doubles. Oracle unrolls the 5 greedy rounds.
+    Q("v21_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "embeddings")
+          .select($"vec_id", qvec($"embedding").as("qv"))
+          .withColumn("nq", dotq($"qv", $"qv"))
+        val q = v.filter($"vec_id" === 0)
+        val relt = broadcast(q.as("a")).join(v.as("b"), $"a.vec_id" =!= $"b.vec_id")
+          .select($"b.vec_id".as("id"), $"b.qv".as("qv"),
+            cosq($"a.qv", $"b.qv", $"a.nq", $"b.nq").as("rel"))
+        val short = relt.orderBy($"rel".desc, $"id").limit(12)
+        graft.ann.Mmr.diversify(short, k = 5).orderBy($"rk")
+      },
+      Some(mmrOracle5)),
 
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is
