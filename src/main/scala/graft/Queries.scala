@@ -9450,6 +9450,41 @@ object Queries {
       },
       Some(mmrOracle5)),
 
+    // ----- X37: CALIBRATED quality cut (Sample.quantileFilter) — the
+    // FineWeb-style per-source threshold: keep each source's top 30%
+    // BY SCORE (t3's quality formula quantized to integer micro-units),
+    // so the cut score differs per source and a global threshold can't
+    // starve clean-but-modest sources. Integer cross-multiplied rank
+    // test (10·rk ≤ 3·n), (score desc, id) ties — one group shuffle.
+    // The census proves calibration: cut_score varies across sources.
+    Q("x37_calibrated_cut",
+      (s, dir) => {
+        import s.implicits._
+        val ntok = size(split($"text", " ")).cast("double")
+        val ndist = size(array_distinct(split($"text", " "))).cast("double")
+        val quality = lit(0.4) * least($"n_chars" / 400.0, lit(1.0)) +
+          lit(0.3) * least(ntok / 80.0, lit(1.0)) + lit(0.3) * (ndist / ntok)
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"source", quant(quality, 1000000L).as("score"))
+        graft.ops.Sample.quantileFilter(scored, "source", "score", $"doc_id", 3, 10)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), min($"score").as("cut_score"),
+               sum($"score").as("sum_score"))
+          .orderBy($"source")
+      },
+      Some("""WITH s AS (SELECT doc_id, source, CAST(floor(
+             |    (0.4*least(n_chars/400.0, 1.0)
+             |     + 0.3*least(len(string_split(text,' '))/80.0, 1.0)
+             |     + 0.3*(len(list_distinct(string_split(text,' ')))::DOUBLE
+             |            / len(string_split(text,' '))))*1000000 + 0.5) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+             |        count(*) OVER (PARTITION BY source) AS n FROM s),
+             |k AS (SELECT * FROM r WHERE 10*rk <= 3*n)
+             |SELECT source, count(*) AS n_kept, min(score) AS cut_score,
+             |  CAST(sum(score) AS BIGINT) AS sum_score
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is
     // ONE (lastDay, 8-value ring) — ~9 longs at any stream length — and

@@ -226,6 +226,33 @@ object Sample {
       .drop("__im", "__ir", "__ik", "__pid")
   }
 
+  /** Per-group score-QUANTILE filter — the calibrated quality cut
+    * (FineWeb/RefinedWeb-style): keep each group's top keepNum/keepDen
+    * fraction BY SCORE, so the absolute threshold differs per group
+    * (per crawl dump, per source domain) and a uniformly-scored global
+    * cut cannot starve clean-but-modest sources. Exact integer
+    * arithmetic end to end: rank·keepDen ≤ n·keepNum (cross-multiplied,
+    * never a float fraction), ties (score desc, id asc), so the kept
+    * set is identical at any parallelism and engine.
+    *
+    * Plan shape: ONE shuffle by group for the rank window + group count
+    * (same stratum-fits-a-task caveat as [[stratifiedExact]] — salt-
+    * split a dominant group). Returns the kept input rows unchanged. */
+  def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
+                     idCol: Column, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
+      s"quantileFilter: keep fraction $keepNum/$keepDen out of [0,1]")
+    val reserved = Seq("__qr", "__qn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved scratch columns present: ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, idCol.asc)
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("__qr", row_number().over(w))
+      .withColumn("__qn", count(lit(1)).over(cw))
+      .filter(lit(keepDen.toLong) * col("__qr") <= lit(keepNum.toLong) * col("__qn"))
+      .drop("__qr", "__qn")
+  }
+
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),
     * keep each language's hash-ordered prefix of documents whose running
     * token total stays within the budget (a doc that would cross the

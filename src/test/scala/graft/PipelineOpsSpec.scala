@@ -280,6 +280,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tot <= 777L, s"allocated $tot > budget")
   }
 
+  test("quantileFilter: per-group top-fraction cut, exact at uneven group sizes") {
+    import spark.implicits._
+    import graft.ops.Sample
+    // group a: 7 rows scores 1..7 -> keep 10rk<=3*7 -> rk<=2 (scores 7,6)
+    // group b: 10 rows scores 10..100 -> rk<=3 (100,90,80)
+    val rows = ((1 to 7).map(i => ("a", i.toLong, i.toLong * 1)) ++
+      (1 to 10).map(i => ("b", 100L + i, i.toLong * 10))).toDF("g", "id", "score")
+    val kept = Sample.quantileFilter(rows, "g", "score", $"id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq.sorted
+    assert(kept === Seq(("a", 6L), ("a", 7L), ("b", 80L), ("b", 90L), ("b", 100L)))
+    // keep-all and keep-none edges
+    assert(Sample.quantileFilter(rows, "g", "score", $"id", 1, 1).count() === 17)
+    assert(Sample.quantileFilter(rows, "g", "score", $"id", 0, 1).count() === 0)
+    // parallelism invariance
+    val p13 = Sample.quantileFilter(rows.repartition(13), "g", "score", $"id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq.sorted
+    assert(p13 === kept)
+    intercept[IllegalArgumentException] {
+      Sample.quantileFilter(rows, "g", "score", $"id", 2, 1)
+    }
+  }
+
   test("unimax select: hash-prefix within budget, excluded doc does not split") {
     import spark.implicits._
     import graft.ops.Sample
