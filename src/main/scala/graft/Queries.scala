@@ -9485,6 +9485,52 @@ object Queries {
              |  CAST(sum(score) AS BIGINT) AS sum_score
              |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- T26: markup scrub (text.Normalize.stripMarkup) — the
+    // extraction-stage cleanup in front of every crawl pipeline: strip
+    // tags to spaces, decode XML entities (&amp; last — one escaping
+    // level per pass), collapse whitespace. The fixture text is clean,
+    // so the query MANUFACTURES deterministic markup from each doc
+    // (the m2 build-then-decode discipline): wrap in tags, escape the
+    // " the " occurrences, add a doc_id-dependent <br/>; the scrub must
+    // then be the exact inverse modulo the intended "&the " survivors.
+    // Entirely codegen'd built-ins — no UDF in the scan. The oracle
+    // replays construction and scrub; min/max md5 pin the full strings.
+    Q("t26_markup_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<p id=\"d"), $"doc_id", lit("\"> <b>"),
+          replace($"text", lit(" the "), lit(" &amp;the ")),
+          lit("</b></p>"),
+          when($"doc_id" % 3 === 0, lit("<br/>")).otherwise(lit("")))
+        val clean = graft.text.Normalize.stripMarkup(html)
+        t(s, dir, "documents")
+          .select($"lang", $"text", clean.as("clean"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(length($"clean")).cast("long").as("sum_clean_len"),
+               sum(when($"clean".contains("&the"), 1L).otherwise(0L)).as("n_amp"),
+               min(md5($"clean")).as("md5_lo"), max(md5($"clean")).as("md5_hi"))
+          .orderBy($"lang")
+      },
+      Some("""WITH h AS (SELECT lang,
+             |    '<p id="d' || doc_id || '"> <b>' ||
+             |    replace(text, ' the ', ' &amp;the ') || '</b></p>' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '<br/>' ELSE '' END AS html
+             |  FROM documents),
+             |c AS (SELECT lang, trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean
+             |  FROM h)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+             |  CAST(sum(CASE WHEN contains(clean, '&the') THEN 1 ELSE 0 END) AS BIGINT) AS n_amp,
+             |  min(md5(clean)) AS md5_lo, max(md5(clean)) AS md5_hi
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- S18: STREAMING anomaly detection — w9's integer EWMA-band
     // detector as live monitoring state: per event_type the state is
     // ONE (lastDay, 8-value ring) — ~9 longs at any stream length — and
