@@ -9869,8 +9869,159 @@ object Queries {
              |ORDER BY pp.doc_id""".stripMargin))
   )
 
+  // ==========================================================================
+  // Round 11: resampling breadth (cubic + mode — the categorical-raster
+  // gap), PII redaction
+  // ==========================================================================
+
+  private lazy val roundEleven: Seq[Q] = Seq(
+
+    // ----- R13: BICUBIC warp scan (Keys a=-1/2, the GDAL default) —
+    // closes the resampling-breadth gap beyond nearest/bilinear
+    // (reference WarpedVRT enum, `rio_reader.py:344-360`). The fixture
+    // must be NONLINEAR: bicubic reproduces any linear field exactly, so
+    // r8's ramp could not tell cubic from bilinear — ModRampReader's
+    // (r²+c²) mod 251 can. Same 10 m spec over an 8 m source as r7/r8
+    // puts every fractional offset on an exact eighth; Keys weights are
+    // then dyadic with denominator 2^10, a 16-tap product-sum is dyadic
+    // with denominator 2^20, and quantizing by 2^20 yields integers both
+    // engines state bit-for-bit. The oracle replays center -> affine ->
+    // floor(f-0.5) -> 4x4 tap grid -> Keys kernel term by term.
+    Q("r13_warp_cubic",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 100,
+          readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Cubic))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.yChunk, t.xChunk, (v * 1048576).toLong, gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |m AS (SELECT r, c,
+             |        10.0*(c + 0.5) + 0.0*(r + 0.5) + 1344000.0 AS wx,
+             |        0.0*(c + 0.5) + (-10.0)*(r + 0.5) + 5919000.0 AS wy
+             |      FROM px),
+             |f AS (SELECT r, c,
+             |        (0.125*wx + 0.0*wy + (-167975.0)) - 0.5 AS gc,
+             |        (0.0*wx + (-0.125)*wy + 739850.0) - 0.5 AS gr
+             |       FROM m),
+             |w AS (SELECT r, c,
+             |        CAST(floor(gr) AS BIGINT) AS r0, CAST(floor(gc) AS BIGINT) AS c0,
+             |        gr - floor(gr) AS tr, gc - floor(gc) AS tc
+             |       FROM f
+             |       WHERE floor(gr) >= 1 AND floor(gr) + 2 <= 299
+             |         AND floor(gc) >= 1 AND floor(gc) + 2 <= 299),
+             |taps AS (SELECT r, c, r0, c0, tr, tc, dr.o AS dr, dc.o AS dc
+             |       FROM w CROSS JOIN range(-1,3) dr(o) CROSS JOIN range(-1,3) dc(o)),
+             |tv AS (SELECT r, c,
+             |    (CASE dr WHEN -1 THEN ((-0.5*tr + 1.0)*tr - 0.5)*tr
+             |             WHEN 0  THEN (1.5*tr - 2.5)*tr*tr + 1.0
+             |             WHEN 1  THEN ((-1.5*tr + 2.0)*tr + 0.5)*tr
+             |             ELSE (0.5*tr - 0.5)*tr*tr END)
+             |  * (CASE dc WHEN -1 THEN ((-0.5*tc + 1.0)*tc - 0.5)*tc
+             |             WHEN 0  THEN (1.5*tc - 2.5)*tc*tc + 1.0
+             |             WHEN 1  THEN ((-1.5*tc + 2.0)*tc + 0.5)*tc
+             |             ELSE (0.5*tc - 0.5)*tc*tc END)
+             |  * CAST(((r0+dr)*(r0+dr) + (c0+dc)*(c0+dc)) % 251 AS DOUBLE) AS term
+             |       FROM taps),
+             |v AS (SELECT r, c, sum(term) AS bv FROM tv GROUP BY 1, 2),
+             |q AS (SELECT r, c, CAST(bv*1048576 AS BIGINT) AS q FROM v)
+             |SELECT CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R14: MODE (majority-vote) warp scan — the categorical-raster
+    // resampling a land-cover / mask user needs: class ids must be VOTED,
+    // never interpolated (the mean of water=1 and urban=3 is "forest=2").
+    // Each output pixel's 4 grid corners map through the affine to a
+    // source-grid box; source pixels whose CENTERS land in the half-open
+    // box vote, ties resolve to the smallest class id, empty box = nodata.
+    // The 10m/8m fixture makes every box edge dyadic-exact, so the
+    // half-open membership test is bit-identical in both engines; the
+    // 1.25-px box spans at most 2 centers per axis, which the oracle
+    // enumerates with a bounded delta join (no generate_series-on-column
+    // dependence). CategoricalReader's 7x9-pixel plateaus of 5 classes
+    // put ties and plateau boundaries inside the grid.
+    Q("r14_warp_mode",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, CategoricalReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "class", 0L, "cat3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 100,
+          readerFor = _ => WarpedGridReader(CategoricalReader(7, 9, 5), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Mode))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.yChunk, t.xChunk, v.toLong, gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |b AS (SELECT r, c,
+             |        0.125*(10.0*c + 1344000.0) + (-167975.0) AS lox,
+             |        0.125*(10.0*(c+1) + 1344000.0) + (-167975.0) AS hix,
+             |        (-0.125)*((-10.0)*r + 5919000.0) + 739850.0 AS loy,
+             |        (-0.125)*((-10.0)*(r+1) + 5919000.0) + 739850.0 AS hiy
+             |      FROM px),
+             |k AS (SELECT r, c,
+             |        greatest(CAST(ceil(lox - 0.5) AS BIGINT), 0) AS k0c,
+             |        least(CAST(ceil(hix - 0.5) AS BIGINT) - 1, 299) AS k1c,
+             |        greatest(CAST(ceil(loy - 0.5) AS BIGINT), 0) AS k0r,
+             |        least(CAST(ceil(hiy - 0.5) AS BIGINT) - 1, 299) AS k1r
+             |      FROM b),
+             |cand AS (SELECT r, c, k0r + dr.o AS kr, k0c + dc.o AS kc
+             |      FROM k CROSS JOIN range(0,2) dr(o) CROSS JOIN range(0,2) dc(o)
+             |      WHERE k0r + dr.o <= k1r AND k0c + dc.o <= k1c),
+             |votes AS (SELECT r, c, ((kr//7 + kc//9) % 5) AS vv, count(*) AS cnt
+             |      FROM cand GROUP BY 1, 2, 3),
+             |pick AS (SELECT r, c, vv,
+             |        row_number() OVER (PARTITION BY r, c ORDER BY cnt DESC, vv ASC) AS rn
+             |      FROM votes)
+             |SELECT CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(vv) AS BIGINT) AS sum_q,
+             |  CAST(sum(vv * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

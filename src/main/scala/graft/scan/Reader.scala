@@ -76,6 +76,50 @@ final case class RampReader(stride: Int) extends Reader {
   }
 }
 
+/** Closed-form NONLINEAR reader: value = (r² + c²) mod `m`. Bicubic
+  * interpolation reproduces any linear field exactly, so a linear ramp
+  * cannot distinguish cubic from bilinear — this fixture can. Values are
+  * small integers (< m), keeping every convolution term an exact dyadic
+  * double recomputable bit-for-bit by a SQL oracle. */
+final case class ModRampReader(m: Int) extends Reader {
+  def read(window: Window): Array[Double] = {
+    val out = new Array[Double](window.width * window.height)
+    var i = 0
+    var r = window.rowOff
+    while (r < window.rowEnd) {
+      var c = window.colOff
+      while (c < window.colEnd) {
+        out(i) = ((r.toLong * r + c.toLong * c) % m).toDouble
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    out
+  }
+}
+
+/** Closed-form CATEGORICAL reader: value = (r/dr + c/dc) mod k (integer
+  * division — axis-aligned plateaus of dr x dc pixels). The fixture for
+  * majority-vote resampling: class ids, not intensities, so the right
+  * answer is a vote and any interpolating kernel would fabricate classes
+  * that exist nowhere in the source. */
+final case class CategoricalReader(dr: Int, dc: Int, k: Int) extends Reader {
+  def read(window: Window): Array[Double] = {
+    val out = new Array[Double](window.width * window.height)
+    var i = 0
+    var r = window.rowOff
+    while (r < window.rowEnd) {
+      var c = window.colOff
+      while (c < window.colEnd) {
+        out(i) = ((r / dr + c / dc) % k).toDouble
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    out
+  }
+}
+
 /** Constant-fill reader: the errors-as-nodata substitute
   * (`stackstac/nodata_reader.py:14-43`). */
 final case class NodataReader(fill: Double = Double.NaN) extends Reader {

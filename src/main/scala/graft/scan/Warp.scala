@@ -87,8 +87,161 @@ final case class WarpedGridReader(
     method: graft.ops.Resampling = graft.ops.Resampling.Nearest) extends Reader {
 
   private val srcInv = srcTransform.inverse
+  private val sameCrs = srcEpsg == 0 || srcEpsg == spec.epsg
 
-  def read(window: Window): Array[Double] = {
+  /** Map one OUTPUT-grid point (fractional grid coords) to fractional
+    * source-grid coords — the same center hop [[Warp.sourceCoords]] runs,
+    * exposed pointwise for the corner-footprint (Mode) path. */
+  private def toSource(ox: Double, oy: Double): (Double, Double) = {
+    var (wx, wy) = spec.transform(ox, oy)
+    if (!sameCrs) {
+      val t = graft.core.Proj.transform(spec.epsg, srcEpsg, wx, wy)
+      wx = t._1; wy = t._2
+    }
+    srcInv(wx, wy)
+  }
+
+  def read(window: Window): Array[Double] = method match {
+    case graft.ops.Resampling.Cubic => readCubic(window)
+    case graft.ops.Resampling.Mode  => readMode(window)
+    case _                          => readNearestOrBilinear(window)
+  }
+
+  /** Keys bicubic convolution (a = -1/2, the GDAL default kernel): a 4x4
+    * windowed gather per output center. Any of the 16 taps falling outside
+    * the source raster (or reading NaN) yields NaN — no edge
+    * renormalization, matching the bilinear branch's NaN propagation. */
+  private def readCubic(window: Window): Array[Double] = {
+    val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
+    val out = Array.fill(window.width * window.height)(Double.NaN)
+    // bounding rect over the in-bounds 4x4 neighborhoods
+    var minC = Int.MaxValue; var minR = Int.MaxValue
+    var maxC = Int.MinValue; var maxR = Int.MinValue
+    var i = 0
+    while (i < cols.length) {
+      val c0 = math.floor(cols(i) - 0.5).toInt
+      val r0 = math.floor(rows(i) - 0.5).toInt
+      if (c0 - 1 >= 0 && c0 + 2 < srcWidth && r0 - 1 >= 0 && r0 + 2 < srcHeight) {
+        if (c0 - 1 < minC) minC = c0 - 1
+        if (c0 + 2 > maxC) maxC = c0 + 2
+        if (r0 - 1 < minR) minR = r0 - 1
+        if (r0 + 2 > maxR) maxR = r0 + 2
+      }
+      i += 1
+    }
+    if (minC > maxC) return out
+    val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    val px = source.read(srcWin)
+    // Keys kernel, a = -1/2; t is the fractional offset from the r0/c0 tap
+    @inline def w(t: Double, o: Int): Double = o match {
+      case -1 => ((-0.5 * t + 1.0) * t - 0.5) * t
+      case 0  => (1.5 * t - 2.5) * t * t + 1.0
+      case 1  => ((-1.5 * t + 2.0) * t + 0.5) * t
+      case _  => (0.5 * t - 0.5) * t * t
+    }
+    i = 0
+    while (i < cols.length) {
+      val gr = rows(i) - 0.5; val gc = cols(i) - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      if (c0 - 1 >= 0 && c0 + 2 < srcWidth && r0 - 1 >= 0 && r0 + 2 < srcHeight) {
+        val tr = gr - r0; val tc = gc - c0
+        var acc = 0.0
+        var dr = -1
+        while (dr <= 2) {
+          val wr = w(tr, dr)
+          var dc = -1
+          while (dc <= 2) {
+            val v = px((r0 + dr - srcWin.rowOff) * srcWin.width + (c0 + dc - srcWin.colOff))
+            acc += v * wr * w(tc, dc)
+            dc += 1
+          }
+          dr += 1
+        }
+        out(i) = acc
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Majority-vote resampling for CATEGORICAL rasters: each output pixel's
+    * footprint (its 4 grid corners mapped through the CRS hop, then the
+    * axis-aligned bounding box in the source grid) votes over the source
+    * pixels whose CENTERS fall inside it, half-open [lo, hi) per axis so
+    * boundary-seated centers belong to exactly one output pixel. Ties
+    * resolve to the smallest class id; an empty or all-NaN footprint is
+    * nodata. Interpolating kernels are wrong here by construction — they
+    * average class IDS (mean of water=1 and urban=3 is "forest=2"). */
+  private def readMode(window: Window): Array[Double] = {
+    val out = Array.fill(window.width * window.height)(Double.NaN)
+    val n = window.width * window.height
+    // per-pixel candidate ranges from the 4-corner footprint box
+    val loC = new Array[Int](n); val hiC = new Array[Int](n)
+    val loR = new Array[Int](n); val hiR = new Array[Int](n)
+    var minC = Int.MaxValue; var minR = Int.MaxValue
+    var maxC = Int.MinValue; var maxR = Int.MinValue
+    var i = 0; var r = window.rowOff
+    while (r < window.rowEnd) {
+      var c = window.colOff
+      while (c < window.colEnd) {
+        val (x0, y0) = toSource(c.toDouble, r.toDouble)
+        val (x1, y1) = toSource(c + 1.0, r.toDouble)
+        val (x2, y2) = toSource(c.toDouble, r + 1.0)
+        val (x3, y3) = toSource(c + 1.0, r + 1.0)
+        val lox = math.min(math.min(x0, x1), math.min(x2, x3))
+        val hix = math.max(math.max(x0, x1), math.max(x2, x3))
+        val loy = math.min(math.min(y0, y1), math.min(y2, y3))
+        val hiy = math.max(math.max(y0, y1), math.max(y2, y3))
+        // centers k+0.5 in [lo, hi)  <=>  k in [ceil(lo-0.5), ceil(hi-0.5)-1]
+        var c0 = math.ceil(lox - 0.5).toInt; var c1 = math.ceil(hix - 0.5).toInt - 1
+        var r0 = math.ceil(loy - 0.5).toInt; var r1 = math.ceil(hiy - 0.5).toInt - 1
+        if (c0 < 0) c0 = 0
+        if (r0 < 0) r0 = 0
+        if (c1 > srcWidth - 1) c1 = srcWidth - 1
+        if (r1 > srcHeight - 1) r1 = srcHeight - 1
+        loC(i) = c0; hiC(i) = c1; loR(i) = r0; hiR(i) = r1
+        if (c0 <= c1 && r0 <= r1) {
+          if (c0 < minC) minC = c0
+          if (c1 > maxC) maxC = c1
+          if (r0 < minR) minR = r0
+          if (r1 > maxR) maxR = r1
+        }
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    if (minC > maxC) return out
+    val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    val px = source.read(srcWin)
+    val votes = scala.collection.mutable.HashMap.empty[Double, Int]
+    i = 0
+    while (i < n) {
+      if (loC(i) <= hiC(i) && loR(i) <= hiR(i)) {
+        votes.clear()
+        var rr = loR(i)
+        while (rr <= hiR(i)) {
+          var cc = loC(i)
+          while (cc <= hiC(i)) {
+            val v = px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
+            if (!v.isNaN) votes(v) = votes.getOrElse(v, 0) + 1
+            cc += 1
+          }
+          rr += 1
+        }
+        if (votes.nonEmpty) {
+          var bestV = Double.NaN; var bestN = -1
+          votes.foreach { case (v, cnt) =>
+            if (cnt > bestN || (cnt == bestN && v < bestV)) { bestV = v; bestN = cnt }
+          }
+          out(i) = bestV
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def readNearestOrBilinear(window: Window): Array[Double] = {
     val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
     val out = Array.fill(window.width * window.height)(Double.NaN)
     if (method == graft.ops.Resampling.Nearest) {

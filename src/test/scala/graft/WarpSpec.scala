@@ -125,4 +125,98 @@ class WarpSpec extends AnyFunSuite {
     val w = Warp.sampleWindow(Array(3.7, 9.2), Array(1.1, 8.9), 100, 100)
     assert(w == Window(3, 1, 7, 8)) // floors 3..9 x 1..8, inclusive extents
   }
+
+  test("cubic: exact on a linear ramp (Keys kernel has linear precision)") {
+    import graft.ops.Resampling
+    // a bicubic kernel must reproduce any linear field bit-exactly on a
+    // dyadic grid (partition of unity + first-moment zero); the 10m/8m
+    // grid puts every offset on an eighth so the check is == not ≈
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0) // 100x100
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(RampReader(150), srcTf, 3857, 150, 150, spec,
+      Resampling.Cubic)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    var valid = 0
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (fc, fr) = inv(wx, wy)
+      val gr = fr - 0.5; val gc = fc - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      val interior = r0 - 1 >= 0 && r0 + 2 < 150 && c0 - 1 >= 0 && c0 + 2 < 150
+      val got = px(row * 100 + col)
+      if (interior) { assert(got == gr * 150 + gc, s"($row,$col)"); valid += 1 }
+      else assert(got.isNaN, s"($row,$col) should be NaN outside 4x4 support")
+    }
+    assert(valid > 8000, s"valid=$valid")
+  }
+
+  test("cubic: matches a direct 16-tap Keys convolution on a nonlinear field") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0)
+    val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 150, 150, spec,
+      Resampling.Cubic)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    def keys(t: Double, o: Int): Double = o match {
+      case -1 => ((-0.5 * t + 1.0) * t - 0.5) * t
+      case 0  => (1.5 * t - 2.5) * t * t + 1.0
+      case 1  => ((-1.5 * t + 2.0) * t + 0.5) * t
+      case _  => (0.5 * t - 0.5) * t * t
+    }
+    for (row <- 0 until 100; col <- 0 until 100) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (fc, fr) = inv(wx, wy)
+      val gr = fr - 0.5; val gc = fc - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      val got = px(row * 100 + col)
+      if (r0 - 1 >= 0 && r0 + 2 < 150 && c0 - 1 >= 0 && c0 + 2 < 150) {
+        var want = 0.0
+        for (dr <- -1 to 2; dc <- -1 to 2) {
+          val rr = r0 + dr; val cc = c0 + dc
+          want += ((rr.toLong * rr + cc.toLong * cc) % 251).toDouble *
+            keys(gr - r0, dr) * keys(gc - c0, dc)
+        }
+        assert(got == want, s"($row,$col): got=$got want=$want")
+      } else assert(got.isNaN)
+    }
+  }
+
+  test("mode: majority vote over footprint centers, min-class ties, empty=NaN") {
+    import graft.ops.Resampling
+    import graft.scan.CategoricalReader
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(CategoricalReader(7, 9, 5), srcTf, 3857, 150, 150, spec,
+      Resampling.Mode)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    var classes = Set.empty[Double]
+    for (row <- 0 until 100; col <- 0 until 100) {
+      // direct reference: 4-corner box -> centers in [lo, hi) -> vote
+      val corners = Seq((col.toDouble, row.toDouble), (col + 1.0, row.toDouble),
+        (col.toDouble, row + 1.0), (col + 1.0, row + 1.0)).map { case (ox, oy) =>
+        val (wx, wy) = spec.transform(ox, oy); inv(wx, wy)
+      }
+      val lox = corners.map(_._1).min; val hix = corners.map(_._1).max
+      val loy = corners.map(_._2).min; val hiy = corners.map(_._2).max
+      val c0 = math.max(0, math.ceil(lox - 0.5).toInt)
+      val c1 = math.min(149, math.ceil(hix - 0.5).toInt - 1)
+      val r0 = math.max(0, math.ceil(loy - 0.5).toInt)
+      val r1 = math.min(149, math.ceil(hiy - 0.5).toInt - 1)
+      val votes = (for (rr <- r0 to r1; cc <- c0 to c1)
+        yield ((rr / 7 + cc / 9) % 5).toDouble)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want =
+        if (votes.isEmpty) Double.NaN
+        else votes.toSeq.sortBy { case (v, n) => (-n, v) }.head._1
+      val got = px(row * 100 + col)
+      assert(got == want || (got.isNaN && want.isNaN), s"($row,$col): got=$got want=$want")
+      if (!got.isNaN) classes += got
+    }
+    // the fixture exercises every class and stays integral (never interpolated)
+    assert(classes == Set(0.0, 1.0, 2.0, 3.0, 4.0), s"classes=$classes")
+  }
 }
