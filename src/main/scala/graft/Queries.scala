@@ -10018,6 +10018,57 @@ object Queries {
              |  CAST(sum(vv * (r*200 + c)) AS BIGINT) AS pos_chk
              |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- T27: PII redaction (text.Pii.scrub) — the compliance pass
+    // before text leaves curation: emails / IPv4s / phone numbers to
+    // typed placeholders, per-type counts, zero shuffle until the final
+    // census. The fixture text is clean, so the query MANUFACTURES
+    // deterministic PII from doc_id (the t26 build-then-scrub
+    // discipline): every doc gains one email, one IP, one phone whose
+    // digits vary per doc. The patterns use only the Java∩RE2 regex
+    // subset, so DuckDB replays detection exactly; md5 lo/hi pin the
+    // fully-redacted strings, counts pin detection (natural-text
+    // accidental matches included identically on both sides).
+    Q("t27_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val dirty = concat($"text",
+          lit(" Contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-0199 from 10."), ($"doc_id" % 256).cast("string"), lit(".0.77."))
+        val base = t(s, dir, "documents").withColumn("text", dirty)
+        graft.text.Pii.scrub(base, "text")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"n_email").cast("long").as("sum_email"),
+               sum($"n_ip").cast("long").as("sum_ip"),
+               sum($"n_phone").cast("long").as("sum_phone"),
+               sum(length($"text")).cast("long").as("sum_len"),
+               min(md5($"text")).as("md5_lo"), max(md5($"text")).as("md5_hi"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    text || ' Contact u' || doc_id || '@mail.example.com or call 555-' ||
+             |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 from 10.' ||
+             |    (doc_id % 256) || '.0.77.' AS t0
+             |  FROM documents),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             |    len(regexp_extract_all(t0, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             |    len(regexp_extract_all(t0, '\d{3}[- ]\d{3}[- ]\d{4}')) AS np,
+             |    regexp_replace(regexp_replace(regexp_replace(t0,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             |      '\d{3}[- ]\d{3}[- ]\d{4}', '[PHONE]', 'g') AS clean
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(ne) AS BIGINT) AS sum_email,
+             |  CAST(sum(ni) AS BIGINT) AS sum_ip,
+             |  CAST(sum(np) AS BIGINT) AS sum_phone,
+             |  CAST(sum(length(clean)) AS BIGINT) AS sum_len,
+             |  min(md5(clean)) AS md5_lo, max(md5(clean)) AS md5_hi
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
   )
 
   private val qs: Seq[Q] =
