@@ -10069,6 +10069,38 @@ object Queries {
              |  min(md5(clean)) AS md5_lo, max(md5(clean)) AS md5_hi
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- T28: RAG sliding-window chunking (text.Chunk.slidingWindows)
+    // — the retrieval-side segmentation in front of every embedding
+    // pipeline: 40-token windows every 30 tokens, trailing partials
+    // kept, every doc ≥ 1 chunk. Map-side explosion, NO shuffle until
+    // the census; output volume is exactly Σ ceil(n_tok/30), bounded a
+    // priori by the stride. The oracle replays split → starts → clamped
+    // slices; md5 lo/hi pin the chunk strings, so window offsets, the
+    // clamp, and the re-join are all hash-gated.
+    Q("t28_rag_chunks",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Chunk.slidingWindows(t(s, dir, "documents"), "text", win = 40, stride = 30)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum($"chunk_ntok").cast("long").as("sum_ntok"),
+               max($"chunk_idx").cast("int").as("max_idx"),
+               min(md5($"chunk_text")).as("md5_lo"), max(md5($"chunk_text")).as("md5_hi"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+             |st AS (SELECT doc_id, source, ts, r.x AS s
+             |       FROM tok JOIN range(0, 100000, 30) r(x) ON r.x <= len(ts) - 1),
+             |ch AS (SELECT source, CAST(s // 30 AS INT) AS chunk_idx,
+             |         least(len(ts) - s, 40) AS ntok,
+             |         array_to_string(list_slice(ts, s + 1, s + 40), ' ') AS ctext
+             |       FROM st)
+             |SELECT source, count(*) AS n_chunks,
+             |  CAST(sum(ntok) AS BIGINT) AS sum_ntok,
+             |  CAST(max(chunk_idx) AS INT) AS max_idx,
+             |  min(md5(ctext)) AS md5_lo, max(md5(ctext)) AS md5_hi
+             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)),
+
   )
 
   private val qs: Seq[Q] =

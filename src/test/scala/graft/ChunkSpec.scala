@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Window contract of [[graft.text.Chunk.slidingWindows]]. */
+class ChunkSpec extends SparkSpec {
+
+  private def chunksOf(text: String, win: Int, stride: Int): Seq[(Int, Int, String)] = {
+    import spark.implicits._
+    graft.text.Chunk.slidingWindows(Seq(text).toDF("text"), "text", win, stride)
+      .select($"chunk_idx", $"chunk_ntok", $"chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("overlapping windows with a kept partial tail") {
+    // 7 tokens, win 4 stride 2 -> starts 0,2,4,6
+    val got = chunksOf("a b c d e f g", win = 4, stride = 2)
+    assert(got == Seq(
+      (0, 4, "a b c d"), (1, 4, "c d e f"), (2, 3, "e f g"), (3, 1, "g")))
+  }
+
+  test("stride == win tiles without overlap; exact fit has no empty tail") {
+    val got = chunksOf("a b c d e f", win = 3, stride = 3)
+    assert(got == Seq((0, 3, "a b c"), (1, 3, "d e f")))
+  }
+
+  test("short and empty docs still get one address") {
+    assert(chunksOf("only", 40, 30) == Seq((0, 1, "only")))
+    // split("") is [""]: one chunk of the empty string
+    assert(chunksOf("", 40, 30) == Seq((0, 1, "")))
+  }
+
+  test("guards: stride must not exceed win (gaps drop tokens); reserved columns") {
+    import spark.implicits._
+    val df = Seq("x").toDF("text")
+    intercept[IllegalArgumentException] {
+      graft.text.Chunk.slidingWindows(df, "text", win = 2, stride = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Chunk.slidingWindows(df.withColumn("chunk_idx", lit(1)), "text", 4, 2)
+    }
+  }
+
+  test("chunk volume is sum of ceil(n/stride) — the a-priori output bound") {
+    import spark.implicits._
+    val docs = Seq.tabulate(50)(i => ("w " * (i + 1)).trim).toDF("text")
+    val n = graft.text.Chunk.slidingWindows(docs, "text", 8, 5).count()
+    val want = (1 to 50).map(t => (t + 4) / 5).sum
+    assert(n == want)
+  }
+}
