@@ -10101,6 +10101,69 @@ object Queries {
              |  min(md5(ctext)) AS md5_lo, max(md5(ctext)) AS md5_hi
              |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- T29: URL canonicalization (text.Url) — the crawl-frontier
+    // normalization behind URL-level dedup and per-domain stats. The
+    // fixture manufactures crawl-dirty URLs from doc_id (mixed-case
+    // scheme/host, www, default port on half the docs, utm params
+    // around a real param, fragment), then canonicalizes; the per-source
+    // census counts distinct registered domains (7 per source by
+    // construction — case/www/port variants MUST collapse) and pins the
+    // full canonical strings by md5.
+    Q("t29_url_canonical",
+      (s, dir) => {
+        import s.implicits._
+        val dirty = concat(
+          when($"doc_id" % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("http://")),
+          lit("Site"), ($"doc_id" % 7).cast("string"),
+          lit(".Example"), ($"doc_id" % 7).cast("string"), lit(".COM"),
+          when($"doc_id" % 4 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Docs/"), $"doc_id".cast("string"),
+          lit("?utm_source=feed&page="), ($"doc_id" % 13).cast("string"),
+          lit("&utm_campaign=c"), ($"doc_id" % 3).cast("string"),
+          lit("#sec"), ($"doc_id" % 5).cast("string"))
+        val canon = graft.text.Url.canonicalize(dirty)
+        t(s, dir, "documents")
+          .select($"source", canon.as("url"),
+                  graft.text.Url.registeredDomain(canon).as("dom"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"dom").cast("long").as("n_domains"),
+               sum(length($"url")).cast("long").as("sum_len"),
+               min(md5($"url")).as("md5_lo"), max(md5($"url")).as("md5_hi"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END) ||
+             |    'Site' || (doc_id % 7) || '.Example' || (doc_id % 7) || '.COM' ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+             |    '/Docs/' || doc_id ||
+             |    '?utm_source=feed&page=' || (doc_id % 13) ||
+             |    '&utm_campaign=c' || (doc_id % 3) ||
+             |    '#sec' || (doc_id % 5) AS u
+             |  FROM documents),
+             |s1 AS (SELECT source, regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_replace(u, '#.*$', ''),
+             |    '&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS u
+             |  FROM d),
+             |s2 AS (SELECT source, u,
+             |    coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS sh
+             |  FROM s1),
+             |s3 AS (SELECT source,
+             |    regexp_replace(regexp_replace(
+             |      regexp_replace(lower(sh), '://www\.', '://'),
+             |      '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1')
+             |    || substr(u, len(sh) + 1) AS url
+             |  FROM s2),
+             |s4 AS (SELECT source, url,
+             |    coalesce(regexp_extract(
+             |      coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1), ''),
+             |      '([^.]+\.[^.]+)$', 1), '') AS dom
+             |  FROM s3)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
+             |  CAST(sum(len(url)) AS BIGINT) AS sum_len,
+             |  min(md5(url)) AS md5_lo, max(md5(url)) AS md5_hi
+             |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
