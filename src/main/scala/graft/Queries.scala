@@ -129,8 +129,11 @@ object Queries {
 
   /** Shared DuckDB replay of the IVF-SQ8 serving chain. `extraCand` is
     * spliced into the candidate join (empty for unfiltered serving;
-    * v19 passes a label join for the hybrid-search gate). */
-  private def ivfSqOracleBody(extraCand: String): String = coarseReplayPrefix +
+    * v19 passes a label join for the hybrid-search gate). Ends with the
+    * `rk` CTE (the per-query code-space ranking) so consumers append
+    * their own tail (v14/v18/v19 take the top-5; v22 joins it against
+    * the exact-L2 top-5 for the recall census). */
+  private def ivfSqRankChain(extraCand: String): String = coarseReplayPrefix +
         s"""px AS (SELECT q.id, d, qv[d+1] AS x FROM q CROSS JOIN dim),
           |grid AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
           |enc AS MATERIALIZED (SELECT px.id, px.d,
@@ -152,9 +155,12 @@ object Queries {
           |       JOIN enc qe ON qe.id = pb.qid AND qe.d = e.d
           |       GROUP BY 1, 2),
           |rk AS (SELECT qid, nid, d2c,
-          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)
-          |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
-          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+          |         row_number() OVER (PARTITION BY qid ORDER BY d2c, nid) AS rk FROM pd)""".stripMargin
+
+  private def ivfSqOracleBody(extraCand: String): String = ivfSqRankChain(extraCand) +
+    """
+      |SELECT qid, CAST(rk AS INT) AS rk, nid, CAST(d2c AS BIGINT) AS d2c
+      |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   /** v14 and the v18 persistence round-trip share one oracle —
     * persisted-index serving must be bit-identical to in-memory
@@ -10163,7 +10169,45 @@ object Queries {
              |  CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
              |  CAST(sum(len(url)) AS BIGINT) AS sum_len,
              |  min(md5(url)) AS md5_lo, max(md5(url)) AS md5_hi
-             |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- V22: recall@k census (Ann.recallCensus) — the EVALUATION
+    // member of index operation (build v14/v18, watch v20, filter v19,
+    // evaluate THIS): per evaluation query, |served ∩ exact-L2-top-5|
+    // and integer ppm recall. Ground truth is exact-search priced by
+    // definition, so the census runs on the bounded query SAMPLE
+    // (broadcast side), never the corpus — the corpus streams map-side
+    // against it and the per-qid top-k window is the only exchange.
+    // The oracle extends the shared IVF-SQ8 rank chain with a brute
+    // exact-L2 top-5 and the set-intersection count, so the recall
+    // numbers are gated end-to-end (index build included), not just
+    // the final division.
+    Q("v22_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ann.Ann
+        val prepared = Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val idx = Ann.ivfSqBuild(prepared, kCells = 4, coarseIters = 1)
+        val queries = prepared.filter($"id" % 50 === 0)
+        val served = Ann.ivfSqServe(idx, queries, nProbes = 2, k = 5)
+        Ann.recallCensus(served, prepared, queries, k = 5).orderBy($"qid")
+      },
+      Some(ivfSqRankChain("") + """,
+             |bd AS (SELECT qq.id AS qid, q.id AS nid,
+             |         sum((qq.qv[d+1]-q.qv[d+1])*(qq.qv[d+1]-q.qv[d+1])) AS d2
+             |       FROM qq CROSS JOIN q CROSS JOIN dim
+             |       WHERE q.id <> qq.id GROUP BY 1, 2),
+             |bk AS (SELECT qid, nid,
+             |         row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS brk FROM bd),
+             |bt AS (SELECT qid, nid FROM bk WHERE brk <= 5),
+             |it AS (SELECT qid, nid FROM rk WHERE rk <= 5),
+             |ov AS (SELECT bt.qid, count(it.nid) AS hits
+             |       FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.nid = bt.nid
+             |       GROUP BY 1)
+             |SELECT qid, CAST(hits AS BIGINT) AS n_hits,
+             |  CAST(hits * 1000000 // 5 AS BIGINT) AS recall_ppm
+             |FROM ov ORDER BY qid""".stripMargin)),
+
   )
 
   private val qs: Seq[Q] =

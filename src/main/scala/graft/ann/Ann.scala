@@ -1230,4 +1230,41 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("ham"))
   }
+
+  /** Recall@k census — the EVALUATION member of index operation
+    * (build: [[ivfSqBuild]]; serve: [[ivfSqServe]]; watch:
+    * [[indexStats]]; evaluate: this). Ground truth is exact integer-L2²
+    * top-k over `prepared` for each query (the metric the index
+    * approximates); `approx` is any served result carrying (qid, nid).
+    * Per query: hits = |approx ∩ exact-top-k| and recall in ppm
+    * (⌊hits·10⁶/k⌋ — integer, engine-replayable).
+    *
+    * Scale contract: ground truth is inherently exact-search priced, so
+    * the census runs on a SAMPLED query set by construction — `queries`
+    * is the bounded evaluation sample (broadcast), never the corpus.
+    * The corpus side streams map-side against it; the per-query top-k
+    * window is the only exchange, partitioned by qid (never global). */
+  def recallCensus(approx: DataFrame, prepared: DataFrame, queries: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq("qid", "nid").foreach(c => require(approx.columns.contains(c),
+      s"approx must carry column $c (a served (qid, nid) result)"))
+    val d2 = col("a.nq") + col("b.nq") -
+      lit(2L) * GraftFunctions.dot_long(col("a.qv"), col("b.qv"))
+    val pairs = broadcast(queries.as("a"))
+      .join(prepared.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"), d2.as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    val exact = pairs.withColumn("brk", row_number().over(w)).filter(col("brk") <= k)
+      .select(col("qid"), col("nid"))
+    // distinct makes hits a true set intersection even if a caller hands
+    // an approx result with repeated (qid, nid) rows; it is k·|Q|-sized
+    exact
+      .join(approx.select(col("qid"), col("nid")).distinct()
+          .withColumn("hit", lit(1L)),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("recall_ppm", (col("n_hits") * 1000000L / k).cast("long"))
+  }
 }
