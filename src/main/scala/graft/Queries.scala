@@ -10208,6 +10208,93 @@ object Queries {
              |  CAST(hits * 1000000 // 5 AS BIGINT) AS recall_ppm
              |FROM ov ORDER BY qid""".stripMargin)),
 
+    // ----- X38: RAG corpus build — the round-11 text stages as ONE
+    // composed plan (the x11/x21/x30 capstone discipline): crawl-dirty
+    // construction (markup wrap + injected PII, doc_id-deterministic) →
+    // markup scrub (t26's op) → PII redaction (t27's op) → per-source
+    // calibrated quality cut on the CLEANED text (x37's quantileFilter)
+    // → sliding-window chunking of survivors (t28's op) → exact
+    // chunk-level dedup (d1's group shape, min-(doc,chunk) survivor).
+    // Every stage is an individually-audited operator; this gates the
+    // COMPOSITION end-to-end: one DuckDB chain replays construction →
+    // scrub → redact → score → cut → chunk → dedup, md5-pinning the
+    // surviving unique chunks. Map-side until the cut window; the dedup
+    // group and the census are the only later shuffles.
+    Q("x38_rag_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val html = concat(
+          lit("<p id=\"d"), $"doc_id", lit("\"> <b>"), $"text",
+          lit(" Contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-0199.</b></p>"),
+          when($"doc_id" % 3 === 0, lit("<br/>")).otherwise(lit("")))
+        val clean = graft.text.Pii.redact(graft.text.Normalize.stripMarkup(html))
+        val ntokD = size(split($"clean", " ")).cast("double")
+        val ndist = size(array_distinct(split($"clean", " "))).cast("double")
+        val quality = lit(0.4) * least(length($"clean") / 400.0, lit(1.0)) +
+          lit(0.3) * least(ntokD / 80.0, lit(1.0)) + lit(0.3) * (ndist / ntokD)
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"source", clean.as("clean"))
+          .withColumn("score", quant(quality, 1000000L))
+        val kept = graft.ops.Sample.quantileFilter(scored, "source", "score", $"doc_id", 3, 10)
+        val chunks = graft.text.Chunk.slidingWindows(
+          kept.select($"doc_id", $"source", $"clean"), "clean", win = 40, stride = 30)
+        val rep = chunks
+          .groupBy(md5($"chunk_text").as("h"))
+          .agg(min(struct($"doc_id", $"chunk_idx", $"source", $"chunk_ntok", $"chunk_text")).as("r"))
+          .select($"r.source".as("source"), $"r.chunk_ntok".as("ntok"), $"r.chunk_text".as("ct"))
+        val cen0 = kept.groupBy($"source").agg(count(lit(1)).as("n_docs_kept"))
+        val cen1 = chunks.groupBy($"source").agg(count(lit(1)).as("n_chunks"))
+        val cen2 = rep.groupBy($"source").agg(count(lit(1)).as("n_unique"),
+          sum($"ntok").cast("long").as("sum_ntok_unique"),
+          min(md5($"ct")).as("md5_lo"), max(md5($"ct")).as("md5_hi"))
+        cen0.join(cen1, Seq("source")).join(cen2, Seq("source")).orderBy($"source")
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    '<p id="d' || doc_id || '"> <b>' || text || ' Contact u' || doc_id ||
+             |    '@mail.example.com or call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+             |    '-0199.</b></p>' || CASE WHEN doc_id % 3 = 0 THEN '<br/>' ELSE '' END AS html
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS t1
+             |  FROM h),
+             |p AS (SELECT doc_id, source,
+             |    regexp_replace(regexp_replace(regexp_replace(t1,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             |      '\d{3}[- ]\d{3}[- ]\d{4}', '[PHONE]', 'g') AS clean
+             |  FROM c),
+             |sc AS (SELECT doc_id, source, clean, CAST(floor(
+             |    (0.4*least(len(clean)/400.0, 1.0)
+             |     + 0.3*least(len(string_split(clean,' '))/80.0, 1.0)
+             |     + 0.3*(len(list_distinct(string_split(clean,' ')))::DOUBLE
+             |            / len(string_split(clean,' '))))*1000000 + 0.5) AS BIGINT) AS score
+             |  FROM p),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+             |        count(*) OVER (PARTITION BY source) AS n FROM sc),
+             |k AS (SELECT doc_id, source, clean FROM r WHERE 10*rk <= 3*n),
+             |tok AS (SELECT doc_id, source, string_split(clean, ' ') AS ts FROM k),
+             |st AS (SELECT doc_id, source, ts, rr.x AS s0
+             |       FROM tok JOIN range(0, 100000, 30) rr(x) ON rr.x <= len(ts) - 1),
+             |ch AS (SELECT doc_id, source, CAST(s0 // 30 AS INT) AS cidx,
+             |         least(len(ts) - s0, 40) AS ntok,
+             |         array_to_string(list_slice(ts, s0 + 1, s0 + 40), ' ') AS ct
+             |       FROM st),
+             |uq AS (SELECT doc_id, source, cidx, ntok, ct FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id, cidx) AS urn
+             |        FROM ch) WHERE urn = 1),
+             |cen0 AS (SELECT source, count(*) AS n_docs_kept FROM k GROUP BY 1),
+             |cen1 AS (SELECT source, count(*) AS n_chunks FROM ch GROUP BY 1),
+             |cen2 AS (SELECT source, count(*) AS n_unique,
+             |         CAST(sum(ntok) AS BIGINT) AS sum_ntok_unique,
+             |         min(md5(ct)) AS md5_lo, max(md5(ct)) AS md5_hi FROM uq GROUP BY 1)
+             |SELECT source, n_docs_kept, n_chunks, n_unique, sum_ntok_unique, md5_lo, md5_hi
+             |FROM cen0 JOIN cen1 USING (source) JOIN cen2 USING (source) ORDER BY source""".stripMargin))
   )
 
   private val qs: Seq[Q] =
