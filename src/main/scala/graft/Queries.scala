@@ -10294,7 +10294,64 @@ object Queries {
              |         CAST(sum(ntok) AS BIGINT) AS sum_ntok_unique,
              |         min(md5(ct)) AS md5_lo, max(md5(ct)) AS md5_hi FROM uq GROUP BY 1)
              |SELECT source, n_docs_kept, n_chunks, n_unique, sum_ntok_unique, md5_lo, md5_hi
-             |FROM cen0 JOIN cen1 USING (source) JOIN cen2 USING (source) ORDER BY source""".stripMargin))
+             |FROM cen0 JOIN cen1 USING (source) JOIN cen2 USING (source) ORDER BY source""".stripMargin)),
+
+    // ----- T30: langid EVALUATION — the confusion matrix t2 never
+    // produced (t2 reports predicted-class counts only; the fixture's
+    // `lang` column is ground truth nobody was grading against). Same
+    // evaluate-the-operator discipline as v22 (ANN recall) and t15's
+    // classifier matrix: per (true, predicted) cell, row count plus two
+    // integer ppm shares — of_true_ppm (recall on the diagonal) and
+    // of_pred_ppm (precision on the diagonal) — via exact long `div`
+    // (never double division: ⌊a/b⌋ across engines). One groupBy plus
+    // two census-sized windows.
+    Q("t30_langid_eval",
+      (s, dir) => {
+        import s.implicits._
+        val en = Seq("the", "a", "of", "and", "is")
+        val es = Seq("el", "la", "de", "y", "es")
+        val de = Seq("der", "die", "und", "das")
+        val fr = Seq("le", "et", "les", "un")
+        def score(set: Seq[String]) =
+          size(filter(split($"text", " "), tok => tok.isInCollection(set)))
+        val wT = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+        val wP = org.apache.spark.sql.expressions.Window.partitionBy($"lang_pred")
+        t(s, dir, "documents")
+          .withColumn("s_en", score(en)).withColumn("s_es", score(es))
+          .withColumn("s_de", score(de)).withColumn("s_fr", score(fr))
+          .withColumn("lang_pred",
+            when($"s_en" + $"s_es" + $"s_de" + $"s_fr" === 0, "und")
+              .when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+              .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+              .when($"s_de" >= $"s_fr", "de")
+              .otherwise("fr"))
+          .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+          .withColumn("n_true", sum($"n").over(wT))
+          .withColumn("n_pred", sum($"n").over(wP))
+          .withColumn("of_true_ppm", expr("(n * 1000000) div n_true"))
+          .withColumn("of_pred_ppm", expr("(n * 1000000) div n_pred"))
+          .drop("n_true", "n_pred")
+          .orderBy($"lang", $"lang_pred")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','es'))) AS s_es,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS s_de,
+             |         len(list_filter(string_split(text,' '), t -> t IN ('le','et','les','un'))) AS s_fr
+             |  FROM documents),
+             |pred AS (SELECT lang,
+             |    CASE WHEN s_en+s_es+s_de+s_fr = 0 THEN 'und'
+             |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             |         WHEN s_de >= s_fr THEN 'de'
+             |         ELSE 'fr' END AS lang_pred
+             |  FROM scored),
+             |conf AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+             |SELECT lang, lang_pred, n,
+             |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS of_true_ppm,
+             |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS of_pred_ppm
+             |FROM conf ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =
