@@ -9340,14 +9340,20 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val merged = graft.text.WordPiece.train(docs, "text", numMerges = 8)
+        // ONE corpus reduction, shared: trainLocalFromWordFreq (bit-
+        // identical to train by WordPieceSpec's parity law and t23's
+        // shared oracle — no 8 sequential merge-round jobs) and the char
+        // census both derive from the same persisted word-frequency
+        // table, so chars explode once per DISTINCT word weighted by its
+        // count (corpus-chars -> vocab-chars volume)
+        val wf = graft.text.WordPiece.wordFreq(docs, "text").persist()
+        val merged = graft.text.WordPiece.trainLocalFromWordFreq(wf, numMerges = 8)
           .select($"merged").collect().map(_.getString(0)).toSeq
-        val cc = docs.select(explode(split($"text", " ")).as("w"))
-          .filter(length($"w") >= 1)
-          .select(explode(expr(
-            "transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))")).as("c"))
-          .groupBy($"c").agg(count(lit(1)).as("n"))
+        val cc = wf
+          .select(explode(split($"w", "")).as("c"), $"cnt")
+          .groupBy($"c").agg(sum($"cnt").as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
+        wf.unpersist()
         val totalC = cc.map(_._2).sum
         val kept = cc.filter { case (_, n) => 100L * n >= totalC }.map(_._1)
         graft.text.WordPiece.segmentGreedy(docs, "text", (kept ++ merged).toSeq)

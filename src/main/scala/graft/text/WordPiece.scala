@@ -102,16 +102,33 @@ object WordPiece {
     * consistent score; the lazy-deletion invariant is then exactly
     * BPE's — every live pair's current score is always present, stale
     * entries are discarded at pop time by recomputing the score. */
+  /** The ONE corpus-sized pass both trainers start from (and that
+    * callers computing further vocabulary-bounded censuses — e.g. the
+    * t25 character cutoff — should REUSE instead of re-scanning the
+    * corpus): (w, cnt) word frequencies. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(split(col(textCol), " ")).as("w"))
+    .filter(length(col("w")) >= 1)
+    .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
   def trainLocal(df: DataFrame, textCol: String, numMerges: Int,
                  maxWordForms: Long = 50000000L,
-                 maxSymbolPositions: Long = 500000000L): DataFrame = {
-    val spark = df.sparkSession
-    // the ONE corpus-sized pass (identical to train's)
-    val wordsDf = df
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .persist() // stats + collect must not re-run the corpus-sized pass
+                 maxSymbolPositions: Long = 500000000L): DataFrame =
+    trainLocalFromWordFreq(wordFreq(df, textCol), numMerges,
+      maxWordForms, maxSymbolPositions)
+
+  /** [[trainLocal]] over a precomputed [[wordFreq]] table — the form a
+    * caller with other uses for the census takes (one corpus reduction,
+    * shared). Same guards, same output, bit-identical merges. */
+  def trainLocalFromWordFreq(wf: DataFrame, numMerges: Int,
+                             maxWordForms: Long = 50000000L,
+                             maxSymbolPositions: Long = 500000000L): DataFrame = {
+    val spark = wf.sparkSession
+    // stats + collect must not re-run the corpus-sized pass; respect a
+    // caller-managed persist (don't evict what we didn't cache)
+    val callerPersisted =
+      wf.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val wordsDf = if (callerPersisted) wf else wf.persist()
     val stats = wordsDf.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
       .collect()(0)
     val (nForms, nPositions) = (stats.getLong(0), stats.getLong(1))
@@ -127,7 +144,7 @@ object WordPiece {
       "Use WordPiece.train (fully distributed rounds) or raise " +
       "maxSymbolPositions.")
     val collected = wordsDf.collect()
-    wordsDf.unpersist()
+    if (!callerPersisted) wordsDf.unpersist()
     val words: Array[(Array[String], Long)] = collected.map { row =>
       (row.getString(0).map(_.toString).toArray, row.getLong(1))
     }
