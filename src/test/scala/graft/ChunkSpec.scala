@@ -49,4 +49,33 @@ class ChunkSpec extends SparkSpec {
     val want = (1 to 50).map(t => (t + 4) / 5).sum
     assert(n == want)
   }
+
+  test("fuzz: engine chunks == driver sliding-window reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(411)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "", "ff")
+    for (round <- 1 to 20) {
+      val win = 1 + rnd.nextInt(6)
+      val stride = 1 + rnd.nextInt(win)
+      val docs = Seq.fill(1 + rnd.nextInt(8)) {
+        Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      def reference(text: String): Seq[(Int, Int, String)] = {
+        val toks = text.split(" ", -1) // keep empty tokens, like Spark's split
+        (0 until toks.length by stride).zipWithIndex.map { case (s, i) =>
+          val w = toks.slice(s, s + win)
+          (i, w.length, w.mkString(" "))
+        }
+      }
+      val want = docs.zipWithIndex.flatMap { case (t, id) =>
+        reference(t).map { case (ci, n, ct) => (id, ci, n, ct) }
+      }.sorted
+      val got = graft.text.Chunk.slidingWindows(
+          docs.zipWithIndex.map(_.swap).toDF("id", "text"), "text", win, stride)
+        .select($"id", $"chunk_idx", $"chunk_ntok", $"chunk_text")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSeq.sorted
+      assert(got == want, s"round $round win=$win stride=$stride")
+    }
+  }
 }

@@ -43,4 +43,27 @@ class UrlSpec extends SparkSpec {
     assert(canon("not a url #tail") == "not a url ")
     assert(canon("rel/path?utm_x=1&k=2") == "rel/path?k=2")
   }
+
+  test("canonicalize is idempotent over crawl-shaped variants") {
+    // a canonicalizer that keeps rewriting on its own output corrupts
+    // incremental pipelines (re-canonicalized stored keys stop matching)
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val schemes = Seq("http://", "HTTPS://", "https://", "")
+    val hosts = Seq("WWW.Ex.COM", "a.b.ORG", "www.x.io:443", "x.io:8080", "Y.NET:80")
+    val paths = Seq("/A/b", "/", "", "/p%20q")
+    val queries = Seq("", "?utm_a=1", "?id=2&utm_b=3", "?utm_a=1&utm_b=2", "?K=V&k=v")
+    val frags = Seq("", "#F", "#a#b")
+    val urls = Seq.fill(200) {
+      schemes(rnd.nextInt(schemes.size)) + hosts(rnd.nextInt(hosts.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    }
+    val df = urls.toDF("u")
+    val once = graft.text.Url.canonicalize($"u")
+    val twice = graft.text.Url.canonicalize(once)
+    val bad = df.select($"u", once.as("c1"), twice.as("c2"))
+      .filter($"c1" =!= $"c2").collect()
+    assert(bad.isEmpty, s"non-idempotent on: ${bad.take(3).mkString("; ")}")
+  }
 }
