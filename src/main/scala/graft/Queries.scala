@@ -10357,7 +10357,49 @@ object Queries {
              |SELECT lang, lang_pred, n,
              |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS of_true_ppm,
              |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS of_pred_ppm
-             |FROM conf ORDER BY 1, 2""".stripMargin))
+             |FROM conf ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R15: WARC ingest round-trip (sources.Warc) — the container
+    // format crawl corpora actually arrive in (Common Crawl's WARC/WET).
+    // The query serializes the fixture as WARC/1.0 response records
+    // (Content-Length in UTF-8 octets), writes them through the plain
+    // text sink, re-ingests via the binaryFile scan + one imperative
+    // framing pass per file, and censuses the parsed payloads. The
+    // payloads embed an ADVERSARIAL record-header look-alike
+    // ("WARC/1.0" + a fake Content-Length + blank lines) — only
+    // length-driven framing survives it; any line-oriented parser would
+    // split mid-payload and hash-diverge. The oracle derives the same
+    // census from the source table directly: ingest must be lossless.
+    Q("r15_warc_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val payload = concat($"text",
+          lit("\nWARC/1.0 look-alike\r\nContent-Length: 0\n\n tail"))
+        val url = concat(lit("http://crawl.example/doc/"), $"doc_id".cast("string"))
+        val recs = graft.sources.Warc.toRecords(
+          t(s, dir, "documents"), url, lit("2026-01-01T00:00:00Z"), payload)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
+        recs.write.mode("overwrite").text(tmp)
+        graft.sources.Warc.read(s, tmp)
+          .select(regexp_extract($"uri", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+                  $"payload")
+          .withColumn("bucket", ($"doc_id" % 7).cast("int"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_recs"),
+               sum(octet_length($"payload")).cast("long").as("sum_octets"),
+               sum($"doc_id").cast("long").as("id_sum"),
+               min(md5($"payload")).as("md5_lo"), max(md5($"payload")).as("md5_hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || chr(10) || 'WARC/1.0 look-alike' || chr(13) || chr(10) ||
+             |    'Content-Length: 0' || chr(10) || chr(10) || ' tail' AS payload
+             |  FROM documents)
+             |SELECT CAST(doc_id % 7 AS INT) AS bucket, count(*) AS n_recs,
+             |  CAST(sum(strlen(payload)) AS BIGINT) AS sum_octets,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  min(md5(payload)) AS md5_lo, max(md5(payload)) AS md5_hi
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.functions._
+
+/** Framing contract of [[graft.sources.Warc]] — the kernel off-cluster,
+  * the write/read round-trip through real files on it. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(uri: String, payload: String): String = {
+    val len = payload.getBytes(UTF_8).length
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: $len\r\n\r\n" +
+      payload + "\r\n\r\n"
+  }
+
+  test("kernel: multiple records parse; separators and unknown headers tolerated") {
+    val bytes = (rec("u1", "hello world") + "\n\n" +
+      "WARC/1.0\r\nX-Custom: 7\r\nWARC-Target-URI: u2\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+      .getBytes(UTF_8)
+    val got = graft.sources.Warc.parse(bytes).toList
+    assert(got == List(("u1", "2026-01-01T00:00:00Z", "hello world"), ("u2", "", "abc")))
+  }
+
+  test("kernel: length-driven framing survives header look-alikes inside payloads") {
+    val evil = "line1\nWARC/1.0\r\nContent-Length: 999\r\n\r\nline2\n\n\nend"
+    val got = graft.sources.Warc.parse(rec("u", evil).getBytes(UTF_8)).toList
+    assert(got == List(("u", "2026-01-01T00:00:00Z", evil)))
+  }
+
+  test("kernel: multi-byte payloads frame by octets, not characters") {
+    val s = "héllo — ünïcode ✓"
+    assert(s.getBytes(UTF_8).length > s.length)
+    val got = graft.sources.Warc.parse(rec("u", s).getBytes(UTF_8)).toList
+    assert(got == List(("u", "2026-01-01T00:00:00Z", s)))
+  }
+
+  test("kernel: corrupt framing fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      graft.sources.Warc.parse("not a warc\r\n\r\n".getBytes(UTF_8)).toList
+    }
+    intercept[IllegalArgumentException] { // Content-Length past EOF
+      graft.sources.Warc.parse(
+        "WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort".getBytes(UTF_8)).toList
+    }
+  }
+
+  test("round-trip through the text sink and binaryFile scan is lossless") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain"),
+      (2L, "embedded\nnewlines\r\nand\r\n\r\nblanks"),
+      (3L, "ünïcode ✓ payload"),
+      (4L, "")).toDF("id", "text").repartition(3)
+    val recs = graft.sources.Warc.toRecords(
+      docs, concat(lit("urn:doc:"), $"id"), lit("2026-02-02T00:00:00Z"), $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warcspec_").toString
+    recs.write.mode("overwrite").text(tmp)
+    val back = graft.sources.Warc.read(spark, tmp)
+      .select($"uri", $"payload").as[(String, String)].collect().toMap
+    assert(back == Map("urn:doc:1" -> "plain",
+      "urn:doc:2" -> "embedded\nnewlines\r\nand\r\n\r\nblanks",
+      "urn:doc:3" -> "ünïcode ✓ payload", "urn:doc:4" -> ""))
+  }
+}
