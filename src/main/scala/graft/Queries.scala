@@ -10379,7 +10379,9 @@ object Queries {
         val recs = graft.sources.Warc.toRecords(
           t(s, dir, "documents"), url, lit("2026-01-01T00:00:00Z"), payload)
         val tmp = java.nio.file.Files.createTempDirectory("graft_warc_").toString
-        recs.write.mode("overwrite").text(tmp)
+        // gzip at rest — the .warc.gz form real archives ship; the
+        // reader inflates by magic-byte detection before framing
+        recs.write.mode("overwrite").option("compression", "gzip").text(tmp)
         graft.sources.Warc.read(s, tmp)
           .select(regexp_extract($"uri", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
                   $"payload")

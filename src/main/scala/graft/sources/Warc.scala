@@ -39,13 +39,30 @@ object Warc {
       lit("\r\n"),
       textCol, lit("\r\n\r\n")).as("record"))
 
-  /** Parse every WARC file under `path` into (uri, wdate, payload). */
+  /** Parse every WARC file under `path` into (uri, wdate, payload).
+    * Gzipped archives (the `.warc.gz` form Common Crawl ships —
+    * detected by magic bytes, multi-member streams included) inflate
+    * per-file before the framing pass. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("content")).as[Array[Byte]]
-      .flatMap(parse)
+      .flatMap(b => parse(inflateIfGzip(b)))
       .toDF("uri", "wdate", "payload")
+  }
+
+  /** Inflate when the gzip magic (1f 8b) leads; pass through otherwise. */
+  def inflateIfGzip(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    out.toByteArray
   }
 
   /** One framing pass over a file's bytes. Exposed for kernel tests. */

@@ -45,6 +45,20 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gzipped archives inflate by magic bytes; plain bytes pass through") {
+    val plain = rec("u1", "compress me").getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val gzBytes = bos.toByteArray
+    assert(gzBytes(0) == 0x1f.toByte && gzBytes(1) == 0x8b.toByte)
+    assert(graft.sources.Warc.inflateIfGzip(gzBytes).toSeq == plain.toSeq)
+    assert(graft.sources.Warc.inflateIfGzip(plain) eq plain) // no copy when plain
+    assert(graft.sources.Warc.parse(
+      graft.sources.Warc.inflateIfGzip(gzBytes)).toList ==
+      List(("u1", "2026-01-01T00:00:00Z", "compress me")))
+  }
+
   test("round-trip through the text sink and binaryFile scan is lossless") {
     import spark.implicits._
     val docs = Seq(
