@@ -10401,7 +10401,62 @@ object Queries {
              |  CAST(sum(strlen(payload)) AS BIGINT) AS sum_octets,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
              |  min(md5(payload)) AS md5_lo, max(md5(payload)) AS md5_hi
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X41: robots.txt evaluation (text.Robots, RFC 9309 subset) —
+    // the governance gate between crawl frontier and fetch: per-domain
+    // robots bodies parse to (prefix, allow) rules map-side; evaluation
+    // is ONE equi-join on the registered domain (rules-per-domain small
+    // by construction — no pair space beyond urls × own-domain rules)
+    // and a per-URL longest-match pick where Allow beats Disallow on
+    // equal length (§2.2.2's least-restrictive tie-break). The fixture
+    // gives every domain a Disallow that swallows its own id digit and
+    // a longer Allow that carves back the doubled-digit prefix, so both
+    // the longest-match rule and the no-match default are load-bearing;
+    // comments, User-agent, Sitemap, and empty-Disallow lines must all
+    // drop at parse time. The oracle replays rules, matching, and the
+    // tie-break ordering.
+    Q("x41_robots_filter",
+      (s, dir) => {
+        import s.implicits._
+        val urls = t(s, dir, "documents")
+          .select($"doc_id",
+            concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+              lit(".example"), ($"doc_id" % 7).cast("string"),
+              lit(".com/Docs/"), $"doc_id".cast("string")).as("url"))
+        val robots = (0 until 7).map { d =>
+          (s"example$d.com",
+           s"User-agent: *\n# crawl policy\nDisallow: /Docs/$d\nAllow: /Docs/$d$d\n" +
+             (if (d == 5) "Disallow: /Docs/55\n" else "") +
+             "Disallow:\nSitemap: https://example.test/map.xml")
+        }.toDF("domain", "robots")
+        val rules = graft.text.Robots.parseRules(robots, $"domain", $"robots")
+        graft.text.Robots.evaluate(urls, $"url", rules)
+          .groupBy(($"doc_id" % 7).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_urls"),
+               sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+               sum(when(!$"allowed", $"doc_id").otherwise(0L)).cast("long").as("blocked_id_sum"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH u AS (SELECT doc_id, doc_id % 7 AS d, '/Docs/' || doc_id AS path
+             |          FROM documents),
+             |rules AS (
+             |  SELECT t.d, '/Docs/' || t.d AS prefix, false AS allow FROM range(0,7) t(d)
+             |  UNION ALL SELECT t.d, '/Docs/' || t.d || t.d, true FROM range(0,7) t(d)
+             |  UNION ALL SELECT 5, '/Docs/55', false),
+             |m AS (SELECT u.doc_id, u.d, r.prefix, r.allow
+             |      FROM u LEFT JOIN rules r
+             |        ON r.d = u.d AND starts_with(u.path, r.prefix)),
+             |rk AS (SELECT doc_id, d, allow, row_number() OVER (
+             |         PARTITION BY doc_id
+             |         ORDER BY len(prefix) DESC NULLS LAST, allow DESC) AS rn
+             |       FROM m),
+             |v AS (SELECT doc_id, d, coalesce(allow, true) AS allowed
+             |      FROM rk WHERE rn = 1)
+             |SELECT CAST(d AS INT) AS bucket, count(*) AS n_urls,
+             |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+             |  CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) AS blocked_id_sum
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

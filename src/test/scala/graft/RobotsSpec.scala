@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 semantics of [[graft.text.Robots]]: parse filtering,
+  * longest-match, the Allow tie-break, defaults, and row preservation. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rules = graft.text.Robots.parseRules(
+    Seq(("ex.com",
+      "User-agent: *\n# note\nDisallow: /a\nAllow: /a/ok\n" +
+        "Disallow: /tie\nAllow: /tie\nDisallow:\nSitemap: s")).toDF("d", "r"),
+    $"d", $"r")
+
+  private def verdicts(paths: String*): Map[String, Boolean] = {
+    val urls = paths.zipWithIndex
+      .map { case (p, i) => (i, s"http://www.ex.com$p") }.toDF("id", "url")
+    graft.text.Robots.evaluate(urls, graft.text.Url.canonicalize($"url"), rules)
+      .select($"url", $"allowed").collect()
+      .map(r => r.getString(0).stripPrefix("http://www.ex.com") -> r.getBoolean(1)).toMap
+  }
+
+  test("parse keeps only non-empty Allow/Disallow lines") {
+    val got = rules.orderBy($"prefix", $"allow").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      ("ex.com", "/a", false), ("ex.com", "/a/ok", true),
+      ("ex.com", "/tie", false), ("ex.com", "/tie", true)))
+  }
+
+  test("longest match wins; Allow beats Disallow on equal length; no-match allows") {
+    val v = verdicts("/a/x", "/a/ok/deep", "/tie/page", "/free", "/")
+    assert(v("/a/x") == false, "blocked by /a")
+    assert(v("/a/ok/deep") == true, "the longer Allow /a/ok carves back")
+    assert(v("/tie/page") == true, "equal-length tie goes to Allow")
+    assert(v("/free") == true, "unmatched path defaults to allowed")
+    assert(v("/") == true)
+  }
+
+  test("foreign domains are untouched; duplicate url rows are both preserved") {
+    val urls = Seq((1, "http://other.org/a/x"), (2, "http://ex.com/a/x"),
+      (3, "http://ex.com/a/x")).toDF("id", "url")
+    val out = graft.text.Robots.evaluate(urls, $"url", rules)
+      .select($"id", $"allowed").collect().map(r => (r.getInt(0), r.getBoolean(1))).sorted
+    assert(out.toSeq == Seq((1, true), (2, false), (3, false)))
+  }
+
+  test("reserved-column guard") {
+    intercept[IllegalArgumentException] {
+      graft.text.Robots.evaluate(
+        Seq((1, "u", true)).toDF("id", "url", "allowed"), $"url", rules)
+    }
+  }
+}
