@@ -39,6 +39,23 @@ object Warc {
       lit("\r\n"),
       textCol, lit("\r\n\r\n")).as("record"))
 
+  /** Render rows as WET-style `conversion` records (the extracted-text
+    * sibling archive most Common Crawl consumers actually read —
+    * identical framing, `WARC-Type: conversion`, text payloads). The
+    * [[read]] pass ingests WET and WARC alike: framing never depends on
+    * the record type. */
+  def toWetRecords(df: DataFrame, urlCol: Column, dateCol: Column,
+                   textCol: Column): DataFrame =
+    df.select(concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), urlCol, lit("\r\n"),
+      lit("WARC-Date: "), dateCol, lit("\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "), octet_length(textCol).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      textCol, lit("\r\n\r\n")).as("record"))
+
   /** Parse every WARC file under `path` into (uri, wdate, payload).
     * Gzipped archives (the `.warc.gz` form Common Crawl ships —
     * detected by magic bytes, multi-member streams included) inflate

@@ -45,6 +45,18 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("WET conversion records frame identically and read back losslessly") {
+    import spark.implicits._
+    val docs = Seq((1L, "extracted text"), (2L, "more\n\ntext")).toDF("id", "text")
+    val recs = graft.sources.Warc.toWetRecords(
+      docs, concat(lit("urn:wet:"), $"id"), lit("2026-03-03T00:00:00Z"), $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wetspec_").toString
+    recs.write.mode("overwrite").option("compression", "gzip").text(tmp)
+    val back = graft.sources.Warc.read(spark, tmp)
+      .select($"uri", $"payload").as[(String, String)].collect().toMap
+    assert(back == Map("urn:wet:1" -> "extracted text", "urn:wet:2" -> "more\n\ntext"))
+  }
+
   test("gzipped archives inflate by magic bytes; plain bytes pass through") {
     val plain = rec("u1", "compress me").getBytes(UTF_8)
     val bos = new java.io.ByteArrayOutputStream()
