@@ -3,7 +3,6 @@ package graft.ann
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.GraftFunctions
 
 /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998,
   * λ = 1/2) — the retrieval-results diversifier: greedily pick k items
@@ -18,62 +17,97 @@ import graft.functions.GraftFunctions
   *
   * Determinism discipline: rel comes in from the caller's ranking arm
   * (v1's rounded-cosine convention) and sim is computed HERE the same
-  * way — integer quantized dot through the codegen'd kernel, one
-  * round(·, 6) at the end — so both are the exact doubles the oracle's
+  * way — integer quantized dot, cast, sqrt, divide, one round(·, 6) at
+  * the end, the identical IEEE op sequence the codegen kernel + Spark
+  * `round` perform — so both are the exact doubles the oracle's
   * replay produces; the greedy loop then only ever subtracts and
   * compares them (identical IEEE ops in any engine), ties broken
   * (score desc, id asc).
   *
   * Scale shape: the SHORTLIST is the contract — it arrives already
   * bounded by the retrieval arm (ANN probe-bounded postings, BM25's
-  * TakeOrderedAndProject), so the m×m sim table is model-sized and the
-  * greedy loop is driver-side arithmetic on collected rows (the
-  * model-literal pattern: centroids/codebooks/pivots all collect at
-  * this size). The m² pair space never touches the corpus — guarded
-  * loudly, not assumed. Returns (rk, id, rel, mmr). */
+  * TakeOrderedAndProject), so the m vectors are model-sized and collect
+  * ONCE (the model-literal pattern: centroids/codebooks/pivots all
+  * collect at this size); the m²/2 sims are then a primitive-array loop
+  * on the driver — no Spark job, no m²-row collect, the pair space
+  * never exists as rows anywhere. Guarded loudly, not assumed.
+  * Returns (rk, id, rel, mmr). */
 object Mmr {
+
+  /** round(x, 6) with Spark's Round semantics for DoubleType —
+    * BigDecimal(valueOf-form) HALF_UP — so driver-side sims are the
+    * exact doubles the previous Spark-expression form produced and any
+    * SQL engine replaying `round(..., 6)` states. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def diversify(shortlist: DataFrame, k: Int, maxShortlist: Int = 1000): DataFrame = {
     require(k >= 1, s"Mmr.diversify: k=$k")
     val spark = shortlist.sparkSession
-    val rows = shortlist.select(col("id"), col("rel"), col("qv")).persist()
-    val m = rows.count()
-    require(m <= maxShortlist,
-      s"Mmr.diversify: shortlist has $m rows > maxShortlist=$maxShortlist — " +
-      "the m*m similarity table is driver-sized by contract; diversify a " +
+    // limit(max+1) bounds the collect BEFORE the guard can fire — one
+    // job, driver memory capped even on a corpus-sized mistake
+    val collected = shortlist.select(col("id"), col("rel"), col("qv"))
+      .limit(maxShortlist + 1).collect()
+    require(collected.length <= maxShortlist,
+      s"Mmr.diversify: shortlist has > maxShortlist=$maxShortlist rows — " +
+      "the m*m similarity loop is driver-sized by contract; diversify a " +
       "RANKED SHORTLIST (ANN/BM25 top-k), not a corpus, or raise maxShortlist.")
-    // pairwise sims in Spark with the v1 rounding convention, so the
-    // doubles match any engine replaying the same quantized vectors
-    val cos = round(
-      GraftFunctions.dot_long(col("a.qv"), col("b.qv")).cast("double") /
-        (sqrt(GraftFunctions.dot_long(col("a.qv"), col("a.qv")).cast("double")) *
-         sqrt(GraftFunctions.dot_long(col("b.qv"), col("b.qv")).cast("double"))), 6)
-    val sims = rows.as("a").join(rows.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"), cos.as("s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val rel = rows.select(col("id"), col("rel")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
-    rows.unpersist()
+    val ids = collected.map(_.getLong(0))
+    require(ids.distinct.length == ids.length,
+      s"Mmr.diversify: shortlist ids are not distinct " +
+      s"(${ids.length} rows, ${ids.distinct.length} distinct) — a ranked " +
+      "shortlist carries one row per candidate; dedupe upstream (duplicate " +
+      "ids would make max-sim-to-picked ill-defined).")
+    // sorted by id: the same deterministic scan order the collected-rel
+    // table always used for the greedy argmax tie-break
+    val byId = collected.sortBy(_.getLong(0))
+    val m = byId.length
+    val rel = byId.map(r => (r.getLong(0), r.getDouble(1)))
+    val vecs: Array[Array[Long]] = byId.map(_.getSeq[Long](2).toArray)
+    // pairwise sims with the v1 rounding convention — integer dot (the
+    // codegen kernel's exact arithmetic), cast, sqrt, divide, round(·,6):
+    // identical IEEE ops to the former Spark-expression form, computed
+    // here in a primitive loop over the already-collected model rows
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      val n = math.min(a.length, b.length)
+      var s = 0L; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norm = vecs.map(v => math.sqrt(dotL(v, v).toDouble))
+    val sims = Array.ofDim[Double](m, m)
+    var ii = 0
+    while (ii < m) {
+      var jj = ii + 1
+      while (jj < m) {
+        val s = round6(dotL(vecs(ii), vecs(jj)).toDouble / (norm(ii) * norm(jj)))
+        sims(ii)(jj) = s; sims(jj)(ii) = s
+        jj += 1
+      }
+      ii += 1
+    }
     val selected = collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-    val picked = collection.mutable.LinkedHashSet.empty[Long]
+    val picked = collection.mutable.ArrayBuffer.empty[Int] // indexes into byId
     var r = 1
     while (r <= math.min(k, rel.length) && picked.size < rel.length) {
-      var bestId = -1L
+      var bestIdx = -1
       var bestScore = Double.NegativeInfinity
-      var bestRel = 0.0
-      rel.foreach { case (id, rl) =>
-        if (!picked.contains(id)) {
+      var i = 0
+      while (i < m) {
+        if (!picked.contains(i)) {
+          val (id, rl) = rel(i)
           val maxSim =
             if (picked.isEmpty) 0.0
-            else picked.iterator.map(s => sims((id, s))).max
+            else picked.iterator.map(p => sims(i)(p)).max
           val score = rl - maxSim
-          if (score > bestScore || (score == bestScore && id < bestId)) {
-            bestId = id; bestScore = score; bestRel = rl
+          if (score > bestScore || (score == bestScore && (bestIdx < 0 || id < rel(bestIdx)._1))) {
+            bestIdx = i; bestScore = score
           }
         }
+        i += 1
       }
-      selected += ((r, bestId, bestRel, bestScore))
-      picked += bestId
+      selected += ((r, rel(bestIdx)._1, rel(bestIdx)._2, bestScore))
+      picked += bestIdx
       r += 1
     }
     spark.createDataFrame(

@@ -59,25 +59,55 @@ object Warc {
   /** Parse every WARC file under `path` into (uri, wdate, payload).
     * Gzipped archives (the `.warc.gz` form Common Crawl ships —
     * detected by magic bytes, multi-member streams included) inflate
-    * per-file before the framing pass. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * per-file before the framing pass, CAPPED at `maxInflatedBytes`
+    * per archive (executor-heap ceiling — see [[inflateIfGzip]]). */
+  def read(spark: SparkSession, path: String,
+           maxInflatedBytes: Long = DefaultMaxInflatedBytes): DataFrame = {
     import spark.implicits._
+    val cap = maxInflatedBytes
     spark.read.format("binaryFile").load(path)
       .select(col("content")).as[Array[Byte]]
-      .flatMap(b => parse(inflateIfGzip(b)))
+      .flatMap(b => parse(inflateIfGzip(b, cap)))
       .toDF("uri", "wdate", "payload")
   }
 
-  /** Inflate when the gzip magic (1f 8b) leads; pass through otherwise. */
-  def inflateIfGzip(bytes: Array[Byte]): Array[Byte] = {
+  /** Per-archive inflated-size ceiling: 1 GiB — the shipped archive
+    * granularity (Common Crawl writes ~1 GB members), kept under the
+    * JVM's 2 GiB byte-array hard limit so the failure mode is this
+    * guard's message, never a cryptic NegativeArraySizeException. */
+  val DefaultMaxInflatedBytes: Long = 1L << 30
+
+  /** Inflate when the gzip magic (1f 8b) leads; pass through otherwise.
+    * The inflated size is bounded by `maxInflatedBytes`: gzip's ~5:1
+    * text ratio turns a 1 GB at-rest archive into ~5 GB on one
+    * executor's heap with no warning from the codec — inputs past the
+    * cap fail LOUDLY here, naming the fix (smaller archive members, or
+    * a streaming per-member splitter that frames records without ever
+    * materializing the whole archive — the design SCALE.md documents
+    * for the >1 GB regime) instead of OOM-killing the executor. */
+  def inflateIfGzip(bytes: Array[Byte],
+                    maxInflatedBytes: Long = DefaultMaxInflatedBytes): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       return bytes
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, maxInflatedBytes).toInt max 64)
     val buf = new Array[Byte](64 * 1024)
+    var total = 0L
     var r = in.read(buf)
-    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    while (r >= 0) {
+      total += r
+      require(total <= maxInflatedBytes,
+        s"Warc.read: archive inflates past maxInflatedBytes=$maxInflatedBytes " +
+        s"(compressed size ${bytes.length}) — one task holds the whole " +
+        "inflated archive by design (the per-file framing pass). Ship " +
+        "smaller archive members (Common Crawl's ~1 GB convention), raise " +
+        "maxInflatedBytes if the heap allows, or split gzip members with a " +
+        "streaming splitter so records frame without materializing the " +
+        "archive.")
+      out.write(buf, 0, r); r = in.read(buf)
+    }
     in.close()
     out.toByteArray
   }

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * clamped at the end (trailing partial windows are kept — dropping them
   * would lose document tails, the one thing a retrieval index must not
   * do). Empty text yields one chunk of the empty string (split's [""]
-  * convention), so every document has ≥ 1 address.
+  * convention), and NULL text coalesces to empty FIRST (split/sequence
+  * would otherwise null out and explode would silently DROP the row) —
+  * so every document, null-text included, has ≥ 1 address.
   */
 object Chunk {
 
@@ -31,7 +33,7 @@ object Chunk {
       s"stride must be in [1, win] (gaps would drop tokens), got stride=$stride win=$win")
     val reserved = Seq("chunk_idx", "chunk_ntok", "chunk_text", "__toks", "__start")
     reserved.foreach(r => require(!df.columns.contains(r), s"column $r is reserved"))
-    val toks = split(col(textCol), " ")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     df.withColumn("__toks", toks)
       .withColumn("__start",
         explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride))))

@@ -47,7 +47,11 @@ object Robots {
     * (each row is decided independently via an internal uid, so the
     * output multiset has exactly the input's rows plus `allowed`). */
   def evaluate(urls: DataFrame, urlCol: Column, rules: DataFrame): DataFrame = {
-    val reserved = Seq("__uid", "__dom", "__path", "allowed")
+    // the rule-table names are reserved too: a `prefix`/`allow`/`domain`
+    // column already on `urls` would make the post-join col() references
+    // ambiguous (or resolve to the wrong side)
+    val reserved = Seq("__uid", "__dom", "__path", "allowed",
+        "domain", "prefix", "allow")
       .filter(urls.columns.contains)
     require(reserved.isEmpty, s"reserved columns present: ${reserved.mkString(", ")}")
     val withKey = urls

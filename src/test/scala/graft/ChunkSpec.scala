@@ -50,6 +50,16 @@ class ChunkSpec extends SparkSpec {
     assert(n == want)
   }
 
+  test("NULL text yields one empty chunk, not a silently dropped row") {
+    import spark.implicits._
+    val df = Seq((1, Option("a b")), (2, None)).toDF("id", "text")
+    val got = graft.text.Chunk.slidingWindows(df, "text", win = 4, stride = 2)
+      .select($"id", $"chunk_idx", $"chunk_ntok", $"chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq.sorted
+    assert(got == Seq((1, 0, 2, "a b"), (2, 0, 1, "")))
+  }
+
   test("fuzz: engine chunks == driver sliding-window reference on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(411)

@@ -39,4 +39,57 @@ class MmrSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxShortlist"))
   }
+
+  test("diversify refuses duplicate shortlist ids, loudly") {
+    val dup = Seq(
+      (1L, 0.9, Seq(10000L, 0L)),
+      (1L, 0.8, Seq(20000L, 0L)),
+      (3L, 0.5, Seq(0L, 10000L))
+    ).toDF("id", "rel", "qv")
+    val e = intercept[IllegalArgumentException] {
+      Mmr.diversify(dup, k = 3)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("driver-loop sims match the Spark round(dot/·,6) expression exactly") {
+    // 12 quantized vectors with awkward angles: the driver loop's
+    // (cast, sqrt, divide, round6) must be bit-identical to the Spark
+    // expression form the sims used to run through
+    val rows = (1 to 12).map { i =>
+      (i.toLong, 1.0 / i, Seq((i * 137 % 91).toLong, (i * i % 53).toLong, (i * 31 % 17 + 1).toLong))
+    }
+    val df = rows.toDF("id", "rel", "qv")
+    import graft.functions.GraftFunctions
+    val cos = round(
+      GraftFunctions.dot_long(col("a.qv"), col("b.qv")).cast("double") /
+        (sqrt(GraftFunctions.dot_long(col("a.qv"), col("a.qv")).cast("double")) *
+         sqrt(GraftFunctions.dot_long(col("b.qv"), col("b.qv")).cast("double"))), 6)
+    val sparkSims = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"), cos.as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // replay the greedy loop on the Spark-computed sims
+    val rel = rows.map { case (id, rl, _) => (id, rl) }.sortBy(_._1)
+    def sim(a: Long, b: Long): Double =
+      sparkSims.getOrElse((math.min(a, b), math.max(a, b)), 1.0)
+    val picked = collection.mutable.ArrayBuffer.empty[Long]
+    val expect = collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    (1 to 5).foreach { r =>
+      var bestId = -1L; var bestScore = Double.NegativeInfinity
+      rel.foreach { case (id, rl) =>
+        if (!picked.contains(id)) {
+          val ms = if (picked.isEmpty) 0.0 else picked.map(p => sim(id, p)).max
+          val sc = rl - ms
+          if (sc > bestScore || (sc == bestScore && id < bestId)) {
+            bestId = id; bestScore = sc
+          }
+        }
+      }
+      picked += bestId
+      expect += ((r, bestId, bestScore))
+    }
+    val out = Mmr.diversify(df, k = 5).orderBy($"rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out === expect.toSeq)
+  }
 }

@@ -52,4 +52,16 @@ class RobotsSpec extends SparkSpec {
         Seq((1, "u", true)).toDF("id", "url", "allowed"), $"url", rules)
     }
   }
+
+  test("rule-table names (domain/prefix/allow) are reserved on urls too") {
+    // a urls frame already carrying `prefix` would make the post-join
+    // col(\"prefix\") ambiguous — the guard must catch it up front
+    Seq("domain", "prefix", "allow").foreach { c =>
+      val e = intercept[IllegalArgumentException] {
+        graft.text.Robots.evaluate(
+          Seq((1, "http://ex.com/a", "x")).toDF("id", "url", c), $"url", rules)
+      }
+      assert(e.getMessage.contains(c))
+    }
+  }
 }

@@ -71,6 +71,21 @@ class WarcSpec extends SparkSpec {
       List(("u1", "2026-01-01T00:00:00Z", "compress me")))
   }
 
+  test("inflate ceiling fails loudly, naming the streaming-splitter escape hatch") {
+    // ~200 KB of zeros compresses tiny; a 4 KB cap must trip mid-inflate
+    val big = new Array[Byte](200 * 1024)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(big); gz.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Warc.inflateIfGzip(bos.toByteArray, maxInflatedBytes = 4096L)
+    }
+    assert(e.getMessage.contains("maxInflatedBytes"))
+    assert(e.getMessage.contains("streaming splitter"))
+    // at the default ceiling the same archive inflates fine
+    assert(graft.sources.Warc.inflateIfGzip(bos.toByteArray).length == big.length)
+  }
+
   test("round-trip through the text sink and binaryFile scan is lossless") {
     import spark.implicits._
     val docs = Seq(
