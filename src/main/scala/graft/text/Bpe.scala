@@ -148,11 +148,46 @@ object Bpe {
     val collected = wordsDf.collect()
     wordsDf.unpersist()
     val words: Array[(Array[String], Long)] = collected.map { row =>
-      val w = row.getString(0)
-      (w.map(_.toString).toArray, row.getLong(1))
+      (codePoints(row.getString(0)), row.getLong(1))
     }
     mergeTable(spark, localMergeLoop(words, numMerges))
   }
+
+  /** Split into whole Unicode CODE POINTS (one per element). The
+    * distributed trainers seed symbols via Spark `substring`/`sequence`,
+    * which count code points — the driver-side trainers must match: a
+    * UTF-16 code-unit split (`w.map(_.toString)`) would hand a
+    * supplementary-plane character (emoji — common in web-crawl text)
+    * to the merge loop as TWO lone-surrogate symbols, diverging from
+    * `train`'s symbol table and corrupting the [[utf8Compare]] tie-break
+    * (getBytes maps lone surrogates to '?'). */
+  private[text] def codePoints(w: String): Array[String] = {
+    val n = w.codePointCount(0, w.length)
+    val out = new Array[String](n)
+    var i = 0; var off = 0
+    while (i < n) {
+      val next = w.offsetByCodePoints(off, 1)
+      out(i) = w.substring(off, next)
+      off = next; i += 1
+    }
+    out
+  }
+
+  /** UTF-16 offsets of the code-point boundaries of `w`:
+    * offsets(0) = 0 … offsets(n) = w.length — the index map for
+    * code-point-addressed substring extraction without re-joining. */
+  private[text] def codePointOffsets(w: String): Array[Int] = {
+    val n = w.codePointCount(0, w.length)
+    val out = new Array[Int](n + 1)
+    var i = 0; var off = 0
+    while (i < n) { off = w.offsetByCodePoints(off, 1); i += 1; out(i) = off }
+    out
+  }
+
+  /** [[utf8Compare]] as an Ordering — for driver-side sorts that must
+    * match a Spark orderBy on strings (binary collation). */
+  private[text] val Utf8Ordering: Ordering[String] =
+    (x: String, y: String) => utf8Compare(x, y)
 
   /** Unsigned-UTF-8-byte string comparison — Spark's binary collation,
     * the ordering `train`'s orderBy(col("a"), col("b")) tie-break uses. */

@@ -47,10 +47,15 @@ object Unigram {
 
   /** Viterbi best segmentation of `w` under `cost`; every single char
     * of `w` must be in `cost` (the seed guarantees it). Ties prefer the
-    * smallest split point j (the longest final piece). */
+    * smallest split point j (the longest final piece). Positions are
+    * CODE POINTS (the seed census comes from Spark `substring`, which
+    * counts code points — a UTF-16 DP would treat a surrogate pair as
+    * two positions and `maxPieceLen` would mean different units on the
+    * two sides). */
   private[graft] def viterbi(w: String, cost: collection.Map[String, Long],
                              maxPieceLen: Int): Seq[String] = {
-    val n = w.length
+    val off = Bpe.codePointOffsets(w)
+    val n = off.length - 1
     val best = Array.fill(n + 1)(Long.MaxValue)
     val back = Array.fill(n + 1)(-1)
     best(0) = 0L
@@ -59,7 +64,7 @@ object Unigram {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (best(j) != Long.MaxValue) {
-          cost.get(w.substring(j, i)) match {
+          cost.get(w.substring(off(j), off(i))) match {
             case Some(c) =>
               val s = best(j) + c
               if (s < best(i)) { best(i) = s; back(i) = j }
@@ -73,7 +78,7 @@ object Unigram {
     require(best(n) != Long.MaxValue, s"word '$w' not segmentable (char missing from vocab)")
     var out = List.empty[String]
     var p = n
-    while (p > 0) { val j = back(p); out = w.substring(j, p) :: out; p = j }
+    while (p > 0) { val j = back(p); out = w.substring(off(j), off(p)) :: out; p = j }
     out
   }
 
@@ -115,23 +120,34 @@ object Unigram {
       "bit-identical output) or raise maxSymbolPositions.")
     val words = wordsDf.as[(String, Long)].collect()
     wordsDf.unpersist()
+    // seed census in CODE POINTS — the unit Spark substring/length use
+    // (trainDistributed's explode replays this census distributed; a
+    // UTF-16 loop would split supplementary-plane chars into surrogates)
     val subScores = collection.mutable.Map.empty[String, Long]
     words.foreach { case (w, f) =>
+      val off = Bpe.codePointOffsets(w)
+      val n = off.length - 1
       var l = 1
-      while (l <= math.min(maxPieceLen, w.length)) {
+      while (l <= math.min(maxPieceLen, n)) {
         var st = 0
-        while (st + l <= w.length) {
-          val p = w.substring(st, st + l)
+        while (st + l <= n) {
+          val p = w.substring(off(st), off(st + l))
           subScores(p) = subScores.getOrElse(p, 0L) + f
           st += 1
         }
         l += 1
       }
     }
-    val chars = subScores.keys.filter(_.length == 1).toSeq.sorted
-    val multi = subScores.toSeq.filter(_._1.length > 1)
-      .sortBy { case (p, s) => (-s, p) }.take(topMulti).map(_._1)
-    val pieces = (chars ++ multi).distinct.sorted
+    // piece lengths and tie-break sorts in Spark units too: code points
+    // and binary (UTF-8) collation, matching trainDistributed's
+    // length(p) filters and orderBy(s desc, p) cut
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    val chars = subScores.keys.filter(cpLen(_) == 1).toSeq.sorted(Bpe.Utf8Ordering)
+    val multi = subScores.toSeq.filter(p => cpLen(p._1) > 1)
+      .sortWith((x, y) => x._2 > y._2 ||
+        (x._2 == y._2 && Bpe.utf8Compare(x._1, y._1) < 0))
+      .take(topMulti).map(_._1)
+    val pieces = (chars ++ multi).distinct.sorted(Bpe.Utf8Ordering)
     val vsize = pieces.size
     // initial counts = seed substring scores
     var counts: Map[String, Long] = pieces.map(p => p -> subScores(p)).toMap
@@ -200,7 +216,7 @@ object Unigram {
       .orderBy(col("s").desc, col("p")).limit(topMulti).collect()
     subs.unpersist()
     val seed = (charRows ++ multiRows).map(r => r.getString(0) -> r.getLong(1))
-    val pieces = seed.map(_._1).distinct.sorted
+    val pieces = seed.map(_._1).distinct.sorted(Bpe.Utf8Ordering)
     val seedMap = seed.toMap
     val vsize = pieces.length
     var counts: Map[String, Long] = pieces.map(p => p -> seedMap(p)).toMap

@@ -146,7 +146,7 @@ object WordPiece {
     val collected = wordsDf.collect()
     if (!callerPersisted) wordsDf.unpersist()
     val words: Array[(Array[String], Long)] = collected.map { row =>
-      (row.getString(0).map(_.toString).toArray, row.getLong(1))
+      (Bpe.codePoints(row.getString(0)), row.getLong(1))
     }
     import spark.implicits._
     localMergeLoop(words, numMerges)

@@ -127,6 +127,16 @@ class BpeSpec extends SparkSpec {
     assert(secs < 60.0, s"256 merges took $secs s — the local loop is not bounded")
   }
 
+  test("non-BMP parity: emoji corpora train identically local and distributed") {
+    import spark.implicits._
+    val df = Seq((1L, "😀a 😀a 😀a b🚀 " +
+      "b🚀 😀😀 cc")).toDF("doc_id", "text")
+    val a = graft.text.Bpe.train(df, "text", numMerges = 4).collect().map(_.toSeq).toSeq
+    val b = graft.text.Bpe.trainLocal(df, "text", numMerges = 4).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("trainLocal refuses a non-language-bounded word table, loudly") {
     import spark.implicits._
     val docs = Seq("a b c d e f g h").toDF("text")

@@ -242,7 +242,11 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
 
   test("WordPiece.train == driver greedy-merge reference on random corpora") {
     import spark.implicits._
-    val word = Gen.oneOf("ab", "abc", "cd", "aab", "bc", "a", "d")
+    // includes supplementary-plane words: the reference below splits by
+    // CODE POINT (Spark substring semantics) — a UTF-16 reference would
+    // hand the merge loop lone surrogates and diverge
+    val word = Gen.oneOf("ab", "abc", "cd", "aab", "bc", "a", "d",
+      "😀b", "a😀", "😀😀")
     val gen = for {
       n <- Gen.choose(3, 20)
       ws <- Gen.listOfN(n, word)
@@ -257,9 +261,18 @@ class RoundTenFuzzSpec extends SparkSpec with GenChecks {
           r.getLong(4), r.getLong(5))).toSeq
       assert(gotLocal === got, s"trainLocal diverged, ws=$ws")
       // driver replay: word census -> per-round symbol+pair census ->
-      // score argmax -> greedy merge
+      // score argmax -> greedy merge; seed symbols are CODE POINTS
+      def cps(w: String): Vector[String] = {
+        val b = Vector.newBuilder[String]
+        var off = 0
+        while (off < w.length) {
+          val next = w.offsetByCodePoints(off, 1)
+          b += w.substring(off, next); off = next
+        }
+        b.result()
+      }
       var words = ws.groupBy(identity).map { case (w, g) =>
-        (w.map(_.toString).toVector, g.size.toLong)
+        (cps(w), g.size.toLong)
       }.toVector
       val want = Seq.newBuilder[(Int, String, String, Long, Long)]
       for (r <- 1 to 3) {

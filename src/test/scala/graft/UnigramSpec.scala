@@ -77,6 +77,38 @@ class UnigramSpec extends SparkSpec {
     assert(dist13 === local)
   }
 
+  test("non-BMP parity: emoji corpora — train == trainDistributed, code-point viterbi") {
+    val df = Seq((1L, "😀ab 😀ab a😀b " +
+      "🚀🚀 ab")).toDF("doc_id", "text")
+    def pin(m: org.apache.spark.sql.DataFrame) = m.orderBy($"piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = pin(Unigram.train(df, "text", topMulti = 6, maxPieceLen = 3, iters = 2))
+    val dist = pin(Unigram.trainDistributed(df, "text", topMulti = 6,
+      maxPieceLen = 3, iters = 2))
+    assert(dist === local)
+    // every piece is whole code points (no lone surrogates), and the
+    // single-char coverage includes the 2-UTF-16-unit emoji
+    assert(local.map(_._1).exists(p => p == "😀"))
+    local.map(_._1).foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s.charAt(i))) {
+          assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+            s"lone surrogate in piece '$s'")
+          i += 2
+        } else {
+          assert(!Character.isLowSurrogate(s.charAt(i)), s"lone surrogate in '$s'")
+          i += 1
+        }
+      }
+    }
+    // viterbi over an emoji word segments in code points: maxPieceLen=1
+    // must still cover a supplementary char (one position, not two)
+    val cost = local.map(p => p._1 -> p._3).toMap
+    val seg = Unigram.viterbi("😀ab", cost, maxPieceLen = 1)
+    assert(seg.head == "😀" && seg.length == 3)
+  }
+
   test("train is partitioning-invariant (1 vs 13 partitions)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def run(parts: Int) =

@@ -27,6 +27,33 @@ class WordPieceSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < 10)
   }
 
+  test("non-BMP parity: emoji corpora train identically local and distributed") {
+    // supplementary-plane chars are TWO UTF-16 code units but ONE Spark
+    // substring unit — both trainers must seed whole code points, and no
+    // learned piece may ever hold a lone surrogate
+    val df = Seq((1L, "😀ab 😀ab a😀 b🚀 " +
+      "🚀🚀 ab a😀")).toDF("doc_id", "text")
+    val a = WordPiece.train(df, "text", numMerges = 5).collect().map(_.toSeq).toSeq
+    val b = WordPiece.trainLocal(df, "text", numMerges = 5).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    a.foreach { row =>
+      Seq(1, 2, 3).map(row(_).asInstanceOf[String]).foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          if (Character.isHighSurrogate(s.charAt(i))) {
+            assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+              s"lone surrogate in piece '$s'")
+            i += 2
+          } else {
+            assert(!Character.isLowSurrogate(s.charAt(i)), s"lone surrogate in '$s'")
+            i += 1
+          }
+        }
+      }
+    }
+  }
+
   test("trainLocal: 256 merges stay driver-cheap (no per-merge Spark jobs)") {
     // pseudo-random multi-char words so 256 merge rounds exist
     val rng = new scala.util.Random(7)
