@@ -10459,8 +10459,149 @@ object Queries {
              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  // ==========================================================================
+  // Round 12: average (box) warp resampling — the >2x downsample regime —
+  // and the CDX-indexed crawl-archive path
+  // ==========================================================================
+
+  private lazy val roundTwelve: Seq[Q] = Seq(
+
+    // ----- R16: AVERAGE (footprint-mean / box) warp scan — GDAL's
+    // `average`, the correct kernel for the >2x DOWNSAMPLE regime that
+    // SCALE.md flags as outside mode/cubic's contract: a 40 m output
+    // over an 8 m source means each output cell covers a 5x5 block of
+    // source pixels, of which nearest/bilinear/cubic sample a sliver
+    // (aliasing); the box kernel averages the source pixels whose
+    // CENTERS land in the half-open footprint box (mode's machinery,
+    // mean instead of vote). The 40m/8m fixture keeps every box edge
+    // dyadic-exact; output rows 0-4 sit wholly above the source (empty
+    // footprint = nodata), interior boxes are full 5x5, so q =
+    // round(mean*25) is the exact integer box SUM both engines state.
+    Q("r16_warp_average",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 40.0, 40.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 25,
+          readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Average))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 25 + t.rowOff + r
+              val gc = t.xChunk * 25 + t.colOff + c
+              (t.yChunk, t.xChunk, math.round(v * 25), gr.toLong * 50 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,50) t(r) CROSS JOIN range(0,50) u(c)),
+             |b AS (SELECT r, c,
+             |        0.125*(40.0*c + 1344000.0) + (-167975.0) AS lox,
+             |        0.125*(40.0*(c+1) + 1344000.0) + (-167975.0) AS hix,
+             |        (-0.125)*((-40.0)*r + 5919000.0) + 739850.0 AS loy,
+             |        (-0.125)*((-40.0)*(r+1) + 5919000.0) + 739850.0 AS hiy
+             |      FROM px),
+             |k AS (SELECT r, c,
+             |        greatest(CAST(ceil(lox - 0.5) AS BIGINT), 0) AS k0c,
+             |        least(CAST(ceil(hix - 0.5) AS BIGINT) - 1, 299) AS k1c,
+             |        greatest(CAST(ceil(loy - 0.5) AS BIGINT), 0) AS k0r,
+             |        least(CAST(ceil(hiy - 0.5) AS BIGINT) - 1, 299) AS k1r
+             |      FROM b),
+             |cand AS (SELECT r, c, k0r + dr.o AS kr, k0c + dc.o AS kc
+             |      FROM k CROSS JOIN range(0,5) dr(o) CROSS JOIN range(0,5) dc(o)
+             |      WHERE k0r + dr.o <= k1r AND k0c + dc.o <= k1c),
+             |q AS (SELECT r, c, CAST(sum((kr*kr + kc*kc) % 251) AS BIGINT) AS q
+             |      FROM cand GROUP BY 1, 2)
+             |SELECT CAST(r//25 AS INT) AS y_chunk, CAST(c//25 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*50 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R17: LANCZOS-3 warp scan — the last member of the GDAL
+    // WarpedVRT resampling enum (`rio_reader.py:344-360`): a 6x6
+    // windowed-sinc gather, weights L(x)=sinc(x)sinc(x/3) normalized by
+    // the 2D weight sum. Unlike cubic's dyadic-exact Keys terms, sin()
+    // is transcendental — last-ulp libm differences between JVM and
+    // DuckDB are real — so the parity contract quantizes at 1/256
+    // (q = round(v*256)): accumulated cross-engine divergence is
+    // ~1e-12, nine orders under the quantum, while the quantum still
+    // pins the kernel (a bilinear or cubic impostor diverges in units).
+    Q("r17_warp_lanczos",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 100,
+          readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Lanczos))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.yChunk, t.xChunk, math.round(v * 256), gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |m AS (SELECT r, c,
+             |        10.0*(c + 0.5) + 0.0*(r + 0.5) + 1344000.0 AS wx,
+             |        0.0*(c + 0.5) + (-10.0)*(r + 0.5) + 5919000.0 AS wy
+             |      FROM px),
+             |f AS (SELECT r, c,
+             |        (0.125*wx + 0.0*wy + (-167975.0)) - 0.5 AS gc,
+             |        (0.0*wx + (-0.125)*wy + 739850.0) - 0.5 AS gr
+             |       FROM m),
+             |w AS (SELECT r, c,
+             |        CAST(floor(gr) AS BIGINT) AS r0, CAST(floor(gc) AS BIGINT) AS c0,
+             |        gr - floor(gr) AS tr, gc - floor(gc) AS tc
+             |       FROM f
+             |       WHERE floor(gr) >= 2 AND floor(gr) + 3 <= 299
+             |         AND floor(gc) >= 2 AND floor(gc) + 3 <= 299),
+             |taps AS (SELECT r, c, r0, c0,
+             |        tr - dr.o AS xr, tc - dc.o AS xc, dr.o AS dr, dc.o AS dc
+             |       FROM w CROSS JOIN range(-2,4) dr(o) CROSS JOIN range(-2,4) dc(o)),
+             |tv AS (SELECT r, c,
+             |    (CASE WHEN xr = 0 THEN 1.0
+             |          ELSE 3.0*sin(pi()*xr)*sin(pi()*xr/3.0)/((pi()*xr)*(pi()*xr)) END)
+             |  * (CASE WHEN xc = 0 THEN 1.0
+             |          ELSE 3.0*sin(pi()*xc)*sin(pi()*xc/3.0)/((pi()*xc)*(pi()*xc)) END) AS wt,
+             |    CAST(((r0+dr)*(r0+dr) + (c0+dc)*(c0+dc)) % 251 AS DOUBLE) AS val
+             |       FROM taps),
+             |v AS (SELECT r, c, sum(wt*val)/sum(wt) AS bv FROM tv GROUP BY 1, 2),
+             |q AS (SELECT r, c, CAST(round(bv*256, 0) AS BIGINT) AS q FROM v)
+             |SELECT CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

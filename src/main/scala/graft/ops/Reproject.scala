@@ -5,17 +5,22 @@ import graft.core.{Proj, RasterSpec, Window}
 import graft.scan.{Tile, TileScan}
 
 /** Resampling method. The reference's own `reproject_array` supports
-  * nearest and linear (`geom_utils.py:229-234`); `Cubic` and `Mode`
-  * extend the warp path toward the wider GDAL enum its WarpedVRT wrap
-  * exposes (`rio_reader.py:344-360`) — bicubic for continuous rasters,
-  * majority vote for categorical ones (land-cover classes, masks), where
-  * any interpolating kernel would invent nonexistent class values. */
+  * nearest and linear (`geom_utils.py:229-234`); `Cubic`, `Mode` and
+  * `Average` extend the warp path toward the wider GDAL enum its
+  * WarpedVRT wrap exposes (`rio_reader.py:344-360`) — bicubic for
+  * continuous rasters, majority vote for categorical ones (land-cover
+  * classes, masks), where any interpolating kernel would invent
+  * nonexistent class values, and footprint mean ("box") for the >2×
+  * DOWNSAMPLE regime, where the point-sampling kernels read a sliver of
+  * the pixels under each output cell and alias. */
 sealed trait Resampling
 object Resampling {
   case object Nearest extends Resampling
   case object Bilinear extends Resampling
   case object Cubic extends Resampling
   case object Mode extends Resampling
+  case object Average extends Resampling
+  case object Lanczos extends Resampling
 }
 
 /** Grid-to-grid array reprojection — the reference `reproject_array`

@@ -102,9 +102,160 @@ final case class WarpedGridReader(
   }
 
   def read(window: Window): Array[Double] = method match {
-    case graft.ops.Resampling.Cubic => readCubic(window)
-    case graft.ops.Resampling.Mode  => readMode(window)
-    case _                          => readNearestOrBilinear(window)
+    case graft.ops.Resampling.Cubic   => readCubic(window)
+    case graft.ops.Resampling.Mode    => readMode(window)
+    case graft.ops.Resampling.Average => readAverage(window)
+    case graft.ops.Resampling.Lanczos => readLanczos(window)
+    case _                            => readNearestOrBilinear(window)
+  }
+
+  /** Lanczos-3 windowed-sinc convolution (GDAL's `lanczos`): a 6x6
+    * windowed gather per output center, weights
+    * L(x) = sinc(x)·sinc(x/3) = 3·sin(πx)·sin(πx/3)/(π²x²), normalized
+    * by the total 2D weight sum (the tap window truncates the kernel, so
+    * raw weights don't sum to 1). Any of the 36 taps falling outside the
+    * source (or reading NaN) yields NaN — the cubic branch's edge
+    * convention. Unlike the dyadic-exact cubic terms, sin() is
+    * transcendental: consumers pinning cross-engine parity must quantize
+    * coarsely enough to absorb last-ulp libm differences (the r17 oracle
+    * uses a 1/256 quantum against ~1e-12 accumulated divergence). */
+  private def readLanczos(window: Window): Array[Double] = {
+    val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
+    val out = Array.fill(window.width * window.height)(Double.NaN)
+    var minC = Int.MaxValue; var minR = Int.MaxValue
+    var maxC = Int.MinValue; var maxR = Int.MinValue
+    var i = 0
+    while (i < cols.length) {
+      val c0 = math.floor(cols(i) - 0.5).toInt
+      val r0 = math.floor(rows(i) - 0.5).toInt
+      if (c0 - 2 >= 0 && c0 + 3 < srcWidth && r0 - 2 >= 0 && r0 + 3 < srcHeight) {
+        if (c0 - 2 < minC) minC = c0 - 2
+        if (c0 + 3 > maxC) maxC = c0 + 3
+        if (r0 - 2 < minR) minR = r0 - 2
+        if (r0 + 3 > maxR) maxR = r0 + 3
+      }
+      i += 1
+    }
+    if (minC > maxC) return out
+    val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    val px = source.read(srcWin)
+    @inline def lw(x: Double): Double =
+      if (x == 0.0) 1.0
+      else {
+        val px1 = math.Pi * x
+        3.0 * math.sin(px1) * math.sin(px1 / 3.0) / (px1 * px1)
+      }
+    i = 0
+    while (i < cols.length) {
+      val gr = rows(i) - 0.5; val gc = cols(i) - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      if (c0 - 2 >= 0 && c0 + 3 < srcWidth && r0 - 2 >= 0 && r0 + 3 < srcHeight) {
+        val tr = gr - r0; val tc = gc - c0
+        var acc = 0.0; var wsum = 0.0
+        var dr = -2
+        while (dr <= 3) {
+          val wr = lw(tr - dr)
+          var dc = -2
+          while (dc <= 3) {
+            val w = wr * lw(tc - dc)
+            val v = px((r0 + dr - srcWin.rowOff) * srcWin.width + (c0 + dc - srcWin.colOff))
+            acc += w * v
+            wsum += w
+            dc += 1
+          }
+          dr += 1
+        }
+        out(i) = acc / wsum
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-output-pixel source-center candidate ranges from the 4-corner
+    * footprint box (each output pixel's grid corners through the CRS
+    * hop, then the axis-aligned bounding box in the source grid; source
+    * pixels whose CENTERS fall inside the half-open [lo, hi) box are
+    * candidates) — the shared machinery of the two footprint kernels,
+    * [[readMode]] (vote) and [[readAverage]] (mean). Returns the
+    * clamped inclusive per-pixel ranges and the covering source window
+    * (empty when no footprint touches the source). */
+  private def footprintBoxes(window: Window)
+      : (Array[Int], Array[Int], Array[Int], Array[Int], Window) = {
+    val n = window.width * window.height
+    val loC = new Array[Int](n); val hiC = new Array[Int](n)
+    val loR = new Array[Int](n); val hiR = new Array[Int](n)
+    var minC = Int.MaxValue; var minR = Int.MaxValue
+    var maxC = Int.MinValue; var maxR = Int.MinValue
+    var i = 0; var r = window.rowOff
+    while (r < window.rowEnd) {
+      var c = window.colOff
+      while (c < window.colEnd) {
+        val (x0, y0) = toSource(c.toDouble, r.toDouble)
+        val (x1, y1) = toSource(c + 1.0, r.toDouble)
+        val (x2, y2) = toSource(c.toDouble, r + 1.0)
+        val (x3, y3) = toSource(c + 1.0, r + 1.0)
+        val lox = math.min(math.min(x0, x1), math.min(x2, x3))
+        val hix = math.max(math.max(x0, x1), math.max(x2, x3))
+        val loy = math.min(math.min(y0, y1), math.min(y2, y3))
+        val hiy = math.max(math.max(y0, y1), math.max(y2, y3))
+        // centers k+0.5 in [lo, hi)  <=>  k in [ceil(lo-0.5), ceil(hi-0.5)-1]
+        var c0 = math.ceil(lox - 0.5).toInt; var c1 = math.ceil(hix - 0.5).toInt - 1
+        var r0 = math.ceil(loy - 0.5).toInt; var r1 = math.ceil(hiy - 0.5).toInt - 1
+        if (c0 < 0) c0 = 0
+        if (r0 < 0) r0 = 0
+        if (c1 > srcWidth - 1) c1 = srcWidth - 1
+        if (r1 > srcHeight - 1) r1 = srcHeight - 1
+        loC(i) = c0; hiC(i) = c1; loR(i) = r0; hiR(i) = r1
+        if (c0 <= c1 && r0 <= r1) {
+          if (c0 < minC) minC = c0
+          if (c1 > maxC) maxC = c1
+          if (r0 < minR) minR = r0
+          if (r1 > maxR) maxR = r1
+        }
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    val srcWin = if (minC > maxC) Window(0, 0, 0, 0)
+      else Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    (loC, hiC, loR, hiR, srcWin)
+  }
+
+  /** Footprint-mean ("box", GDAL `average`) resampling — the correct
+    * kernel for the >2× DOWNSAMPLE regime, where the point-sampling
+    * kernels (nearest/bilinear/cubic read ≤4×4 taps) see a sliver of
+    * the source pixels under each output cell and alias: each output
+    * pixel averages the source pixels whose centers fall inside its
+    * footprint box, NaN sources skipped (GDAL's nodata-ignoring mean);
+    * an empty or all-NaN footprint is nodata. Accumulation is row-major
+    * over the box — deterministic at any parallelism (per-pixel local
+    * loop, no merge order). One windowed source read per tile, same as
+    * every other kernel. */
+  private def readAverage(window: Window): Array[Double] = {
+    val out = Array.fill(window.width * window.height)(Double.NaN)
+    val (loC, hiC, loR, hiR, srcWin) = footprintBoxes(window)
+    if (srcWin.isEmpty) return out
+    val px = source.read(srcWin)
+    var i = 0
+    while (i < out.length) {
+      if (loC(i) <= hiC(i) && loR(i) <= hiR(i)) {
+        var sum = 0.0; var cnt = 0
+        var rr = loR(i)
+        while (rr <= hiR(i)) {
+          var cc = loC(i)
+          while (cc <= hiC(i)) {
+            val v = px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
+            if (!v.isNaN) { sum += v; cnt += 1 }
+            cc += 1
+          }
+          rr += 1
+        }
+        if (cnt > 0) out(i) = sum / cnt
+      }
+      i += 1
+    }
+    out
   }
 
   /** Keys bicubic convolution (a = -1/2, the GDAL default kernel): a 4x4
@@ -175,46 +326,11 @@ final case class WarpedGridReader(
   private def readMode(window: Window): Array[Double] = {
     val out = Array.fill(window.width * window.height)(Double.NaN)
     val n = window.width * window.height
-    // per-pixel candidate ranges from the 4-corner footprint box
-    val loC = new Array[Int](n); val hiC = new Array[Int](n)
-    val loR = new Array[Int](n); val hiR = new Array[Int](n)
-    var minC = Int.MaxValue; var minR = Int.MaxValue
-    var maxC = Int.MinValue; var maxR = Int.MinValue
-    var i = 0; var r = window.rowOff
-    while (r < window.rowEnd) {
-      var c = window.colOff
-      while (c < window.colEnd) {
-        val (x0, y0) = toSource(c.toDouble, r.toDouble)
-        val (x1, y1) = toSource(c + 1.0, r.toDouble)
-        val (x2, y2) = toSource(c.toDouble, r + 1.0)
-        val (x3, y3) = toSource(c + 1.0, r + 1.0)
-        val lox = math.min(math.min(x0, x1), math.min(x2, x3))
-        val hix = math.max(math.max(x0, x1), math.max(x2, x3))
-        val loy = math.min(math.min(y0, y1), math.min(y2, y3))
-        val hiy = math.max(math.max(y0, y1), math.max(y2, y3))
-        // centers k+0.5 in [lo, hi)  <=>  k in [ceil(lo-0.5), ceil(hi-0.5)-1]
-        var c0 = math.ceil(lox - 0.5).toInt; var c1 = math.ceil(hix - 0.5).toInt - 1
-        var r0 = math.ceil(loy - 0.5).toInt; var r1 = math.ceil(hiy - 0.5).toInt - 1
-        if (c0 < 0) c0 = 0
-        if (r0 < 0) r0 = 0
-        if (c1 > srcWidth - 1) c1 = srcWidth - 1
-        if (r1 > srcHeight - 1) r1 = srcHeight - 1
-        loC(i) = c0; hiC(i) = c1; loR(i) = r0; hiR(i) = r1
-        if (c0 <= c1 && r0 <= r1) {
-          if (c0 < minC) minC = c0
-          if (c1 > maxC) maxC = c1
-          if (r0 < minR) minR = r0
-          if (r1 > maxR) maxR = r1
-        }
-        i += 1; c += 1
-      }
-      r += 1
-    }
-    if (minC > maxC) return out
-    val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    val (loC, hiC, loR, hiR, srcWin) = footprintBoxes(window)
+    if (srcWin.isEmpty) return out
     val px = source.read(srcWin)
     val votes = scala.collection.mutable.HashMap.empty[Double, Int]
-    i = 0
+    var i = 0
     while (i < n) {
       if (loC(i) <= hiC(i) && loR(i) <= hiR(i)) {
         votes.clear()

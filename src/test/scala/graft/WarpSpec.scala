@@ -219,4 +219,114 @@ class WarpSpec extends AnyFunSuite {
     // the fixture exercises every class and stays integral (never interpolated)
     assert(classes == Set(0.0, 1.0, 2.0, 3.0, 4.0), s"classes=$classes")
   }
+
+  test("lanczos: normalized 36-tap windowed sinc matches the direct formula; constant-exact") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 150, 150, spec,
+      Resampling.Lanczos)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    def lw(x: Double): Double =
+      if (x == 0.0) 1.0
+      else { val p = math.Pi * x; 3.0 * math.sin(p) * math.sin(p / 3.0) / (p * p) }
+    for (row <- 0 until 100 by 7; col <- 0 until 100 by 7) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (gc0, gr0) = inv(wx, wy)
+      val gc = gc0 - 0.5; val gr = gr0 - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      val got = px(row * 100 + col)
+      if (c0 - 2 >= 0 && c0 + 3 < 150 && r0 - 2 >= 0 && r0 + 3 < 150) {
+        var acc = 0.0; var wsum = 0.0
+        for (dr <- -2 to 3; dc <- -2 to 3) {
+          val w = lw(gr - r0 - dr) * lw(gc - c0 - dc)
+          val rr = r0 + dr; val cc = c0 + dc
+          acc += w * (((rr.toLong * rr + cc.toLong * cc) % 251).toDouble)
+          wsum += w
+        }
+        assert(math.abs(got - acc / wsum) < 1e-9, s"($row,$col): got=$got want=${acc / wsum}")
+      } else assert(got.isNaN)
+    }
+    // normalization makes the kernel constant-exact: a flat field comes
+    // back flat (the truncated raw weights alone would not sum to 1)
+    val flat = new graft.scan.Reader {
+      def read(w: Window): Array[Double] = Array.fill(w.width * w.height)(42.0)
+    }
+    val rf = WarpedGridReader(flat, srcTf, 3857, 150, 150, spec, Resampling.Lanczos)
+    rf.read(Window(40, 40, 10, 10)).foreach(v => assert(math.abs(v - 42.0) < 1e-12))
+  }
+
+  test("average: footprint mean over centers at 5x downsample; off-source=NaN") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    // 40 m output over an 8 m source: each footprint box spans 5x5
+    // source centers — the >2x downsample regime none of the point
+    // kernels covers. Columns past the source's east edge go empty.
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2400.0, 2000.0), 40.0, 40.0) // 35x25
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 150, 150, spec,
+      Resampling.Average)
+    val px = r.read(Window(0, 0, 35, 25))
+    val inv = srcTf.inverse
+    var sawEmpty = false
+    for (row <- 0 until 25; col <- 0 until 35) {
+      val corners = Seq((col.toDouble, row.toDouble), (col + 1.0, row.toDouble),
+        (col.toDouble, row + 1.0), (col + 1.0, row + 1.0)).map { case (ox, oy) =>
+        val (wx, wy) = spec.transform(ox, oy); inv(wx, wy)
+      }
+      val lox = corners.map(_._1).min; val hix = corners.map(_._1).max
+      val loy = corners.map(_._2).min; val hiy = corners.map(_._2).max
+      val c0 = math.max(0, math.ceil(lox - 0.5).toInt)
+      val c1 = math.min(149, math.ceil(hix - 0.5).toInt - 1)
+      val r0 = math.max(0, math.ceil(loy - 0.5).toInt)
+      val r1 = math.min(149, math.ceil(hiy - 0.5).toInt - 1)
+      val vals = for (rr <- r0 to r1; cc <- c0 to c1)
+        yield ((rr.toLong * rr + cc.toLong * cc) % 251).toDouble
+      val got = px(row * 35 + col)
+      if (vals.isEmpty) { assert(got.isNaN, s"($row,$col)"); sawEmpty = true }
+      else {
+        // interior pixels see the full 5x5; edge-clamped boxes shrink
+        if (col < 27) assert(vals.length == 25, s"($row,$col)")
+        // row-major accumulation, same order as the kernel
+        var sum = 0.0; vals.foreach(sum += _)
+        assert(got == sum / vals.length,
+          s"($row,$col): got=$got want=${sum / vals.length}")
+      }
+    }
+    assert(sawEmpty, "fixture must include off-source (empty-footprint) pixels")
+  }
+
+  test("average: NaN sources are skipped, all-NaN footprint is nodata") {
+    import graft.ops.Resampling
+    // checkerboard NaN: mean must average only the valid half
+    val holey = new graft.scan.Reader {
+      def read(w: Window): Array[Double] = {
+        val out = new Array[Double](w.width * w.height)
+        var i = 0; var r = w.rowOff
+        while (r < w.rowEnd) {
+          var c = w.colOff
+          while (c < w.colEnd) {
+            out(i) = if ((r + c) % 2 == 0) Double.NaN else (r * 100 + c).toDouble
+            i += 1; c += 1
+          }
+          r += 1
+        }
+        out
+      }
+    }
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 1400.0, 1400.0), 40.0, 40.0) // 10x10
+    val srcTf = AffineTransform.northUp(1000.0, 1400.0, 8.0, 8.0) // 50x50 @8m
+    val r = WarpedGridReader(holey, srcTf, 3857, 50, 50, spec, Resampling.Average)
+    val px = r.read(Window(0, 0, 10, 10))
+    for (row <- 0 until 10; col <- 0 until 10) {
+      val vals = for {
+        rr <- (5 * row) until (5 * row + 5); cc <- (5 * col) until (5 * col + 5)
+        if (rr + cc) % 2 == 1
+      } yield (rr * 100 + cc).toDouble
+      var sum = 0.0; vals.foreach(sum += _)
+      assert(px(row * 10 + col) == sum / vals.length, s"($row,$col)")
+    }
+  }
 }
