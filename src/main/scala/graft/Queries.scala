@@ -10597,7 +10597,91 @@ object Queries {
              |  count(*) AS n_px,
              |  CAST(sum(q) AS BIGINT) AS sum_q,
              |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
-             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R18: CDX-indexed archive selection (sources.Cdx) — the
+    // metadata-prunes-IO thesis applied to the crawl family: real
+    // Common Crawl consumption filters the CDX capture index (urlkey /
+    // timestamp / status / mime / offset / length / filename) FIRST and
+    // touches only the matching records' archive byte ranges (the fetch
+    // half is CdxSpec's corrupted-member trap; this query gates the
+    // index half). Captures render to 11-field CDX lines, parse back
+    // through the typed reader (round-trip = format contract), select
+    // on status+mime+time, pass the RFC 9309 robots gate (x41's rules),
+    // and census per archive file: records, exact bytes a fetch would
+    // read, the offset span, and the SURT-key range — the work-list a
+    // 100 TB crawl read is planned from. The oracle computes every
+    // field (SURT key included) independently in SQL.
+    Q("r18_cdx_pruned_select",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val caps = docs.select(
+          concat(lit("http://site"), ($"doc_id" % 7).cast("string"), lit(".example"),
+            ($"doc_id" % 7).cast("string"), lit(".com/Docs/"), $"doc_id".cast("string")).as("url"),
+          concat(lit("2026010"), (($"doc_id" % 5) + 1).cast("string"), lit("000000")).as("ts"),
+          when($"doc_id" % 3 =!= 0, "text/html").otherwise("text/plain").as("mime"),
+          when($"doc_id" % 11 =!= 0, 200).otherwise(404).as("status"),
+          md5($"text").as("digest"),
+          ($"n_chars" + 200).cast("long").as("rec_length"),
+          ($"doc_id" * 1000).cast("long").as("rec_offset"),
+          concat(lit("crawl-"), ($"doc_id" % 4).cast("string"), lit(".warc.gz")).as("filename"))
+        val lines = graft.sources.Cdx.toLines(caps, $"url", $"ts", $"mime",
+          $"status", $"digest", $"rec_length", $"rec_offset", $"filename")
+        val parsed = graft.sources.Cdx.parseLines(lines, $"line")
+        val sel = parsed.filter($"status" === 200 && $"mime" === "text/html" &&
+          $"ts" < "20260104")
+        val robots = (0 until 7).map { d =>
+          (s"example$d.com",
+           s"User-agent: *\n# crawl policy\nDisallow: /Docs/$d\nAllow: /Docs/$d$d\n" +
+             (if (d == 5) "Disallow: /Docs/55\n" else "") +
+             "Disallow:\nSitemap: https://example.test/map.xml")
+        }.toDF("domain", "robots")
+        val rules = graft.text.Robots.parseRules(robots, $"domain", $"robots")
+        graft.text.Robots.evaluate(sel, $"url", rules).filter($"allowed")
+          .groupBy($"filename")
+          .agg(count(lit(1)).as("n_recs"),
+               sum($"rec_length").cast("long").as("bytes_to_read"),
+               min($"rec_offset").cast("long").as("min_off"),
+               max($"rec_offset").cast("long").as("max_off"),
+               min($"urlkey").as("key_lo"), max($"urlkey").as("key_hi"))
+          .orderBy($"filename")
+      },
+      Some("""WITH cap AS (
+             |  SELECT doc_id, doc_id % 7 AS d,
+             |    '/Docs/' || doc_id AS path,
+             |    '2026010' || ((doc_id % 5) + 1) || '000000' AS ts,
+             |    CASE WHEN doc_id % 3 != 0 THEN 'text/html' ELSE 'text/plain' END AS mime,
+             |    CASE WHEN doc_id % 11 != 0 THEN 200 ELSE 404 END AS status,
+             |    CAST(n_chars + 200 AS BIGINT) AS rec_length,
+             |    CAST(doc_id * 1000 AS BIGINT) AS rec_offset,
+             |    'crawl-' || (doc_id % 4) || '.warc.gz' AS filename
+             |  FROM documents),
+             |sel AS (SELECT * FROM cap
+             |        WHERE status = 200 AND mime = 'text/html' AND ts < '20260104'),
+             |rules AS (
+             |  SELECT t.d, '/Docs/' || t.d AS prefix, false AS allow FROM range(0,7) t(d)
+             |  UNION ALL SELECT t.d, '/Docs/' || t.d || t.d, true FROM range(0,7) t(d)
+             |  UNION ALL SELECT 5, '/Docs/55', false),
+             |m AS (SELECT s.doc_id, s.d, s.filename, s.rec_length, s.rec_offset,
+             |             r.prefix, r.allow
+             |      FROM sel s LEFT JOIN rules r
+             |        ON r.d = s.d AND starts_with(s.path, r.prefix)),
+             |rk AS (SELECT doc_id, d, filename, rec_length, rec_offset, allow,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY len(prefix) DESC NULLS LAST, allow DESC) AS rn
+             |       FROM m),
+             |v AS (SELECT doc_id, d, filename, rec_length, rec_offset
+             |      FROM rk WHERE rn = 1 AND coalesce(allow, true)),
+             |k AS (SELECT *,
+             |        'com,example' || d || ',site' || d || ')/docs/' || doc_id AS urlkey
+             |      FROM v)
+             |SELECT filename, count(*) AS n_recs,
+             |  CAST(sum(rec_length) AS BIGINT) AS bytes_to_read,
+             |  CAST(min(rec_offset) AS BIGINT) AS min_off,
+             |  CAST(max(rec_offset) AS BIGINT) AS max_off,
+             |  min(urlkey) AS key_lo, max(urlkey) AS key_hi
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

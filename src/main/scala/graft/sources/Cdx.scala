@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** CDX capture index — the metadata sidecar that makes crawl archives
+  * PRUNABLE. Real Common Crawl consumption never scans whole WARCs: the
+  * CDX index (one line per capture: urlkey, timestamp, url, mime,
+  * status, digest, redirect, metatags, length, offset, filename — the
+  * classic 11-field `CDX N b a m s k r M S V g` layout) is filtered by
+  * URL/domain/status/time predicates FIRST, and only the matching
+  * records' byte ranges `[offset, offset+length)` are ever read from
+  * archive storage — the engine's own metadata-prunes-IO thesis
+  * (SURVEY R1–R3, the STAC plan table) applied to its crawl source:
+  * [[Warc.read]] is the full-scan form, [[Cdx.read]]→filter→[[fetch]]
+  * the indexed form.
+  *
+  * Scale shape: the index is a plain columnar scan (tiny next to the
+  * archives — ~1% of archive bytes); selection is ordinary Catalyst
+  * filtering with predicate pushdown; [[fetch]] shuffles the work-list
+  * by archive file so ONE task opens each archive and reads its
+  * selected ranges in offset order (forward-only seeks — the access
+  * pattern object stores serve as HTTP range reads), via the Hadoop
+  * FileSystem API, so local, HDFS and s3a paths all work. Archive
+  * bytes touched = Σ selected lengths, nothing else.
+  */
+object Cdx {
+
+  /** SURT (Sort-friendly URI Reordering Transform) key: reversed host
+    * joined by commas + ")" + path, lowercased — CDX's primary sort key
+    * (`com,example)/path`), which clusters a domain's captures
+    * contiguously so domain predicates prune index row-groups. */
+  def surtKey(urlCol: Column): Column = {
+    val host = lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path = lower(coalesce(nullif(
+      regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
+      lit("")), lit("/")))
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+  }
+
+  /** Render capture rows as 11-field CDX lines (one `line` column) —
+    * the manifest an archive-writing sink emits beside its WARCs.
+    * Absent redirect/metatags take CDX's `-` placeholder. */
+  def toLines(df: DataFrame, urlCol: Column, tsCol: Column, mimeCol: Column,
+              statusCol: Column, digestCol: Column, lengthCol: Column,
+              offsetCol: Column, filenameCol: Column): DataFrame =
+    df.select(concat_ws(" ",
+      surtKey(urlCol), tsCol, urlCol, mimeCol, statusCol.cast("string"),
+      digestCol, lit("-"), lit("-"),
+      lengthCol.cast("string"), offsetCol.cast("string"), filenameCol).as("line"))
+
+  /** Parse CDX lines into typed columns. Header lines (the format
+    * declaration ` CDX N b a m s k r M S V g`) and blanks are dropped;
+    * a non-header line with the wrong field count fails the query
+    * loudly rather than mis-assigning columns. */
+  def parseLines(lines: DataFrame, lineCol: Column): DataFrame = {
+    val f = split(trim(lineCol), " ")
+    lines
+      .select(f.as("f"), trim(lineCol).as("l"))
+      .filter(length(col("l")) > 0 && !col("l").startsWith("CDX "))
+      .withColumn("_ok", assert_true(size(col("f")) === 11,
+        concat(lit("Cdx.parseLines: expected 11 fields, got line: "), col("l"))))
+      .select(
+        element_at(col("f"), 1).as("urlkey"),
+        element_at(col("f"), 2).as("ts"),
+        element_at(col("f"), 3).as("url"),
+        element_at(col("f"), 4).as("mime"),
+        element_at(col("f"), 5).cast("int").as("status"),
+        element_at(col("f"), 6).as("digest"),
+        element_at(col("f"), 7).as("redirect"),
+        element_at(col("f"), 8).as("meta"),
+        element_at(col("f"), 9).cast("long").as("rec_length"),
+        element_at(col("f"), 10).cast("long").as("rec_offset"),
+        element_at(col("f"), 11).as("filename"),
+        col("_ok"))
+      .drop("_ok")
+  }
+
+  /** Scan CDX index files under `path` into the typed capture table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path), col("value"))
+
+  /** Read ONLY the selected captures' byte ranges from their archives:
+    * `selected` carries (filename, rec_offset, rec_length) rows (any
+    * other columns ignored); each range holds one gzip member (Common
+    * Crawl's per-record-gzip convention — members concatenate into a
+    * valid `.warc.gz`, and any member inflates standalone) framing one
+    * WARC record. Returns (uri, wdate, payload, filename, rec_offset).
+    *
+    * One task per archive: the work-list shuffles on `filename` and
+    * reads in offset order, so seeks are forward-only and each archive
+    * is opened once. `bytesRead`, when supplied, tallies exactly the
+    * archive bytes touched — the pruning evidence (CdxSpec corrupts
+    * every non-selected member and asserts the fetch never notices). */
+  def fetch(selected: DataFrame, archiveDir: String,
+            bytesRead: Option[LongAccumulator] = None,
+            maxRecordBytes: Long = 256L << 20): DataFrame = {
+    val spark = selected.sparkSession
+    import spark.implicits._
+    val dir = archiveDir
+    val cap = maxRecordBytes
+    selected.select(col("filename"), col("rec_offset"), col("rec_length"))
+      .as[(String, Long, Long)]
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("rec_offset"))
+      .mapPartitions { it =>
+        new Iterator[(String, String, String, String, Long)] {
+          private var fs: org.apache.hadoop.fs.FileSystem = null
+          private var in: org.apache.hadoop.fs.FSDataInputStream = null
+          private var curFile: String = null
+          private var pending: Iterator[(String, String, String, String, Long)] =
+            Iterator.empty
+          private def openFor(f: String): Unit = if (f != curFile) {
+            if (in != null) in.close()
+            val p = new org.apache.hadoop.fs.Path(dir, f)
+            if (fs == null)
+              fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            in = fs.open(p)
+            curFile = f
+          }
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val (f, off, len) = it.next()
+              require(len >= 0 && len <= cap,
+                s"Cdx.fetch: record length $len at $f:$off outside [0, " +
+                s"maxRecordBytes=$cap] — a capture is one document, not an " +
+                "archive; a length this size means a corrupt index line or " +
+                "an index written against a different archive layout.")
+              openFor(f)
+              val buf = new Array[Byte](len.toInt)
+              in.readFully(off, buf, 0, len.toInt)
+              bytesRead.foreach(_.add(len))
+              pending = Warc.parse(Warc.inflateIfGzip(buf))
+                .map { case (u, d, p) => (u, d, p, f, off) }
+            }
+            if (!pending.hasNext && in != null) {
+              in.close(); in = null; curFile = null
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending.hasNext
+          override def next(): (String, String, String, String, Long) = {
+            val r = pending.next(); advance(); r
+          }
+        }
+      }
+      .toDF("uri", "wdate", "payload", "filename", "rec_offset")
+  }
+}
