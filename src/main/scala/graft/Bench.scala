@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *    sf carries forward when it is ≤ every contaminated median
   *    (`carried` lists these; contention only ever inflates, so a prior
   *    above the measured numbers means the measurement is trustworthy
-  *    after all and min-of-medians commits instead). Pure-spread
+  *    after all and min-of-medians commits instead). Carrying is DEPTH
+  *    1 — a prior value that was itself carried never re-carries, so a
+  *    stale number cannot self-perpetuate — carried queries run FIRST
+  *    in the next sweep (freshest window), and the summary stdout line
+  *    names them (`carried`), not just the artifact. Pure-spread
   *    flakiness with clean load commits min-of-medians — that variance
   *    is the query's, not the machine's. All raw sets stay in the
   *    artifact; `load_flagged`/`gap_flagged` list queries whose EVERY
@@ -107,8 +111,6 @@ object Bench {
     // sweep (e.g. SPARK_GRAFT_BENCH_ONLY=w5_session_window).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
@@ -128,20 +130,51 @@ object Bench {
     // for the same sf beats any number measured this run; read it
     // BEFORE overwriting. Pure-spread flakiness still commits
     // min-of-medians (variance is the query's, not the machine's).
+    //
+    // Anti-staleness rules (round-11 verdict: a carried value becomes
+    // the next run's prior, so under persistent load a stale number
+    // could self-perpetuate and a real regression would never surface):
+    //  - CARRY DEPTH 1: a prior value that was ITSELF carried (the
+    //    prior artifact's `carried` list) is ineligible — two
+    //    consecutive contaminated rounds commit the measured (flagged)
+    //    minimum instead of an ever-older number;
+    //  - carried queries RUN FIRST next time (before the sweep builds
+    //    up load/session debt), maximizing the chance of a fresh
+    //    clean window;
+    //  - the artifact records the query-set hash (`qset`) so a changed
+    //    query inventory is visible next to any carried value.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
-    val prior: Map[String, Double] = try {
+    val (prior, priorCarried): (Map[String, Double], Set[String]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(outPath)), java.nio.charset.StandardCharsets.UTF_8)
       val qKey = "\"queries\":{"
       val start = txt.indexOf(qKey)
-      if (start < 0 || !txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      if (start < 0 || !txt.contains("\"sf\":\"" + sfDir + "\""))
+        (Map.empty[String, Double], Set.empty[String])
       else {
         val sub = txt.substring(start + qKey.length, txt.indexOf('}', start))
-        """"([a-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(sub)
+        val qs = """"([a-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(sub)
           .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+        val pc = """"carried":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+          .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet
+        (qs, pc)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], Set.empty[String]) }
     val maxSets = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SETS", "3").toInt
+
+    // carried-prior queries get the freshest (lowest-debt) window: they
+    // run before the alphabet; the sort is stable so each group stays
+    // alphabetical
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) => if (priorCarried(name)) 0 else 1 }
+    val qsetHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(selected.map(_._1).sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
 
     val results = selected.map { case (name, fn) =>
       val l0 = load1m()
@@ -209,7 +242,8 @@ object Bench {
           // known to be inflated (contention only ever inflates)
           if (allLoaded) loadFlagged += name
           if (allGapped) gapFlagged += name
-          prior.get(name).filter(_ >= 0) match {
+          // depth-1 cap: never carry a value that was itself carried
+          prior.get(name).filter(_ >= 0).filterNot(_ => priorCarried(name)) match {
             case Some(p) if setMeds.forall(_ >= p) => carried += name; p
             case _ => setMeds.filter(_ >= 0).minOption.getOrElse(-1.0)
           }
@@ -267,9 +301,9 @@ object Bench {
       s""""heavy_rule":"warmup>${heavyThresholdSec}s","spread_rerun":$spreadRerunFactor,""" +
       s""""load_rerun":$loadRerunThreshold,"warmup_gap_rerun":$warmupGapFactor,""" +
       s""""warmup_gap_floor_sec":$warmupGapFloorSec,"max_sets":$maxSets,""" +
-      s""""median_commit":"first-clean-window, else carry prior artifact when all windows contaminated, else min-of-medians"}"""
+      s""""median_commit":"first-clean-window, else carry prior artifact (depth 1, carried-run-first) when all windows contaminated, else min-of-medians"}"""
     val fileLine = line.dropRight(1) +
-      s""","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
+      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line: compact enough (<600 B) to survive any tail
@@ -280,7 +314,10 @@ object Bench {
       .flatMap(h => results.find(_._1 == h))
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.flatMap(t => Seq(t._1, t._2)).max
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup,"queries":$headline,"load_1m_max":$loadMax,"n_errors":${errors.size},"n_reran":${reran.size},"n_load_flagged":${loadFlagged.size},"queries_file":"$out"}""")
+    // carried values are NOT fresh measurements — name them in the
+    // always-visible summary (capped), not only in the artifact file
+    val carriedHead = carried.take(16).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup,"queries":$headline,"load_1m_max":$loadMax,"n_errors":${errors.size},"n_reran":${reran.size},"n_load_flagged":${loadFlagged.size},"n_carried":${carried.size},"carried":$carriedHead,"queries_file":"$out"}""")
     System.out.flush()
     spark.stop()
   }
