@@ -163,6 +163,44 @@ class RecallSpec extends SparkSpec {
     t01.unpersist(); shortlist.unpersist(); prep.unpersist()
   }
 
+  test("MMR diversification floor: cluster coverage and redundancy vs plain top-k") {
+    import spark.implicits._
+    // 6 clusters x 10 near-duplicate members; relevance is rigged so a
+    // relevance-only top-6 is ALL cluster 0 — the serving failure MMR
+    // exists to prevent. Quantized one-hot-ish vectors keep every sim a
+    // clean rational: intra-cluster sim ~1, cross-cluster sim ~0.
+    val rows = for (c <- 0 until 6; j <- 0 until 10) yield {
+      val qv = Array.fill(8)(0L)
+      qv(c) = 10000L
+      qv((c + 1) % 6) = 100L * j // small within-cluster jitter
+      (c * 10L + j, 0.9 - c * 0.01 - j * 0.001, qv.toSeq, c)
+    }
+    val shortlist = rows.map(r => (r._1, r._2, r._3)).toDF("id", "rel", "qv")
+    val picked = graft.ann.Mmr.diversify(shortlist, k = 6)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    val topk = rows.sortBy(-_._2).take(6).map(_._1)
+    def cluster(id: Long): Int = (id / 10).toInt
+    def maxPairSim(ids: Seq[Long]): Double = {
+      val byId = rows.map(r => r._1 -> r._3).toMap
+      def dot(a: Seq[Long], b: Seq[Long]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      (for (i <- ids; j <- ids if i < j) yield {
+        val (va, vb) = (byId(i), byId(j))
+        dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      }).max
+    }
+    // pinned floors: relevance-only top-6 is one redundant cluster
+    // (max intra-set sim ~1.0); MMR covers every cluster and its worst
+    // intra-set sim is the jitter's ~0.01 cross-term
+    assert(topk.map(cluster).distinct.length == 1)
+    assert(maxPairSim(topk) >= 0.99, s"top-k redundancy ${maxPairSim(topk)}")
+    assert(picked.map(cluster).distinct.length == 6,
+      s"MMR covered only ${picked.map(cluster).distinct.length}/6 clusters: $picked")
+    assert(maxPairSim(picked) <= 0.05, s"MMR redundancy ${maxPairSim(picked)}")
+    // and the diversified set still leads with the single most relevant doc
+    assert(picked.head == 0L)
+  }
+
   test("signedPermute: exact invariance of distance-based rankings; norms preserved") {
     val rot = Ann.signedPermute(prepared, dim = 64, seed = "graft-rr")
     // |Rx|^2 == |x|^2 exactly (orthogonal signed permutation)
