@@ -10681,7 +10681,47 @@ object Queries {
              |  CAST(min(rec_offset) AS BIGINT) AS min_off,
              |  CAST(max(rec_offset) AS BIGINT) AS max_off,
              |  min(urlkey) AS key_lo, max(urlkey) AS key_hi
-             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R19: STREAMING WARC ingest — r15's lossless round-trip
+    // census through Warc.readStreaming, the O(record)-memory form the
+    // inflate guard's message names: paths (not contents) flow through
+    // Spark, each task opens its archive via the Hadoop FS API, stacks
+    // a streaming gzip decoder (multi-member .warc.gz), and frames
+    // records incrementally — at no point does more than one record sit
+    // on a heap, so archive size is unbounded. Identical adversarial
+    // payloads (header look-alikes), identical oracle: the two readers
+    // must be indistinguishable to a consumer.
+    Q("r19_warc_stream",
+      (s, dir) => {
+        import s.implicits._
+        val payload = concat($"text",
+          lit("\nWARC/1.0 look-alike\r\nContent-Length: 0\n\n tail"))
+        val url = concat(lit("http://crawl.example/doc/"), $"doc_id".cast("string"))
+        val recs = graft.sources.Warc.toRecords(
+          t(s, dir, "documents"), url, lit("2026-01-01T00:00:00Z"), payload)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_warcs_").toString
+        recs.write.mode("overwrite").option("compression", "gzip").text(tmp)
+        graft.sources.Warc.readStreaming(s, tmp)
+          .select(regexp_extract($"uri", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+                  $"payload")
+          .withColumn("bucket", ($"doc_id" % 7).cast("int"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_recs"),
+               sum(octet_length($"payload")).cast("long").as("sum_octets"),
+               sum($"doc_id").cast("long").as("id_sum"),
+               min(md5($"payload")).as("md5_lo"), max(md5($"payload")).as("md5_hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || chr(10) || 'WARC/1.0 look-alike' || chr(13) || chr(10) ||
+             |    'Content-Length: 0' || chr(10) || chr(10) || ' tail' AS payload
+             |  FROM documents)
+             |SELECT CAST(doc_id % 7 AS INT) AS bucket, count(*) AS n_recs,
+             |  CAST(sum(strlen(payload)) AS BIGINT) AS sum_octets,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  min(md5(payload)) AS md5_lo, max(md5(payload)) AS md5_hi
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

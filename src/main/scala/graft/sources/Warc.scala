@@ -112,6 +112,105 @@ object Warc {
     out.toByteArray
   }
 
+  /** The STREAMING form of [[read]] — the escape hatch [[inflateIfGzip]]'s
+    * guard names: O(record) memory at ANY archive size. Instead of
+    * materializing whole files ([[read]]'s `binaryFile` content path),
+    * only file PATHS flow through Spark; each task opens its archive via
+    * the Hadoop FileSystem API (local/HDFS/s3a), stacks a streaming
+    * gzip decoder when the magic leads (multi-member streams — the
+    * `.warc.gz` convention — decode transparently), and frames records
+    * incrementally with [[parseStream]]: at no point does more than one
+    * record (capped at `maxRecordBytes`) sit on the heap. Same output
+    * contract as [[read]]; one task per archive, same as [[read]]'s
+    * binaryFile unit. */
+  def readStreaming(spark: SparkSession, path: String,
+                    maxRecordBytes: Long = DefaultMaxInflatedBytes): DataFrame = {
+    import spark.implicits._
+    val cap = maxRecordBytes
+    spark.read.format("binaryFile").load(path)
+      .select(col("path")).as[String]
+      .repartition(col("path"))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val raw = new java.io.BufferedInputStream(fs.open(hp), 1 << 16)
+          raw.mark(2)
+          val h0 = raw.read(); val h1 = raw.read()
+          raw.reset()
+          val in: java.io.InputStream =
+            if (h0 == 0x1f && h1 == 0x8b)
+              new java.util.zip.GZIPInputStream(raw, 1 << 16)
+            else raw
+          parseStream(in, cap) // exhausting the iterator closes the stream
+        }
+      }
+      .toDF("uri", "wdate", "payload")
+  }
+
+  /** Incremental framing over an InputStream: header lines read
+    * byte-at-a-time (buffered upstream), payloads via bounded readNBytes
+    * — memory is O(one record), never O(archive). The stream closes when
+    * the iterator exhausts. */
+  def parseStream(in: java.io.InputStream,
+                  maxRecordBytes: Long): Iterator[(String, String, String)] = {
+    new Iterator[(String, String, String)] {
+      private var nextRec: (String, String, String) = _
+      private var closed = false
+      // next text line (\r stripped); null at EOF before any byte
+      private def line(): String = {
+        val sb = new java.lang.StringBuilder(64)
+        var b = in.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+        var n = sb.length()
+        if (n > 0 && sb.charAt(n - 1) == '\r') n -= 1
+        // header lines are ASCII by spec; payloads never route through here
+        new String(sb.toString.substring(0, n).getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      private def advance(): Unit = {
+        nextRec = null
+        if (closed) return
+        var version = line()
+        while (version != null && version.isEmpty) version = line() // blank separators
+        if (version == null) { in.close(); closed = true; return }
+        require(version.startsWith("WARC/"),
+          s"WARC framing lost (streaming): got '$version'")
+        var uri = ""; var date = ""; var len = -1L
+        var h = line()
+        while (h != null && h.nonEmpty) {
+          val sep = h.indexOf(": ")
+          if (sep > 0) {
+            val (k, v) = (h.substring(0, sep), h.substring(sep + 2))
+            k match {
+              case "WARC-Target-URI" => uri = v
+              case "WARC-Date"       => date = v
+              case "Content-Length"  => len = v.toLong
+              case _                 => ()
+            }
+          }
+          h = line()
+        }
+        require(len >= 0 && len <= maxRecordBytes,
+          s"WARC record Content-Length $len outside [0, maxRecordBytes=" +
+          s"$maxRecordBytes] — raise the cap for oversized records, or fix " +
+          "the archive; the streaming reader never buffers more than one " +
+          "record by design.")
+        val buf = in.readNBytes(len.toInt)
+        require(buf.length == len,
+          s"archive truncated mid-payload: wanted $len bytes, got ${buf.length}")
+        nextRec = (uri, date, new String(buf, "UTF-8"))
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (String, String, String) = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
   /** One framing pass over a file's bytes. Exposed for kernel tests. */
   def parse(bytes: Array[Byte]): Iterator[(String, String, String)] = {
     var i = 0

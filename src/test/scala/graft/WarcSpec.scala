@@ -86,6 +86,43 @@ class WarcSpec extends SparkSpec {
     assert(graft.sources.Warc.inflateIfGzip(bos.toByteArray).length == big.length)
   }
 
+  test("readStreaming == read on gzipped and plain archives (O(record) memory path)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain"),
+      (2L, "look-alike\nWARC/1.0\r\nContent-Length: 7\r\n\r\ntrap"),
+      (3L, "ünïcode ✓"),
+      (4L, "")).toDF("id", "text").repartition(2)
+    val recs = graft.sources.Warc.toRecords(
+      docs, concat(lit("urn:s:"), $"id"), lit("2026-04-04T00:00:00Z"), $"text")
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_wstream_gz_").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_wstream_pl_").toString
+    recs.write.mode("overwrite").option("compression", "gzip").text(gzDir)
+    recs.write.mode("overwrite").text(plainDir)
+    for (dir <- Seq(gzDir, plainDir)) {
+      val whole = graft.sources.Warc.read(spark, dir)
+        .select($"uri", $"wdate", $"payload").collect().map(_.toSeq).toSet
+      val streamed = graft.sources.Warc.readStreaming(spark, dir)
+        .select($"uri", $"wdate", $"payload").collect().map(_.toSeq).toSet
+      assert(streamed == whole, s"dir=$dir")
+      assert(streamed.size == 4)
+    }
+  }
+
+  test("readStreaming caps per-record memory, loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 10000)).toDF("id", "text")
+    val recs = graft.sources.Warc.toRecords(
+      docs, lit("urn:big"), lit("2026-04-04T00:00:00Z"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wstream_cap_").toString
+    recs.write.mode("overwrite").text(dir)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.Warc.readStreaming(spark, dir, maxRecordBytes = 1024L).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxRecordBytes"))
+  }
+
   test("round-trip through the text sink and binaryFile scan is lossless") {
     import spark.implicits._
     val docs = Seq(
