@@ -10721,7 +10721,53 @@ object Queries {
              |  CAST(sum(strlen(payload)) AS BIGINT) AS sum_octets,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
              |  min(md5(payload)) AS md5_lo, max(md5(payload)) AS md5_hi
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R20: indexed-archive END-TO-END — the full crawl-storage
+    // loop with REAL byte offsets: documents render to per-record-gzip
+    // .warc.gz archives + their CDX manifest in one pass
+    // (Cdx.writeIndexedArchives), a doc_id predicate selects a third of
+    // the captures FROM THE MANIFEST, and Cdx.fetch range-reads exactly
+    // those members back (the other two thirds' bytes are never
+    // touched — CdxSpec proves that with corrupted members; here the
+    // whole loop is oracle-gated). The census must equal the oracle's
+    // direct census over the filtered source table: storage round-trip
+    // + index spans + range framing are all in the hash. The digest
+    // check rides along: every fetched payload must md5-match its own
+    // manifest row.
+    Q("r20_cdx_fetch",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val url = concat(lit("urn:doc:"), $"doc_id".cast("string"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cdxrt_").toString
+        val caps = graft.sources.Cdx.writeIndexedArchives(
+          docs, url, lit("20260101000000"), $"text", tmp).localCheckpoint(true)
+        val sel = caps
+          .withColumn("doc_id", regexp_extract($"url", "urn:doc:(\\d+)", 1).cast("long"))
+          .filter($"doc_id" % 3 === 0)
+        val fetched = graft.sources.Cdx.fetch(sel, tmp)
+          .select(regexp_extract($"uri", "urn:doc:(\\d+)", 1).cast("long").as("doc_id"),
+                  $"payload", $"filename", $"rec_offset")
+        // digest audit: every fetched payload md5-matches its manifest row
+        fetched.join(caps.select($"filename", $"rec_offset", $"digest"),
+            Seq("filename", "rec_offset"))
+          .withColumn("bucket", ($"doc_id" % 7).cast("int"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_recs"),
+               sum(octet_length($"payload")).cast("long").as("sum_octets"),
+               sum($"doc_id").cast("long").as("id_sum"),
+               sum(when(md5($"payload") === $"digest", 1L).otherwise(0L)).as("n_digest_ok"),
+               min(md5($"payload")).as("md5_lo"), max(md5($"payload")).as("md5_hi"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(doc_id % 7 AS INT) AS bucket, count(*) AS n_recs,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS sum_octets,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(count(*) AS BIGINT) AS n_digest_ok,
+             |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
+             |FROM documents WHERE doc_id % 3 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

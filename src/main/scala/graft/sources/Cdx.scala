@@ -81,6 +81,63 @@ object Cdx {
   def read(spark: SparkSession, path: String): DataFrame =
     parseLines(spark.read.text(path), col("value"))
 
+  /** The ARCHIVE-WRITING sink: render each partition as one `.warc.gz`
+    * of per-record gzip members (Common Crawl's layout — members
+    * concatenate into a valid archive AND inflate standalone, which is
+    * what makes [[fetch]]'s range reads possible) and return the CDX
+    * capture table (url, ts, digest, rec_length, rec_offset, filename)
+    * recording the EXACT byte spans written — the manifest that makes
+    * the archive prunable from day one. Payloads stream through one at
+    * a time (O(record) memory); only the metadata rows buffer per task.
+    * Laziness caveat: the write happens when the returned frame first
+    * executes — localCheckpoint/persist it before multiple actions, or
+    * the files are rewritten per action (deterministically, same
+    * content). Offsets depend on the input partitioning; the PAYLOAD
+    * SET does not. */
+  def writeIndexedArchives(df: DataFrame, urlCol: Column, tsCol: Column,
+                           textCol: Column, outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dir = outDir
+    df.select(urlCol.cast("string").as("url"), tsCol.cast("string").as("ts"),
+              textCol.cast("string").as("text"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fname = f"part-$pid%05d.warc.gz"
+          val hp = new org.apache.hadoop.fs.Path(dir, fname)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(hp, true)
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, String, Long, Long, String)]
+          var off = 0L
+          it.foreach { case (url, ts, text) =>
+            val payload = if (text == null) "" else text
+            val pbytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $url\r\nWARC-Date: $ts\r\n" +
+              s"Content-Length: ${pbytes.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val tail = "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bos = new java.io.ByteArrayOutputStream(pbytes.length / 2 + 64)
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(head); gz.write(pbytes); gz.write(tail); gz.close()
+            val member = bos.toByteArray
+            out.write(member)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val digest = md.digest(pbytes).map("%02x".format(_)).mkString
+            rows += ((url, ts, digest, member.length.toLong, off, fname))
+            off += member.length
+          }
+          out.close()
+          rows.iterator
+        }
+      }
+      .toDF("url", "ts", "digest", "rec_length", "rec_offset", "filename")
+  }
+
   /** Read ONLY the selected captures' byte ranges from their archives:
     * `selected` carries (filename, rec_offset, rec_length) rows (any
     * other columns ignored); each range holds one gzip member (Common
