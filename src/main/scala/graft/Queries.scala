@@ -10767,7 +10767,68 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_digest_ok,
              |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
              |FROM documents WHERE doc_id % 3 = 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- K10: BLOOM-filter membership prune (sketch.Bloom) — the
+    // missing member of the sketch family and the classic 100 TB
+    // pre-pass: build an m-bit / k-hash filter over the SEEN set (its
+    // cardinality doesn't matter — the sketch is m bits), embed the
+    // dense word array as a plan literal, and prune a corpus-sized scan
+    // map-side (k bit-tests, zero joins) before any exact/expensive
+    // check. Words hold 63 bits so no engine's checked BIGINT shift can
+    // overflow — bit-exact replay everywhere. The census pins the two
+    // laws: n_fn = 0 ALWAYS (one-sided error), n_fp small and exactly
+    // reproduced (the same md5 positions → the same collisions in any
+    // engine).
+    Q("k10_bloom_prune",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.Bloom
+        val docs = t(s, dir, "documents")
+        val url = concat(lit("urn:doc:"), $"doc_id".cast("string"))
+        val seen = docs.filter($"doc_id" % 5 === 0).select(url.as("u"))
+        val bt = Bloom.table(seen, $"u", m = 8192, k = 3)
+        val w = Bloom.words(bt, 8192)
+        docs.select($"doc_id", $"source", url.as("u"))
+          .withColumn("maybe", Bloom.mightContain($"u", w, 8192, 3))
+          .withColumn("istrue", $"doc_id" % 5 === 0)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_probed"),
+               sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe"),
+               sum(when($"istrue", 1L).otherwise(0L)).as("n_true"),
+               sum(when($"maybe" && !$"istrue", 1L).otherwise(0L)).as("n_fp"),
+               sum(when(!$"maybe" && $"istrue", 1L).otherwise(0L)).as("n_fn"))
+          .orderBy($"source")
+      },
+      Some("""WITH ks AS (SELECT unnest([0, 1, 2]) AS j),
+             |seen AS (SELECT 'urn:doc:' || doc_id AS u FROM documents
+             |         WHERE doc_id % 5 = 0),
+             |spos AS (SELECT ('0x' || substr(md5(ks.j || '|' || u), 1, 15))::BIGINT
+             |                  % 8192 AS pos
+             |         FROM seen CROSS JOIN ks),
+             |wt AS (SELECT pos // 63 AS word_idx,
+             |              bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+             |       FROM spos GROUP BY 1),
+             |probe AS (SELECT doc_id, source, 'urn:doc:' || doc_id AS u FROM documents),
+             |pp AS (SELECT doc_id, source,
+             |         ('0x' || substr(md5(ks.j || '|' || u), 1, 15))::BIGINT
+             |           % 8192 AS pos
+             |       FROM probe CROSS JOIN ks),
+             |hits AS (SELECT pp.doc_id, pp.source,
+             |           sum(CASE WHEN w.word IS NOT NULL AND
+             |                 (w.word & (1::BIGINT << CAST(pp.pos % 63 AS INT))) != 0
+             |               THEN 1 ELSE 0 END) AS nbits
+             |         FROM pp LEFT JOIN wt w ON w.word_idx = pp.pos // 63
+             |         GROUP BY 1, 2),
+             |mb AS (SELECT doc_id, source, (nbits = 3) AS maybe,
+             |              (doc_id % 5 = 0) AS istrue
+             |       FROM hits)
+             |SELECT source, count(*) AS n_probed,
+             |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+             |  CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN maybe AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+             |  CAST(sum(CASE WHEN NOT maybe AND istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_fn
+             |FROM mb GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
