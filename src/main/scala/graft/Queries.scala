@@ -10828,7 +10828,60 @@ object Queries {
              |  CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
              |  CAST(sum(CASE WHEN maybe AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
              |  CAST(sum(CASE WHEN NOT maybe AND istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_fn
-             |FROM mb GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM mb GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- D14: LSH recall census (Dedup.lshRecallCensus) — the
+    // EVALUATE member of the dedup family, v22's ANN-recall twin: the
+    // MEASURED S-curve. Exact all-pairs token-set Jaccard over a bounded
+    // slice is the ground truth (recall evaluation is exact-search-
+    // priced by definition — it runs on a slice, never the corpus);
+    // candidates are the 8-hash/2-band pair space; the census buckets
+    // truth pairs by Jaccard decile and states the per-bucket candidate
+    // hit rate in exact ppm — the empirical form of
+    // P[cand] = 1 − (1 − j^4)² that every (numHashes, rowsPerBand)
+    // sizing decision reads off. The oracle replays signatures (string-
+    // min md5), band keys, the pair spaces, and the integer div.
+    Q("d14_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val slice = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+          .select($"doc_id", $"text")
+        graft.dedup.Dedup.lshRecallCensus(slice, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 4, shingleN = 1)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+             |sets AS MATERIALIZED (SELECT doc_id,
+             |    list_distinct(list_transform(string_split(text, ' '),
+             |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT)) AS st
+             |  FROM d),
+             |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    len(list_intersect(a.st, b.st))::DOUBLE /
+             |      (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS j
+             |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+             |toks AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+             |sig AS MATERIALIZED (SELECT doc_id,
+             |    min(md5('0|' || tok)) AS h0, min(md5('1|' || tok)) AS h1,
+             |    min(md5('2|' || tok)) AS h2, min(md5('3|' || tok)) AS h3,
+             |    min(md5('4|' || tok)) AS h4, min(md5('5|' || tok)) AS h5,
+             |    min(md5('6|' || tok)) AS h6, min(md5('7|' || tok)) AS h7
+             |  FROM toks GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS key FROM sig
+             |  UNION ALL
+             |  SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |tagged AS (SELECT CAST(floor(t.j * 10) AS INT) AS jac_band,
+             |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM truth t LEFT JOIN cand c
+             |    ON t.id_a = c.id_a AND t.id_b = c.id_b
+             |  WHERE t.j > 0)
+             |SELECT jac_band, count(*) AS n_pairs,
+             |  CAST(sum(hit) AS BIGINT) AS n_cand,
+             |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS hit_ppm
+             |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

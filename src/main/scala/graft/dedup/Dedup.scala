@@ -332,6 +332,40 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("jaccard"))
   }
 
+  /** The EVALUATE member of the dedup family ([[graft.ann.Ann]]'s
+    * recall-census twin, v22): the MEASURED LSH S-curve. Ground truth is
+    * the exact all-pairs n-gram Jaccard over a bounded evaluation slice
+    * ([[ngramJaccardPairs]]'s guard applies — recall evaluation is
+    * exact-search-priced by definition, so it runs on a SLICE, never the
+    * corpus); candidates are the banding pair space at (numHashes,
+    * rowsPerBand). The census buckets truth pairs by Jaccard decile and
+    * reports the empirical candidate-hit rate per bucket — the measured
+    * form of the collision model P[cand] = 1 − (1 − j^r)^b that every
+    * (numHashes, rowsPerBand) sizing decision reads off. Returns
+    * (jac_band, n_pairs, n_cand, hit_ppm), hit_ppm an exact integer div.
+    * Disjoint pairs (j = 0) are excluded — they are the no-signal mass. */
+  def lshRecallCensus(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 8, rowsPerBand: Int = 4,
+                      shingleN: Int = 1, maxRows: Long = 20000L): DataFrame = {
+    val truth = ngramJaccardPairs(df, idCol, textCol, shingleN,
+        threshold = 0.0, maxRows)
+      .filter(col("jaccard") > 0.0)
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleN)
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("jac_band", floor(col("jaccard") * 10).cast("int"))
+      .groupBy(col("jac_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_cand"))
+      .withColumn("hit_ppm", expr("(n_cand * 1000000) div n_pairs"))
+      .orderBy(col("jac_band"))
+  }
+
   /** Exact duplicated-SPAN removal — the substring-level dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (suffix-array ExactSubstr), re-expressed as a distributed

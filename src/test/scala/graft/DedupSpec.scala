@@ -684,4 +684,20 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(exact).isEmpty && exact.exceptAll(fast).isEmpty,
       "prefix-filtered containment diverged from the exact all-pairs join")
   }
+
+  test("lshRecallCensus: identical sets always collide; low bands rarely do") {
+    import spark.implicits._
+    // 3 exact-duplicate token sets (j=1.0 pairs MUST be candidates —
+    // identical sets give identical signatures) + filler docs whose
+    // pairwise overlap is the shared 'common' token only
+    val docs = ((0 until 3).map(i => (100L + i, "alpha beta gamma delta common")) ++
+      (0 until 40).map(i => (200L + i, s"u$i v$i w$i x$i y$i z$i common"))).toDF("id", "text")
+    val out = Dedup.lshRecallCensus(docs, "id", "text").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // band 10 = the three exact-dup pairs: guaranteed candidacy, exact ppm
+    assert(out(10) == ((3L, 3L, 1000000L)), s"band10=${out.get(10)}")
+    // the 1-shared-token filler pairs (j ~ 1/13) almost never collide
+    val low = out.filter(_._1 <= 1).values
+    assert(low.nonEmpty && low.map(_._3).max < 200000L, s"low bands $low")
+  }
 }
