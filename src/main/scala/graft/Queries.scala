@@ -10881,7 +10881,41 @@ object Queries {
              |SELECT jac_band, count(*) AS n_pairs,
              |  CAST(sum(hit) AS BIGINT) AS n_cand,
              |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS hit_ppm
-             |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T31: SENTENCE-window chunking (Chunk.bySentences) — t28's
+    // RAG segmentation with sentences as the unit (never cuts
+    // mid-sentence). The boundary split must be RE2-safe for the oracle
+    // (no lookbehind), so it is a sentinel rewrite — terminator runs
+    // keep their exact bytes inside their sentence, md5-pinned here.
+    // Same contract as t28: trailing partials kept, every doc >= 1
+    // address, map-side explosion with no shuffle until the census.
+    Q("t31_sentence_chunks",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Chunk.bySentences(t(s, dir, "documents"), "text", win = 3, stride = 2)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum($"chunk_nsent").cast("long").as("sum_nsent"),
+               max($"chunk_idx").cast("int").as("max_idx"),
+               min(md5($"chunk_text")).as("md5_lo"), max(md5($"chunk_text")).as("md5_hi"))
+          .orderBy($"source")
+      },
+      Some("""WITH sen AS (SELECT doc_id, source,
+             |    string_split(regexp_replace(text, '([.!?]+) +', '\1' || chr(1), 'g'),
+             |                 chr(1)) AS ss
+             |  FROM documents),
+             |st AS (SELECT source, ss, r.x AS s
+             |       FROM sen JOIN range(0, 100000, 2) r(x) ON r.x <= len(ss) - 1),
+             |ch AS (SELECT source, CAST(s // 2 AS INT) AS chunk_idx,
+             |         least(len(ss) - s, 3) AS nsent,
+             |         array_to_string(list_slice(ss, s + 1, s + 3), ' ') AS ctext
+             |       FROM st)
+             |SELECT source, count(*) AS n_chunks,
+             |  CAST(sum(nsent) AS BIGINT) AS sum_nsent,
+             |  CAST(max(chunk_idx) AS INT) AS max_idx,
+             |  min(md5(ctext)) AS md5_lo, max(md5(ctext)) AS md5_hi
+             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

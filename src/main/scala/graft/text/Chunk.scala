@@ -44,4 +44,36 @@ object Chunk {
         concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(win))))
       .drop("__toks", "__start")
   }
+
+  /** SENTENCE-window chunking — [[slidingWindows]] with sentences as the
+    * unit (the RAG variant that never cuts mid-sentence): `win` sentences
+    * every `stride`. Sentence boundaries are terminator runs ([.!?]+)
+    * followed by spaces; the split is a two-step sentinel rewrite —
+    * `regexp_replace("([.!?]+) +", "$1\u0001")` then split on U+0001 —
+    * because a lookbehind split would keep terminators but RE2 engines
+    * (the oracle) have no lookbehind; the sentinel form preserves every
+    * terminator VERBATIM in its sentence on both engines. Same window
+    * contract as the token form: trailing partials kept, NULL text
+    * coalesces to one empty chunk, starts at 0, stride, 2·stride, ….
+    * Adds `chunk_idx`, `chunk_nsent`, `chunk_text` (sentences re-joined
+    * by single spaces). Map-side explosion, no shuffle. */
+  def bySentences(df: DataFrame, textCol: String, win: Int, stride: Int): DataFrame = {
+    require(win >= 1, s"win must be >= 1, got $win")
+    require(stride >= 1 && stride <= win,
+      s"stride must be in [1, win] (gaps would drop sentences), got stride=$stride win=$win")
+    val reserved = Seq("chunk_idx", "chunk_nsent", "chunk_text", "__sents", "__start")
+    reserved.foreach(r => require(!df.columns.contains(r), s"column $r is reserved"))
+    val sents = split(
+      regexp_replace(coalesce(col(textCol), lit("")), "([.!?]+) +", "$1\u0001"),
+      "\u0001")
+    df.withColumn("__sents", sents)
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__sents")) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_idx", (col("__start") / stride).cast("int"))
+      .withColumn("chunk_nsent",
+        least(size(col("__sents")) - col("__start"), lit(win)).cast("int"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__sents"), col("__start") + 1, lit(win))))
+      .drop("__sents", "__start")
+  }
 }

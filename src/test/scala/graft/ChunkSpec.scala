@@ -50,6 +50,26 @@ class ChunkSpec extends SparkSpec {
     assert(n == want)
   }
 
+  test("bySentences: terminators preserved verbatim; windows over sentences") {
+    import spark.implicits._
+    val df = Seq((1, "A one. B two! C three? D four. E five")).toDF("id", "text")
+    val got = graft.text.Chunk.bySentences(df, "text", win = 2, stride = 2)
+      .select($"chunk_idx", $"chunk_nsent", $"chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(
+      (0, 2, "A one. B two!"), (1, 2, "C three? D four."), (2, 1, "E five")))
+    // multi-terminator runs stay whole; no trailing space needed at EOS
+    val got2 = graft.text.Chunk.bySentences(
+        Seq((1, "Hi!! Next.")).toDF("id", "text"), "text", win = 1, stride = 1)
+      .select($"chunk_text").collect().map(_.getString(0)).toSeq.sorted
+    assert(got2 == Seq("Hi!!", "Next."))
+    // NULL text still yields one (empty) address
+    val got3 = graft.text.Chunk.bySentences(
+        Seq((1, Option.empty[String])).toDF("id", "text"), "text", 2, 1)
+      .select($"chunk_nsent", $"chunk_text").collect()
+    assert(got3.length == 1 && got3(0).getString(1) == "")
+  }
+
   test("NULL text yields one empty chunk, not a silently dropped row") {
     import spark.implicits._
     val df = Seq((1, Option("a b")), (2, None)).toDF("id", "text")
