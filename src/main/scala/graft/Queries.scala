@@ -10915,7 +10915,119 @@ object Queries {
              |  CAST(sum(nsent) AS BIGINT) AS sum_nsent,
              |  CAST(max(chunk_idx) AS INT) AS max_idx,
              |  min(md5(ctext)) AS md5_lo, max(md5(ctext)) AS md5_hi
-             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X43: URL frontier capstone — the crawl-side governance
+    // chain composed from audited operators, the way a real frontier
+    // admits work: canonicalize crawl-dirty URLs (t29's fixture and
+    // rules), prune already-seen pages with the BLOOM filter (k10 —
+    // "definitely new" survives; a bloom false positive wrongly drops a
+    // page, the documented trade, and the census exposes exactly how
+    // many), then the RFC 9309 robots gate (x41's rules) decides
+    // admission. Map-side end to end — the bloom words are a plan
+    // literal, robots is one equi-join on the registered domain — until
+    // the final census. The oracle replays canonicalization → bloom
+    // words → k bit-tests → robots longest-match → the admitted set's
+    // md5 range.
+    Q("x43_url_frontier",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.Bloom
+        val docs = t(s, dir, "documents")
+        val dirty = concat(
+          when($"doc_id" % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("http://")),
+          lit("Site"), ($"doc_id" % 7).cast("string"),
+          lit(".Example"), ($"doc_id" % 7).cast("string"), lit(".COM"),
+          when($"doc_id" % 4 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Docs/"), $"doc_id".cast("string"),
+          lit("?utm_source=feed&page="), ($"doc_id" % 13).cast("string"),
+          lit("&utm_campaign=c"), ($"doc_id" % 3).cast("string"),
+          lit("#sec"), ($"doc_id" % 5).cast("string"))
+        val base = docs.select($"doc_id", $"source",
+          graft.text.Url.canonicalize(dirty).as("url"))
+        val seen = base.filter($"doc_id" % 4 === 0).select($"url")
+        val bt = Bloom.table(seen, $"url", m = 16384, k = 3)
+        val w = Bloom.words(bt, 16384)
+        val robots = (0 until 7).map { d =>
+          (s"example$d.com",
+           s"User-agent: *\n# crawl policy\nDisallow: /Docs/$d\nAllow: /Docs/$d$d\n" +
+             (if (d == 5) "Disallow: /Docs/55\n" else "") +
+             "Disallow:\nSitemap: https://example.test/map.xml")
+        }.toDF("domain", "robots")
+        val rules = graft.text.Robots.parseRules(robots, $"domain", $"robots")
+        val flagged = base.withColumn("isnew",
+          !Bloom.mightContain($"url", w, 16384, 3))
+        graft.text.Robots.evaluate(flagged, $"url", rules)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_urls"),
+               sum(when($"isnew", 1L).otherwise(0L)).as("n_new"),
+               sum(when($"isnew" && $"allowed", 1L).otherwise(0L)).as("n_admitted"),
+               min(when($"isnew" && $"allowed", md5($"url"))).as("md5_lo"),
+               max(when($"isnew" && $"allowed", md5($"url"))).as("md5_hi"))
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END) ||
+             |    'Site' || (doc_id % 7) || '.Example' || (doc_id % 7) || '.COM' ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+             |    '/Docs/' || doc_id ||
+             |    '?utm_source=feed&page=' || (doc_id % 13) ||
+             |    '&utm_campaign=c' || (doc_id % 3) ||
+             |    '#sec' || (doc_id % 5) AS u
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_replace(u, '#.*$', ''),
+             |    '&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS u
+             |  FROM d),
+             |s2 AS (SELECT doc_id, source, u,
+             |    coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS sh
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, source,
+             |    regexp_replace(regexp_replace(
+             |      regexp_replace(lower(sh), '://www\.', '://'),
+             |      '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1')
+             |    || substr(u, len(sh) + 1) AS url
+             |  FROM s2),
+             |ks AS (SELECT unnest([0, 1, 2]) AS j),
+             |spos AS (SELECT ('0x' || substr(md5(ks.j || '|' || url), 1, 15))::BIGINT
+             |           % 16384 AS pos
+             |         FROM s3 CROSS JOIN ks WHERE doc_id % 4 = 0),
+             |wt AS (SELECT pos // 63 AS word_idx,
+             |              bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+             |       FROM spos GROUP BY 1),
+             |pp AS (SELECT s3.doc_id,
+             |         ('0x' || substr(md5(ks.j || '|' || url), 1, 15))::BIGINT
+             |           % 16384 AS pos
+             |       FROM s3 CROSS JOIN ks),
+             |nb AS (SELECT pp.doc_id,
+             |         sum(CASE WHEN w.word IS NOT NULL AND
+             |               (w.word & (1::BIGINT << CAST(pp.pos % 63 AS INT))) != 0
+             |             THEN 1 ELSE 0 END) AS nbits
+             |       FROM pp LEFT JOIN wt w ON w.word_idx = pp.pos // 63
+             |       GROUP BY 1),
+             |nw AS (SELECT doc_id, (nbits < 3) AS isnew FROM nb),
+             |rules AS (
+             |  SELECT t.d, '/Docs/' || t.d AS prefix, false AS allow FROM range(0,7) t(d)
+             |  UNION ALL SELECT t.d, '/Docs/' || t.d || t.d, true FROM range(0,7) t(d)
+             |  UNION ALL SELECT 5, '/Docs/55', false),
+             |m AS (SELECT s3.doc_id, r.prefix, r.allow
+             |      FROM s3 LEFT JOIN rules r
+             |        ON r.d = s3.doc_id % 7
+             |       AND starts_with('/Docs/' || s3.doc_id, r.prefix)),
+             |rk AS (SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+             |         ORDER BY len(prefix) DESC NULLS LAST, allow DESC) AS rn
+             |       FROM m),
+             |alw AS (SELECT doc_id, coalesce(allow, true) AS allowed
+             |        FROM rk WHERE rn = 1),
+             |fin AS (SELECT s3.source, s3.url, nw.isnew, alw.allowed
+             |        FROM s3 JOIN nw ON nw.doc_id = s3.doc_id
+             |                JOIN alw ON alw.doc_id = s3.doc_id)
+             |SELECT source, count(*) AS n_urls,
+             |  CAST(sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |  CAST(sum(CASE WHEN isnew AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+             |  min(CASE WHEN isnew AND allowed THEN md5(url) END) AS md5_lo,
+             |  max(CASE WHEN isnew AND allowed THEN md5(url) END) AS md5_hi
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
