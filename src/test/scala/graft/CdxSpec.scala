@@ -143,6 +143,31 @@ class CdxSpec extends SparkSpec {
       }
   }
 
+  test("fuzz: adversarial payloads round-trip write -> manifest -> fetch -> stream") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(1207)
+    val pool = Vector("plain", "WARC/1.0", "Content-Length: 5", "\r\n", "\n\n",
+      "ünïcode ✓", "😀emoji", "", " ", "tail\r\n\r\nWARC/1.0\r\n")
+    for (round <- 1 to 6) {
+      val docs = (0 until (5 + rnd.nextInt(20))).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).mkString("|"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cdxfz_$round").toFile
+      dir.deleteOnExit()
+      val df = docs.toDF("id", "text").repartition(1 + rnd.nextInt(3))
+      val caps = graft.sources.Cdx.writeIndexedArchives(df,
+        concat(lit("urn:f:"), $"id"), lit("20260101000000"), $"text",
+        dir.getAbsolutePath).localCheckpoint(true)
+      val want = docs.map { case (i, t) => s"urn:f:$i" -> t }.toMap
+      val fetched = graft.sources.Cdx.fetch(caps, dir.getAbsolutePath)
+        .select($"uri", $"payload").as[(String, String)].collect().toMap
+      assert(fetched == want, s"fetch round $round")
+      val streamed = graft.sources.Warc.readStreaming(spark, dir.getAbsolutePath)
+        .select($"uri", $"payload").as[(String, String)].collect().toMap
+      assert(streamed == want, s"stream round $round")
+    }
+  }
+
   test("fetch refuses an implausible record length, loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cdx3_").toFile
     dir.deleteOnExit()
