@@ -28,9 +28,13 @@ object LocalClusterSmoke {
   /** The representative serialization surface: DSv2 scan (custom Batch/
     * PartitionReader), MinHash-LSH dedup (codegen expressions + persist),
     * IVF-SQ8 (broadcast codebooks + quantized kernels), temporal median
-    * (typed Aggregator), HLL sketch (binary-state Aggregator). */
+    * (typed Aggregator), HLL sketch (binary-state Aggregator), the
+    * indexed-archive loop (Hadoop FS handles + custom record iterators
+    * inside mapPartitions tasks — r20), bloom words as plan literals
+    * (k10). */
   private val representative = Seq(
-    "r5_dsv2_pruned", "d2_minhash_lsh", "v14_ivfsq", "md1_median", "k2_hll_sketch")
+    "r5_dsv2_pruned", "d2_minhash_lsh", "v14_ivfsq", "md1_median", "k2_hll_sketch",
+    "r20_cdx_fetch", "k10_bloom_prune")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")
