@@ -87,19 +87,23 @@ object Mmr {
       ii += 1
     }
     val selected = collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-    val picked = collection.mutable.ArrayBuffer.empty[Int] // indexes into byId
+    // per-candidate running max-sim-to-picked: updated once per pick, so
+    // the whole greedy loop is O(m·k) — no per-candidate set scans. The
+    // running max starts at -inf (sims can be NEGATIVE — a 0.0 floor
+    // would silently clamp them); the max-over-the-EMPTY-set = 0.0 rule
+    // applies only in round 1, special-cased below.
+    val picked = new Array[Boolean](m)
+    val maxSims = Array.fill(m)(Double.NegativeInfinity)
+    var nPicked = 0
     var r = 1
-    while (r <= math.min(k, rel.length) && picked.size < rel.length) {
+    while (r <= math.min(k, rel.length) && nPicked < rel.length) {
       var bestIdx = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < m) {
-        if (!picked.contains(i)) {
+        if (!picked(i)) {
           val (id, rl) = rel(i)
-          val maxSim =
-            if (picked.isEmpty) 0.0
-            else picked.iterator.map(p => sims(i)(p)).max
-          val score = rl - maxSim
+          val score = rl - (if (nPicked == 0) 0.0 else maxSims(i))
           if (score > bestScore || (score == bestScore && (bestIdx < 0 || id < rel(bestIdx)._1))) {
             bestIdx = i; bestScore = score
           }
@@ -107,7 +111,13 @@ object Mmr {
         i += 1
       }
       selected += ((r, rel(bestIdx)._1, rel(bestIdx)._2, bestScore))
-      picked += bestIdx
+      picked(bestIdx) = true
+      nPicked += 1
+      var j = 0
+      while (j < m) {
+        if (!picked(j) && sims(j)(bestIdx) > maxSims(j)) maxSims(j) = sims(j)(bestIdx)
+        j += 1
+      }
       r += 1
     }
     spark.createDataFrame(

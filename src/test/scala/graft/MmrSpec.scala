@@ -31,6 +31,22 @@ class MmrSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSet === Set(0.9, 0.8, 0.5))
   }
 
+  test("negative sims are rewarded, not clamped to the empty-set zero") {
+    // id 2 points OPPOSITE to pick 1 (sim = -1.0): its MMR score is
+    // 0.1 - (-1.0) = 1.1, beating the orthogonal id 3's 0.5. An
+    // implementation that floors max-sim at 0 (the empty-set rule
+    // leaking into later rounds) would pick id 3 — the exact regression
+    // the v21 oracle caught once
+    val sl = Seq(
+      (1L, 0.9, Seq(10000L, 0L)),
+      (2L, 0.1, Seq(-10000L, 0L)),
+      (3L, 0.5, Seq(0L, 10000L))
+    ).toDF("id", "rel", "qv")
+    val out = Mmr.diversify(sl, k = 2).orderBy($"rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out == Seq((1, 1L, 0.9), (2, 2L, 0.1 - (-1.0))))
+  }
+
   test("diversify refuses a corpus-sized shortlist, loudly") {
     val big = spark.range(50).select($"id", lit(0.5).as("rel"),
       array(lit(1L), lit(0L)).as("qv"))
