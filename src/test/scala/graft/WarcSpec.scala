@@ -109,6 +109,23 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("readStreaming's scan reads PATHS only — binaryFile content is pruned") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("id", "text")
+    val recs = graft.sources.Warc.toRecords(
+      docs, lit("urn:p"), lit("2026-04-04T00:00:00Z"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wprune_").toString
+    recs.write.mode("overwrite").text(dir)
+    val plan = graft.sources.Warc.readStreaming(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the whole point of the streaming path: archive bytes NEVER flow
+    // through the scan — the FileScan must project path alone
+    val scanLine = plan.linesIterator.find(_.contains("FileScan binaryFile")).getOrElse("")
+    assert(scanLine.contains("ReadSchema"), s"no binaryFile scan in:\n$plan")
+    assert(!scanLine.contains("content"),
+      s"binaryFile scan must prune the content column:\n$scanLine")
+  }
+
   test("readStreaming caps per-record memory, loudly") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 10000)).toDF("id", "text")
