@@ -11027,7 +11027,164 @@ object Queries {
              |  CAST(sum(CASE WHEN isnew AND allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
              |  min(CASE WHEN isnew AND allowed THEN md5(url) END) AS md5_lo,
              |  max(CASE WHEN isnew AND allowed THEN md5(url) END) AS md5_hi
-             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R21: the FOOTPRINT-REDUCTION warp family (GDAL sum / min /
+    // max / med / q1 / q3 / rms) — r16's box machinery with every
+    // remaining reduce, closing the WarpedVRT resampling enum's
+    // downsample side in one oracle row. Quantile convention is the
+    // LOWER quantile (sorted ascending, index floor(q*(cnt-1))) — exact
+    // integer indexing both engines state; rms = sqrt(sumsq/cnt) is
+    // bit-exact cross-engine (single correctly-rounded division and
+    // sqrt over exact integer sums). Same 40m/8m fixture: full 5x5
+    // boxes, rows above the source = nodata.
+    Q("r21_warp_footprint",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.ops.Resampling
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 40.0, 40.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val kernels: Seq[(String, Resampling)] = Seq(
+          "max" -> Resampling.Max, "med" -> Resampling.Med,
+          "min" -> Resampling.Min, "q1" -> Resampling.Q1,
+          "q3" -> Resampling.Q3, "rms" -> Resampling.Rms,
+          "sum" -> Resampling.Sum)
+        kernels.map { case (name, k) =>
+          TileScan.scan(s, assets, spec, chunk = 25,
+              readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec, k))
+            .flatMap { t =>
+              for {
+                r <- 0 until t.height; c <- 0 until t.width
+                v = t.pixels(r * t.width + c) if !v.isNaN
+              } yield {
+                val gr = t.yChunk * 25 + t.rowOff + r
+                val gc = t.xChunk * 25 + t.colOff + c
+                (name, t.yChunk, t.xChunk, math.round(v * 256), gr.toLong * 50 + gc)
+              }
+            }
+            .toDF("kernel", "y_chunk", "x_chunk", "q", "pos")
+        }.reduce(_ unionByName _)
+          .groupBy($"kernel", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"kernel", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,50) t(r) CROSS JOIN range(0,50) u(c)),
+             |b AS (SELECT r, c,
+             |        0.125*(40.0*c + 1344000.0) + (-167975.0) AS lox,
+             |        0.125*(40.0*(c+1) + 1344000.0) + (-167975.0) AS hix,
+             |        (-0.125)*((-40.0)*r + 5919000.0) + 739850.0 AS loy,
+             |        (-0.125)*((-40.0)*(r+1) + 5919000.0) + 739850.0 AS hiy
+             |      FROM px),
+             |k AS (SELECT r, c,
+             |        greatest(CAST(ceil(lox - 0.5) AS BIGINT), 0) AS k0c,
+             |        least(CAST(ceil(hix - 0.5) AS BIGINT) - 1, 299) AS k1c,
+             |        greatest(CAST(ceil(loy - 0.5) AS BIGINT), 0) AS k0r,
+             |        least(CAST(ceil(hiy - 0.5) AS BIGINT) - 1, 299) AS k1r
+             |      FROM b),
+             |cand AS (SELECT r, c, k0r + dr.o AS kr, k0c + dc.o AS kc
+             |      FROM k CROSS JOIN range(0,5) dr(o) CROSS JOIN range(0,5) dc(o)
+             |      WHERE k0r + dr.o <= k1r AND k0c + dc.o <= k1c),
+             |vals AS (SELECT r, c, CAST((kr*kr + kc*kc) % 251 AS DOUBLE) AS v FROM cand),
+             |agg AS (SELECT r, c, sum(v) AS vsum, min(v) AS vmin, max(v) AS vmax,
+             |          sqrt(sum(v*v)/count(*)) AS vrms,
+             |          list_sort(list(v)) AS sv, count(*) AS cnt
+             |        FROM vals GROUP BY 1, 2),
+             |qx AS (SELECT r, c, kernel, CAST(round(val*256, 0) AS BIGINT) AS q FROM (
+             |    SELECT r, c, 'sum' AS kernel, vsum AS val FROM agg
+             |    UNION ALL SELECT r, c, 'min', vmin FROM agg
+             |    UNION ALL SELECT r, c, 'max', vmax FROM agg
+             |    UNION ALL SELECT r, c, 'rms', vrms FROM agg
+             |    UNION ALL SELECT r, c, 'med', sv[CAST((cnt-1)//2 AS INT) + 1] FROM agg
+             |    UNION ALL SELECT r, c, 'q1', sv[CAST((cnt-1)//4 AS INT) + 1] FROM agg
+             |    UNION ALL SELECT r, c, 'q3', sv[CAST(3*(cnt-1)//4 AS INT) + 1] FROM agg))
+             |SELECT kernel, CAST(r//25 AS INT) AS y_chunk, CAST(c//25 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*50 + c)) AS BIGINT) AS pos_chk
+             |FROM qx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- R22: CUBIC B-SPLINE warp (GDAL `cubicspline`) — the LAST
+    // member of the WarpedVRT resampling enum: the 4x4 smoothing
+    // convolution (B3 basis, all-positive partition-of-unity weights —
+    // no overshoot, doesn't interpolate). The /6 makes weights RATIONAL
+    // with per-axis denominator 3072 at eighth offsets (not dyadic, and
+    // true values can sit exactly on coarse-quantum half-boundaries —
+    // a 1/256 quantum flipped 4 pixels between engines), so the parity
+    // contract RECONSTRUCTS the exact rational numerator instead:
+    // q = round(v·3072²), where the float error (~2e-4 at this scale)
+    // is nine orders under the half-unit gap — both engines recover the
+    // identical integer. With r21 this completes GDAL's
+    // WarpedVRT resampling enum (`rio_reader.py:344-360`): nearest,
+    // bilinear, cubic, cubicspline, lanczos, average, mode, max, min,
+    // med, q1, q3, sum, rms — all oracle-gated.
+    Q("r22_warp_cubicspline",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 10.0, 10.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 100,
+          readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.CubicSpline))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 100 + t.rowOff + r
+              val gc = t.xChunk * 100 + t.colOff + c
+              (t.yChunk, t.xChunk, math.round(v * 9437184.0), gr.toLong * 200 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,200) t(r) CROSS JOIN range(0,200) u(c)),
+             |m AS (SELECT r, c,
+             |        10.0*(c + 0.5) + 0.0*(r + 0.5) + 1344000.0 AS wx,
+             |        0.0*(c + 0.5) + (-10.0)*(r + 0.5) + 5919000.0 AS wy
+             |      FROM px),
+             |f AS (SELECT r, c,
+             |        (0.125*wx + 0.0*wy + (-167975.0)) - 0.5 AS gc,
+             |        (0.0*wx + (-0.125)*wy + 739850.0) - 0.5 AS gr
+             |       FROM m),
+             |w AS (SELECT r, c,
+             |        CAST(floor(gr) AS BIGINT) AS r0, CAST(floor(gc) AS BIGINT) AS c0,
+             |        gr - floor(gr) AS tr, gc - floor(gc) AS tc
+             |       FROM f
+             |       WHERE floor(gr) >= 1 AND floor(gr) + 2 <= 299
+             |         AND floor(gc) >= 1 AND floor(gc) + 2 <= 299),
+             |taps AS (SELECT r, c, r0, c0, tr, tc, dr.o AS dr, dc.o AS dc
+             |       FROM w CROSS JOIN range(-1,3) dr(o) CROSS JOIN range(-1,3) dc(o)),
+             |tv AS (SELECT r, c,
+             |    (CASE dr WHEN -1 THEN (1.0-tr)*(1.0-tr)*(1.0-tr)/6.0
+             |             WHEN 0  THEN (3.0*tr*tr*tr - 6.0*tr*tr + 4.0)/6.0
+             |             WHEN 1  THEN (-3.0*tr*tr*tr + 3.0*tr*tr + 3.0*tr + 1.0)/6.0
+             |             ELSE tr*tr*tr/6.0 END)
+             |  * (CASE dc WHEN -1 THEN (1.0-tc)*(1.0-tc)*(1.0-tc)/6.0
+             |             WHEN 0  THEN (3.0*tc*tc*tc - 6.0*tc*tc + 4.0)/6.0
+             |             WHEN 1  THEN (-3.0*tc*tc*tc + 3.0*tc*tc + 3.0*tc + 1.0)/6.0
+             |             ELSE tc*tc*tc/6.0 END)
+             |  * CAST(((r0+dr)*(r0+dr) + (c0+dc)*(c0+dc)) % 251 AS DOUBLE) AS term
+             |       FROM taps),
+             |v AS (SELECT r, c, sum(term) AS bv FROM tv GROUP BY 1, 2),
+             |q AS (SELECT r, c, CAST(round(bv*9437184.0, 0) AS BIGINT) AS q FROM v)
+             |SELECT CAST(r//100 AS INT) AS y_chunk, CAST(c//100 AS INT) AS x_chunk,
+             |  count(*) AS n_px,
+             |  CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -21,6 +21,21 @@ object Resampling {
   case object Mode extends Resampling
   case object Average extends Resampling
   case object Lanczos extends Resampling
+  /** Cubic B-spline (GDAL `cubicspline`) — SMOOTHING, not interpolating:
+    * the 4×4 window convolved with the B₃ basis (weights /6, partition
+    * of unity), trading sharpness for guaranteed positivity/no
+    * overshoot. */
+  case object CubicSpline extends Resampling
+  // footprint reductions (GDAL max/min/med/q1/q3/sum/rms): the Average
+  // machinery with a different per-box reduce — all half-open
+  // center-in-box membership, NaN-skipping, empty box = nodata
+  case object Min extends Resampling
+  case object Max extends Resampling
+  case object Med extends Resampling
+  case object Q1 extends Resampling
+  case object Q3 extends Resampling
+  case object Sum extends Resampling
+  case object Rms extends Resampling
 }
 
 /** Grid-to-grid array reprojection — the reference `reproject_array`

@@ -101,12 +101,41 @@ final case class WarpedGridReader(
     srcInv(wx, wy)
   }
 
-  def read(window: Window): Array[Double] = method match {
-    case graft.ops.Resampling.Cubic   => readCubic(window)
-    case graft.ops.Resampling.Mode    => readMode(window)
-    case graft.ops.Resampling.Average => readAverage(window)
-    case graft.ops.Resampling.Lanczos => readLanczos(window)
-    case _                            => readNearestOrBilinear(window)
+  def read(window: Window): Array[Double] = {
+    import graft.ops.Resampling._
+    method match {
+      case Cubic       => readConv4x4(window, keysWeight)
+      case CubicSpline => readConv4x4(window, bsplineWeight)
+      case Mode        => readMode(window)
+      case Average | Min | Max | Med | Q1 | Q3 | Sum | Rms =>
+        readFootprint(window)
+      case Lanczos     => readLanczos(window)
+      case _           => readNearestOrBilinear(window)
+    }
+  }
+
+  /** Keys bicubic kernel (a = −1/2, the GDAL `cubic` default): t is the
+    * fractional offset from the r0/c0 tap, o the tap offset. */
+  @inline private def keysWeight(t: Double, o: Int): Double = o match {
+    case -1 => ((-0.5 * t + 1.0) * t - 0.5) * t
+    case 0  => (1.5 * t - 2.5) * t * t + 1.0
+    case 1  => ((-1.5 * t + 2.0) * t + 0.5) * t
+    case _  => (0.5 * t - 0.5) * t * t
+  }
+
+  /** Cubic B-spline basis (GDAL `cubicspline`) — SMOOTHING weights
+    * (partition of unity, all non-negative ⇒ no overshoot, but does not
+    * interpolate the samples). The /6 makes terms non-dyadic even on
+    * dyadic grids; cross-engine parity therefore quantizes like lanczos
+    * (r22 uses the 1/256 quantum). */
+  @inline private def bsplineWeight(t: Double, o: Int): Double = {
+    val u = 1.0 - t
+    o match {
+      case -1 => u * u * u / 6.0
+      case 0  => (3.0 * t * t * t - 6.0 * t * t + 4.0) / 6.0
+      case 1  => (-3.0 * t * t * t + 3.0 * t * t + 3.0 * t + 1.0) / 6.0
+      case _  => t * t * t / 6.0
+    }
   }
 
   /** Lanczos-3 windowed-sinc convolution (GDAL's `lanczos`): a 6x6
@@ -222,47 +251,83 @@ final case class WarpedGridReader(
     (loC, hiC, loR, hiR, srcWin)
   }
 
-  /** Footprint-mean ("box", GDAL `average`) resampling — the correct
-    * kernel for the >2× DOWNSAMPLE regime, where the point-sampling
-    * kernels (nearest/bilinear/cubic read ≤4×4 taps) see a sliver of
-    * the source pixels under each output cell and alias: each output
-    * pixel averages the source pixels whose centers fall inside its
-    * footprint box, NaN sources skipped (GDAL's nodata-ignoring mean);
-    * an empty or all-NaN footprint is nodata. Accumulation is row-major
-    * over the box — deterministic at any parallelism (per-pixel local
-    * loop, no merge order). One windowed source read per tile, same as
-    * every other kernel. */
-  private def readAverage(window: Window): Array[Double] = {
+  /** Footprint-reduction resampling — the >2× DOWNSAMPLE family
+    * (GDAL `average`/`sum`/`min`/`max`/`med`/`q1`/`q3`/`rms`), where the
+    * point-sampling kernels (nearest/bilinear/cubic read ≤4×4 taps) see
+    * a sliver of the source pixels under each output cell and alias:
+    * each output pixel reduces the source pixels whose centers fall
+    * inside its footprint box, NaN sources skipped (GDAL's
+    * nodata-ignoring convention); an empty or all-NaN footprint is
+    * nodata. Accumulation is row-major over the box — deterministic at
+    * any parallelism (per-pixel local loop, no merge order). Quantile
+    * convention (med/q1/q3): the LOWER quantile — sorted ascending,
+    * index ⌊q·(cnt−1)⌋ for q ∈ {¼, ½, ¾} — exact integer indexing any
+    * SQL engine replays (no midpoint averaging). Rms = sqrt(Σv²/cnt):
+    * both the division and IEEE sqrt are correctly rounded, so rms is
+    * bit-exact cross-engine when the inputs are. One windowed source
+    * read per tile, same as every other kernel. */
+  private def readFootprint(window: Window): Array[Double] = {
+    import graft.ops.Resampling._
     val out = Array.fill(window.width * window.height)(Double.NaN)
     val (loC, hiC, loR, hiR, srcWin) = footprintBoxes(window)
     if (srcWin.isEmpty) return out
     val px = source.read(srcWin)
+    val needSort = method == Med || method == Q1 || method == Q3
+    var scratch = new Array[Double](64)
     var i = 0
     while (i < out.length) {
       if (loC(i) <= hiC(i) && loR(i) <= hiR(i)) {
-        var sum = 0.0; var cnt = 0
+        var sum = 0.0; var sumSq = 0.0
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var cnt = 0
         var rr = loR(i)
         while (rr <= hiR(i)) {
           var cc = loC(i)
           while (cc <= hiC(i)) {
             val v = px((rr - srcWin.rowOff) * srcWin.width + (cc - srcWin.colOff))
-            if (!v.isNaN) { sum += v; cnt += 1 }
+            if (!v.isNaN) {
+              sum += v; sumSq += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (needSort) {
+                if (cnt == scratch.length)
+                  scratch = java.util.Arrays.copyOf(scratch, cnt * 2)
+                scratch(cnt) = v
+              }
+              cnt += 1
+            }
             cc += 1
           }
           rr += 1
         }
-        if (cnt > 0) out(i) = sum / cnt
+        if (cnt > 0) out(i) = method match {
+          case Average => sum / cnt
+          case Sum     => sum
+          case Min     => mn
+          case Max     => mx
+          case Rms     => math.sqrt(sumSq / cnt)
+          case Q1      => sortedAt(scratch, cnt, (cnt - 1) / 4)
+          case Med     => sortedAt(scratch, cnt, (cnt - 1) / 2)
+          case _       => sortedAt(scratch, cnt, 3 * (cnt - 1) / 4) // Q3
+        }
       }
       i += 1
     }
     out
   }
 
-  /** Keys bicubic convolution (a = -1/2, the GDAL default kernel): a 4x4
-    * windowed gather per output center. Any of the 16 taps falling outside
-    * the source raster (or reading NaN) yields NaN — no edge
-    * renormalization, matching the bilinear branch's NaN propagation. */
-  private def readCubic(window: Window): Array[Double] = {
+  private def sortedAt(a: Array[Double], n: Int, idx: Int): Double = {
+    java.util.Arrays.sort(a, 0, n)
+    a(idx)
+  }
+
+  /** 4x4 separable convolution (the `cubic`/`cubicspline` shape): a 4x4
+    * windowed gather per output center with per-axis weights from `w`.
+    * Any of the 16 taps falling outside the source raster (or reading
+    * NaN) yields NaN — no edge renormalization, matching the bilinear
+    * branch's NaN propagation. */
+  private def readConv4x4(window: Window,
+                          w: (Double, Int) => Double): Array[Double] = {
     val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
     val out = Array.fill(window.width * window.height)(Double.NaN)
     // bounding rect over the in-bounds 4x4 neighborhoods
@@ -283,13 +348,6 @@ final case class WarpedGridReader(
     if (minC > maxC) return out
     val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
     val px = source.read(srcWin)
-    // Keys kernel, a = -1/2; t is the fractional offset from the r0/c0 tap
-    @inline def w(t: Double, o: Int): Double = o match {
-      case -1 => ((-0.5 * t + 1.0) * t - 0.5) * t
-      case 0  => (1.5 * t - 2.5) * t * t + 1.0
-      case 1  => ((-1.5 * t + 2.0) * t + 0.5) * t
-      case _  => (0.5 * t - 0.5) * t * t
-    }
     i = 0
     while (i < cols.length) {
       val gr = rows(i) - 0.5; val gc = cols(i) - 0.5

@@ -258,6 +258,86 @@ class WarpSpec extends AnyFunSuite {
     rf.read(Window(40, 40, 10, 10)).foreach(v => assert(math.abs(v - 42.0) < 1e-12))
   }
 
+  test("cubicspline: direct 16-tap B-spline reference; constant-exact; no overshoot") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 10.0, 10.0)
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0)
+    val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 150, 150, spec,
+      Resampling.CubicSpline)
+    val px = r.read(Window(0, 0, 100, 100))
+    val inv = srcTf.inverse
+    def bw(t: Double, o: Int): Double = {
+      val u = 1.0 - t
+      o match {
+        case -1 => u * u * u / 6.0
+        case 0  => (3.0 * t * t * t - 6.0 * t * t + 4.0) / 6.0
+        case 1  => (-3.0 * t * t * t + 3.0 * t * t + 3.0 * t + 1.0) / 6.0
+        case _  => t * t * t / 6.0
+      }
+    }
+    for (row <- 0 until 100 by 9; col <- 0 until 100 by 9) {
+      val (wx, wy) = spec.transform(col + 0.5, row + 0.5)
+      val (gc0, gr0) = inv(wx, wy)
+      val gc = gc0 - 0.5; val gr = gr0 - 0.5
+      val r0 = math.floor(gr).toInt; val c0 = math.floor(gc).toInt
+      val got = px(row * 100 + col)
+      if (c0 - 1 >= 0 && c0 + 2 < 150 && r0 - 1 >= 0 && r0 + 2 < 150) {
+        var acc = 0.0
+        for (dr <- -1 to 2; dc <- -1 to 2)
+          acc += bw(gr - r0, dr) * bw(gc - c0, dc) *
+            ((((r0 + dr).toLong * (r0 + dr) + (c0 + dc).toLong * (c0 + dc)) % 251).toDouble)
+        assert(math.abs(got - acc) < 1e-9, s"($row,$col)")
+        // all-positive weights: smoothing can never overshoot the range
+        assert(got >= 0.0 && got <= 250.0, s"($row,$col): overshoot $got")
+      } else assert(got.isNaN)
+    }
+    val flat = new graft.scan.Reader {
+      def read(w: Window): Array[Double] = Array.fill(w.width * w.height)(7.0)
+    }
+    val rf = WarpedGridReader(flat, srcTf, 3857, 150, 150, spec, Resampling.CubicSpline)
+    rf.read(Window(40, 40, 5, 5)).foreach(v => assert(math.abs(v - 7.0) < 1e-12))
+  }
+
+  test("footprint family: sum/min/max/med/q1/q3/rms match the direct box reduce") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    val spec = RasterSpec(3857, Bounds(1000.0, 1000.0, 2000.0, 2000.0), 40.0, 40.0) // 25x25
+    val srcTf = AffineTransform.northUp(900.0, 2100.0, 8.0, 8.0) // 150x150 @8m
+    val inv = srcTf.inverse
+    def boxVals(row: Int, col: Int): Seq[Double] = {
+      val corners = Seq((col.toDouble, row.toDouble), (col + 1.0, row.toDouble),
+        (col.toDouble, row + 1.0), (col + 1.0, row + 1.0)).map { case (ox, oy) =>
+        val (wx, wy) = spec.transform(ox, oy); inv(wx, wy)
+      }
+      val c0 = math.max(0, math.ceil(corners.map(_._1).min - 0.5).toInt)
+      val c1 = math.min(149, math.ceil(corners.map(_._1).max - 0.5).toInt - 1)
+      val r0 = math.max(0, math.ceil(corners.map(_._2).min - 0.5).toInt)
+      val r1 = math.min(149, math.ceil(corners.map(_._2).max - 0.5).toInt - 1)
+      for (rr <- r0 to r1; cc <- c0 to c1)
+        yield ((rr.toLong * rr + cc.toLong * cc) % 251).toDouble
+    }
+    val kernels: Seq[(Resampling, Seq[Double] => Double)] = Seq(
+      Resampling.Sum -> (vs => { var s = 0.0; vs.foreach(s += _); s }),
+      Resampling.Min -> (_.min),
+      Resampling.Max -> (_.max),
+      Resampling.Med -> (vs => vs.sorted.apply((vs.size - 1) / 2)),
+      Resampling.Q1  -> (vs => vs.sorted.apply((vs.size - 1) / 4)),
+      Resampling.Q3  -> (vs => vs.sorted.apply(3 * (vs.size - 1) / 4)),
+      Resampling.Rms -> (vs => {
+        var s = 0.0; vs.foreach(v => s += v * v); math.sqrt(s / vs.size) }))
+    kernels.foreach { case (k, ref) =>
+      val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 150, 150, spec, k)
+      val px = r.read(Window(0, 0, 25, 25))
+      for (row <- 0 until 25; col <- 0 until 25) {
+        val vs = boxVals(row, col)
+        val got = px(row * 25 + col)
+        if (vs.isEmpty) assert(got.isNaN, s"$k ($row,$col)")
+        else assert(got == ref(vs), s"$k ($row,$col): got=$got want=${ref(vs)}")
+      }
+    }
+  }
+
   test("average: footprint mean over centers at 5x downsample; off-source=NaN") {
     import graft.ops.Resampling
     import graft.scan.ModRampReader
