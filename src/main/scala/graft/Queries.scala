@@ -11184,7 +11184,62 @@ object Queries {
              |  count(*) AS n_px,
              |  CAST(sum(q) AS BIGINT) AS sum_q,
              |  CAST(sum(q * (r*200 + c)) AS BIGINT) AS pos_chk
-             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X44: robots WILDCARD evaluation (RFC 9309 §2.2.3) — x41
+    // with the full pattern grammar: `*` spans any octet sequence, a
+    // trailing `$` anchors at the path end, and specificity stays the
+    // raw pattern length. Each domain gets an anchored wildcard
+    // Disallow (paths ENDING in the domain digit), a LONGER anchored
+    // wildcard Allow (paths starting AND ending with it), and an
+    // unanchored wildcard Disallow (paths starting with the doubled
+    // digit) — so anchor semantics, wildcard spans, and the
+    // longest-match interplay are all load-bearing. The oracle states
+    // the compiled LIKE forms and the ranking directly.
+    Q("x44_robots_wildcards",
+      (s, dir) => {
+        import s.implicits._
+        val urls = t(s, dir, "documents")
+          .select($"doc_id",
+            concat(lit("http://site"), ($"doc_id" % 7).cast("string"),
+              lit(".example"), ($"doc_id" % 7).cast("string"),
+              lit(".com/Docs/"), $"doc_id".cast("string")).as("url"))
+        val robots = (0 until 7).map { d =>
+          (s"example$d.com",
+           s"User-agent: *\nDisallow: /Docs/*$d" + "$\n" +
+           s"Allow: /Docs/$d*$d" + "$\n" +
+           s"Disallow: /Docs/$d$d*\n")
+        }.toDF("domain", "robots")
+        val rules = graft.text.Robots.parseRules(robots, $"domain", $"robots")
+        graft.text.Robots.evaluate(urls, $"url", rules)
+          .groupBy(($"doc_id" % 7).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_urls"),
+               sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+               sum(when(!$"allowed", $"doc_id").otherwise(0L)).cast("long").as("blocked_id_sum"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH u AS (SELECT doc_id, doc_id % 7 AS d,
+             |           '/Docs/' || doc_id AS path FROM documents),
+             |rules AS (
+             |  SELECT t.d, 9 AS plen, false AS allow,
+             |         '/Docs/%' || t.d AS pat FROM range(0,7) t(d)
+             |  UNION ALL SELECT t.d, 10, true,
+             |         '/Docs/' || t.d || '%' || t.d FROM range(0,7) t(d)
+             |  UNION ALL SELECT t.d, 9, false,
+             |         '/Docs/' || t.d || t.d || '%' FROM range(0,7) t(d)),
+             |m AS (SELECT u.doc_id, u.d, r.plen, r.allow
+             |      FROM u LEFT JOIN rules r
+             |        ON r.d = u.d AND u.path LIKE r.pat),
+             |rk AS (SELECT doc_id, d, allow, row_number() OVER (
+             |         PARTITION BY doc_id
+             |         ORDER BY plen DESC NULLS LAST, allow DESC) AS rn
+             |       FROM m),
+             |v AS (SELECT doc_id, d, coalesce(allow, true) AS allowed
+             |      FROM rk WHERE rn = 1)
+             |SELECT CAST(d AS INT) AS bucket, count(*) AS n_urls,
+             |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+             |  CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) AS blocked_id_sum
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Robots Exclusion Protocol (RFC 9309) evaluation — the governance
   * gate a crawl pipeline applies between frontier and fetch. Implements
-  * the single-group (`User-agent: *`) subset with the two rules that
-  * carry the protocol's semantics:
+  * the single-group (`User-agent: *`) subset with the rules that carry
+  * the protocol's semantics:
   *
-  *  - longest-match wins: the most specific matching rule decides;
-  *  - Allow beats Disallow on equal length (RFC 9309 §2.2.2's
-  *    least-restrictive tie-break).
+  *  - longest-match wins: the most specific matching rule decides
+  *    (specificity = octets of the rule's path value, §2.2.2);
+  *  - Allow beats Disallow on equal length (§2.2.2's
+  *    least-restrictive tie-break);
+  *  - §2.2.3 wildcards: `*` matches any octet sequence and a TRAILING
+  *    `$` anchors the match at the path end — compiled to a LIKE
+  *    pattern (LIKE metacharacters escaped, `*`→`%`, anchored rules
+  *    skip the trailing `%`), the exact glob semantics, replayable in
+  *    any SQL engine; a wildcard-free rule degenerates to the plain
+  *    prefix match.
   *
-  * Prefix matching is literal (`startsWith`) — the `*`/`$` wildcard
-  * extension is a rule-table rewrite, not a different plan. An empty
-  * `Disallow:` line means "allow all" and is dropped at parse time; a
-  * URL matching no rule is allowed (the protocol default).
+  * An empty `Disallow:` line means "allow all" and is dropped at parse
+  * time; a URL matching no rule is allowed (the protocol default).
   *
   * Scale shape: rules explode from robots bodies map-side; evaluation
   * is one equi-join on the registered domain (rules-per-domain is small
@@ -50,7 +55,7 @@ object Robots {
     // the rule-table names are reserved too: a `prefix`/`allow`/`domain`
     // column already on `urls` would make the post-join col() references
     // ambiguous (or resolve to the wrong side)
-    val reserved = Seq("__uid", "__dom", "__path", "allowed",
+    val reserved = Seq("__uid", "__dom", "__path", "__like", "allowed",
         "domain", "prefix", "allow")
       .filter(urls.columns.contains)
     require(reserved.isEmpty, s"reserved columns present: ${reserved.mkString(", ")}")
@@ -60,9 +65,17 @@ object Robots {
       .withColumn("__path",
         coalesce(nullif(regexp_extract(urlCol,
           "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1), lit("")), lit("/")))
-    val matched = withKey.join(rules,
-        withKey("__dom") === rules("domain") &&
-          withKey("__path").startsWith(rules("prefix")),
+    // §2.2.3 compile: escape LIKE metachars, * -> %, trailing $ anchors
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val escaped = regexp_replace(body, "([\\\\%_])", "\\\\$1")
+    val glob = regexp_replace(escaped, "\\*", "%")
+    val rulesL = rules.withColumn("__like",
+      when(anchored, glob).otherwise(concat(glob, lit("%"))))
+    val matched = withKey.join(rulesL,
+        withKey("__dom") === rulesL("domain") &&
+          expr("__path LIKE __like"),
         "left")
     // best matching rule per URL row: longest prefix, Allow wins ties
     // (struct max orders (length, allow) lexicographically; unmatched

@@ -53,6 +53,33 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("§2.2.3 wildcards: * spans octets, trailing $ anchors, LIKE metachars stay literal") {
+    val robots = Seq(("wild.com",
+      "User-agent: *\n" +
+      "Disallow: /tmp*\n" +
+      "Allow: /tmp/ok/*.html$\n" +
+      "Disallow: /100%_sure\n" +
+      "Disallow: /end$\n")).toDF("domain", "robots")
+    val wrules = graft.text.Robots.parseRules(robots, $"domain", $"robots")
+    def v(paths: String*): Map[String, Boolean] = {
+      val urls = paths.zipWithIndex.map { case (p, i) => (i, s"http://wild.com$p") }
+        .toDF("id", "url")
+      graft.text.Robots.evaluate(urls, $"url", wrules)
+        .select($"url", $"allowed").collect()
+        .map(r => r.getString(0).stripPrefix("http://wild.com") -> r.getBoolean(1)).toMap
+    }
+    val got = v("/tmp/deep/x", "/tmp/ok/a.html", "/tmp/ok/a.htmlz",
+      "/100%_sure", "/100x_sure", "/end", "/endless", "/free")
+    assert(got("/tmp/deep/x") == false, "wildcard Disallow /tmp* blocks")
+    assert(got("/tmp/ok/a.html") == true, "longer anchored Allow carves back")
+    assert(got("/tmp/ok/a.htmlz") == false, "$ anchors: .htmlz doesn't end in .html")
+    assert(got("/100%_sure") == false, "literal % and _ match themselves")
+    assert(got("/100x_sure") == true, "_ is NOT a single-char wildcard")
+    assert(got("/end") == false, "anchored literal blocks the exact path")
+    assert(got("/endless") == true, "anchor keeps /endless out of /end$")
+    assert(got("/free") == true)
+  }
+
   test("rule-table names (domain/prefix/allow) are reserved on urls too") {
     // a urls frame already carrying `prefix` would make the post-join
     // col(\"prefix\") ambiguous — the guard must catch it up front
