@@ -11239,7 +11239,46 @@ object Queries {
              |SELECT CAST(d AS INT) AS bucket, count(*) AS n_urls,
              |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
              |  CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) AS blocked_id_sum
-             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- J12: FORWARD as-of join (AsOfJoin.forward) — the direction
+    // j6/j7/j11 leave open (pandas merge_asof direction="forward"):
+    // each purchase matched to the user's EARLIEST click at-or-after it
+    // ("the next follow-up after the conversion"). Inclusive at equal
+    // time via the flipped side marker; equal-time ties go to the MIN
+    // tiebreak (backward's mirror). Same single-shuffle tagged-union
+    // window plan; the oracle is DuckDB's native ASOF with the
+    // inequality reversed, right side pre-deduped to min event id per
+    // timestamp so both engines' tie conventions coincide.
+    Q("j12_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")
+        graft.ops.AsOfJoin.forward(
+            purchases, clicks,
+            key = Seq("user_id"), time = "ts",
+            payload = Seq("event_id", "ts"),
+            tiebreak = Seq("event_id"), prefix = "c_")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purch"),
+               count($"c_event_id").as("n_matched"),
+               sum(coalesce($"c_event_id", lit(0L))).as("sum_click_eid"),
+               sum(coalesce(unix_micros($"c_ts") - unix_micros($"ts"), lit(0L))).as("sum_gap_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, min(event_id) AS c_eid
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.user_id, c.c_eid, p.ts AS p_ts, c.ts AS c_ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.ts <= c.ts)
+             |SELECT user_id, count(*) AS n_purch, count(c_eid) AS n_matched,
+             |  CAST(sum(COALESCE(c_eid, 0)) AS BIGINT) AS sum_click_eid,
+             |  CAST(sum(COALESCE(epoch_us(c_ts) - epoch_us(p_ts), 0)) AS BIGINT) AS sum_gap_us
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

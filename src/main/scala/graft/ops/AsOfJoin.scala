@@ -52,6 +52,32 @@ object AsOfJoin {
       .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
   }
 
+  /** FORWARD as-of join — [[backward]]'s mirror (pandas `merge_asof`
+    * direction="forward"): for every left row, the EARLIEST right row
+    * with `right.time >= left.time` within the key — "the next
+    * maintenance window after the alert", "the first quote after the
+    * order". Inclusive at equal time: right rows sort AFTER left rows
+    * here (the flipped side marker), so a running `first(ignoreNulls)`
+    * over [current, ∞) captures them at distance 0; equal-time right
+    * rows tiebreak to the FIRST in ascending `tiebreak` order (min —
+    * the mirror of backward's max). Same single-shuffle plan. */
+  def forward(left: DataFrame,
+              right: DataFrame,
+              key: Seq[String],
+              time: String,
+              payload: Seq[String],
+              tiebreak: Seq[String] = Nil,
+              prefix: String = "asof_"): DataFrame = {
+    val (tagged, w) = taggedUnion(left, right, key, time, payload, tiebreak,
+      leftFirstAtEqualTime = true)
+    tagged
+      .withColumn("__match",
+        first("__rp", ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*") +: payload.map(p => col(s"__match.$p").as(prefix + p)): _*)
+  }
+
   /** Nearest as-of join: for every left row, the right row minimizing
     * `|right.time - left.time|` within the key — the temporal
     * nearest-neighbor match (the reference's closest-scene-in-time
@@ -161,7 +187,8 @@ object AsOfJoin {
                           key: Seq[String],
                           time: String,
                           payload: Seq[String],
-                          tiebreak: Seq[String]) = {
+                          tiebreak: Seq[String],
+                          leftFirstAtEqualTime: Boolean = false) = {
     val payloadCols = payload.map(col) :+ col(time).as("__rt")
     val payloadType = right.select(struct(payloadCols: _*).as("p")).schema("p").dataType
     val leftRowType = left.select(struct(left.columns.toSeq.map(col): _*).as("r")).schema("r").dataType
@@ -180,7 +207,11 @@ object AsOfJoin {
             struct(left.columns.toSeq.map(col): _*).as("__lrow")) ++
         tiebreak.zip(tbTypes).map { case (c, t) => lit(null).cast(t).as(s"__tb_$c") }: _*)
 
-    val order = col("__time").asc +: col("__side").asc +: tiebreak.map(c => col(s"__tb_$c").asc)
+    // backward/nearest want right rows BEFORE left at equal time (the
+    // running last() then matches inclusively); forward wants them AFTER
+    // (the running first() matches inclusively from the other side)
+    val sideOrder = if (leftFirstAtEqualTime) col("__side").desc else col("__side").asc
+    val order = col("__time").asc +: sideOrder +: tiebreak.map(c => col(s"__tb_$c").asc)
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
     (rTagged.unionByName(lTagged), w)
   }

@@ -43,6 +43,39 @@ class PipelineOpsFuzzSpec extends SparkSpec with GenChecks {
     }
   }
 
+  test("asof forward == argmin of the quadratic range join on random data") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(5, 40)
+      nr <- Gen.choose(0, 40)
+      lrows <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      rrows <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 999L)
+      } yield (k, t, v))
+    } yield (lrows, rrows)
+
+    forAllN(gen, n = 12) { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rrows.toDF("k", "t", "v")
+
+      val got = AsOfJoin.forward(left, right, key = Seq("k"), time = "t",
+          payload = Seq("v"), tiebreak = Seq("v"))
+        .select($"lid", $"asof_v").as[(Long, Option[Long])].collect().toMap
+
+      // quadratic reference: per left row, min-(t, v) right row with rt >= lt
+      val byKey = rrows.groupBy(_._1)
+      val want = lrows.zipWithIndex.map { case ((k, t), i) =>
+        val cands = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.minBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("kmv tracks exact counts over random cardinalities and k") {
     import spark.implicits._
     val gen = for {
