@@ -11281,8 +11281,114 @@ object Queries {
              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
+  private lazy val roundThirteen: Seq[Q] = Seq(
+
+    // ----- R24: 3×3 FOCAL SUM via halo exchange (ops.Focal) — the
+    // distributed-stencil pattern (HPC ghost cells / dask map_overlap):
+    // each tile re-emits itself plus 1-pixel border strips addressed to
+    // its ≤8 neighbor chunks; ONE shuffle co-locates each chunk's
+    // (chunk+2)² padded neighborhood; a tight loop computes the stencil.
+    // Shuffle volume = data + 4·perimeter (≈1.008× at chunk=1024), never
+    // the 9× pixel self-join. The 150×150 ModRamp grid at chunk=50 makes
+    // every interior chunk border a real halo crossing; strict-stencil
+    // NaN at the raster edge prunes rows 0/149 and cols 0/149. All
+    // focal sums are exact small integers (≤ 9·250), so q = round(v) and
+    // the per-chunk census is bit-exact in both engines.
+    Q("r24_focal_mean",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.focalSum3x3(tiles, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, math.round(v), gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |n AS (SELECT p.r, p.c,
+             |        CAST(sum(((p.r+dr.o)*(p.r+dr.o) + (p.c+dc.o)*(p.c+dc.o)) % 251) AS BIGINT) AS q
+             |      FROM px p CROSS JOIN range(-1,2) dr(o) CROSS JOIN range(-1,2) dc(o)
+             |      GROUP BY 1, 2)
+             |SELECT CAST(r//50 AS INT) AS y_chunk, CAST(c//50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R23: ZONAL STATISTICS (ops.Zonal) — the raster⋈vector
+    // workhorse (per-field mean NDVI, per-district rainfall; the
+    // reference's users run it downstream via rasterstats). Scale shape:
+    // zones are census-sized so they BROADCAST; each tile computes
+    // per-zone partials (n, Σq, pos-chk) in one loop over its own pixels
+    // behind a zone-bbox-vs-tile precheck; the only shuffle is the tiny
+    // partial-row agg — never a pixel-level spatial join. Zones are
+    // convex CCW polygons (containment = every edge cross ≥ 0); all
+    // vertices and pixel centers are small integers, so every cross
+    // product is exact in BOTH engines and the half-plane census is
+    // bit-reproducible. Zone 4 hangs off-grid (clipped by construction);
+    // zone 3 straddles four chunk borders.
+    Q("r23_zonal_stats",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Zonal, Zone}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        val zones = Seq(
+          Zone(1, Array(100.0, 700.0, 300.0), Array(100.0, 150.0, 600.0)),
+          Zone(2, Array(800.0, 1400.0, 1300.0, 900.0), Array(200.0, 300.0, 900.0, 800.0)),
+          Zone(3, Array(600.0, 900.0, 1100.0, 850.0, 550.0),
+                  Array(600.0, 550.0, 800.0, 1050.0, 900.0)),
+          Zone(4, Array(-200.0, 400.0, 500.0, -100.0),
+                  Array(1200.0, 1100.0, 1480.0, 1600.0)))
+        Zonal.stats(tiles, spec, 50, 50, zones).orderBy($"zone_id")
+      },
+      Some("""WITH px AS (SELECT r, c, CAST((r*r + c*c) % 251 AS BIGINT) AS q,
+             |        CAST(10*c + 5 AS DOUBLE) AS wx, CAST(1495 - 10*r AS DOUBLE) AS wy
+             |      FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |zv AS (SELECT * FROM (VALUES
+             |  (1, 100.0,100.0, 700.0,150.0), (1, 700.0,150.0, 300.0,600.0), (1, 300.0,600.0, 100.0,100.0),
+             |  (2, 800.0,200.0, 1400.0,300.0), (2, 1400.0,300.0, 1300.0,900.0),
+             |  (2, 1300.0,900.0, 900.0,800.0), (2, 900.0,800.0, 800.0,200.0),
+             |  (3, 600.0,600.0, 900.0,550.0), (3, 900.0,550.0, 1100.0,800.0),
+             |  (3, 1100.0,800.0, 850.0,1050.0), (3, 850.0,1050.0, 550.0,900.0),
+             |  (3, 550.0,900.0, 600.0,600.0),
+             |  (4, -200.0,1200.0, 400.0,1100.0), (4, 400.0,1100.0, 500.0,1480.0),
+             |  (4, 500.0,1480.0, -100.0,1600.0), (4, -100.0,1600.0, -200.0,1200.0)
+             |  ) AS v(zone_id, x1, y1, x2, y2)),
+             |m AS (SELECT z.zone_id, p.r, p.c, p.q,
+             |        min((z.x2-z.x1)*(p.wy-z.y1) - (z.y2-z.y1)*(p.wx-z.x1)) AS mincross
+             |      FROM px p CROSS JOIN zv z
+             |      GROUP BY 1, 2, 3, 4)
+             |SELECT zone_id, count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM m WHERE mincross >= 0 GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve ++ roundThirteen
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,138 @@
+package graft
+
+import graft.core.{Bounds, RasterSpec}
+import graft.ops.{Focal, Zonal, Zone}
+import graft.scan.{AssetRow, FakeReader, ModRampReader, Tile, TileScan}
+
+/** Driver-side oracles for the round-13 raster ops: the halo-exchange
+  * stencil (ops.Focal) and broadcast-zone zonal statistics (ops.Zonal).
+  * Both are checked against straight-line dense recomputation on the
+  * driver — the `test_items_to_dask` oracle pattern
+  * (reference `tests/test_to_dask.py:96-175`). */
+class FocalZonalSpec extends SparkSpec {
+
+  private val grid = 96 // 96x96 grid, chunk 32 -> 3x3 chunks, real halos
+  private val spec = RasterSpec(3857, Bounds(0.0, 0.0, 960.0, 960.0), 10.0, 10.0)
+  private val asset = AssetRow(0, 0, "g", 0L, "fake://focal",
+    0.0, 0.0, 960.0, 960.0, 1.0, 0.0)
+
+  /** Dense driver-side render of one asset via its reader. */
+  private def dense(readerUrl: String): Array[Double] = {
+    val r = FakeReader(readerUrl)
+    r.read(graft.core.Window(0, 0, grid, grid))
+  }
+
+  test("focalSum3x3 == driver dense stencil (pseudo-random field, chunked, halos)") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val out = Focal.focalSum3x3(tiles, 32, 32, grid, grid).collect()
+    val src = dense("fake://focal")
+    val got = Array.fill(grid * grid)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) = t.pixels(r * t.width + c)
+    }
+    for (r <- 0 until grid; c <- 0 until grid) {
+      val want =
+        if (r < 1 || r > grid - 2 || c < 1 || c > grid - 2) Double.NaN
+        else {
+          var s = 0.0
+          for (dr <- -1 to 1; dc <- -1 to 1) s += src((r + dr) * grid + c + dc)
+          s
+        }
+      val g = got(r * grid + c)
+      assert(g == want || (g.isNaN && want.isNaN), s"($r,$c): got $g want $want")
+    }
+  }
+
+  test("focalSum3x3: interior NaN hole invalidates its 3x3 neighborhood only") {
+    import spark.implicits._
+    // Hand-built sparse tiles: full 8x8 grid as 4 chunks of 4, value = 1
+    // everywhere except a NaN at (3, 4) — a chunk-border-adjacent hole.
+    val g = 8
+    def mk(yc: Int, xc: Int): Tile = {
+      val px = Array.tabulate(16) { i =>
+        val r = yc * 4 + i / 4; val c = xc * 4 + i % 4
+        if (r == 3 && c == 4) Double.NaN else 1.0
+      }
+      Tile(0, 0, "g", 0L, yc, xc, 0, 0, 4, 4, px)
+    }
+    val tiles = spark.createDataset(for (yc <- 0 to 1; xc <- 0 to 1) yield mk(yc, xc))
+    val out = Focal.focalSum3x3(tiles, 4, 4, g, g).collect()
+    val got = Array.fill(g * g)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 4 + r) * g + t.xChunk * 4 + c) = t.pixels(r * t.width + c)
+    }
+    for (r <- 1 to g - 2; c <- 1 to g - 2) {
+      val touchesHole = math.abs(r - 3) <= 1 && math.abs(c - 4) <= 1
+      val v = got(r * g + c)
+      if (touchesHole) assert(v.isNaN, s"($r,$c) should be NaN")
+      else assert(v == 9.0, s"($r,$c) got $v")
+    }
+  }
+
+  test("focalSum3x3 is parallelism-invariant (4 vs 1 partitions)") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val a = Focal.focalSum3x3(tiles, 32, 32, grid, grid)
+      .collect().sortBy(t => (t.yChunk, t.xChunk))
+    val b = Focal.focalSum3x3(tiles.repartition(1), 32, 32, grid, grid)
+      .collect().sortBy(t => (t.yChunk, t.xChunk))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.yChunk == y.yChunk && x.xChunk == y.xChunk)
+      x.pixels.zip(y.pixels).foreach { case (p, q) =>
+        assert(p == q || (p.isNaN && q.isNaN))
+      }
+    }
+  }
+
+  test("zonal stats == driver dense point-in-polygon census") {
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = _ => ModRampReader(97))
+    val zones = Seq(
+      Zone(1, Array(50.0, 500.0, 200.0), Array(50.0, 100.0, 400.0)),
+      Zone(2, Array(300.0, 900.0, 800.0, 250.0), Array(500.0, 550.0, 930.0, 880.0)))
+    val got = Zonal.stats(tiles, spec, 32, 32, zones)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver oracle
+    val want = zones.map { z =>
+      var n = 0L; var s = 0L; var chk = 0L
+      for (r <- 0 until grid; c <- 0 until grid) {
+        val px = (c * 10 + 5).toDouble; val py = (960 - r * 10 - 5).toDouble
+        if (z.contains(px, py)) {
+          val q = (r.toLong * r + c.toLong * c) % 97
+          n += 1; s += q; chk += q * (r.toLong * grid + c)
+        }
+      }
+      z.zoneId -> ((n, s, chk))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("zonal stats: zone fully outside the raster yields no row") {
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = _ => ModRampReader(97))
+    val out = Zonal.stats(tiles, spec, 32, 32,
+      Seq(Zone(9, Array(5000.0, 6000.0, 5500.0), Array(5000.0, 5000.0, 6000.0)))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("Zone guards degenerate vertex lists") {
+    intercept[IllegalArgumentException] {
+      Zone(1, Array(0.0, 1.0), Array(0.0, 1.0))
+    }
+  }
+
+  test("zonal stats is parallelism-invariant") {
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = _ => ModRampReader(97))
+    val zones = Seq(Zone(1, Array(50.0, 500.0, 200.0), Array(50.0, 100.0, 400.0)))
+    val a = Zonal.stats(tiles, spec, 32, 32, zones).collect().toSeq
+    val b = Zonal.stats(tiles.repartition(1), spec, 32, 32, zones).collect().toSeq
+    assert(a == b)
+  }
+}
