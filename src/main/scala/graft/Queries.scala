@@ -11384,7 +11384,141 @@ object Queries {
              |      GROUP BY 1, 2, 3, 4)
              |SELECT zone_id, count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM m WHERE mincross >= 0 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM m WHERE mincross >= 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T31: ENCODING-ROBUSTNESS census (text.Encoding) — the
+    // crawl-hygiene gate for decode wreckage: U+FFFD decoder bailouts,
+    // C0 binary-in-text controls, and cp1252 mojibake digraphs (valid
+    // Unicode that only a signature census catches). The synthetic docs
+    // are pure ASCII, so the fixture plants each failure class
+    // deterministically: doc_id%7 gets length-proportional mojibake
+    // (always over the 5-permille gate), doc_id%5==3 gets a single
+    // NBSP digraph (under the gate for long docs, OVER it for short
+    // ones — the length normalization is load-bearing), %13 plants
+    // U+FFFD, %17 plants controls. All counters are replace/regexp
+    // length deltas (codegen, no UDF, zero shuffle before the census
+    // agg); every char is BMP so Spark UTF-16 length == DuckDB
+    // codepoint length.
+    Q("t31_encoding_census",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val corrupted = docs.withColumn("ctext",
+          concat(
+            $"text",
+            when($"doc_id" % 7 === 0,
+              expr("repeat('Ã©Ã¨â€™', 1 + CAST(n_chars / 100 AS INT))"))
+              .otherwise(lit("")),
+            when($"doc_id" % 5 === 3, lit("Â ")).otherwise(lit("")),
+            when($"doc_id" % 13 === 0, lit("��")).otherwise(lit("")),
+            when($"doc_id" % 17 === 0, lit("\u0001\u0002")).otherwise(lit(""))))
+        val scored = graft.text.Encoding.score($"ctext")
+          .foldLeft(corrupted) { case (df, (n, c)) => df.withColumn(n, c) }
+        scored.groupBy($"lang", $"enc_clean")
+          .agg(count(lit(1)).as("n_docs"),
+               sum($"repl_pm").as("sum_repl_pm"),
+               sum($"ctrl_pm").as("sum_ctrl_pm"),
+               sum($"moji_pm").as("sum_moji_pm"),
+               sum($"nonascii_pm").as("sum_nonascii_pm"))
+          .orderBy($"lang", $"enc_clean")
+      },
+      Some("""WITH c AS (SELECT lang, text
+             |    || CASE WHEN doc_id % 7 = 0 THEN repeat(
+             |         chr(195)||chr(169)||chr(195)||chr(168)||chr(226)||chr(8364)||chr(8482),
+             |         CAST(1 + n_chars // 100 AS INT)) ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 3 THEN chr(194)||' ' ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0 THEN chr(65533)||chr(65533) ELSE '' END
+             |    || CASE WHEN doc_id % 17 = 0 THEN chr(1)||chr(2) ELSE '' END AS t
+             |  FROM documents),
+             |n AS (SELECT lang, greatest(length(t), 1) AS len,
+             |    length(t) - length(replace(t, chr(65533), '')) AS repl,
+             |    length(t) - length(regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS ctrl,
+             |      (length(t) - length(replace(t, chr(195)||chr(169), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(195)||chr(168), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(195)||chr(164), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(195)||chr(182), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(195)||chr(188), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(195)||chr(177), ''))) // 2
+             |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8482), ''))) // 3
+             |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8220), ''))) // 3
+             |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8211), ''))) // 3
+             |    + (length(t) - length(replace(t, chr(194)||' ', ''))) // 2 AS moji,
+             |    length(t) - length(regexp_replace(t, '[^\x00-\x7f]', '', 'g')) AS nonascii
+             |  FROM c),
+             |p AS (SELECT lang,
+             |    repl*1000 // len AS repl_pm, ctrl*1000 // len AS ctrl_pm,
+             |    moji*1000 // len AS moji_pm, nonascii*1000 // len AS nonascii_pm,
+             |    (repl = 0 AND ctrl = 0 AND moji*1000 // len < 5) AS enc_clean
+             |  FROM n)
+             |SELECT lang, enc_clean, count(*) AS n_docs,
+             |  CAST(sum(repl_pm) AS BIGINT) AS sum_repl_pm,
+             |  CAST(sum(ctrl_pm) AS BIGINT) AS sum_ctrl_pm,
+             |  CAST(sum(moji_pm) AS BIGINT) AS sum_moji_pm,
+             |  CAST(sum(nonascii_pm) AS BIGINT) AS sum_nonascii_pm
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X42: LABEL-PROPAGATION communities (graph.LabelProp) — the
+    // DENSITY partition beside x4's connectivity partition: a bridge
+    // edge between two dense dup clusters merges their component but
+    // (mostly) not their labels. Fixture: star edges inside each
+    // fingerprint dup group (hub = min id) PLUS one bridge per
+    // (min_id % 10) bucket joining that bucket's extreme hubs — built
+    // with aggs, no global window. LPA contract replayed exactly by the
+    // oracle: 3 synchronous rounds, neighbor votes + one self-vote,
+    // argmax count with min-label ties (struct-max in Spark,
+    // row_number in SQL — same total order). The census (label,
+    // members, id-sum) pins the whole deterministic trajectory,
+    // including the known min-label tie-bias drains on bridges.
+    Q("x42_label_prop",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id",
+            md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"))
+        val groups = docs.groupBy($"fp").agg(min($"doc_id").as("m"))
+        val stars = docs.join(groups, "fp").filter($"doc_id" =!= $"m")
+          .select($"m".as("a"), $"doc_id".as("b"))
+        val bridges = groups.groupBy(($"m" % 10).as("bkt"))
+          .agg(min($"m").as("a"), max($"m").as("b"))
+          .filter($"a" =!= $"b").select($"a", $"b")
+        val labels = withStreamPartitions(s, 8) {
+          graft.graph.LabelProp.propagate(stars.unionByName(bridges), rounds = 3)
+        }
+        labels.groupBy($"label")
+          .agg(count(lit(1)).as("n_members"), sum($"node").as("sum_nodes"))
+          .orderBy($"label")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+             |  FROM documents),
+             |g AS (SELECT fp, min(doc_id) AS m FROM f GROUP BY 1),
+             |stars AS (SELECT g.m AS a, f.doc_id AS b
+             |          FROM f JOIN g ON f.fp = g.fp WHERE f.doc_id != g.m),
+             |bridges AS (SELECT min(m) AS a, max(m) AS b FROM g
+             |            GROUP BY m % 10 HAVING min(m) != max(m)),
+             |e AS (SELECT a, b FROM stars UNION ALL SELECT a, b FROM bridges),
+             |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |l0 AS (SELECT DISTINCT a AS node, CAST(a AS BIGINT) AS label FROM sym),
+             |v1 AS (SELECT s.b AS node, l.label FROM sym s JOIN l0 l ON l.node = s.a
+             |       UNION ALL SELECT node, label FROM l0),
+             |c1 AS (SELECT node, label, count(*) AS c FROM v1 GROUP BY 1, 2),
+             |l1 AS (SELECT node, label FROM (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             |       FROM c1) WHERE rn = 1),
+             |v2 AS (SELECT s.b AS node, l.label FROM sym s JOIN l1 l ON l.node = s.a
+             |       UNION ALL SELECT node, label FROM l1),
+             |c2 AS (SELECT node, label, count(*) AS c FROM v2 GROUP BY 1, 2),
+             |l2 AS (SELECT node, label FROM (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             |       FROM c2) WHERE rn = 1),
+             |v3 AS (SELECT s.b AS node, l.label FROM sym s JOIN l2 l ON l.node = s.a
+             |       UNION ALL SELECT node, label FROM l2),
+             |c3 AS (SELECT node, label, count(*) AS c FROM v3 GROUP BY 1, 2),
+             |l3 AS (SELECT node, label FROM (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+             |       FROM c3) WHERE rn = 1)
+             |SELECT label, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS sum_nodes
+             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+  * an undirected edge list — the third graph primitive beside
+  * [[graft.dedup.Dedup.connectedComponents]] and [[PageRank]]:
+  * components give the CONNECTIVITY partition, LPA gives the DENSITY
+  * partition — a bridge edge between two dense near-dup communities
+  * merges their component but not their labels, which is what cluster-
+  * level curation decisions (keep one per community, cap per community)
+  * actually want.
+  *
+  * Determinism contract (both engines replay it exactly): labels are
+  * the node ids (must be ≥ 0); each round every node adopts the label
+  * with the highest vote count among its neighbors PLUS its own
+  * current label (the self-vote damps the synchronous-update
+  * oscillation on bipartite structures), ties broken by SMALLEST
+  * label; a FIXED round count, no convergence test — integer counts
+  * and min-ties mean no ordering or float nondeterminism anywhere.
+  *
+  * Plan shape at scale: one symmetrize+distinct up front; per round
+  * one equi-join of edges against the |V|-row label table and two
+  * map-side-combined groupBys (vote count, then argmax via a
+  * struct-max — no window, no single-partition exchange); shuffle
+  * O(edges)/round, label table node-sized, lineage truncated per
+  * round. Returns (node, label) for nodes with at least one edge. */
+object LabelProp {
+
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.toDF("a", "b")
+    val sym = e.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < rounds) {
+      val neighborVotes = sym
+        .join(labels.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"), col("label"))
+      val votes = neighborVotes.unionByName(labels) // self-vote, once
+      // argmax(count) with min-label ties: max(struct(cnt, -label)).
+      labels = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
+}

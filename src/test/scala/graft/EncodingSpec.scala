@@ -1,0 +1,63 @@
+package graft
+
+import graft.text.Encoding
+import org.apache.spark.sql.functions._
+
+/** Hand oracles for the encoding-robustness gate (text.Encoding). */
+class EncodingSpec extends SparkSpec {
+
+  private def scoreOne(s: String): Map[String, Any] = {
+    import spark.implicits._
+    val df = Seq(s).toDF("t")
+    val scored = Encoding.score($"t").foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val row = scored.collect().head
+    scored.columns.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+  }
+
+  test("clean ASCII text: all zero, verdict clean") {
+    val m = scoreOne("The quick brown fox jumps over the lazy dog. " * 10)
+    assert(m("repl_pm") == 0L && m("ctrl_pm") == 0L && m("moji_pm") == 0L &&
+      m("nonascii_pm") == 0L && m("enc_clean") == true)
+  }
+
+  test("clean NON-ASCII text (real accents) is not flagged as mojibake") {
+    // é ü ñ as themselves — nonascii counted, mojibake zero, verdict clean
+    val m = scoreOne("café über mañana, voilà! " * 20)
+    assert(m("moji_pm") == 0L && m("repl_pm") == 0L && m("ctrl_pm") == 0L)
+    assert(m("nonascii_pm").asInstanceOf[Long] > 0L)
+    assert(m("enc_clean") == true)
+  }
+
+  test("mojibake digraphs are counted once per occurrence") {
+    // "Ã©" twice + "â€™" once in a 100-char doc => moji = 3, pm = 3*1000/107
+    val body = "x" * 100
+    val s = body + "Ã©Ã©â€™"
+    val m = scoreOne(s)
+    assert(m("moji_pm") == 3L * 1000 / 107)
+    assert(m("nonascii_pm").asInstanceOf[Long] > 0L)
+  }
+
+  test("U+FFFD or C0 controls are damning regardless of rate") {
+    val long = "y" * 5000
+    assert(scoreOne(long + "�")("enc_clean") == false)
+    assert(scoreOne(long + "\u0007")("enc_clean") == false)
+    // but tab/newline/CR are NOT controls for this purpose
+    assert(scoreOne(long + "\t\n\r")("enc_clean") == true)
+  }
+
+  test("mojibake gate is length-normalized: same signature, verdict flips") {
+    val sig = "Â " // NBSP digraph, 1 hit
+    val shortDoc = ("z" * 50) + sig  // pm = 1000/52 = 19 >= 5 -> dirty
+    val longDoc = ("z" * 500) + sig  // pm = 1000/502 = 1 < 5  -> clean
+    assert(scoreOne(shortDoc)("enc_clean") == false)
+    assert(scoreOne(longDoc)("enc_clean") == true)
+  }
+
+  test("score stays inside whole-stage codegen (no UDF in the plan)") {
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("t")
+    val scored = Encoding.score($"t").foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
