@@ -11518,7 +11518,72 @@ object Queries {
              |         row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
              |       FROM c3) WHERE rn = 1)
              |SELECT label, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS sum_nodes
-             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- V23: GRAPH-based ANN (ann.KnnGraph) — the HNSW/NN-Descent
+    // family's shape: build an approximate kNN GRAPH seeded from TWO
+    // disjoint LSH tables (one table's neighbors-of-neighbors never leave
+    // the seed bucket; a hop through a table-B edge escapes the table-A
+    // bucket), then answer queries by one-hop expansion + exact rerank.
+    // Scale: seeding is the banding-bounded equi-join per table; the graph
+    // is n·g rows; expansion is edges⋈edges on the middle node (≤ n·g²),
+    // all key-shuffles — the n² pair space never materializes.
+    Q("v23_knn_graph_expand",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val edges = graft.ann.KnnGraph.build(prepared, nPlanes = 4, nTables = 2,
+          dim = 64, g = 6)
+        graft.ann.KnnGraph.expandTopK(edges, prepared, k = 5, $"id" < 10)
+          .orderBy($"qid", $"rk")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id,
+             |    sum(CASE WHEN j < 4 AND p > 0 THEN 1 << j ELSE 0 END) AS b0,
+             |    sum(CASE WHEN j >= 4 AND p > 0 THEN 1 << (j-4) ELSE 0 END) AS b1
+             |  FROM proj GROUP BY vec_id),
+             |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |cand AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM buckets a JOIN buckets b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
+             |  UNION
+             |  SELECT a.vec_id, b.vec_id
+             |  FROM buckets a JOIN buckets b ON a.b1 = b.b1 AND a.vec_id != b.vec_id),
+             |pc AS (
+             |  SELECT src, dst,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM cand JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
+             |edges AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+             |    FROM pc) WHERE rk <= 6),
+             |direct AS (SELECT src AS qid, dst AS nid FROM edges WHERE src < 10),
+             |hop2 AS (SELECT d.qid, e.dst AS nid FROM direct d JOIN edges e ON d.nid = e.src),
+             |cands AS (SELECT DISTINCT qid, nid
+             |          FROM (SELECT * FROM direct UNION ALL SELECT * FROM hop2)
+             |          WHERE qid != nid),
+             |sc AS (
+             |  SELECT qid, nid,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM cands JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+             |SELECT qid, rk, nid, cos FROM (
+             |  SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
   )
 
   private val qs: Seq[Q] =
