@@ -11583,7 +11583,90 @@ object Queries {
              |SELECT qid, rk, nid, cos FROM (
              |  SELECT qid, nid, cos,
              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc)
-             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+             |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    // ----- V24: one NN-DESCENT round (Dong et al. WWW'11) over the v23
+    // seed graph — co-adjacency proposes candidates (neighbor-of-my-
+    // neighbor), exact rescoring keeps each node's top-g. Reverse
+    // neighborhoods are capped at g (the paper's reverse sampling) so the
+    // local join is ≤ 4g²·n rows on the pivot key — a hub can't blow it
+    // up. Output: the edge-quality census before/after (sum of cos×1e6 is
+    // an exact integer under the round(·,6) contract), the measured claim
+    // that one round strictly improves the graph.
+    Q("v24_nndescent",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val seed = graft.ann.KnnGraph.build(prepared, nPlanes = 4, nTables = 2,
+          dim = 64, g = 6)
+        val refined = graft.ann.KnnGraph.refine(seed, prepared, g = 6)
+        val census = (df: DataFrame, stage: String) =>
+          df.agg(count(lit(1)).as("n_edges"),
+                 sum(round($"cos" * 1000000).cast("long")).as("sum_q6"))
+            .select(lit(stage).as("stage"), $"n_edges", $"sum_q6")
+        census(seed, "seed").unionByName(census(refined, "refined"))
+          .orderBy($"stage")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id,
+             |    sum(CASE WHEN j < 4 AND p > 0 THEN 1 << j ELSE 0 END) AS b0,
+             |    sum(CASE WHEN j >= 4 AND p > 0 THEN 1 << (j-4) ELSE 0 END) AS b1
+             |  FROM proj GROUP BY vec_id),
+             |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |cand AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM buckets a JOIN buckets b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
+             |  UNION
+             |  SELECT a.vec_id, b.vec_id
+             |  FROM buckets a JOIN buckets b ON a.b1 = b.b1 AND a.vec_id != b.vec_id),
+             |pc AS (
+             |  SELECT src, dst,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM cand JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
+             |edges AS (
+             |  SELECT src, dst, cos FROM (
+             |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+             |    FROM pc) WHERE rk <= 6),
+             |rev AS (
+             |  SELECT dst AS src, src AS dst FROM (
+             |    SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cos DESC, src) AS rk
+             |    FROM edges) WHERE rk <= 6),
+             |und AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM rev),
+             |cnd AS (
+             |  SELECT x.dst AS src, y.dst AS dst
+             |  FROM und x JOIN und y ON x.src = y.src AND x.dst != y.dst
+             |  UNION
+             |  SELECT src, dst FROM edges),
+             |sc AS (
+             |  SELECT c.src, c.dst,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM (SELECT DISTINCT src, dst FROM cnd WHERE src != dst) c
+             |  JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
+             |ref AS (
+             |  SELECT src, dst, cos FROM (
+             |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+             |    FROM sc) WHERE rk <= 6)
+             |SELECT stage, n_edges, sum_q6 FROM (
+             |  SELECT 'seed' AS stage, count(*) AS n_edges,
+             |    CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS BIGINT) AS sum_q6 FROM edges
+             |  UNION ALL
+             |  SELECT 'refined', count(*),
+             |    CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS BIGINT) FROM ref)
+             |ORDER BY stage""".stripMargin))
   )
 
   private val qs: Seq[Q] =

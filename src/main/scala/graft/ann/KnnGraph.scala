@@ -74,6 +74,36 @@ object KnnGraph {
       .select(col("src"), col("dst"), col("cos"))
   }
 
+  /** One NN-Descent refinement round (Dong, Moses & Li, WWW'11): two
+    * nodes adjacent to a common pivot become candidate neighbors of each
+    * other ("a neighbor of my neighbor is probably my neighbor"), scored
+    * exactly and merged with the old edges, keeping each node's top-g.
+    * The pivot's neighborhood B(v) = out-edges ∪ top-g REVERSE edges —
+    * the reverse side is capped at g (NN-Descent's reverse sampling) so a
+    * hub node cannot blow up the local join: candidates ≤ 4g²·n rows, an
+    * equi-join on the pivot, never the pair space. Each call strictly
+    * improves (or keeps) every node's neighborhood, monotone like the
+    * paper's iterate-until-converged loop; callers chain rounds. */
+  def refine(edges: DataFrame, prepared: DataFrame, g: Int): DataFrame = {
+    val wIn = Window.partitionBy(col("dst")).orderBy(col("cos").desc, col("src"))
+    val rev = edges.withColumn("rk", row_number().over(wIn)).filter(col("rk") <= g)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val und = edges.select(col("src"), col("dst")).unionByName(rev).distinct()
+    val coAdj = und.as("x").join(und.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+    val cands = coAdj.unionByName(edges.select(col("src"), col("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val scored = cands
+      .join(prepared.as("a"), col("src") === col("a.id"))
+      .join(prepared.as("b"), col("dst") === col("b.id"))
+      .select(col("src"), col("dst"),
+              Ann.cosine(col("a.qv"), col("b.qv"), col("a.nq"), col("b.nq")).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= g)
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
   /** Answer top-`k` for the rows of `prepared` matching `queryFilter` by
     * one-hop graph expansion over `edges` (build() output) plus exact
     * rerank. Returns (qid, rk, nid, cos). */

@@ -46,6 +46,29 @@ class KnnGraphSpec extends SparkSpec {
     truth.unpersist()
   }
 
+  test("refine: one NN-Descent round strictly improves edge quality, monotonically") {
+    def quality(g: DataFrame): (Long, Double) = {
+      val r = g.agg(count(lit(1)), sum(col("cos"))).head
+      (r.getLong(0), r.getDouble(1))
+    }
+    val r1 = KnnGraph.refine(edges, prepared, g = 6).cache()
+    val r2 = KnnGraph.refine(r1, prepared, g = 6).cache()
+    val (n0, q0) = quality(edges)
+    val (n1, q1) = quality(r1)
+    val (n2, q2) = quality(r2)
+    info(f"edge-cos sums: seed $q0%.2f, round1 $q1%.2f, round2 $q2%.2f")
+    assert(n0 === 3000L && n1 === 3000L && n2 === 3000L) // 500 × g, no node starved
+    assert(q1 > q0, "round 1 must improve the seed graph")
+    assert(q2 >= q1, "NN-Descent is monotone: a round never degrades a neighborhood")
+    // refined graph serves better: expansion recall rises with graph quality
+    val truth = Ann.bruteForceKnn(prepared, prepared.filter(qf), 5).cache()
+    val seedR = recall(truth, KnnGraph.expandTopK(edges, prepared, k = 5, qf))
+    val refR = recall(truth, KnnGraph.expandTopK(r1, prepared, k = 5, qf))
+    info(s"expansion recall@5: seed graph $seedR, refined graph $refR")
+    assert(refR > seedR, "a better graph must serve better")
+    truth.unpersist(); r1.unpersist(); r2.unpersist()
+  }
+
   test("a single LSH table is refused: expansion would never leave the bucket") {
     val e = intercept[IllegalArgumentException] {
       KnnGraph.build(prepared, nPlanes = 5, nTables = 1, dim = 64, g = 4)
