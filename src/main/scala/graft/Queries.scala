@@ -11666,7 +11666,45 @@ object Queries {
              |  UNION ALL
              |  SELECT 'refined', count(*),
              |    CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS BIGINT) FROM ref)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ----- X43: TRIANGLE census (graph.Triangles) over the co-purchase
+    // graph — parts bought together in ≥2 orders. Degree-ordered
+    // orientation bounds the wedge join at O(m^1.5) rows total (out-degree
+    // ≤ O(√m) by the classical argument) no matter how skewed a hub
+    // part's degree; wedge closure is one semi-join against the canonical
+    // edge list. Output: the per-node triangle-participation histogram.
+    Q("x43_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+        val pr = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        val edges = pr.groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2).select($"u", $"v")
+        graft.graph.Triangles.participationCensus(edges).orderBy($"n_tri")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT node, count(*) AS d FROM
+             |          (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+             |        GROUP BY 1),
+             |o AS (SELECT CASE WHEN du.d <= dv.d THEN u ELSE v END AS src,
+             |             CASE WHEN du.d <= dv.d THEN v ELSE u END AS dst
+             |      FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+             |w AS (SELECT o1.src AS pv, o1.dst AS a, o2.dst AS b
+             |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+             |tri AS (SELECT pv, a, b FROM w
+             |        WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.a AND p.v = w.b)),
+             |nodes AS (SELECT pv AS node FROM tri
+             |          UNION ALL SELECT a FROM tri UNION ALL SELECT b FROM tri),
+             |pn AS (SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1)
+             |SELECT n_tri, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
+             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

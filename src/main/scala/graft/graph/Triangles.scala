@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle enumeration by degree-ordered orientation (Cohen's
+  * MapReduce formulation; Schank & Wagner's forward algorithm) — the
+  * fourth graph primitive beside connected components, [[PageRank]] and
+  * [[LabelProp]]. Triangles are the unit of graph DENSITY: clustering
+  * coefficients, community strength, spam-farm detection on a link
+  * graph, co-purchase basket tightness.
+  *
+  * The naive plan — three-way self-join of the edge list — explodes on
+  * hub nodes (a degree-d node contributes d² wedges). The classical fix
+  * is ORIENTATION: direct every undirected edge from its lower-(degree,
+  * id) endpoint to the higher one. The resulting DAG has out-degree
+  * O(√m) regardless of hubs, so the wedge join (out-edges ⋈ out-edges
+  * on the pivot) is Σ outdeg² = O(m^1.5) rows TOTAL — the proven bound
+  * — and each wedge closes via one semi-join against the edge list.
+  * Every step is an equi-join or map-side-combinable aggregation;
+  * nothing is ever quadratic in a hub's degree.
+  *
+  * Determinism: pure integer joins and counts — no floats, no windows,
+  * no order sensitivity at any parallelism.
+  */
+object Triangles {
+
+  /** Enumerate triangles of an undirected simple graph given as
+    * canonical edges (u < v, distinct). Returns one row per triangle
+    * (x, y, z) with x < y < z. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v")
+    val deg = e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // u < v by contract, so (d,id)-order reduces to: u leads iff d(u) <= d(v)
+    val o = e.join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+              when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"))
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("pivot"), col("o1.dst").as("a"), col("o2.dst").as("b"))
+    // a < b by construction; the closing edge is canonical (a, b)
+    wedges.join(e, col("a") === col("u") && col("b") === col("v"), "left_semi")
+      .select(least(col("pivot"), col("a")).as("x"),
+              when(col("pivot") < col("a"), col("a"))
+                .when(col("pivot") > col("b"), col("b")).otherwise(col("pivot")).as("y"),
+              greatest(col("pivot"), col("b")).as("z"))
+  }
+
+  /** Per-node triangle-participation histogram: (n_tri, n_nodes,
+    * sum_nodes) — how many nodes sit on exactly n_tri triangles, with an
+    * id checksum. The graph-density profile in census form. */
+  def participationCensus(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    perNode.groupBy(col("n_tri"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+  }
+}
