@@ -11704,7 +11704,58 @@ object Queries {
              |          UNION ALL SELECT a FROM tri UNION ALL SELECT b FROM tri),
              |pn AS (SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1)
              |SELECT n_tri, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
-             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R25: TERRAIN gradient (Horn 1981 — the GDAL/ArcGIS slope
+    // kernel) via the SAME halo exchange as r24 — one shuffle, ghost
+    // cells, tight loop. Output is gx²+gy² (the squared slope numerator):
+    // over the integer ModRamp DEM it is an exact integer (|g| ≤ 8·250),
+    // so the per-chunk census is bit-exact in both engines; slope-in-
+    // degrees is the caller's pointwise atan epilogue.
+    Q("r25_terrain_grad",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.hornGradSq3x3(tiles, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, math.round(v), gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |wt AS (SELECT * FROM (VALUES
+             |  (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+             |  ( 0,-1,-2, 0),              ( 0,1,2, 0),
+             |  ( 1,-1,-1, 1), ( 1,0,0, 2), ( 1,1,1, 1)
+             |  ) AS v(dr, dc, wx, wy)),
+             |g AS (SELECT p.r, p.c,
+             |        sum(wx * (((p.r+dr)*(p.r+dr) + (p.c+dc)*(p.c+dc)) % 251)) AS gx,
+             |        sum(wy * (((p.r+dr)*(p.r+dr) + (p.c+dc)*(p.c+dc)) % 251)) AS gy
+             |      FROM px p CROSS JOIN wt GROUP BY 1, 2),
+             |n AS (SELECT r, c, CAST(gx*gx + gy*gy AS BIGINT) AS q FROM g)
+             |SELECT CAST(r//50 AS INT) AS y_chunk, CAST(c//50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -19,7 +19,9 @@ import graft.scan.Tile
   *
   * The reference has no focal op (its users reach for xarray/dask
   * `rolling`, which does the same ghost-cell trick via dask overlap —
-  * `dask.array.map_overlap`); this is the Spark-native form.
+  * `dask.array.map_overlap`); this is the Spark-native form. All 3×3
+  * kernels ([[focalSum3x3]], [[hornGradSq3x3]], and any future
+  * slope/aspect/curvature variant) share ONE halo exchange.
   */
 object Focal {
 
@@ -49,7 +51,58 @@ object Focal {
     * neighborhood and are NaN by the strict contract).
     */
   def focalSum3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
-                  gridH: Int, gridW: Int): Dataset[Tile] = {
+                  gridH: Int, gridW: Int): Dataset[Tile] =
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      var s = 0.0
+      var ok = true
+      var dr = -1
+      while (dr <= 1 && ok) {
+        var dc = -1
+        while (dc <= 1 && ok) {
+          val v = pad(ctr + dr * padW + dc)
+          if (v.isNaN) ok = false else s += v
+          dc += 1
+        }
+        dr += 1
+      }
+      if (ok) s else Double.NaN
+    }
+
+  /** Horn (1981) 3×3 gradient — the terrain-analysis kernel behind
+    * GDAL/ArcGIS slope and aspect — returned as gx²+gy², the squared
+    * slope numerator:
+    *
+    *   gx = (zNE + 2zE + zSE) − (zNW + 2zW + zSW)
+    *   gy = (zSW + 2zS + zSE) − (zNW + 2zN + zNE)
+    *   slope = atan(√(gx²+gy²) / (8·cellsize))   [caller's one-liner]
+    *
+    * gx²+gy² is kept un-normalized on purpose: over integer DEMs it is
+    * an exact integer, so the distributed result is bit-reproducible and
+    * oracle-replayable (atan/sqrt are a pointwise, shape-preserving
+    * epilogue callers apply when they want degrees). Strict stencil: NaN
+    * unless all 9 neighbors are in-grid and valid. */
+  def hornGradSq3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                    gridH: Int, gridW: Int): Dataset[Tile] =
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      val zNW = pad(ctr - padW - 1); val zN = pad(ctr - padW); val zNE = pad(ctr - padW + 1)
+      val zW  = pad(ctr - 1);        val zC = pad(ctr);        val zE  = pad(ctr + 1)
+      val zSW = pad(ctr + padW - 1); val zS = pad(ctr + padW); val zSE = pad(ctr + padW + 1)
+      if (zNW.isNaN || zN.isNaN || zNE.isNaN || zW.isNaN || zC.isNaN ||
+          zE.isNaN || zSW.isNaN || zS.isNaN || zSE.isNaN) Double.NaN
+      else {
+        val gx = (zNE + 2 * zE + zSE) - (zNW + 2 * zW + zSW)
+        val gy = (zSW + 2 * zS + zSE) - (zNW + 2 * zN + zNE)
+        gx * gx + gy * gy
+      }
+    }
+
+  /** The shared halo exchange + per-chunk stencil loop. `kernel` sees the
+    * padded neighborhood array, its row stride, and the center index;
+    * out-of-grid border pixels (no full 3×3 inside the raster) are NaN
+    * before the kernel is consulted. */
+  private def stencil3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                         gridH: Int, gridW: Int)(
+      kernel: (Array[Double], Int, Int) => Double): Dataset[Tile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
 
@@ -123,21 +176,10 @@ object Focal {
           var c = 0
           while (c < outW) {
             val gc = txc * chunkX + c
-            var s = 0.0
-            var ok = gr >= 1 && gr <= gridH - 2 && gc >= 1 && gc <= gridW - 2
-            if (ok) {
-              var dr = -1
-              while (dr <= 1 && ok) {
-                var dc = -1
-                while (dc <= 1 && ok) {
-                  val v = pad((gr + dr - padR0) * padW + (gc + dc - padC0))
-                  if (v.isNaN) ok = false else s += v
-                  dc += 1
-                }
-                dr += 1
-              }
-            }
-            out(r * outW + c) = if (ok) s else Double.NaN
+            out(r * outW + c) =
+              if (gr >= 1 && gr <= gridH - 2 && gc >= 1 && gc <= gridW - 2)
+                kernel(pad, padW, (gr - padR0) * padW + (gc - padC0))
+              else Double.NaN
             c += 1
           }
           r += 1

@@ -90,6 +90,49 @@ class FocalZonalSpec extends SparkSpec {
     }
   }
 
+  test("hornGradSq3x3: constant-gradient DEM gives the closed form everywhere") {
+    import spark.implicits._
+    // v(r,c) = 3r + 5c: gx = 8*5 = 40, gy = 8*3 = 24 at every interior
+    // pixel -> gx^2+gy^2 = 2176 exactly, across every chunk border.
+    val g = 8
+    def mk(yc: Int, xc: Int): Tile = {
+      val px = Array.tabulate(16) { i =>
+        val r = yc * 4 + i / 4; val c = xc * 4 + i % 4
+        (3 * r + 5 * c).toDouble
+      }
+      Tile(0, 0, "g", 0L, yc, xc, 0, 0, 4, 4, px)
+    }
+    val tiles = spark.createDataset(
+      for (yc <- 0 until 2; xc <- 0 until 2) yield mk(yc, xc))
+    val out = Focal.hornGradSq3x3(tiles, 4, 4, g, g).collect()
+    for (t <- out; r <- 0 until t.height; c <- 0 until t.width) {
+      val gr = t.yChunk * 4 + r; val gc = t.xChunk * 4 + c
+      val v = t.pixels(r * t.width + c)
+      if (gr < 1 || gr > g - 2 || gc < 1 || gc > g - 2)
+        assert(v.isNaN, s"edge ($gr,$gc) must be NaN, got $v")
+      else assert(v === 2176.0, s"interior ($gr,$gc): got $v")
+    }
+  }
+
+  test("hornGradSq3x3 == driver dense Horn kernel on the pseudo-random field") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val out = Focal.hornGradSq3x3(tiles, 32, 32, grid, grid).collect()
+    val src = dense("fake://focal")
+    val got = Array.fill(grid * grid)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) = t.pixels(r * t.width + c)
+    }
+    def z(r: Int, c: Int) = src(r * grid + c)
+    for (r <- 1 until grid - 1; c <- 1 until grid - 1) {
+      val gx = (z(r-1,c+1) + 2*z(r,c+1) + z(r+1,c+1)) - (z(r-1,c-1) + 2*z(r,c-1) + z(r+1,c-1))
+      val gy = (z(r+1,c-1) + 2*z(r+1,c) + z(r+1,c+1)) - (z(r-1,c-1) + 2*z(r-1,c) + z(r-1,c+1))
+      assert(got(r * grid + c) === gx * gx + gy * gy, s"($r,$c)")
+    }
+  }
+
   test("zonal stats == driver dense point-in-polygon census") {
     val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
       readerFor = _ => ModRampReader(97))
