@@ -11755,7 +11755,38 @@ object Queries {
              |SELECT CAST(r//50 AS INT) AS y_chunk, CAST(c//50 AS INT) AS x_chunk,
              |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X44: weight-proportional (PPS) Poisson sampling — include each
+    // document independently with probability min(1, k·w/W), w = token
+    // count. The zero-coordination sampling scheme (no reservoir, no
+    // prefix sum, no global order): one broadcast of per-language totals
+    // and a parallel filter. The inclusion test u·W < 2³²·k·w runs in
+    // exact integer arithmetic (DECIMAL(38,0) / HUGEINT) — no float
+    // probability whose last ulp could flip a row across engines.
+    Q("x44_pps_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("w"))
+        val sel = graft.ops.Sample.ppsBernoulli(docs, "lang", $"doc_id", "w", k = 40)
+        sel.groupBy($"lang")
+          .agg(count(lit(1)).as("n_sel"), sum($"w").as("sum_w"),
+               sum($"doc_id").as("sum_id"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+             |tot AS (SELECT lang, sum(w) AS tw FROM d GROUP BY 1),
+             |u AS (SELECT d.*, tot.tw,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS uu
+             |  FROM d JOIN tot USING (lang)),
+             |sel AS (SELECT * FROM u
+             |  WHERE CAST(uu AS HUGEINT) * CAST(tw AS HUGEINT)
+             |      < CAST(171798691840 AS HUGEINT) * CAST(w AS HUGEINT))
+             |SELECT lang, count(*) AS n_sel, CAST(sum(w) AS BIGINT) AS sum_w,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

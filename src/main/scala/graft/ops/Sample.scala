@@ -253,6 +253,43 @@ object Sample {
       .drop("__qr", "__qn")
   }
 
+  /** Weight-proportional (PPS) Poisson sampling: include each row
+    * independently with probability min(1, k·w/W) — expected sample size
+    * k per group, zero coordination between rows. This is the sampling
+    * scheme that actually survives 100 TB: no global order, no reservoir
+    * state, no prefix sum — one broadcast of the per-group weight totals
+    * and one embarrassingly-parallel filter.
+    *
+    * Exactness discipline: the uniform is the first 32 bits of
+    * md5(id) — the [[stratifiedExact]] hash family — and the inclusion
+    * test `u·W < 2³²·k·w` is evaluated in DECIMAL(38,0) so both sides
+    * are EXACT integers in any engine (never a float probability whose
+    * last ulp could flip a row near the threshold). Heavy rows with
+    * w ≥ W/k are always included (probability capped at 1), the PPS
+    * contract. Deterministic across runs, cluster sizes, and engines;
+    * stable under resampling with a larger k (a kept row stays kept).
+    *
+    * Returns the selected rows unchanged. */
+  def ppsBernoulli(df: DataFrame, groupCol: String, idCol: Column,
+                   weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ppsBernoulli: k=$k")
+    val reserved = Seq("__u", "__W").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved scratch columns present: ${reserved.mkString(", ")}")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("__W"))
+    // Operand precisions chosen so each product is exactly DECIMAL(38,0)
+    // with no Spark precision-overflow null: u < 2^32 (10 digits),
+    // W < 10^28; 2^32·k fits a long (k is Int), w < 10^19.
+    df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__u",
+        conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"))
+      .filter(col("__u").cast("decimal(10,0)") * col("__W").cast("decimal(28,0)") <
+              lit(4294967296L * k).cast("decimal(19,0)") *
+              col(weightCol).cast("decimal(19,0)"))
+      .drop("__u", "__W")
+  }
+
   /** UniMax selection: given per-language budgets ([[unimaxBudgets]]),
     * keep each language's hash-ordered prefix of documents whose running
     * token total stays within the budget (a doc that would cross the

@@ -208,6 +208,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.count(grown.contains) >= (a.size * 0.5).toInt, "hash-ordered samples overlap under growth")
   }
 
+  test("ppsBernoulli: heavy row certain, size near expectation, k-monotone, engine-stable") {
+    import spark.implicits._
+    // 1000 light rows (w=10) + one heavy (w=2000 >= W/k): W = 12000,
+    // per-light inclusion prob = 50*10/12000 ~ 0.0417 -> E[n] ~ 42.6
+    val df = spark.range(0, 1001).select(lit("g").as("grp"), col("id"),
+      when(col("id") === 1000, 2000L).otherwise(lit(10L)).as("w"))
+    val sel = Sample.ppsBernoulli(df, "grp", col("id"), "w", 50)
+    val ids = sel.select("id").as[Long].collect().toSet
+    assert(ids.contains(1000L), "a row with w >= W/k has probability 1")
+    assert(ids.size >= 20 && ids.size <= 70, s"expected ~43, got ${ids.size}")
+    // parallelism invariance (pure per-row hash test)
+    val b = Sample.ppsBernoulli(df.repartition(7), "grp", col("id"), "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(ids === b)
+    // k-monotone: raising the budget only adds rows (u*W < 2^32*k*w in k)
+    val big = Sample.ppsBernoulli(df, "grp", col("id"), "w", 200)
+      .select("id").as[Long].collect().toSet
+    assert(ids.subsetOf(big), "a kept row stays kept under a larger budget")
+  }
+
+  test("ppsBernoulli: scratch-column collision and k guards") {
+    import spark.implicits._
+    val df = spark.range(0, 5).select(lit("g").as("grp"), col("id"),
+      lit(1L).as("w"), lit(0L).as("__u"))
+    val e = intercept[IllegalArgumentException] {
+      Sample.ppsBernoulli(df, "grp", col("id"), "w", 5)
+    }
+    assert(e.getMessage.contains("__u"))
+    intercept[IllegalArgumentException] {
+      Sample.ppsBernoulli(df.drop("__u"), "grp", col("id"), "w", 0)
+    }
+  }
+
   test("hashFraction: no shuffle in plan, rate near fraction") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
