@@ -11786,7 +11786,51 @@ object Queries {
              |      < CAST(171798691840 AS HUGEINT) * CAST(w AS HUGEINT))
              |SELECT lang, count(*) AS n_sel, CAST(sum(w) AS BIGINT) AS sum_w,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_id
-             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X45: 2-CORE of the co-purchase graph by synchronous peeling
+    // (graph.KCore) — strip every part that can't keep ≥2 co-purchase
+    // partners, repeatedly (a tree hanging off a dense cluster peels away
+    // leaf-by-layer). 4 rounds ≥ the measured peel depth (3) of this
+    // graph; rounds past convergence are no-ops. Per round: one degree
+    // census + two semi-joins, O(edges) shuffle, no windows. Output: the
+    // degree histogram of the surviving core.
+    Q("x45_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+        val pr = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        val edges = pr.groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2).select($"u", $"v")
+        graft.graph.KCore.coreDegrees(edges, k = 2, rounds = 4)
+          .groupBy($"deg")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
+          .orderBy($"deg")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e0 AS (SELECT u AS a, v AS b FROM pairs
+             |       UNION ALL SELECT v, u FROM pairs),
+             |k0 AS (SELECT a FROM e0 GROUP BY 1 HAVING count(*) >= 2),
+             |e1 AS (SELECT e.a, e.b FROM e0 e
+             |       JOIN k0 x ON e.a = x.a JOIN k0 y ON e.b = y.a),
+             |k1 AS (SELECT a FROM e1 GROUP BY 1 HAVING count(*) >= 2),
+             |e2 AS (SELECT e.a, e.b FROM e1 e
+             |       JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+             |k2 AS (SELECT a FROM e2 GROUP BY 1 HAVING count(*) >= 2),
+             |e3 AS (SELECT e.a, e.b FROM e2 e
+             |       JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+             |k3 AS (SELECT a FROM e3 GROUP BY 1 HAVING count(*) >= 2),
+             |e4 AS (SELECT e.a, e.b FROM e3 e
+             |       JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+             |df AS (SELECT a AS node, count(*) AS deg FROM e4 GROUP BY 1)
+             |SELECT deg, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
