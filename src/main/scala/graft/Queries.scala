@@ -11399,7 +11399,7 @@ object Queries {
     // length deltas (codegen, no UDF, zero shuffle before the census
     // agg); every char is BMP so Spark UTF-16 length == DuckDB
     // codepoint length.
-    Q("t31_encoding_census",
+    Q("t32_encoding_census",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
@@ -11674,7 +11674,7 @@ object Queries {
     // ≤ O(√m) by the classical argument) no matter how skewed a hub
     // part's degree; wedge closure is one semi-join against the canonical
     // edge list. Output: the per-node triangle-participation histogram.
-    Q("x43_triangles",
+    Q("x46_triangles",
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
@@ -11764,7 +11764,7 @@ object Queries {
     // and a parallel filter. The inclusion test u·W < 2³²·k·w runs in
     // exact integer arithmetic (DECIMAL(38,0) / HUGEINT) — no float
     // probability whose last ulp could flip a row across engines.
-    Q("x44_pps_sample",
+    Q("x47_pps_sample",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").select($"doc_id", $"lang",
