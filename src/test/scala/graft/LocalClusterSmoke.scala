@@ -34,7 +34,12 @@ object LocalClusterSmoke {
     * (k10). */
   private val representative = Seq(
     "r5_dsv2_pruned", "d2_minhash_lsh", "v14_ivfsq", "md1_median", "k2_hll_sketch",
-    "r20_cdx_fetch", "k10_bloom_prune")
+    "r20_cdx_fetch", "k10_bloom_prune",
+    // round 13: halo-exchange stencil (HaloFrag encoders + groupByKey/
+    // mapGroups closures), LSH-seeded kNN graph (plan-literal hyperplanes
+    // + codegen dot), k-core peeling (eager localCheckpoint per round —
+    // on a real cluster the blocks live on EXECUTORS)
+    "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")
