@@ -11830,7 +11830,62 @@ object Queries {
              |       JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
              |df AS (SELECT a AS node, count(*) AS deg FROM e4 GROUP BY 1)
              |SELECT deg, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
-             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM df GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R26: D8 FLOW DIRECTION (O'Callaghan & Mark 1984) — the
+    // hydrology primitive, on the same halo exchange as r24/r25. Each
+    // pixel codes its steepest-descent neighbor (ESRI 1..128, −1 = flat/
+    // pit). Descent rate (zC−zN)/dist is a correctly-rounded IEEE divide
+    // over exact integer drops — both engines compute the identical
+    // double, so the argmax (ties → first ESRI code) replays exactly.
+    Q("r26_flow_dir",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (math.round(v), gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("code", "pos")
+          .groupBy($"code")
+          .agg(count(lit(1)).as("n_px"), sum($"pos").as("pos_chk"))
+          .orderBy($"code")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES
+             |  (0, 1,  0,  1, 1), (1, 2,  1,  1, 2), (2, 4,  1,  0, 1),
+             |  (3, 8,  1, -1, 2), (4, 16, 0, -1, 1), (5, 32, -1, -1, 2),
+             |  (6, 64, -1, 0, 1), (7, 128, -1, 1, 2)
+             |  ) AS v(ord, code, dr, dc, dist2)),
+             |rates AS (SELECT p.r, p.c, d.ord, d.code,
+             |    CAST((p.r*p.r + p.c*p.c) % 251
+             |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 251 AS DOUBLE)
+             |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+             |  FROM px p CROSS JOIN dirs d),
+             |rk AS (SELECT r, c, code, rate,
+             |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+             |  FROM rates),
+             |d8 AS (SELECT r, c,
+             |    CASE WHEN rate > 0 THEN code ELSE -1 END AS code
+             |  FROM rk WHERE rn = 1)
+             |SELECT CAST(code AS BIGINT) AS code, count(*) AS n_px,
+             |  CAST(sum(r*150 + c) AS BIGINT) AS pos_chk
+             |FROM d8 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -96,6 +96,43 @@ object Focal {
       }
     }
 
+  /** D8 flow direction (O'Callaghan & Mark 1984 — the hydrology
+    * primitive behind watershed delineation and flow accumulation):
+    * each pixel points at its steepest-DESCENT neighbor, ESRI-coded
+    * 1=E, 2=SE, 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE; flats and pits
+    * (no positive drop) code −1. Descent rate = (zC − zN)/dist with
+    * dist 1 cardinal, √2 diagonal — both engines compute the identical
+    * IEEE double (correctly-rounded divide and sqrt over exact integer
+    * drops), so the argmax is engine-portable; ties take the FIRST code
+    * in ESRI order. Rides the shared halo exchange; strict stencil. */
+  def d8Flow3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                gridH: Int, gridW: Int): Dataset[Tile] = {
+    // (code, dRow, dCol, diagonal) in ESRI tie-break order
+    val dirs = Array(
+      (1.0, 0, 1, false), (2.0, 1, 1, true), (4.0, 1, 0, false),
+      (8.0, 1, -1, true), (16.0, 0, -1, false), (32.0, -1, -1, true),
+      (64.0, -1, 0, false), (128.0, -1, 1, true))
+    val sqrt2 = math.sqrt(2.0)
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      val zC = pad(ctr)
+      var anyNaN = zC.isNaN
+      var best = 0.0
+      var bestCode = -1.0
+      var i = 0
+      while (i < 8 && !anyNaN) {
+        val (code, dr, dc, diag) = dirs(i)
+        val zN = pad(ctr + dr * padW + dc)
+        if (zN.isNaN) anyNaN = true
+        else {
+          val rate = if (diag) (zC - zN) / sqrt2 else zC - zN
+          if (rate > best) { best = rate; bestCode = code }
+        }
+        i += 1
+      }
+      if (anyNaN) Double.NaN else bestCode
+    }
+  }
+
   /** The shared halo exchange + per-chunk stencil loop. `kernel` sees the
     * padded neighborhood array, its row stride, and the center index;
     * out-of-grid border pixels (no full 3×3 inside the raster) are NaN

@@ -133,6 +133,37 @@ class FocalZonalSpec extends SparkSpec {
     }
   }
 
+  test("d8Flow3x3: tilted plane drains NW everywhere; a flat codes -1; ties take ESRI order") {
+    import spark.implicits._
+    // v = 3r + 5c: drops are W 5, NW 8/sqrt2 ~ 5.657, N 3 -> NW (32) wins
+    val g = 8
+    def mk(yc: Int, xc: Int, f: (Int, Int) => Double): Tile = {
+      val px = Array.tabulate(16) { i => f(yc * 4 + i / 4, xc * 4 + i % 4) }
+      Tile(0, 0, "g", 0L, yc, xc, 0, 0, 4, 4, px)
+    }
+    val plane = spark.createDataset(
+      for (yc <- 0 until 2; xc <- 0 until 2) yield mk(yc, xc, (r, c) => (3 * r + 5 * c).toDouble))
+    for (t <- Focal.d8Flow3x3(plane, 4, 4, g, g).collect();
+         r <- 0 until t.height; c <- 0 until t.width) {
+      val gr = t.yChunk * 4 + r; val gc = t.xChunk * 4 + c
+      val v = t.pixels(r * t.width + c)
+      if (gr < 1 || gr > g - 2 || gc < 1 || gc > g - 2) assert(v.isNaN)
+      else assert(v === 32.0, s"($gr,$gc)")
+    }
+    val flat = spark.createDataset(
+      for (yc <- 0 until 2; xc <- 0 until 2) yield mk(yc, xc, (_, _) => 7.0))
+    for (t <- Focal.d8Flow3x3(flat, 4, 4, g, g).collect();
+         r <- 0 until t.height; c <- 0 until t.width
+         if !t.pixels(r * t.width + c).isNaN)
+      assert(t.pixels(r * t.width + c) === -1.0)
+    // explicit E/W tie on a single 3x3 grid: both drops 1 -> E (code 1) first
+    val tiePx = Array(10.0, 10.0, 10.0, 9.0, 10.0, 9.0, 10.0, 10.0, 10.0)
+    val tie = spark.createDataset(Seq(Tile(0, 0, "g", 0L, 0, 0, 0, 0, 3, 3, tiePx)))
+    val out = Focal.d8Flow3x3(tie, 3, 3, 3, 3).collect()
+    assert(out.length === 1)
+    assert(out.head.pixels(1 * 3 + 1) === 1.0, "tie must take the first ESRI code (E)")
+  }
+
   test("zonal stats == driver dense point-in-polygon census") {
     val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
       readerFor = _ => ModRampReader(97))
