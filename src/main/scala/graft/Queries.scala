@@ -11885,7 +11885,96 @@ object Queries {
              |  FROM rk WHERE rn = 1)
              |SELECT CAST(code AS BIGINT) AS code, count(*) AS n_px,
              |  CAST(sum(r*150 + c) AS BIGINT) AS pos_chk
-             |FROM d8 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d8 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- V25: incremental graph ADMISSION (ann.KnnGraph.admit) — the
+    // index-maintenance member for the graph family (x10/x15's pattern):
+    // a new vector batch joins the stored corpus graph without a rebuild.
+    // Candidates = the batch row's two LSH buckets ∪ one hop through the
+    // existing edges (a sparse-bucket newcomer still finds neighbors);
+    // the stored corpus is touched only through the joined slices.
+    // Output: the per-new-node edge-count histogram with a cos×1e6 sum.
+    Q("v25_graph_admit",
+      (s, dir) => {
+        import s.implicits._
+        val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+        val corpus = prepared.filter($"id" >= 100)
+        val batch = prepared.filter($"id" < 100)
+        val edges = graft.ann.KnnGraph.build(corpus, nPlanes = 4, nTables = 2,
+          dim = 64, g = 6)
+        val admitted = graft.ann.KnnGraph.admit(edges, corpus, batch,
+          nPlanes = 4, nTables = 2, dim = 64, g = 6)
+        admitted
+          .groupBy($"src")
+          .agg(count(lit(1)).as("cnt"),
+               sum(round($"cos" * 1000000).cast("long")).as("q6"))
+          .groupBy($"cnt")
+          .agg(count(lit(1)).as("n_nodes"), sum($"src").as("sum_nodes"),
+               sum($"q6").as("sum_q6"))
+          .orderBy($"cnt")
+      },
+      Some("""WITH planes AS (
+             |  SELECT j, i,
+             |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,2))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM range(0,8) t(j) CROSS JOIN range(0,64) u(i)),
+             |comps AS (
+             |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE)*10000) AS BIGINT) AS c
+             |  FROM embeddings CROSS JOIN range(0,64) u(i)),
+             |proj AS (
+             |  SELECT vec_id, j, sum(c * sgn) AS p
+             |  FROM comps JOIN planes USING (i) GROUP BY vec_id, j),
+             |buckets AS (
+             |  SELECT vec_id,
+             |    sum(CASE WHEN j < 4 AND p > 0 THEN 1 << j ELSE 0 END) AS b0,
+             |    sum(CASE WHEN j >= 4 AND p > 0 THEN 1 << (j-4) ELSE 0 END) AS b1
+             |  FROM proj GROUP BY vec_id),
+             |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nq FROM q),
+             |cand AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM buckets a JOIN buckets b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
+             |  WHERE a.vec_id >= 100 AND b.vec_id >= 100
+             |  UNION
+             |  SELECT a.vec_id, b.vec_id
+             |  FROM buckets a JOIN buckets b ON a.b1 = b.b1 AND a.vec_id != b.vec_id
+             |  WHERE a.vec_id >= 100 AND b.vec_id >= 100),
+             |pc AS (
+             |  SELECT src, dst,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM cand JOIN n na ON na.vec_id = src JOIN n nb ON nb.vec_id = dst),
+             |edges AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+             |    FROM pc) WHERE rk <= 6),
+             |mates AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM buckets a JOIN buckets b ON a.b0 = b.b0
+             |  WHERE a.vec_id < 100 AND b.vec_id >= 100
+             |  UNION
+             |  SELECT a.vec_id, b.vec_id
+             |  FROM buckets a JOIN buckets b ON a.b1 = b.b1
+             |  WHERE a.vec_id < 100 AND b.vec_id >= 100),
+             |hop AS (SELECT m.src, e.dst FROM mates m JOIN edges e ON m.dst = e.src),
+             |cands AS (SELECT DISTINCT src, dst
+             |          FROM (SELECT * FROM mates UNION ALL SELECT * FROM hop)
+             |          WHERE src != dst),
+             |sc AS (
+             |  SELECT c.src, c.dst,
+             |    round(list_sum(list_transform(list_zip(na.qv, nb.qv), s -> s[1]*s[2]))::DOUBLE
+             |          / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cos
+             |  FROM cands c JOIN n na ON na.vec_id = c.src JOIN n nb ON nb.vec_id = c.dst),
+             |adm AS (
+             |  SELECT src, dst, cos FROM (
+             |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+             |    FROM sc) WHERE rk <= 6),
+             |pn AS (SELECT src, count(*) AS cnt,
+             |         CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS BIGINT) AS q6
+             |       FROM adm GROUP BY 1)
+             |SELECT cnt, count(*) AS n_nodes, CAST(sum(src) AS BIGINT) AS sum_nodes,
+             |  CAST(sum(q6) AS BIGINT) AS sum_q6
+             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -104,6 +104,48 @@ object KnnGraph {
       .select(col("src"), col("dst"), col("cos"))
   }
 
+  /** Incremental ADMISSION of a new vector batch into an existing graph —
+    * the index-maintenance member (the dedup family's x10/x15 pattern,
+    * here for the graph): the stored corpus is never re-scanned beyond
+    * the joined slices. Each new vector seeds candidates from its two
+    * LSH buckets (same planes as [[build]]) and widens ONE hop through
+    * the existing graph's edges — so a new vector finds neighbors even
+    * when its own bucket is sparse. Returns the new→corpus edges
+    * (src, dst, cos), ≤ g per new vector; append them to the stored edge
+    * table, and the next [[refine]] round's REVERSE sampling propagates
+    * the corpus→new direction without any rebuild. */
+  def admit(edges: DataFrame, corpus: DataFrame, batch: DataFrame,
+            nPlanes: Int, nTables: Int, dim: Int, g: Int): DataFrame = {
+    val planes = graft.Queries.lshPlanes(nPlanes * nTables, dim)
+    def bucketed(df: DataFrame): DataFrame =
+      (0 until nTables).foldLeft(df) { (d, t) =>
+        val bucket = (0 until nPlanes).map { j =>
+          when(GraftFunctions.dot_long(col("qv"), typedLit(planes(t * nPlanes + j))) > 0,
+               1L << j).otherwise(0L)
+        }.reduce(_ + _)
+        d.withColumn(s"b$t", bucket)
+      }
+    val cb = bucketed(corpus)
+    val bb = bucketed(batch)
+    val bucketMates = (0 until nTables).map { tb =>
+      bb.as("a").join(cb.as("b"), col(s"a.b$tb") === col(s"b.b$tb"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+    }.reduce(_ unionByName _)
+    val hop = bucketMates.as("m")
+      .join(edges.as("e"), col("m.dst") === col("e.src"))
+      .select(col("m.src"), col("e.dst"))
+    val cands = bucketMates.unionByName(hop)
+      .filter(col("src") =!= col("dst")).distinct()
+    val scored = cands
+      .join(batch.as("q"), col("src") === col("q.id"))
+      .join(corpus.as("c"), col("dst") === col("c.id"))
+      .select(col("src"), col("dst"),
+              Ann.cosine(col("q.qv"), col("c.qv"), col("q.nq"), col("c.nq")).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= g)
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
   /** Answer top-`k` for the rows of `prepared` matching `queryFilter` by
     * one-hop graph expansion over `edges` (build() output) plus exact
     * rerank. Returns (qid, rk, nid, cos). */

@@ -69,6 +69,32 @@ class KnnGraphSpec extends SparkSpec {
     truth.unpersist(); r1.unpersist(); r2.unpersist()
   }
 
+  test("admit: batch edges point into the corpus; the graph hop beats bucket-only") {
+    val corpus = prepared.filter(col("id") >= 100).cache()
+    val batch = prepared.filter(col("id") < 100).cache()
+    val corpusEdges = KnnGraph.build(corpus, nPlanes = 4, nTables = 2,
+      dim = 64, g = 6).cache()
+    val admitted = KnnGraph.admit(corpusEdges, corpus, batch,
+      nPlanes = 4, nTables = 2, dim = 64, g = 6).cache()
+    // structure: src in batch, dst in corpus, <= g per src
+    assert(admitted.filter(col("src") >= 100 || col("dst") < 100).count() === 0L)
+    assert(admitted.groupBy(col("src")).count()
+      .agg(max(col("count"))).head.getLong(0) <= 6L)
+    // the hop widening must help: admit against an EMPTY graph = bucket
+    // mates only; true top-g over the corpus is the yardstick
+    val truth = Ann.bruteForceKnn(corpus, batch, 6).select(col("qid"), col("nid"))
+    val emptyEdges = corpusEdges.filter(lit(false))
+    val matesOnly = KnnGraph.admit(emptyEdges, corpus, batch,
+      nPlanes = 4, nTables = 2, dim = 64, g = 6)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      truth.join(df.select(col("src").as("qid"), col("dst").as("nid")),
+        Seq("qid", "nid"), "left_semi").count()
+    val (hAdmit, hMates) = (hits(admitted), hits(matesOnly))
+    info(s"corpus-top-6 hits: admitted $hAdmit, bucket-mates-only $hMates")
+    assert(hAdmit > hMates, "one graph hop must recover cross-bucket neighbors")
+    Seq(corpus, batch, corpusEdges, admitted).foreach(_.unpersist())
+  }
+
   test("a single LSH table is refused: expansion would never leave the bucket") {
     val e = intercept[IllegalArgumentException] {
       KnnGraph.build(prepared, nPlanes = 5, nTables = 1, dim = 64, g = 4)
