@@ -11974,7 +11974,57 @@ object Queries {
              |       FROM adm GROUP BY 1)
              |SELECT cnt, count(*) AS n_nodes, CAST(sum(src) AS BIGINT) AS sum_nodes,
              |  CAST(sum(q6) AS BIGINT) AS sum_q6
-             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pn GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- T33: Unicode-SCRIPT mix census (text.Encoding.scriptVerdict) —
+    // the homoglyph-spoofing / wrong-script-for-language gate: dominant
+    // script among {latin, cyrillic, han} plus a MIXED flag when the
+    // runner-up holds ≥10% of scripted letters (a Cyrillic 'а' smuggled
+    // into a Latin word flips the flag long before it changes dominance).
+    // The ASCII fixture gets deterministic script runs injected in-query
+    // (rpad repetition keyed by doc_id — the t32 corruption pattern);
+    // counters are codegen'd length deltas, map-side, integer-exact.
+    Q("t33_script_census",
+      (s, dir) => {
+        import s.implicits._
+        val inject = when($"doc_id" % 4 === 1,
+            rpad(lit(""), (length($"text") / 2).cast("int"), lit(" привет")))
+          .when($"doc_id" % 4 === 2,
+            rpad(lit(""), (length($"text") * 2).cast("int"), lit(" 你好")))
+          .when($"doc_id" % 4 === 3, lit(" pаypаl"))
+          .otherwise(lit(""))
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", concat($"text", inject).as("t"))
+        val scored = graft.text.Encoding.scriptVerdict($"t")
+          .foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+        scored.groupBy($"lang", $"script", $"script_mixed")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_id"))
+          .orderBy($"lang", $"script", $"script_mixed")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    text || CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 1 THEN rpad('', CAST(length(text)//2 AS INT), ' привет')
+             |      WHEN 2 THEN rpad('', CAST(length(text)*2 AS INT), ' 你好')
+             |      WHEN 3 THEN ' pаypаl'
+             |      ELSE '' END AS t
+             |  FROM documents),
+             |cnts AS (SELECT doc_id, lang,
+             |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS la,
+             |    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cy,
+             |    CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS ha
+             |  FROM d),
+             |v AS (SELECT doc_id, lang,
+             |    CASE WHEN la + cy + ha = 0 THEN 'none'
+             |         WHEN greatest(la, cy, ha) = la THEN 'latin'
+             |         WHEN greatest(la, cy, ha) = cy THEN 'cyrillic'
+             |         ELSE 'han' END AS script,
+             |    (la + cy + ha > 0 AND
+             |     (la + cy + ha - greatest(la, cy, ha) - least(la, cy, ha)) * 10
+             |       >= la + cy + ha) AS script_mixed
+             |  FROM cnts)
+             |SELECT lang, script, script_mixed, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+             |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

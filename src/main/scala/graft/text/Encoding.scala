@@ -65,6 +65,42 @@ object Encoding {
   def nonAsciiCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^\\x00-\\x7f]", ""))
 
+  /** ASCII Latin letter count (extend the class for Latin-1/Extended
+    * coverage when the corpus needs it). */
+  def latinCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+
+  /** Cyrillic-block letter count (U+0400–U+04FF). */
+  def cyrillicCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[Ѐ-ӿ]", ""))
+
+  /** CJK Unified Ideographs count (U+4E00–U+9FFF). */
+  def hanCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[一-鿿]", ""))
+
+  /** Script verdict over {latin, cyrillic, han}: the dominant script
+    * plus a MIXED flag when the runner-up holds ≥ 10% of scripted
+    * letters — the homoglyph-spoofing / wrong-script-for-language gate
+    * (a Cyrillic 'а' smuggled into a Latin word flips the flag long
+    * before it changes the dominant script). Integer arithmetic only;
+    * dominance ties resolve latin > cyrillic > han by the when-chain
+    * order, deterministically. All three blocks are BMP, so UTF-16
+    * `length` and a codepoint-counting SQL oracle agree exactly. */
+  def scriptVerdict(text: Column): Seq[(String, Column)] = {
+    val la = latinCount(text).cast("long")
+    val cy = cyrillicCount(text).cast("long")
+    val ha = hanCount(text).cast("long")
+    val total = la + cy + ha
+    val top = greatest(la, cy, ha)
+    val second = total - top - least(la, cy, ha)
+    val dom = when(total === 0, "none")
+      .when(top === la, "latin")
+      .when(top === cy, "cyrillic")
+      .otherwise("han")
+    Seq("script" -> dom,
+        "script_mixed" -> (total > 0 && second * 10L >= total))
+  }
+
   /** The integer-permille score columns (`repl_pm`, `ctrl_pm`,
     * `moji_pm`, `nonascii_pm`) and the composite `enc_clean` verdict:
     * zero replacement chars, zero controls, and mojibake under

@@ -60,4 +60,28 @@ class EncodingSpec extends SparkSpec {
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  private def verdictOne(t: String): (String, Boolean) = {
+    import spark.implicits._
+    val df = Seq(t).toDF("t")
+    val v = Encoding.scriptVerdict($"t").foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .collect().head
+    (v.getString(1), v.getBoolean(2))
+  }
+
+  test("scriptVerdict: homoglyph smuggling flips MIXED before dominance moves") {
+    // "paypal" with two Cyrillic \u0430: latin 4, cyrillic 2 of 6 scripted
+    assert(verdictOne("p\u0430yp\u0430l") === ("latin", true))
+    assert(verdictOne("paypal") === ("latin", false))
+    // a lone Cyrillic char in a long Latin text stays under the 10% bar
+    assert(verdictOne(("latin " * 20) + "\u0430") === ("latin", false))
+  }
+
+  test("scriptVerdict: dominance, han, and the none verdict") {
+    assert(verdictOne("\u4f60\u597d\u4e16\u754c ok") === ("han", true))
+    assert(verdictOne("\u043f\u0440\u0438\u0432\u0435\u0442") === ("cyrillic", false))
+    assert(verdictOne("12345 .,!?") === ("none", false))
+    // exact tie latin==cyrillic resolves latin by the when-chain order
+    assert(verdictOne("ab\u0430\u0431") === ("latin", true))
+  }
 }
