@@ -146,6 +146,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"expected at most 2 corpus scans, got $scans:\n$p")
   }
 
+  test("x47 PPS sampling: per-group totals broadcast, no sort-merge, no window") {
+    val p = plan("x47_pps_sample")
+    assert(p.contains("BroadcastHashJoin"), s"totals table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a census-sized totals table must never SMJ")
+    assert(!p.contains("Window"), "PPS is a stateless per-row filter — no window")
+  }
+
+  test("r23 zonal stats: no join at all — zones ride the task closure, one shuffle for partials") {
+    val p = plan("r23_zonal_stats")
+    assert(!p.contains("Join"), s"pixel-zone pair space must not materialize:\n$p")
+  }
+
+  test("x46 triangles / x45 k-core: every join keyed, no cartesian, no nested loop") {
+    for (n <- Seq("x46_triangles", "x45_kcore")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("v23 graph ANN: bucket joins are hash equi-joins, never all-pairs") {
+    val p = plan("v23_knn_graph_expand")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), s"bucket seeding must be an equi-join:\n$p")
+  }
+
   test("d7 winnowing: fingerprint table computed once, consumed from cache") {
     val p = plan("d7_winnow_spans")
     // both consumers (shared-fp census, per-doc join) must read the cached
