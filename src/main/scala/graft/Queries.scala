@@ -12024,7 +12024,50 @@ object Queries {
              |  FROM cnts)
              |SELECT lang, script, script_mixed, count(*) AS n_docs,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_id
-             |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- S19: STREAMING PPS admission — x47's sampler run over an
+    // unbounded document stream with totals CALIBRATED offline
+    // (yesterday's census broadcast as a stream-static join): the filter
+    // is stateless per row, so the stream needs NO aggregation state for
+    // admission, and the admitted set is exactly the batch answer — the
+    // oracle is x47's, verbatim. The batch/stream symmetry the engine
+    // sells, for the newest sampler.
+    Q("s19_stream_pps",
+      (s, dir) => {
+        import s.implicits._
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val queryName = "graft_spps_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        def withW(df: DataFrame): DataFrame =
+          df.select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("w"))
+        val totals = withW(t(s, dir, "documents"))
+          .groupBy($"lang").agg(sum($"w").as("total"))
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val sel = graft.ops.Sample.ppsBernoulliWith(
+            withW(stream), "lang", $"doc_id", "w", k = 40, totals)
+          val q = sel.groupBy($"lang")
+            .agg(count(lit(1)).as("n_sel"), sum($"w").as("sum_w"),
+                 sum($"doc_id").as("sum_id"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName).orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+             |tot AS (SELECT lang, sum(w) AS tw FROM d GROUP BY 1),
+             |u AS (SELECT d.*, tot.tw,
+             |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS uu
+             |  FROM d JOIN tot USING (lang)),
+             |sel AS (SELECT * FROM u
+             |  WHERE CAST(uu AS HUGEINT) * CAST(tw AS HUGEINT)
+             |      < CAST(171798691840 AS HUGEINT) * CAST(w AS HUGEINT))
+             |SELECT lang, count(*) AS n_sel, CAST(sum(w) AS BIGINT) AS sum_w,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -271,17 +271,30 @@ object Sample {
     *
     * Returns the selected rows unchanged. */
   def ppsBernoulli(df: DataFrame, groupCol: String, idCol: Column,
-                   weightCol: String, k: Int): DataFrame = {
+                   weightCol: String, k: Int): DataFrame =
+    ppsBernoulliWith(df, groupCol, idCol, weightCol, k,
+      df.groupBy(col(groupCol)).agg(sum(col(weightCol)).as("total")))
+
+  /** The CALIBRATED form of [[ppsBernoulli]]: per-group totals come from
+    * the caller (yesterday's census, a control table) instead of a pass
+    * over `df` — which makes the filter fully STATELESS and therefore
+    * streaming-legal: admit rows of an unbounded stream at PPS rates
+    * calibrated offline, one broadcast stream-static join, no
+    * aggregation state. `totals` must be exactly (groupCol, total). */
+  def ppsBernoulliWith(df: DataFrame, groupCol: String, idCol: Column,
+                       weightCol: String, k: Int, totals: DataFrame): DataFrame = {
     require(k >= 1, s"ppsBernoulli: k=$k")
     val reserved = Seq("__u", "__W").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"reserved scratch columns present: ${reserved.mkString(", ")}")
-    val totals = df.groupBy(col(groupCol))
-      .agg(sum(col(weightCol)).as("__W"))
+    require(totals.columns.toSet == Set(groupCol, "total"),
+      s"totals must be exactly ($groupCol, total), got " +
+      totals.columns.mkString("(", ", ", ")"))
     // Operand precisions chosen so each product is exactly DECIMAL(38,0)
     // with no Spark precision-overflow null: u < 2^32 (10 digits),
     // W < 10^28; 2^32·k fits a long (k is Int), w < 10^19.
-    df.join(broadcast(totals), Seq(groupCol))
+    df.join(broadcast(totals.select(col(groupCol), col("total").as("__W"))),
+        Seq(groupCol))
       .withColumn("__u",
         conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"))
       .filter(col("__u").cast("decimal(10,0)") * col("__W").cast("decimal(28,0)") <

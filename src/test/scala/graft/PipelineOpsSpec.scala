@@ -228,6 +228,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids.subsetOf(big), "a kept row stays kept under a larger budget")
   }
 
+  test("ppsBernoulliWith: calibrated totals reproduce the self-computed sample; shape guarded") {
+    import spark.implicits._
+    val df = spark.range(0, 500).select(lit("g").as("grp"), col("id"),
+      (col("id") % 7 + 1).as("w"))
+    val self = Sample.ppsBernoulli(df, "grp", col("id"), "w", 30)
+      .select("id").as[Long].collect().toSet
+    val totals = df.groupBy("grp").agg(sum("w").as("total"))
+    val calib = Sample.ppsBernoulliWith(df, "grp", col("id"), "w", 30, totals)
+      .select("id").as[Long].collect().toSet
+    assert(self === calib)
+    val e = intercept[IllegalArgumentException] {
+      Sample.ppsBernoulliWith(df, "grp", col("id"), "w", 30,
+        totals.withColumnRenamed("total", "tw"))
+    }
+    assert(e.getMessage.contains("total"))
+  }
+
   test("ppsBernoulli: scratch-column collision and k guards") {
     import spark.implicits._
     val df = spark.range(0, 5).select(lit("g").as("grp"), col("id"),
