@@ -12067,7 +12067,54 @@ object Queries {
              |      < CAST(171798691840 AS HUGEINT) * CAST(w AS HUGEINT))
              |SELECT lang, count(*) AS n_sel, CAST(sum(w) AS BIGINT) AS sum_w,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_id
-             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R27: COARSEN (ops.Coarsen) — xarray's block-aggregate
+    // downsample verb, the chunk-aligned answer to the >2× regime the
+    // warp kernels' scale notes defer to. b must divide the chunk, so
+    // every 5×5 block reduces inside ONE task — no halo, no join; the
+    // only shuffle is the fragment-splice co-location and the output is
+    // 25× smaller. Census recovers the exact integer block sums through
+    // the mean (round(mean·25): IEEE divide-then-scale lands within ulps
+    // of the integer in BOTH engines).
+    Q("r27_coarsen",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Coarsen
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Coarsen.coarsen(tiles, 50, 50, 150, 150, b = 5, Coarsen.Mean)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 10 + r
+              val gc = t.xChunk * 10 + c
+              (t.yChunk, t.xChunk, math.round(v * 25), gr.toLong * 30 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c, (r*r + c*c) % 251 AS q
+             |            FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |blk AS (SELECT r//5 AS br, c//5 AS bc, sum(q) AS s FROM px GROUP BY 1, 2),
+             |m AS (SELECT br, bc,
+             |        CAST(round((CAST(s AS DOUBLE)/25.0)*25.0) AS BIGINT) AS q
+             |      FROM blk)
+             |SELECT CAST(br//10 AS INT) AS y_chunk, CAST(bc//10 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (br*30 + bc)) AS BIGINT) AS pos_chk
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =
