@@ -6423,12 +6423,14 @@ object Queries {
     // ----- S9: STREAMING incremental near-dup admission — x10's
     // daily-ingest admission as a LIVE pipeline: new docs arrive in
     // micro-batches and foreachBatch admits each batch against the
-    // stored LSH index (old-corpus band + shingle-set tables), then
-    // APPENDS the admitted docs' bands/sets to the index — the
+    // stored LSH index (the single-table (id, st, band, key) form —
+    // Dedup.buildAdmitIndex), then
+    // APPENDS the admitted docs' index rows — the
     // Structured Streaming foreachBatch-upsert pattern (in production
     // the index tables live in storage and each micro-batch appends to
-    // them; here they accumulate through eager localCheckpoint, the
-    // same lineage-truncation discipline as x21). Unlike s6, admission
+    // them; here they accumulate as lazily-persisted union leaves over
+    // the one eagerly-checkpointed admitted frame per batch — append is
+    // O(new), never an O(corpus) index rewrite). Unlike s6, admission
     // is ORDER-DEPENDENT — an admitted doc blocks later near-dups — so
     // batches are sequenced deterministically: the stream dir starts
     // empty and each batch's one parquet file is written and fully
@@ -6443,9 +6445,7 @@ object Queries {
         val oldDf = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
         val newDf = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
           .select($"doc_id", $"text", $"n_chars").localCheckpoint(true)
-        val idx0 = D.buildIndex(oldDf, "doc_id", "text")
-        var idxBands = idx0._1.localCheckpoint(true)
-        var idxSets = idx0._2.localCheckpoint(true)
+        var idx = D.buildAdmitIndex(oldDf, "doc_id", "text").localCheckpoint(true)
         val admitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val sdir = java.nio.file.Files.createTempDirectory("graft_s9_").toFile
         sdir.deleteOnExit()
@@ -6454,14 +6454,25 @@ object Queries {
             .parquet(sdir.getAbsolutePath)
             .writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
-              val b = batch.localCheckpoint(true)
-              if (b.count() > 0) {
-                val adm = D.admitIncrement(b, "doc_id", "text", idxBands, idxSets)
-                  .localCheckpoint(true)
-                val grown = D.buildIndex(adm, "doc_id", "text")
-                idxBands = idxBands.unionByName(grown._1).localCheckpoint(true)
-                idxSets = idxSets.unionByName(grown._2).localCheckpoint(true)
-                admitted += adm.withColumn("batch", lit(admitted.size.toLong))
+              // Fused-verify admission (Dedup.admitIncrementFused):
+              // collision and exact-jaccard verify are ONE join against
+              // the single-table index, with two eager barriers per batch
+              // (the O(new) batch index inside the call, the admitted
+              // frame here). The index grows by LAZY persisted leaves
+              // semi-joined from the checkpointed batch index — the old
+              // index blocks are never rewritten (append is O(new), not
+              // O(corpus)); a leaf materializes fused into the NEXT
+              // batch's admit join rather than as its own job.
+              if (batch.take(1).nonEmpty) {
+                val (a, batchIdx) =
+                  D.admitIncrementFused(batch, "doc_id", "text", idx)
+                val adm = a.localCheckpoint(true)
+                if (adm.count() > 0) {
+                  val leaf = batchIdx.join(
+                    broadcast(adm.select($"doc_id".as("id"))), Seq("id"), "left_semi")
+                  idx = idx.unionByName(leaf.persist())
+                  admitted += adm.withColumn("batch", lit(admitted.size.toLong))
+                }
               }
               ()
             }
@@ -7409,8 +7420,10 @@ object Queries {
     // recipe's central stage, not a side query). Same chain as x21
     // through the perplexity terciles, then: train t15's multinomial NB
     // on the deterministic labeled slice (planted-topic teacher corpus,
-    // train = doc_id%2=0), score the WHOLE corpus with the broadcast
-    // C×(buckets+1) model, keep the top slice (pred <> 'ads' —
+    // train = doc_id%2=0), score the PPL SURVIVORS with the
+    // broadcast C×(buckets+1) model (scoring is per-doc, so gating the
+    // scored set up front is hash-identical to scoring the whole corpus
+    // and saves one corpus pass), keep the top slice (pred <> 'ads' —
     // planted-signal accuracy is 1.0, so the gate is stable), and run the
     // x21 tail (exact dedup → near-dup CC removal → decontamination →
     // UniMax → packing) on the gated survivors. The oracle replays
@@ -7424,7 +7437,13 @@ object Queries {
         val model = graft.text.Classifier.trainNaiveBayes(
           labeled.filter($"doc_id" % 2 === 0), "truth", "text2",
           n = 1, numBuckets = 256, quantDigits = 6)
-        val gate = graft.text.Classifier.predict(labeled, "doc_id", "text2", 1, 256, model)
+        // Score ONLY the perplexity survivors: prediction is per-doc
+        // (features → broadcast-model join → per-doc argmax), so gating
+        // the scored set with the semi-join FIRST drops one full corpus
+        // pass without touching any surviving doc's prediction — the
+        // final ppl ∩ gate set (and hash) is identical.
+        val survivors = labeled.join(ppl.select($"doc_id"), Seq("doc_id"), "left_semi")
+        val gate = graft.text.Classifier.predict(survivors, "doc_id", "text2", 1, 256, model)
           .filter($"pred" =!= "ads").select($"doc_id")
         recipeTail(s, ppl.join(gate, Seq("doc_id"), "left_semi").localCheckpoint(true))
       },

@@ -226,7 +226,56 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.admitIncrement(newDf, "doc_id", "text", oldBands, oldSets, threshold = thr)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got == expect, s"seed $seed: admitted $got, expected $expect")
+      // fused single-table path: same semantics, same admitted set
+      val oldIdx = Dedup.buildAdmitIndex(oldDf, "doc_id", "text")
+      val gotFused = Dedup
+        .admitIncrementFused(newDf, "doc_id", "text", oldIdx, threshold = thr)
+        ._1.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotFused == expect, s"seed $seed fused: admitted $gotFused, expected $expect")
     }
+  }
+
+  test("buildAdmitIndex band keys are byte-identical to lshBands keys") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // v1 (two-table) and v2 (single-table) indexes of the same corpus must
+    // collide identically — the fused admit joins a v2 batch against a
+    // stored index that may have been built at any time with either form.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "red yellow green blue violet")
+    ).toDF("doc_id", "text")
+    val v1 = Dedup.buildIndex(docs, "doc_id", "text")._1
+      .select("id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val v2 = Dedup.buildAdmitIndex(docs, "doc_id", "text")
+      .select("id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(v1 == v2)
+    // and the carried set column equals the shingles of the doc, per band row
+    val stRows = Dedup.buildAdmitIndex(docs, "doc_id", "text")
+      .groupBy("id").agg(org.apache.spark.sql.functions.countDistinct("st").as("n"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(stRows == Set(1L)) // same st on every band row of a doc
+  }
+
+  test("admitIncrementFused returns the batch index for O(new) appends") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val oldDf = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val newDf = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup -> rejected
+      (11L, "totally novel content here now")  // admitted
+    ).toDF("doc_id", "text")
+    val oldIdx = Dedup.buildAdmitIndex(oldDf, "doc_id", "text")
+    val (adm, batchIdx) = Dedup.admitIncrementFused(newDf, "doc_id", "text", oldIdx)
+    assert(adm.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+    // batchIdx covers the WHOLE batch (2 bands per doc); the admitted
+    // leaf is the documented semi-join recipe
+    assert(batchIdx.count() == 4)
+    val leaf = batchIdx.join(adm.select($"doc_id".as("id")), Seq("id"), "left_semi")
+    assert(leaf.select("id").distinct().collect().map(_.getLong(0)).toSet == Set(11L))
   }
 
   test("decontaminate scores train/eval n-gram overlap") {

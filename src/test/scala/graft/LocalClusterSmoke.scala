@@ -39,7 +39,11 @@ object LocalClusterSmoke {
     // mapGroups closures), LSH-seeded kNN graph (plan-literal hyperplanes
     // + codegen dot), k-core peeling (eager localCheckpoint per round —
     // on a real cluster the blocks live on EXECUTORS)
-    "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore")
+    "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore",
+    // round 14: fused-verify streaming admission (admitIncrementFused —
+    // broadcast batch index + foreachBatch closure + lazy persisted
+    // union leaves whose blocks live on EXECUTORS)
+    "s9_stream_admit")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

@@ -41,7 +41,8 @@ class LocalClusterSpec extends AnyFunSuite {
     assert(code == 0, s"local-cluster smoke failed (exit $code); tail:\n${out.takeRight(4000)}")
     Seq("r5_dsv2_pruned", "d2_minhash_lsh", "v14_ivfsq", "md1_median",
         "k2_hll_sketch", "r20_cdx_fetch", "k10_bloom_prune",
-        "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore").foreach { n =>
+        "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore",
+        "s9_stream_admit").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))
