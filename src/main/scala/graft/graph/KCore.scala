@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * equi-joins, shuffle O(edges)/round, no window, no collect. A round
   * removes EVERY node currently under degree k at once (synchronous),
   * so the round count needed is the graph's peeling depth, not its node
-  * count; a FIXED round budget keeps the plan deterministic and
-  * lineage-bounded (eager localCheckpoint per round, the LabelProp
-  * discipline). Rounds past convergence are no-ops, so overshooting is
-  * safe — callers size `rounds` at the expected peel depth + slack. */
+  * count. `rounds` is a CAP, not a contract: the loop exits at the
+  * first no-op round (no edge removed ⇒ no node under k ⇒ fixpoint —
+  * one O(1) count per round on the already-checkpointed edge table), so
+  * overshooting is free, and exhausting the budget BEFORE convergence
+  * throws instead of silently returning a non-core — at 100 TB the peel
+  * depth is unknowable a priori, and a wrong "core" is worse than a
+  * loud failure asking for a bigger budget. Lineage stays bounded
+  * (eager localCheckpoint per round, the LabelProp discipline). */
 object KCore {
 
   /** Degrees of the k-core after `rounds` synchronous peels of the
@@ -35,15 +39,25 @@ object KCore {
         struct(col("b").as("a"), col("a").as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .localCheckpoint(true)
+    var prev = e.count()
+    var converged = prev == 0L
     var it = 0
-    while (it < rounds) {
+    while (it < rounds && !converged) {
       val alive = e.groupBy(col("a")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("a"))
       e = e.join(alive, Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b")).localCheckpoint(true)
+      val c = e.count() // cheap: scan of the just-checkpointed blocks
+      converged = c == prev // a no-op peel means no node is under k
+      prev = c
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"KCore: round budget $rounds exhausted before the $k-core " +
+      s"converged ($prev directed edges still peeling) — the graph's " +
+      "peel depth exceeds the budget. Raise `rounds`: overshoot is " +
+      "free, the loop exits at the first no-op round.")
     e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .select(col("a").as("node"), col("deg"))
   }

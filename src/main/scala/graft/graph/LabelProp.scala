@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   * with the highest vote count among its neighbors PLUS its own
   * current label (the self-vote damps the synchronous-update
   * oscillation on bipartite structures), ties broken by SMALLEST
-  * label; a FIXED round count, no convergence test — integer counts
-  * and min-ties mean no ordering or float nondeterminism anywhere.
+  * label; integer counts and min-ties mean no ordering or float
+  * nondeterminism anywhere. `rounds` is a CAP: the loop exits early at
+  * a FIXPOINT (a round that changes no label — further rounds are
+  * exact no-ops, so the output is identical to replaying all `rounds`
+  * rounds; one node-table anti-join count per round, cheap next to the
+  * edge join). Unlike [[KCore]], exhausting the budget without a
+  * fixpoint is NOT an error — synchronous LPA may legitimately
+  * oscillate, and fixed-round semantics are the deterministic contract
+  * both engines replay.
   *
   * Plan shape at scale: one symmetrize+distinct up front; per round
   * one equi-join of edges against the |V|-row label table and two
@@ -40,18 +47,22 @@ object LabelProp {
       .select(col("node"), col("node").cast("long").as("label"))
       .localCheckpoint(true)
     var it = 0
-    while (it < rounds) {
+    var converged = false
+    while (it < rounds && !converged) {
       val neighborVotes = sym
         .join(labels.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node"), col("label"))
       val votes = neighborVotes.unionByName(labels) // self-vote, once
       // argmax(count) with min-label ties: max(struct(cnt, -label)).
-      labels = votes.groupBy(col("node"), col("label"))
+      val next = votes.groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("label"))
         .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
       it += 1
     }
     labels

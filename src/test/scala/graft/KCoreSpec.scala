@@ -36,4 +36,27 @@ class KCoreSpec extends SparkSpec {
     assert(a === b)
     assert(a.forall(_._2 >= 2L))
   }
+
+  test("under-budget peeling throws loudly instead of returning a non-core") {
+    // the hanging path needs 3 peel rounds (6, then 5, then 4); a budget
+    // of 1 used to silently return the partially-peeled graph
+    val g = edges((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L),(5L,6L))
+    val ex = intercept[IllegalStateException] {
+      KCore.coreDegrees(g, k = 2, rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("round budget"))
+    // and the budget that covers the peel depth converges fine
+    assert(KCore.coreDegrees(g, k = 2, rounds = 4).count() === 3L)
+  }
+
+  test("early exit: a huge budget costs only peel-depth rounds") {
+    // K4 is already its own 3-core: round 1 is a no-op, so rounds=1000
+    // must return immediately after it (sub-second, not 1000 jobs)
+    val k4 = edges((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val t0 = System.nanoTime()
+    val core = KCore.coreDegrees(k4, k = 3, rounds = 1000).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(core.length === 4)
+    assert(dt < 60.0, s"rounds=1000 on a converged graph took $dt s — early exit broken")
+  }
 }

@@ -64,4 +64,17 @@ class LabelPropSpec extends SparkSpec {
       LabelProp.propagate(Seq((1L, 2L)).toDF("a", "b"), 0)
     }
   }
+
+  test("fixpoint early exit: a huge budget equals the converged output, fast") {
+    // the path graph reaches its fixpoint at round 2; rounds=1000 must
+    // return the same labels after ~2 edge joins, not 1000
+    val fix = run(Seq((1L, 2L), (2L, 3L)), 3)
+    val t0 = System.nanoTime()
+    assert(run(Seq((1L, 2L), (2L, 3L)), 1000) == fix)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 60.0, s"rounds=1000 on a converged graph took $dt s — early exit broken")
+    // and a pre-fixpoint budget still replays EXACTLY that many rounds
+    // (the cap semantics the oracle replays are unchanged)
+    assert(run(Seq((1L, 2L), (2L, 3L)), 1) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
 }
