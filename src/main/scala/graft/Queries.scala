@@ -12136,8 +12136,171 @@ object Queries {
              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
+  private lazy val roundFourteen: Seq[Q] = Seq(
+
+    // ----- R28: 5×5 GAUSSIAN (binomial) focal smooth via the DEPTH-2
+    // halo exchange — the dask map_overlap(depth=2) parity case the
+    // stencil family is named after: the SAME one-shuffle design as r24,
+    // with 2-pixel border strips ((chunk+4)² padded neighborhoods,
+    // ≈1.016× data at chunk=50). Weights are the binomial outer product
+    // [1 4 6 4 1]² (sum 256), so over the ModRamp integer field every
+    // weighted sum is an exact integer ≤ 256·250 — q = round(v) and the
+    // per-chunk census is bit-exact in both engines. Strict stencil:
+    // rows/cols 0,1,148,149 have no full 5×5 and are NaN-pruned.
+    Q("r28_focal5",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.gaussSum5x5(tiles, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, math.round(v), gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH w AS (SELECT o, CASE abs(o) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END AS wt
+             |           FROM range(-2,3) t(o)),
+             |px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 2 AND 147 AND c BETWEEN 2 AND 147),
+             |n AS (SELECT p.r, p.c,
+             |        CAST(sum(dr.wt * dc.wt *
+             |          (((p.r+dr.o)*(p.r+dr.o) + (p.c+dc.o)*(p.c+dc.o)) % 251)) AS BIGINT) AS q
+             |      FROM px p CROSS JOIN w dr CROSS JOIN w dc
+             |      GROUP BY 1, 2)
+             |SELECT CAST(r//50 AS INT) AS y_chunk, CAST(c//50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R29: GAUSS warp scan — the LAST rasterio.enums.Resampling
+    // member without an engine branch (rio_reader.py:344-360 passes the
+    // full enum into WarpedVRT): the 3×3 binomial kernel [1 2 1]²/16 at
+    // the source pixel nearest each output center — the kernel GDAL's
+    // overview builder uses for GAUSS reductions. Same 40m-over-8m
+    // fixture as r16: output centers land at dyadic source coords
+    // (col 27.5+5c, row 5r−22.5 — exact in both engines), rows 0–4 sit
+    // above the source (3×3 leaves the raster ⇒ nodata), and with no
+    // NaNs the /16 weights make q = round(v·16) the exact integer
+    // weighted sum both engines state.
+    Q("r29_warp_gauss",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{AffineTransform, Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan, WarpedGridReader}
+        val spec = RasterSpec(3857, Bounds(1344000.0, 5917000.0, 1346000.0, 5919000.0), 40.0, 40.0)
+        val aTf = AffineTransform.northUp(1343800.0, 5918800.0, 8.0, 8.0) // 300x300 @8m
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp3857://a",
+          1343800.0, 5916400.0, 1346200.0, 5918800.0, 1.0, 0.0, epsg = 3857))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 25,
+          readerFor = _ => WarpedGridReader(ModRampReader(251), aTf, 3857, 300, 300, spec,
+            graft.ops.Resampling.Gauss))
+        tiles.flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 25 + t.rowOff + r
+              val gc = t.xChunk * 25 + t.colOff + c
+              (t.yChunk, t.xChunk, math.round(v * 16), gr.toLong * 50 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,50) t(r) CROSS JOIN range(0,50) u(c)),
+             |ctr AS (SELECT r, c,
+             |         CAST(floor(27.5 + 5*c) AS BIGINT) AS kc,
+             |         CAST(floor(5*r - 22.5) AS BIGINT) AS kr
+             |       FROM px),
+             |v AS (SELECT r, c, kr, kc FROM ctr
+             |      WHERE kr - 1 >= 0 AND kr + 1 <= 299 AND kc - 1 >= 0 AND kc + 1 <= 299),
+             |w AS (SELECT o, CASE WHEN o = 0 THEN 2 ELSE 1 END AS wt FROM range(-1,2) t(o)),
+             |q AS (SELECT r, c,
+             |        CAST(sum(dr.wt * dc.wt *
+             |          (((kr+dr.o)*(kr+dr.o) + (kc+dc.o)*(kc+dc.o)) % 251)) AS BIGINT) AS q
+             |      FROM v CROSS JOIN w dr CROSS JOIN w dc GROUP BY 1, 2)
+             |SELECT CAST(r//25 AS INT) AS y_chunk, CAST(c//25 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*50 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R30: D8 FLOW ACCUMULATION (ops.Flow) — the watershed point
+    // of r26's flow-direction raster: per cell, how many upstream cells
+    // drain through it. The direction raster flattens into a FUNCTIONAL
+    // edge forest (≤1 out-edge, strictly descending ⇒ acyclic), then
+    // synchronous rounds of acc₁=indeg, accᵢ₊₁=indeg+Σ_upstream accᵢ —
+    // no double-counting because every ancestor reaches a cell through
+    // exactly ONE parent. Rounds = the longest flow path, which the
+    // modramp(11) DEM bounds by its RELIEF (each D8 hop strictly
+    // descends an integer elevation, so ≤10 hops) — the budget is a cap
+    // with fixpoint early-exit, loud when exhausted. The oracle replays
+    // the same drainage via a recursive transitive closure (path
+    // uniqueness makes the closure duplicate-free). Output: the
+    // accumulation histogram with position checksums.
+    Q("r30_flow_accum",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Flow, Focal}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(11))
+        val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+        Flow.accumulate(Flow.d8Edges(dirs, 50, 50, 150), rounds = 16)
+          .groupBy($"acc")
+          .agg(count(lit(1)).as("n_cells"), sum($"node").as("pos_chk"))
+          .orderBy($"acc")
+      },
+      Some("""WITH RECURSIVE
+             |px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |       WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES
+             |  (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 1), (3, 1, -1, 2),
+             |  (4, 0, -1, 1), (5, -1, -1, 2), (6, -1, 0, 1), (7, -1, 1, 2)
+             |  ) AS v(ord, dr, dc, dist2)),
+             |rates AS (SELECT p.r, p.c, d.ord, d.dr, d.dc,
+             |    CAST((p.r*p.r + p.c*p.c) % 11
+             |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 11 AS DOUBLE)
+             |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+             |  FROM px p CROSS JOIN dirs d),
+             |rk AS (SELECT r, c, dr, dc, rate,
+             |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+             |  FROM rates),
+             |e AS (SELECT r*150 + c AS src, (r+dr)*150 + (c+dc) AS dst
+             |      FROM rk WHERE rn = 1 AND rate > 0),
+             |cl AS (SELECT src AS anc, dst AS node FROM e
+             |       UNION ALL SELECT cl.anc, e.dst FROM cl JOIN e ON cl.node = e.src),
+             |a AS (SELECT node, count(*) AS acc FROM cl GROUP BY 1)
+             |SELECT CAST(acc AS BIGINT) AS acc, count(*) AS n_cells,
+             |  CAST(sum(node) AS BIGINT) AS pos_chk
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve ++ roundThirteen
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve ++ roundThirteen ++ roundFourteen
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.scan.Tile
+
+/** D8 flow ACCUMULATION — the hydrology consumer of
+  * [[Focal.d8Flow3x3]]'s flow-direction raster (O'Callaghan & Mark
+  * 1984): for every cell, how many upstream cells drain through it.
+  * Watershed delineation, stream extraction, and drainage-area
+  * thresholds are all reads of this surface.
+  *
+  * Two stages, both distributed:
+  *
+  *  1. [[d8Edges]] flattens the direction raster into a FUNCTIONAL
+  *     graph (≤ 1 out-edge per cell, cell → steepest-descent neighbor);
+  *     strictly-descending flow means the graph is a forest flowing
+  *     into pits/flats — acyclic by construction.
+  *  2. [[accumulate]] runs synchronous rounds of the upstream-count
+  *     recurrence acc₁ = indegree, accᵢ₊₁(v) = indeg(v) + Σ_{u→v}
+  *     accᵢ(u) — correct WITHOUT double-counting precisely because the
+  *     graph is functional: every ancestor reaches v through exactly
+  *     one parent. Each round is one equi-join of the edge list against
+  *     the node-sized accumulation table plus a map-side-combined sum —
+  *     shuffle O(edges)/round, lineage truncated per round (the
+  *     KCore/LabelProp localCheckpoint discipline), and the loop EXITS
+  *     at the first fixpoint round (no count changed ⇒ every upstream
+  *     path is fully propagated). Rounds needed = the longest flow
+  *     path; on integer DEMs each D8 hop strictly decreases elevation,
+  *     so the path length — and the round count — is bounded by the
+  *     DEM's relief (max − min elevation), not the grid size. `rounds`
+  *     is a CAP: exhausting it before the fixpoint throws loudly (it
+  *     also catches a cyclic edge list, where counts grow forever).
+  */
+object Flow {
+
+  /** Flow edges (src, dst) as row-major cell ids (r·gridW + c) from a
+    * D8 flow-direction tile layer (ESRI codes; −1/NaN cells emit no
+    * edge). Pure per-tile flatMap — no shuffle. */
+  def d8Edges(dirTiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+              gridW: Int): DataFrame = {
+    val spark = dirTiles.sparkSession
+    import spark.implicits._
+    dirTiles.flatMap { t =>
+      for {
+        r <- 0 until t.height
+        c <- 0 until t.width
+        v = t.pixels(r * t.width + c)
+        if !v.isNaN && v >= 1.0
+      } yield {
+        val gr = t.yChunk * chunkY + t.rowOff + r
+        val gc = t.xChunk * chunkX + t.colOff + c
+        val (dr, dc) = v.toInt match {
+          case 1 => (0, 1); case 2 => (1, 1); case 4 => (1, 0)
+          case 8 => (1, -1); case 16 => (0, -1); case 32 => (-1, -1)
+          case 64 => (-1, 0); case 128 => (-1, 1)
+          case bad => throw new IllegalArgumentException(
+            s"Flow.d8Edges: not an ESRI D8 code: $bad at ($gr, $gc)")
+        }
+        (gr.toLong * gridW + gc, (gr + dr).toLong * gridW + (gc + dc))
+      }
+    }.toDF("src", "dst")
+  }
+
+  /** Upstream-cell counts (node, acc) for every node with ≥ 1 upstream
+    * cell over a FUNCTIONAL edge list (≤ 1 out-edge per src — the
+    * [[d8Edges]] contract; a src with several out-edges would
+    * double-count its ancestors downstream). Cells that receive no flow
+    * have acc 0 and are simply absent. */
+  def accumulate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"Flow: rounds=$rounds")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var acc = indeg.select(col("node"), col("deg").as("acc"))
+    var converged = acc.isEmpty
+    var it = 1 // acc already holds round 1 (the 1-hop ancestors)
+    while (it < rounds && !converged) {
+      val up = e.join(acc.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("acc")).as("ups"))
+      val next = indeg.join(up, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") + coalesce(col("ups"), lit(0L))).as("acc"))
+        .localCheckpoint(true)
+      converged = next.join(acc.withColumnRenamed("acc", "prev"), Seq("node"))
+        .filter(col("acc") =!= col("prev")).isEmpty
+      acc = next
+      it += 1
+    }
+    if (!converged && !acc.isEmpty) {
+      // one extra probe: the budget may be exactly the path length
+      val up = e.join(acc.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("acc")).as("ups"))
+      val next = indeg.join(up, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") + coalesce(col("ups"), lit(0L))).as("acc"))
+      val settled = next.join(acc.withColumnRenamed("acc", "prev"), Seq("node"))
+        .filter(col("acc") =!= col("prev")).isEmpty
+      if (!settled) throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before accumulation " +
+        "converged — the longest flow path exceeds the budget (or the " +
+        "edge list has a cycle, which never converges). Raise `rounds`: " +
+        "overshoot is free, the loop exits at the first fixpoint round.")
+    }
+    acc
+  }
+}

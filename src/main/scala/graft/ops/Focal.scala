@@ -11,16 +11,18 @@ import graft.scan.Tile
   * shuffled rows, and assembling the whole raster on one node is the
   * driver-OOM the chunked design exists to avoid. The distributed-
   * stencil answer (identical to HPC ghost cells) is: each tile re-emits
-  * itself **plus 1-pixel-deep border strips addressed to the up-to-8
-  * neighbor chunks**, one shuffle co-locates each chunk's padded
-  * (chunk+2)² neighborhood, and a tight per-chunk loop computes the
-  * stencil. Shuffle volume = data + 4·perimeter strips — ≈1.008× the
-  * input at chunk=1024, flat per-task memory, no join.
+  * itself **plus depth-d border strips addressed to the up-to-8
+  * neighbor chunks** (d = ⌈k/2⌉ for a k×k kernel), one shuffle
+  * co-locates each chunk's padded (chunk+2d)² neighborhood, and a tight
+  * per-chunk loop computes the stencil. Shuffle volume = data +
+  * 4d·perimeter strips — ≈1.008× the input at d=1, chunk=1024; flat
+  * per-task memory, no join.
   *
   * The reference has no focal op (its users reach for xarray/dask
   * `rolling`, which does the same ghost-cell trick via dask overlap —
-  * `dask.array.map_overlap`); this is the Spark-native form. All 3×3
-  * kernels ([[focalSum3x3]], [[hornGradSq3x3]], and any future
+  * `dask.array.map_overlap(depth=d)`); this is the Spark-native form.
+  * All kernels of one depth ([[focalSum3x3]], [[hornGradSq3x3]],
+  * [[d8Flow3x3]] at d=1; [[gaussSum5x5]] at d=2; any future
   * slope/aspect/curvature variant) share ONE halo exchange.
   */
 object Focal {
@@ -133,13 +135,58 @@ object Focal {
     }
   }
 
-  /** The shared halo exchange + per-chunk stencil loop. `kernel` sees the
-    * padded neighborhood array, its row stride, and the center index;
-    * out-of-grid border pixels (no full 3×3 inside the raster) are NaN
-    * before the kernel is consulted. */
+  /** 5×5 binomial (Gaussian) weighted SUM — the smoothing kernel of
+    * image pyramids and DEM denoising, and the first consumer of the
+    * depth-2 halo. Weights are the binomial outer product
+    * [1 4 6 4 1]ᵀ·[1 4 6 4 1] (sum 256): over integer fields the
+    * weighted sum is an exact integer (≤ 256·max), so the distributed
+    * result is bit-reproducible and oracle-replayable — divide by 256
+    * for the smoothed value, exactly the [[focalSum3x3]] convention.
+    * Strict stencil: NaN unless all 25 neighbors are in-grid and
+    * valid. */
+  def gaussSum5x5(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                  gridH: Int, gridW: Int): Dataset[Tile] = {
+    val w = Array(1.0, 4.0, 6.0, 4.0, 1.0)
+    stencilK(tiles, chunkY, chunkX, gridH, gridW, depth = 2) { (pad, padW, ctr) =>
+      var s = 0.0
+      var ok = true
+      var dr = -2
+      while (dr <= 2 && ok) {
+        var dc = -2
+        while (dc <= 2 && ok) {
+          val v = pad(ctr + dr * padW + dc)
+          if (v.isNaN) ok = false else s += w(dr + 2) * w(dc + 2) * v
+          dc += 1
+        }
+        dr += 1
+      }
+      if (ok) s else Double.NaN
+    }
+  }
+
+  /** Depth-1 specialization — every 3×3 kernel shares this one halo
+    * exchange. */
   private def stencil3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                          gridH: Int, gridW: Int)(
+      kernel: (Array[Double], Int, Int) => Double): Dataset[Tile] =
+    stencilK(tiles, chunkY, chunkX, gridH, gridW, depth = 1)(kernel)
+
+  /** The shared halo exchange + per-chunk stencil loop, generalized to
+    * halo DEPTH d (a (2d+1)×(2d+1) kernel needs d border pixels — the
+    * `dask.array.map_overlap(depth=d)` parity the family is named
+    * after). `kernel` sees the padded neighborhood array, its row
+    * stride, and the center index; border pixels without a full
+    * (2d+1)² in-grid neighborhood are NaN before the kernel is
+    * consulted. Scale shape is unchanged: fragments reach the same ≤8
+    * neighbor chunks (any d < chunk size), shuffle = data + 4d·perimeter
+    * strips — still ≈(1 + 4d/chunk)× the input, one shuffle, no join. */
+  private def stencilK(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                       gridH: Int, gridW: Int, depth: Int)(
       kernel: (Array[Double], Int, Int) => Double): Dataset[Tile] = {
+    require(depth >= 1 && depth < chunkY && depth < chunkX,
+      s"Focal: halo depth $depth must be in [1, chunk) — a deeper halo " +
+      "than the chunk would need fragments beyond the 8-neighbor " +
+      "exchange; re-chunk coarser instead")
     val spark = tiles.sparkSession
     import spark.implicits._
 
@@ -154,10 +201,10 @@ object Focal {
         if tyc >= 0 && txc >= 0 &&
           tyc * chunkY < gridH && txc * chunkX < gridW
         // the target chunk's padded region, clipped to the raster
-        pr0 = math.max(tyc * chunkY - 1, 0)
-        pr1 = math.min((tyc + 1) * chunkY + 1, gridH)
-        pc0 = math.max(txc * chunkX - 1, 0)
-        pc1 = math.min((txc + 1) * chunkX + 1, gridW)
+        pr0 = math.max(tyc * chunkY - depth, 0)
+        pr1 = math.min((tyc + 1) * chunkY + depth, gridH)
+        pc0 = math.max(txc * chunkX - depth, 0)
+        pc1 = math.min((txc + 1) * chunkX + depth, gridW)
         // intersection with this tile's rectangle
         ir0 = math.max(r0, pr0); ir1 = math.min(r0 + t.height, pr1)
         ic0 = math.max(c0, pc0); ic1 = math.min(c0 + t.width, pc1)
@@ -183,11 +230,11 @@ object Focal {
     frags.groupByKey(f => (f.band, f.tyc, f.txc)).mapGroups {
       (key: (String, Int, Int), it: Iterator[HaloFrag]) =>
         val (band, tyc, txc) = key
-        // Padded neighborhood: rows [tyc*chunkY-1, (tyc+1)*chunkY+1) ∩ grid.
-        val padR0 = tyc * chunkY - 1
-        val padC0 = txc * chunkX - 1
-        val padH = chunkY + 2
-        val padW = chunkX + 2
+        // Padded neighborhood: rows [tyc*chunkY-d, (tyc+1)*chunkY+d) ∩ grid.
+        val padR0 = tyc * chunkY - depth
+        val padC0 = txc * chunkX - depth
+        val padH = chunkY + 2 * depth
+        val padW = chunkX + 2 * depth
         val pad = Array.fill(padH * padW)(Double.NaN)
         // Deterministic overlap resolution: splice in ascending layer
         // order; later (higher-itemIdx) VALID values overwrite.
@@ -214,7 +261,8 @@ object Focal {
           while (c < outW) {
             val gc = txc * chunkX + c
             out(r * outW + c) =
-              if (gr >= 1 && gr <= gridH - 2 && gc >= 1 && gc <= gridW - 2)
+              if (gr >= depth && gr <= gridH - 1 - depth &&
+                  gc >= depth && gc <= gridW - 1 - depth)
                 kernel(pad, padW, (gr - padR0) * padW + (gc - padC0))
               else Double.NaN
             c += 1

@@ -36,6 +36,19 @@ object Resampling {
   case object Q3 extends Resampling
   case object Sum extends Resampling
   case object Rms extends Resampling
+  /** Gaussian-kernel resampling (GDAL `GRA_Gauss` / rasterio
+    * `Resampling.gauss`) — the LAST member of the rasterio enum: the
+    * 3×3 binomial kernel [1 2 1]⊗[1 2 1]/16 applied at the source pixel
+    * nearest each output center (the kernel GDAL's overview builder
+    * uses for its GAUSS 2:1 reductions; rasterio exposes the enum value
+    * even though GDAL restricts it to overview building — here it rides
+    * the same windowed warp path as every other kernel). NaN taps are
+    * skipped with weight renormalization (the nodata-ignoring footprint
+    * convention); a center whose 3×3 window leaves the source — or an
+    * all-NaN window — is nodata. Dyadic /16 weights keep integer
+    * fixtures exact cross-engine. Anti-aliasing beyond ~2× reduction
+    * belongs to Average/[[graft.ops.Coarsen]], as with Mode. */
+  case object Gauss extends Resampling
 }
 
 /** Grid-to-grid array reprojection — the reference `reproject_array`

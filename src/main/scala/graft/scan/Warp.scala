@@ -110,8 +110,63 @@ final case class WarpedGridReader(
       case Average | Min | Max | Med | Q1 | Q3 | Sum | Rms =>
         readFootprint(window)
       case Lanczos     => readLanczos(window)
+      case Gauss       => readGauss(window)
       case _           => readNearestOrBilinear(window)
     }
+  }
+
+  /** Gaussian 3×3 binomial kernel (GDAL GAUSS — see
+    * [[graft.ops.Resampling.Gauss]]): weights [1 2 1]⊗[1 2 1]/16 around
+    * the source pixel NEAREST the output center. NaN taps drop out with
+    * weight renormalization; windows leaving the source (or all-NaN)
+    * are nodata. One windowed source read per tile, like every
+    * kernel. */
+  private def readGauss(window: Window): Array[Double] = {
+    val (cols, rows) = Warp.sourceCoords(window, spec, srcInv, srcEpsg)
+    val out = Array.fill(window.width * window.height)(Double.NaN)
+    var minC = Int.MaxValue; var minR = Int.MaxValue
+    var maxC = Int.MinValue; var maxR = Int.MinValue
+    var i = 0
+    while (i < cols.length) {
+      val cc = math.floor(cols(i)).toInt // nearest: center k+0.5 owns [k, k+1)
+      val rr = math.floor(rows(i)).toInt
+      if (cc - 1 >= 0 && cc + 1 < srcWidth && rr - 1 >= 0 && rr + 1 < srcHeight) {
+        if (cc - 1 < minC) minC = cc - 1
+        if (cc + 1 > maxC) maxC = cc + 1
+        if (rr - 1 < minR) minR = rr - 1
+        if (rr + 1 > maxR) maxR = rr + 1
+      }
+      i += 1
+    }
+    if (minC > maxC) return out
+    val srcWin = Window(minC, minR, maxC - minC + 1, maxR - minR + 1)
+    val px = source.read(srcWin)
+    val w = Array(1.0, 2.0, 1.0)
+    i = 0
+    while (i < cols.length) {
+      val cc = math.floor(cols(i)).toInt
+      val rr = math.floor(rows(i)).toInt
+      if (cc - 1 >= 0 && cc + 1 < srcWidth && rr - 1 >= 0 && rr + 1 < srcHeight) {
+        var acc = 0.0; var wsum = 0.0
+        var dr = -1
+        while (dr <= 1) {
+          var dc = -1
+          while (dc <= 1) {
+            val v = px((rr + dr - srcWin.rowOff) * srcWin.width +
+              (cc + dc - srcWin.colOff))
+            if (!v.isNaN) {
+              val wt = w(dr + 1) * w(dc + 1)
+              acc += wt * v; wsum += wt
+            }
+            dc += 1
+          }
+          dr += 1
+        }
+        if (wsum > 0.0) out(i) = acc / wsum
+      }
+      i += 1
+    }
+    out
   }
 
   /** Keys bicubic kernel (a = −1/2, the GDAL `cubic` default): t is the

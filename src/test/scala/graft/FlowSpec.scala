@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Flow
+import graft.scan.Tile
+
+/** Hand oracles for D8 flow accumulation (ops.Flow): the functional-
+  * graph upstream-count recurrence, its cap/early-exit discipline, and
+  * the direction-raster → edge-list flattening. */
+class FlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def acc(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Flow.accumulate(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain 1->2->3->4: upstream counts 1/2/3; budget == path length works") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val want = Map(2L -> 1L, 3L -> 2L, 4L -> 3L)
+    assert(acc(chain, 10) == want)
+    // the extra settled-probe makes a budget of exactly the path length pass
+    assert(acc(chain, 3) == want)
+  }
+
+  test("confluence: two tributaries joining double the downstream count") {
+    // 1->3, 2->3, 3->4: cell 3 receives 2, cell 4 receives 3
+    assert(acc(Seq((1L, 3L), (2L, 3L), (3L, 4L)), 5) ==
+      Map(3L -> 2L, 4L -> 3L))
+  }
+
+  test("under-budget throws loudly; a cycle throws instead of looping") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val ex = intercept[IllegalStateException] { acc(chain, 2) }
+    assert(ex.getMessage.contains("round budget"))
+    val cyc = intercept[IllegalStateException] { acc(Seq((1L, 2L), (2L, 1L)), 4) }
+    assert(cyc.getMessage.contains("cycle"))
+  }
+
+  test("early exit: a huge budget on a shallow forest returns immediately") {
+    val t0 = System.nanoTime()
+    assert(acc(Seq((1L, 2L), (3L, 2L)), 1000) == Map(2L -> 2L))
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 60.0, s"rounds=1000 on a depth-1 forest took $dt s — early exit broken")
+  }
+
+  test("d8Edges maps ESRI codes to row-major neighbors; -1/NaN emit nothing") {
+    // one 3x3 dir tile: edge cells drain inward, one pit (-1), NaN corners
+    val px = Array(
+      Double.NaN, 4.0, Double.NaN,
+      1.0, 2.0, -1.0,
+      Double.NaN, 64.0, Double.NaN)
+    val tiles = spark.createDataset(Seq(Tile(0, 0, "g", 0L, 0, 0, 0, 0, 3, 3, px)))
+    val got = Flow.d8Edges(tiles, 3, 3, gridW = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) S->(1,1); (1,0) E->(1,1); (1,1) SE->(2,2); (2,1) N->(1,1)
+    assert(got == Set((1L, 4L), (3L, 4L), (4L, 8L), (7L, 4L)))
+  }
+
+  test("accumulate matches a driver-side replay on the modramp D8 drainage") {
+    import graft.core.{Bounds, RasterSpec}
+    import graft.ops.Focal
+    import graft.scan.{AssetRow, ModRampReader, TileScan}
+    // 60x60 modramp(11) DEM, chunk 20: relief <= 10 bounds every flow
+    // path at 10 hops, so accumulation converges in <= 10 rounds
+    val g = 60
+    val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+    val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+      0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+    val tiles = TileScan.scan(spark, assets, spec, chunk = 20,
+      readerFor = _ => ModRampReader(11))
+    val dirs = Focal.d8Flow3x3(tiles, 20, 20, g, g)
+    val got = Flow.accumulate(Flow.d8Edges(dirs, 20, 20, g), rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay: dense D8 with the documented tie/NaN contract
+    def z(r: Int, c: Int): Long = (r.toLong * r + c.toLong * c) % 11
+    val dirsSpec = Seq((1, 0, 1, false), (2, 1, 1, true), (4, 1, 0, false),
+      (8, 1, -1, true), (16, 0, -1, false), (32, -1, -1, true),
+      (64, -1, 0, false), (128, -1, 1, true))
+    val next = scala.collection.mutable.Map.empty[Long, Long]
+    for (r <- 1 until g - 1; c <- 1 until g - 1) {
+      var best = 0.0; var bd: Option[(Int, Int)] = None
+      dirsSpec.foreach { case (_, dr, dc, diag) =>
+        val drop = (z(r, c) - z(r + dr, c + dc)).toDouble
+        val rate = if (diag) drop / math.sqrt(2.0) else drop
+        if (rate > best) { best = rate; bd = Some((dr, dc)) }
+      }
+      bd.foreach { case (dr, dc) =>
+        next(r.toLong * g + c) = (r + dr).toLong * g + (c + dc)
+      }
+    }
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    next.keys.foreach { u =>
+      var v = u
+      while (next.contains(v)) { v = next(v); want(v) += 1 }
+    }
+    assert(got == want.toMap, s"sizes: got ${got.size} want ${want.size}")
+  }
+}

@@ -90,6 +90,44 @@ class FocalZonalSpec extends SparkSpec {
     }
   }
 
+  test("gaussSum5x5 == driver dense 5x5 binomial stencil (depth-2 halos)") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val out = Focal.gaussSum5x5(tiles, 32, 32, grid, grid).collect()
+    val src = dense("fake://focal")
+    val got = Array.fill(grid * grid)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) = t.pixels(r * t.width + c)
+    }
+    val w = Array(1.0, 4.0, 6.0, 4.0, 1.0)
+    for (r <- 0 until grid; c <- 0 until grid) {
+      val want =
+        if (r < 2 || r > grid - 3 || c < 2 || c > grid - 3) Double.NaN
+        else {
+          var s = 0.0
+          for (dr <- -2 to 2; dc <- -2 to 2)
+            s += w(dr + 2) * w(dc + 2) * src((r + dr) * grid + c + dc)
+          s
+        }
+      val g = got(r * grid + c)
+      assert(g == want || (g.isNaN && want.isNaN), s"($r,$c): got $g want $want")
+    }
+  }
+
+  test("halo depth must stay under the chunk size (loud guard)") {
+    import spark.implicits._
+    // depth 2 needs chunk > 2: a 2-pixel chunk would need fragments
+    // beyond the 8-neighbor exchange
+    val tiny = spark.createDataset(Seq(
+      Tile(0, 0, "g", 0L, 0, 0, 0, 0, 2, 2, Array(1.0, 2.0, 3.0, 4.0))))
+    val ex = intercept[IllegalArgumentException] {
+      Focal.gaussSum5x5(tiny, 2, 2, 4, 4).collect()
+    }
+    assert(ex.getMessage.contains("halo depth"))
+  }
+
   test("hornGradSq3x3: constant-gradient DEM gives the closed form everywhere") {
     import spark.implicits._
     // v(r,c) = 3r + 5c: gx = 8*5 = 40, gy = 8*3 = 24 at every interior

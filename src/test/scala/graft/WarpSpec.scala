@@ -409,4 +409,65 @@ class WarpSpec extends AnyFunSuite {
       assert(px(row * 10 + col) == sum / vals.length, s"($row,$col)")
     }
   }
+
+  test("gauss: 3x3 binomial at the nearest center; NaN renormalizes; edge=NaN") {
+    import graft.ops.Resampling
+    import graft.scan.ModRampReader
+    // 1:1 grids shifted so every output center lands mid-pixel: output
+    // center (c+0.5, r+0.5)@8m from origin 1004 maps to source coord
+    // (c+1, r+1) in a grid from origin 996 — nearest pixel (r+1, c+1),
+    // full 3x3 window inside the 20x20 source except the outer ring.
+    val spec = RasterSpec(3857, Bounds(1004.0, 1004.0, 1148.0, 1148.0), 8.0, 8.0) // 18x18
+    val srcTf = AffineTransform.northUp(996.0, 1156.0, 8.0, 8.0) // 20x20 @8m
+    val r = WarpedGridReader(ModRampReader(251), srcTf, 3857, 20, 20, spec,
+      Resampling.Gauss)
+    val px = r.read(Window(0, 0, 18, 18))
+    def z(rr: Int, cc: Int): Double = ((rr.toLong * rr + cc.toLong * cc) % 251).toDouble
+    val w = Array(1.0, 2.0, 1.0)
+    for (row <- 0 until 18; col <- 0 until 18) {
+      val (kr, kc) = (row + 1, col + 1)
+      var acc = 0.0
+      for (dr <- -1 to 1; dc <- -1 to 1)
+        acc += w(dr + 1) * w(dc + 1) * z(kr + dr, kc + dc)
+      assert(px(row * 18 + col) == acc / 16.0, s"($row,$col)")
+    }
+    // NaN renormalization: a checkerboard-holey source averages only
+    // the valid taps' weights
+    val holey = new graft.scan.Reader {
+      def read(win: Window): Array[Double] = {
+        val out = new Array[Double](win.width * win.height)
+        var i = 0; var rr = win.rowOff
+        while (rr < win.rowEnd) {
+          var cc = win.colOff
+          while (cc < win.colEnd) {
+            out(i) = if ((rr + cc) % 2 == 0) Double.NaN else (rr * 100 + cc).toDouble
+            i += 1; cc += 1
+          }
+          rr += 1
+        }
+        out
+      }
+    }
+    val h = WarpedGridReader(holey, srcTf, 3857, 20, 20, spec, Resampling.Gauss)
+    val hx = h.read(Window(0, 0, 18, 18))
+    for (row <- 0 until 18; col <- 0 until 18) {
+      val (kr, kc) = (row + 1, col + 1)
+      var acc = 0.0; var ws = 0.0
+      for (dr <- -1 to 1; dc <- -1 to 1; if (kr + dr + kc + dc) % 2 == 1) {
+        acc += w(dr + 1) * w(dc + 1) * ((kr + dr) * 100 + kc + dc)
+        ws += w(dr + 1) * w(dc + 1)
+      }
+      assert(hx(row * 18 + col) == acc / ws, s"($row,$col)")
+    }
+    // a window leaving the source is nodata: widen the output one pixel
+    // past the source's edge ring
+    val edgeSpec = RasterSpec(3857, Bounds(996.0, 996.0, 1156.0, 1156.0), 8.0, 8.0) // 20x20
+    val e = WarpedGridReader(ModRampReader(251), srcTf, 3857, 20, 20, edgeSpec,
+      Resampling.Gauss)
+    val ex = e.read(Window(0, 0, 20, 20))
+    for (i <- 0 until 20) {
+      assert(ex(i).isNaN && ex(19 * 20 + i).isNaN, s"row edge $i")
+      assert(ex(i * 20).isNaN && ex(i * 20 + 19).isNaN, s"col edge $i")
+    }
+  }
 }
