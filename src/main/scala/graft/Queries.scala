@@ -11405,7 +11405,7 @@ object Queries {
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
              |FROM m WHERE mincross >= 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // ----- T31: ENCODING-ROBUSTNESS census (text.Encoding) — the
+    // ----- T32: ENCODING-ROBUSTNESS census (text.Encoding) — the
     // crawl-hygiene gate for decode wreckage: U+FFFD decoder bailouts,
     // C0 binary-in-text controls, and cp1252 mojibake digraphs (valid
     // Unicode that only a signature census catches). The synthetic docs
@@ -11687,7 +11687,7 @@ object Queries {
              |    CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS BIGINT) FROM ref)
              |ORDER BY stage""".stripMargin)),
 
-    // ----- X43: TRIANGLE census (graph.Triangles) over the co-purchase
+    // ----- X46: TRIANGLE census (graph.Triangles) over the co-purchase
     // graph — parts bought together in ≥2 orders. Degree-ordered
     // orientation bounds the wedge join at O(m^1.5) rows total (out-degree
     // ≤ O(√m) by the classical argument) no matter how skewed a hub
@@ -11776,7 +11776,7 @@ object Queries {
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
              |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // ----- X44: weight-proportional (PPS) Poisson sampling — include each
+    // ----- X47: weight-proportional (PPS) Poisson sampling — include each
     // document independently with probability min(1, k·w/W), w = token
     // count. The zero-coordination sampling scheme (no reservoir, no
     // prefix sum, no global order): one broadcast of per-language totals

@@ -280,9 +280,22 @@ object Sample {
     * over `df` — which makes the filter fully STATELESS and therefore
     * streaming-legal: admit rows of an unbounded stream at PPS rates
     * calibrated offline, one broadcast stream-static join, no
-    * aggregation state. `totals` must be exactly (groupCol, total). */
+    * aggregation state. `totals` must be exactly (groupCol, total).
+    *
+    * UNKNOWN GROUPS — rows whose group is ABSENT from `totals` (a
+    * brand-new group appearing in the stream after calibration): by
+    * default they are DROPPED (`keepUnknownGroups = false`) — there is
+    * no calibrated rate to admit them at, and the census that recounts
+    * totals should see them before any are admitted. This is a POLICY
+    * choice, not "sampled out": a monitoring census should read the
+    * pre-filter stream, and the drop count is new-group arrivals, not
+    * PPS rejections. Pass `keepUnknownGroups = true` for the
+    * admit-then-recalibrate posture (admit every row of a group with no
+    * known total — conservative for data retention, unbounded until the
+    * next calibration). */
   def ppsBernoulliWith(df: DataFrame, groupCol: String, idCol: Column,
-                       weightCol: String, k: Int, totals: DataFrame): DataFrame = {
+                       weightCol: String, k: Int, totals: DataFrame,
+                       keepUnknownGroups: Boolean = false): DataFrame = {
     require(k >= 1, s"ppsBernoulli: k=$k")
     val reserved = Seq("__u", "__W").filter(df.columns.contains)
     require(reserved.isEmpty,
@@ -293,13 +306,16 @@ object Sample {
     // Operand precisions chosen so each product is exactly DECIMAL(38,0)
     // with no Spark precision-overflow null: u < 2^32 (10 digits),
     // W < 10^28; 2^32·k fits a long (k is Int), w < 10^19.
+    val admit =
+      col("__u").cast("decimal(10,0)") * col("__W").cast("decimal(28,0)") <
+        lit(4294967296L * k).cast("decimal(19,0)") *
+        col(weightCol).cast("decimal(19,0)")
     df.join(broadcast(totals.select(col(groupCol), col("total").as("__W"))),
-        Seq(groupCol))
+        Seq(groupCol), "left")
       .withColumn("__u",
         conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"))
-      .filter(col("__u").cast("decimal(10,0)") * col("__W").cast("decimal(28,0)") <
-              lit(4294967296L * k).cast("decimal(19,0)") *
-              col(weightCol).cast("decimal(19,0)"))
+      .filter(if (keepUnknownGroups) col("__W").isNull || admit
+              else col("__W").isNotNull && admit)
       .drop("__u", "__W")
   }
 

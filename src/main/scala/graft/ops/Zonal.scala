@@ -12,7 +12,19 @@ import graft.scan.Tile
   * zoneId; the per-pixel test then ORs across pieces, which the
   * per-piece loop below already provides since a pixel inside two
   * pieces of the same zone would double-count — so decompositions must
-  * be non-overlapping, the standard triangulation contract). */
+  * be non-overlapping, the standard triangulation contract).
+  *
+  * SHARED-EDGE CAVEAT for decomposed zones: [[contains]] is
+  * boundary-INCLUSIVE (cross ≥ 0), so "non-overlapping" convex pieces
+  * that share an internal edge both claim a pixel whose center lies
+  * exactly ON that edge — n_px/sum_q inflate for that zone. Interiors
+  * being disjoint is NOT enough when pixel centers can land on the cut
+  * line (integer-vertex cuts through integer-ish centers do exactly
+  * this). Either place cuts off the center lattice, or adopt a
+  * half-open convention per cut (drop the shared edge's `= 0` case
+  * from one piece by nudging that piece's vertices ε inward along the
+  * cut). Single-piece zones are unaffected — the inclusive boundary is
+  * then just the usual "centers on the outline count" rule. */
 final case class Zone(zoneId: Int, xs: Array[Double], ys: Array[Double]) {
   require(xs.length == ys.length && xs.length >= 3,
     s"zone $zoneId needs >= 3 vertices, got ${xs.length}")

@@ -34,23 +34,26 @@ object Encoding {
     * so the list survives any source-file transcoding.
     */
   val mojibakeSignatures: Seq[String] = Seq(
-    "Ã©", // e-acute read as cp1252
-    "Ã¨", // e-grave
-    "Ã¤", // a-umlaut
-    "Ã¶", // o-umlaut
-    "Ã¼", // u-umlaut
-    "Ã±", // n-tilde
-    "â€™", // right single quote
-    "â€œ", // left double quote
-    "â€“", // en dash
-    "Â ") // NBSP
+    "\u00C3\u00A9", // e-acute read as cp1252
+    "\u00C3\u00A8", // e-grave
+    "\u00C3\u00A4", // a-umlaut
+    "\u00C3\u00B6", // o-umlaut
+    "\u00C3\u00BC", // u-umlaut
+    "\u00C3\u00B1", // n-tilde
+    "\u00E2\u20AC\u2122", // right single quote
+    "\u00E2\u20AC\u0153", // left double quote
+    "\u00E2\u20AC\u201C", // en dash
+    // NBSP: deliberately U+00C2 + PLAIN space (not U+00A0) - downstream
+    // normalizers collapse the mojibake'd NBSP to an ASCII space, so the
+    // plain-space digraph is the observable form in scraped text
+    "\u00C2 ")
 
   private def countOccurrences(c: Column, sig: String): Column =
     (length(c) - length(replace(c, lit(sig), lit("")))) / sig.length
 
   /** Count of U+FFFD replacement characters. */
   def replacementCount(c: Column): Column =
-    length(c) - length(replace(c, lit("�"), lit("")))
+    length(c) - length(replace(c, lit("\uFFFD"), lit("")))
 
   /** Count of C0 controls excluding tab/LF/CR (the binary-in-text tell). */
   def controlCount(c: Column): Column =

@@ -14,6 +14,19 @@ class EncodingSpec extends SparkSpec {
     scored.columns.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
   }
 
+  test("mojibake signatures pin their exact code points (transcode canary)") {
+    // The signatures are the UTF-8-bytes-read-as-cp1252 digraphs; a
+    // source-file transcode or editor normalization that altered one
+    // would silently blind the census — pin every code point.
+    val want: Seq[Seq[Int]] = Seq(
+      Seq(0xC3, 0xA9), Seq(0xC3, 0xA8), Seq(0xC3, 0xA4), Seq(0xC3, 0xB6),
+      Seq(0xC3, 0xBC), Seq(0xC3, 0xB1),
+      Seq(0xE2, 0x20AC, 0x2122), Seq(0xE2, 0x20AC, 0x153),
+      Seq(0xE2, 0x20AC, 0x201C),
+      Seq(0xC2, 0x20)) // NBSP digraph: deliberately 00C2 + PLAIN space
+    assert(Encoding.mojibakeSignatures.map(_.map(_.toInt).toSeq) == want)
+  }
+
   test("clean ASCII text: all zero, verdict clean") {
     val m = scoreOne("The quick brown fox jumps over the lazy dog. " * 10)
     assert(m("repl_pm") == 0L && m("ctrl_pm") == 0L && m("moji_pm") == 0L &&

@@ -245,6 +245,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("total"))
   }
 
+  test("ppsBernoulliWith: unknown-group policy — drop by default, keep-all opt-in") {
+    import spark.implicits._
+    // totals calibrated for group g only; group h appears after calibration
+    val df = spark.range(0, 100).select(
+      when(col("id") < 50, "g").otherwise("h").as("grp"), col("id"),
+      (col("id") % 7 + 1).as("w"))
+    val totals = df.filter(col("grp") === "g").groupBy("grp").agg(sum("w").as("total"))
+    val dropped = Sample.ppsBernoulliWith(df, "grp", col("id"), "w", 30, totals)
+      .select("grp").distinct().as[String].collect().toSet
+    assert(dropped === Set("g"), "unknown group h must be dropped by default")
+    val kept = Sample.ppsBernoulliWith(df, "grp", col("id"), "w", 30, totals,
+      keepUnknownGroups = true)
+    assert(kept.filter(col("grp") === "h").count() === 50L,
+      "keepUnknownGroups admits every row of the uncalibrated group")
+    // and the known group's sample is IDENTICAL under either policy
+    val gDrop = Sample.ppsBernoulliWith(df, "grp", col("id"), "w", 30, totals)
+      .filter(col("grp") === "g").select("id").as[Long].collect().toSet
+    val gKeep = kept.filter(col("grp") === "g").select("id").as[Long].collect().toSet
+    assert(gDrop === gKeep)
+  }
+
   test("ppsBernoulli: scratch-column collision and k guards") {
     import spark.implicits._
     val df = spark.range(0, 5).select(lit("g").as("grp"), col("id"),
