@@ -11823,7 +11823,12 @@ object Queries {
           .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
         val edges = pr.groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
           .filter($"supp" >= 2).select($"u", $"v")
-        graft.graph.KCore.coreDegrees(edges, k = 2, rounds = 4)
+        // rounds is a CAP with fixpoint early-exit (free overshoot) —
+        // 64 covers any SF's peel depth; the r14 loud guard caught the
+        // old fixed rounds=4 silently returning a NON-core at sf0.1
+        // (48 edges still peeling). The sf0.01 oracle's 4 unrolled
+        // rounds are the converged core there (depth 3).
+        graft.graph.KCore.coreDegrees(edges, k = 2, rounds = 64)
           .groupBy($"deg")
           .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
           .orderBy($"deg")
