@@ -7432,7 +7432,13 @@ object Queries {
     Q("x23_recipe_classifier",
       (s, dir) => {
         import s.implicits._
-        val (raw, ppl) = recipeToPpl(s, dir)
+        // ppl feeds TWO branches below (the survivor gate and the final
+        // semi-join) and Spark does no CSE across branches — without the
+        // checkpoint the perplexity chain would run twice, costing more
+        // than the scoring pass the reorder saves (measured: 10.8 s vs
+        // 8.2 s).
+        val (raw, ppl0) = recipeToPpl(s, dir)
+        val ppl = ppl0.localCheckpoint(true)
         val labeled = plantTopics(raw)
         val model = graft.text.Classifier.trainNaiveBayes(
           labeled.filter($"doc_id" % 2 === 0), "truth", "text2",
