@@ -12345,7 +12345,198 @@ object Queries {
              |a AS (SELECT node, count(*) AS acc FROM cl GROUP BY 1)
              |SELECT CAST(acc AS BIGINT) AS acc, count(*) AS n_cells,
              |  CAST(sum(node) AS BIGINT) AS pos_chk
-             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R31: STRAHLER stream order (ops.Flow.strahler) — hydrology's
+    // stream-classification primitive over the same drainage forest:
+    // order-1 headwaters; order rises only where ≥2 equal-order
+    // tributaries meet. Computed as a MONOTONE fixpoint (all nodes start
+    // at 1; the confluence rule applied synchronously only ever raises a
+    // node toward its true order — provably never past it), converging
+    // in longest-flow-path rounds, which the modramp(11) DEM's relief
+    // bounds at 10. The oracle unrolls exactly 10 rounds of the same
+    // rule in SQL (rounds past the fixpoint are no-ops, so 10 ≥ depth
+    // replays the converged orders bit-for-bit). Output: the order
+    // census with position checksums.
+    Q("r31_strahler",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Flow, Focal}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(11))
+        val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+        Flow.strahler(Flow.d8Edges(dirs, 50, 50, 150), rounds = 16)
+          .groupBy($"ord")
+          .agg(count(lit(1)).as("n_cells"), sum($"node").as("pos_chk"))
+          .orderBy($"ord")
+      },
+      Some {
+        val prefix =
+          """WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+            |       WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+            |dirs AS (SELECT * FROM (VALUES
+            |  (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 1), (3, 1, -1, 2),
+            |  (4, 0, -1, 1), (5, -1, -1, 2), (6, -1, 0, 1), (7, -1, 1, 2)
+            |  ) AS v(ord, dr, dc, dist2)),
+            |rates AS (SELECT p.r, p.c, d.ord, d.dr, d.dc,
+            |    CAST((p.r*p.r + p.c*p.c) % 11
+            |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 11 AS DOUBLE)
+            |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+            |  FROM px p CROSS JOIN dirs d),
+            |rk AS (SELECT r, c, dr, dc, rate,
+            |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+            |  FROM rates),
+            |e AS (SELECT r*150 + c AS src, (r+dr)*150 + (c+dc) AS dst
+            |      FROM rk WHERE rn = 1 AND rate > 0),
+            |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            |o0 AS (SELECT node, 1 AS ord FROM nodes)""".stripMargin
+        // unroll the monotone confluence rule: 10 rounds ≥ the relief-
+        // bounded longest flow path, so o10 is the converged fixpoint
+        val rounds = (1 to 10).map { i =>
+          s""",
+            |c$i AS (SELECT e.dst AS node, o.ord FROM e JOIN o${i - 1} o ON e.src = o.node),
+            |g$i AS (SELECT node, ord, count(*) AS c FROM c$i GROUP BY 1, 2),
+            |t$i AS (SELECT node, ord + CASE WHEN c >= 2 THEN 1 ELSE 0 END AS up
+            |       FROM (SELECT node, ord, c, row_number() OVER (
+            |               PARTITION BY node ORDER BY ord DESC) AS rn FROM g$i)
+            |       WHERE rn = 1),
+            |o$i AS (SELECT n.node, COALESCE(t.up, 1) AS ord
+            |       FROM nodes n LEFT JOIN t$i t USING (node))""".stripMargin
+        }.mkString
+        val suffix =
+          """
+            |SELECT CAST(ord AS BIGINT) AS ord, count(*) AS n_cells,
+            |  CAST(sum(node) AS BIGINT) AS pos_chk
+            |FROM o10 GROUP BY 1 ORDER BY 1""".stripMargin
+        prefix + rounds + suffix
+      }),
+
+    // ----- R32: Horn HILLSHADE (ops.Focal.hillshade3x3) — the terrain-
+    // viz verb (gdaldem hillshade / ESRI) on the SAME Horn derivatives
+    // and shared halo exchange as r25: slope/aspect from the 8-tap
+    // gradients, shaded with sun azimuth 315°/altitude 45°. Trig is
+    // transcendental, so the parity contract is the r17 lanczos
+    // convention — q = round(v·256), with JVM-vs-DuckDB libm divergence
+    // ~1e-12, nine orders under the quantum; the aspect branch
+    // adjustments in the ESRI pseudocode are dropped as cos-periodic
+    // no-ops in BOTH replays. Strict stencil prunes the border ring.
+    Q("r32_hillshade",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.hillshade3x3(tiles, 50, 50, 150, 150, cellSize = 10.0)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, math.round(v * 256), gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |z AS (SELECT r, c, CAST((r*r + c*c) % 251 AS DOUBLE) AS v
+             |      FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |g AS (SELECT p.r, p.c,
+             |        ((ne.v + 2*e.v + se.v) - (nw.v + 2*w.v + sw.v)) / 80.0 AS dx,
+             |        ((sw.v + 2*s.v + se.v) - (nw.v + 2*n2.v + ne.v)) / 80.0 AS dy
+             |      FROM px p
+             |      JOIN z nw ON nw.r = p.r-1 AND nw.c = p.c-1
+             |      JOIN z n2 ON n2.r = p.r-1 AND n2.c = p.c
+             |      JOIN z ne ON ne.r = p.r-1 AND ne.c = p.c+1
+             |      JOIN z w  ON w.r  = p.r   AND w.c  = p.c-1
+             |      JOIN z e  ON e.r  = p.r   AND e.c  = p.c+1
+             |      JOIN z sw ON sw.r = p.r+1 AND sw.c = p.c-1
+             |      JOIN z s  ON s.r  = p.r+1 AND s.c  = p.c
+             |      JOIN z se ON se.r = p.r+1 AND se.c = p.c+1),
+             |h AS (SELECT r, c,
+             |        greatest(0.0, 255.0 * (
+             |          cos(radians(45)) * cos(atan(sqrt(dx*dx + dy*dy)))
+             |          + sin(radians(45)) * sin(atan(sqrt(dx*dx + dy*dy)))
+             |            * cos(radians(135) - atan2(dy, -dx)))) AS hs
+             |      FROM g),
+             |q AS (SELECT r, c, CAST(round(hs * 256) AS BIGINT) AS q FROM h)
+             |SELECT CAST(r//50 AS INT) AS y_chunk, CAST(c//50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(q) AS BIGINT) AS sum_q,
+             |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- R33: marching-squares CONTOUR CASE census (ops.Focal
+    // .marchingSquaresCase) — the raster→vector iso-line primitive: per
+    // 2×2 cell the 4-bit threshold case; 0/15 emit no segment, saddles
+    // 5/10 two, the rest one. All comparisons are integer-exact, the +1
+    // taps ride the EXISTING depth-1 halo exchange (no new shuffle
+    // design), and the census (case histogram + segment totals with
+    // position checksums over the cell window [1,148]²) is what a
+    // contour extraction pass reads to know which cells participate —
+    // the vertex interpolation itself is a pointwise epilogue.
+    Q("r33_contour_census",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.marchingSquaresCase(tiles, 50, 50, 150, 150, threshold = 125.0)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              val cs = v.toInt
+              val segs = cs match {
+                case 0 | 15 => 0L
+                case 5 | 10 => 2L
+                case _ => 1L
+              }
+              (cs.toLong, segs, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("case_id", "segs", "pos")
+          .groupBy($"case_id")
+          .agg(count(lit(1)).as("n_cells"), sum($"segs").as("n_segments"),
+               sum($"pos").as("pos_chk"))
+          .orderBy($"case_id")
+      },
+      Some("""WITH cells AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |b AS (SELECT r, c,
+             |        (CASE WHEN (r*r + c*c) % 251 >= 125 THEN 8 ELSE 0 END)
+             |      + (CASE WHEN (r*r + (c+1)*(c+1)) % 251 >= 125 THEN 4 ELSE 0 END)
+             |      + (CASE WHEN ((r+1)*(r+1) + (c+1)*(c+1)) % 251 >= 125 THEN 2 ELSE 0 END)
+             |      + (CASE WHEN ((r+1)*(r+1) + c*c) % 251 >= 125 THEN 1 ELSE 0 END) AS cs
+             |      FROM cells)
+             |SELECT CAST(cs AS BIGINT) AS case_id, count(*) AS n_cells,
+             |  CAST(sum(CASE WHEN cs IN (0, 15) THEN 0
+             |                WHEN cs IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments,
+             |  CAST(sum(r*150 + c) AS BIGINT) AS pos_chk
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

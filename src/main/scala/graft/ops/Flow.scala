@@ -88,6 +88,13 @@ object Flow {
       it += 1
     }
     if (!converged && !acc.isEmpty) {
+      checkSettledOrThrow(e, indeg, acc, rounds)
+    }
+    acc
+  }
+
+  private def checkSettledOrThrow(e: DataFrame, indeg: DataFrame,
+                                  acc: DataFrame, rounds: Int): Unit = {
       // one extra probe: the budget may be exactly the path length
       val up = e.join(acc.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("acc")).as("ups"))
@@ -101,7 +108,62 @@ object Flow {
         "converged — the longest flow path exceeds the budget (or the " +
         "edge list has a cycle, which never converges). Raise `rounds`: " +
         "overshoot is free, the loop exits at the first fixpoint round.")
+  }
+
+  /** Strahler stream order (Strahler 1957) over the same functional
+    * flow forest — hydrology's stream-classification primitive (order-1
+    * headwaters; order rises only where two equal-order tributaries
+    * meet). Defined per node as: 1 for a node with no upstream
+    * neighbors; otherwise M + 1 if ≥ 2 upstream neighbors attain the
+    * max upstream order M, else M.
+    *
+    * Computed as a MONOTONE fixpoint: every node starts at 1 (sources
+    * are already correct) and rounds apply the definition
+    * synchronously — values only ever rise toward the true order, and
+    * the fixpoint is reached after longest-flow-path rounds (relief-
+    * bounded on integer DEMs, like [[accumulate]]). Per round: one
+    * edge⋈order equi-join, a (node, childOrder) count, and a struct-max
+    * argmax — O(edges) shuffle, no window over the graph, lineage
+    * checkpointed. `rounds` is a cap with fixpoint early-exit; budget
+    * exhaustion before the fixpoint throws (cycle or under-budget). */
+  def strahler(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"Flow: rounds=$rounds")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    var ord = nodes.select(col("node"), lit(1L).as("ord"))
+      .localCheckpoint(true)
+    def step(cur: DataFrame): DataFrame = {
+      val ch = e.join(cur.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("ord"))
+      val top = ch.groupBy(col("node"), col("ord"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("ord"), col("c"))).as("m"))
+        .select(col("node"),
+          (col("m.ord") + when(col("m.c") >= 2, 1L).otherwise(0L)).as("up"))
+      nodes.join(top, Seq("node"), "left")
+        .select(col("node"), coalesce(col("up"), lit(1L)).as("ord"))
     }
-    acc
+    var converged = ord.isEmpty
+    var it = 0
+    while (it < rounds && !converged) {
+      val next = step(ord).localCheckpoint(true)
+      converged = next.join(ord.withColumnRenamed("ord", "prev"), Seq("node"))
+        .filter(col("ord") =!= col("prev")).isEmpty
+      ord = next
+      it += 1
+    }
+    if (!converged && !ord.isEmpty) {
+      val settled = step(ord)
+        .join(ord.withColumnRenamed("ord", "prev"), Seq("node"))
+        .filter(col("ord") =!= col("prev")).isEmpty
+      if (!settled) throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before Strahler orders " +
+        "converged — the longest flow path exceeds the budget (or the " +
+        "edge list has a cycle). Raise `rounds`: overshoot is free, the " +
+        "loop exits at the first fixpoint round.")
+    }
+    ord
   }
 }

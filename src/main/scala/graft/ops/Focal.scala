@@ -98,6 +98,48 @@ object Focal {
       }
     }
 
+  /** Horn HILLSHADE (GDAL `gdaldem hillshade` / ESRI Hillshade — the
+    * terrain-viz verb layered on the same Horn derivatives as
+    * [[hornGradSq3x3]]):
+    *
+    *   dz/dx = ((zNE + 2zE + zSE) − (zNW + 2zW + zSW)) / (8·cell)
+    *   dz/dy = ((zSW + 2zS + zSE) − (zNW + 2zN + zNE)) / (8·cell)
+    *   slope = atan(zFactor·√((dz/dx)² + (dz/dy)²))
+    *   aspect = atan2(dz/dy, −dz/dx)   (the ±2π branch adjustments in
+    *            the ESRI pseudocode are no-ops under cos — dropped)
+    *   shade = 255·(cos(zen)·cos(slope)
+    *               + sin(zen)·sin(slope)·cos(azMath − aspect)),
+    *   clamped at 0; zen = 90°−altitude, azMath = (360−azimuth+90)°.
+    *
+    * Trig is transcendental, so cross-engine parity follows the lanczos
+    * convention: consumers quantize (r33 uses q = round(v·256); JVM vs
+    * DuckDB libm divergence is ~1e-12, nine orders under the quantum).
+    * Strict stencil: NaN unless all 9 neighbors are in-grid and valid. */
+  def hillshade3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                   gridH: Int, gridW: Int, cellSize: Double,
+                   azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0,
+                   zFactor: Double = 1.0): Dataset[Tile] = {
+    val zen = math.toRadians(90.0 - altitudeDeg)
+    val azM = math.toRadians(360.0 - azimuthDeg + 90.0)
+    val cosZen = math.cos(zen); val sinZen = math.sin(zen)
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      val zNW = pad(ctr - padW - 1); val zN = pad(ctr - padW); val zNE = pad(ctr - padW + 1)
+      val zW  = pad(ctr - 1);        val zC = pad(ctr);        val zE  = pad(ctr + 1)
+      val zSW = pad(ctr + padW - 1); val zS = pad(ctr + padW); val zSE = pad(ctr + padW + 1)
+      if (zNW.isNaN || zN.isNaN || zNE.isNaN || zW.isNaN || zC.isNaN ||
+          zE.isNaN || zSW.isNaN || zS.isNaN || zSE.isNaN) Double.NaN
+      else {
+        val dx = ((zNE + 2 * zE + zSE) - (zNW + 2 * zW + zSW)) / (8.0 * cellSize)
+        val dy = ((zSW + 2 * zS + zSE) - (zNW + 2 * zN + zNE)) / (8.0 * cellSize)
+        val slope = math.atan(zFactor * math.sqrt(dx * dx + dy * dy))
+        val aspect = math.atan2(dy, -dx)
+        val hs = 255.0 * (cosZen * math.cos(slope) +
+          sinZen * math.sin(slope) * math.cos(azM - aspect))
+        if (hs < 0.0) 0.0 else hs
+      }
+    }
+  }
+
   /** D8 flow direction (O'Callaghan & Mark 1984 — the hydrology
     * primitive behind watershed delineation and flow accumulation):
     * each pixel points at its steepest-DESCENT neighbor, ESRI-coded
@@ -163,6 +205,38 @@ object Focal {
       if (ok) s else Double.NaN
     }
   }
+
+  /** Marching-squares contour CASE raster (the raster→vector iso-line
+    * primitive behind contour maps): for each 2×2 pixel cell anchored
+    * at its top-left pixel, the 4-bit case id
+    * `(TL≥T)<<3 | (TR≥T)<<2 | (BR≥T)<<1 | (BL≥T)` — cases 0/15 emit no
+    * contour segment, the saddles 5/10 emit two, every other case one.
+    * The case census is the scale-safe distributed form of contour
+    * extraction: the geometry pass (interpolating actual vertices) is a
+    * pointwise epilogue per flagged cell, while THIS pass decides which
+    * cells participate — and it rides the existing depth-1 halo
+    * exchange (the +1 taps live inside the 1-pixel pad). Comparisons
+    * are exact (no float arithmetic), so the case raster is
+    * bit-reproducible in any engine. Strict stencil: NaN unless all 4
+    * corners are valid; cells anchored on the grid's top/left border
+    * ring are outside the depth-1 output window and are NaN (the census
+    * window is cells [1, H−2]×[1, W−2], stated by the oracle too). */
+  def marchingSquaresCase(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                          gridH: Int, gridW: Int,
+                          threshold: Double): Dataset[Tile] =
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      val tl = pad(ctr); val tr = pad(ctr + 1)
+      val bl = pad(ctr + padW); val br = pad(ctr + padW + 1)
+      if (tl.isNaN || tr.isNaN || bl.isNaN || br.isNaN) Double.NaN
+      else {
+        var cs = 0
+        if (tl >= threshold) cs |= 8
+        if (tr >= threshold) cs |= 4
+        if (br >= threshold) cs |= 2
+        if (bl >= threshold) cs |= 1
+        cs.toDouble
+      }
+    }
 
   /** Depth-1 specialization — every 3×3 kernel shares this one halo
     * exchange. */

@@ -55,6 +55,65 @@ class FlowSpec extends SparkSpec {
     assert(got == Set((1L, 4L), (3L, 4L), (4L, 8L), (7L, 4L)))
   }
 
+  private def str(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Flow.strahler(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("strahler: textbook confluences") {
+    // two headwaters meet (order 2), then a third order-1 joins (stays 2),
+    // then another order-2 branch meets it (order 3)
+    //   1->3, 2->3 (3: two order-1 => 2); 3->5, 4->5 (5: max 2, single => 2)
+    //   6->8, 7->8 (8: 2); 5->9, 8->9 (9: two order-2 => 3)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 5L), (4L, 5L),
+      (6L, 8L), (7L, 8L), (5L, 9L), (8L, 9L))
+    assert(str(e, 16) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+      5L -> 2L, 6L -> 1L, 7L -> 1L, 8L -> 2L, 9L -> 3L))
+  }
+
+  test("strahler: chains keep order 1; budget==depth passes; under-budget throws") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(str(chain, 16).values.toSet == Set(1L)) // no confluence anywhere
+    // confluence at depth 3 needs 3 rounds to settle
+    val deep = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 3L), (3L, 4L))
+    val want = str(deep, 16)
+    assert(want(4L) == 2L)
+    assert(str(deep, 3) == want) // exactly the settle depth (probe-covered)
+    val ex = intercept[IllegalStateException] { str(deep, 1) }
+    assert(ex.getMessage.contains("Strahler"))
+  }
+
+  test("strahler matches a driver-side recursive replay on the modramp drainage") {
+    import graft.core.{Bounds, RasterSpec}
+    import graft.ops.Focal
+    import graft.scan.{AssetRow, ModRampReader, TileScan}
+    val g = 60
+    val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+    val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+      0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+    val tiles = TileScan.scan(spark, assets, spec, chunk = 20,
+      readerFor = _ => ModRampReader(11))
+    val dirs = Focal.d8Flow3x3(tiles, 20, 20, g, g)
+    val edges = Flow.d8Edges(dirs, 20, 20, g)
+    val got = Flow.strahler(edges, rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver recursive replay over the same edge list
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val children = es.groupBy(_._2).map { case (v, ps) => v -> ps.map(_._1) }
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def orderOf(v: Long): Long = memo.getOrElseUpdate(v, {
+      children.get(v) match {
+        case None => 1L
+        case Some(cs) =>
+          val os = cs.map(orderOf)
+          val m = os.max
+          if (os.count(_ == m) >= 2) m + 1 else m
+      }
+    })
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val want = nodes.map(v => v -> orderOf(v)).toMap
+    assert(got == want, s"sizes got ${got.size} want ${want.size}")
+  }
+
   test("accumulate matches a driver-side replay on the modramp D8 drainage") {
     import graft.core.{Bounds, RasterSpec}
     import graft.ops.Focal

@@ -128,6 +128,74 @@ class FocalZonalSpec extends SparkSpec {
     assert(ex.getMessage.contains("halo depth"))
   }
 
+  test("hillshade3x3 == driver dense Horn+trig recompute; flat DEM shades flat") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val out = Focal.hillshade3x3(tiles, 32, 32, grid, grid, cellSize = 10.0).collect()
+    val src = dense("fake://focal")
+    val got = Array.fill(grid * grid)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) = t.pixels(r * t.width + c)
+    }
+    val zen = math.toRadians(45.0); val azM = math.toRadians(135.0)
+    for (r <- 1 until grid - 1; c <- 1 until grid - 1) {
+      def z(rr: Int, cc: Int) = src(rr * grid + cc)
+      val dx = ((z(r-1,c+1) + 2*z(r,c+1) + z(r+1,c+1)) -
+                (z(r-1,c-1) + 2*z(r,c-1) + z(r+1,c-1))) / 80.0
+      val dy = ((z(r+1,c-1) + 2*z(r+1,c) + z(r+1,c+1)) -
+                (z(r-1,c-1) + 2*z(r-1,c) + z(r-1,c+1))) / 80.0
+      val slope = math.atan(math.sqrt(dx*dx + dy*dy))
+      val hs = 255.0 * (math.cos(zen)*math.cos(slope) +
+        math.sin(zen)*math.sin(slope)*math.cos(azM - math.atan2(dy, -dx)))
+      val want = if (hs < 0) 0.0 else hs
+      assert(got(r * grid + c) == want, s"($r,$c)")
+    }
+    // flat DEM: slope 0 => shade = 255*cos(zen) everywhere interior
+    val flat = spark.createDataset(for (yc <- 0 to 1; xc <- 0 to 1) yield
+      Tile(0, 0, "g", 0L, yc, xc, 0, 0, 4, 4, Array.fill(16)(7.0)))
+    val f = Focal.hillshade3x3(flat, 4, 4, 8, 8, cellSize = 10.0).collect()
+    val expect = 255.0 * math.cos(zen)
+    f.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val gr = t.yChunk * 4 + r; val gc = t.xChunk * 4 + c
+        val v = t.pixels(r * t.width + c)
+        if (gr >= 1 && gr <= 6 && gc >= 1 && gc <= 6)
+          assert(v == expect, s"($gr,$gc) $v")
+        else assert(v.isNaN)
+      }
+    }
+  }
+
+  test("marchingSquaresCase: all 16 cases on a hand grid; halo cells correct") {
+    import spark.implicits._
+    // 2-chunk grid whose cell (3, y) spans the chunk border: values
+    // above/below threshold 10 arranged per-pixel from a closed form
+    val g = 8
+    def v(r: Int, c: Int): Double = if (((r * 3 + c * 5) % 7) >= 3) 20.0 else 0.0
+    def mk(yc: Int, xc: Int): Tile = {
+      val px = Array.tabulate(16) { i => v(yc * 4 + i / 4, xc * 4 + i % 4) }
+      Tile(0, 0, "g", 0L, yc, xc, 0, 0, 4, 4, px)
+    }
+    val tiles = spark.createDataset(for (yc <- 0 to 1; xc <- 0 to 1) yield mk(yc, xc))
+    val out = Focal.marchingSquaresCase(tiles, 4, 4, g, g, threshold = 10.0).collect()
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val gr = t.yChunk * 4 + r; val gc = t.xChunk * 4 + c
+        val gotV = t.pixels(r * t.width + c)
+        if (gr >= 1 && gr <= g - 2 && gc >= 1 && gc <= g - 2) {
+          var cs = 0
+          if (v(gr, gc) >= 10.0) cs |= 8
+          if (v(gr, gc + 1) >= 10.0) cs |= 4
+          if (v(gr + 1, gc + 1) >= 10.0) cs |= 2
+          if (v(gr + 1, gc) >= 10.0) cs |= 1
+          assert(gotV == cs.toDouble, s"($gr,$gc): got $gotV want $cs")
+        } else assert(gotV.isNaN, s"($gr,$gc) border should be NaN")
+      }
+    }
+  }
+
   test("hornGradSq3x3: constant-gradient DEM gives the closed form everywhere") {
     import spark.implicits._
     // v(r,c) = 3r + 5c: gx = 8*5 = 40, gy = 8*3 = 24 at every interior
