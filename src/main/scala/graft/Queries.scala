@@ -12481,6 +12481,62 @@ object Queries {
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- S20: STREAMING t-digest — the batch/stream symmetry member
+    // for a11 (the s19 pattern applied to the quantile sketch, and the
+    // reason mergeable digests exist): events arrive in 4 staged
+    // micro-batches, each batch folds DISTRIBUTED into its own digest
+    // (map-side combined Aggregator), and foreachBatch merges the
+    // O(δ)-sized batch digest into ONE driver-held running digest —
+    // bounded state at any stream length, no per-event driver traffic.
+    // Gating follows a11 exactly: the final digest's per-mille
+    // estimates are rank-verified against the full data in one pass and
+    // the hashed verdict is the merge-order-invariant boolean (the
+    // 4-way staged merge is a different merge order than a11's batch
+    // tree — passing BOTH pins the invariance claim in practice).
+    Q("s20_stream_tdigest",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sketch.TDigest
+        val base = t(s, dir, "events").select($"event_id", $"value")
+          .localCheckpoint(true)
+        var digest = Array.emptyDoubleArray
+        val sdir = java.nio.file.Files.createTempDirectory("graft_s20_").toFile
+        sdir.deleteOnExit()
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(base.schema)
+            .parquet(sdir.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val bd = batch.agg(TDigest.digest($"value").as("d"))
+                .head.getAs[scala.collection.Seq[Double]](0).toArray
+              if (bd.nonEmpty) digest = TDigest.merge(digest, bd)
+              ()
+            }
+            .start()
+          (0 until 4).foreach { bi =>
+            base.filter(pmod($"event_id", lit(4L)) === bi)
+              .coalesce(1).write.mode("append").parquet(sdir.getAbsolutePath)
+            q.processAllAvailable()
+          }
+          q.stop()
+        } }
+        val qpm = Seq(10L, 250L, 500L, 750L, 950L, 990L)
+        val ests = qpm.map(pm => pm -> TDigest.quantile(digest, pm / 1000.0))
+        val aggCols = count(lit(1)).as("n") +: ests.map { case (pm, est) =>
+          sum(when($"value" <= est, 1L).otherwise(0L)).as(s"r$pm") }
+        val row = base.agg(aggCols.head, aggCols.tail: _*).head
+        val n = row.getAs[Long]("n")
+        val verdicts = ests.map { case (pm, _) =>
+          val rank = row.getAs[Long](s"r$pm")
+          (pm, math.abs(1000L * rank - pm * n) * 40L <= 1000L * n, n)
+        }
+        verdicts.toDF("q_pm", "within", "n_rows").orderBy($"q_pm")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM events)
+             |SELECT CAST(v.q_pm AS BIGINT) AS q_pm, true AS within, n.n_rows
+             |FROM (VALUES (10),(250),(500),(750),(950),(990)) v(q_pm)
+             |CROSS JOIN n ORDER BY 1""".stripMargin)),
+
     // ----- R33: marching-squares CONTOUR CASE census (ops.Focal
     // .marchingSquaresCase) — the raster→vector iso-line primitive: per
     // 2×2 cell the 4-bit threshold case; 0/15 emit no segment, saddles
