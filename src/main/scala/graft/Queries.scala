@@ -12481,6 +12481,44 @@ object Queries {
              |  CAST(sum(q * (r*150 + c)) AS BIGINT) AS pos_chk
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ----- J13: BUCKETED co-located join — the storage-layout answer
+    // to the big⋈big shuffle (the one join shape j1–j12 still paid an
+    // Exchange for): both sides written `bucketBy(8, key)` into the
+    // session catalog, so the join's children are ALREADY partitioned
+    // by the key and the SortMergeJoin runs with ZERO Exchange — at
+    // 100 TB this is the difference between re-shuffling both fact
+    // tables on every join and paying the layout cost once at write
+    // time (the Hive-bucketing contract; BucketedJoinSpec pins the
+    // no-Exchange plan and the unbucketed negative control). The census
+    // hashes the join itself; tables are overwritten per run and
+    // dropped after the result is checkpointed.
+    Q("j13_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+        val ord = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_j13_lineitem")
+        ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_j13_orders")
+        val res = s.table("graft_j13_lineitem")
+          .join(s.table("graft_j13_orders"), $"l_orderkey" === $"o_orderkey")
+          .groupBy(pmod($"o_custkey", lit(10L)).as("bkt"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum($"l_quantity").cast("long").as("qty"),
+               sum($"o_custkey").as("cust_chk"))
+          .orderBy($"bkt")
+          .localCheckpoint(true) // materialize BEFORE dropping the tables
+        s.sql("DROP TABLE IF EXISTS graft_j13_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_j13_orders")
+        res
+      },
+      Some("""SELECT CAST(o_custkey % 10 AS BIGINT) AS bkt, count(*) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+             |  CAST(sum(o_custkey) AS BIGINT) AS cust_chk
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- S20: STREAMING t-digest — the batch/stream symmetry member
     // for a11 (the s19 pattern applied to the quantile sketch, and the
     // reason mergeable digests exist): events arrive in 4 staged
