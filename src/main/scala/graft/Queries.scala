@@ -11467,6 +11467,7 @@ object Queries {
              |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8482), ''))) // 3
              |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8220), ''))) // 3
              |    + (length(t) - length(replace(t, chr(226)||chr(8364)||chr(8211), ''))) // 3
+             |    + (length(t) - length(replace(t, chr(194)||chr(160), ''))) // 2
              |    + (length(t) - length(replace(t, chr(194)||' ', ''))) // 2 AS moji,
              |    length(t) - length(regexp_replace(t, '[^\x00-\x7f]', '', 'g')) AS nonascii
              |  FROM c),
@@ -11839,6 +11840,13 @@ object Queries {
           .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
           .orderBy($"deg")
       },
+      // SCALE COUPLING: this oracle unrolls exactly 4 peel rounds while
+      // the Spark side peels to the fixpoint (cap 64). They agree only
+      // where the true peel depth is <= 4 — at sf0.01 (hash-run scale,
+      // depth 3) they do; at sf0.1 the depth is deeper and e4 is a
+      // NON-core by construction. If the hash-checked scale ever moves,
+      // extend the unroll (SQL recursive CTEs can't re-aggregate the
+      // recursive table, so the peel can't be a WITH RECURSIVE fixpoint).
       Some("""WITH pairs AS (
              |  SELECT a.l_partkey AS u, b.l_partkey AS v
              |  FROM lineitem a JOIN lineitem b
@@ -12318,7 +12326,7 @@ object Queries {
         val tiles = TileScan.scan(s, assets, spec, chunk = 50,
           readerFor = _ => ModRampReader(11))
         val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
-        Flow.accumulate(Flow.d8Edges(dirs, 50, 50, 150), rounds = 16)
+        Flow.accumulate(Flow.d8Edges(dirs, 50, 50, 150, 150), rounds = 16)
           .groupBy($"acc")
           .agg(count(lit(1)).as("n_cells"), sum($"node").as("pos_chk"))
           .orderBy($"acc")
@@ -12370,7 +12378,7 @@ object Queries {
         val tiles = TileScan.scan(s, assets, spec, chunk = 50,
           readerFor = _ => ModRampReader(11))
         val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
-        Flow.strahler(Flow.d8Edges(dirs, 50, 50, 150), rounds = 16)
+        Flow.strahler(Flow.d8Edges(dirs, 50, 50, 150, 150), rounds = 16)
           .groupBy($"ord")
           .agg(count(lit(1)).as("n_cells"), sum($"node").as("pos_chk"))
           .orderBy($"ord")
@@ -12497,21 +12505,30 @@ object Queries {
         import s.implicits._
         val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
         val ord = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable("graft_j13_lineitem")
-        ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable("graft_j13_orders")
-        val res = s.table("graft_j13_lineitem")
-          .join(s.table("graft_j13_orders"), $"l_orderkey" === $"o_orderkey")
-          .groupBy(pmod($"o_custkey", lit(10L)).as("bkt"))
-          .agg(count(lit(1)).as("n_rows"),
-               sum($"l_quantity").cast("long").as("qty"),
-               sum($"o_custkey").as("cust_chk"))
-          .orderBy($"bkt")
-          .localCheckpoint(true) // materialize BEFORE dropping the tables
-        s.sql("DROP TABLE IF EXISTS graft_j13_lineitem")
-        s.sql("DROP TABLE IF EXISTS graft_j13_orders")
-        res
+        // BUCKET-COUNT SIZING: 8 is sized for the BENCH scale (sf0.01
+        // lineitem ≈ a few MB ⇒ comfortably sub-task-sized buckets).
+        // The production rule is buckets ≈ table_bytes / target_task
+        // (128–512 MB): at 100 TB that's O(10⁵) buckets, NOT 8 — with
+        // 8, each bucket-task would scan 12.5 TB. Both sides must agree
+        // on the count or the Exchange reappears (BucketedJoinSpec pins
+        // that negative control at 8 vs 16).
+        try {
+          li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("graft_j13_lineitem")
+          ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("graft_j13_orders")
+          s.table("graft_j13_lineitem")
+            .join(s.table("graft_j13_orders"), $"l_orderkey" === $"o_orderkey")
+            .groupBy(pmod($"o_custkey", lit(10L)).as("bkt"))
+            .agg(count(lit(1)).as("n_rows"),
+                 sum($"l_quantity").cast("long").as("qty"),
+                 sum($"o_custkey").as("cust_chk"))
+            .orderBy($"bkt")
+            .localCheckpoint(true) // materialize BEFORE dropping the tables
+        } finally {
+          s.sql("DROP TABLE IF EXISTS graft_j13_lineitem")
+          s.sql("DROP TABLE IF EXISTS graft_j13_orders")
+        }
       },
       Some("""SELECT CAST(o_custkey % 10 AS BIGINT) AS bkt, count(*) AS n_rows,
              |  CAST(sum(l_quantity) AS BIGINT) AS qty,

@@ -36,9 +36,13 @@ object Flow {
 
   /** Flow edges (src, dst) as row-major cell ids (r·gridW + c) from a
     * D8 flow-direction tile layer (ESRI codes; −1/NaN cells emit no
-    * edge). Pure per-tile flatMap — no shuffle. */
+    * edge). A border cell whose direction points OFF the
+    * gridH×gridW domain is an OUTLET (ESRI semantics: flow leaves the
+    * grid) and emits no edge — without the bounds guard the row-major
+    * id would silently wrap (gc=0 with a W code aliases the previous
+    * row's last column). Pure per-tile flatMap — no shuffle. */
   def d8Edges(dirTiles: Dataset[Tile], chunkY: Int, chunkX: Int,
-              gridW: Int): DataFrame = {
+              gridW: Int, gridH: Int): DataFrame = {
     val spark = dirTiles.sparkSession
     import spark.implicits._
     dirTiles.flatMap { t =>
@@ -47,18 +51,17 @@ object Flow {
         c <- 0 until t.width
         v = t.pixels(r * t.width + c)
         if !v.isNaN && v >= 1.0
-      } yield {
-        val gr = t.yChunk * chunkY + t.rowOff + r
-        val gc = t.xChunk * chunkX + t.colOff + c
-        val (dr, dc) = v.toInt match {
+        gr = t.yChunk * chunkY + t.rowOff + r
+        gc = t.xChunk * chunkX + t.colOff + c
+        (dr, dc) = v.toInt match {
           case 1 => (0, 1); case 2 => (1, 1); case 4 => (1, 0)
           case 8 => (1, -1); case 16 => (0, -1); case 32 => (-1, -1)
           case 64 => (-1, 0); case 128 => (-1, 1)
           case bad => throw new IllegalArgumentException(
             s"Flow.d8Edges: not an ESRI D8 code: $bad at ($gr, $gc)")
         }
-        (gr.toLong * gridW + gc, (gr + dr).toLong * gridW + (gc + dc))
-      }
+        if gr + dr >= 0 && gr + dr < gridH && gc + dc >= 0 && gc + dc < gridW
+      } yield (gr.toLong * gridW + gc, (gr + dr).toLong * gridW + (gc + dc))
     }.toDF("src", "dst")
   }
 

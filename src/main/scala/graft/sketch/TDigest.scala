@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions.udaf
   * merge-order-invariant by the accuracy bound. Queries needing exact,
   * engine-replayable quantiles keep a7's exact percentile; the digest
   * is the single-pass path when the corpus no longer fits one. */
+/** Map-side accumulation buffer: flattened (mean, weight) pairs in a
+  * capacity-doubling array with an explicit fill cursor — only
+  * `buf(0 until fill)` is live; the slack beyond the cursor is
+  * uninitialized capacity. Both fill and capacity are bounded by
+  * ~2·bufCap doubles (the bufCap-boundary compress in `reduce` keeps
+  * fill small and reuses the array), so a serialized partial buffer is
+  * at most ~2·bufCap doubles per group — same order as before. */
+final case class TDigestBuf(buf: Array[Double], fill: Int)
+
 object TDigest {
 
   /** Compress a flattened (mean, weight) pair array to the k₁-scale
@@ -100,23 +109,44 @@ object TDigest {
     compress(a ++ b, delta)
 
   private final class TDigestAgg(delta: Double, bufCap: Int)
-      extends Aggregator[Double, Array[Double], Array[Double]] {
-    override def zero: Array[Double] = Array.emptyDoubleArray
+      extends Aggregator[Double, TDigestBuf, Array[Double]] {
+    override def zero: TDigestBuf = TDigestBuf(Array.emptyDoubleArray, 0)
 
-    override def reduce(b: Array[Double], v: Double): Array[Double] = {
-      val out = java.util.Arrays.copyOf(b, b.length + 2)
-      out(b.length) = v
-      out(b.length + 1) = 1.0
-      if (out.length / 2 > bufCap) compress(out, delta) else out
+    /** Capacity-doubling append with an explicit fill cursor (the
+      * `PixelMedianAgg` discipline, `ops/Median.scala`): amortized O(1)
+      * per row — never the per-row `Arrays.copyOf` an immutable append
+      * costs. At the bufCap boundary the pairs compress in place,
+      * reusing the capacity array so growth never re-doubles. */
+    override def reduce(b: TDigestBuf, v: Double): TDigestBuf = {
+      var arr = b.buf
+      val fill = b.fill
+      if (fill + 2 > arr.length) { // grow: double, min 16 doubles
+        val na = new Array[Double](math.max(16, arr.length * 2))
+        System.arraycopy(arr, 0, na, 0, fill)
+        arr = na
+      }
+      arr(fill) = v
+      arr(fill + 1) = 1.0
+      if ((fill + 2) / 2 > bufCap) {
+        val compressed = compress(java.util.Arrays.copyOf(arr, fill + 2), delta)
+        System.arraycopy(compressed, 0, arr, 0, compressed.length)
+        TDigestBuf(arr, compressed.length)
+      } else TDigestBuf(arr, fill + 2)
     }
 
-    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
-      compress(a ++ b, delta)
+    override def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = {
+      val merged = new Array[Double](a.fill + b.fill)
+      System.arraycopy(a.buf, 0, merged, 0, a.fill)
+      System.arraycopy(b.buf, 0, merged, a.fill, b.fill)
+      val compressed = compress(merged, delta)
+      TDigestBuf(compressed, compressed.length)
+    }
 
-    override def finish(b: Array[Double]): Array[Double] = compress(b, delta)
+    override def finish(b: TDigestBuf): Array[Double] =
+      compress(java.util.Arrays.copyOf(b.buf, b.fill), delta)
 
-    override def bufferEncoder: Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def bufferEncoder: Encoder[TDigestBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TDigestBuf]()
     override def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }

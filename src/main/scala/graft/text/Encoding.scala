@@ -43,9 +43,12 @@ object Encoding {
     "\u00E2\u20AC\u2122", // right single quote
     "\u00E2\u20AC\u0153", // left double quote
     "\u00E2\u20AC\u201C", // en dash
-    // NBSP: deliberately U+00C2 + PLAIN space (not U+00A0) - downstream
-    // normalizers collapse the mojibake'd NBSP to an ASCII space, so the
-    // plain-space digraph is the observable form in scraped text
+    // NBSP, both observable forms: the raw cp1252 misread of UTF-8
+    // 0xC2 0xA0 is U+00C2 U+00A0; downstream normalizers often collapse
+    // the NBSP to an ASCII space, leaving U+00C2 + PLAIN space. Counting
+    // both keeps the census valid pre- and post-normalization (the two
+    // digraphs differ in their second char, so they never double-count).
+    "\u00C2\u00A0",
     "\u00C2 ")
 
   private def countOccurrences(c: Column, sig: String): Column =

@@ -97,6 +97,35 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("MISMATCHED bucket counts (8 vs 16) re-introduce an exchange — the contract's failure mode") {
+    import spark.implicits._
+    // the j13 sizing rule's second clause: buckets ≈ data/target-task
+    // AND both sides must agree on the count. 8-vs-16 is the easy
+    // mistake (each side sized independently); the co-location contract
+    // breaks and at least one side pays the shuffle again.
+    val li = (1L to 2000L).map(i => (i % 500, i.toDouble % 50 + 1)).toDF("k", "q")
+    val ord = (1L to 600L).map(i => (i % 500, i * 7)).toDF("k2", "c")
+    li.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("graft_bjs_m8")
+    ord.write.bucketBy(16, "k2").sortBy("k2").mode("overwrite")
+      .saveAsTable("graft_bjs_m16")
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft_bjs_m8")
+          .join(spark.table("graft_bjs_m16"), $"k" === $"k2")
+        val rows = j.count()
+        assert(rows > 0)
+        assert(exchanges(j.queryExecution.executedPlan) >= 1,
+          s"8-vs-16 bucket counts should force a shuffle on one side:\n${j.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bjs_m8")
+      spark.sql("DROP TABLE IF EXISTS graft_bjs_m16")
+    }
+  }
+
   test("bucketed aggregation on the bucket key also skips the exchange") {
     import spark.implicits._
     val li = (1L to 2000L).map(i => (i % 100, i.toDouble)).toDF("k", "v")

@@ -23,7 +23,8 @@ class EncodingSpec extends SparkSpec {
       Seq(0xC3, 0xBC), Seq(0xC3, 0xB1),
       Seq(0xE2, 0x20AC, 0x2122), Seq(0xE2, 0x20AC, 0x153),
       Seq(0xE2, 0x20AC, 0x201C),
-      Seq(0xC2, 0x20)) // NBSP digraph: deliberately 00C2 + PLAIN space
+      Seq(0xC2, 0xA0), // NBSP digraph, raw (un-normalized) form
+      Seq(0xC2, 0x20)) // NBSP digraph after space normalization
     assert(Encoding.mojibakeSignatures.map(_.map(_.toInt).toSeq) == want)
   }
 

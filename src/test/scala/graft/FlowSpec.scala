@@ -49,10 +49,24 @@ class FlowSpec extends SparkSpec {
       1.0, 2.0, -1.0,
       Double.NaN, 64.0, Double.NaN)
     val tiles = spark.createDataset(Seq(Tile(0, 0, "g", 0L, 0, 0, 0, 0, 3, 3, px)))
-    val got = Flow.d8Edges(tiles, 3, 3, gridW = 3)
+    val got = Flow.d8Edges(tiles, 3, 3, gridW = 3, gridH = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // (0,1) S->(1,1); (1,0) E->(1,1); (1,1) SE->(2,2); (2,1) N->(1,1)
     assert(got == Set((1L, 4L), (3L, 4L), (4L, 8L), (7L, 4L)))
+  }
+
+  test("d8Edges: border cells draining off-grid are outlets — no wrapped edge") {
+    // every border cell points OUT of the 3x3 grid; without the bounds
+    // guard (0,0) W would wrap to the previous row's last column
+    val px = Array(
+      32.0, 64.0, 128.0,
+      16.0, 2.0, 1.0,
+      8.0, 4.0, 2.0)
+    val tiles = spark.createDataset(Seq(Tile(0, 0, "g", 0L, 0, 0, 0, 0, 3, 3, px)))
+    val got = Flow.d8Edges(tiles, 3, 3, gridW = 3, gridH = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the center cell (1,1) SE->(2,2) stays in-grid
+    assert(got == Set((4L, 8L)))
   }
 
   private def str(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
@@ -93,7 +107,7 @@ class FlowSpec extends SparkSpec {
     val tiles = TileScan.scan(spark, assets, spec, chunk = 20,
       readerFor = _ => ModRampReader(11))
     val dirs = Focal.d8Flow3x3(tiles, 20, 20, g, g)
-    val edges = Flow.d8Edges(dirs, 20, 20, g)
+    val edges = Flow.d8Edges(dirs, 20, 20, g, g)
     val got = Flow.strahler(edges, rounds = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver recursive replay over the same edge list
@@ -127,7 +141,7 @@ class FlowSpec extends SparkSpec {
     val tiles = TileScan.scan(spark, assets, spec, chunk = 20,
       readerFor = _ => ModRampReader(11))
     val dirs = Focal.d8Flow3x3(tiles, 20, 20, g, g)
-    val got = Flow.accumulate(Flow.d8Edges(dirs, 20, 20, g), rounds = 16)
+    val got = Flow.accumulate(Flow.d8Edges(dirs, 20, 20, g, g), rounds = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver replay: dense D8 with the documented tie/NaN contract
     def z(r: Int, c: Int): Long = (r.toLong * r + c.toLong * c) % 11
