@@ -105,6 +105,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // accept subset-key co-location (storage-partitioned joins whose join
+      // keys are a superset of the V2 partition keys - TileAlgebra.binaryAligned)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -126,6 +129,33 @@ object Bench {
     val loads = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reran = scala.collection.mutable.ArrayBuffer[String]()
+
+    // Per-query STAGE metrics (round-15 drift-diagnosis instrument):
+    // cumulative executor task time, JVM GC time, and shuffle bytes from
+    // a stage-completion listener, snapshotted around each query's full
+    // window. Separates "the machine ran the same work slower" (wall up,
+    // task_ms flat-ish, gc flat) from "session debt taxed the query"
+    // (gc_ms up) from "the plan changed" (task_ms/shuffle up). Listener
+    // delivery is async, so attribution has ± one-stage slop at query
+    // boundaries — fine at family scope; the clearCache+GC breather
+    // between queries drains most of the bus in practice.
+    val mTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val mGcMs = new java.util.concurrent.atomic.AtomicLong
+    val mShufR = new java.util.concurrent.atomic.AtomicLong
+    val mShufW = new java.util.concurrent.atomic.AtomicLong
+    val stageMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val tm = sc.stageInfo.taskMetrics
+        if (tm != null) {
+          mTaskMs.addAndGet(tm.executorRunTime)
+          mGcMs.addAndGet(tm.jvmGCTime)
+          mShufR.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+          mShufW.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
 
     val passLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadFlagged = scala.collection.mutable.ArrayBuffer[String]()
@@ -201,8 +231,15 @@ object Bench {
         .map("%02x".format(_)).mkString
     }
 
+    // Queries whose committed value came from a window that never went
+    // clean (carried prior OR min-of-contaminated-medians): round-over-
+    // round comparisons can filter these mechanically instead of
+    // re-deriving contamination from the pass_loads vectors.
+    val committedUnderLoad = scala.collection.mutable.ArrayBuffer[String]()
+
     val results = selected.map { case (name, fn) =>
       val l0 = load1m()
+      val t0q = (mTaskMs.get, mGcMs.get, mShufR.get, mShufW.get)
       val pl = scala.collection.mutable.ArrayBuffer[Double]()
       def pass(): Double = {
         val t0 = System.nanoTime()
@@ -262,6 +299,8 @@ object Bench {
         k += 1
       }
       if (k > 1) reran += name
+      if (cleanMed.isEmpty && !errors.contains(name) && allContaminated)
+        committedUnderLoad += name
       val m = cleanMed.getOrElse {
         if (!errors.contains(name) && allContaminated) {
           // every window was load- or gap-contaminated: flag it, and
@@ -278,6 +317,8 @@ object Bench {
       }
       passLoads(name) = pl.toSeq
       samples(name) = allRaw // run order; first `warmup` entries were discarded
+      stageMetrics(name) = (mTaskMs.get - t0q._1, mGcMs.get - t0q._2,
+        mShufR.get - t0q._3, mShufW.get - t0q._4)
       // Queries that persist intermediates (d2/d5/d7/x10/x11) create a
       // fresh cached frame per run and never unpersist (their result is
       // lazy; ContextCleaner reclaims on GC). Drop the blocks BETWEEN
@@ -324,13 +365,17 @@ object Bench {
     val flagJ = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gapJ = gapFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val carriedJ = carried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val culJ = committedUnderLoad.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query [task_ms, gc_ms, shuffle_read_b, shuffle_write_b]
+    val smJ = stageMetrics.map { case (k, (t, g, r, w)) =>
+      s"\"" + k + s"\":[$t,$g,$r,$w]" }.mkString("{", ",", "}")
     val policy = s""""policy":{"warmup_discarded":$warmup,"n":$n,"n_heavy":${math.max(n, 5)},""" +
       s""""heavy_rule":"warmup>${heavyThresholdSec}s","spread_rerun":$spreadRerunFactor,""" +
       s""""load_rerun":$loadRerunThreshold,"warmup_gap_rerun":$warmupGapFactor,""" +
       s""""warmup_gap_floor_sec":$warmupGapFloorSec,"max_sets":$maxSets,""" +
       s""""median_commit":"first-clean-window, else carry prior artifact (depth 1, carried-run-first) when all windows contaminated, else min-of-medians"}"""
     val fileLine = line.dropRight(1) +
-      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
+      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"committed_under_load":$culJ,"stage_metrics":$smJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line: compact enough (<600 B) to survive any tail
