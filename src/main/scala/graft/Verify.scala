@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // accept subset-key co-location (storage-partitioned joins whose join
+      // keys are a superset of the V2 partition keys - TileAlgebra.binaryAligned)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // losslessly to micros in Queries.t (values have no sub-micro bits).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -113,6 +113,78 @@ object Flow {
         "overshoot is free, the loop exits at the first fixpoint round.")
   }
 
+  /** WATERSHED BASIN labeling over the functional flow forest — the
+    * third hydrology consumer of [[d8Edges]]: every cell is labeled with
+    * the terminal pit/outlet its flow path reaches (the cells sharing a
+    * terminal ARE the drainage basin). Returns (node, basin) for every
+    * node that appears in the edge list; a terminal labels itself (cells
+    * absent from the edge list entirely are their own trivial basins and
+    * are simply not emitted — the [[accumulate]] absence convention).
+    *
+    * Algorithm: POINTER JUMPING (parent ← grandparent each round) — the
+    * functional-forest specialization of path doubling: after round k
+    * every pointer has advanced 2^k hops, so convergence takes
+    * ⌈log₂(longest flow path)⌉ rounds, not path-length rounds — on
+    * integer DEMs the path is relief-bounded, so the round count is
+    * ~log₂(relief). Each round is ONE self-equi-join of the node-sized
+    * pointer table (shuffle O(nodes)/round, lineage checkpointed) — the
+    * general CC machinery (`Dedup.connectedComponents`) is overkill
+    * here: a forest needs no min-label propagation, just jump-to-root.
+    * `rounds` is a cap with fixpoint early-exit; exhausting it before
+    * the fixpoint throws loudly (a cyclic edge list never converges —
+    * the KCore/[[accumulate]] guard discipline). */
+  def basins(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"Flow: rounds=$rounds")
+    // parent pointer; a terminal's pointer is itself (self-loop fixpoint)
+    val e = edges.toDF("node", "p").localCheckpoint(true)
+    var ptr = e
+    var converged = ptr.isEmpty
+    var it = 0
+    def jump(cur: DataFrame): DataFrame =
+      cur.join(
+          cur.select(col("node").as("p"), col("p").as("gp")), Seq("p"), "left")
+        .select(col("node"), coalesce(col("gp"), col("p")).as("p"))
+    while (it < rounds && !converged) {
+      val next = jump(ptr).localCheckpoint(true)
+      converged = next
+        .join(ptr.select(col("node"), col("p").as("prev")), Seq("node"))
+        .filter(col("p") =!= col("prev")).isEmpty
+      ptr = next
+      it += 1
+    }
+    if (!converged && !ptr.isEmpty) {
+      val settled = jump(ptr)
+        .join(ptr.select(col("node"), col("p").as("prev")), Seq("node"))
+        .filter(col("p") =!= col("prev")).isEmpty
+      if (!settled) throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before basin pointers " +
+        "converged — need ~log2(longest flow path) rounds (or the edge " +
+        "list has a cycle, which never converges). Raise `rounds`: " +
+        "overshoot is free, the loop exits at the first fixpoint round.")
+    }
+    // CYCLE guard: a power-of-2 cycle SELF-STABILIZES to bogus
+    // self-labels (after k jumps each pointer advanced 2^k hops, and
+    // L | 2^k makes that the identity), so fixpoint alone cannot be
+    // trusted — but a TRUE basin never has an out-edge, so any resolved
+    // pointer that still lands on a src is a cycle artifact. One
+    // semi-join, loud like the other iterative guards.
+    val srcs = e.select(col("node").as("src_node")).distinct()
+    val onCycle = ptr.join(srcs, ptr("p") === srcs("src_node"), "left_semi")
+    if (!onCycle.isEmpty) throw new IllegalStateException(
+      "Flow: basin pointers resolved onto nodes that still have " +
+      "out-edges — the edge list has a cycle (a functional-forest " +
+      "input is the contract; D8 edges are acyclic by construction).")
+    // terminals label themselves; interior nodes carry their root.
+    // SET difference (except, not exceptAll): a confluence dst appears
+    // as p once PER TRIBUTARY, and multiset difference would leave the
+    // surplus occurrences behind, misclassifying an interior node with
+    // in-degree >= 2 as a terminal.
+    val terminals = e.select(col("p").as("node"))
+      .except(e.select(col("node")))
+      .select(col("node"), col("node").as("basin"))
+    ptr.select(col("node"), col("p").as("basin")).unionByName(terminals)
+  }
+
   /** Strahler stream order (Strahler 1957) over the same functional
     * flow forest — hydrology's stream-classification primitive (order-1
     * headwaters; order rises only where two equal-order tributaries

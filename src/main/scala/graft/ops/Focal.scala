@@ -238,6 +238,111 @@ object Focal {
       }
     }
 
+  /** One contour SEGMENT from [[contourSegments]]: the two
+    * linearly-interpolated edge crossings of a marching-squares cell, in
+    * grid coordinates (y = row, x = col; the cell is anchored at its
+    * top-left pixel (cellR, cellC)). `seg` is 0 or 1 (saddle cells emit
+    * two segments). */
+  final case class ContourSeg(level: Double, cellR: Int, cellC: Int, seg: Int,
+                              y1: Double, x1: Double, y2: Double, x2: Double)
+
+  /** Marching-squares contour segments WITH vertex interpolation — the
+    * geometry half [[marchingSquaresCase]] scoped out (its census decides
+    * which cells participate; this emits the actual iso-line pieces).
+    * Per participating 2×2 cell and level T, each crossed edge's vertex
+    * is the linear interpolation v0 + t·(v1−v0) = T ⇒ t = (T−v0)/(v1−v0)
+    * along the edge; segments connect edge pairs by the standard case
+    * table. SADDLES (cases 5/10) resolve as CENTER-BELOW — each inside
+    * corner is isolated by its own segment — a fixed convention (no
+    * center-average disambiguation), stated here because engines differ.
+    *
+    * DETERMINISM: over integer-valued rasters with a half-integer
+    * threshold, t is ONE correctly-rounded IEEE divide of exact inputs
+    * and the vertex coordinate ONE add — every engine computes the
+    * identical double (the r26/r22 discipline), so consumers may hash
+    * quantized coordinates directly. Endpoint order inside a segment is
+    * fixed by the case table (first-listed edge first).
+    *
+    * Scale shape: rides the SAME depth-1 halo exchange as every 3×3
+    * kernel (shuffle = data + 4·perimeter), then emits O(crossed cells)
+    * rows — no join, no window; the downstream polyline stitching
+    * (gaps-and-islands over shared endpoints) is a separate op. Cells
+    * anchored on the grid's top/left border ring are outside the depth-1
+    * output window (the [[marchingSquaresCase]] contract): anchors range
+    * over [1, grid−2]². */
+  def contourSegments(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                      gridH: Int, gridW: Int,
+                      levels: Seq[Double]): Dataset[ContourSeg] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    // case -> crossed-edge pairs; edges coded 0=top,1=right,2=bottom,3=left
+    val segTable: Array[Array[(Int, Int)]] = Array(
+      /* 0 */ Array.empty, /* 1 */ Array((3, 2)), /* 2 */ Array((2, 1)),
+      /* 3 */ Array((3, 1)), /* 4 */ Array((0, 1)),
+      /* 5 */ Array((0, 1), (3, 2)), // saddle: TR isolated, BL isolated
+      /* 6 */ Array((0, 2)), /* 7 */ Array((3, 0)), /* 8 */ Array((3, 0)),
+      /* 9 */ Array((0, 2)),
+      /* 10 */ Array((3, 0), (2, 1)), // saddle: TL isolated, BR isolated
+      /* 11 */ Array((0, 1)), /* 12 */ Array((3, 1)), /* 13 */ Array((2, 1)),
+      /* 14 */ Array((3, 2)), /* 15 */ Array.empty)
+    val lv = levels.toArray
+    haloGroups(tiles, chunkY, chunkX, gridH, gridW, depth = 1) {
+      (band, tyc, txc, pad, padW, padR0, padC0) =>
+        val outH = math.min(chunkY, gridH - tyc * chunkY)
+        val outW = math.min(chunkX, gridW - txc * chunkX)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ContourSeg]
+        var r = 0
+        while (r < outH) {
+          val gr = tyc * chunkY + r
+          var c = 0
+          while (c < outW) {
+            val gc = txc * chunkX + c
+            if (gr >= 1 && gr <= gridH - 2 && gc >= 1 && gc <= gridW - 2) {
+              val ctr = (gr - padR0) * padW + (gc - padC0)
+              val tl = pad(ctr); val tr = pad(ctr + 1)
+              val bl = pad(ctr + padW); val br = pad(ctr + padW + 1)
+              if (!tl.isNaN && !tr.isNaN && !bl.isNaN && !br.isNaN) {
+                var li = 0
+                while (li < lv.length) {
+                  val t = lv(li)
+                  var cs = 0
+                  if (tl >= t) cs |= 8
+                  if (tr >= t) cs |= 4
+                  if (br >= t) cs |= 2
+                  if (bl >= t) cs |= 1
+                  val segs = segTable(cs)
+                  var si = 0
+                  while (si < segs.length) {
+                    val (e1, e2) = segs(si)
+                    // edge crossing (y, x); denominators are nonzero by
+                    // construction (the case guarantees a straddle)
+                    def y(e: Int): Double = e match {
+                      case 0 => gr.toDouble
+                      case 1 => gr + (t - tr) / (br - tr)
+                      case 2 => (gr + 1).toDouble
+                      case 3 => gr + (t - tl) / (bl - tl)
+                    }
+                    def x(e: Int): Double = e match {
+                      case 0 => gc + (t - tl) / (tr - tl)
+                      case 1 => (gc + 1).toDouble
+                      case 2 => gc + (t - bl) / (br - bl)
+                      case 3 => gc.toDouble
+                    }
+                    out += ContourSeg(t, gr, gc, si, y(e1), x(e1), y(e2), x(e2))
+                    si += 1
+                  }
+                  li += 1
+                }
+              }
+            }
+            c += 1
+          }
+          r += 1
+        }
+        out.iterator
+    }
+  }
+
   /** Depth-1 specialization — every 3×3 kernel shares this one halo
     * exchange. */
   private def stencil3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
@@ -257,6 +362,43 @@ object Focal {
   private def stencilK(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                        gridH: Int, gridW: Int, depth: Int)(
       kernel: (Array[Double], Int, Int) => Double): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    haloGroups(tiles, chunkY, chunkX, gridH, gridW, depth) {
+      (band, tyc, txc, pad, padW, padR0, padC0) =>
+        val outH = math.min(chunkY, gridH - tyc * chunkY)
+        val outW = math.min(chunkX, gridW - txc * chunkX)
+        val out = new Array[Double](outH * outW)
+        var r = 0
+        while (r < outH) {
+          val gr = tyc * chunkY + r
+          var c = 0
+          while (c < outW) {
+            val gc = txc * chunkX + c
+            out(r * outW + c) =
+              if (gr >= depth && gr <= gridH - 1 - depth &&
+                  gc >= depth && gc <= gridW - 1 - depth)
+                kernel(pad, padW, (gr - padR0) * padW + (gc - padC0))
+              else Double.NaN
+            c += 1
+          }
+          r += 1
+        }
+        Iterator.single(Tile(-1, 0, band, 0L, tyc, txc, 0, 0, outH, outW, out))
+    }
+  }
+
+  /** The halo exchange itself, decoupled from the per-pixel kernel shape:
+    * fragments fan out to ≤8 neighbor chunks, one shuffle co-locates each
+    * chunk's padded (chunk+2d)² neighborhood, and `emit` turns the padded
+    * array into ANY row type — one dense output tile for the stencil
+    * family ([[stencilK]]), O(crossed cells) segment rows for
+    * [[contourSegments]]. Same scale shape for every consumer: shuffle =
+    * data + 4d·perimeter strips, one exchange, no join. */
+  private def haloGroups[T: org.apache.spark.sql.Encoder](
+      tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+      gridH: Int, gridW: Int, depth: Int)(
+      emit: (String, Int, Int, Array[Double], Int, Int, Int) => Iterator[T]): Dataset[T] = {
     require(depth >= 1 && depth < chunkY && depth < chunkX,
       s"Focal: halo depth $depth must be in [1, chunk) — a deeper halo " +
       "than the chunk would need fragments beyond the 8-neighbor " +
@@ -301,7 +443,7 @@ object Focal {
       }
     }
 
-    frags.groupByKey(f => (f.band, f.tyc, f.txc)).mapGroups {
+    frags.groupByKey(f => (f.band, f.tyc, f.txc)).flatMapGroups {
       (key: (String, Int, Int), it: Iterator[HaloFrag]) =>
         val (band, tyc, txc) = key
         // Padded neighborhood: rows [tyc*chunkY-d, (tyc+1)*chunkY+d) ∩ grid.
@@ -325,25 +467,7 @@ object Focal {
             r += 1
           }
         }
-        val outH = math.min(chunkY, gridH - tyc * chunkY)
-        val outW = math.min(chunkX, gridW - txc * chunkX)
-        val out = new Array[Double](outH * outW)
-        var r = 0
-        while (r < outH) {
-          val gr = tyc * chunkY + r
-          var c = 0
-          while (c < outW) {
-            val gc = txc * chunkX + c
-            out(r * outW + c) =
-              if (gr >= depth && gr <= gridH - 1 - depth &&
-                  gc >= depth && gc <= gridW - 1 - depth)
-                kernel(pad, padW, (gr - padR0) * padW + (gc - padC0))
-              else Double.NaN
-            c += 1
-          }
-          r += 1
-        }
-        Tile(-1, 0, band, 0L, tyc, txc, 0, 0, outH, outW, out)
+        emit(band, tyc, txc, pad, padW, padR0, padC0)
     }
   }
 }

@@ -57,8 +57,13 @@ class BucketedJoinSpec extends SparkSpec {
   }
 
   private def exchanges(p: SparkPlan): Int = {
+    // recurse into materialized query stages: QueryStageExec is a LEAF
+    // node, so a naive collect over an executed adaptive plan sees
+    // nothing inside the stages — a zero count would be vacuous
     val expanded = p.collect {
       case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchanges(q.plan)
       case _: ShuffleExchangeExec => 1
     }
     expanded.sum

@@ -69,6 +69,56 @@ class FlowSpec extends SparkSpec {
     assert(got == Set((4L, 8L)))
   }
 
+  private def bas(edges: Seq[(Long, Long)], rounds: Int): Set[(Long, Long)] =
+    graft.ops.Flow.basins(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("basins: chain + tributary all resolve to the terminal; no duplicate labels") {
+    // 1->2->3->4 with tributary 5->3: node 3 has in-degree 2 — the
+    // multiset-difference regression would also emit (3,3)
+    val got = bas(Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L)), 8)
+    assert(got == Set((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("basins: two disjoint forests keep separate labels; log-depth budget suffices") {
+    // depth-7 chain resolves within ceil(log2(7))+1 = 4 rounds
+    val chain = (1L to 7L).map(i => (i, i + 1))
+    val two = chain ++ Seq((100L, 101L), (102L, 101L))
+    val got = bas(two, 4)
+    assert((1L to 8L).forall(n => got.contains((n, 8L))))
+    assert(got.contains((100L, 101L)) && got.contains((102L, 101L)) &&
+      got.contains((101L, 101L)))
+  }
+
+  test("basins: under-budget throws loudly; a cycle throws instead of looping") {
+    val deep = (1L to 9L).map(i => (i, i + 1)) // needs ceil(log2(9)) = 4 jumps
+    val ex = intercept[IllegalStateException] { bas(deep, 1) }
+    assert(ex.getMessage.contains("basin"))
+    val cyc = intercept[IllegalStateException] { bas(Seq((1L, 2L), (2L, 1L)), 4) }
+    assert(cyc.getMessage.contains("cycle"))
+  }
+
+  test("basins matches a driver-side walk on the modramp D8 drainage") {
+    import graft.core.{Bounds, RasterSpec}
+    import graft.ops.Focal
+    import graft.scan.{AssetRow, ModRampReader, TileScan}
+    val g = 60
+    val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+    val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+      0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+    val tiles = TileScan.scan(spark, assets, spec, chunk = 20,
+      readerFor = _ => ModRampReader(11))
+    val dirs = Focal.d8Flow3x3(tiles, 20, 20, g, g)
+    val edges = Flow.d8Edges(dirs, 20, 20, g, g)
+    val got = Flow.basins(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def root(v: Long): Long = if (es.contains(v)) root(es(v)) else v
+    val nodes = (es.keys ++ es.values).toSet
+    val want = nodes.map(v => v -> root(v)).toMap
+    assert(got == want, s"sizes got ${got.size} want ${want.size}")
+  }
+
   private def str(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
     Flow.strahler(edges.toDF("src", "dst"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

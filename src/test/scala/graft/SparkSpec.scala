@@ -12,5 +12,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // accept subset-key co-location (storage-partitioned joins whose join
+      // keys are a superset of the V2 partition keys - TileAlgebra.binaryAligned)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .getOrCreate()
 }
