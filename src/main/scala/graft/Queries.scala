@@ -12964,7 +12964,46 @@ object Queries {
              |  CAST(sum(n_segments) AS BIGINT) AS n_segments,
              |  CAST(max(n_segments) AS BIGINT) AS max_len,
              |  CAST(sum(poly) AS BIGINT) AS poly_chk
-             |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X48: EXACT-SUBSTRING contamination census (Lee et al.'s
+    // ExactSubstr, the exact-match complement of x6's gram overlap and
+    // x24's contamination matrix): for each probe length L in the
+    // ladder, which eval docs share a VERBATIM L-char substring with any
+    // train doc. Hits are monotone downward in L by containment, so the
+    // largest hitting L brackets each doc's longest shared substring —
+    // the decontamination decision read-out (drop on ≥ threshold). One
+    // codegen'd gram explode + one equi-join per L; the synthetic corpus
+    // carries natural shared substrings of every bracket (at sf0.01 all
+    // 100 eval docs share 16-grams, only 13 share 32-grams — the ladder
+    // discriminates).
+    Q("x48_exact_substr",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+        graft.text.ExactSubstr
+          .sharedSubstrCensus(tr, ev, "text", "doc_id", Seq(8, 16, 32))
+          .orderBy($"gram_len")
+      },
+      Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          substr(e.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          substr(t2.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.g = trg.g)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT-SUBSTRING cross-corpus contamination census — the exact-match
+  * complement of the gram-overlap decontamination family (x6's token
+  * Jaccard, x24's contamination matrix): Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ExactSubstr) removes
+  * train/eval overlap by EXACT substring match, not shingle similarity.
+  * Their single-node tool builds a suffix array; the Spark-first form
+  * asks the same question as a census over a LENGTH LADDER: for each
+  * probe length L, which eval documents share a verbatim L-character
+  * substring with ANY train document? The per-document longest-match
+  * length is then bracketed by the largest L that hits (a suffix array
+  * gives the exact length; the ladder gives the decontamination
+  * DECISION — thresholds like "drop on ≥ 50-char overlap" only need the
+  * bracket).
+  *
+  * Shape per L: explode every document into its distinct character
+  * L-grams (one map-side pass, `transform(sequence(...))` — codegen, no
+  * UDF), then one equi-join train-grams ⋈ eval-grams and a distinct doc
+  * census. Shuffle = O(total chars) gram rows per probed length, the
+  * same banded-join scale class as the MinHash family (d4); at 100 TB
+  * the L-gram key would be a rolling hash (8-byte keys, collision
+  * verify on the string in the same join) — the string key here keeps
+  * the oracle engine-portable, and the ladder is embarrassingly
+  * parallel across L. */
+object ExactSubstr {
+
+  /** Distinct character L-grams of `textCol`, keeping `keep` columns.
+    * Documents shorter than L emit nothing. 1-based `substring`, so the
+    * grams replay verbatim in any SQL engine. */
+  def grams(docs: DataFrame, textCol: String, L: Int,
+            keep: Seq[String] = Seq.empty): DataFrame = {
+    require(L >= 1, s"ExactSubstr: L=$L")
+    docs.filter(length(col(textCol)) >= L)
+      .select(keep.map(col) :+ explode(expr(
+        s"transform(sequence(1, length($textCol) - $L + 1), " +
+        s"i -> substring($textCol, i, $L))")).as("g"): _*)
+      .distinct()
+  }
+
+  /** The ladder census: one row per probe length — how many eval docs
+    * share an exact L-char substring with the train side, with an id
+    * checksum. Hits are monotone downward in L by containment (an
+    * L-hit implies every shorter hit), so the largest hitting L
+    * brackets each document's longest shared substring. */
+  def sharedSubstrCensus(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String,
+                         lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
+    lengths.map { l =>
+      val tg = grams(train, textCol, l)
+      val eg = grams(eval, textCol, l, keep = Seq(idCol))
+      eg.join(tg, Seq("g")).select(col(idCol)).distinct()
+        .agg(count(lit(1)).as("n_docs_hit"),
+             coalesce(sum(col(idCol)), lit(0L)).as("id_chk"))
+        .select(lit(l).as("gram_len"), col("n_docs_hit"), col("id_chk"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.text.ExactSubstr
+
+/** Hand oracles for the exact-substring contamination census
+  * (text.ExactSubstr): manufactured shared substrings of KNOWN lengths
+  * must hit exactly the ladder rungs their length reaches. */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("manufactured overlaps hit exactly the rungs their length reaches") {
+    // doc 10 shares exactly 8 chars, doc 20 exactly 16, doc 30 exactly 32;
+    // doc 40 shares nothing. Shared payloads are unique sentinels.
+    val s8 = "ABCDEFGH"
+    val s16 = "IJKLMNOPQRSTUVWX"
+    val s32 = "abcdefghijklmnopqrstuvwxyz012345"
+    val train = Seq(
+      (1L, s"train filler one $s8 more filler"),
+      (2L, s"second train doc $s16 tail"),
+      (3L, s"third $s32 train")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval ten ${s8}zz"),        // 8 shared, 9th char differs
+      (20L, s"eval twenty ${s16}zz"),    // 16 shared
+      (30L, s"eval thirty ${s32}zz"),    // 32 shared
+      (40L, "entirely disjoint payload without any overlap at all QQ"))
+      .toDF("doc_id", "text")
+    val got = ExactSubstr
+      .sharedSubstrCensus(train, eval, "text", "doc_id", Seq(8, 16, 32))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // L=8: docs 10, 20, 30 hit (16- and 32-char overlaps contain 8-grams)
+    assert(got(8) == (3L, 60L), got.toString)
+    // L=16: docs 20, 30
+    assert(got(16) == (2L, 50L), got.toString)
+    // L=32: doc 30 only
+    assert(got(32) == (1L, 30L), got.toString)
+  }
+
+  test("documents shorter than L emit no grams; empty hit rung reports 0") {
+    val train = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val eval = Seq((2L, "tin")).toDF("doc_id", "text")
+    val got = ExactSubstr
+      .sharedSubstrCensus(train, eval, "text", "doc_id", Seq(2, 8))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2) == (1L, 2L)) // "ti"/"in" shared
+    assert(got(8) == (0L, 0L)) // both sides shorter than 8
+  }
+
+  test("grams are distinct per document and replay substring semantics") {
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val g = ExactSubstr.grams(df, "text", 2, keep = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(g.toSeq == Seq((1L, "aa"))) // 3 positions, one distinct gram
+  }
+}
