@@ -157,6 +157,31 @@ object Stack {
     Stack(spark, tiles, plan.spec, edge, plan.items, plan.assetTable)
   }
 
+  /** DSv2-backed stack — same API, same `Dataset[Tile]`, but the tiles
+    * come from [[graft.scan.v2.TileSourceV2]], whose reported
+    * KeyGroupedPartitioning (one partition per chunk) survives the
+    * typed filters and makes [[Stack.algebra]]'s band-align join a
+    * STORAGE-PARTITIONED join — zero Exchange on either side (the
+    * TileAlgebra.binaryAligned plan, SpjSpec/j14; needs the
+    * `requireAllClusterKeysForCoPartition=false` session conf every
+    * graft session sets). Semantics difference vs [[apply]], stated
+    * plainly: the V2 scan does NOT elide all-nodata tiles (the DSv2
+    * row-set contract — pruning must be a pure optimization), so a
+    * chunk whose every tile is all-NaN yields an all-NaN composite
+    * where the legacy scan would yield no tile; every NaN-skipping
+    * reduction downstream is unaffected. */
+  def v2(spark: SparkSession, items: Seq[StacItem],
+         opts: PrepareOptions = PrepareOptions(),
+         chunk: Int = 1024,
+         readerFor: RasterSpec => AssetRow => Reader = _ => a => FakeReader(a.url),
+         errorsAsNodata: ErrorsAsNodata = ErrorsAsNodata.none): Stack = {
+    val plan = Prepare(items, opts)
+    val tiles = graft.scan.v2.TileSourceV2.scan(spark, plan.assetTable,
+        plan.spec, chunk, readerFor(plan.spec), errorsAsNodata)
+      .as[Tile](org.apache.spark.sql.Encoders.product[Tile])
+    Stack(spark, tiles, plan.spec, chunk, plan.items, plan.assetTable)
+  }
+
   /** Real-file stack over GeoTIFFs, mixed-CRS capable: assets whose
     * native CRS differs from the output spec are warped per pixel at read
     * time using the planner-collected native grids (the reference's

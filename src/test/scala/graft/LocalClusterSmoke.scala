@@ -43,7 +43,14 @@ object LocalClusterSmoke {
     // round 14: fused-verify streaming admission (admitIncrementFused —
     // broadcast batch index + foreachBatch closure + lazy persisted
     // union leaves whose blocks live on EXECUTORS)
-    "s9_stream_admit")
+    "s9_stream_admit",
+    // round 15: storage-partitioned band align (two V2 scans'
+    // KeyGroupedPartitioning + HasPartitionKey honored across REAL
+    // executor JVMs, in-query zero-Exchange assert), contour vertex
+    // emission (flatMapGroups with ContourSeg encoders over the halo
+    // exchange), polyline stitching (CC min-label + pointer-jump
+    // localCheckpoint loop whose blocks live on executors)
+    "j14_spj_band_align", "r34_contour_vertices", "r36_contour_polylines")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")
@@ -54,6 +61,7 @@ object LocalClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.executor.extraClassPath", cp)
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.executor.memory", "1024m")

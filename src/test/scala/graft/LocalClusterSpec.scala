@@ -42,7 +42,9 @@ class LocalClusterSpec extends AnyFunSuite {
     Seq("r5_dsv2_pruned", "d2_minhash_lsh", "v14_ivfsq", "md1_median",
         "k2_hll_sketch", "r20_cdx_fetch", "k10_bloom_prune",
         "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore",
-        "s9_stream_admit").foreach { n =>
+        "s9_stream_admit",
+        "j14_spj_band_align", "r34_contour_vertices",
+        "r36_contour_polylines").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))

@@ -90,6 +90,42 @@ class RoundFifteenFuzzSpec extends SparkSpec {
     }
   }
 
+  test("binaryAligned fuzz: SPJ result == legacy shuffled binary at random grids/items") {
+    import graft.core.{Bounds, RasterSpec}
+    import graft.ops.TileAlgebra
+    import graft.scan.{AssetRow, FakeReader, TileScan}
+    import graft.scan.v2.TileSourceV2
+    for (seed <- Seq(7, 51)) {
+      val rnd = new scala.util.Random(seed)
+      val chunk = Seq(30, 50)(rnd.nextInt(2))
+      val nChunks = 2 + rnd.nextInt(2)
+      val g = chunk * nChunks - rnd.nextInt(chunk / 2) // ragged last chunk
+      val items = 1 + rnd.nextInt(3)
+      val spec = RasterSpec(3857, Bounds(0.0, 0.0, g * 10.0, g * 10.0), 10.0, 10.0)
+      def asset(i: Int, b: String) = AssetRow(i, 0, b, i.toLong, s"fake://$b/$i/$seed",
+        0.0, 0.0, g * 10.0, g * 10.0, 1.0, 0.0)
+      val assets = (0 until items).flatMap(i => Seq(asset(i, "nir"), asset(i, "red")))
+      val v2n = TileSourceV2.scan(spark, assets.filter(_.band == "nir"), spec,
+        chunk = chunk, readerFor = a => FakeReader(a.url))
+      val v2r = TileSourceV2.scan(spark, assets.filter(_.band == "red"), spec,
+        chunk = chunk, readerFor = a => FakeReader(a.url))
+      // NaN-safe pixel identity: ragged chunks densify with NaN padding,
+      // and Seq[Double] equality would fail on NaN != NaN
+      def bits(t: graft.scan.Tile) =
+        t.pixels.toSeq.map(java.lang.Double.doubleToLongBits)
+      val got = TileAlgebra.binaryAligned(v2n, v2r, chunk, chunk, "d")((n, r) => n - r)
+        .collect().map(t => (t.itemIdx, t.yChunk, t.xChunk) -> bits(t)).toMap
+      val legacy = TileScan.scan(spark, assets, spec, chunk = chunk,
+        readerFor = a => FakeReader(a.url))
+      val want = TileAlgebra.binary(
+        legacy.filter(_.band == "nir"), legacy.filter(_.band == "red"),
+        chunk, chunk, "d")((n, r) => n - r)
+        .collect().map(t => (t.itemIdx, t.yChunk, t.xChunk) -> bits(t)).toMap
+      assert(got.keySet == want.keySet, s"seed $seed")
+      got.keys.foreach(k => assert(got(k) == want(k), s"seed $seed at $k"))
+    }
+  }
+
   test("basins fuzz: random functional forests == driver root walk") {
     for (seed <- Seq(11, 29, 63)) {
       val rnd = new scala.util.Random(seed)

@@ -153,6 +153,36 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("Stack.v2: the user-facing algebra() runs storage-partitioned (self-join form)") {
+    import graft.core.{AffineTransform, Bounds => B}
+    import graft.stac.{Prepare, PrepareOptions, StacAsset, StacItem}
+    noBroadcast {
+      val items = (0 until 2).map { i =>
+        StacItem(s"s$i", Some(f"2024-06-0${i + 1}%dT00:00:00Z"), epsg = Some(32633),
+          assets = Seq("red", "nir").map { b =>
+            b -> StacAsset(s"fake://$b/$i",
+              bbox = Some(B(0, 0, 1000, 1000)), shape = Some((100, 100)),
+              transform = Some(AffineTransform.northUp(0, 1000, 10, 10)))
+          }.toMap)
+      }
+      val v2Stack = Stack.v2(spark, items, PrepareOptions(), chunk = 50)
+      val ndvi = v2Stack.algebra("ndvi", "nir", "red")((n, r) => (n - r) / (n + r))
+      val rows = ndvi.tiles.collect()
+      val plan = ndvi.tiles.queryExecution.executedPlan
+      assert(rows.nonEmpty)
+      assert(smjs(plan) == 1, s"expected a SortMergeJoin:\n$plan")
+      assert(exchanges(plan) == 0,
+        s"Stack.v2 algebra must storage-partition its band align:\n$plan")
+      // values equal the legacy stack's algebra
+      val legacy = Stack(spark, items, PrepareOptions(), chunk = 50)
+        .algebra("ndvi", "nir", "red")((n, r) => (n - r) / (n + r))
+        .tiles.collect()
+        .map(t => (t.itemIdx, t.yChunk, t.xChunk) -> t.pixels.toSeq).toMap
+      val got = rows.map(t => (t.itemIdx, t.yChunk, t.xChunk) -> t.pixels.toSeq).toMap
+      assert(got == legacy)
+    }
+  }
+
   test("partial-coverage side still aligns correctly (missing chunks -> absent tiles)") {
     // red asset covers only 4 chunks of the 3x3 grid: the inner
     // alignment yields tiles only where both bands exist — the same
