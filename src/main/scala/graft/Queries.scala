@@ -12966,6 +12966,114 @@ object Queries {
              |  CAST(sum(poly) AS BIGINT) AS poly_chk
              |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- R37: ORDERED polyline vertices — the geometry export on top
+    // of r36's stitch, via WYLLIE LIST RANKING (pointer jumping with
+    // distance accumulation): a contour line can be arbitrarily long, so
+    // per-vertex ordinals are computed in ⌈log₂(longest line)⌉ rounds of
+    // one self-join each — never a sequential walk in one task. Census
+    // hashes ord×quantized-coordinate products per level (any
+    // permutation, reversal, or off-by-one of the sequence changes the
+    // sums), plus first==last ring closure counts. Oracle: a sequential
+    // recursive walk per polyline in SQL replaying the SAME start rules
+    // (min degree-1 endpoint, else min vertex with the back-edge cut,
+    // first step toward the min neighbor).
+    Q("r37_contour_ordered",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Contour, Focal}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(13))
+        val segs = Focal.contourSegments(tiles, 50, 50, 150, 150, Seq(3.5, 6.5))
+        val ov = Contour.orderedVertices(Contour.stitch(segs), rounds = 16)
+        ov.select($"level", $"poly", $"ord",
+            round($"y" * 1024.0).cast("long").as("yq"),
+            round($"x" * 1024.0).cast("long").as("xq"))
+          .groupBy($"level")
+          .agg(count(lit(1)).as("n_vertices"),
+               countDistinct($"poly").as("n_polys"),
+               max($"ord").as("max_ord"),
+               sum($"ord" * $"yq").as("ordy_chk"),
+               sum($"ord" * $"xq").as("ordx_chk"))
+          .orderBy($"level")
+      },
+      Some("""WITH RECURSIVE
+             |lv AS (SELECT unnest([3.5, 6.5]) AS L),
+             |cells AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |          WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |v AS (SELECT r, c, L,
+             |        CAST((r*r + c*c) % 13 AS DOUBLE) AS tl,
+             |        CAST((r*r + (c+1)*(c+1)) % 13 AS DOUBLE) AS tr,
+             |        CAST(((r+1)*(r+1) + (c+1)*(c+1)) % 13 AS DOUBLE) AS br,
+             |        CAST(((r+1)*(r+1) + c*c) % 13 AS DOUBLE) AS bl
+             |      FROM cells CROSS JOIN lv),
+             |cv AS (SELECT *, (CASE WHEN tl >= L THEN 8 ELSE 0 END)
+             |               + (CASE WHEN tr >= L THEN 4 ELSE 0 END)
+             |               + (CASE WHEN br >= L THEN 2 ELSE 0 END)
+             |               + (CASE WHEN bl >= L THEN 1 ELSE 0 END) AS k
+             |       FROM v),
+             |segs AS (SELECT *, unnest(CASE k
+             |    WHEN 1 THEN [[3,2]] WHEN 2 THEN [[2,1]] WHEN 3 THEN [[3,1]]
+             |    WHEN 4 THEN [[0,1]] WHEN 5 THEN [[0,1],[3,2]] WHEN 6 THEN [[0,2]]
+             |    WHEN 7 THEN [[3,0]] WHEN 8 THEN [[3,0]] WHEN 9 THEN [[0,2]]
+             |    WHEN 10 THEN [[3,0],[2,1]] WHEN 11 THEN [[0,1]] WHEN 12 THEN [[3,1]]
+             |    WHEN 13 THEN [[2,1]] ELSE [[3,2]] END) AS ee
+             |  FROM cv WHERE k NOT IN (0, 15)),
+             |co AS (SELECT r, c, L,
+             |    CASE ee[1] WHEN 0 THEN CAST(r AS DOUBLE)
+             |      WHEN 1 THEN r + (L - tr) / (br - tr)
+             |      WHEN 2 THEN CAST(r + 1 AS DOUBLE)
+             |      ELSE r + (L - tl) / (bl - tl) END AS y1,
+             |    CASE ee[1] WHEN 0 THEN c + (L - tl) / (tr - tl)
+             |      WHEN 1 THEN CAST(c + 1 AS DOUBLE)
+             |      WHEN 2 THEN c + (L - bl) / (br - bl)
+             |      ELSE CAST(c AS DOUBLE) END AS x1,
+             |    CASE ee[2] WHEN 0 THEN CAST(r AS DOUBLE)
+             |      WHEN 1 THEN r + (L - tr) / (br - tr)
+             |      WHEN 2 THEN CAST(r + 1 AS DOUBLE)
+             |      ELSE r + (L - tl) / (bl - tl) END AS y2,
+             |    CASE ee[2] WHEN 0 THEN c + (L - tl) / (tr - tl)
+             |      WHEN 1 THEN CAST(c + 1 AS DOUBLE)
+             |      WHEN 2 THEN c + (L - bl) / (br - bl)
+             |      ELSE CAST(c AS DOUBLE) END AS x2
+             |  FROM segs),
+             |vs AS (SELECT L,
+             |    CAST(round(y1*1024) AS BIGINT)*4294967296 + CAST(round(x1*1024) AS BIGINT) AS k1,
+             |    CAST(round(y2*1024) AS BIGINT)*4294967296 + CAST(round(x2*1024) AS BIGINT) AS k2
+             |  FROM co),
+             |ad AS (SELECT L, k1 AS a, k2 AS b FROM vs UNION SELECT L, k2, k1 FROM vs),
+             |nbr AS (SELECT L, a AS v, min(b) AS n1, max(b) AS n2, count(*) AS deg
+             |        FROM ad GROUP BY 1, 2),
+             |reach AS (SELECT L, a, a AS b FROM (SELECT DISTINCT L, a FROM ad)
+             |          UNION
+             |          SELECT r.L, r.a, ad.b FROM reach r
+             |          JOIN ad ON r.L = ad.L AND r.b = ad.a),
+             |lbl AS (SELECT L, a AS node, min(b) AS poly FROM reach GROUP BY 1, 2),
+             |st AS (SELECT n.L, l.poly,
+             |         coalesce(min(CASE WHEN n.deg = 1 THEN n.v END), l.poly) AS startV
+             |       FROM nbr n JOIN lbl l ON n.L = l.L AND n.v = l.node
+             |       GROUP BY 1, 2),
+             |wk AS (SELECT L, poly, startV, 0 AS ord,
+             |         CAST(NULL AS BIGINT) AS prev, startV AS cur
+             |       FROM st
+             |       UNION ALL
+             |       SELECT w.L, w.poly, w.startV, w.ord + 1, w.cur,
+             |         CASE WHEN w.prev IS NULL THEN n.n1
+             |              WHEN n.n1 = w.prev THEN n.n2 ELSE n.n1 END
+             |       FROM wk w JOIN nbr n ON n.L = w.L AND n.v = w.cur
+             |       WHERE NOT (n.deg = 1 AND w.ord > 0)
+             |         AND NOT (w.cur = w.startV AND w.ord > 0))
+             |SELECT L AS level, count(*) AS n_vertices,
+             |  CAST(count(DISTINCT poly) AS BIGINT) AS n_polys,
+             |  CAST(max(ord) AS BIGINT) AS max_ord,
+             |  CAST(sum(ord * (cur // 4294967296)) AS BIGINT) AS ordy_chk,
+             |  CAST(sum(ord * (cur % 4294967296)) AS BIGINT) AS ordx_chk
+             |FROM wk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X48: EXACT-SUBSTRING contamination census (Lee et al.'s
     // ExactSubstr, the exact-match complement of x6's gram overlap and
     // x24's contamination matrix): for each probe length L in the

@@ -43,6 +43,120 @@ object Contour {
     df.join(comps.select(col("node").as("k1"), col("component").as("poly")), Seq("k1"))
   }
 
+  /** ORDERED vertex sequences — the geometry export a GIS consumer
+    * downloads (each polyline's vertices with 0-based ordinals), from
+    * [[stitch]]'s labeled segments, fully distributed via WYLLIE LIST
+    * RANKING (Wyllie 1979; JáJá §3.1): a contour line can be
+    * arbitrarily long (a coastline at 10 m cells is millions of
+    * vertices), so walking it sequentially — on the driver or inside
+    * one task — is the scale-killer; pointer jumping ranks every
+    * vertex in ⌈log₂(longest line)⌉ rounds of one self-equi-join each.
+    *
+    * Construction: every segment yields two directed HALF-EDGES; at an
+    * interior vertex (degree 2, the marching-squares bound) the
+    * successor of (u→v) is (v→w), w = v's other neighbor — a FUNCTIONAL
+    * successor list. Each polyline designates a start: its min
+    * degree-1 endpoint (open path) or its min vertex with the
+    * back-edge into it cut (cycle). Wyllie state (pointer, distance,
+    * terminal) doubles per round; afterwards the forward chain is the
+    * half-edges sharing the start's terminal, and ordinal =
+    * chain-length − suffix-distance. Closed rings emit first == last
+    * vertex (the GIS ring convention).
+    *
+    * Output: (level, poly, ord, y, x) — y/x recovered from the packed
+    * key (quantized grid coords / quantum). `rounds` is a cap with
+    * fixpoint early-exit; exhaustion throws loudly (the Flow/KCore
+    * guard discipline — 2^rounds must cover the longest polyline). */
+  def orderedVertices(stitched: DataFrame, rounds: Int = 24,
+                      quantum: Double = 1024.0): DataFrame = {
+    val base = stitched.select(col("level"), col("poly"), col("k1"), col("k2"))
+    val he = base.select(col("level"), col("poly"),
+        col("k1").as("src"), col("k2").as("dst"))
+      .unionByName(base.select(col("level"), col("poly"),
+        col("k2").as("src"), col("k1").as("dst")))
+      .localCheckpoint(true)
+    // neighbor table: degree <= 2 by the marching-squares bound (each
+    // crossing is used once by each of its two flanking cells)
+    val nb = he.groupBy(col("level"), col("src").as("v"))
+      .agg(min(col("dst")).as("n1"), max(col("dst")).as("n2"),
+           count(lit(1)).as("deg"))
+    // designated start per polyline: min degree-1 endpoint, else (cycle)
+    // the min vertex — which IS the poly id (CC min-label)
+    val starts = he.select(col("level"), col("poly"), col("src").as("v")).distinct()
+      .join(nb, Seq("level", "v"))
+      .groupBy(col("level"), col("poly"))
+      .agg(min(when(col("deg") === 1, col("v"))).as("minEnd"))
+      .select(col("level"), col("poly"),
+        coalesce(col("minEnd"), col("poly")).as("startV"))
+      .localCheckpoint(true)
+    // successor pointers; a half-edge ENDING at a degree-1 vertex or at
+    // a cycle's designated start is terminal (the cycle cut)
+    val succ = he.join(starts, Seq("level", "poly"))
+      .join(nb.select(col("level"), col("v").as("dst"),
+        col("n1"), col("n2"), col("deg")), Seq("level", "dst"))
+      .select(col("level"), col("poly"), col("src"), col("dst"),
+        when(col("deg") === 1 || col("dst") === col("startV"), lit(null))
+          .otherwise(when(col("n1") === col("src"), col("n2"))
+            .otherwise(col("n1"))).as("nxt"))
+    // Wyllie state: pointer (pS,pD) to the successor half-edge, suffix
+    // distance d (this half-edge inclusive), terminal (tS,tD) once the
+    // chain end is known
+    var st = succ.select(col("level"), col("poly"), col("src"), col("dst"),
+        when(col("nxt").isNotNull, col("dst")).as("pS"), col("nxt").as("pD"),
+        lit(1L).as("d"),
+        when(col("nxt").isNull, col("src")).as("tS"),
+        when(col("nxt").isNull, col("dst")).as("tD"))
+      .localCheckpoint(true)
+    var it = 0
+    var pending = !st.filter(col("pS").isNotNull).isEmpty
+    while (it < rounds && pending) {
+      val nxtSt = st.select(col("level"), col("src").as("pS"), col("dst").as("pD"),
+        col("pS").as("qS"), col("pD").as("qD"), col("d").as("d2"),
+        col("tS").as("t2S"), col("tD").as("t2D"))
+      val stepped = st.join(nxtSt, Seq("level", "pS", "pD"), "left")
+        .select(col("level"), col("poly"), col("src"), col("dst"),
+          when(col("d2").isNotNull, col("qS")).otherwise(col("pS")).as("pS"),
+          when(col("d2").isNotNull, col("qD")).otherwise(col("pD")).as("pD"),
+          (col("d") + coalesce(col("d2"), lit(0L))).as("d"),
+          coalesce(col("tS"), col("t2S")).as("tS"),
+          coalesce(col("tD"), col("t2D")).as("tD"))
+        .localCheckpoint(true)
+      st = stepped
+      pending = !st.filter(col("pS").isNotNull).isEmpty
+      it += 1
+    }
+    if (pending) throw new IllegalStateException(
+      s"Contour: round budget $rounds exhausted before list ranking " +
+      "converged — 2^rounds must cover the longest polyline's " +
+      "half-edge count. Raise `rounds`: overshoot is free, the loop " +
+      "exits at the first fixpoint round.")
+    // forward chain = half-edges sharing the START half-edge's terminal;
+    // the start half-edge is (startV -> its n1): deg-1 start has one
+    // neighbor (n1 == n2), a cycle start walks toward min neighbor
+    val startHe = starts
+      .join(nb.select(col("level"), col("v").as("startV"), col("n1")),
+        Seq("level", "startV"))
+      .join(st.select(col("level"), col("src").as("startV"), col("dst").as("n1"),
+          col("d").as("len"), col("tS"), col("tD")),
+        Seq("level", "startV", "n1"))
+      .select(col("level"), col("poly"), col("len"), col("tS"), col("tD"))
+    val chain = st.join(startHe, Seq("level", "poly", "tS", "tD"))
+    def unpackY(k: org.apache.spark.sql.Column) =
+      shiftright(k, 32).cast("double") / quantum
+    def unpackX(k: org.apache.spark.sql.Column) =
+      k.bitwiseAND(lit(0xFFFFFFFFL)).cast("double") / quantum
+    // every half-edge contributes its src at ordinal len - d; the chain
+    // terminal additionally contributes its dst at ordinal len (for a
+    // ring that vertex IS the start again — first == last)
+    val inner = chain.select(col("level"), col("poly"),
+      (col("len") - col("d")).as("ord"), col("src").as("k"))
+    val last = chain.filter(col("src") === col("tS") && col("dst") === col("tD"))
+      .select(col("level"), col("poly"), col("len").as("ord"), col("dst").as("k"))
+    inner.unionByName(last)
+      .select(col("level"), col("poly"), col("ord"),
+        unpackY(col("k")).as("y"), unpackX(col("k")).as("x"))
+  }
+
   /** Per-(level, polyline) census: segment count and whether the line is
     * CLOSED (a cycle: every vertex degree 2 ⇔ n_vertices == n_segments;
     * an open path has one more vertex than segments). The shape a
