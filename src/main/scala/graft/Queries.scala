@@ -12867,6 +12867,63 @@ object Queries {
              |  CAST(sum(node) AS BIGINT) AS pos_chk
              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- R38: FLOW-PATH LENGTH (distance to outlet) — hydrology's
+    // fourth D8-forest read-out: per cell, HOPS along the flow path to
+    // its terminal pit/outlet (× cellsize for metric length). Shares
+    // the r35 pointer-jumping resolver with Wyllie distance
+    // accumulation: log₂(relief)-ish rounds, one node-sized self-join
+    // each, same loud guards. Census: per distance, cell count, basin
+    // checksum, position checksum — the (dist, basin) pair verifies the
+    // accumulation AND the labeling through one read-out.
+    Q("r38_flow_distance",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Flow, Focal}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(11))
+        val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+        Flow.distanceToOutlet(Flow.d8Edges(dirs, 50, 50, 150, 150), rounds = 8)
+          .groupBy($"dist")
+          .agg(count(lit(1)).as("n_cells"), sum($"basin").as("basin_chk"),
+               sum($"node").as("pos_chk"))
+          .orderBy($"dist")
+      },
+      Some("""WITH RECURSIVE
+             |px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |       WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES
+             |  (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 1), (3, 1, -1, 2),
+             |  (4, 0, -1, 1), (5, -1, -1, 2), (6, -1, 0, 1), (7, -1, 1, 2)
+             |  ) AS v(ord, dr, dc, dist2)),
+             |rates AS (SELECT p.r, p.c, d.ord, d.dr, d.dc,
+             |    CAST((p.r*p.r + p.c*p.c) % 11
+             |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 11 AS DOUBLE)
+             |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+             |  FROM px p CROSS JOIN dirs d),
+             |rk AS (SELECT r, c, dr, dc, rate,
+             |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+             |  FROM rates),
+             |e AS (SELECT r*150 + c AS src, (r+dr)*150 + (c+dc) AS dst
+             |      FROM rk WHERE rn = 1 AND rate > 0),
+             |walk AS (SELECT src AS node, dst AS cur FROM e
+             |         UNION ALL SELECT w.node, e.dst FROM walk w JOIN e ON w.cur = e.src),
+             |fin AS (SELECT w.node, count(*) AS dist,
+             |          min(CASE WHEN w.cur NOT IN (SELECT src FROM e)
+             |                   THEN w.cur END) AS basin
+             |        FROM walk w GROUP BY 1
+             |        UNION ALL
+             |        SELECT DISTINCT dst, 0, dst FROM e
+             |          WHERE dst NOT IN (SELECT src FROM e))
+             |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_cells,
+             |  CAST(sum(basin) AS BIGINT) AS basin_chk,
+             |  CAST(sum(node) AS BIGINT) AS pos_chk
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- R36: CONTOUR POLYLINE STITCHING — r34's segments merged into
     // whole iso-lines with stable ids (ops.Contour.stitch): polylines are
     // the connected components of the segment graph (vertex = quantized

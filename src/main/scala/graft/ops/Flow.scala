@@ -133,17 +133,34 @@ object Flow {
     * `rounds` is a cap with fixpoint early-exit; exhausting it before
     * the fixpoint throws loudly (a cyclic edge list never converges —
     * the KCore/[[accumulate]] guard discipline). */
-  def basins(edges: DataFrame, rounds: Int): DataFrame = {
+  def basins(edges: DataFrame, rounds: Int): DataFrame =
+    resolveForest(edges, rounds).select(col("node"), col("basin"))
+
+  /** Distance-to-outlet over the same forest — hydrology's flow-path
+    * length (per cell: HOPS to its terminal pit/outlet; multiply by cell
+    * size / √2 per diagonal downstream for metric length). Same Wyllie
+    * state as [[basins]] with the distance accumulated through the
+    * jumps; terminals are distance 0. */
+  def distanceToOutlet(edges: DataFrame, rounds: Int): DataFrame =
+    resolveForest(edges, rounds).select(col("node"), col("basin"), col("dist"))
+
+  /** The shared pointer-jumping resolver: (node, basin, dist) for every
+    * node in the edge list — parent ← grandparent with distance
+    * accumulation (Wyllie), ⌈log₂(longest path)⌉ rounds, one node-sized
+    * self-join per round, lineage checkpointed, loud budget and cycle
+    * guards (see [[basins]]' scaladoc for the full argument). */
+  private def resolveForest(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"Flow: rounds=$rounds")
-    // parent pointer; a terminal's pointer is itself (self-loop fixpoint)
     val e = edges.toDF("node", "p").localCheckpoint(true)
-    var ptr = e
+    var ptr = e.withColumn("d", lit(1L))
     var converged = ptr.isEmpty
     var it = 0
     def jump(cur: DataFrame): DataFrame =
       cur.join(
-          cur.select(col("node").as("p"), col("p").as("gp")), Seq("p"), "left")
-        .select(col("node"), coalesce(col("gp"), col("p")).as("p"))
+          cur.select(col("node").as("p"), col("p").as("gp"), col("d").as("gd")),
+          Seq("p"), "left")
+        .select(col("node"), coalesce(col("gp"), col("p")).as("p"),
+          (col("d") + coalesce(col("gd"), lit(0L))).as("d"))
     while (it < rounds && !converged) {
       val next = jump(ptr).localCheckpoint(true)
       converged = next
@@ -174,15 +191,16 @@ object Flow {
       "Flow: basin pointers resolved onto nodes that still have " +
       "out-edges — the edge list has a cycle (a functional-forest " +
       "input is the contract; D8 edges are acyclic by construction).")
-    // terminals label themselves; interior nodes carry their root.
-    // SET difference (except, not exceptAll): a confluence dst appears
-    // as p once PER TRIBUTARY, and multiset difference would leave the
-    // surplus occurrences behind, misclassifying an interior node with
-    // in-degree >= 2 as a terminal.
+    // terminals label themselves at distance 0; interior nodes carry
+    // their root + accumulated hop count. SET difference (except, not
+    // exceptAll): a confluence dst appears as p once PER TRIBUTARY, and
+    // multiset difference would leave the surplus occurrences behind,
+    // misclassifying an interior node with in-degree >= 2 as a terminal.
     val terminals = e.select(col("p").as("node"))
       .except(e.select(col("node")))
-      .select(col("node"), col("node").as("basin"))
-    ptr.select(col("node"), col("p").as("basin")).unionByName(terminals)
+      .select(col("node"), col("node").as("basin"), lit(0L).as("dist"))
+    ptr.select(col("node"), col("p").as("basin"), col("d").as("dist"))
+      .unionByName(terminals)
   }
 
   /** Strahler stream order (Strahler 1957) over the same functional

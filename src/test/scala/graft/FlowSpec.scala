@@ -119,6 +119,30 @@ class FlowSpec extends SparkSpec {
     assert(got == want, s"sizes got ${got.size} want ${want.size}")
   }
 
+  test("distanceToOutlet: chain + tributary hop counts; terminals at 0") {
+    // 1->2->3->4, 5->3: dist 1:3, 2:2, 3:1, 5:2, 4:0; all basin 4
+    val got = graft.ops.Flow.distanceToOutlet(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 3L)).toDF("src", "dst"), 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (4L, 3L), 2L -> (4L, 2L), 3L -> (4L, 1L),
+      5L -> (4L, 2L), 4L -> (4L, 0L)))
+  }
+
+  test("distanceToOutlet fuzz: random forest == driver depth walk") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 until 80).flatMap { i =>
+      if (rnd.nextDouble() < 0.85) Some((i.toLong, rnd.nextInt(i).toLong)) else None
+    }
+    val got = graft.ops.Flow.distanceToOutlet(edges.toDF("src", "dst"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pm = edges.toMap
+    def walk(v: Long): (Long, Long) =
+      if (!pm.contains(v)) (v, 0L)
+      else { val (b, d) = walk(pm(v)); (b, d + 1) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(got == nodes.map(v => v -> walk(v)).toMap)
+  }
+
   private def str(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
     Flow.strahler(edges.toDF("src", "dst"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
