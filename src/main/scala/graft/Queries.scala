@@ -12665,6 +12665,17 @@ object Queries {
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
     }.sum
 
+  /** SortMergeJoins below a plan, same stage-aware traversal. */
+  private def sortMergeJoins(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sortMergeJoins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        sortMergeJoins(q.plan)
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => 1
+    }.sum
+
   private lazy val roundFifteen: Seq[Q] = Seq(
 
     // ----- J14: STORAGE-PARTITIONED band align — j13's layout thesis
@@ -12697,12 +12708,26 @@ object Queries {
           readerFor = _ => ModRampReader(13))
         val red = TileSourceV2.scan(s, assets("red"), spec, chunk = 50,
           readerFor = _ => ModRampReader(7))
-        val zipped = TileAlgebra.binaryAligned(nir, red, 50, 50, "q")(
-          (n, r) => n * 1000.0 + r).localCheckpoint(true)
-        require(shuffleExchanges(zipped.queryExecution.executedPlan) == 0,
-          "j14: the storage-partitioned band align planned a shuffle — " +
-          "KeyGroupedPartitioning was not honored:\n" +
-          zipped.queryExecution.executedPlan)
+        // ASSERT ON THE PRE-CHECKPOINT PLAN: localCheckpoint returns a
+        // Dataset over a LogicalRDD whose plan is a shuffle-free scan by
+        // construction — asserting on it would be vacuous. EnsureRequirements
+        // has already run in the initial adaptive plan, so inserted
+        // exchanges are visible without an action; broadcast is disabled
+        // for the window so a tiny-side BHJ can't mask an SPJ regression
+        // (the SMJ count pins the join shape).
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val zipped = try {
+          val z = TileAlgebra.binaryAligned(nir, red, 50, 50, "q")(
+            (n, r) => n * 1000.0 + r)
+          val plan = z.queryExecution.executedPlan
+          require(sortMergeJoins(plan) == 1,
+            s"j14: expected the band align to SortMergeJoin:\n$plan")
+          require(shuffleExchanges(plan) == 0,
+            "j14: the storage-partitioned band align planned a shuffle — " +
+            s"KeyGroupedPartitioning was not honored:\n$plan")
+          z.localCheckpoint(true) // materializes inside the conf window
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         zipped.flatMap { t =>
           for {
             r <- 0 until t.height; c <- 0 until t.width

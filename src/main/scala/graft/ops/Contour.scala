@@ -38,9 +38,33 @@ object Contour {
       .withColumn("k1", key(col("y1"), col("x1"), quantum))
       .withColumn("k2", key(col("y2"), col("x2"), quantum))
       .localCheckpoint(true) // the halo exchange runs once, not per CC round
+    // LOUD quantization guard: the no-cross-level-collision and
+    // degree <= 2 invariants are EXACT-ARITHMETIC arguments (integer
+    // raster, half-integer levels) — a float DEM with levels closer
+    // than ~1/quantum in t-space, or a crossing within 1/quantum of a
+    // cell corner, can collide keys after quantization. Any collision
+    // surfaces as a vertex with > 2 incident segments (cross-level
+    // merges stack two degree-2 vertices; corner collisions fuse two
+    // edges' crossings), so one degree census catches every violation
+    // before CC silently merges lines. Raise `quantum` or separate the
+    // levels when it fires.
+    val badDeg = df.select(col("k1").as("k"))
+      .unionByName(df.select(col("k2").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > 2)
+    if (!badDeg.isEmpty) throw new IllegalStateException(
+      "Contour: a vertex key has > 2 incident segments — quantization " +
+      s"(quantum=$quantum) collided distinct crossings (levels too close " +
+      "or a crossing within 1/quantum of a cell corner). Raise `quantum` " +
+      "or space the levels; the marching-squares degree bound is 2.")
     val comps = graft.dedup.Dedup.connectedComponents(
       df.select(col("k1").as("a"), col("k2").as("b")))
     df.join(comps.select(col("node").as("k1"), col("component").as("poly")), Seq("k1"))
+      // downstream consumers branch over this frame several times
+      // (census reads it three ways; orderedVertices twice) and Spark
+      // does no CSE across branches — truncate here so the CC join
+      // runs once
+      .localCheckpoint(true)
   }
 
   /** ORDERED vertex sequences — the geometry export a GIS consumer

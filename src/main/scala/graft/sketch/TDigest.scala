@@ -29,15 +29,6 @@ import org.apache.spark.sql.functions.udaf
   * merge-order-invariant by the accuracy bound. Queries needing exact,
   * engine-replayable quantiles keep a7's exact percentile; the digest
   * is the single-pass path when the corpus no longer fits one. */
-/** Map-side accumulation buffer: flattened (mean, weight) pairs in a
-  * capacity-doubling array with an explicit fill cursor — only
-  * `buf(0 until fill)` is live; the slack beyond the cursor is
-  * uninitialized capacity. Both fill and capacity are bounded by
-  * ~2·bufCap doubles (the bufCap-boundary compress in `reduce` keeps
-  * fill small and reuses the array), so a serialized partial buffer is
-  * at most ~2·bufCap doubles per group — same order as before. */
-final case class TDigestBuf(buf: Array[Double], fill: Int)
-
 object TDigest {
 
   /** Compress a flattened (mean, weight) pair array to the k₁-scale
@@ -157,3 +148,12 @@ object TDigest {
   def digest(c: Column, delta: Double = 200.0, bufCap: Int = 512): Column =
     udaf(new TDigestAgg(delta, bufCap), Encoders.scalaDouble)(c)
 }
+
+/** Map-side accumulation buffer: flattened (mean, weight) pairs in a
+  * capacity-doubling array with an explicit fill cursor — only
+  * `buf(0 until fill)` is live; the slack beyond the cursor is
+  * uninitialized capacity. Both fill and capacity are bounded by
+  * ~2·bufCap doubles (the bufCap-boundary compress in `reduce` keeps
+  * fill small and reuses the array), so a serialized partial buffer is
+  * at most ~2·bufCap doubles per group — same order as before. */
+final case class TDigestBuf(buf: Array[Double], fill: Int)

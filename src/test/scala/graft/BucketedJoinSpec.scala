@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Bucketing: the pre-shuffle co-location strategy for repeated big-big
@@ -56,18 +53,7 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
-  private def exchanges(p: SparkPlan): Int = {
-    // recurse into materialized query stages: QueryStageExec is a LEAF
-    // node, so a naive collect over an executed adaptive plan sees
-    // nothing inside the stages — a zero count would be vacuous
-    val expanded = p.collect {
-      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        exchanges(q.plan)
-      case _: ShuffleExchangeExec => 1
-    }
-    expanded.sum
-  }
+  import PlanCounts.exchanges
 
   test("bucketed-by-key join plans with ZERO exchange; unbucketed pays two") {
     import spark.implicits._

@@ -1,11 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-
 import graft.core.{Bounds, RasterSpec}
 import graft.ops.TileAlgebra
 import graft.scan.{AssetRow, FakeReader, ModRampReader, TileScan}
@@ -13,24 +8,13 @@ import graft.scan.v2.TileSourceV2
 
 /** Storage-partitioned tile×tile band algebra
   * (TileAlgebra.binaryAligned): the V2 scan's KeyGroupedPartitioning
-  * lets the band-align cogroup plan with ZERO Exchange — and the spec
+  * lets the band-align join plan with ZERO Exchange — and the spec
   * pins the success shape, the raw SMJ-on-partition-keys form, and the
-  * failure mode (mismatched chunk grids). Plan traversal recurses into
-  * AQE query stages (QueryStageExec is a LEAF node — a naive collect
-  * sees nothing inside a materialized stage). */
+  * degradation (a side without reported partitioning). Plan traversal
+  * via PlanCounts (stage-aware — see its scaladoc). */
 class SpjSpec extends SparkSpec {
 
-  private def countIn(p: SparkPlan)(pf: PartialFunction[SparkPlan, Int]): Int =
-    p.collect {
-      case a: AdaptiveSparkPlanExec => countIn(a.executedPlan)(pf)
-      case q: QueryStageExec => countIn(q.plan)(pf)
-      case n if pf.isDefinedAt(n) => pf(n)
-    }.sum
-
-  private def exchanges(p: SparkPlan): Int =
-    countIn(p) { case _: ShuffleExchangeExec => 1 }
-  private def smjs(p: SparkPlan): Int =
-    countIn(p) { case _: SortMergeJoinExec => 1 }
+  import PlanCounts.{exchanges, smjs}
   private val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
   private def asset(item: Int, band: String, url: String) =
     AssetRow(item, 0, band, item.toLong * 1000000L, url,
