@@ -12949,6 +12949,74 @@ object Queries {
              |  CAST(sum(node) AS BIGINT) AS pos_chk
              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- R39: ZONAL STATISTICS OVER DATA-DERIVED ZONES — the
+    // hydrology capstone composition: the r35 basin labels ARE the zone
+    // raster (the classic "mean elevation per watershed" product), so
+    // zonal reduces to one equi-join of the DEM's pixel stream against
+    // the basin table plus a map-side-combined agg — no polygons, no
+    // point-in-polygon test, zones born from the data itself. Exercises
+    // the operators composing (d8 → edges → basins → join back to
+    // pixels) rather than in isolation; integer DEM keeps every sum
+    // exact.
+    Q("r39_basin_zonal",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Flow, Focal}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(11))
+        val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+        val basins = Flow.basins(Flow.d8Edges(dirs, 50, 50, 150, 150), rounds = 8)
+        val px = tiles.flatMap { t =>
+          for { r <- 0 until t.height; c <- 0 until t.width } yield {
+            val gr = t.yChunk * 50 + t.rowOff + r
+            val gc = t.xChunk * 50 + t.colOff + c
+            (gr.toLong * 150 + gc, math.round(t.pixels(r * t.width + c)))
+          }
+        }.toDF("node", "z")
+        basins.join(px, Seq("node"))
+          .groupBy($"basin")
+          .agg(count(lit(1)).as("n_cells"), sum($"z").as("sum_z"),
+               max($"z").as("max_z"), sum($"node").as("pos_chk"))
+          .orderBy($"basin")
+      },
+      Some("""WITH RECURSIVE
+             |px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |       WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES
+             |  (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 1), (3, 1, -1, 2),
+             |  (4, 0, -1, 1), (5, -1, -1, 2), (6, -1, 0, 1), (7, -1, 1, 2)
+             |  ) AS v(ord, dr, dc, dist2)),
+             |rates AS (SELECT p.r, p.c, d.ord, d.dr, d.dc,
+             |    CAST((p.r*p.r + p.c*p.c) % 11
+             |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 11 AS DOUBLE)
+             |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+             |  FROM px p CROSS JOIN dirs d),
+             |rk AS (SELECT r, c, dr, dc, rate,
+             |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+             |  FROM rates),
+             |e AS (SELECT r*150 + c AS src, (r+dr)*150 + (c+dc) AS dst
+             |      FROM rk WHERE rn = 1 AND rate > 0),
+             |walk AS (SELECT src AS node, dst AS cur FROM e
+             |         UNION ALL SELECT w.node, e.dst FROM walk w JOIN e ON w.cur = e.src),
+             |fin AS (SELECT node, cur AS basin FROM walk
+             |          WHERE cur NOT IN (SELECT src FROM e)
+             |        UNION ALL
+             |        SELECT DISTINCT dst, dst FROM e
+             |          WHERE dst NOT IN (SELECT src FROM e)),
+             |z AS (SELECT f.node, f.basin,
+             |        ((f.node // 150) * (f.node // 150)
+             |          + (f.node % 150) * (f.node % 150)) % 11 AS z
+             |      FROM fin f)
+             |SELECT CAST(basin AS BIGINT) AS basin, count(*) AS n_cells,
+             |  CAST(sum(z) AS BIGINT) AS sum_z, CAST(max(z) AS BIGINT) AS max_z,
+             |  CAST(sum(node) AS BIGINT) AS pos_chk
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- R36: CONTOUR POLYLINE STITCHING — r34's segments merged into
     // whole iso-lines with stable ids (ops.Contour.stitch): polylines are
     // the connected components of the segment graph (vertex = quantized
