@@ -13224,6 +13224,77 @@ object Queries {
              |  CAST(sum(ord * (cur % 4294967296)) AS BIGINT) AS ordx_chk
              |FROM wk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- S21: STREAMING exact-substring contamination screen — x48's
+    // batch/stream symmetry member (the s19/s20 pattern): eval documents
+    // arrive in 4 staged micro-batches and each batch is screened
+    // against the STORED train-gram index (built once, a lazy persisted
+    // stream-static join side — the s9 admission-index shape) with one
+    // gram equi-join per ladder rung. Driver state is O(ladder): eval
+    // docs partition across batches (each doc arrives exactly once), so
+    // per-batch (n_docs_hit, id_chk) censuses are DISJOINT and simply
+    // add — no per-doc driver set, bounded at any stream length. Gate:
+    // the accumulated ladder census must equal x48's batch answer
+    // exactly (oracle: the same SQL).
+    Q("s21_stream_decontam",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.ExactSubstr
+        val lengths = Seq(8, 16, 32)
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val trainGrams = lengths.map { l =>
+          l -> ExactSubstr.grams(docs.filter($"doc_id" % 5 =!= 0), "text", l)
+            .localCheckpoint(true) // the index is built ONCE, joined per batch
+        }.toMap
+        val ev = docs.filter($"doc_id" % 5 === 0).localCheckpoint(true)
+        val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+          .withDefaultValue((0L, 0L))
+        val sdir = java.nio.file.Files.createTempDirectory("graft_s21_").toFile
+        sdir.deleteOnExit()
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(ev.schema)
+            .parquet(sdir.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              lengths.foreach { l =>
+                val eg = ExactSubstr.grams(batch, "text", l, keep = Seq("doc_id"))
+                val row = eg.join(trainGrams(l), Seq("g"))
+                  .select($"doc_id").distinct()
+                  .agg(count(lit(1)), coalesce(sum($"doc_id"), lit(0L))).head
+                val (n0, c0) = acc(l)
+                acc(l) = (n0 + row.getLong(0), c0 + row.getLong(1))
+              }
+              ()
+            }
+            .start()
+          (0 until 4).foreach { bi =>
+            ev.filter(expr("pmod(doc_id div 5, 4)") === bi)
+              .coalesce(1).write.mode("append").parquet(sdir.getAbsolutePath)
+            q.processAllAvailable()
+          }
+          q.stop()
+        } }
+        lengths.map(l => (l, acc(l)._1, acc(l)._2))
+          .toDF("gram_len", "n_docs_hit", "id_chk")
+          .orderBy($"gram_len")
+      },
+      Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          substr(e.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          substr(t2.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.g = trg.g)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X48: EXACT-SUBSTRING contamination census (Lee et al.'s
     // ExactSubstr, the exact-match complement of x6's gram overlap and
     // x24's contamination matrix): for each probe length L in the
