@@ -13332,7 +13332,80 @@ object Queries {
              |        JOIN trg ON evg.L = trg.L AND evg.g = trg.g)
              |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
              |  CAST(sum(doc_id) AS BIGINT) AS id_chk
-             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R40: TERRAIN-INDEX trio — TPI / TRI / roughness (the three
+    // `gdaldem` analysis verbs alongside hillshade r32, closing the
+    // gdaldem family) FUSED onto one halo exchange: three output bands
+    // from ONE shuffle of the DEM (three separate stencil passes would
+    // pay the data+halo shuffle three times for zero new bytes). Each
+    // index is kept in its exact-integer form (tpi8 = 8·zC − Σ8,
+    // trisq = Σ(zC−zN)², rough = max−min over the 3×3) — the
+    // hornGradSq discipline: /8 and √ are pointwise epilogues, and the
+    // integer forms make the census bit-exact in both engines. Census
+    // = per (band, chunk) count/sum/position-weighted checksum over the
+    // modramp DEM, so every pixel of all three bands is hash-gated.
+    Q("r40_terrain_indices",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.terrainIndices3x3(tiles, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.band, t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("band", "y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"band", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_v"),
+               sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"band", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |            WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |z AS (SELECT r, c, CAST((r*r + c*c) % 251 AS DOUBLE) AS v
+             |      FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |n AS (SELECT p.r, p.c, z0.v AS zc,
+             |        nw.v AS vnw, n2.v AS vn, ne.v AS vne, w.v AS vw,
+             |        e.v AS ve, sw.v AS vsw, s.v AS vs, se.v AS vse
+             |      FROM px p
+             |      JOIN z z0 ON z0.r = p.r   AND z0.c = p.c
+             |      JOIN z nw ON nw.r = p.r-1 AND nw.c = p.c-1
+             |      JOIN z n2 ON n2.r = p.r-1 AND n2.c = p.c
+             |      JOIN z ne ON ne.r = p.r-1 AND ne.c = p.c+1
+             |      JOIN z w  ON w.r  = p.r   AND w.c  = p.c-1
+             |      JOIN z e  ON e.r  = p.r   AND e.c  = p.c+1
+             |      JOIN z sw ON sw.r = p.r+1 AND sw.c = p.c-1
+             |      JOIN z s  ON s.r  = p.r+1 AND s.c  = p.c
+             |      JOIN z se ON se.r = p.r+1 AND se.c = p.c+1),
+             |i AS (SELECT r, c,
+             |        8*zc - (vnw+vn+vne+vw+ve+vsw+vs+vse) AS tpi8,
+             |        (zc-vnw)*(zc-vnw) + (zc-vn)*(zc-vn) + (zc-vne)*(zc-vne)
+             |        + (zc-vw)*(zc-vw) + (zc-ve)*(zc-ve) + (zc-vsw)*(zc-vsw)
+             |        + (zc-vs)*(zc-vs) + (zc-vse)*(zc-vse) AS trisq,
+             |        greatest(zc,vnw,vn,vne,vw,ve,vsw,vs,vse)
+             |        - least(zc,vnw,vn,vne,vw,ve,vsw,vs,vse) AS rough
+             |      FROM n),
+             |u AS (SELECT 'gray_tpi8' AS band, r, c, tpi8 AS v FROM i
+             |      UNION ALL SELECT 'gray_trisq', r, c, trisq FROM i
+             |      UNION ALL SELECT 'gray_rough', r, c, rough FROM i)
+             |SELECT band, CAST(r//50 AS INT) AS y_chunk,
+             |  CAST(c//50 AS INT) AS x_chunk, count(*) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

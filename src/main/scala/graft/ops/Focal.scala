@@ -177,6 +177,84 @@ object Focal {
     }
   }
 
+  /** The GDAL `gdaldem` terrain-INDEX trio — TPI, TRI, roughness (the
+    * three analysis verbs alongside slope/aspect/hillshade, closing the
+    * `gdaldem` family: reference users reach for these via
+    * rasterio/GDAL on the arrays `to_dask.py` hands them) — FUSED onto
+    * one halo exchange: one shuffle, three output bands per input band:
+    *
+    *   `<band>_tpi8`  = 8·zC − Σ(8 neighbors)      (Weiss 2001 TPI ×8)
+    *   `<band>_trisq` = Σ(zC − zNᵢ)²               (Riley 1999 TRI²)
+    *   `<band>_rough` = max(3×3) − min(3×3)        (GDAL roughness)
+    *
+    * Each is kept in its exact-integer form on integer DEMs — the
+    * [[hornGradSq3x3]] discipline: TPI's /8 mean, TRI's √ are pointwise,
+    * shape-preserving epilogues the caller applies when they want the
+    * textbook units, and omitting them keeps the distributed result
+    * bit-reproducible and oracle-replayable. Fusing matters at scale:
+    * the three indices share every byte of their neighborhood, so three
+    * separate stencil passes would pay the data+halo shuffle three
+    * times for zero additional information — here the padded chunk is
+    * shuffled ONCE and the per-pixel loop writes all three outputs
+    * (same fusion argument as A1's partial aggregates). Strict stencil:
+    * all three are NaN unless all 9 neighbors are in-grid and valid. */
+  def terrainIndices3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                        gridH: Int, gridW: Int): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    haloGroups(tiles, chunkY, chunkX, gridH, gridW, depth = 1) {
+      (band, tyc, txc, pad, padW, padR0, padC0) =>
+        val outH = math.min(chunkY, gridH - tyc * chunkY)
+        val outW = math.min(chunkX, gridW - txc * chunkX)
+        val tpi = new Array[Double](outH * outW)
+        val tri = new Array[Double](outH * outW)
+        val rgh = new Array[Double](outH * outW)
+        var r = 0
+        while (r < outH) {
+          val gr = tyc * chunkY + r
+          var c = 0
+          while (c < outW) {
+            val gc = txc * chunkX + c
+            val i = r * outW + c
+            var vT = Double.NaN; var vR = Double.NaN; var vG = Double.NaN
+            if (gr >= 1 && gr <= gridH - 2 && gc >= 1 && gc <= gridW - 2) {
+              val ctr = (gr - padR0) * padW + (gc - padC0)
+              val zC = pad(ctr)
+              var ok = !zC.isNaN
+              var sum = 0.0; var sq = 0.0; var mn = zC; var mx = zC
+              var dr = -1
+              while (dr <= 1 && ok) {
+                var dc = -1
+                while (dc <= 1 && ok) {
+                  if (dr != 0 || dc != 0) {
+                    val zN = pad(ctr + dr * padW + dc)
+                    if (zN.isNaN) ok = false
+                    else {
+                      sum += zN
+                      val d = zC - zN
+                      sq += d * d
+                      if (zN < mn) mn = zN
+                      if (zN > mx) mx = zN
+                    }
+                  }
+                  dc += 1
+                }
+                dr += 1
+              }
+              if (ok) { vT = 8.0 * zC - sum; vR = sq; vG = mx - mn }
+            }
+            tpi(i) = vT; tri(i) = vR; rgh(i) = vG
+            c += 1
+          }
+          r += 1
+        }
+        Iterator(
+          Tile(-1, 0, band + "_tpi8", 0L, tyc, txc, 0, 0, outH, outW, tpi),
+          Tile(-1, 0, band + "_trisq", 0L, tyc, txc, 0, 0, outH, outW, tri),
+          Tile(-1, 0, band + "_rough", 0L, tyc, txc, 0, 0, outH, outW, rgh))
+    }
+  }
+
   /** 5×5 binomial (Gaussian) weighted SUM — the smoothing kernel of
     * image pyramids and DEM denoising, and the first consumer of the
     * depth-2 halo. Weights are the binomial outer product

@@ -116,6 +116,71 @@ class FocalZonalSpec extends SparkSpec {
     }
   }
 
+  test("terrainIndices3x3 == driver dense TPI/TRI/roughness; NaN hole; fused bands") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    val out = Focal.terrainIndices3x3(tiles, 32, 32, grid, grid).collect()
+    val src = dense("fake://focal")
+    // three bands, each a full chunk cover
+    val bands = out.map(_.band).distinct.sorted
+    assert(bands.toSeq == Seq("g_rough", "g_tpi8", "g_trisq"))
+    val got = Map(
+      "g_tpi8" -> Array.fill(grid * grid)(Double.NaN),
+      "g_trisq" -> Array.fill(grid * grid)(Double.NaN),
+      "g_rough" -> Array.fill(grid * grid)(Double.NaN))
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got(t.band)((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) =
+          t.pixels(r * t.width + c)
+    }
+    for (r <- 0 until grid; c <- 0 until grid) {
+      val border = r < 1 || r > grid - 2 || c < 1 || c > grid - 2
+      val (wT, wR, wG) =
+        if (border) (Double.NaN, Double.NaN, Double.NaN)
+        else {
+          val zC = src(r * grid + c)
+          var sum = 0.0; var sq = 0.0; var mn = zC; var mx = zC
+          for (dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0) {
+            val zN = src((r + dr) * grid + c + dc)
+            sum += zN; sq += (zC - zN) * (zC - zN)
+            mn = math.min(mn, zN); mx = math.max(mx, zN)
+          }
+          (8.0 * zC - sum, sq, mx - mn)
+        }
+      def eq(g: Double, w: Double) = g == w || (g.isNaN && w.isNaN)
+      assert(eq(got("g_tpi8")(r * grid + c), wT), s"tpi ($r,$c)")
+      assert(eq(got("g_trisq")(r * grid + c), wR), s"tri ($r,$c)")
+      assert(eq(got("g_rough")(r * grid + c), wG), s"rough ($r,$c)")
+    }
+  }
+
+  test("terrainIndices3x3: NaN hole invalidates its 3x3 neighborhood in ALL bands") {
+    import spark.implicits._
+    val g = 8
+    val px = Array.tabulate(g * g)(i => (i % 7).toDouble)
+    px(3 * g + 3) = Double.NaN
+    val tiles = spark.createDataset(Seq(
+      Tile(0, 0, "z", 0L, 0, 0, 0, 0, g, g, px)))
+    val out = Focal.terrainIndices3x3(tiles, g, g, g, g).collect()
+    for (t <- out; r <- 1 until g - 1; c <- 1 until g - 1) {
+      val v = t.pixels(r * g + c)
+      val nearHole = math.abs(r - 3) <= 1 && math.abs(c - 3) <= 1
+      assert(v.isNaN == nearHole, s"${t.band} ($r,$c): $v nearHole=$nearHole")
+    }
+  }
+
+  test("terrainIndices3x3 is parallelism-invariant (4 vs 1 partitions)") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+      readerFor = a => FakeReader(a.url))
+    def census(ts: org.apache.spark.sql.Dataset[Tile]) =
+      Focal.terrainIndices3x3(ts, 32, 32, grid, grid).collect()
+        .map(t => (t.band, t.yChunk, t.xChunk) ->
+          t.pixels.filterNot(_.isNaN).sum).toMap
+    assert(census(tiles) == census(tiles.repartition(1)))
+  }
+
   test("halo depth must stay under the chunk size (loud guard)") {
     import spark.implicits._
     // depth 2 needs chunk > 2: a 2-pixel chunk would need fragments
