@@ -13227,9 +13227,10 @@ object Queries {
     // ----- S21: STREAMING exact-substring contamination screen — x48's
     // batch/stream symmetry member (the s19/s20 pattern): eval documents
     // arrive in 4 staged micro-batches and each batch is screened
-    // against the STORED train-gram index (built once, a lazy persisted
-    // stream-static join side — the s9 admission-index shape) with one
-    // gram equi-join per ladder rung. Driver state is O(ladder): eval
+    // against the STORED train-gram index (all rungs in one frame, built
+    // once, checkpointed, and never re-shuffled: the batch side
+    // BROADCASTS into the join — the s9 admission-index shape, one
+    // map-side index scan per batch). Driver state is O(ladder): eval
     // docs partition across batches (each doc arrives exactly once), so
     // per-batch (n_docs_hit, id_chk) censuses are DISJOINT and simply
     // add — no per-doc driver set, bounded at any stream length. Gate:
@@ -13241,10 +13242,14 @@ object Queries {
         import graft.text.ExactSubstr
         val lengths = Seq(8, 16, 32)
         val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        val trainGrams = lengths.map { l =>
-          l -> ExactSubstr.grams(docs.filter($"doc_id" % 5 =!= 0), "text", l)
-            .localCheckpoint(true) // the index is built ONCE, joined per batch
-        }.toMap
+        // ONE multi-rung index, built once and checkpointed: per-batch
+        // screens broadcast the batch against it, so the index is never
+        // re-shuffled (the s9 admission shape; was 3 checkpointed frames
+        // re-exchanged by 12 stream-static joins — 21 s at sf0.1, now one
+        // map-side scan per batch).
+        val idx = ExactSubstr
+          .buildIndex(docs.filter($"doc_id" % 5 =!= 0), "text", lengths)
+          .localCheckpoint(true)
         val ev = docs.filter($"doc_id" % 5 === 0).localCheckpoint(true)
         val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
           .withDefaultValue((0L, 0L))
@@ -13255,14 +13260,13 @@ object Queries {
             .parquet(sdir.getAbsolutePath)
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              lengths.foreach { l =>
-                val eg = ExactSubstr.grams(batch, "text", l, keep = Seq("doc_id"))
-                val row = eg.join(trainGrams(l), Seq("g"))
-                  .select($"doc_id").distinct()
-                  .agg(count(lit(1)), coalesce(sum($"doc_id"), lit(0L))).head
-                val (n0, c0) = acc(l)
-                acc(l) = (n0 + row.getLong(0), c0 + row.getLong(1))
-              }
+              ExactSubstr
+                .screenBatch(idx, batch, "text", "doc_id", lengths)
+                .collect().foreach { row =>
+                  val l = row.getInt(0)
+                  val (n0, c0) = acc(l)
+                  acc(l) = (n0 + row.getLong(1), c0 + row.getLong(2))
+                }
               ()
             }
             .start()
@@ -13405,7 +13409,173 @@ object Queries {
              |  CAST(c//50 AS INT) AS x_chunk, count(*) AS n_px,
              |  CAST(sum(v) AS BIGINT) AS sum_v,
              |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- R41: DEPRESSION FILLING (Planchon & Darboux 2001; SAGA
+    // "Fill Sinks", ArcGIS "Fill") — the HEAD of the hydrology pipeline
+    // (fill → D8 → accumulation → Strahler → basins): the filled water
+    // surface is the unique fixpoint of W = max(z, min₈(W_n)) from W = z
+    // on the border, i.e. every pit rises to its spill level. Spark runs
+    // BLOCK Gauss–Seidel (per-chunk relaxation to local fixpoint between
+    // depth-1 halo rounds — information moves a CHUNK per round, 3
+    // rounds here vs 30 pointwise Jacobi iterations); the oracle unrolls
+    // plain Jacobi to the same unique fixpoint (scheduling-independent,
+    // so the two engines replay each other exactly on the integer DEM).
+    // Census = per-chunk fill DEPTH (W − z): pooled-water cells, exact
+    // integer volume, position checksum — every pixel hash-gated.
+    Q("r41_fill_sinks",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Flow
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 20,
+          readerFor = _ => ModRampReader(13))
+        Flow.fillDepth(tiles, 20, 20, 60, 60, rounds = 16)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 20 + r
+              val gc = t.xChunk * 20 + c
+              (t.yChunk, t.xChunk, v.toLong, gr.toLong * 60 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "d", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"),
+               sum(when($"d" > 0, 1L).otherwise(0L)).as("n_filled"),
+               sum($"d").as("sum_depth"),
+               sum($"d" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some {
+        val prefix =
+          """WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+            |        CAST((r*r + c*c) % 13 AS DOUBLE) AS z
+            |      FROM range(0,60) t(r) CROSS JOIN range(0,60) u(c)),
+            |off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+            |        (0,1),(1,-1),(1,0),(1,1)) o(dr, dc)),
+            |w0 AS (SELECT r, c, CASE WHEN r = 0 OR r = 59 OR c = 0 OR c = 59
+            |        THEN z ELSE 1e18 END AS w FROM z)""".stripMargin
+        // unroll Jacobi past its fixpoint (30 iterations on this DEM —
+        // measured; 40 is safely converged, and the fixpoint is unique
+        // so overshoot is the identity). AS MATERIALIZED is load-bearing:
+        // DuckDB inlines single-reference CTEs, and a 40-deep inlined
+        // join tree sends its join-order planner exponential (measured
+        // minutes at depth 8; 0.4 s materialized at depth 40).
+        val iters = (1 to 40).map { i =>
+          s""",
+            |w$i AS MATERIALIZED (SELECT t.r, t.c,
+            |    CASE WHEN t.r = 0 OR t.r = 59 OR t.c = 0 OR t.c = 59 THEN t.z
+            |         ELSE greatest(t.z, min(p.w)) END AS w
+            |  FROM z t JOIN off o ON true
+            |  JOIN w${i - 1} p ON p.r = t.r + o.dr AND p.c = t.c + o.dc
+            |  GROUP BY t.r, t.c, t.z)""".stripMargin
+        }.mkString
+        val suffix =
+          """
+            |SELECT CAST(z.r // 20 AS INT) AS y_chunk,
+            |  CAST(z.c // 20 AS INT) AS x_chunk,
+            |  count(*) AS n_px,
+            |  CAST(sum(CASE WHEN f.w > z.z THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_filled,
+            |  CAST(sum(f.w - z.z) AS BIGINT) AS sum_depth,
+            |  CAST(sum((f.w - z.z) * (z.r*60 + z.c)) AS BIGINT) AS pos_chk
+            |FROM z JOIN w40 f ON f.r = z.r AND f.c = z.c
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        prefix + iters + suffix
+      }),
+
+    // ----- R42: COST DISTANCE (ArcGIS Cost Distance / GRASS r.cost) —
+    // the weighted-geodesic companion on the same ops.Flow block-
+    // relaxation machinery as r41: least accumulated friction from two
+    // source cells over 4-connected paths, step cost f(u)+f(v) (the ×2
+    // exact-integer form of the standard average-friction step — /2 is
+    // a pointwise epilogue, the tpi8 discipline). Spark relaxes each
+    // chunk to a local fixpoint between depth-1 halo rounds (friction
+    // halo rides the exchange; 3 block rounds here vs 58 pointwise
+    // Jacobi iterations); the oracle unrolls plain Jacobi to the same
+    // unique fixpoint. Census = per-chunk reached-cell count, exact
+    // cost mass, position checksum.
+    Q("r42_cost_distance",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Flow
+        import graft.scan.{AssetRow, ModRampReader, Tile, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+        // friction = modramp(7) + 1 (strictly positive crossing cost)
+        val friction = TileScan.scan(s, assets, spec, chunk = 20,
+            readerFor = _ => ModRampReader(7))
+          .map(t => t.copy(pixels = t.pixels.map(_ + 1.0)))
+        // two sources: (7,9) and (43,31), as sparse mask tiles on the
+        // same chunk grid/band (chunks without sources need no tile)
+        def srcTile(yc: Int, xc: Int, r: Int, c: Int): Tile = {
+          val px = new Array[Double](400)
+          px(r * 20 + c) = 1.0
+          Tile(0, 0, "gray", 0L, yc, xc, 0, 0, 20, 20, px)
+        }
+        val sources = s.createDataset(Seq(
+          srcTile(0, 0, 7, 9), srcTile(2, 1, 3, 11)))
+        Flow.costDistance(friction, sources, 20, 20, 60, 60, rounds = 24)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 20 + r
+              val gc = t.xChunk * 20 + c
+              (t.yChunk, t.xChunk, v.toLong, gr.toLong * 60 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "w2", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_reached"),
+               sum($"w2").as("sum_w2"),
+               sum($"w2" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some {
+        val prefix =
+          """WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+            |        CAST((r*r + c*c) % 7 + 1 AS DOUBLE) AS f
+            |      FROM range(0,60) t(r) CROSS JOIN range(0,60) u(c)),
+            |off AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) o(dr, dc)),
+            |w0 AS (SELECT r, c, CASE WHEN (r = 7 AND c = 9)
+            |        OR (r = 43 AND c = 31) THEN 0 ELSE 1e18 END AS w FROM z)""".stripMargin
+        // unroll Jacobi past its fixpoint (58 iterations on this
+        // fixture — measured; 70 is safely converged, the fixpoint is
+        // unique so overshoot is the identity). AS MATERIALIZED: see the
+        // r41 oracle — inlined CTE chains blow up DuckDB's join planner.
+        val iters = (1 to 70).map { i =>
+          s""",
+            |w$i AS MATERIALIZED (SELECT t.r, t.c,
+            |    least(min(p0.w), min(p.w + zf.f + t.f)) AS w
+            |  FROM z t
+            |  JOIN w${i - 1} p0 ON p0.r = t.r AND p0.c = t.c
+            |  JOIN off o ON true
+            |  JOIN w${i - 1} p ON p.r = t.r + o.dr AND p.c = t.c + o.dc
+            |  JOIN z zf ON zf.r = p.r AND zf.c = p.c
+            |  GROUP BY t.r, t.c)""".stripMargin
+        }.mkString
+        val suffix =
+          """
+            |SELECT CAST(f.r // 20 AS INT) AS y_chunk,
+            |  CAST(f.c // 20 AS INT) AS x_chunk,
+            |  count(*) AS n_reached,
+            |  CAST(sum(f.w) AS BIGINT) AS sum_w2,
+            |  CAST(sum(f.w * (f.r*60 + f.c)) AS BIGINT) AS pos_chk
+            |FROM w70 f WHERE f.w < 1e17
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        prefix + iters + suffix
+      })
   )
 
   private val qs: Seq[Q] =

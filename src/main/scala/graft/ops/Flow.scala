@@ -203,6 +203,400 @@ object Flow {
       .unionByName(terminals)
   }
 
+  /** One chunk of the depression-filling state: the static DEM `z` and
+    * the current water surface `w`, both dense row-major over the
+    * chunk's in-grid rectangle. `changed` marks whether the last round
+    * lowered any cell — the distributed fixpoint signal. */
+  final case class FillChunk(band: String, tyc: Int, txc: Int,
+      height: Int, width: Int, changed: Boolean,
+      z: Array[Double], w: Array[Double])
+
+  /** One shuffled fragment of a fill round: a sub-rectangle of a source
+    * chunk's `w` surface addressed to chunk (tyc, txc) in absolute grid
+    * coordinates. `z` is non-empty only on the self fragment (the DEM
+    * never needs to cross chunk borders: the update for a cell reads
+    * z(cell) and w(neighbors)). Source rectangles are disjoint, so the
+    * splice is order-independent — no layer tiebreak needed. */
+  final case class FillFrag(band: String, tyc: Int, txc: Int,
+      row0: Int, col0: Int, height: Int, width: Int,
+      w: Array[Double], z: Array[Double])
+
+  /** DEPRESSION FILLING (Planchon & Darboux 2001; SAGA "Fill Sinks",
+    * ArcGIS "Fill") — the head of the hydrology pipeline: raw DEMs are
+    * full of spurious pits that swallow [[d8Edges]] flow, so fill is
+    * what runs BEFORE direction/accumulation/basins. The filled surface
+    * is the unique fixpoint of
+    *
+    *   W(c) = max(z(c), min over 8 neighbors (W(n) + eps))
+    *
+    * from W = z on outlets (grid border or any cell flanking nodata)
+    * and +inf elsewhere; every cell ends at its spill level — the
+    * minimax over border paths of path-max elevation. eps = 0 gives the
+    * classic fill (flat lakes at spill level, exact integers on integer
+    * DEMs — the oracle form); eps > 0 additionally enforces a strict
+    * drainage gradient across the filled flats.
+    *
+    * Distributed form: BLOCK GAUSS–SEIDEL over halo rounds. Per round,
+    * each chunk ships its depth-1 `w` border strips to its ≤ 8
+    * neighbors (the [[Focal]] ghost-cell exchange; the DEM itself rides
+    * only the self fragment), then relaxes its own cells to a LOCAL
+    * fixpoint with alternating-direction sweeps — updates are monotone
+    * non-increasing and bounded below by z, so both the inner sweeps
+    * and the outer rounds converge. Shuffle per round = 2×data +
+    * 4·perimeter strips; rounds ≈ the spill-path diameter measured in
+    * CHUNKS (each round moves information one full chunk, vs one CELL
+    * for pointwise Jacobi) — on real terrain a handful of rounds for
+    * thousands of chunks. `rounds` is a cap with fixpoint early-exit
+    * and the loud budget guard of the other iterative ops. */
+  def fillSinks(dem: Dataset[Tile], chunkY: Int, chunkX: Int,
+                gridH: Int, gridW: Int, rounds: Int,
+                eps: Double = 0.0): Dataset[Tile] = {
+    val spark = dem.sparkSession
+    import spark.implicits._
+    fillState(dem, chunkY, chunkX, gridH, gridW, rounds, eps).map { fc =>
+      Tile(-1, 0, fc.band, 0L, fc.tyc, fc.txc, 0, 0, fc.height, fc.width, fc.w)
+    }
+  }
+
+  /** Fill DEPTH (W − z): how much water pools on every cell — 0 on
+    * unfilled terrain, > 0 inside filled depressions. The read-out a
+    * sink-census or a "wetland candidate" screen wants; same loop as
+    * [[fillSinks]]. */
+  def fillDepth(dem: Dataset[Tile], chunkY: Int, chunkX: Int,
+                gridH: Int, gridW: Int, rounds: Int,
+                eps: Double = 0.0): Dataset[Tile] = {
+    val spark = dem.sparkSession
+    import spark.implicits._
+    fillState(dem, chunkY, chunkX, gridH, gridW, rounds, eps).map { fc =>
+      val d = new Array[Double](fc.height * fc.width)
+      var i = 0
+      while (i < d.length) { d(i) = fc.w(i) - fc.z(i); i += 1 }
+      Tile(-1, 0, fc.band, 0L, fc.tyc, fc.txc, 0, 0, fc.height, fc.width, d)
+    }
+  }
+
+  private def fillState(dem: Dataset[Tile], chunkY: Int, chunkX: Int,
+                        gridH: Int, gridW: Int, rounds: Int,
+                        eps: Double): Dataset[FillChunk] = {
+    require(eps >= 0.0, s"Flow: eps=$eps must be >= 0")
+    val spark = dem.sparkSession
+    import spark.implicits._
+
+    // ---- init: dense per-chunk z (highest itemIdx wins, the haloGroups
+    // overlap convention); W = z on the grid border (outlets), +inf
+    // interior, NaN rides NaN.
+    val init: Dataset[FillChunk] = dem
+      .groupByKey(t => (t.band, t.yChunk, t.xChunk))
+      .mapGroups { (key: (String, Int, Int), ts: Iterator[Tile]) =>
+        val (band, tyc, txc) = key
+        val outH = math.min(chunkY, gridH - tyc * chunkY)
+        val outW = math.min(chunkX, gridW - txc * chunkX)
+        val z = spliceChunk(ts, tyc, txc, outW, outH)
+        val w = new Array[Double](outH * outW)
+        var i = 0
+        while (i < w.length) {
+          val gr = tyc * chunkY + i / outW
+          val gc = txc * chunkX + i % outW
+          val zi = z(i)
+          w(i) =
+            if (zi.isNaN) Double.NaN
+            else if (gr == 0 || gr == gridH - 1 || gc == 0 || gc == gridW - 1) zi
+            else Double.PositiveInfinity
+          i += 1
+        }
+        FillChunk(band, tyc, txc, outH, outW, changed = true, z, w)
+      }.localCheckpoint(true)
+
+    // Gauss–Seidel kernel: w only ever decreases (monotone, bounded
+    // below by z over the finite lattice {z_j + k·eps}), so the inner
+    // sweeps terminate; a NaN w-neighbor (out of grid, nodata, or a
+    // missing chunk) is an outlet at -inf, making W = z there — which
+    // is exactly the border/nodata-flank condition.
+    blockRelax(init, chunkY, chunkX, gridH, gridW, rounds,
+        shipZHalo = false, what = "the fill",
+        budgetHint = "rounds must cover the spill-path diameter in chunks") {
+      (zPad, wPad, outH, outW, padW) =>
+        val offs = Array(-padW - 1, -padW, -padW + 1, -1, 1,
+          padW - 1, padW, padW + 1)
+        var changed = false
+        var sweepChanged = true
+        var fwd = true
+        val n = outH * outW
+        while (sweepChanged) {
+          sweepChanged = false
+          var k = 0
+          while (k < n) {
+            val i = if (fwd) k else n - 1 - k
+            val pi = (i / outW + 1) * padW + (i % outW + 1)
+            val zi = zPad(pi)
+            if (!zi.isNaN) {
+              val old = wPad(pi)
+              var m = Double.PositiveInfinity
+              var outlet = false
+              var d = 0
+              while (d < 8) {
+                val v = wPad(pi + offs(d))
+                if (v.isNaN) outlet = true else if (v < m) m = v
+                d += 1
+              }
+              val cand = if (outlet) zi else math.max(zi, m + eps)
+              if (cand < old) {
+                wPad(pi) = cand
+                sweepChanged = true
+                changed = true
+              }
+            }
+            k += 1
+          }
+          fwd = !fwd
+        }
+        changed
+    }
+  }
+
+  /** COST DISTANCE (ArcGIS Cost Distance / GRASS r.cost) — the weighted
+    * geodesic companion of [[fillSinks]] on the same block-relaxation
+    * machinery: every cell's least accumulated cost to reach ANY source
+    * cell over 4-connected paths, where stepping u→v costs
+    * (f(u)+f(v))/2 (the standard average-friction step). Returned in
+    * the ×2 EXACT-INTEGER form (step cost f(u)+f(v)) — the tpi8/trisq
+    * discipline: /2 is a pointwise epilogue, and integer friction makes
+    * the distributed result bit-exact and oracle-replayable.
+    *
+    * Inputs: a friction surface (per-cell crossing cost ≥ 0; NaN =
+    * impassable barrier) and a source MASK layer on the same chunk grid
+    * and band (> 0 marks a source). Unreachable cells (walled off, or
+    * nodata) come back NaN.
+    *
+    * Same fixpoint/scale story as the fill: W = min(W, min₄(W_n +
+    * f_n + f_c)) is monotone non-increasing from W = 0 at sources and
+    * +inf elsewhere, block Gauss–Seidel relaxes each chunk to a local
+    * fixpoint between depth-1 halo rounds (the friction halo rides the
+    * exchange too — neighbor costs cross borders, unlike the fill's
+    * center-only z), rounds ≈ how many chunk borders the optimal paths
+    * cross, and the budget guard throws loudly. */
+  def costDistance(friction: Dataset[Tile], sources: Dataset[Tile],
+                   chunkY: Int, chunkX: Int, gridH: Int, gridW: Int,
+                   rounds: Int): Dataset[Tile] = {
+    val spark = friction.sparkSession
+    import spark.implicits._
+    val init: Dataset[FillChunk] = friction
+      .groupByKey(t => (t.band, t.yChunk, t.xChunk))
+      .cogroup(sources.groupByKey(t => (t.band, t.yChunk, t.xChunk))) {
+        (key: (String, Int, Int), fts: Iterator[Tile], sts: Iterator[Tile]) =>
+          val (band, tyc, txc) = key
+          val outH = math.min(chunkY, gridH - tyc * chunkY)
+          val outW = math.min(chunkX, gridW - txc * chunkX)
+          val z = spliceChunk(fts, tyc, txc, outW, outH)
+          val mask = spliceChunk(sts, tyc, txc, outW, outH)
+          val w = new Array[Double](outH * outW)
+          var i = 0
+          while (i < w.length) {
+            val zi = z(i)
+            if (!zi.isNaN && zi < 0) throw new IllegalArgumentException(
+              s"Flow.costDistance: negative friction $zi at chunk " +
+              s"($tyc,$txc) cell $i — step costs must be >= 0")
+            w(i) =
+              if (zi.isNaN) Double.NaN // a source on a barrier is void
+              else if (!mask(i).isNaN && mask(i) > 0) 0.0
+              else Double.PositiveInfinity
+            i += 1
+          }
+          Iterator.single(
+            FillChunk(band, tyc, txc, outH, outW, changed = true, z, w))
+      }.localCheckpoint(true)
+
+    val fixed = blockRelax(init, chunkY, chunkX, gridH, gridW, rounds,
+        shipZHalo = true, what = "cost distance",
+        budgetHint =
+          "rounds must cover the chunk-border crossings of the " +
+          "costliest optimal path") {
+      (zPad, wPad, outH, outW, padW) =>
+        val offs = Array(-padW, -1, 1, padW)
+        var changed = false
+        var sweepChanged = true
+        var fwd = true
+        val n = outH * outW
+        while (sweepChanged) {
+          sweepChanged = false
+          var k = 0
+          while (k < n) {
+            val i = if (fwd) k else n - 1 - k
+            val pi = (i / outW + 1) * padW + (i % outW + 1)
+            val zi = zPad(pi)
+            if (!zi.isNaN) {
+              val old = wPad(pi)
+              var m = old
+              var d = 0
+              while (d < 4) {
+                val v = wPad(pi + offs(d))
+                val zf = zPad(pi + offs(d))
+                if (!v.isNaN && !zf.isNaN && v + zf + zi < m) m = v + zf + zi
+                d += 1
+              }
+              if (m < old) {
+                wPad(pi) = m
+                sweepChanged = true
+                changed = true
+              }
+            }
+            k += 1
+          }
+          fwd = !fwd
+        }
+        changed
+    }
+    fixed.map { fc =>
+      val w = fc.w.map(v => if (v.isInfinite) Double.NaN else v)
+      Tile(-1, 0, fc.band, 0L, fc.tyc, fc.txc, 0, 0, fc.height, fc.width, w)
+    }
+  }
+
+  /** Splice an iterator of (possibly partial, possibly overlapping)
+    * tiles of one chunk into a dense row-major array — highest itemIdx
+    * wins, the haloGroups overlap convention; uncovered cells are NaN. */
+  private def spliceChunk(ts: Iterator[Tile], tyc: Int, txc: Int,
+                          outW: Int, outH: Int): Array[Double] = {
+    val z = Array.fill(outH * outW)(Double.NaN)
+    ts.toArray.sortBy(t => (t.itemIdx, t.rowOff, t.colOff)).foreach { t =>
+      var r = 0
+      while (r < t.height) {
+        var c = 0
+        while (c < t.width) {
+          val v = t.pixels(r * t.width + c)
+          if (!v.isNaN) z((t.rowOff + r) * outW + (t.colOff + c)) = v
+          c += 1
+        }
+        r += 1
+      }
+    }
+    z
+  }
+
+  /** The shared BLOCK-RELAXATION driver behind [[fillSinks]] and
+    * [[costDistance]]: per round, every chunk ships its depth-1 `w`
+    * border strips (and, when `shipZHalo`, its static-`z` strips — cost
+    * steps read the neighbor's friction; the fill reads only center z)
+    * to its ≤ 8 neighbors, the group splice rebuilds the padded
+    * neighborhood, and `relax` lowers the chunk's own cells to a local
+    * fixpoint in place. Rounds repeat until NO chunk changed (the
+    * distributed fixpoint); `rounds` is a cap with the loud budget
+    * guard of the other iterative ops (one extra settled-probe round, so
+    * a budget of exactly the convergence depth passes).
+    *
+    * relax(zPad, wPad, outH, outW, padW) mutates wPad's interior and
+    * reports whether anything changed. Updates must be monotone
+    * non-increasing so block Gauss–Seidel converges to the same unique
+    * fixpoint as pointwise Jacobi (what the oracles replay), regardless
+    * of chunking or sweep order. */
+  private def blockRelax(init: Dataset[FillChunk], chunkY: Int, chunkX: Int,
+                         gridH: Int, gridW: Int, rounds: Int,
+                         shipZHalo: Boolean, what: String, budgetHint: String)(
+      relax: (Array[Double], Array[Double], Int, Int, Int) => Boolean)
+      : Dataset[FillChunk] = {
+    require(rounds >= 1, s"Flow: rounds=$rounds")
+    val spark = init.sparkSession
+    import spark.implicits._
+    val nYC = (gridH + chunkY - 1) / chunkY
+    val nXC = (gridW + chunkX - 1) / chunkX
+
+    def round(cur: Dataset[FillChunk]): Dataset[FillChunk] = {
+      val frags = cur.flatMap { s =>
+        val r0 = s.tyc * chunkY
+        val c0 = s.txc * chunkX
+        val self = FillFrag(s.band, s.tyc, s.txc, r0, c0,
+          s.height, s.width, s.w, s.z)
+        val nbrs = for {
+          dy <- -1 to 1
+          dx <- -1 to 1
+          if !(dy == 0 && dx == 0)
+          tyc = s.tyc + dy
+          txc = s.txc + dx
+          if tyc >= 0 && txc >= 0 && tyc < nYC && txc < nXC
+          pr0 = math.max(tyc * chunkY - 1, 0)
+          pr1 = math.min((tyc + 1) * chunkY + 1, gridH)
+          pc0 = math.max(txc * chunkX - 1, 0)
+          pc1 = math.min((txc + 1) * chunkX + 1, gridW)
+          ir0 = math.max(r0, pr0); ir1 = math.min(r0 + s.height, pr1)
+          ic0 = math.max(c0, pc0); ic1 = math.min(c0 + s.width, pc1)
+          if ir0 < ir1 && ic0 < ic1
+        } yield {
+          val h = ir1 - ir0
+          val w = ic1 - ic0
+          def strip(src: Array[Double]): Array[Double] = {
+            val px = new Array[Double](h * w)
+            var r = 0
+            while (r < h) {
+              System.arraycopy(src, (ir0 - r0 + r) * s.width + (ic0 - c0),
+                px, r * w, w)
+              r += 1
+            }
+            px
+          }
+          FillFrag(s.band, tyc, txc, ir0, ic0, h, w, strip(s.w),
+            if (shipZHalo) strip(s.z) else Array.emptyDoubleArray)
+        }
+        Iterator.single(self) ++ nbrs
+      }
+      frags.groupByKey(f => (f.band, f.tyc, f.txc)).mapGroups {
+        (key: (String, Int, Int), fit: Iterator[FillFrag]) =>
+          val (band, tyc, txc) = key
+          val outH = math.min(chunkY, gridH - tyc * chunkY)
+          val outW = math.min(chunkX, gridW - txc * chunkX)
+          val padR0 = tyc * chunkY - 1
+          val padC0 = txc * chunkX - 1
+          val padW = outW + 2
+          // pad cells outside the grid stay NaN — out-of-grid reads as
+          // an outlet (fill) / impassable (cost)
+          val wPad = Array.fill((outH + 2) * padW)(Double.NaN)
+          val zPad = Array.fill((outH + 2) * padW)(Double.NaN)
+          fit.foreach { f =>
+            var r = 0
+            while (r < f.height) {
+              var c = 0
+              while (c < f.width) {
+                val pi = (f.row0 - padR0 + r) * padW + (f.col0 - padC0 + c)
+                wPad(pi) = f.w(r * f.width + c)
+                if (f.z.nonEmpty) zPad(pi) = f.z(r * f.width + c)
+                c += 1
+              }
+              r += 1
+            }
+          }
+          val changed = relax(zPad, wPad, outH, outW, padW)
+          val n = outH * outW
+          val w = new Array[Double](n)
+          val z = new Array[Double](n)
+          var r = 0
+          while (r < outH) {
+            System.arraycopy(wPad, (r + 1) * padW + 1, w, r * outW, outW)
+            System.arraycopy(zPad, (r + 1) * padW + 1, z, r * outW, outW)
+            r += 1
+          }
+          FillChunk(band, tyc, txc, outH, outW, changed, z, w)
+      }
+    }
+
+    var cur = init
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
+      val next = round(cur).localCheckpoint(true)
+      converged = next.filter(_.changed).isEmpty
+      cur = next
+      it += 1
+    }
+    if (!converged) {
+      // one extra probe: the budget may be exactly the rounds needed
+      val settled = round(cur).filter(_.changed).isEmpty
+      if (!settled) throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before $what converged — " +
+        s"$budgetHint. Raise `rounds`: overshoot is free, the loop " +
+        "exits at the first fixpoint round.")
+    }
+    cur
+  }
+
   /** Strahler stream order (Strahler 1957) over the same functional
     * flow forest — hydrology's stream-classification primitive (order-1
     * headwaters; order rises only where two equal-order tributaries

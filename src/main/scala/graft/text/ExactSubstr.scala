@@ -41,6 +41,51 @@ object ExactSubstr {
       .distinct()
   }
 
+  /** The STORED index side of a streaming screen: one row per distinct
+    * (gram_len, g) over the train corpus, all ladder rungs in one frame.
+    * Built once, checkpointed by the caller, and then NEVER moved again:
+    * [[screenBatch]] broadcasts the (small) arriving batch against it,
+    * so the per-batch plan scans the index map-side with zero index
+    * shuffle — the s9 admission-index shape applied to decontamination.
+    * At 100 TB the index is the corpus; re-shuffling it per micro-batch
+    * is the scale-killer this split exists to avoid. */
+  def buildIndex(train: DataFrame, textCol: String,
+                 lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
+    lengths.map { l =>
+      grams(train, textCol, l).select(lit(l).as("gram_len"), col("g"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Screen one arriving batch of documents against a [[buildIndex]]
+    * frame: per ladder rung, how many batch docs share a verbatim
+    * L-char substring with the indexed corpus (+ id checksum). The
+    * batch side BROADCASTS — the contract is batch ≪ index (a
+    * decontamination screen admits eval/holdout docs in micro-batches
+    * against a corpus-sized index; the reverse would be x48's co-shuffle
+    * census). Guarded loudly: a corpus-sized frame passed as `batch`
+    * would OOM the broadcast, so doc count is capped. Rungs with zero
+    * hits emit no row (the caller's accumulator treats absence as +0). */
+  def screenBatch(index: DataFrame, batch: DataFrame, textCol: String,
+                  idCol: String, lengths: Seq[Int],
+                  maxBatchDocs: Long = 1000000L): DataFrame = {
+    require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
+    val n = batch.count()
+    require(n <= maxBatchDocs,
+      s"ExactSubstr.screenBatch: batch has $n docs (> $maxBatchDocs) — " +
+      "the batch side broadcasts; screen the small side against the " +
+      "index, or use sharedSubstrCensus for the corpus-vs-corpus form.")
+    val bg = lengths.map { l =>
+      grams(batch, textCol, l, keep = Seq(idCol))
+        .select(lit(l).as("gram_len"), col(idCol), col("g"))
+    }.reduce(_ unionByName _)
+    index.join(broadcast(bg), Seq("gram_len", "g"))
+      .select(col("gram_len"), col(idCol)).distinct()
+      .groupBy(col("gram_len"))
+      .agg(count(lit(1)).as("n_docs_hit"),
+           coalesce(sum(col(idCol)), lit(0L)).as("id_chk"))
+  }
+
   /** The ladder census: one row per probe length — how many eval docs
     * share an exact L-char substring with the train side, with an id
     * checksum. Hits are monotone downward in L by containment (an

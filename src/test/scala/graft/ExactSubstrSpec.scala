@@ -45,6 +45,42 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got(8) == (0L, 0L)) // both sides shorter than 8
   }
 
+  test("buildIndex + screenBatch: disjoint batches accumulate to the batch census") {
+    val s8 = "ABCDEFGH"
+    val s16 = "IJKLMNOPQRSTUVWX"
+    val train = Seq(
+      (1L, s"train filler one $s8 more filler"),
+      (2L, s"second train doc $s16 tail")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval ten ${s8}zz"),
+      (20L, s"eval twenty ${s16}zz"),
+      (40L, "entirely disjoint payload without any overlap at all QQ"))
+      .toDF("doc_id", "text")
+    val idx = ExactSubstr.buildIndex(train, "text", Seq(8, 16)).localCheckpoint(true)
+    // screen in two disjoint batches; censuses must ADD to the batch form
+    val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    Seq(eval.filter($"doc_id" <= 10), eval.filter($"doc_id" > 10)).foreach { b =>
+      ExactSubstr.screenBatch(idx, b, "text", "doc_id", Seq(8, 16))
+        .collect().foreach { r =>
+          val (n0, c0) = acc(r.getInt(0))
+          acc(r.getInt(0)) = (n0 + r.getLong(1), c0 + r.getLong(2))
+        }
+    }
+    assert(acc(8) == (2L, 30L), acc.toString)  // docs 10, 20
+    assert(acc(16) == (1L, 20L), acc.toString) // doc 20 only
+  }
+
+  test("screenBatch guards loudly against a corpus-sized batch side") {
+    val df = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val idx = ExactSubstr.buildIndex(df, "text", Seq(4))
+    val e = intercept[IllegalArgumentException] {
+      ExactSubstr.screenBatch(idx, df, "text", "doc_id", Seq(4),
+        maxBatchDocs = 0L)
+    }
+    assert(e.getMessage.contains("broadcasts"))
+  }
+
   test("grams are distinct per document and replay substring semantics") {
     val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val g = ExactSubstr.grams(df, "text", 2, keep = Seq("doc_id"))

@@ -241,4 +241,187 @@ class FlowSpec extends SparkSpec {
     }
     assert(got == want.toMap, s"sizes: got ${got.size} want ${want.size}")
   }
+
+  // ---- depression filling (Planchon–Darboux fixpoint) ----
+
+  /** Materialize fillSinks output as (globalRow, globalCol) -> W. */
+  private def fillMap(tiles: Seq[Tile], chunk: Int, grid: Int, rounds: Int,
+                      eps: Double = 0.0): Map[(Int, Int), Double] =
+    Flow.fillSinks(spark.createDataset(tiles), chunk, chunk, grid, grid,
+        rounds, eps)
+      .collect().flatMap { t =>
+        for (r <- 0 until t.height; c <- 0 until t.width)
+          yield (t.yChunk * chunk + r, t.xChunk * chunk + c) ->
+            t.pixels(r * t.width + c)
+      }.toMap
+
+  private def tile(yc: Int, xc: Int, h: Int, w: Int, px: Array[Double]) =
+    Tile(0, 0, "gray", 0L, yc, xc, 0, 0, h, w, px)
+
+  test("fillSinks: a bowl fills to its spill level (the wall)") {
+    // 5x5: wall 5 on the border, ring 1, pit 0 — everything interior
+    // fills to 5 (no channel out)
+    val z = Array[Double](
+      5, 5, 5, 5, 5,
+      5, 1, 1, 1, 5,
+      5, 1, 0, 1, 5,
+      5, 1, 1, 1, 5,
+      5, 5, 5, 5, 5)
+    val w = fillMap(Seq(tile(0, 0, 5, 5, z)), chunk = 5, grid = 5, rounds = 4)
+    for (r <- 1 to 3; c <- 1 to 3)
+      assert(w((r, c)) == 5.0, s"($r,$c) -> ${w((r, c))}")
+    for (i <- 0 to 4) assert(w((0, i)) == 5.0 && w((4, i)) == 5.0)
+  }
+
+  test("fillSinks: a border channel drains the bowl to the channel level") {
+    // same bowl, but border cell (2,4) = 2 is an outlet: every interior
+    // cell's minimax spill path runs through it -> W = 2 inside
+    val z = Array[Double](
+      5, 5, 5, 5, 5,
+      5, 1, 1, 1, 5,
+      5, 1, 0, 1, 2,
+      5, 1, 1, 1, 5,
+      5, 5, 5, 5, 5)
+    val w = fillMap(Seq(tile(0, 0, 5, 5, z)), chunk = 5, grid = 5, rounds = 4)
+    for (r <- 1 to 3; c <- 1 to 3)
+      assert(w((r, c)) == 2.0, s"($r,$c) -> ${w((r, c))}")
+    assert(w((2, 4)) == 2.0)
+
+    // eps = 1 enforces a strict gradient toward the outlet across the
+    // filled flat: hand fixpoint is 3/4/5 by column distance from it
+    val we = fillMap(Seq(tile(0, 0, 5, 5, z)), chunk = 5, grid = 5,
+      rounds = 6, eps = 1.0)
+    for (r <- 1 to 3) {
+      assert(we((r, 3)) == 3.0, s"($r,3) -> ${we((r, 3))}")
+      assert(we((r, 2)) == 4.0, s"($r,2) -> ${we((r, 2))}")
+      assert(we((r, 1)) == 5.0, s"($r,1) -> ${we((r, 1))}")
+    }
+  }
+
+  test("fillSinks: nodata flanks are outlets; NaN cells ride NaN") {
+    val z = Array[Double](
+      5, 5, 5, 5, 5,
+      5, 1, 1, 1, 5,
+      5, 1, Double.NaN, 1, 5,
+      5, 1, 1, 1, 5,
+      5, 5, 5, 5, 5)
+    val w = fillMap(Seq(tile(0, 0, 5, 5, z)), chunk = 5, grid = 5, rounds = 4)
+    assert(w((2, 2)).isNaN)
+    // every ring cell flanks the nodata hole -> outlet -> W = z = 1
+    for ((r, c) <- Seq((1, 1), (1, 2), (1, 3), (2, 1), (2, 3),
+                       (3, 1), (3, 2), (3, 3)))
+      assert(w((r, c)) == 1.0, s"($r,$c) -> ${w((r, c))}")
+  }
+
+  test("fillSinks: cross-chunk spill converges in chunk-hops; budget guards") {
+    // 9x9 at chunk 3 (3x3 chunks): z = 9 everywhere except a diagonal
+    // channel (k,k) = 1 for k in 2..8 and the pit (1,1) = 0. The pit's
+    // spill path exits at border cell (8,8): chunk-path (2,2) -> (1,1)
+    // -> (0,0), so block Gauss-Seidel needs 3 rounds + 1 quiescent.
+    val g = 9
+    val z = Array.tabulate(g * g) { i =>
+      val r = i / g; val c = i % g
+      if (r == c && r >= 2) 1.0 else if (r == 1 && c == 1) 0.0 else 9.0
+    }
+    val tiles = for (yc <- 0 until 3; xc <- 0 until 3) yield {
+      val px = Array.tabulate(9)(i => z((yc * 3 + i / 3) * g + xc * 3 + i % 3))
+      tile(yc, xc, 3, 3, px)
+    }
+    val w = fillMap(tiles, chunk = 3, grid = g, rounds = 8)
+    assert(w((1, 1)) == 1.0) // pit rises to the channel's spill level
+    for (k <- 2 to 7) assert(w((k, k)) == 1.0, s"channel ($k,$k)")
+    assert(w((1, 2)) == 9.0 && w((4, 5)) == 9.0) // off-channel untouched
+    val ex = intercept[IllegalStateException] {
+      fillMap(tiles, chunk = 3, grid = g, rounds = 2)
+    }
+    assert(ex.getMessage.contains("round budget"))
+    // budget exactly the rounds needed passes via the settled probe
+    assert(fillMap(tiles, chunk = 3, grid = g, rounds = 3)((1, 1)) == 1.0)
+  }
+
+  // ---- cost distance (weighted geodesic from sources) ----
+
+  private def costMap(friction: Seq[Tile], sources: Seq[Tile], chunk: Int,
+                      grid: Int, rounds: Int): Map[(Int, Int), Double] =
+    Flow.costDistance(spark.createDataset(friction),
+        spark.createDataset(sources), chunk, chunk, grid, grid, rounds)
+      .collect().flatMap { t =>
+        for (r <- 0 until t.height; c <- 0 until t.width)
+          yield (t.yChunk * chunk + r, t.xChunk * chunk + c) ->
+            t.pixels(r * t.width + c)
+      }.toMap
+
+  test("costDistance: hand-computed weighted geodesics around a ridge") {
+    // friction ridge down the middle column: the cheap path to the right
+    // side goes AROUND through the bottom row
+    val f = Array[Double](1, 9, 1, 1, 9, 1, 1, 1, 1)
+    val src = Array[Double](1, 0, 0, 0, 0, 0, 0, 0, 0) // source at (0,0)
+    val w = costMap(Seq(tile(0, 0, 3, 3, f)), Seq(tile(0, 0, 3, 3, src)),
+      chunk = 3, grid = 3, rounds = 4)
+    val want = Map((0, 0) -> 0.0, (0, 1) -> 10.0, (0, 2) -> 12.0,
+      (1, 0) -> 2.0, (1, 1) -> 12.0, (1, 2) -> 10.0,
+      (2, 0) -> 4.0, (2, 1) -> 6.0, (2, 2) -> 8.0)
+    assert(w == want, w.toString)
+  }
+
+  test("costDistance: NaN friction is an impassable barrier; cut-off cells NaN") {
+    val f = Array[Double](1, Double.NaN, 1, 1, Double.NaN, 1, 1, Double.NaN, 1)
+    val src = Array[Double](1, 0, 0, 0, 0, 0, 0, 0, 0)
+    val w = costMap(Seq(tile(0, 0, 3, 3, f)), Seq(tile(0, 0, 3, 3, src)),
+      chunk = 3, grid = 3, rounds = 4)
+    assert(w((0, 0)) == 0.0 && w((1, 0)) == 2.0 && w((2, 0)) == 4.0)
+    for (r <- 0 to 2; c <- 1 to 2) assert(w((r, c)).isNaN, s"($r,$c)")
+  }
+
+  test("costDistance: multiple sources take the nearer; uniform = 2x Manhattan") {
+    val f = Array.fill(36)(1.0)
+    val src = Array.tabulate(36)(i => if (i == 0 || i == 35) 1.0 else 0.0)
+    val tilesF = for (yc <- 0 until 2; xc <- 0 until 2) yield
+      tile(yc, xc, 3, 3, Array.tabulate(9)(i => f((yc * 3 + i / 3) * 6 + xc * 3 + i % 3)))
+    val tilesS = for (yc <- 0 until 2; xc <- 0 until 2) yield
+      tile(yc, xc, 3, 3, Array.tabulate(9)(i => src((yc * 3 + i / 3) * 6 + xc * 3 + i % 3)))
+    val w = costMap(tilesF, tilesS, chunk = 3, grid = 6, rounds = 8)
+    for (r <- 0 until 6; c <- 0 until 6) {
+      val d = 2.0 * math.min(r + c, (5 - r) + (5 - c))
+      assert(w((r, c)) == d, s"($r,$c) -> ${w((r, c))}, want $d")
+    }
+    // budget guard: source info must cross chunk borders; 2 rounds is
+    // too few for the far chunk (one source only)
+    val oneSrc = tilesS.map(t => if (t.yChunk == 0 && t.xChunk == 0) t
+      else t.copy(pixels = Array.fill(9)(0.0)))
+    val ex = intercept[IllegalStateException] {
+      costMap(tilesF, oneSrc, chunk = 3, grid = 6, rounds = 2)
+    }
+    assert(ex.getMessage.contains("round budget"))
+    assert(costMap(tilesF, oneSrc, chunk = 3, grid = 6, rounds = 3)((5, 5)) == 20.0)
+  }
+
+  test("costDistance: negative friction throws loudly") {
+    val f = Array[Double](1, -1, 1, 1, 1, 1, 1, 1, 1)
+    val src = Array[Double](1, 0, 0, 0, 0, 0, 0, 0, 0)
+    val ex = intercept[org.apache.spark.SparkException] {
+      costMap(Seq(tile(0, 0, 3, 3, f)), Seq(tile(0, 0, 3, 3, src)),
+        chunk = 3, grid = 3, rounds = 2)
+    }
+    assert(ex.getMessage.contains("negative friction") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative friction")))
+  }
+
+  test("fillDepth = fillSinks - z, zero on unfilled terrain") {
+    val z = Array[Double](
+      5, 5, 5, 5, 5,
+      5, 1, 1, 1, 5,
+      5, 1, 0, 1, 2,
+      5, 1, 1, 1, 5,
+      5, 5, 5, 5, 5)
+    val d = Flow.fillDepth(spark.createDataset(Seq(tile(0, 0, 5, 5, z))),
+        5, 5, 5, 5, rounds = 4)
+      .collect().flatMap { t =>
+        for (r <- 0 until t.height; c <- 0 until t.width)
+          yield (r, c) -> t.pixels(r * t.width + c)
+      }.toMap
+    assert(d((2, 2)) == 2.0) // pit 0 -> spill 2
+    assert(d((1, 1)) == 1.0) // ring 1 -> 2
+    assert(d((0, 0)) == 0.0 && d((2, 4)) == 0.0)
+  }
 }
