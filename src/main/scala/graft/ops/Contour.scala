@@ -90,10 +90,90 @@ object Contour {
     * Output: (level, poly, ord, y, x) — y/x recovered from the packed
     * key (quantized grid coords / quantum). `rounds` is a cap with
     * fixpoint early-exit; exhaustion throws loudly (the Flow/KCore
-    * guard discipline — 2^rounds must cover the longest polyline). */
+    * guard discipline — 2^rounds must cover the longest polyline).
+    *
+    * SIZE ROUTING (the AQE-skew-handling shape): real contour sets are
+    * a power law — millions of small rings and a few coastline-scale
+    * lines. A poly with ≤ `sequentialCap` half-edges walks SEQUENTIALLY
+    * inside its one group (a single mapGroups stage, memory bounded by
+    * the cap); only the giants pay Wyllie's log-rounds of self-joins.
+    * Both paths reproduce the identical vertex order (same start rule,
+    * same min-neighbor first step), so routing is invisible to
+    * consumers — it only moves the iteration floors off the fixture-
+    * scale common case. */
   def orderedVertices(stitched: DataFrame, rounds: Int = 24,
-                      quantum: Double = 1024.0): DataFrame = {
-    val base = stitched.select(col("level"), col("poly"), col("k1"), col("k2"))
+                      quantum: Double = 1024.0,
+                      sequentialCap: Int = 4096): DataFrame = {
+    val all = stitched.select(col("level"), col("poly"), col("k1"), col("k2"))
+    val sizes = all.groupBy(col("level"), col("poly"))
+      .agg(count(lit(1)).as("n_seg"))
+    // one co-partitioned join (agg output is already hashed on the key),
+    // checkpointed so both routes read it without replaying the stitch
+    val routed = all.join(sizes, Seq("level", "poly")).localCheckpoint(true)
+    val small = routed.filter(col("n_seg") <= sequentialCap)
+    val big = routed.filter(col("n_seg") > sequentialCap)
+      .drop("n_seg")
+    val smallOut = walkSequential(small.drop("n_seg"), quantum)
+    if (big.isEmpty) smallOut
+    else smallOut.unionByName(wyllie(big, rounds, quantum))
+  }
+
+  /** The sequential route: each (level, poly) group's half-edges fit
+    * comfortably in one task (≤ sequentialCap by the router), so the
+    * chain walks in-memory — same start vertex (min degree-1 endpoint,
+    * else the min vertex = the poly id) and same min-neighbor first
+    * step as the Wyllie route and the SQL replays. */
+  private def walkSequential(segs: DataFrame, quantum: Double): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val NONE = Long.MinValue
+    segs.as[(Double, Long, Long, Long)]
+      .groupByKey { case (level, poly, _, _) => (level, poly) }
+      .flatMapGroups { (key: (Double, Long), it: Iterator[(Double, Long, Long, Long)]) =>
+        val (level, poly) = key
+        val nbr = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+        var nSeg = 0
+        it.foreach { case (_, _, a, b) =>
+          def add(u: Long, v: Long): Unit = nbr.get(u) match {
+            case None => nbr(u) = (v, NONE)
+            case Some((x, _)) => nbr(u) = (math.min(x, v), math.max(x, v))
+          }
+          add(a, b); add(b, a); nSeg += 1
+        }
+        // start: min degree-1 endpoint (open path), else min vertex (ring)
+        var start = Long.MaxValue
+        var anyDeg1 = false
+        nbr.foreach { case (v, (_, n2)) =>
+          if (n2 == NONE) {
+            if (!anyDeg1 || v < start) { start = v; anyDeg1 = true }
+          } else if (!anyDeg1 && v < start) start = v
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Double, Double)](nSeg + 1)
+        def emit(ord: Long, k: Long): Unit =
+          out += ((level, poly, ord,
+            (k >> 32).toDouble / quantum, (k & 0xFFFFFFFFL).toDouble / quantum))
+        var prev = NONE
+        var cur = start
+        var ord = 0L
+        var done = false
+        while (!done) {
+          emit(ord, cur)
+          val (n1, n2) = nbr(cur)
+          if (ord > 0 && n2 == NONE) done = true // the open end
+          else {
+            val nxt = if (n2 == NONE || prev == NONE) n1
+                      else if (n1 == prev) n2 else n1
+            prev = cur; cur = nxt; ord += 1
+            if (cur == start) { emit(ord, cur); done = true } // ring: first == last
+          }
+        }
+        out.iterator
+      }.toDF("level", "poly", "ord", "y", "x")
+  }
+
+  /** The Wyllie route (giant lines): see [[orderedVertices]]. */
+  private def wyllie(base: DataFrame, rounds: Int,
+                     quantum: Double): DataFrame = {
     val he = base.select(col("level"), col("poly"),
         col("k1").as("src"), col("k2").as("dst"))
       .unionByName(base.select(col("level"), col("poly"),

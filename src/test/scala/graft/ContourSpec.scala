@@ -60,15 +60,35 @@ class ContourSpec extends SparkSpec {
     assert(ov.count(_._1._1 == rid) == 5) // 4 vertices + closing repeat
   }
 
-  test("orderedVertices: under-budget throws loudly") {
-    // a 40-segment path needs ceil(log2(40)) = 6 rounds; 2 is not enough
+  test("orderedVertices: under-budget throws loudly on the Wyllie route") {
+    // a 40-segment path needs ceil(log2(40)) = 6 rounds; 2 is not enough.
+    // sequentialCap = 0 forces every poly onto the Wyllie route (the
+    // size router would otherwise walk this small line sequentially).
     val vs = (0 to 40).map(i => k(i, i + 0.5))
     val segs = vs.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
       seg(3.5, a, b, i) }.toSeq
     val ex = intercept[IllegalStateException] {
-      Contour.orderedVertices(Contour.stitch(spark.createDataset(segs)), rounds = 2)
+      Contour.orderedVertices(Contour.stitch(spark.createDataset(segs)),
+          rounds = 2, sequentialCap = 0)
         .count()
     }
     assert(ex.getMessage.contains("round budget"))
+  }
+
+  test("size routing is invisible: sequential and Wyllie routes agree exactly") {
+    // mixed set: open path + ring, each pushed down BOTH routes
+    val p = Seq(k(1, 1.5), k(1.5, 2), k(2, 2.5), k(2.5, 3), k(3, 3.5))
+    val r = Seq(k(5, 5.5), k(5.5, 6), k(6, 5.5), k(5.5, 5))
+    val segs = Seq(
+      seg(7.5, p(2), p(1), 0), seg(7.5, p(0), p(1), 1),
+      seg(7.5, p(3), p(2), 6), seg(7.5, p(4), p(3), 7),
+      seg(7.5, r(1), r(0), 2), seg(7.5, r(2), r(1), 3),
+      seg(7.5, r(3), r(2), 4), seg(7.5, r(0), r(3), 5))
+    val st = Contour.stitch(spark.createDataset(segs))
+    def rows(cap: Int) =
+      Contour.orderedVertices(st, rounds = 8, sequentialCap = cap)
+        .collect().map(row => (row.getDouble(0), row.getLong(1), row.getLong(2),
+          row.getDouble(3), row.getDouble(4))).sortBy(t => (t._1, t._2, t._3))
+    assert(rows(4096).toSeq == rows(0).toSeq)
   }
 }
