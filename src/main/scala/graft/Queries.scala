@@ -13575,7 +13575,81 @@ object Queries {
             |FROM w70 f WHERE f.w < 1e17
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
         prefix + iters + suffix
-      })
+      }),
+
+    // ----- R43: BINARY MORPHOLOGY — closing + opening with a 5×5
+    // square element (radius 2), the canonical QA-mask cleanup verbs
+    // (fill cloud-mask pinholes / strip speckle before compositing),
+    // FUSED onto one depth-4 halo exchange (ops.Focal.morphology —
+    // erode∘dilate and dilate∘erode both need 2r of context; the r40
+    // fusion discipline). Border convention is morphology's standard
+    // 0-padding (nodata/out-of-grid = background), NOT the measurement
+    // kernels' strict-NaN stencil. Passes are separable (row then column
+    // max/min — O(r) per pixel, not O(r²)). Mask = modramp(17) ≥ 9;
+    // census = per (band, chunk) set-cell count + position checksum —
+    // every pixel of both bands hash-gated, exact 0/1 integers.
+    Q("r43_morphology",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val mask = TileScan.scan(s, assets, spec, chunk = 50,
+            readerFor = _ => ModRampReader(17))
+          .map(t => t.copy(pixels = t.pixels.map(v => if (v >= 9.0) 1.0 else 0.0)))
+        Focal.morphology(mask, 50, 50, 150, 150, radius = 2)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c)
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.band, t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("band", "y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"band", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("n_one"),
+               sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"band", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH m AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             |        CASE WHEN (r*r + c*c) % 17 >= 9 THEN 1 ELSE 0 END AS v
+             |      FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |off AS (SELECT CAST(a.dr AS INT) - 2 AS dr, CAST(b.dc AS INT) - 2 AS dc
+             |        FROM range(0,5) a(dr) CROSS JOIN range(0,5) b(dc)),
+             |-- extended domain (-2..151): dilate/erode of the 0-padded mask
+             |pe AS (SELECT CAST(x.i AS INT) - 2 AS r, CAST(y.i AS INT) - 2 AS c
+             |       FROM range(0,154) x(i) CROSS JOIN range(0,154) y(i)),
+             |d1 AS MATERIALIZED (
+             |  SELECT p.r, p.c, max(coalesce(m.v, 0)) AS v
+             |  FROM pe p JOIN off o ON true
+             |  LEFT JOIN m ON m.r = p.r + o.dr AND m.c = p.c + o.dc
+             |  GROUP BY p.r, p.c),
+             |e1 AS MATERIALIZED (
+             |  SELECT p.r, p.c, min(coalesce(m.v, 0)) AS v
+             |  FROM pe p JOIN off o ON true
+             |  LEFT JOIN m ON m.r = p.r + o.dr AND m.c = p.c + o.dc
+             |  GROUP BY p.r, p.c),
+             |cl AS (SELECT t.r, t.c, min(d1.v) AS v
+             |       FROM m t JOIN off o ON true
+             |       JOIN d1 ON d1.r = t.r + o.dr AND d1.c = t.c + o.dc
+             |       GROUP BY t.r, t.c),
+             |op AS (SELECT t.r, t.c, max(e1.v) AS v
+             |       FROM m t JOIN off o ON true
+             |       JOIN e1 ON e1.r = t.r + o.dr AND e1.c = t.c + o.dc
+             |       GROUP BY t.r, t.c),
+             |u AS (SELECT 'gray_close' AS band, r, c, v FROM cl
+             |      UNION ALL SELECT 'gray_open', r, c, v FROM op)
+             |SELECT band, CAST(r // 50 AS INT) AS y_chunk,
+             |  CAST(c // 50 AS INT) AS x_chunk, count(*) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS n_one,
+             |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =
