@@ -13649,7 +13649,67 @@ object Queries {
              |  CAST(c // 50 AS INT) AS x_chunk, count(*) AS n_px,
              |  CAST(sum(v) AS BIGINT) AS n_one,
              |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----- R44: HORIZON SCAN / sky-view-factor primitive (Zakšek et
+    // al. 2011; Yokoyama openness) — per cell, per compass direction,
+    // the steepest rise within radius 12, summed over the 8 directions
+    // (ops.Focal.horizonQ). The deepest halo consumer yet: ONE depth-12
+    // exchange (shuffle = data + 48·perimeter strips), then a pure
+    // per-chunk 96-tap loop. Exactness is the r22 rational convention:
+    // q = max_k ⌊1024·Δz/k⌋ — denominators ≤ 12 keep the floor an
+    // engine-portable exact compare (a rational p/k is never within an
+    // ulp of an integer unless it IS one). Strict stencil prunes the
+    // 12-cell border ring. Census = per-chunk count / Σq / position
+    // checksum — every valid pixel hash-gated.
+    Q("r44_horizon",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(23))
+        Focal.horizonQ(tiles, 50, 50, 150, 150, d = 12)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.band, t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("band", "y_chunk", "x_chunk", "q", "pos")
+          .groupBy($"band", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"q").as("sum_q"),
+               sum($"q" * $"pos").as("pos_chk"))
+          .orderBy($"band", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             |        CAST((r*r + c*c) % 23 AS DOUBLE) AS v
+             |      FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |dirs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+             |         (0,1),(1,-1),(1,0),(1,1)) d(dr, dc)),
+             |ks AS (SELECT CAST(k AS INT) + 1 AS k FROM range(0,12) t(k)),
+             |ctr AS (SELECT r, c, v FROM z
+             |        WHERE r BETWEEN 12 AND 137 AND c BETWEEN 12 AND 137),
+             |q AS MATERIALIZED (
+             |  SELECT t.r, t.c, d.dr, d.dc,
+             |    max(floor(1024.0 * (zn.v - t.v) / k.k)) AS q
+             |  FROM ctr t CROSS JOIN dirs d CROSS JOIN ks k
+             |  JOIN z zn ON zn.r = t.r + k.k * d.dr AND zn.c = t.c + k.k * d.dc
+             |  GROUP BY 1, 2, 3, 4),
+             |h AS (SELECT r, c, sum(q) AS v FROM q GROUP BY 1, 2)
+             |SELECT 'gray_horq' AS band, CAST(r // 50 AS INT) AS y_chunk,
+             |  CAST(c // 50 AS INT) AS x_chunk, count(*) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS sum_q,
+             |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM h GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -255,6 +255,65 @@ object Focal {
     }
   }
 
+  /** HORIZON SCAN — the per-cell, per-direction maximum elevation-angle
+    * slope within a radius, the primitive behind SKY-VIEW FACTOR
+    * terrain shading (Zakšek, Oštir & Kokalj 2011) and ridge/valley
+    * openness (Yokoyama et al. 2002): for each of the 8 compass
+    * directions, how steeply does the terrain rise toward the horizon
+    * within `d` cells?
+    *
+    * Per direction the slope to the k-th ray cell is (z_k − z_c)/k (the
+    * √2 run of the diagonals scales a whole direction uniformly, so it
+    * never affects WHICH k is the horizon — it is a pointwise epilogue,
+    * the hornGradSq discipline). Kept exact-integer via the r22 rational
+    * convention: q = max_k ⌊quantum·(z_k − z_c)/k⌋ — with integer DEMs,
+    * quantum·Δz/k is a rational with denominator ≤ d, never within an
+    * ulp of an integer unless it IS one, so the floor replays bit-exact
+    * in any engine. Output: one band `<band>_horq` = Σ over the 8
+    * directions of q (negative where terrain falls away — openness).
+    *
+    * Scale shape: ONE depth-d halo exchange (shuffle = data +
+    * 4d·perimeter strips — the deepest consumer of the stencilK
+    * machinery; d must stay < chunk, re-chunk coarser for wider
+    * horizons), then a pure per-chunk 8d-tap loop. Strict stencil: NaN
+    * unless the full (2d+1)² neighborhood is in-grid and every ray cell
+    * valid. */
+  def horizonQ(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+               gridH: Int, gridW: Int, d: Int,
+               quantum: Double = 1024.0): Dataset[Tile] = {
+    require(d >= 1, s"Focal: horizon radius d=$d")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val dirs = Array((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                     (0, 1), (1, -1), (1, 0), (1, 1))
+    stencilK(tiles, chunkY, chunkX, gridH, gridW, depth = d) { (pad, padW, ctr) =>
+      val zC = pad(ctr)
+      if (zC.isNaN) Double.NaN
+      else {
+        var sum = 0.0
+        var ok = true
+        var di = 0
+        while (di < 8 && ok) {
+          val (dr, dc) = dirs(di)
+          var best = Double.NegativeInfinity
+          var k = 1
+          while (k <= d && ok) {
+            val zk = pad(ctr + k * (dr * padW + dc))
+            if (zk.isNaN) ok = false
+            else {
+              val q = math.floor(quantum * (zk - zC) / k)
+              if (q > best) best = q
+            }
+            k += 1
+          }
+          sum += best
+          di += 1
+        }
+        if (ok) sum else Double.NaN
+      }
+    }.map(t => t.copy(band = t.band + "_horq"))
+  }
+
   /** Binary MORPHOLOGY — closing and opening with a (2r+1)² square
     * structuring element, FUSED onto one depth-2r halo exchange (the
     * terrainIndices3x3 fusion discipline: erode∘dilate and dilate∘erode
