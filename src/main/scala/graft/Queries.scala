@@ -13712,8 +13712,156 @@ object Queries {
              |FROM h GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
+  private lazy val roundFifteenB: Seq[Q] = Seq(
+    // ----- D15: EDIT-DISTANCE similarity join (PassJoin — Li, Deng,
+    // Feng & Wang, VLDB 2011) — the approximate-STRING capability the
+    // token-set dedup family can't express: all title pairs within
+    // Levenshtein <= 2, found via the partition-based signature scheme
+    // (k+1 segments, shifted-window probes, one equi-join) and verified
+    // with the codegen `levenshtein` built-in — NEVER all-pairs. Titles
+    // are the doc's 24-char prefix sampled at a doc_id-dependent shift,
+    // so near-dup docs with different shifts land at distance 2 through
+    // genuine INDEL alignment (delete front char + insert end char),
+    // exercising the pigeonhole displacement window, not just
+    // substitutions. The oracle brute-forces the pair space (fine at
+    // oracle scale; the ENGINE side must stay signature-driven at any
+    // scale). Census: per distance, pair count + id checksum — every
+    // surviving pair is hash-gated.
+    Q("d15_fuzzy_join",
+      (s, dir) => {
+        import s.implicits._
+        val titles = t(s, dir, "documents")
+          .filter(length($"text") >= 26)
+          .select($"doc_id",
+            expr("substring(text, cast(1 + doc_id % 3 as int), 24)").as("title"))
+        graft.text.EditJoin.passJoin(titles, "doc_id", "title", k = 2)
+          .groupBy($"dist")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"id_a" + $"id_b").as("id_chk"))
+          .orderBy($"dist")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    substr(text, CAST(1 + doc_id % 3 AS INT), 24) AS title
+             |  FROM documents WHERE length(text) >= 26),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |    levenshtein(a.title, b.title) AS dist
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             |SELECT dist, count(*) AS n_pairs,
+             |  CAST(sum(ida + idb) AS BIGINT) AS id_chk
+             |FROM p WHERE dist <= 2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- W10: AUTOCORRELATION ladder (Series.acf) — per event_type,
+    // the lag-1/2/3 pair sums over the (ts, event_id)-ordered cents
+    // series in the exact-integer contract: n, Σxy, Σx, Σy per lag
+    // (r(L) is a pointwise epilogue). ONE window pass computes every
+    // lag's lead, so the data shuffles once on the key regardless of
+    // ladder height; the oracle replays the same windows.
+    Q("w10_acf",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type", $"ts", $"event_id", quant($"value", 100).as("cents"))
+        graft.ops.Series.acf(ev, "event_type", Seq("ts", "event_id"), "cents",
+            Seq(1, 2, 3))
+          .orderBy($"event_type", $"lag")
+      },
+      Some("""WITH e AS (SELECT event_type, ts, event_id,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS x FROM events),
+             |l AS (SELECT event_type, x,
+             |    lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+             |    lead(x, 3) OVER w AS y3
+             |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+             |u AS (SELECT event_type, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+             |  UNION ALL SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+             |  UNION ALL SELECT event_type, 3, x, y3 FROM l WHERE y3 IS NOT NULL)
+             |SELECT event_type, lag, count(*) AS n_pairs,
+             |  CAST(sum(x*y) AS BIGINT) AS sum_xy,
+             |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+             |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- W11: CUSUM mean-shift changepoint (Series.cusumChangepoint;
+    // Page 1954's statistic in offline localization form) — per
+    // event_type, C_i = Σ_{j<=i}(x_j − target) with the INTEGER target
+    // Σx div n peaks in magnitude at the most likely single shift
+    // point; computed as run_i − i·target so the whole statistic stays
+    // exact-integer (cents are non-negative, so Spark `div` and DuckDB
+    // `//` agree — both truncate; the operator documents the
+    // non-negative orientation). Earliest peak wins ties on both sides.
+    Q("w11_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type", $"ts", $"event_id", quant($"value", 100).as("cents"))
+        graft.ops.Series
+          .cusumChangepoint(ev, "event_type", Seq("ts", "event_id"), "cents")
+          .select($"event_type", $"n", $"target", $"max_abs_c", $"cp_event_id")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, ts, event_id,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS x FROM events),
+             |c AS (SELECT event_type, ts, event_id,
+             |    count(*) OVER (PARTITION BY event_type) AS n,
+             |    sum(x) OVER (PARTITION BY event_type)
+             |      // count(*) OVER (PARTITION BY event_type) AS target,
+             |    sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS run,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY ts, event_id) AS seq
+             |  FROM e),
+             |d AS (SELECT event_type, n, target, event_id,
+             |    abs(run - seq * target) AS abs_c,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(run - seq * target) DESC, seq) AS rk
+             |  FROM c)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(target AS BIGINT) AS target,
+             |  CAST(abs_c AS BIGINT) AS max_abs_c, event_id AS cp_event_id
+             |FROM d WHERE rk = 1 ORDER BY 1""".stripMargin)),
+
+    // ----- A12: grouped OLS trend fit (Series.groupedOls) — per
+    // event_type, y = cents regressed on x = epoch-hours: the five
+    // exact BIGINT sums plus slope/intercept as deterministic IEEE
+    // doubles derived from them with cast-to-double AFTER the integer
+    // sums (identical ints -> identical doubles in both engines; the
+    // header's "double expressions are fine" rule). One map-side-
+    // combined aggregation — the census IS the model.
+    Q("a12_grouped_ols",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type",
+            expr("unix_timestamp(ts) div 3600").as("xh"),
+            quant($"value", 100).as("cents"))
+        graft.ops.Series.groupedOls(ev, "event_type", "xh", "cents")
+          .orderBy($"event_type")
+      },
+      // floor(epoch(ts)), not epoch(ts)::BIGINT — the cast ROUNDS
+      // fractional seconds while Spark's unix_timestamp truncates, and
+      // one rounded-up second near an hour boundary shifts that row's
+      // bucket (bit us here: sum_x off by exactly 1).
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS y FROM events),
+             |s AS (SELECT event_type, count(*) AS n, sum(x) AS sum_x,
+             |    sum(y) AS sum_y, sum(x*y) AS sum_xy, sum(x*x) AS sum_xx
+             |  FROM e GROUP BY 1),
+             |f AS (SELECT *,
+             |    (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+             |     - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+             |       - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS slope
+             |  FROM s)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+             |  CAST(sum_xy AS BIGINT) AS sum_xy, CAST(sum_xx AS BIGINT) AS sum_xx,
+             |  slope,
+             |  (CAST(sum_y AS DOUBLE) - slope * CAST(sum_x AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept
+             |FROM f ORDER BY 1""".stripMargin))
+  )
+
   private val qs: Seq[Q] =
-    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve ++ roundThirteen ++ roundFourteen ++ roundFifteen
+    relational ++ textDedup ++ vector ++ vectorLsh ++ sessionizeIvf ++ streamingMultimodalRaster ++ xyzTile ++ geotiff ++ roundTwo ++ roundTwoB ++ roundThree ++ roundFour ++ roundFive ++ roundSix ++ roundSeven ++ roundEight ++ roundNine ++ roundTen ++ roundTenC ++ roundEleven ++ roundTwelve ++ roundThirteen ++ roundFourteen ++ roundFifteen ++ roundFifteenB
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.fn).toMap
