@@ -13858,6 +13858,123 @@ object Queries {
              |  (CAST(sum_y AS DOUBLE) - slope * CAST(sum_x AS DOUBLE))
              |    / CAST(n AS DOUBLE) AS intercept
              |FROM f ORDER BY 1""".stripMargin))
+,
+
+    // ----- J15: POINT-IN-POLYGON containment join
+    // (SpatialJoin.pipJoin) — the polygon member of the blocking
+    // family: 25 non-convex 8-point STARS (one per nation, star tips
+    // make bbox-hit-but-outside real) against the lineitem point cloud,
+    // resolved by the exact-integer crossing-number rule. The engine
+    // side goes grid-cell blocking -> bbox prefilter -> one edge join
+    // with a map-side-combined crossing count — never all-pairs; the
+    // oracle replays the SAME integer comparisons over the
+    // bbox-filtered pair space (affordable at oracle scale). Census:
+    // per polygon, contained-point count + id checksum.
+    Q("j15_point_in_polygon",
+      (s, dir) => {
+        import s.implicits._
+        val offs = Seq((0, 15, 0), (1, 4, 4), (2, 0, 15), (3, -4, 4),
+          (4, -15, 0), (5, -4, -4), (6, 0, -15), (7, 4, -4))
+          .toDF("seq", "dx", "dy")
+        val verts = t(s, dir, "nation")
+          .select($"n_nationkey".cast("long").as("nk"))
+          .crossJoin(offs)
+          .select($"nk".as("poly_id"), $"seq",
+            (lit(40) * ($"nk" % 5) + 20 + $"dx").as("x"),
+            (lit(40) * expr("nk div 5") + 20 + $"dy").as("y"))
+        // distinct grid positions with pt_id = x*200 + y: the synthetic
+        // lineitem has NO unique row key (even (orderkey, linenumber)
+        // repeats), so point identity is the coordinate itself.
+        val pts = t(s, dir, "lineitem")
+          .select(($"l_partkey" % 200).as("x"),
+            (($"l_orderkey" * 3 + $"l_suppkey") % 200).as("y"))
+          .distinct()
+          .withColumn("pt_id", $"x" * 200 + $"y")
+        graft.ops.SpatialJoin.pipJoin(pts, "pt_id", verts, "poly_id", cellSize = 20)
+          .groupBy($"poly_id")
+          .agg(count(lit(1)).as("n_pts"), sum($"pt_id").as("id_chk"))
+          .orderBy($"poly_id")
+      },
+      Some("""WITH o AS (SELECT * FROM (VALUES (0,15,0),(1,4,4),(2,0,15),
+             |    (3,-4,4),(4,-15,0),(5,-4,-4),(6,0,-15),(7,4,-4))
+             |    AS t(seq, dx, dy)),
+             |v AS (SELECT CAST(n_nationkey AS BIGINT) AS pid, o.seq,
+             |    40*(n_nationkey % 5) + 20 + o.dx AS x,
+             |    40*(n_nationkey // 5) + 20 + o.dy AS y
+             |  FROM nation CROSS JOIN o),
+             |e AS (SELECT a.pid, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+             |  FROM v a JOIN v b ON a.pid = b.pid AND b.seq = (a.seq + 1) % 8),
+             |p AS (SELECT DISTINCT l_partkey % 200 AS px,
+             |    (l_orderkey*3 + l_suppkey) % 200 AS py
+             |  FROM lineitem),
+             |p2 AS (SELECT px*200 + py AS pt_id, px, py FROM p),
+             |c AS (SELECT p.pt_id, e.pid,
+             |    sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py)) AND
+             |      (CASE WHEN e.y2 > e.y1
+             |        THEN (p.px - e.x1)*(e.y2 - e.y1) < (p.py - e.y1)*(e.x2 - e.x1)
+             |        ELSE (p.px - e.x1)*(e.y2 - e.y1) > (p.py - e.y1)*(e.x2 - e.x1)
+             |       END) THEN 1 ELSE 0 END) AS nc
+             |  FROM p2 p JOIN e ON p.px BETWEEN 40*(e.pid % 5) + 5
+             |                           AND 40*(e.pid % 5) + 35
+             |              AND p.py BETWEEN 40*(e.pid // 5) + 5
+             |                           AND 40*(e.pid // 5) + 35
+             |  GROUP BY 1, 2)
+             |SELECT pid AS poly_id, count(*) AS n_pts,
+             |  CAST(sum(pt_id) AS BIGINT) AS id_chk
+             |FROM c WHERE nc % 2 = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R45: GLOBAL histogram equalization (Equalize.histEq) — the
+    // classic contrast stretch as the TWO-PASS BROADCAST-REMAP shape:
+    // pass 1 a map-side-combined value census (shuffle = 251 distinct
+    // values, not 22 500 pixels), then the model-sized CDF broadcasts
+    // and pass 2 remaps every tile locally — ZERO pixel shuffle. The
+    // exact-integer contract out(v) = (cdf(v)−cdf_min)(L−1) div
+    // (N−cdf_min) replays in DuckDB via the same window cumsum. Census:
+    // per chunk, count/sum/position checksum over equalized values —
+    // every output pixel hash-gated.
+    Q("r45_hist_equalize",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Equalize
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Equalize.histEq(tiles, levels = 256)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_eq"),
+            sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             |    (r*r + c*c) % 251 AS v
+             |  FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |h AS (SELECT v, count(*) AS cnt FROM z GROUP BY 1),
+             |cdf AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cdf FROM h),
+             |st AS (SELECT min(cdf) AS cdfmin,
+             |    (SELECT count(*) FROM z) AS n FROM cdf),
+             |m AS (SELECT cdf.v,
+             |    (cdf.cdf - st.cdfmin) * 255 // (st.n - st.cdfmin) AS eq
+             |  FROM cdf CROSS JOIN st),
+             |e AS (SELECT z.r, z.c, m.eq FROM z JOIN m ON z.v = m.v)
+             |SELECT CAST(r // 50 AS INT) AS y_chunk, CAST(c // 50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(eq) AS BIGINT) AS sum_eq,
+             |  CAST(sum(eq * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =
