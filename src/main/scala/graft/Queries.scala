@@ -12715,7 +12715,11 @@ object Queries {
         // exchanges are visible without an action; broadcast is disabled
         // for the window so a tiny-side BHJ can't mask an SPJ regression
         // (the SMJ count pins the join shape).
-        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        // getAll, not get/getOption: both resolve an unset key to its
+        // registered DEFAULT, and restoring that default with set()
+        // materializes the conf in the session (a leak the scoped-conf
+        // audit rightly flags); getAll carries only explicit entries.
+        val prev = s.conf.getAll.get("spark.sql.autoBroadcastJoinThreshold")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val zipped = try {
           val z = TileAlgebra.binaryAligned(nir, red, 50, 50, "q")(
@@ -12727,7 +12731,10 @@ object Queries {
             "j14: the storage-partitioned band align planned a shuffle — " +
             s"KeyGroupedPartitioning was not honored:\n$plan")
           z.localCheckpoint(true) // materializes inside the conf window
-        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
         zipped.flatMap { t =>
           for {
             r <- 0 until t.height; c <- 0 until t.width

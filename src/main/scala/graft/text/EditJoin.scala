@@ -99,11 +99,12 @@ object EditJoin {
       } yield (partnerLen, i, s.substring(q, q + l), id)
     }.toDF("part_len", "seg_idx", "seg", "probe_id")
 
+    // no distinct here — the union below dedups once for both sources
+    // (a distinct on each side would shuffle the candidate set twice)
     val candidates = index.join(probe, Seq("part_len", "seg_idx", "seg"))
       .filter($"idx_id" =!= $"probe_id")
       .select(least($"idx_id", $"probe_id").as("id_a"),
         greatest($"idx_id", $"probe_id").as("id_b"))
-      .distinct()
 
     // ---- SHORT block: strings of length <= k pair only among
     // themselves (any longer partner is indexable and reached through

@@ -50,7 +50,12 @@ object LocalClusterSmoke {
     // emission (flatMapGroups with ContourSeg encoders over the halo
     // exchange), polyline stitching (CC min-label + pointer-jump
     // localCheckpoint loop whose blocks live on executors)
-    "j14_spj_band_align", "r34_contour_vertices", "r36_contour_polylines")
+    "j14_spj_band_align", "r34_contour_vertices", "r36_contour_polylines",
+    // round 15b: PassJoin edit-distance join (signature flatMap closures
+    // + levenshtein verify over shuffled candidates), histogram
+    // equalization (driver-built CDF map as a BROADCAST read on every
+    // executor task)
+    "d15_fuzzy_join", "r45_hist_equalize")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

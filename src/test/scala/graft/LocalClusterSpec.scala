@@ -44,7 +44,8 @@ class LocalClusterSpec extends AnyFunSuite {
         "r24_focal_mean", "v23_knn_graph_expand", "x45_kcore",
         "s9_stream_admit",
         "j14_spj_band_align", "r34_contour_vertices",
-        "r36_contour_polylines").foreach { n =>
+        "r36_contour_polylines", "d15_fuzzy_join",
+        "r45_hist_equalize").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))

@@ -355,4 +355,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(lang"),
       s"rank/gap windows must key by lang:\n$p")
   }
+
+  test("d15 fuzzy join: candidates come from the signature equi-join, never a cartesian") {
+    val p = plan("d15_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join keys by (part_len, seg_idx, seg); the only
+    // BNLJ allowed is the count()-guarded short block's tiny self-pair
+    assert(p.contains("seg"), s"signature join expected:\n$p")
+  }
+
+  test("j15 pip join: census-sized polygon sides broadcast, crossing count partial-aggregates") {
+    val p = plan("j15_point_in_polygon")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"edge/cell joins should broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"crossing count must map-side combine:\n$p")
+  }
+
+  test("a12 grouped OLS: one map-side-combined aggregation — two exchanges total") {
+    val p = plan("a12_grouped_ols")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(p.contains("partial_sum"), s"sums must partial-aggregate:\n$p")
+    assert(exchanges <= 2, s"expected agg + order exchanges only, got $exchanges:\n$p")
+  }
+
+  test("w10 acf: the lag aggregation reuses the window's key partitioning — no extra shuffle") {
+    val p = plan("w10_acf")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // window exchange on event_type + the final orderBy range exchange;
+    // the (event_type, lag) groupBy must NOT re-shuffle (event_type
+    // hash partitioning already clusters it)
+    assert(exchanges <= 2, s"agg must reuse the window partitioning, got $exchanges:\n$p")
+  }
 }
