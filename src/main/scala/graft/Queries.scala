@@ -13981,7 +13981,89 @@ object Queries {
              |SELECT CAST(r // 50 AS INT) AS y_chunk, CAST(c // 50 AS INT) AS x_chunk,
              |  count(*) AS n_px, CAST(sum(eq) AS BIGINT) AS sum_eq,
              |  CAST(sum(eq * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- W12: SEASONAL DECOMPOSITION (Series.seasonalDetrend — the
+    // additive STL-lite: centered 25-hour moving-average detrend, then
+    // seasonal indices as an hour-of-day census over the ×25-scaled
+    // exact-integer detrended values). Per event_type: hourly cents →
+    // detrend (full windows only — edges have no defined trend) →
+    // per (type, hour-of-day): n, Σdetr, Σ|detr| (the seasonal index
+    // and the remainder magnitude in one read). One key shuffle for
+    // the hourly agg + window; the census reuses its partitioning.
+    Q("w12_seasonal",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = t(s, dir, "events")
+          .groupBy($"event_type",
+            expr("unix_timestamp(ts) div 3600").as("hr"))
+          .agg(sum(quant($"value", 100)).as("hx"))
+        graft.ops.Series
+          .seasonalDetrend(hourly, "event_type", Seq("hr"), "hx", halfWindow = 12)
+          .filter($"detr".isNotNull)
+          .groupBy($"event_type", ($"hr" % 24).as("hod"))
+          .agg(count(lit(1)).as("n_obs"), sum($"detr").as("sum_detr25"),
+            sum(abs($"detr")).as("abs_detr25"))
+          .orderBy($"event_type", $"hod")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS x FROM events),
+             |h AS (SELECT event_type, hr, sum(x) AS hx FROM e GROUP BY 1, 2),
+             |t AS (SELECT event_type, hr, hx,
+             |    count(*) OVER w AS win_n, sum(hx) OVER w AS ts
+             |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |d AS (SELECT event_type, hr % 24 AS hod, 25*hx - ts AS detr
+             |  FROM t WHERE win_n = 25)
+             |SELECT event_type, CAST(hod AS BIGINT) AS hod,
+             |  count(*) AS n_obs, CAST(sum(detr) AS BIGINT) AS sum_detr25,
+             |  CAST(sum(abs(detr)) AS BIGINT) AS abs_detr25
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- X50: GINI concentration census — the governance read over
+    // the corpus source mix (is one source hogging the byte budget?):
+    // per source, the Gini coefficient over document lengths in the
+    // sorted-formula exact-integer form G_num = Σᵢ (2i − n − 1)·x₍ᵢ₎
+    // (ascending ranks; tied values contribute identically under any
+    // tiebreak, so the rank window is deterministic by construction),
+    // G = G_num / (n·Σx) as the derived IEEE double. One key shuffle
+    // for the rank window; the census reuses its partitioning.
+    Q("x50_gini_concentration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"source", $"doc_id", $"n_chars")
+        val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+        val wAll = Window.partitionBy($"source")
+        docs
+          .withColumn("i", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .select($"source",
+            (($"i" * 2 - $"n" - 1) * $"n_chars").as("term"),
+            $"n_chars")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+            sum($"term").as("gini_num"))
+          .withColumn("gini", col("gini_num").cast("double") /
+            (col("n_docs").cast("double") * col("sum_chars").cast("double")))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS i,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents),
+             |g AS (SELECT source, count(*) AS n_docs,
+             |    sum(n_chars) AS sum_chars,
+             |    sum((i*2 - n - 1) * n_chars) AS gini_num
+             |  FROM r GROUP BY 1)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(sum_chars AS BIGINT) AS sum_chars,
+             |  CAST(gini_num AS BIGINT) AS gini_num,
+             |  CAST(gini_num AS DOUBLE)
+             |    / (CAST(n_docs AS DOUBLE) * CAST(sum_chars AS DOUBLE)) AS gini
+             |FROM g ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -85,6 +85,36 @@ object Series {
       orderCols.map(o => col(s"m.at.$o").as(s"cp_$o")).toList): _*)
   }
 
+  /** SEASONAL DETRENDING — the moving-average decomposition step of
+    * classical seasonal analysis (the additive STL-lite: series = trend
+    * + seasonal + remainder), in the exact-integer contract: for window
+    * half-width h over the (orderCols)-ordered per-key series, emits
+    * per row the (2h+1)-row centered window SUM (`trend_sum`), the row
+    * count actually in the window (`win_n` — under 2h+1 at the series
+    * edges), and the ×(2h+1)-SCALED detrended value
+    * detr = (2h+1)·x − trend_sum (exact integers; /(2h+1) is the
+    * pointwise epilogue, the tpi8 discipline). Rows without a full
+    * window keep their sums but a NULL detr — the caller filters or
+    * keeps edges explicitly. Seasonal indices are then a census over
+    * detr grouped by the caller's phase column (hour-of-day, etc.).
+    *
+    * Windows are ROW-based over OBSERVED rows: on a gappy series the
+    * decomposition is over observation order, not calendar positions —
+    * gap-fill upstream ([[GapFill]]) when calendar alignment matters.
+    * One key shuffle; everything else is window-local. */
+  def seasonalDetrend(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                      valCol: String, halfWindow: Int): DataFrame = {
+    require(halfWindow >= 1, s"Series.seasonalDetrend: halfWindow=$halfWindow")
+    val span = 2 * halfWindow + 1
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-halfWindow, halfWindow)
+    df.withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("trend_sum", sum(col(valCol).cast("long")).over(w))
+      .withColumn("detr",
+        when(col("win_n") === span,
+          lit(span.toLong) * col(valCol).cast("long") - col("trend_sum")))
+  }
+
   /** Per-key ORDINARY LEAST SQUARES of y on x over integer columns:
     * the five exact sums (n, Σx, Σy, Σxy, Σx²) plus the derived
     * slope/intercept as deterministic IEEE doubles — cast-to-double

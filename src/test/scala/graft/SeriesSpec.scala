@@ -56,6 +56,41 @@ class SeriesSpec extends SparkSpec {
     assert(r.getAs[Int]("cp_seq") == 1)
   }
 
+  test("seasonalDetrend: full-window sums and scaled detrended values replay by hand") {
+    val vs = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val rows = vs.zipWithIndex.map { case (v, i) => ("k", i, v) }
+    val got = Series.seasonalDetrend(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", halfWindow = 1)
+      .orderBy("seq")
+      .select("seq", "win_n", "trend_sum", "detr")
+      .collect()
+    // edges: 2-row windows, detr NULL; interior: 3-row sum, detr = 3v − sum
+    assert(got(0).getLong(1) == 2L && got(0).isNullAt(3))
+    assert(got(6).getLong(1) == 2L && got(6).isNullAt(3))
+    for (i <- 1 to 5) {
+      val sum = vs(i - 1) + vs(i) + vs(i + 1)
+      assert(got(i).getLong(2) == sum, s"i=$i")
+      assert(got(i).getLong(3) == 3 * vs(i) - sum, s"i=$i")
+    }
+    // a pure linear trend detrends to exactly zero in the interior
+    assert((1 to 5).forall(i => got(i).getLong(3) == 0L))
+  }
+
+  test("seasonalDetrend: a planted period-2 cycle yields alternating indices") {
+    // constant + alternating ±5: interior detr = 3v − (v⁻+v+v⁺);
+    // for v = 100 ± 5 alternating, detr = ±20 alternating exactly.
+    val vs = (0 until 10).map(i => if (i % 2 == 0) 105L else 95L)
+    val rows = vs.zipWithIndex.map { case (v, i) => ("k", i, v) }
+    val got = Series.seasonalDetrend(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", halfWindow = 1)
+      .filter("detr is not null").orderBy("seq")
+      .select("seq", "detr").collect()
+    got.foreach { r =>
+      val want = if (r.getInt(0) % 2 == 0) 20L else -20L
+      assert(r.getLong(1) == want, s"seq=${r.getInt(0)}")
+    }
+  }
+
   test("ols: a perfect line is recovered exactly; sums replay by hand") {
     val pts = (0 to 9).map(x => ("k", x.toLong, 3L * x + 7L))
     val r = Series.groupedOls(pts.toDF("k", "x", "y"), "k", "x", "y")
