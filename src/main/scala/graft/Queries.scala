@@ -14063,7 +14063,74 @@ object Queries {
              |  CAST(gini_num AS BIGINT) AS gini_num,
              |  CAST(gini_num AS DOUBLE)
              |    / (CAST(n_docs AS DOUBLE) * CAST(sum_chars AS DOUBLE)) AS gini
-             |FROM g ORDER BY 1""".stripMargin))
+             |FROM g ORDER BY 1""".stripMargin)),
+
+    // ----- X49: STRONGLY connected components (graph.Scc — FW-BW
+    // min-label with partition refinement; Fleischer/Hendrickson/Pınar
+    // 2000 family) — the DIRECTED-graph read the link-analysis family
+    // lacked: link farms and redirect rings are SCCs, the web's bow-tie
+    // is defined by the giant one. Graph: part keys mod 512 present in
+    // lineitem, two affine out-edges with deterministic thinning — a
+    // bow-tie by construction (one giant SCC, one mid ring, ~100
+    // tendril singletons; diameter ~32, inside the inner budget). The
+    // oracle replays MUTUAL REACHABILITY from the definition via a
+    // recursive CTE (UNION dedup walks the cyclic graph) — proving the
+    // label-propagation result equals the math, not the algorithm.
+    // Census: per component size, component count + min-label checksum.
+    Q("x49_scc",
+      (s, dir) => {
+        import s.implicits._
+        val nodes = t(s, dir, "lineitem")
+          .select(($"l_partkey" % 127).as("v")).distinct()
+        // six quadratic out-edges with per-generator thinning: a
+        // random-looking out-degree-≤6 digraph — bow-tie by
+        // construction (one giant SCC + tendril singletons), and the
+        // HIGH out-degree is what buys the small diameter: the linear
+        // min-propagation converges in ~24 total rounds (simulated:
+        // outer 2), each round one checkpointed join — iteration floor,
+        // not data, prices this query
+        val e = Seq((1L, 2L), (3L, 3L), (7L, 5L), (13L, 7L), (19L, 11L),
+            (29L, 13L))
+          .map { case (add, thin) =>
+            nodes.filter($"v" % thin =!= 0)
+              .select($"v".as("src"), (($"v" * $"v" + add) % 127).as("dst"))
+          }.reduce(_ unionByName _)
+        withStreamPartitions(s, 8) {
+          graft.graph.Scc.components(e)
+        }
+          .groupBy($"scc").agg(count(lit(1)).as("size"))
+          .groupBy($"size")
+          .agg(count(lit(1)).as("n_comp"), sum($"scc").as("scc_chk"))
+          .orderBy($"size")
+      },
+      Some("""WITH RECURSIVE
+             |nodes AS (SELECT DISTINCT l_partkey % 127 AS v FROM lineitem),
+             |e AS (SELECT v AS src, (v*v + 1) % 127 AS dst FROM nodes
+             |        WHERE v % 2 <> 0
+             |      UNION
+             |      SELECT v, (v*v + 3) % 127 FROM nodes WHERE v % 3 <> 0
+             |      UNION
+             |      SELECT v, (v*v + 7) % 127 FROM nodes WHERE v % 5 <> 0
+             |      UNION
+             |      SELECT v, (v*v + 13) % 127 FROM nodes WHERE v % 7 <> 0
+             |      UNION
+             |      SELECT v, (v*v + 19) % 127 FROM nodes WHERE v % 11 <> 0
+             |      UNION
+             |      SELECT v, (v*v + 29) % 127 FROM nodes WHERE v % 13 <> 0),
+             |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM e2
+             |  UNION
+             |  SELECT r.a, e2.dst FROM reach r JOIN e2 ON r.b = e2.src),
+             |alln AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             |mut AS (SELECT r1.a AS v, r1.b AS u
+             |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+             |lab AS (SELECT a.v AS node,
+             |    least(a.v, coalesce(min(m.u), a.v)) AS scc
+             |  FROM alln a LEFT JOIN mut m ON m.v = a.v GROUP BY a.v),
+             |sz AS (SELECT scc, count(*) AS size FROM lab GROUP BY 1)
+             |SELECT size, count(*) AS n_comp, CAST(sum(scc) AS BIGINT) AS scc_chk
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =

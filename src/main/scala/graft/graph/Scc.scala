@@ -1,0 +1,143 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STRONGLY connected components — the DIRECTED-graph member of the
+  * graph family (the others are undirected: CC gives reachability
+  * ignoring direction; the SCC gives mutual reachability, which is
+  * what link-graph analysis actually wants: link farms and redirect
+  * rings are SCCs, the web's bow-tie decomposition is defined by the
+  * giant SCC).
+  *
+  * Algorithm: FORWARD–BACKWARD min-label with PARTITION REFINEMENT —
+  * the label-propagation form of the FW-BW-pivot family (Fleischer,
+  * Hendrickson & Pınar 2000; the refinement step is the standard
+  * multi-pivot acceleration of its distributed descendants):
+  *
+  *  - F(v) = min(id over v's ancestors ∪ v), B(v) = the same over
+  *    descendants — each a diameter-bounded min-propagation fixpoint
+  *    (one edges⋈labels equi-join + map-side-combined min per round,
+  *    the LabelProp shuffle shape, lineage checkpointed).
+  *  - A node with F(v) = B(v) = m is DONE: m reaches v and v reaches
+  *    m, so SCC(v) = SCC(m), and the label IS the component id (m is
+  *    the component's minimum: any smaller mutual reachee would lower
+  *    both labels). The globally minimal remaining id always satisfies
+  *    this, so every outer round retires ≥ 1 component.
+  *  - REFINEMENT: an SCC is always contained in one (F, B) class —
+  *    mutually-reachable nodes share both labels — so edges BETWEEN
+  *    classes can never be intra-SCC and are dropped before the next
+  *    round. This multi-pivot split is what keeps outer rounds ~
+  *    condensation-depth-logarithmic instead of one-SCC-per-round on
+  *    chain-of-SCCs graphs.
+  *
+  * `outerRounds`/`innerRounds` are CAPS with fixpoint early-exit and
+  * the loud budget guard of the other iterative ops (KCore/Flow): a
+  * truncated min-propagation would silently mislabel, so exhaustion
+  * throws. Shuffle per inner round is O(active edges); driver state is
+  * zero (even the done/active split stays distributed). */
+object Scc {
+
+  /** (node, scc) for every node of the directed edge list (isolated
+    * nodes never appear in `edges` and are trivially their own SCCs —
+    * the Flow.accumulate absence convention). Component ids are the
+    * component-minimum node id.
+    *
+    * `shortcut = true` SQUARES the active edge set each propagation
+    * round (e ∪ e∘e), so labels cover 2^k hops after k rounds —
+    * ⌈log₂ diameter⌉ rounds instead of diameter rounds, at the price of
+    * shuffling toward the transitive closure. That is the right trade
+    * for moderate/condensed graphs (this engine's census-derived
+    * graphs); for a 100 TB giant-sparse web graph keep the default
+    * linear propagation — closure size, not round count, is the killer
+    * there. */
+  def components(edges: DataFrame, outerRounds: Int = 32,
+                 innerRounds: Int = 64, shortcut: Boolean = false): DataFrame = {
+    require(outerRounds >= 1 && innerRounds >= 1,
+      s"Scc: rounds=($outerRounds, $innerRounds)")
+    val spark = edges.sparkSession
+    var e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var active = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    // self-loop-only nodes are their own SCCs but must still be emitted
+    val selfOnly = edges.toDF("src", "dst").filter(col("src") === col("dst"))
+      .select(col("src").as("node")).except(active)
+    var done: DataFrame = selfOnly.select(col("node"), col("node").as("scc"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < outerRounds && !active.isEmpty) {
+      val f = minPropagate(active, e, innerRounds, forward = true, shortcut)
+        .withColumnRenamed("lab", "f")
+      val b = minPropagate(active, e, innerRounds, forward = false, shortcut)
+        .withColumnRenamed("lab", "b")
+      val labs = f.join(b, Seq("node")).localCheckpoint(true)
+      val resolved = labs.filter(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc"))
+      done = done.unionByName(resolved).localCheckpoint(true)
+      active = labs.filter(col("f") =!= col("b"))
+        .select(col("node")).localCheckpoint(true)
+      // refinement: keep only intra-class edges between surviving nodes
+      val cls = labs.select(col("node"), col("f"), col("b"))
+      e = e
+        .join(cls.select(col("node").as("src"), col("f").as("sf"), col("b").as("sb")), Seq("src"))
+        .join(cls.select(col("node").as("dst"), col("f").as("df"), col("b").as("db")), Seq("dst"))
+        .filter(col("sf") === col("df") && col("sb") === col("db"))
+        .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      it += 1
+    }
+    if (!active.isEmpty) throw new IllegalStateException(
+      s"Scc: outer budget $outerRounds exhausted with unresolved nodes — " +
+      "the condensation is deeper than the budget. Raise `outerRounds`: " +
+      "overshoot is free, the loop exits when every node is labeled.")
+    done
+  }
+
+  /** Min-label propagation to fixpoint: lab(v) = min(v, labels flowing
+    * along edges — forward follows src→dst (ancestor minima), backward
+    * the reverse). The changed flag rides the label table, so each
+    * round is ONE materialization (compute + checkpoint) plus a cheap
+    * scan of the checkpointed result — no recompute-vs-previous join.
+    * (Batching several hops per materialization was MEASURED SLOWER:
+    * the 4-level nested join plan pays more in per-job plan compilation
+    * than the saved checkpoints — iteration cost here is scheduler/plan
+    * overhead, not data.) Budget-capped with the loud guard. */
+  private def minPropagate(nodes: DataFrame, e: DataFrame, rounds: Int,
+                           forward: Boolean, shortcut: Boolean): DataFrame = {
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    var eCur = e
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    var converged = lab.isEmpty
+    var it = 0
+    while (it < rounds && !converged) {
+      val flowed = eCur.join(lab.withColumnRenamed("node", from), Seq(from))
+        .groupBy(col(to).as("node")).agg(min(col("lab")).as("m"))
+      val next = lab.join(flowed, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("m"), col("lab"))).as("nlab"),
+          (coalesce(col("m"), col("lab")) < col("lab")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).isEmpty
+      lab = next.select(col("node"), col("nlab").as("lab"))
+      if (shortcut && !converged) eCur = squared(eCur, from, to)
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"Scc: inner budget $rounds exhausted before min-propagation " +
+      "converged — the active subgraph's diameter exceeds the budget. " +
+      "Raise `innerRounds`: overshoot is free.")
+    lab
+  }
+
+  /** e ∪ e∘e over the given (from, to) orientation, deduped and
+    * checkpointed — one doubling step toward the transitive closure. */
+  private def squared(e: DataFrame, from: String, to: String): DataFrame = {
+    val hop = e.select(col(from), col(to).as("__mid"))
+      .join(e.select(col(from).as("__mid"), col(to)), Seq("__mid"))
+      .select(col(from), col(to))
+    e.unionByName(hop).distinct().localCheckpoint(true)
+  }
+}
