@@ -54,8 +54,9 @@ object LocalClusterSmoke {
     // round 15b: PassJoin edit-distance join (signature flatMap closures
     // + levenshtein verify over shuffled candidates), histogram
     // equalization (driver-built CDF map as a BROADCAST read on every
-    // executor task)
-    "d15_fuzzy_join", "r45_hist_equalize")
+    // executor task), SCC (nested FW-BW localCheckpoint loops whose
+    // block-manager state lives on executors)
+    "d15_fuzzy_join", "r45_hist_equalize", "x49_scc")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")
