@@ -14130,7 +14130,125 @@ object Queries {
              |  FROM alln a LEFT JOIN mut m ON m.v = a.v GROUP BY a.v),
              |sz AS (SELECT scc, count(*) AS size FROM lab GROUP BY 1)
              |SELECT size, count(*) AS n_comp, CAST(sum(scc) AS BIGINT) AS scc_chk
-             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- S22: STREAMING CUSUM (Page 1954's SEQUENTIAL test — the
+    // true online form, vs w11's offline localization): S_d =
+    // max(0, S_{d-1} + c_d − k) per event_type over the day grid, k
+    // calibrated as the integer mean of the first third (the
+    // calibration-then-monitor protocol), alarm when S exceeds k. The
+    // clamped recurrence is genuinely stateful — flatMapGroupsWithState
+    // carries (lastDay, S) across micro-batches, gap days decay S by k
+    // (the s18 grid-walk discipline) — while the ORACLE replays the
+    // closed form S_i = P_i − min(0, min_{j≤i} P_j) (prefix sums +
+    // running min, window-only): the recurrence and the closed form
+    // agreeing IS the correctness statement. Exact integers throughout.
+    Q("s22_stream_cusum",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val base = t(s, dir, "events")
+        val slim = base.select($"event_type",
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          quant($"value", 100).as("cq"))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_s22_")
+        val inDir = tmpRoot.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+        def writeWave(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+          val stage = tmpRoot.resolve(s"stage$k").toString
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = inDir.resolve(s"wave$k.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L)
+        }
+        val b = slim.agg(min($"day").as("lo"), max($"day").as("hi")).head()
+        val (dlo, dhi) = (b.getLong(0), b.getLong(1))
+        val (d1, d2) = (dlo + (dhi - dlo) / 3, dlo + 2 * ((dhi - dlo) / 3))
+        writeWave(slim.filter($"day" < d1), 1)
+        writeWave(slim.filter($"day" >= d1 && $"day" < d2), 2)
+        writeWave(slim.filter($"day" >= d2), 3)
+        // calibration: integer target per type from the first third
+        // (observed days); census-sized driver map, closure-captured
+        val kByType: Map[String, Long] = slim.filter($"day" < d1)
+          .groupBy($"event_type", $"day").agg(sum($"cq").as("c"))
+          .groupBy($"event_type")
+          .agg(expr("sum(c) div count(1)").as("k"))
+          .as[(String, Long)].collect().toMap
+        val queryName = "graft_cusum_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        withNoEmptyBatches(s) { withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(slim.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[(String, Long, Long)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long),
+                                    (String, Long, Long, Long, Long)](
+              OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+              val kRef = kByType.getOrElse(key, 0L)
+              val byDay = rows.toSeq.groupBy(_._2)
+                .map { case (d, rs) => d -> rs.map(_._3).sum }
+              if (byDay.isEmpty) Iterator.empty
+              else {
+                val maxDay = byDay.keys.max
+                var (lastDay, sv) =
+                  state.getOption.getOrElse((byDay.keys.min - 1, 0L))
+                val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+                var d = lastDay + 1
+                while (d <= maxDay) {
+                  val c = byDay.getOrElse(d, 0L)
+                  sv = math.max(0L, sv + c - kRef)
+                  out += ((key, d, c, sv, if (sv > kRef) 1L else 0L))
+                  d += 1
+                }
+                state.update((maxDay, sv))
+                out.result().iterator
+              }
+            }
+            .toDF("event_type", "day", "c", "s", "alarm")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(queryName).start()
+          q.processAllAvailable(); q.stop()
+        } }
+        s.table(queryName)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"alarm").as("n_alarms"),
+            coalesce(min(when($"alarm" === 1L, $"day")), lit(-1L))
+              .as("first_alarm"),
+            max($"s").as("max_s"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH obs AS (SELECT event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    sum(CAST(floor(value*100+0.5) AS BIGINT)) AS c
+             |  FROM events GROUP BY 1, 2),
+             |bnd AS (SELECT min(day) AS dlo, max(day) AS dhi FROM obs),
+             |cut AS (SELECT dlo + (dhi - dlo) // 3 AS d1 FROM bnd),
+             |k AS (SELECT event_type, sum(c) // count(*) AS kref
+             |  FROM obs CROSS JOIN cut WHERE day < d1 GROUP BY 1),
+             |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+             |  FROM obs GROUP BY 1),
+             |grid AS (SELECT b.event_type,
+             |    CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS day FROM b),
+             |f AS (SELECT g.event_type, g.day, coalesce(o.c, 0) AS c
+             |  FROM grid g LEFT JOIN obs o
+             |    ON g.event_type = o.event_type AND g.day = o.day),
+             |p AS (SELECT f.event_type, f.day, f.c, k.kref,
+             |    sum(f.c - k.kref) OVER w AS pp
+             |  FROM f JOIN k ON f.event_type = k.event_type
+             |  WINDOW w AS (PARTITION BY f.event_type ORDER BY f.day
+             |               ROWS UNBOUNDED PRECEDING)),
+             |sv AS (SELECT event_type, day, c, kref,
+             |    pp - least(min(pp) OVER (PARTITION BY event_type ORDER BY day
+             |                             ROWS UNBOUNDED PRECEDING), 0) AS s
+             |  FROM p),
+             |a AS (SELECT event_type, day, s,
+             |    CASE WHEN s > kref THEN 1 ELSE 0 END AS alarm FROM sv)
+             |SELECT event_type, count(*) AS n_days,
+             |  CAST(sum(alarm) AS BIGINT) AS n_alarms,
+             |  CAST(coalesce(min(CASE WHEN alarm = 1 THEN day END), -1) AS BIGINT)
+             |    AS first_alarm,
+             |  CAST(max(s) AS BIGINT) AS max_s
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
