@@ -14248,7 +14248,65 @@ object Queries {
              |  CAST(coalesce(min(CASE WHEN alarm = 1 THEN day END), -1) AS BIGINT)
              |    AS first_alarm,
              |  CAST(max(s) AS BIGINT) AS max_s
-             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R46: FOCAL MAJORITY (mode) filter — the CATEGORICAL focal
+    // verb (ArcGIS Focal Statistics MAJORITY; GRASS r.neighbors mode):
+    // land-cover speckle cleanup where averaging kernels would invent
+    // classes. 7-class fixture from the modramp; the smallest-value
+    // tiebreak is load-bearing (categorical ties are common) and the
+    // oracle replays it via (count DESC, class ASC) ranking. Same
+    // one-exchange halo shape as r24/r40; census per chunk hash-gates
+    // every smoothed pixel.
+    Q("r46_focal_majority",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val classes = TileScan.scan(s, assets, spec, chunk = 50,
+            readerFor = _ => ModRampReader(251))
+          .map(t => t.copy(pixels = t.pixels.map(v =>
+            if (v.isNaN) Double.NaN else v % 7)))
+        Focal.focalMajority3x3(classes, 50, 50, 150, 150)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_cls"),
+            sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"y_chunk", $"x_chunk")
+      },
+      Some("""WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             |    (r*r + c*c) % 251 % 7 AS v
+             |  FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |px AS (SELECT r, c FROM z
+             |  WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+             |  (0,0),(0,1),(1,-1),(1,0),(1,1)) d(dr, dc)),
+             |n AS (SELECT p.r, p.c, zn.v
+             |  FROM px p CROSS JOIN dirs d
+             |  JOIN z zn ON zn.r = p.r + d.dr AND zn.c = p.c + d.dc),
+             |cnt AS (SELECT r, c, v, count(*) AS n FROM n GROUP BY 1, 2, 3),
+             |pick AS (SELECT r, c, v,
+             |    row_number() OVER (PARTITION BY r, c
+             |      ORDER BY n DESC, v ASC) AS rn
+             |  FROM cnt)
+             |SELECT CAST(r // 50 AS INT) AS y_chunk, CAST(c // 50 AS INT) AS x_chunk,
+             |  count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_cls,
+             |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val qs: Seq[Q] =

@@ -70,6 +70,49 @@ object Focal {
       if (ok) s else Double.NaN
     }
 
+  /** MAJORITY (mode) filter — the CATEGORICAL member of the focal
+    * family (ArcGIS Focal Statistics MAJORITY, GRASS `r.neighbors
+    * method=mode`): per cell, the most frequent value among the 3×3
+    * neighborhood — what land-cover / classification rasters use to
+    * strip salt-and-pepper speckle, where every averaging kernel would
+    * invent nonexistent classes. Deterministic tiebreak: the SMALLEST
+    * value among the tied classes (engine-replayable; ties are common
+    * on categorical data, so the tiebreak is load-bearing). Strict
+    * stencil like the measurement kernels: NaN unless all 9 neighbors
+    * are in-grid and valid. Same one-exchange halo scale shape. */
+  def focalMajority3x3(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                       gridH: Int, gridW: Int): Dataset[Tile] =
+    stencil3x3(tiles, chunkY, chunkX, gridH, gridW) { (pad, padW, ctr) =>
+      val vs = new Array[Double](9)
+      var ok = true
+      var i = 0
+      var dr = -1
+      while (dr <= 1 && ok) {
+        var dc = -1
+        while (dc <= 1 && ok) {
+          val v = pad(ctr + dr * padW + dc)
+          if (v.isNaN) ok = false else { vs(i) = v; i += 1 }
+          dc += 1
+        }
+        dr += 1
+      }
+      if (!ok) Double.NaN
+      else {
+        var bestV = Double.NaN
+        var bestN = 0
+        var a = 0
+        while (a < 9) {
+          val v = vs(a)
+          var n = 0
+          var b = 0
+          while (b < 9) { if (vs(b) == v) n += 1; b += 1 }
+          if (n > bestN || (n == bestN && v < bestV)) { bestV = v; bestN = n }
+          a += 1
+        }
+        bestV
+      }
+    }
+
   /** Horn (1981) 3×3 gradient — the terrain-analysis kernel behind
     * GDAL/ArcGIS slope and aspect — returned as gx²+gy², the squared
     * slope numerator:

@@ -46,6 +46,39 @@ class FocalZonalSpec extends SparkSpec {
     }
   }
 
+  test("focalMajority3x3 == driver dense mode with smallest-class tiebreak") {
+    import spark.implicits._
+    val tiles = TileScan.scan(spark, Seq(asset), spec, chunk = 32,
+        readerFor = a => FakeReader(a.url))
+      .map(t => t.copy(pixels = t.pixels.map(v =>
+        if (v.isNaN) Double.NaN else math.abs(v % 5))))
+    val out = Focal.focalMajority3x3(tiles, 32, 32, grid, grid).collect()
+    val src = dense("fake://focal").map(v =>
+      if (v.isNaN) Double.NaN else math.abs(v % 5))
+    val got = Array.fill(grid * grid)(Double.NaN)
+    out.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width)
+        got((t.yChunk * 32 + r) * grid + t.xChunk * 32 + c) = t.pixels(r * t.width + c)
+    }
+    var checkedTie = false
+    for (r <- 0 until grid; c <- 0 until grid) {
+      val want =
+        if (r < 1 || r > grid - 2 || c < 1 || c > grid - 2) Double.NaN
+        else {
+          val vs = for (dr <- -1 to 1; dc <- -1 to 1)
+            yield src((r + dr) * grid + c + dc)
+          val byCount = vs.groupBy(identity).map { case (v, g) => (v, g.size) }
+          val maxN = byCount.values.max
+          val tied = byCount.filter(_._2 == maxN).keys
+          if (tied.size > 1) checkedTie = true
+          tied.min
+        }
+      val g = got(r * grid + c)
+      assert(g == want || (g.isNaN && want.isNaN), s"($r,$c): got $g want $want")
+    }
+    assert(checkedTie, "the fixture should exercise the tiebreak")
+  }
+
   test("focalSum3x3: interior NaN hole invalidates its 3x3 neighborhood only") {
     import spark.implicits._
     // Hand-built sparse tiles: full 8x8 grid as 4 chunks of 4, value = 1
