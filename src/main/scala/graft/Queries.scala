@@ -14306,7 +14306,103 @@ object Queries {
              |SELECT CAST(r // 50 AS INT) AS y_chunk, CAST(c // 50 AS INT) AS x_chunk,
              |  count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_cls,
              |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
-             |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- A13: MOMENTS census (the mergeable power-sum form behind
+    // the moments sketch — Gan et al. VLDB 2018: S₁..S₄ plus n
+    // reconstruct mean/variance/skewness/kurtosis, and partial sums
+    // merge exactly) — the distribution-DRIFT gate of pipeline
+    // telemetry: a shifted mean shows in S₁, widening tails in S₄,
+    // long before a threshold alarm. Values in integer DOLLARS so x⁴
+    // stays inside BIGINT at any SF (cents⁴ would overflow at sf0.1 —
+    // the unit choice IS the overflow budget); the four sums are exact
+    // integers, the derived central moments deterministic IEEE doubles
+    // computed in the same expression order on both sides. One
+    // map-side-combined aggregation — shuffle ≈ 0.
+    Q("a13_moments",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type", quant($"value", 1).as("x"))
+        def d(c: Column): Column = c.cast("double")
+        val sums = ev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"), sum($"x").as("s1"),
+          sum($"x" * $"x").as("s2"),
+          sum($"x" * $"x" * $"x").as("s3"),
+          sum($"x" * $"x" * $"x" * $"x").as("s4"))
+        sums
+          .withColumn("mean", d($"s1") / d($"n"))
+          .withColumn("m2",
+            d($"s2") / d($"n") - ($"mean" * $"mean"))
+          .withColumn("skew_num",
+            d($"s3") / d($"n") - lit(3.0) * $"mean" * (d($"s2") / d($"n"))
+              + lit(2.0) * $"mean" * $"mean" * $"mean")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(value + 0.5) AS BIGINT) AS x FROM events),
+             |s AS (SELECT event_type, count(*) AS n, sum(x) AS s1,
+             |    sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+             |  FROM e GROUP BY 1),
+             |f AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+             |    CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+             |    CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+             |  FROM s)
+             |SELECT event_type, n, s1, s2, s3, s4, mean,
+             |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - (mean * mean) AS m2,
+             |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |    + 2.0 * mean * mean * mean AS skew_num
+             |FROM f ORDER BY 1""".stripMargin)),
+
+    // ----- T34: ZIPF rank-octave census — the corpus-statistics read
+    // behind vocabulary sizing and tokenizer budgets: how token mass
+    // distributes across rank octaves [2^o, 2^(o+1)) of the global
+    // frequency ranking. Computed WITHOUT sorting the vocabulary
+    // globally: the per-octave COUNTS are tie-order-invariant, so the
+    // engine works on the frequency-of-frequencies census (hundreds of
+    // rows) — cumulative spans per distinct frequency, exploded over
+    // the ≤ log₂(V) octaves each span straddles, overlap lengths in
+    // exact integers (floor-log₂ via length(bin(k))−1, never float
+    // log). The one window rides the CENSUS, not the vocab — the x33
+    // global-row_number trap designed out rather than mitigated. The
+    // oracle ranks directly (affordable at oracle scale) and must
+    // agree because counts don't depend on tie order.
+    Q("t34_zipf_octaves",
+      (s, dir) => {
+        import s.implicits._
+        val tf = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"tok").agg(count(lit(1)).as("f"))
+        val fc = tf.groupBy($"f").agg(count(lit(1)).as("nt"))
+        // census-sized window: one row per DISTINCT frequency value
+        val w = Window.orderBy($"f".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fc.withColumn("hi_cum", sum($"nt").over(w))
+          .withColumn("lo_cum", $"hi_cum" - $"nt" + 1)
+          .withColumn("o", explode(sequence(
+            expr("length(bin(lo_cum)) - 1"), expr("length(bin(hi_cum)) - 1"))))
+          .withColumn("olo",
+            expr("greatest(shiftleft(cast(1 as bigint), o), lo_cum)"))
+          .withColumn("ohi",
+            expr("least(shiftleft(cast(1 as bigint), o + 1) - 1, hi_cum)"))
+          .groupBy($"o".as("octave"))
+          .agg(sum($"ohi" - $"olo" + 1).as("n_terms"),
+            sum(($"ohi" - $"olo" + 1) * $"f").as("occurrences"))
+          .orderBy($"octave")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT tok, count(*) AS f FROM toks
+             |  WHERE length(tok) > 0 GROUP BY 1),
+             |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk
+             |  FROM tf),
+             |o AS (SELECT CAST(length(bin(rk)) - 1 AS INT) AS octave, f FROM r)
+             |SELECT octave, count(*) AS n_terms,
+             |  CAST(sum(f) AS BIGINT) AS occurrences
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val qs: Seq[Q] =
