@@ -14069,8 +14069,8 @@ object Queries {
     // min-label with partition refinement; Fleischer/Hendrickson/Pınar
     // 2000 family) — the DIRECTED-graph read the link-analysis family
     // lacked: link farms and redirect rings are SCCs, the web's bow-tie
-    // is defined by the giant one. Graph: part keys mod 512 present in
-    // lineitem, two affine out-edges with deterministic thinning — a
+    // is defined by the giant one. Graph: part keys mod 127 present in
+    // lineitem, six quadratic out-edges with deterministic thinning — a
     // bow-tie by construction (one giant SCC, one mid ring, ~100
     // tendril singletons; diameter ~32, inside the inner budget). The
     // oracle replays MUTUAL REACHABILITY from the definition via a
@@ -14232,9 +14232,10 @@ object Queries {
              |f AS (SELECT g.event_type, g.day, coalesce(o.c, 0) AS c
              |  FROM grid g LEFT JOIN obs o
              |    ON g.event_type = o.event_type AND g.day = o.day),
-             |p AS (SELECT f.event_type, f.day, f.c, k.kref,
-             |    sum(f.c - k.kref) OVER w AS pp
-             |  FROM f JOIN k ON f.event_type = k.event_type
+             |p AS (SELECT f.event_type, f.day, f.c,
+             |    coalesce(k.kref, 0) AS kref,
+             |    sum(f.c - coalesce(k.kref, 0)) OVER w AS pp
+             |  FROM f LEFT JOIN k ON f.event_type = k.event_type
              |  WINDOW w AS (PARTITION BY f.event_type ORDER BY f.day
              |               ROWS UNBOUNDED PRECEDING)),
              |sv AS (SELECT event_type, day, c, kref,

@@ -33,12 +33,21 @@ object Equalize {
     require(levels >= 2, s"Equalize: levels=$levels")
     val spark = tiles.sparkSession
     import spark.implicits._
-    val census = tiles.flatMap(_.pixels.iterator.filterNot(_.isNaN))
-      .groupByKey(identity).count().collect()
+    // -0.0 normalizes to 0.0 BEFORE grouping (Spark group keys already
+    // do this) so the remap lookup below can't miss on a -0.0 pixel.
+    val censusDs = tiles
+      .flatMap(_.pixels.iterator.filterNot(_.isNaN)
+        .map(v => if (v == 0.0) 0.0 else v))
+      .groupByKey(identity).count()
+    // Bound the fetch BEFORE collecting: a continuous-valued raster has
+    // a pixel-scale census, and the guard must fire without ever
+    // materializing it on the driver (the ann/Ann.scala limit-then-check
+    // pattern). limit(maxDistinct + 1) returns the WHOLE census when it
+    // fits, and exactly one surplus row when it doesn't.
+    val census = censusDs.limit(maxDistinct + 1).collect()
     if (census.length > maxDistinct) throw new IllegalStateException(
-      s"Equalize: ${census.length} distinct pixel values exceed " +
-      s"maxDistinct=$maxDistinct — the CDF table must stay model-sized " +
-      "to broadcast; quantize the raster upstream.")
+      s"Equalize: > $maxDistinct distinct pixel values — the CDF table " +
+      "must stay model-sized to broadcast; quantize the raster upstream.")
     val sorted = census.sortBy(_._1)
     val n = sorted.iterator.map(_._2).sum
     if (n == 0) return tiles // all-NaN input: nothing to remap
@@ -56,7 +65,13 @@ object Equalize {
       var i = 0
       while (i < out.length) {
         val v = t.pixels(i)
-        out(i) = if (v.isNaN) Double.NaN else bc.value(v)
+        // mirror the census-side -0.0 normalization, and fail loudly
+        // (with the value) on any other miss rather than a bare NSEE
+        out(i) =
+          if (v.isNaN) Double.NaN
+          else bc.value.getOrElse(if (v == 0.0) 0.0 else v,
+            throw new IllegalStateException(
+              s"Equalize: pixel value $v missing from the CDF census"))
         i += 1
       }
       t.copy(pixels = out)

@@ -72,7 +72,11 @@ object Series {
     val withC = df
       .select(col(keyCol) +: orderCols.map(col) :+ col(valCol).cast("long").as("x"): _*)
       .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("target", expr("sum(x) over (partition by " + keyCol + ") div n"))
+      // the full-frame sum via the Column API (no identifier splicing —
+      // keyCol may need backtick quoting), then the exact integer
+      // floor-div through SQL `div` over the two plain LONG columns
+      .withColumn("sum_x_all", sum(col("x")).over(wAll))
+      .withColumn("target", expr("sum_x_all div n"))
       .withColumn("seq", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)))
       .withColumn("c", sum(col("x")).over(wRun) - col("seq") * col("target"))

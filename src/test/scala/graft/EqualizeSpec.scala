@@ -51,4 +51,27 @@ class EqualizeSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("distinct"))
   }
+
+  test("guard fires on a census far beyond the bound (limit-fetched, " +
+       "not driver-materialized)") {
+    // 40k distinct values vs maxDistinct=10: the limit-bounded fetch
+    // pulls at most 11 rows to the driver before throwing — a
+    // continuous-valued raster can't OOM the driver before the guard.
+    val in = (0 until 40).map(c =>
+      tile(0, c, Array.tabulate(1000)(i => (c * 1000 + i).toDouble)))
+    val ex = intercept[IllegalStateException] {
+      Equalize.histEq(in.toDS(), maxDistinct = 10).collect()
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
+  test("-0.0 pixels remap through the 0.0 census entry") {
+    // Spark normalizes -0.0 to 0.0 in group keys; the remap side must
+    // agree or the broadcast lookup misses. -0.0 == 0.0, so both land
+    // on the same CDF row.
+    val in = Seq(tile(0, 0, Array(-0.0, 0.0, 5.0)))
+    val out = Equalize.histEq(in.toDS()).collect().head.pixels
+    // values: 0.0 ×2 (cdf 2 = cdfMin), 5.0 ×1 → eq(0)=0, eq(5)=255
+    assert(out.toSeq == Seq(0.0, 0.0, 255.0))
+  }
 }
