@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.{DotLong, HammingDist, MinhashSig, NgramHash, SortedJaccard, SortedJaccardLong, SortedIntersectLong}
+import org.apache.spark.sql.graftx.{CharGramHash, DotLong, HammingDist, MinhashSig, NgramHash, SortedJaccard, SortedJaccardLong, SortedIntersectLong}
 
 /** Cluster-wide registration of graft's native SQL functions:
   *
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def litInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue()
     inject("ngram_hashes", "ngram_hashes(text, n) - 60-bit md5 word-n-gram hashes, document order",
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = false))
+    inject("chargram_hashes", "chargram_hashes(text, n) - 60-bit md5 character-n-gram hashes, document order",
+      es => CharGramHash(es.head, litInt(es(1)), sortedDistinct = false))
+    inject("chargram_hashes_sd", "chargram_hashes_sd(text, n) - sorted distinct 60-bit md5 character-n-gram hashes",
+      es => CharGramHash(es.head, litInt(es(1)), sortedDistinct = true))
     inject("shingle_hashes", "shingle_hashes(text, n) - sorted distinct 60-bit md5 word-n-gram hashes",
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = true))
     inject("minhash_sig", "minhash_sig(text, n, k) - k MinHash minima (md5 hex) over word n-grams",

@@ -13241,21 +13241,28 @@ object Queries {
     // docs partition across batches (each doc arrives exactly once), so
     // per-batch (n_docs_hit, id_chk) censuses are DISJOINT and simply
     // add — no per-doc driver set, bounded at any stream length. Gate:
-    // the accumulated ladder census must equal x48's batch answer
-    // exactly (oracle: the same SQL).
+    // the accumulated ladder census must equal the batch answer at the
+    // HASH level (oracle replays the same 60-bit md5 prefix per gram,
+    // so engine and oracle agree bit-for-bit even under collisions;
+    // x51 gates string-exact semantics via the candidate verify pass).
     Q("s21_stream_decontam",
       (s, dir) => {
         import s.implicits._
         import graft.text.ExactSubstr
         val lengths = Seq(8, 16, 32)
         val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        // ONE multi-rung index, built once and checkpointed: per-batch
-        // screens broadcast the batch against it, so the index is never
-        // re-shuffled (the s9 admission shape; was 3 checkpointed frames
-        // re-exchanged by 12 stream-static joins — 21 s at sf0.1, now one
-        // map-side scan per batch).
+        // ONE multi-rung HASH index (8-byte 60-bit md5 gram keys — the
+        // scale form: the build shuffle, the checkpoint, and every
+        // screen scan move 8 bytes/gram instead of L chars), built once
+        // and checkpointed: per-batch screens broadcast the batch
+        // against it, so the index is never re-shuffled (the s9
+        // admission shape; was 3 checkpointed string frames re-exchanged
+        // by 12 stream-static joins — 21 s at sf0.1, then 7.8 s
+        // string-broadcast, now hashed). A 60-bit collision could only
+        // over-flag (conservative); the oracle replays the same md5
+        // prefix so even that would stay hash-green.
         val idx = ExactSubstr
-          .buildIndex(docs.filter($"doc_id" % 5 =!= 0), "text", lengths)
+          .buildHashIndex(docs.filter($"doc_id" % 5 =!= 0), "text", lengths)
           .localCheckpoint(true)
         val ev = docs.filter($"doc_id" % 5 === 0).localCheckpoint(true)
         val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
@@ -13268,7 +13275,7 @@ object Queries {
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               ExactSubstr
-                .screenBatch(idx, batch, "text", "doc_id", lengths)
+                .screenBatchHashed(idx, batch, "text", "doc_id", lengths)
                 .collect().foreach { row =>
                   val l = row.getInt(0)
                   val (n0, c0) = acc(l)
@@ -13293,15 +13300,17 @@ object Queries {
              |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
              |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
              |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
-             |          substr(e.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |          ('0x'||substr(md5(substr(e.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
              |        FROM ev e CROSS JOIN Ls
              |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
              |trg AS (SELECT DISTINCT Ls.L,
-             |          substr(t2.text, pos.i, CAST(Ls.L AS INT)) AS g
+             |          ('0x'||substr(md5(substr(t2.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
              |        FROM tr t2 CROSS JOIN Ls
              |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
              |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
-             |        JOIN trg ON evg.L = trg.L AND evg.g = trg.g)
+             |        JOIN trg ON evg.L = trg.L AND evg.h = trg.h)
              |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
              |  CAST(sum(doc_id) AS BIGINT) AS id_chk
              |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -13313,9 +13322,17 @@ object Queries {
     // train doc. Hits are monotone downward in L by containment, so the
     // largest hitting L brackets each doc's longest shared substring —
     // the decontamination decision read-out (drop on ≥ threshold). One
-    // codegen'd gram explode + one equi-join per L; the synthetic corpus
-    // carries natural shared substrings of every bracket (at sf0.01 all
-    // 100 eval docs share 16-grams, only 13 share 32-grams — the ladder
+    // codegen'd gram-HASH explode + one 8-byte equi-join per L (the
+    // CharGramHash kernel: within-doc dedup map-side, 60-bit md5 keys
+    // through every distinct and join — measured at sf0.1: shuffle
+    // 35.1 → 24.8 MiB, task_ms 2.5x down vs string grams; the oracle
+    // replays the identical md5 prefix so a 60-bit collision would
+    // change BOTH engines the same way, and at the hash level a
+    // collision can only over-flag — the conservative direction for a
+    // decontamination screen. String-EXACT semantics are gated by
+    // x51's candidate-verified path.) The synthetic corpus carries
+    // natural shared substrings of every bracket (at sf0.01 all 100
+    // eval docs share 16-grams, only 13 share 32-grams — the ladder
     // discriminates).
     Q("x48_exact_substr",
       (s, dir) => {
@@ -13324,10 +13341,55 @@ object Queries {
         val ev = docs.filter($"doc_id" % 5 === 0)
         val tr = docs.filter($"doc_id" % 5 =!= 0)
         graft.text.ExactSubstr
-          .sharedSubstrCensus(tr, ev, "text", "doc_id", Seq(8, 16, 32))
+          .sharedSubstrCensusHashed(tr, ev, "text", "doc_id", Seq(8, 16, 32),
+            verify = false)
           .orderBy($"gram_len")
       },
       Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          ('0x'||substr(md5(substr(e.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          ('0x'||substr(md5(substr(t2.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.h = trg.h)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X51: exact-substring census, STRING-VERIFIED hashed path —
+    // the in-join collision verify at its design point: LONG rungs
+    // (32/64 — Lee et al.'s deduplication threshold is 50 tokens),
+    // where few grams match across corpora, so the candidate-hash set
+    // is small and gram STRINGS move only for it (broadcast-filtered
+    // map-side; measured at sf0.1: 27.2 MiB shuffled vs the string
+    // form's 51.2 MiB at the same rungs — the cut GROWS with L since
+    // hash rows stay 8 bytes). The oracle is the STRING-key SQL: it
+    // gates that verify-on output is bit-identical to true exact-
+    // substring semantics, collision or not. At short/all-hit rungs
+    // the candidate set is corpus-sized and verify would re-shuffle
+    // everything — x48's hash-level census is the right form there
+    // (measured: verify 14.3 s vs hash-only 4.6 s at 10x) — the
+    // regime split is the operator's documented contract.
+    Q("x51_exact_substr_verified",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+        graft.text.ExactSubstr
+          .sharedSubstrCensusHashed(tr, ev, "text", "doc_id", Seq(32, 64))
+          .orderBy($"gram_len")
+      },
+      Some("""WITH Ls AS (SELECT unnest([32, 64]) AS L),
              |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
              |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
              |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

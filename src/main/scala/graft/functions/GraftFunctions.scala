@@ -23,6 +23,14 @@ object GraftFunctions {
   /** Sorted distinct 60-bit md5 word-n-gram hashes (shingle set). */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftExpr.ngramHashes(text, n, sortedDistinct = true)
+  /** 60-bit md5 hashes of CHARACTER n-grams, one pass, document order
+    * (exact-substring probes; [[chargram_hashes_sd]] is the census form). */
+  def chargram_hashes(text: Column, n: Int): Column =
+    GraftExpr.chargramHashes(text, n, sortedDistinct = false)
+  /** Sorted distinct 60-bit md5 character-n-gram hashes — the map-side
+    * deduped exact-substring gram set (ExactSubstr's hashed paths). */
+  def chargram_hashes_sd(text: Column, n: Int): Column =
+    GraftExpr.chargramHashes(text, n, sortedDistinct = true)
   /** Mergeable bloom sketch of a BIGINT column (Spark's runtime-filter
     * aggregate, user-callable). ~10 bits/item ≈ 1% false positives. */
   def bloom_agg(value: Column, estItems: Long, numBits: Long): Column =

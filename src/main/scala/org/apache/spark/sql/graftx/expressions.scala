@@ -298,6 +298,85 @@ case class NgramHash(child: Expression, n: Int, sortedDistinct: Boolean)
     copy(child = newChild)
 }
 
+/** 60-bit md5 hashes of the CHARACTER n-grams of a text, one imperative
+  * pass per row — the exact-substring analog of [[NgramHash]]'s word
+  * grams. Semantically identical to the declarative chain
+  *   transform(sequence(1, length(t) - n + 1),
+  *             i -> conv(substring(md5(substring(t, i, n)), 1, 15), 16, 10))
+  * (with sort+dedup when `sortedDistinct`), which DuckDB replays as
+  * `('0x' || substr(md5(substr(t, i, n)), 1, 15))::BIGINT` — both
+  * engines md5 the UTF-8 bytes of the same character slice, so every
+  * oracle stays exact. Each gram is a byte SLICE between two character
+  * start offsets of the original UTF-8 text (continuation bytes are
+  * 10xxxxxx, so boundaries are found in one scan), hashed with zero
+  * string allocation. Texts shorter than n characters yield an empty
+  * array.
+  *
+  * `sortedDistinct = true` is the census form: within-document dedup
+  * happens HERE, map-side, before any explode — at exact-substring
+  * decontamination scale that is the difference between shuffling
+  * 8-byte keys and shuffling L-char strings (ExactSubstr's hashed
+  * paths ride this kernel). */
+case class CharGramHash(child: Expression, n: Int, sortedDistinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, s"chargram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String =
+    if (sortedDistinct) "chargram_hashes_sd" else "chargram_hashes"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    // Character start offsets: every byte that is NOT a UTF-8
+    // continuation byte (10xxxxxx) starts a character.
+    var nChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xc0) != 0x80) nChars += 1; i += 1 }
+    if (nChars < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nChars + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val digest = md5.get()
+    val nGrams = nChars - n + 1
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      digest.reset()
+      digest.update(bytes, starts(g), starts(g + n) - starts(g))
+      val d = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(g) = v >>> 4 // first 15 hex digits = high 60 bits
+      g += 1
+    }
+    if (!sortedDistinct) return new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < nGrams) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == nGrams) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature kernel: for each i in 0 until k, the lexicographic
   * minimum of `md5(i + "|" + gram)` hex strings over the word n-grams of
   * the text — identical to the declarative
@@ -426,6 +505,8 @@ object GraftExpr {
   def dotLong(a: Column, b: Column): Column = col(DotLong(ex(a), ex(b)))
   def ngramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
     col(NgramHash(ex(text), n, sortedDistinct))
+  def chargramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
+    col(CharGramHash(ex(text), n, sortedDistinct))
   def minhashSig(text: Column, n: Int, k: Int): Column =
     col(MinhashSig(ex(text), n, k))
   def sortedJaccardLong(a: Column, b: Column): Column = col(SortedJaccardLong(ex(a), ex(b)))
@@ -445,6 +526,10 @@ object GraftExpr {
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = false), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => NgramHash(es.head, litInt(es(1)), sortedDistinct = true), "scala_udf")
+    reg.createOrReplaceTempFunction("chargram_hashes",
+      es => CharGramHash(es.head, litInt(es(1)), sortedDistinct = false), "scala_udf")
+    reg.createOrReplaceTempFunction("chargram_hashes_sd",
+      es => CharGramHash(es.head, litInt(es(1)), sortedDistinct = true), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinhashSig(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
   }

@@ -87,4 +87,86 @@ class ExactSubstrSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(g.toSeq == Seq((1L, "aa"))) // 3 positions, one distinct gram
   }
+
+  test("chargram_hashes kernel matches the declarative md5-prefix chain, " +
+       "multi-byte UTF-8 included") {
+    import org.apache.spark.sql.functions._
+    // é (2 bytes), 語 (3 bytes), 🎉 (4 bytes, surrogate pair in UTF-16 but
+    // ONE character to Spark's codePoint-based substring? — no: Spark
+    // counts UTF-8 chars; both sides must agree with themselves)
+    val texts = Seq("hello world", "aé語bé語c", "aaaa", "ab", "",
+      "mixé語d content with repeats repeats repeats")
+    val df = texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2) }
+      .toDF("id", "text")
+    for (l <- Seq(1, 2, 3, 5)) {
+      // declarative chain only defined for length >= l (sequence(1, 0)
+      // is DESCENDING in Spark, not empty) — compare on that subset and
+      // assert the kernel's empty array on the rest
+      val long = df.filter(length($"text") >= l)
+      val kernel = long.select($"id", graft.functions.GraftFunctions
+          .chargram_hashes_sd($"text", l).as("hs"))
+      val declarative = long.select($"id", expr(
+        s"array_sort(array_distinct(transform(" +
+        s"sequence(1, length(text) - $l + 1), " +
+        s"i -> cast(conv(substring(md5(substring(text, i, $l)), 1, 15), " +
+        s"16, 10) as bigint))))").as("hs"))
+      val k = kernel.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val d = declarative.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(k == d, s"L=$l kernel vs declarative")
+      val shorts = df.filter(length($"text") < l)
+        .select(graft.functions.GraftFunctions.chargram_hashes_sd($"text", l).as("hs"))
+        .collect().map(_.getSeq[Long](0))
+      assert(shorts.forall(_.isEmpty), s"L=$l short docs must emit nothing")
+    }
+  }
+
+  test("hashed census (verify on) is bit-identical to the string census") {
+    val s8 = "ABCDEFGH"
+    val s16 = "IJKLMNOPQRSTUVWX"
+    val train = Seq(
+      (1L, s"train filler one $s8 more filler"),
+      (2L, s"second train doc $s16 tail é語🎉 unicode"),
+      (3L, "third train")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval ten ${s8}zz"),
+      (20L, s"eval twenty ${s16}zz é語🎉 unicode overlap too"),
+      (40L, "entirely disjoint payload without any overlap at all QQ"))
+      .toDF("doc_id", "text")
+    for (verify <- Seq(true, false)) {
+      val hashed = ExactSubstr
+        .sharedSubstrCensusHashed(train, eval, "text", "doc_id",
+          Seq(4, 8, 16), verify = verify)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val strings = ExactSubstr
+        .sharedSubstrCensus(train, eval, "text", "doc_id", Seq(4, 8, 16))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(hashed == strings, s"verify=$verify: $hashed vs $strings")
+    }
+  }
+
+  test("buildHashIndex + screenBatchHashed accumulate to the batch census") {
+    val s8 = "ABCDEFGH"
+    val s16 = "IJKLMNOPQRSTUVWX"
+    val train = Seq(
+      (1L, s"train filler one $s8 more filler"),
+      (2L, s"second train doc $s16 tail")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval ten ${s8}zz"),
+      (20L, s"eval twenty ${s16}zz"),
+      (40L, "entirely disjoint payload without any overlap at all QQ"))
+      .toDF("doc_id", "text")
+    val idx = ExactSubstr.buildHashIndex(train, "text", Seq(8, 16))
+      .localCheckpoint(true)
+    val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    Seq(eval.filter($"doc_id" <= 10), eval.filter($"doc_id" > 10)).foreach { b =>
+      ExactSubstr.screenBatchHashed(idx, b, "text", "doc_id", Seq(8, 16))
+        .collect().foreach { r =>
+          val (n0, c0) = acc(r.getInt(0))
+          acc(r.getInt(0)) = (n0 + r.getLong(1), c0 + r.getLong(2))
+        }
+    }
+    assert(acc(8) == (2L, 30L), acc.toString)  // docs 10, 20
+    assert(acc(16) == (1L, 20L), acc.toString) // doc 20 only
+  }
 }
