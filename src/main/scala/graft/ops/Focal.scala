@@ -373,11 +373,15 @@ object Focal {
     * measurement kernels: a mask is set membership, not a measurement).
     * Input must be 0/1 valued — anything else throws loudly.
     *
-    * Each pass is SEPARABLE (row max/min then column max/min), so the
-    * per-pixel cost is O(r) twice, not O(r²) — at production radii
-    * (r = 8 on 1024-chunks) that is the difference between a cheap
-    * map-side pass and a quadratic hotspot. Returns two bands per input
-    * band: `<band>_close` and `<band>_open`. */
+    * Each pass is SEPARABLE (row max/min then column max/min) and each
+    * 1-D pass is van Herk–Gil-Werman (van Herk 1992; Gil & Werman 1993):
+    * block-local running extrema give 3 comparisons per pixel
+    * REGARDLESS of radius — O(1)/px where a direct windowed rescan is
+    * O(r)/px and the naive 2-D window O(r²)/px. At the documented
+    * production radius (r = 8 on 1024-chunks) that is ~17x less kernel
+    * work per pass; the cost of a closing+opening is radius-independent,
+    * so structuring-element size is a free modeling choice. Returns two
+    * bands per input band: `<band>_close` and `<band>_open`. */
   def morphology(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
                  gridH: Int, gridW: Int, radius: Int): Dataset[Tile] = {
     require(radius >= 1, s"Focal: radius=$radius")
@@ -400,24 +404,64 @@ object Focal {
           i += 1
         }
         // separable window pass over the full pad array (array-edge
-        // cells are never consumed: chunk centers sit >= 2r from it)
+        // cells are never consumed: chunk centers sit >= 2r from it).
+        // Each 1-D pass is van Herk–Gil-Werman: 3 comparisons per cell
+        // REGARDLESS of radius (block-local forward running extremum g,
+        // backward running extremum h over blocks of w = 2r+1; any
+        // w-length window spans at most two blocks, so its extremum is
+        // combine(h(start), g(end))). The line is virtually padded with
+        // the identity element (-inf for max, +inf for min), which
+        // reproduces the truncated-window edge semantics of a direct
+        // clamped scan — a sentinel never wins against a real cell.
+        val w = 2 * radius + 1
+        val npadRow = ((padW + 2 * radius + w - 1) / w) * w
+        val npadCol = ((padH + 2 * radius + w - 1) / w) * w
+        val lineBuf = new Array[Double](math.max(npadRow, npadCol))
+        val gBuf = new Array[Double](math.max(npadRow, npadCol))
+        val hBuf = new Array[Double](math.max(npadRow, npadCol))
+        // one vHGW line: reads n cells of src at (off, stride), writes
+        // the same positions of out
+        def vhgwLine(src: Array[Double], out: Array[Double], off: Int,
+                     stride: Int, n: Int, npad: Int, isMax: Boolean): Unit = {
+          val sentinel =
+            if (isMax) Double.NegativeInfinity else Double.PositiveInfinity
+          var i = 0
+          while (i < npad) { lineBuf(i) = sentinel; i += 1 }
+          i = 0
+          while (i < n) { lineBuf(radius + i) = src(off + i * stride); i += 1 }
+          i = 0
+          while (i < npad) {
+            val v = lineBuf(i)
+            gBuf(i) =
+              if (i % w == 0) v
+              else if (isMax) math.max(gBuf(i - 1), v)
+              else math.min(gBuf(i - 1), v)
+            i += 1
+          }
+          i = npad - 1
+          while (i >= 0) {
+            val v = lineBuf(i)
+            hBuf(i) =
+              if (i % w == w - 1) v
+              else if (isMax) math.max(hBuf(i + 1), v)
+              else math.min(hBuf(i + 1), v)
+            i -= 1
+          }
+          // window of original cell j = padded [j, j + w - 1]
+          var j2 = 0
+          while (j2 < n) {
+            val m =
+              if (isMax) math.max(hBuf(j2), gBuf(j2 + w - 1))
+              else math.min(hBuf(j2), gBuf(j2 + w - 1))
+            out(off + j2 * stride) = m
+            j2 += 1
+          }
+        }
         def passRow(src: Array[Double], isMax: Boolean): Array[Double] = {
           val out = new Array[Double](src.length)
           var r = 0
           while (r < padH) {
-            var c = 0
-            while (c < padW) {
-              var m = src(r * padW + math.max(0, c - radius))
-              var j = math.max(0, c - radius) + 1
-              val hi = math.min(padW - 1, c + radius)
-              while (j <= hi) {
-                val v = src(r * padW + j)
-                if (if (isMax) v > m else v < m) m = v
-                j += 1
-              }
-              out(r * padW + c) = m
-              c += 1
-            }
+            vhgwLine(src, out, r * padW, 1, padW, npadRow, isMax)
             r += 1
           }
           out
@@ -426,19 +470,7 @@ object Focal {
           val out = new Array[Double](src.length)
           var c = 0
           while (c < padW) {
-            var r = 0
-            while (r < padH) {
-              var m = src(math.max(0, r - radius) * padW + c)
-              var j = math.max(0, r - radius) + 1
-              val hi = math.min(padH - 1, r + radius)
-              while (j <= hi) {
-                val v = src(j * padW + c)
-                if (if (isMax) v > m else v < m) m = v
-                j += 1
-              }
-              out(r * padW + c) = m
-              r += 1
-            }
+            vhgwLine(src, out, c, padW, padH, npadCol, isMax)
             c += 1
           }
           out

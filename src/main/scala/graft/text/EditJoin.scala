@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   *  - PROBE role: the SHORTER side of each pair (ties: both probe,
   *    pairs deduped) emits, for every partner length L ∈ [len, len+k]
   *    and every segment i of the L-partition, its substrings of that
-  *    segment's length starting within ±k of the segment start (the
-  *    relaxed lossless window; PassJoin's multi-match-aware selection
-  *    is a pruning refinement, not a correctness requirement).
+  *    segment's length starting inside the paper's MULTI-MATCH-AWARE
+  *    window: shift q − pᵢ ∈ [max(−(i−1), Δ−(m−i)), min(i−1, Δ+(m−i))]
+  *    with Δ = len − L and m = k+1 (1-based i). Losslessness argument:
+  *    take the FIRST untouched segment i of an optimal ≤ k-edit
+  *    alignment — each of the i−1 earlier segments carries ≥ 1 edit, so
+  *    the net shift before segment i is within ±(i−1); the m−i later
+  *    segments must absorb the remaining length imbalance Δ − shift, so
+  *    |shift − Δ| ≤ m−i. The window is ≤ half the naive ±k band and
+  *    shrinks further as |Δ| grows (it also subsumes the position-aware
+  *    bound: (i−1) + (m−i) = k).
   *  - Candidates = one equi-join of probe substrings against index
   *    segments on (L, segIdx, value); VERIFY = `levenshtein` (Spark's
   *    codegen built-in) ≤ k on the distinct candidate pairs.
@@ -67,6 +74,24 @@ object EditJoin {
     out
   }
 
+  /** Multi-match-aware probe positions for a length-`len` string
+    * against the segments of partner length `partnerLen`: emits
+    * (segIdx 0-based, start, segLen). The shift window per 1-based
+    * segment i is [max(−(i−1), Δ−(m−i)), min(i−1, Δ+(m−i))], Δ = len −
+    * partnerLen — lossless per PassJoin Lemma 3 (see object scaladoc),
+    * clipped to the string. Exposed for the spec's window-size gate. */
+  private[graft] def probeWindows(len: Int, partnerLen: Int,
+                                  k: Int): Iterator[(Int, Int, Int)] = {
+    val m = k + 1
+    val delta = len - partnerLen
+    segments(partnerLen, k).iterator.zipWithIndex.flatMap { case ((p, l), i0) =>
+      val i = i0 + 1 // 1-based segment index
+      val lo = math.max(math.max(-(i - 1), delta - (m - i)) + p, 0)
+      val hi = math.min(math.min(i - 1, delta + (m - i)) + p, len - l)
+      (lo to hi).iterator.map(q => (i0, q, l))
+    }
+  }
+
   /** All unordered pairs (id_a < id_b, dist) with
     * levenshtein(str_a, str_b) ≤ k. Ids must be unique; duplicate
     * STRINGS are fine (they meet at dist 0). */
@@ -92,10 +117,7 @@ object EditJoin {
       for {
         partnerLen <- (len to len + k).iterator
         if partnerLen >= k + 1
-        ((p, l), i) <- segments(partnerLen, k).iterator.zipWithIndex
-        lo = math.max(0, p - k)
-        hi = math.min(len - l, p + k)
-        q <- (lo to hi).iterator
+        (i, q, l) <- probeWindows(len, partnerLen, k)
       } yield (partnerLen, i, s.substring(q, q + l), id)
     }.toDF("part_len", "seg_idx", "seg", "probe_id")
 

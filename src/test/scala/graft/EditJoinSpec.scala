@@ -87,6 +87,43 @@ class EditJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-match-aware windows: per-segment shift bound and strict " +
+       "cut vs the naive ±k band") {
+    for (k <- 1 to 4; len <- (k + 1) to 40; partnerLen <- len to (len + k)) {
+      val m = k + 1
+      val delta = len - partnerLen
+      val wins = EditJoin.probeWindows(len, partnerLen, k).toSeq
+      val segs = EditJoin.segments(partnerLen, k)
+      // per-segment: every emitted start obeys the Lemma-3 shift bounds
+      val bySeg = wins.groupBy(_._1)
+      for ((i0, ws) <- bySeg) {
+        val i = i0 + 1
+        val p = segs(i0)._1
+        for ((_, q, l) <- ws) {
+          val shift = q - p
+          assert(shift >= math.max(-(i - 1), delta - (m - i)) &&
+                 shift <= math.min(i - 1, delta + (m - i)),
+            s"k=$k len=$len L=$partnerLen seg $i shift $shift")
+          assert(q >= 0 && q + l <= len)
+        }
+        // window size never exceeds the Lemma-3 cap, itself < the naive
+        // 2k+1 whenever k >= 1 and m >= 2
+        assert(ws.size <= math.min(2 * i - 1, 2 * (m - i) + 1 + 2 * delta.abs),
+          s"k=$k len=$len L=$partnerLen seg $i size ${ws.size}")
+        assert(ws.size <= k + 1 - delta.abs,
+          s"k=$k len=$len L=$partnerLen seg $i size ${ws.size} > k+1-|Δ|")
+      }
+      // whole-string probe volume: strictly below the naive window's
+      // (each segment's naive band is min(2k+1, len-l+1) positions)
+      val naive = segs.map { case (p, l) =>
+        val lo = math.max(0, p - k); val hi = math.min(len - l, p + k)
+        math.max(0, hi - lo + 1)
+      }.sum
+      assert(wins.size <= naive,
+        s"k=$k len=$len L=$partnerLen: ${wins.size} > naive $naive")
+    }
+  }
+
   test("short block guards loudly instead of degrading to all-pairs") {
     val rows = (0L until 30000L).map(i => i -> (if (i % 2 == 0) "a" else "b"))
     val ex = intercept[IllegalStateException] {

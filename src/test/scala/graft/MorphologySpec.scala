@@ -82,34 +82,46 @@ class MorphologySpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("0/1 mask")))
   }
 
-  test("radius 2 equals a driver-side dense replay on a random mask") {
+  // radius sweep: the vHGW kernel must equal the dense O(r²) replay at
+  // EVERY radius (its 3-comparisons-per-cell cost is radius-independent,
+  // so so must be its correctness). The halo contract caps 2·radius at
+  // chunk-1 (8-neighbor exchange), so radii ≥ 5 run on one 20-chunk —
+  // line lengths there still exercise multi-block and sub-block vHGW
+  // windows (w = 15, 19 over 20-to-56-cell padded lines); 2r caps at
+  // chunk-1, so 9 is the deepest legal radius on a 20-grid.
+  for (radius <- Seq(1, 2, 3, 4, 7, 9))
+  test(s"radius $radius equals a driver-side dense replay on a random mask") {
     val g = 20
-    val rnd = new scala.util.Random(42)
+    val chunk = if (2 * radius < 10) 10 else g
+    val rnd = new scala.util.Random(42 + radius)
     val mask = Array.fill(g * g)(if (rnd.nextBoolean()) 1.0 else 0.0)
-    val tiles = for (yc <- 0 until 2; xc <- 0 until 2) yield
-      tile(yc, xc, 10, Array.tabulate(100)(i => mask((yc * 10 + i / 10) * g + xc * 10 + i % 10)))
-    val got = run(tiles, chunk = 10, grid = g, radius = 2)
+    val nc = g / chunk
+    val tiles = for (yc <- 0 until nc; xc <- 0 until nc) yield
+      tile(yc, xc, chunk, Array.tabulate(chunk * chunk)(i =>
+        mask((yc * chunk + i / chunk) * g + xc * chunk + i % chunk)))
+    val got = run(tiles, chunk = chunk, grid = g, radius = radius)
+    val R = radius
     // dense replay with explicit 0-extension
     def at(a: Array[Double], r: Int, c: Int): Double =
       if (r < 0 || r >= g || c < 0 || c >= g) 0.0 else a(r * g + c)
     def win(a: Array[Double], r: Int, c: Int, isMax: Boolean): Double = {
       var m = if (isMax) 0.0 else 1.0
-      for (dr <- -2 to 2; dc <- -2 to 2) {
+      for (dr <- -R to R; dc <- -R to R) {
         val v = at(a, r + dr, c + dc)
         if (if (isMax) v > m else v < m) m = v
       }
       m
     }
     // build extended-domain dilate/erode on a padded array
-    val pg = g + 8
+    val pg = g + 4 * R
     def ext(f: (Int, Int) => Double): Array[Double] =
-      Array.tabulate(pg * pg)(i => f(i / pg - 4, i % pg - 4))
+      Array.tabulate(pg * pg)(i => f(i / pg - 2 * R, i % pg - 2 * R))
     val dil = ext((r, c) => win(mask, r, c, isMax = true))
     val ero = ext((r, c) => win(mask, r, c, isMax = false))
-    def atp(a: Array[Double], r: Int, c: Int): Double = a((r + 4) * pg + (c + 4))
+    def atp(a: Array[Double], r: Int, c: Int): Double = a((r + 2 * R) * pg + (c + 2 * R))
     for (r <- 0 until g; c <- 0 until g) {
       var cl = 1.0; var op = 0.0
-      for (dr <- -2 to 2; dc <- -2 to 2) {
+      for (dr <- -R to R; dc <- -R to R) {
         cl = math.min(cl, atp(dil, r + dr, c + dc))
         op = math.max(op, atp(ero, r + dr, c + dc))
       }
