@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   *    round. This multi-pivot split is what keeps outer rounds ~
   *    condensation-depth-logarithmic instead of one-SCC-per-round on
   *    chain-of-SCCs graphs.
+  *  - TRIM (the standard FW-BW-Trim step): before each FW/BW pass,
+  *    nodes of the active subgraph with no in-edges or no out-edges
+  *    cannot lie on a cycle — they are singleton SCCs, retired
+  *    immediately and their edges dropped. On web-shaped graphs most
+  *    nodes are bow-tie tendrils/tubes, and every stripped node shrinks
+  *    the O(active edges) shuffle of EVERY subsequent propagation
+  *    round. Trim runs to a capped fixpoint (`trimRounds` layers per
+  *    outer round — one layer per pass, so a depth-d tendril chain
+  *    fully strips in d passes); the cap is safe, not a correctness
+  *    budget: un-trimmed acyclic nodes still resolve through
+  *    F = B = self once refinement isolates them.
   *
   * `outerRounds`/`innerRounds` are CAPS with fixpoint early-exit and
   * the loud budget guard of the other iterative ops (KCore/Flow): a
@@ -52,9 +63,10 @@ object Scc {
     * linear propagation — closure size, not round count, is the killer
     * there. */
   def components(edges: DataFrame, outerRounds: Int = 32,
-                 innerRounds: Int = 64, shortcut: Boolean = false): DataFrame = {
-    require(outerRounds >= 1 && innerRounds >= 1,
-      s"Scc: rounds=($outerRounds, $innerRounds)")
+                 innerRounds: Int = 64, shortcut: Boolean = false,
+                 trimRounds: Int = 8): DataFrame = {
+    require(outerRounds >= 1 && innerRounds >= 1 && trimRounds >= 0,
+      s"Scc: rounds=($outerRounds, $innerRounds, trim $trimRounds)")
     val spark = edges.sparkSession
     var e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
@@ -67,6 +79,23 @@ object Scc {
       .localCheckpoint(true)
     var it = 0
     while (it < outerRounds && !active.isEmpty) {
+      // TRIM: strip degree-0 layers (singleton SCCs) before the paired
+      // propagations — cheapest edges ever removed from the fixpoint
+      var tr = 0
+      var trimming = trimRounds > 0
+      while (trimming && tr < trimRounds) {
+        val (keep, e2, trimmed) = trimOnce(active, e)
+        if (trimmed.isEmpty) trimming = false
+        else {
+          done = done.unionByName(
+            trimmed.select(col("node"), col("node").as("scc")))
+            .localCheckpoint(true)
+          active = keep
+          e = e2
+        }
+        tr += 1
+      }
+      if (active.isEmpty) return done
       val f = minPropagate(active, e, innerRounds, forward = true, shortcut)
         .withColumnRenamed("lab", "f")
       val b = minPropagate(active, e, innerRounds, forward = false, shortcut)
@@ -93,6 +122,24 @@ object Scc {
       "the condensation is deeper than the budget. Raise `outerRounds`: " +
       "overshoot is free, the loop exits when every node is labeled.")
     done
+  }
+
+  /** One TRIM layer: the nodes of the active subgraph that have BOTH an
+    * out-edge and an in-edge (`keep` — the only ones that can lie on a
+    * cycle), the edge list restricted to them, and the stripped nodes
+    * (singleton SCCs). Exposed for the SCALE probe's active-edge decay
+    * instrumentation. */
+  private[graft] def trimOnce(active: DataFrame, e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val keep = e.select(col("src").as("node")).distinct()
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val trimmed = active.join(keep, Seq("node"), "left_anti")
+    val e2 = e
+      .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    (keep, e2, trimmed)
   }
 
   /** Min-label propagation to fixpoint: lab(v) = min(v, labels flowing

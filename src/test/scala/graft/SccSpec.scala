@@ -84,10 +84,35 @@ class SccSpec extends SparkSpec {
   }
 
   test("inner budget exhaustion throws loudly instead of mislabeling") {
+    // trim off: a pure chain is all-trivial, and FW-BW-Trim would
+    // (correctly) dissolve it before any propagation runs
     val edges = (0L until 10L).sliding(2).map(p => (p(0), p(1))).toSeq
     val ex = intercept[IllegalStateException] {
-      Scc.components(edges.toDF("src", "dst"), innerRounds = 2).count()
+      Scc.components(edges.toDF("src", "dst"), innerRounds = 2,
+        trimRounds = 0).count()
     }
     assert(ex.getMessage.contains("inner budget"))
+  }
+
+  test("trim retires acyclic nodes without propagation; capped trim " +
+       "stays correct on deep tendrils") {
+    // chain into a 3-cycle: tendril nodes are singleton SCCs, the cycle
+    // survives trim. innerRounds=3 is FAR too small for the 8-deep
+    // tendril under pure propagation (label 0 would need ~8 flows) —
+    // the default 8 trim layers must strip it so propagation only ever
+    // sees the cycle.
+    val tendril = (0L until 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = tendril ++ Seq((7L, 100L), (100L, 101L), (101L, 102L),
+      (102L, 100L))
+    val got = Scc.components(edges.toDF("src", "dst"), innerRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 8L).map(v => v -> v).toMap ++
+      Seq(100L, 101L, 102L).map(_ -> 100L).toMap
+    assert(got == want)
+    // a trim cap SHALLOWER than the tendril must still be correct (the
+    // leftovers resolve through refinement + F=B=self)
+    val capped = Scc.components(edges.toDF("src", "dst"), trimRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == want)
   }
 }
