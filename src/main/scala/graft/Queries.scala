@@ -14419,6 +14419,163 @@ object Queries {
              |    + 2.0 * mean * mean * mean AS skew_num
              |FROM f ORDER BY 1""".stripMargin)),
 
+    // ----- R47: BASIN OUTLINES — the raster→vector closure of the
+    // hydrology family (r35's per-cell basin labels → per-basin closed
+    // polygon RINGS, what a GIS user downloads as watershed polygons):
+    // boundary pieces where the 4-neighbor's basin differs, the
+    // diagonal-touch corner split (D8 basins are 8-connected, so
+    // diagonal self-touches are routine), ring CC, and ordered vertex
+    // walks through the SAME size-routed machinery as contour lines
+    // (Contour.orderedVertexKeys — sequential inside a group at fixture
+    // scale, Wyllie for coastline-scale giants). The oracle replays the
+    // whole chain — D8 edges, pointer-following, boundary pieces,
+    // corner salting, ring min-label, and the vertex WALK — so every
+    // ring's exact vertex sequence is hash-gated via ord-weighted
+    // coordinate checksums.
+    Q("r47_basin_outlines",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.{Flow, Focal, Regions}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(11))
+        val dirs = Focal.d8Flow3x3(tiles, 50, 50, 150, 150)
+        val basins = Flow.basins(Flow.d8Edges(dirs, 50, 50, 150, 150), rounds = 8)
+        val labels = basins.select(expr("node div 150").cast("int").as("r"),
+          ($"node" % 150).cast("int").as("c"), $"basin".as("lab"))
+        graft.ops.Regions.outlines(labels, 150, 150)
+          .groupBy($"lab".as("basin"))
+          .agg(countDistinct($"ring").as("n_rings"), count(lit(1)).as("n_rows"),
+            max($"ord").as("max_ord"), sum($"ord" * $"y").as("ordy_chk"),
+            sum($"ord" * $"x").as("ordx_chk"))
+          .orderBy($"basin")
+      },
+      Some("""WITH RECURSIVE
+             |px AS (SELECT r, c FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)
+             |       WHERE r BETWEEN 1 AND 148 AND c BETWEEN 1 AND 148),
+             |dirs AS (SELECT * FROM (VALUES
+             |  (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 1), (3, 1, -1, 2),
+             |  (4, 0, -1, 1), (5, -1, -1, 2), (6, -1, 0, 1), (7, -1, 1, 2)
+             |  ) AS v(ord, dr, dc, dist2)),
+             |rates AS (SELECT p.r, p.c, d.ord, d.dr, d.dc,
+             |    CAST((p.r*p.r + p.c*p.c) % 11
+             |       - ((p.r+d.dr)*(p.r+d.dr) + (p.c+d.dc)*(p.c+d.dc)) % 11 AS DOUBLE)
+             |      / sqrt(CAST(d.dist2 AS DOUBLE)) AS rate
+             |  FROM px p CROSS JOIN dirs d),
+             |rk AS (SELECT r, c, dr, dc, rate,
+             |    row_number() OVER (PARTITION BY r, c ORDER BY rate DESC, ord) AS rn
+             |  FROM rates),
+             |e AS (SELECT r*150 + c AS src, (r+dr)*150 + (c+dc) AS dst
+             |      FROM rk WHERE rn = 1 AND rate > 0),
+             |walk AS (SELECT src AS node, dst AS cur FROM e
+             |         UNION ALL SELECT w.node, e.dst FROM walk w JOIN e ON w.cur = e.src),
+             |fin AS (SELECT node, cur AS basin FROM walk
+             |          WHERE cur NOT IN (SELECT src FROM e)
+             |        UNION ALL
+             |        SELECT DISTINCT dst, dst FROM e
+             |          WHERE dst NOT IN (SELECT src FROM e)),
+             |lb AS (SELECT CAST(node // 150 AS BIGINT) AS r,
+             |         CAST(node % 150 AS BIGINT) AS c,
+             |         CAST(basin AS BIGINT) AS lab FROM fin),
+             |d4 AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) v(dr,dc)),
+             |pc AS (SELECT l.lab, l.r*150 + l.c AS inside,
+             |         CASE WHEN d.dr=1 THEN (l.r+1)*151 + l.c
+             |              WHEN d.dc=1 THEN l.r*151 + l.c + 1
+             |              ELSE l.r*151 + l.c END AS ca,
+             |         CASE WHEN d.dr=-1 THEN l.r*151 + l.c + 1
+             |              WHEN d.dr=1  THEN (l.r+1)*151 + l.c + 1
+             |              WHEN d.dc=-1 THEN (l.r+1)*151 + l.c
+             |              ELSE (l.r+1)*151 + l.c + 1 END AS cb
+             |       FROM lb l CROSS JOIN d4 d
+             |       LEFT JOIN lb n ON n.r = l.r + d.dr AND n.c = l.c + d.dc
+             |       WHERE n.lab IS NULL OR n.lab <> l.lab),
+             |en AS (SELECT lab, inside, ca AS corner FROM pc
+             |       UNION ALL SELECT lab, inside, cb FROM pc),
+             |cs AS (SELECT lab, corner, count(*) AS n, min(inside) AS mi
+             |       FROM en GROUP BY 1, 2),
+             |ky AS (SELECT p.lab,
+             |         p.lab*45602 + p.ca*2
+             |           + (CASE WHEN a.n=4 AND p.inside<>a.mi THEN 1 ELSE 0 END) AS k1,
+             |         p.lab*45602 + p.cb*2
+             |           + (CASE WHEN b.n=4 AND p.inside<>b.mi THEN 1 ELSE 0 END) AS k2
+             |       FROM pc p JOIN cs a ON a.lab=p.lab AND a.corner=p.ca
+             |                 JOIN cs b ON b.lab=p.lab AND b.corner=p.cb),
+             |ad AS (SELECT lab, k1 AS a, k2 AS b FROM ky
+             |       UNION SELECT lab, k2, k1 FROM ky),
+             |nbr AS (SELECT lab, a AS v, min(b) AS n1, max(b) AS n2
+             |        FROM ad GROUP BY 1, 2),
+             |reach AS (SELECT lab, a, a AS b FROM (SELECT DISTINCT lab, a FROM ad)
+             |          UNION SELECT r.lab, r.a, ad.b
+             |          FROM reach r JOIN ad ON r.lab = ad.lab AND r.b = ad.a),
+             |rg AS (SELECT lab, a AS v, min(b) AS ring FROM reach GROUP BY 1, 2),
+             |wk AS (SELECT r.lab, r.ring, 0 AS ord,
+             |         CAST(NULL AS BIGINT) AS prev, r.ring AS cur
+             |       FROM (SELECT DISTINCT lab, ring FROM rg) r
+             |       UNION ALL
+             |       SELECT w.lab, w.ring, w.ord + 1, w.cur,
+             |         CASE WHEN w.prev IS NULL THEN n.n1
+             |              WHEN n.n1 = w.prev THEN n.n2 ELSE n.n1 END
+             |       FROM wk w JOIN nbr n ON n.lab = w.lab AND n.v = w.cur
+             |       WHERE NOT (w.cur = w.ring AND w.ord > 0)),
+             |vx AS (SELECT lab, ring, ord,
+             |         ((cur % 45602) // 2) // 151 AS y,
+             |         ((cur % 45602) // 2) % 151 AS x FROM wk)
+             |SELECT CAST(lab AS BIGINT) AS basin,
+             |  CAST(count(DISTINCT ring) AS BIGINT) AS n_rings,
+             |  count(*) AS n_rows, CAST(max(ord) AS BIGINT) AS max_ord,
+             |  CAST(sum(ord * y) AS BIGINT) AS ordy_chk,
+             |  CAST(sum(ord * x) AS BIGINT) AS ordx_chk
+             |FROM vx GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R48: REGION LABELING (GRASS r.clump; the `polygonize`
+    // precursor): connected components of 4-adjacent EQUAL-VALUED cells
+    // over halo-free chunked input — the generic raster clustering verb
+    // r35's basins and r47's outlines specialize. Region id is the
+    // component-minimum packed cell id (data-determined, parallelism-
+    // invariant); diagonal-only touches split (the 4-connectivity
+    // convention). Census: per region, size + position checksum — the
+    // oracle replays the CC as a recursive reachability closure.
+    Q("r48_label_regions",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+        val cells = TileScan.scan(s, assets, spec, chunk = 20,
+            readerFor = _ => ModRampReader(11))
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield (t.yChunk * 20 + r, t.xChunk * 20 + c, v.toLong % 3)
+          }.toDF("r", "c", "v")
+        graft.ops.Regions.labelRegions(cells, width = 60)
+          .groupBy($"region")
+          .agg(count(lit(1)).as("n_cells"),
+            sum($"r".cast("long") * 60 + $"c").as("pos_chk"))
+          .orderBy($"region")
+      },
+      Some("""WITH RECURSIVE
+             |z AS (SELECT r, c, (r*r + c*c) % 11 % 3 AS v
+             |      FROM range(0,60) t(r) CROSS JOIN range(0,60) u(c)),
+             |ad0 AS (SELECT a.r*60 + a.c AS a, b.r*60 + b.c AS b
+             |        FROM z a JOIN z b ON b.v = a.v
+             |          AND ((b.r = a.r AND b.c = a.c + 1)
+             |            OR (b.r = a.r + 1 AND b.c = a.c))),
+             |ad AS (SELECT a, b FROM ad0 UNION SELECT b, a FROM ad0),
+             |reach AS (SELECT r*60 + c AS a, r*60 + c AS b FROM z
+             |          UNION SELECT r.a, ad.b FROM reach r JOIN ad ON r.b = ad.a),
+             |rg AS (SELECT a AS node, min(b) AS region FROM reach GROUP BY 1)
+             |SELECT CAST(region AS BIGINT) AS region, count(*) AS n_cells,
+             |  CAST(sum(node) AS BIGINT) AS pos_chk
+             |FROM rg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- T34: ZIPF rank-octave census — the corpus-statistics read
     // behind vocabulary sizing and tokenizer budgets: how token mass
     // distributes across rank octaves [2^o, 2^(o+1)) of the global

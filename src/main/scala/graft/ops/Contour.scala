@@ -103,7 +103,19 @@ object Contour {
     * scale common case. */
   def orderedVertices(stitched: DataFrame, rounds: Int = 24,
                       quantum: Double = 1024.0,
-                      sequentialCap: Int = 4096): DataFrame = {
+                      sequentialCap: Int = 4096): DataFrame =
+    orderedVertexKeys(stitched, rounds, sequentialCap)
+      .select(col("level"), col("poly"), col("ord"),
+        (shiftright(col("k"), 32).cast("double") / quantum).as("y"),
+        (col("k").bitwiseAND(lit(0xFFFFFFFFL)).cast("double") / quantum).as("x"))
+
+  /** [[orderedVertices]] stopping at the PACKED vertex key — the
+    * size-routed walk/Wyllie machinery independent of how keys encode
+    * geometry, so any degree-≤2 segment graph keyed on longs can ride
+    * it ([[Regions.outlines]] does, with region-salted corner keys).
+    * Emits (level, poly, ord, k). */
+  def orderedVertexKeys(stitched: DataFrame, rounds: Int = 24,
+                        sequentialCap: Int = 4096): DataFrame = {
     val all = stitched.select(col("level"), col("poly"), col("k1"), col("k2"))
     val sizes = all.groupBy(col("level"), col("poly"))
       .agg(count(lit(1)).as("n_seg"))
@@ -113,9 +125,9 @@ object Contour {
     val small = routed.filter(col("n_seg") <= sequentialCap)
     val big = routed.filter(col("n_seg") > sequentialCap)
       .drop("n_seg")
-    val smallOut = walkSequential(small.drop("n_seg"), quantum)
+    val smallOut = walkSequential(small.drop("n_seg"))
     if (big.isEmpty) smallOut
-    else smallOut.unionByName(wyllie(big, rounds, quantum))
+    else smallOut.unionByName(wyllie(big, rounds))
   }
 
   /** The sequential route: each (level, poly) group's half-edges fit
@@ -123,7 +135,7 @@ object Contour {
     * chain walks in-memory — same start vertex (min degree-1 endpoint,
     * else the min vertex = the poly id) and same min-neighbor first
     * step as the Wyllie route and the SQL replays. */
-  private def walkSequential(segs: DataFrame, quantum: Double): DataFrame = {
+  private def walkSequential(segs: DataFrame): DataFrame = {
     val spark = segs.sparkSession
     import spark.implicits._
     val NONE = Long.MinValue
@@ -148,10 +160,9 @@ object Contour {
             if (!anyDeg1 || v < start) { start = v; anyDeg1 = true }
           } else if (!anyDeg1 && v < start) start = v
         }
-        val out = new scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Double, Double)](nSeg + 1)
+        val out = new scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)](nSeg + 1)
         def emit(ord: Long, k: Long): Unit =
-          out += ((level, poly, ord,
-            (k >> 32).toDouble / quantum, (k & 0xFFFFFFFFL).toDouble / quantum))
+          out += ((level, poly, ord, k))
         var prev = NONE
         var cur = start
         var ord = 0L
@@ -168,12 +179,11 @@ object Contour {
           }
         }
         out.iterator
-      }.toDF("level", "poly", "ord", "y", "x")
+      }.toDF("level", "poly", "ord", "k")
   }
 
   /** The Wyllie route (giant lines): see [[orderedVertices]]. */
-  private def wyllie(base: DataFrame, rounds: Int,
-                     quantum: Double): DataFrame = {
+  private def wyllie(base: DataFrame, rounds: Int): DataFrame = {
     val he = base.select(col("level"), col("poly"),
         col("k1").as("src"), col("k2").as("dst"))
       .unionByName(base.select(col("level"), col("poly"),
@@ -245,10 +255,6 @@ object Contour {
         Seq("level", "startV", "n1"))
       .select(col("level"), col("poly"), col("len"), col("tS"), col("tD"))
     val chain = st.join(startHe, Seq("level", "poly", "tS", "tD"))
-    def unpackY(k: org.apache.spark.sql.Column) =
-      shiftright(k, 32).cast("double") / quantum
-    def unpackX(k: org.apache.spark.sql.Column) =
-      k.bitwiseAND(lit(0xFFFFFFFFL)).cast("double") / quantum
     // every half-edge contributes its src at ordinal len - d; the chain
     // terminal additionally contributes its dst at ordinal len (for a
     // ring that vertex IS the start again — first == last)
@@ -257,8 +263,7 @@ object Contour {
     val last = chain.filter(col("src") === col("tS") && col("dst") === col("tD"))
       .select(col("level"), col("poly"), col("len").as("ord"), col("dst").as("k"))
     inner.unionByName(last)
-      .select(col("level"), col("poly"), col("ord"),
-        unpackY(col("k")).as("y"), unpackX(col("k")).as("x"))
+      .select(col("level"), col("poly"), col("ord"), col("k"))
   }
 
   /** Per-(level, polyline) census: segment count and whether the line is

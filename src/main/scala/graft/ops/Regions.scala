@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RASTER REGION operators — the raster→vector bridge the hydrology
+  * family stopped short of: generic connected-component labeling of
+  * equal-valued cells ([[labelRegions]], the classic `polygonize`
+  * precursor / GRASS `r.clump`) and closed polygon RINGS around any
+  * per-cell label field ([[outlines]] — basin outlines, land-cover
+  * polygons, mask vectorization).
+  *
+  * Both are built from the engine's existing distributed primitives —
+  * min-label connected components ([[graft.dedup.Dedup.connectedComponents]])
+  * and the size-routed sequential-walk / Wyllie list-ranking vertex
+  * ordering ([[Contour.orderedVertexKeys]]) — so no geometry is ever
+  * assembled on the driver and ring length is never a memory bound.
+  *
+  * OUTLINE GEOMETRY: each labeled cell (r, c) owns the unit square
+  * [r, r+1] × [c, c+1] in CELL-CORNER coordinates; a boundary piece is
+  * any cell edge whose 4-neighbor carries a different label (or no
+  * label — the grid hull and nodata read as background). Per label the
+  * pieces form closed curves; the classic corner ambiguity (two cells
+  * of one label touching DIAGONALLY — 4 pieces incident to one corner)
+  * is resolved by VERTEX SPLITTING: the two ring passes are keyed
+  * apart by which inside cell each piece wraps, which is exactly the
+  * pairing that keeps each pass a simple degree-2 cycle (the
+  * 8-connected reading of the label field, matching D8 basins, whose
+  * regions are 8-connected by construction). Every corner of the
+  * resulting segment graph has degree exactly 2, so components are
+  * simple rings — holes come out as separate (inner) rings, as GIS
+  * polygon conventions expect. */
+object Regions {
+
+  /** Connected components of 4-ADJACENT EQUAL-VALUED cells: input
+    * (r, c, v) → output (r, c, v, region) where region is the
+    * component-minimum packed cell id (r·width + c) — data-determined,
+    * stable at any parallelism. Two equal-valued cells touching only
+    * diagonally are DIFFERENT regions (the polygonize convention).
+    * Shuffle: two equi-joins (east + south neighbor) + the CC rounds on
+    * the equal-value edge list. */
+  def labelRegions(cells: DataFrame, width: Int): DataFrame = {
+    require(width >= 1, s"Regions: width=$width")
+    val ids = cells.select(col("r").cast("int").as("r"),
+        col("c").cast("int").as("c"), col("v").cast("long").as("v"),
+        (col("r").cast("long") * width + col("c")).as("id"))
+      .localCheckpoint(true)
+    def shifted(dr: Int, dc: Int) = ids.select(
+      (col("r") - dr).as("r"), (col("c") - dc).as("c"),
+      col("v").as("nv"), col("id").as("nid"))
+    val edges = Seq((0, 1), (1, 0)).map { case (dr, dc) =>
+      ids.join(shifted(dr, dc), Seq("r", "c"))
+        .filter(col("v") === col("nv"))
+        .select(col("id").as("a"), col("nid").as("b"))
+    }.reduce(_ unionByName _)
+    val comps = graft.dedup.Dedup.connectedComponents(edges)
+    ids.join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("r"), col("c"), col("v"),
+        coalesce(col("component"), col("id")).as("region"))
+  }
+
+  /** Closed polygon rings around every region of a per-cell LABEL field:
+    * input (r, c, lab) on a height × width grid → ordered ring vertices
+    * (lab, ring, ord, y, x) in integer cell-corner coordinates, rings
+    * identified by their minimum salted corner key, first vertex == last
+    * vertex (the GIS ring convention), vertex order starting at each
+    * ring's minimum corner and stepping to its minimum neighbor first —
+    * deterministic at any parallelism.
+    *
+    * Scale shape: one neighbor equi-join builds the boundary pieces
+    * (O(4·cells) probe rows, map-side filtered), one corner census
+    * resolves the diagonal-touch salting, one CC labels rings, and the
+    * ordering rides [[Contour.orderedVertexKeys]] — power-law ring sizes
+    * walk sequentially inside their group, coastline-scale giants pay
+    * Wyllie's log-rounds. Labels must be non-negative and small enough
+    * to pack exactly (loud guard): key = lab·M + corner·2 + salt with
+    * M = 2(height+1)(width+1). */
+  def outlines(labels: DataFrame, height: Int, width: Int,
+               rounds: Int = 24, sequentialCap: Int = 4096): DataFrame = {
+    require(height >= 1 && width >= 1, s"Regions: grid $height x $width")
+    val w1 = width + 1
+    val m = 2L * (height + 1) * w1
+    val lb = labels.select(col("r").cast("int").as("r"),
+        col("c").cast("int").as("c"), col("lab").cast("long").as("lab"))
+      .localCheckpoint(true)
+    val bad = lb.agg(min(col("lab")).as("lo"), max(col("lab")).as("hi"),
+      count(lit(1)).as("n"), countDistinct(col("r"), col("c")).as("nd")).head()
+    if (bad.getLong(2) == 0L) {
+      // empty label field: no rings (build the empty frame cheaply)
+      return lb.select(col("lab"), col("lab").as("ring"),
+        col("lab").as("ord"), col("lab").as("y"), col("lab").as("x"))
+    }
+    require(bad.getLong(0) >= 0 && bad.getLong(1) < Long.MaxValue / m &&
+      bad.getLong(1) <= (1L << 53) - 1,
+      s"Regions.outlines: labels [${bad.getLong(0)}, ${bad.getLong(1)}] " +
+      s"cannot pack exactly against M=$m — remap labels to a dense range")
+    require(bad.getLong(2) == bad.getLong(3),
+      "Regions.outlines: duplicate (r, c) rows in the label field")
+
+    // boundary pieces: 4 neighbor probes per cell, one equi-join
+    val probes = lb.select(col("r"), col("c"), col("lab"),
+      explode(array(Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map { case (dr, dc) =>
+        struct(lit(dr).as("dr"), lit(dc).as("dc"))
+      }: _*)).as("d"))
+      .select(col("r"), col("c"), col("lab"),
+        col("d.dr").as("dr"), col("d.dc").as("dc"))
+    val nbrs = lb.select(col("r").as("nr"), col("c").as("nc"),
+      col("lab").as("nlab"))
+    val pieces = probes.join(nbrs,
+        probes("r") + probes("dr") === nbrs("nr") &&
+        probes("c") + probes("dc") === nbrs("nc"), "left")
+      .filter(col("nlab").isNull || col("nlab") =!= col("lab"))
+      .select(col("lab"),
+        (col("r").cast("long") * width + col("c")).as("inside"),
+        // corner A (min) and corner B of the piece, packed y*(w+1)+x
+        when(col("dr") === 1, (col("r") + 1).cast("long") * w1 + col("c"))
+          .when(col("dc") === 1, col("r").cast("long") * w1 + col("c") + 1)
+          .otherwise(col("r").cast("long") * w1 + col("c")).as("ca"),
+        when(col("dr") === -1, col("r").cast("long") * w1 + col("c") + 1)
+          .when(col("dr") === 1, (col("r") + 1).cast("long") * w1 + col("c") + 1)
+          .when(col("dc") === -1, (col("r") + 1).cast("long") * w1 + col("c"))
+          .otherwise((col("r") + 1).cast("long") * w1 + col("c") + 1).as("cb"))
+      .localCheckpoint(true)
+
+    // corner census: per (lab, corner) the piece count (2 or 4 — the
+    // boundary of any region meets a corner an even number of times)
+    // and the min inside cell, which keys the diagonal-touch salting
+    val ends = pieces.select(col("lab"), col("inside"), col("ca").as("corner"))
+      .unionByName(pieces.select(col("lab"), col("inside"), col("cb").as("corner")))
+    val census = ends.groupBy(col("lab"), col("corner"))
+      .agg(count(lit(1)).as("n"), min(col("inside")).as("mi"))
+      .localCheckpoint(true)
+    val badCorner = census.filter(col("n") =!= 2 && col("n") =!= 4)
+    if (!badCorner.isEmpty) throw new IllegalStateException(
+      "Regions.outlines: a (label, corner) has boundary-piece degree " +
+      "other than 2 or 4 — the label field is not a partition of the " +
+      "grid (duplicate or conflicting cells)")
+    def salted(corner: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column,
+               mi: org.apache.spark.sql.Column) =
+      col("lab") * m + corner * 2 +
+        when(n === 4 && col("inside") =!= mi, 1L).otherwise(0L)
+    val keyed = pieces
+      .join(census.select(col("lab"), col("corner").as("ca"),
+        col("n").as("na"), col("mi").as("mia")), Seq("lab", "ca"))
+      .join(census.select(col("lab"), col("corner").as("cb"),
+        col("n").as("nb"), col("mi").as("mib")), Seq("lab", "cb"))
+      .select(col("lab"),
+        salted(col("ca"), col("na"), col("mia")).as("k1"),
+        salted(col("cb"), col("nb"), col("mib")).as("k2"))
+      .localCheckpoint(true)
+
+    val comps = graft.dedup.Dedup.connectedComponents(
+      keyed.select(col("k1").as("a"), col("k2").as("b")))
+    val stitched = keyed
+      .join(comps.select(col("node").as("k1"), col("component").as("poly")),
+        Seq("k1"))
+      .select(col("lab").cast("double").as("level"), col("poly"),
+        col("k1"), col("k2"))
+      .localCheckpoint(true)
+    Contour.orderedVertexKeys(stitched, rounds, sequentialCap)
+      .select(col("level").cast("long").as("lab"), col("poly").as("ring"),
+        col("ord"),
+        expr(s"((k % $m) div 2) div $w1").as("y"),
+        expr(s"((k % $m) div 2) % $w1").as("x"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.Regions
+
+/** Hand oracles for raster region labeling and outline vectorization
+  * (ops.Regions): 4-connectivity semantics, the diagonal-touch vertex
+  * split, hole rings, ring closure and deterministic vertex order. */
+class RegionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cells(g: Seq[String]): Seq[(Int, Int, Long)] =
+    for {
+      (row, r) <- g.zipWithIndex
+      (ch, c) <- row.zipWithIndex
+      if ch != '.'
+    } yield (r, c, (ch - '0').toLong)
+
+  private def rings(g: Seq[String], h: Int, w: Int)
+      : Map[(Long, Long), Seq[(Long, Long)]] =
+    Regions.outlines(cells(g).toDF("r", "c", "lab"), h, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, vs) =>
+        k -> vs.sortBy(_._3).map(t => (t._4, t._5)).toSeq
+      }
+
+  test("labelRegions: 4-connected equal values merge, diagonal touch splits") {
+    // 1 1 .      two 1-regions? no: (0,0)-(0,1) joined; (1,2) diagonal
+    // . . 1      from (0,1) -> separate region; 2-block below
+    // 2 2 .
+    val df = cells(Seq("11.", "..1", "22.")).toDF("r", "c", "v")
+    val got = Regions.labelRegions(df, width = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got((0, 0)) == 0L && got((0, 1)) == 0L) // region id = min cell id
+    assert(got((1, 2)) == 5L)                      // diagonal: own region
+    assert(got((2, 0)) == 6L && got((2, 1)) == 6L)
+    // value difference splits even when adjacent
+    assert(got((0, 0)) != got((2, 0)))
+  }
+
+  test("single cell: one closed ring, min-corner start, min-neighbor step") {
+    // cell (1,1) on a 3x3 grid: corners (1,1)(1,2)(2,1)(2,2); start at
+    // (1,1), min neighbor is (1,2) (corner key y*(w+1)+x: (1,2)=6 <
+    // (2,1)=9), ring closes back
+    val out = rings(Seq("...", ".7.", "..."), 3, 3)
+    assert(out.size == 1)
+    val ring = out.head._2
+    assert(out.head._1._1 == 7L)
+    assert(ring == Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 1L), (1L, 1L)))
+  }
+
+  test("2x1 block: one ring of 6 edges, first == last") {
+    val out = rings(Seq("55"), 1, 2)
+    assert(out.size == 1)
+    val ring = out.head._2
+    assert(ring.head == ring.last)
+    assert(ring.length == 7) // 6 boundary edges + closure repeat
+    assert(ring.toSet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+  }
+
+  test("diagonal touch of one label: vertex split yields TWO rings") {
+    // 3 .      same label, diagonal only: the shared corner (1,1) is
+    // . 3      split per inside cell; two 4-edge rings, not a figure-8
+    val out = rings(Seq("3.", ".3"), 2, 2)
+    assert(out.size == 2, out.keys.toString)
+    assert(out.values.forall(r => r.length == 5 && r.head == r.last))
+    // one ring wraps cell (0,0), the other cell (1,1)
+    val sets = out.values.map(_.toSet).toSet
+    assert(sets == Set(
+      Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)),
+      Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))))
+  }
+
+  test("region with a hole: outer ring + inner ring") {
+    val g = Seq("111", "1.1", "111")
+    val out = rings(g, 3, 3)
+    assert(out.size == 2, out.keys.toString)
+    val sizes = out.values.map(_.length).toSeq.sorted
+    assert(sizes == Seq(5, 13)) // hole: 4 edges + closure; outer: 12 + closure
+  }
+
+  test("two labels sharing an edge trace it from both sides") {
+    val out = rings(Seq("12"), 1, 2)
+    assert(out.size == 2)
+    assert(out.keySet.map(_._1) == Set(1L, 2L))
+    assert(out.values.forall(r => r.length == 5 && r.head == r.last))
+  }
+
+  test("checkerboard of two labels: each label splits into two rings") {
+    // 1 2
+    // 2 1   — for label 1 the center corner is a diagonal touch; same
+    //         for label 2: four rings total, all squares
+    val out = rings(Seq("12", "21"), 2, 2)
+    assert(out.size == 4, out.keys.toString)
+    assert(out.values.forall(r => r.length == 5 && r.head == r.last))
+    assert(out.keySet.map(_._1) == Set(1L, 2L))
+  }
+
+  test("outlines replay a driver-side boundary census on a random field") {
+    val h = 12; val w = 15
+    val rnd = new scala.util.Random(7)
+    val field = Array.tabulate(h, w)((_, _) => rnd.nextInt(3).toLong)
+    val df = (for (r <- 0 until h; c <- 0 until w)
+      yield (r, c, field(r)(c))).toDF("r", "c", "lab")
+    val got = Regions.outlines(df, h, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per label: total boundary edges == ring rows minus one closure
+    // repeat per ring
+    def at(r: Int, c: Int): Long =
+      if (r < 0 || r >= h || c < 0 || c >= w) -1L else field(r)(c)
+    val wantEdges = (for {
+      r <- 0 until h; c <- 0 until w
+      (dr, dc) <- Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+      if at(r + dr, c + dc) != field(r)(c)
+    } yield field(r)(c) -> 1).groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val gotEdges = got.groupBy(_._1).map { case (lab, vs) =>
+      val nRings = vs.map(_._2).distinct.size
+      lab -> (vs.size.toLong - nRings) // each ring: n_edges + 1 rows
+    }
+    assert(gotEdges == wantEdges, s"$gotEdges vs $wantEdges")
+    // every ring is a closed walk over unit steps
+    for ((_, vs) <- got.groupBy(t => (t._1, t._2))) {
+      val seq = vs.sortBy(_._3).map(t => (t._4, t._5))
+      assert(seq.head == seq.last)
+      for (w2 <- seq.sliding(2); a = w2(0); b = w2(1))
+        assert((a._1 - b._1).abs + (a._2 - b._2).abs == 1, s"$a -> $b")
+    }
+  }
+}
