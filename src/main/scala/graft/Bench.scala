@@ -184,13 +184,15 @@ object Bench {
     //  - the artifact records the query-set hash (`qset`) so a changed
     //    query inventory is visible next to any carried value.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-latest.json")
-    val (prior, priorCarried): (Map[String, Double], Set[String]) = try {
+    val (prior, priorCarried, priorSm, priorNSamp): (Map[String, Double],
+        Set[String], Map[String, Array[Long]], Map[String, Int]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(outPath)), java.nio.charset.StandardCharsets.UTF_8)
       val qKey = "\"queries\":{"
       val start = txt.indexOf(qKey)
       if (start < 0 || !txt.contains("\"sf\":\"" + sfDir + "\""))
-        (Map.empty[String, Double], Set.empty[String])
+        (Map.empty[String, Double], Set.empty[String],
+         Map.empty[String, Array[Long]], Map.empty[String, Int])
       else {
         val sub = txt.substring(start + qKey.length, txt.indexOf('}', start))
         val qs = """"([a-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(sub)
@@ -199,9 +201,25 @@ object Bench {
           .map(_.group(1)).getOrElse("")
           .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSet
-        (qs, pc)
+        // prior per-query stage metrics + sample counts feed the drift
+        // self-classification at write time (both objects hold only
+        // flat arrays, so the close brace is unambiguous)
+        def obj(key: String): String = {
+          val s0 = txt.indexOf("\"" + key + "\":{")
+          if (s0 < 0) "" else txt.substring(s0, txt.indexOf('}', s0))
+        }
+        val sm = """"([a-z0-9_]+)":\[(-?\d+),(-?\d+),(-?\d+),(-?\d+)\]""".r
+          .findAllMatchIn(obj("stage_metrics"))
+          .map(mm => mm.group(1) -> Array(mm.group(2).toLong, mm.group(3).toLong,
+            mm.group(4).toLong, mm.group(5).toLong)).toMap
+        val ns = """"([a-z0-9_]+)":\[([^\]]*)\]""".r
+          .findAllMatchIn(obj("samples"))
+          .map(mm => mm.group(1) -> (mm.group(2).count(_ == ',') + 1)).toMap
+        (qs, pc, sm, ns)
       }
-    } catch { case _: Throwable => (Map.empty[String, Double], Set.empty[String]) }
+    } catch { case _: Throwable =>
+      (Map.empty[String, Double], Set.empty[String],
+       Map.empty[String, Array[Long]], Map.empty[String, Int]) }
     val maxSets = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SETS", "3").toInt
 
     // Queries whose window is HISTORICALLY contaminated by the sweep's
@@ -369,13 +387,55 @@ object Bench {
     // per-query [task_ms, gc_ms, shuffle_read_b, shuffle_write_b]
     val smJ = stageMetrics.map { case (k, (t, g, r, w)) =>
       s"\"" + k + s"\":[$t,$g,$r,$w]" }.mkString("{", ",", "}")
+    // DRIFT SELF-CLASSIFICATION (round-16, completing the r14 #7 ask):
+    // every >30% round-over-round wall delta vs the prior artifact is
+    // annotated from the committed instruments alone — PER-PASS task_ms
+    // (cumulative stage task time / sample count, so rerun-inflated
+    // windows don't masquerade as plan changes) and shuffle-write
+    // bytes. Classes: "plan-shuffle" (bytes moved changed >10% — the
+    // plan or the data changed), "task-backed" (same bytes, per-pass
+    // CPU moved with the wall — machine/JIT executed the same plan
+    // slower or faster), "ambient-wall-only" (CPU flat, only wall
+    // moved — scheduler/IO ambience), "unattributed" (no prior
+    // instrument to compare). The verdict can quote this instead of
+    // re-deriving it.
+    val driftJ = results.toSeq.flatMap { case (name, med) =>
+      prior.get(name).filter(p => p > 0 && med > 0).map(p => (name, med / p))
+    }.filter { case (_, ratio) => ratio > 1.3 || ratio < 1.0 / 1.3 }
+      .map { case (name, ratio) =>
+        val curN = math.max(1, samples.get(name).map(_.length).getOrElse(1))
+        val pN = math.max(1, priorNSamp.getOrElse(name, 1))
+        val cur = stageMetrics.get(name)
+        val pri = priorSm.get(name)
+        val taskRatio = for { c <- cur; p <- pri; if p(0) > 0 }
+          yield (c._1.toDouble / curN) / (p(0).toDouble / pN)
+        val shufRatio = for { c <- cur; p <- pri; if p(3) > 0 }
+          yield c._4.toDouble / p(3).toDouble
+        val cls = (taskRatio, shufRatio) match {
+          case (_, Some(s)) if s > 1.1 || s < 0.9 => "plan-shuffle"
+          case (Some(t), _) if (ratio > 1 && t > 1.2) ||
+                               (ratio < 1 && t < 1.0 / 1.2) => "task-backed"
+          case (Some(t), _) if t <= 1.2 && t >= 1.0 / 1.2 => "ambient-wall-only"
+          case _ => "unattributed"
+        }
+        s"\"" + name + "\":{" +
+          s""""ratio":${r4(ratio)},"task_ratio":${r4(taskRatio.getOrElse(-1.0))},""" +
+          s""""shufw_ratio":${r4(shufRatio.getOrElse(-1.0))},"class":"$cls"}"""
+      }.mkString("{", ",", "}")
+    // carried/flagged queries' raw windows, surfaced (min/max over every
+    // pass incl. warm-ups): a committed value far above its own window
+    // minimum is visibly window-noise, not a regression
+    val windowsJ = (carried ++ loadFlagged ++ gapFlagged).distinct.flatMap { name =>
+      samples.get(name).filter(_.nonEmpty).map(v =>
+        s"\"" + name + s"\":[${r4(v.min)},${r4(v.max)}]")
+    }.mkString("{", ",", "}")
     val policy = s""""policy":{"warmup_discarded":$warmup,"n":$n,"n_heavy":${math.max(n, 5)},""" +
       s""""heavy_rule":"warmup>${heavyThresholdSec}s","spread_rerun":$spreadRerunFactor,""" +
       s""""load_rerun":$loadRerunThreshold,"warmup_gap_rerun":$warmupGapFactor,""" +
       s""""warmup_gap_floor_sec":$warmupGapFloorSec,"max_sets":$maxSets,""" +
       s""""median_commit":"first-clean-window, else carry prior artifact (depth 1, carried-run-first) when all windows contaminated, else min-of-medians"}"""
     val fileLine = line.dropRight(1) +
-      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"committed_under_load":$culJ,"stage_metrics":$smJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
+      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"committed_under_load":$culJ,"stage_metrics":$smJ,"drift":$driftJ,"windows":$windowsJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line: compact enough (<600 B) to survive any tail
@@ -389,7 +449,8 @@ object Bench {
     // carried values are NOT fresh measurements — name them in the
     // always-visible summary (capped), not only in the artifact file
     val carriedHead = carried.take(16).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup,"queries":$headline,"load_1m_max":$loadMax,"n_errors":${errors.size},"n_reran":${reran.size},"n_load_flagged":${loadFlagged.size},"n_carried":${carried.size},"carried":$carriedHead,"queries_file":"$out"}""")
+    val nDrift = if (driftJ == "{}") 0 else driftJ.count(_ == '{') - 1
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n":$n,"cpus":$cpus,"warmup":$warmup,"queries":$headline,"load_1m_max":$loadMax,"n_errors":${errors.size},"n_reran":${reran.size},"n_load_flagged":${loadFlagged.size},"n_carried":${carried.size},"n_drift":$nDrift,"carried":$carriedHead,"queries_file":"$out"}""")
     System.out.flush()
     spark.stop()
   }
