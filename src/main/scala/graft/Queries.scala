@@ -14419,6 +14419,52 @@ object Queries {
              |    + 2.0 * mean * mean * mean AS skew_num
              |FROM f ORDER BY 1""".stripMargin)),
 
+    // ----- X52: PERSISTED decontamination index — the v18 persist
+    // contract applied to the exact-substring screen: the gram-HASH
+    // index is built ONCE, written to parquet (8 bytes/gram — the
+    // storage form a decontamination service keeps between sessions),
+    // read back COLD in place of the in-memory frame, and the screen
+    // census over the full eval side must equal the build-session
+    // answer exactly (oracle: the same hash-replay SQL as x48). This is
+    // the build-once-screen-forever contract ACROSS sessions, not just
+    // across micro-batches within one query (s21's form).
+    Q("x52_index_persist",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.ExactSubstr
+        val lengths = Seq(8, 16, 32)
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val pdir = java.nio.file.Files.createTempDirectory("graft_x52_")
+        pdir.toFile.deleteOnExit()
+        val path = pdir.resolve("gram_index").toString
+        ExactSubstr.buildHashIndex(tr, "text", lengths)
+          .write.mode("overwrite").parquet(path)
+        val reloaded = s.read.parquet(path)
+        ExactSubstr.screenBatchHashed(reloaded, ev, "text", "doc_id", lengths)
+          .orderBy($"gram_len")
+      },
+      Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          ('0x'||substr(md5(substr(e.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          ('0x'||substr(md5(substr(t2.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.h = trg.h)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- R47: BASIN OUTLINES — the raster→vector closure of the
     // hydrology family (r35's per-cell basin labels → per-basin closed
     // polygon RINGS, what a GIS user downloads as watershed polygons):

@@ -56,7 +56,8 @@ object LocalClusterSmoke {
     // equalization (driver-built CDF map as a BROADCAST read on every
     // executor task), SCC (nested FW-BW localCheckpoint loops whose
     // block-manager state lives on executors)
-    "d15_fuzzy_join", "r45_hist_equalize", "x49_scc")
+    "d15_fuzzy_join", "r45_hist_equalize", "x49_scc",
+    "r47_basin_outlines", "x48_exact_substr")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

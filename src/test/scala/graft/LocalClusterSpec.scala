@@ -45,7 +45,8 @@ class LocalClusterSpec extends AnyFunSuite {
         "s9_stream_admit",
         "j14_spj_band_align", "r34_contour_vertices",
         "r36_contour_polylines", "d15_fuzzy_join",
-        "r45_hist_equalize", "x49_scc").foreach { n =>
+        "r45_hist_equalize", "x49_scc",
+        "r47_basin_outlines", "x48_exact_substr").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))
