@@ -14419,6 +14419,58 @@ object Queries {
              |    + 2.0 * mean * mean * mean AS skew_num
              |FROM f ORDER BY 1""".stripMargin)),
 
+    // ----- R49: FOCAL MAX/MIN at radius 3 (ArcGIS Focal Statistics
+    // MAXIMUM/MINIMUM; greyscale dilation/erosion) — the first consumer
+    // of the shared vHGW kernel beyond binary morphology, and the first
+    // ARBITRARY-RADIUS focal verb in the oracle set: 3 comparisons per
+    // pixel per pass at ANY radius (a direct rescan is O(r)/px), one
+    // depth-r halo exchange. Ignore-nodata semantics (the focal-stats
+    // default): grid-edge windows truncate, so every cell is emitted —
+    // the oracle's BETWEEN-join window replays exactly that. Census per
+    // (band, chunk) hash-gates every pixel of both bands.
+    Q("r49_focal_extrema",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.ops.Focal
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 1500.0, 1500.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 1500.0, 1500.0, 1.0, 0.0))
+        val tiles = TileScan.scan(s, assets, spec, chunk = 50,
+          readerFor = _ => ModRampReader(251))
+        Focal.focalExtrema(tiles, 50, 50, 150, 150, radius = 3)
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield {
+              val gr = t.yChunk * 50 + r
+              val gc = t.xChunk * 50 + c
+              (t.band, t.yChunk, t.xChunk, v.toLong, gr.toLong * 150 + gc)
+            }
+          }
+          .toDF("band", "y_chunk", "x_chunk", "v", "pos")
+          .groupBy($"band", $"y_chunk", $"x_chunk")
+          .agg(count(lit(1)).as("n_px"), sum($"v").as("sum_v"),
+               sum($"v" * $"pos").as("pos_chk"))
+          .orderBy($"band", $"y_chunk", $"x_chunk")
+      },
+      Some("""WITH z AS (SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             |    (r*r + c*c) % 251 AS v
+             |  FROM range(0,150) t(r) CROSS JOIN range(0,150) u(c)),
+             |w AS (SELECT p.r, p.c, max(z.v) AS vmax, min(z.v) AS vmin
+             |      FROM z p JOIN z ON z.r BETWEEN p.r - 3 AND p.r + 3
+             |                     AND z.c BETWEEN p.c - 3 AND p.c + 3
+             |      GROUP BY 1, 2),
+             |u AS (SELECT 'gray_max' AS band, r, c, vmax AS v FROM w
+             |      UNION ALL SELECT 'gray_min', r, c, vmin FROM w)
+             |SELECT band, CAST(r//50 AS INT) AS y_chunk,
+             |  CAST(c//50 AS INT) AS x_chunk, count(*) AS n_px,
+             |  CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(sum(v * (r*150 + c)) AS BIGINT) AS pos_chk
+             |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // ----- X52: PERSISTED decontamination index — the v18 persist
     // contract applied to the exact-substring screen: the gram-HASH
     // index is built ONCE, written to parquet (8 bytes/gram — the

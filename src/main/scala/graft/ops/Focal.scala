@@ -404,79 +404,10 @@ object Focal {
           i += 1
         }
         // separable window pass over the full pad array (array-edge
-        // cells are never consumed: chunk centers sit >= 2r from it).
-        // Each 1-D pass is van Herk–Gil-Werman: 3 comparisons per cell
-        // REGARDLESS of radius (block-local forward running extremum g,
-        // backward running extremum h over blocks of w = 2r+1; any
-        // w-length window spans at most two blocks, so its extremum is
-        // combine(h(start), g(end))). The line is virtually padded with
-        // the identity element (-inf for max, +inf for min), which
-        // reproduces the truncated-window edge semantics of a direct
-        // clamped scan — a sentinel never wins against a real cell.
-        val w = 2 * radius + 1
-        val npadRow = ((padW + 2 * radius + w - 1) / w) * w
-        val npadCol = ((padH + 2 * radius + w - 1) / w) * w
-        val lineBuf = new Array[Double](math.max(npadRow, npadCol))
-        val gBuf = new Array[Double](math.max(npadRow, npadCol))
-        val hBuf = new Array[Double](math.max(npadRow, npadCol))
-        // one vHGW line: reads n cells of src at (off, stride), writes
-        // the same positions of out
-        def vhgwLine(src: Array[Double], out: Array[Double], off: Int,
-                     stride: Int, n: Int, npad: Int, isMax: Boolean): Unit = {
-          val sentinel =
-            if (isMax) Double.NegativeInfinity else Double.PositiveInfinity
-          var i = 0
-          while (i < npad) { lineBuf(i) = sentinel; i += 1 }
-          i = 0
-          while (i < n) { lineBuf(radius + i) = src(off + i * stride); i += 1 }
-          i = 0
-          while (i < npad) {
-            val v = lineBuf(i)
-            gBuf(i) =
-              if (i % w == 0) v
-              else if (isMax) math.max(gBuf(i - 1), v)
-              else math.min(gBuf(i - 1), v)
-            i += 1
-          }
-          i = npad - 1
-          while (i >= 0) {
-            val v = lineBuf(i)
-            hBuf(i) =
-              if (i % w == w - 1) v
-              else if (isMax) math.max(hBuf(i + 1), v)
-              else math.min(hBuf(i + 1), v)
-            i -= 1
-          }
-          // window of original cell j = padded [j, j + w - 1]
-          var j2 = 0
-          while (j2 < n) {
-            val m =
-              if (isMax) math.max(hBuf(j2), gBuf(j2 + w - 1))
-              else math.min(hBuf(j2), gBuf(j2 + w - 1))
-            out(off + j2 * stride) = m
-            j2 += 1
-          }
-        }
-        def passRow(src: Array[Double], isMax: Boolean): Array[Double] = {
-          val out = new Array[Double](src.length)
-          var r = 0
-          while (r < padH) {
-            vhgwLine(src, out, r * padW, 1, padW, npadRow, isMax)
-            r += 1
-          }
-          out
-        }
-        def passCol(src: Array[Double], isMax: Boolean): Array[Double] = {
-          val out = new Array[Double](src.length)
-          var c = 0
-          while (c < padW) {
-            vhgwLine(src, out, c, padW, padH, npadCol, isMax)
-            c += 1
-          }
-          out
-        }
+        // cells are never consumed: chunk centers sit >= 2r from it);
+        // the 1-D passes are the shared vHGW kernel ([[vhgwWindow2d]])
         def window(src: Array[Double], isMax: Boolean): Array[Double] =
-          passCol(passRow(src, isMax), isMax)
+          vhgwWindow2d(src, padH, padW, radius, isMax)
         val close = window(window(b, isMax = true), isMax = false)
         val open = window(window(b, isMax = false), isMax = true)
         val outH = math.min(chunkY, gridH - tyc * chunkY)
@@ -719,6 +650,121 @@ object Focal {
     * family ([[stencilK]]), O(crossed cells) segment rows for
     * [[contourSegments]]. Same scale shape for every consumer: shuffle =
     * data + 4d·perimeter strips, one exchange, no join. */
+  /** Shared van Herk–Gil-Werman 2-D window extremum (van Herk 1992;
+    * Gil & Werman 1993): separable row-then-column passes where each
+    * 1-D pass costs 3 comparisons per cell REGARDLESS of radius —
+    * block-local forward running extremum g and backward running
+    * extremum h over blocks of w = 2r+1; any w-length window spans at
+    * most two blocks, so its extremum is combine(h(start), g(end)).
+    * Lines are virtually padded with the identity element (-inf for
+    * max, +inf for min), which reproduces truncated-window (clamped)
+    * edge semantics — a sentinel never wins against a real value.
+    * Callers map nodata to the identity beforehand (ignore-nodata
+    * semantics) or to a real value (background extension); raw NaN
+    * would poison block-sized neighborhoods, never pass it in. */
+  private[ops] def vhgwWindow2d(src: Array[Double], padH: Int, padW: Int,
+                                radius: Int, isMax: Boolean): Array[Double] = {
+    val w = 2 * radius + 1
+    val npadRow = ((padW + 2 * radius + w - 1) / w) * w
+    val npadCol = ((padH + 2 * radius + w - 1) / w) * w
+    val lineBuf = new Array[Double](math.max(npadRow, npadCol))
+    val gBuf = new Array[Double](math.max(npadRow, npadCol))
+    val hBuf = new Array[Double](math.max(npadRow, npadCol))
+    val sentinel =
+      if (isMax) Double.NegativeInfinity else Double.PositiveInfinity
+    def line(in: Array[Double], out: Array[Double], off: Int,
+             stride: Int, n: Int, npad: Int): Unit = {
+      var i = 0
+      while (i < npad) { lineBuf(i) = sentinel; i += 1 }
+      i = 0
+      while (i < n) { lineBuf(radius + i) = in(off + i * stride); i += 1 }
+      i = 0
+      while (i < npad) {
+        val v = lineBuf(i)
+        gBuf(i) =
+          if (i % w == 0) v
+          else if (isMax) math.max(gBuf(i - 1), v)
+          else math.min(gBuf(i - 1), v)
+        i += 1
+      }
+      i = npad - 1
+      while (i >= 0) {
+        val v = lineBuf(i)
+        hBuf(i) =
+          if (i % w == w - 1) v
+          else if (isMax) math.max(hBuf(i + 1), v)
+          else math.min(hBuf(i + 1), v)
+        i -= 1
+      }
+      // window of original cell j = padded [j, j + w - 1]
+      var j = 0
+      while (j < n) {
+        out(off + j * stride) =
+          if (isMax) math.max(hBuf(j), gBuf(j + w - 1))
+          else math.min(hBuf(j), gBuf(j + w - 1))
+        j += 1
+      }
+    }
+    val mid = new Array[Double](src.length)
+    var r = 0
+    while (r < padH) { line(src, mid, r * padW, 1, padW, npadRow); r += 1 }
+    val out = new Array[Double](src.length)
+    var c = 0
+    while (c < padW) { line(mid, out, c, padW, padH, npadCol); c += 1 }
+    out
+  }
+
+  /** FOCAL MAX / MIN at arbitrary radius (ArcGIS Focal Statistics
+    * MAXIMUM/MINIMUM; GRASS r.neighbors max/min) — the greyscale
+    * dilation/erosion pair, radius-independent via [[vhgwWindow2d]]
+    * (3 comparisons/px/pass at ANY radius). IGNORE-NODATA semantics,
+    * the focal-statistics default: NaN cells and out-of-grid cells are
+    * the identity (they never win), a window with no valid cell is NaN;
+    * grid-edge windows truncate. Returns two bands per input band:
+    * `<band>_max` and `<band>_min`. */
+  def focalExtrema(tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
+                   gridH: Int, gridW: Int, radius: Int): Dataset[Tile] = {
+    require(radius >= 1, s"Focal: radius=$radius")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    haloGroups(tiles, chunkY, chunkX, gridH, gridW, depth = radius) {
+      (band, tyc, txc, pad, padW, padR0, padC0) =>
+        val padH = pad.length / padW
+        val bMax = new Array[Double](pad.length)
+        val bMin = new Array[Double](pad.length)
+        var i = 0
+        while (i < pad.length) {
+          val v = pad(i)
+          bMax(i) = if (v.isNaN) Double.NegativeInfinity else v
+          bMin(i) = if (v.isNaN) Double.PositiveInfinity else v
+          i += 1
+        }
+        val mx = vhgwWindow2d(bMax, padH, padW, radius, isMax = true)
+        val mn = vhgwWindow2d(bMin, padH, padW, radius, isMax = false)
+        val outH = math.min(chunkY, gridH - tyc * chunkY)
+        val outW = math.min(chunkX, gridW - txc * chunkX)
+        val oMax = new Array[Double](outH * outW)
+        val oMin = new Array[Double](outH * outW)
+        var r = 0
+        while (r < outH) {
+          val pr = tyc * chunkY + r - padR0
+          var c = 0
+          while (c < outW) {
+            val pc = txc * chunkX + c - padC0
+            val vx = mx(pr * padW + pc)
+            val vn = mn(pr * padW + pc)
+            oMax(r * outW + c) = if (vx.isNegInfinity) Double.NaN else vx
+            oMin(r * outW + c) = if (vn.isPosInfinity) Double.NaN else vn
+            c += 1
+          }
+          r += 1
+        }
+        Iterator(
+          Tile(-1, 0, band + "_max", 0L, tyc, txc, 0, 0, outH, outW, oMax),
+          Tile(-1, 0, band + "_min", 0L, tyc, txc, 0, 0, outH, outW, oMin))
+    }
+  }
+
   private def haloGroups[T: org.apache.spark.sql.Encoder](
       tiles: Dataset[Tile], chunkY: Int, chunkX: Int,
       gridH: Int, gridW: Int, depth: Int)(
