@@ -400,19 +400,33 @@ object Bench {
     // instrument to compare). The verdict can quote this instead of
     // re-deriving it.
     val driftJ = results.toSeq.flatMap { case (name, med) =>
-      prior.get(name).filter(p => p > 0 && med > 0).map(p => (name, med / p))
-    }.filter { case (_, ratio) => ratio > 1.3 || ratio < 1.0 / 1.3 }
-      .map { case (name, ratio) =>
+      prior.get(name).filter(p => p > 0 && med > 0).map(p => (name, med, p))
+    }.filter { case (_, med, p) =>
+      // micro-queries (both medians < 0.2 s) are below the listener's
+      // ±one-stage attribution slop — a 3x "drift" there is tens of
+      // milliseconds of scheduler jitter, never worth diagnosis cycles
+      val ratio = med / p
+      (ratio > 1.3 || ratio < 1.0 / 1.3) && math.max(med, p) >= 0.2
+    }.map { case (name, med, p) =>
+        val ratio = med / p
         val curN = math.max(1, samples.get(name).map(_.length).getOrElse(1))
         val pN = math.max(1, priorNSamp.getOrElse(name, 1))
         val cur = stageMetrics.get(name)
         val pri = priorSm.get(name)
-        val taskRatio = for { c <- cur; p <- pri; if p(0) > 0 }
-          yield (c._1.toDouble / curN) / (p(0).toDouble / pN)
-        val shufRatio = for { c <- cur; p <- pri; if p(3) > 0 }
-          yield c._4.toDouble / p(3).toDouble
+        // BOTH instruments normalized PER PASS: cumulative counters
+        // cover warm-ups and reruns, and pass counts differ across runs
+        val taskRatio = for { c <- cur; pp <- pri; if pp(0) > 0 }
+          yield (c._1.toDouble / curN) / (pp(0).toDouble / pN)
+        val shufRatio = for { c <- cur; pp <- pri; if pp(3) > 0 }
+          yield (c._4.toDouble / curN) / (pp(3).toDouble / pN)
+        // per-pass byte delta must also be MATERIAL (>1 MiB): small
+        // shuffles jitter with lz4 framing and stage-boundary slop
+        val shufDeltaB = (for { c <- cur; pp <- pri }
+          yield math.abs(c._4.toDouble / curN - pp(3).toDouble / pN))
+          .getOrElse(0.0)
         val cls = (taskRatio, shufRatio) match {
-          case (_, Some(s)) if s > 1.1 || s < 0.9 => "plan-shuffle"
+          case (_, Some(s)) if (s > 1.5 || s < 1.0 / 1.5) &&
+                               shufDeltaB > 1048576.0 => "plan-shuffle"
           case (Some(t), _) if (ratio > 1 && t > 1.2) ||
                                (ratio < 1 && t < 1.0 / 1.2) => "task-backed"
           case (Some(t), _) if t <= 1.2 && t >= 1.0 / 1.2 => "ambient-wall-only"
