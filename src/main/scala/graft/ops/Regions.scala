@@ -69,11 +69,14 @@ object Regions {
     *
     * Scale shape: one neighbor equi-join builds the boundary pieces
     * (O(4·cells) probe rows, map-side filtered), one corner census
-    * resolves the diagonal-touch salting, one CC labels rings, and the
-    * ordering rides [[Contour.orderedVertexKeys]] — power-law ring sizes
-    * walk sequentially inside their group, coastline-scale giants pay
-    * Wyllie's log-rounds. Labels must be non-negative and small enough
-    * to pack exactly (loud guard): key = lab·M + corner·2 + salt with
+    * resolves the diagonal-touch salting, then SIZE ROUTING: labels
+    * with ≤ `sequentialCap` boundary pieces walk all their rings in one
+    * fused mapGroups pass (ring labeling + ordered walk together — zero
+    * CC/Wyllie iteration floors, the overwhelmingly common case under a
+    * power-law region-size distribution), while giant labels take the
+    * distributed min-label CC + [[Contour.orderedVertexKeys]] route.
+    * Labels must be non-negative and small enough to pack exactly
+    * (loud guard): key = lab·M + corner·2 + salt with
     * M = 2(height+1)(width+1). */
   def outlines(labels: DataFrame, height: Int, width: Int,
                rounds: Int = 24, sequentialCap: Int = 4096): DataFrame = {
@@ -150,18 +153,81 @@ object Regions {
         salted(col("cb"), col("nb"), col("mib")).as("k2"))
       .localCheckpoint(true)
 
-    val comps = graft.dedup.Dedup.connectedComponents(
-      keyed.select(col("k1").as("a"), col("k2").as("b")))
-    val stitched = keyed
-      .join(comps.select(col("node").as("k1"), col("component").as("poly")),
-        Seq("k1"))
-      .select(col("lab").cast("double").as("level"), col("poly"),
-        col("k1"), col("k2"))
-      .localCheckpoint(true)
-    Contour.orderedVertexKeys(stitched, rounds, sequentialCap)
-      .select(col("level").cast("long").as("lab"), col("poly").as("ring"),
-        col("ord"),
-        expr(s"((k % $m) div 2) div $w1").as("y"),
-        expr(s"((k % $m) div 2) % $w1").as("x"))
+    // SIZE ROUTING (the contour-ordering discipline applied to the
+    // whole ring pipeline): a label whose boundary fits one task walks
+    // its rings LOCALLY — ring labeling (the min-key component) and the
+    // ordered walk fused into ONE mapGroups pass, zero CC/Wyllie
+    // iteration floors — while coastline-scale labels take the
+    // distributed CC + list-ranking route. Both produce identical
+    // output (same min-key ring ids, same min-vertex start and
+    // min-neighbor first step), so routing is invisible to consumers.
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val sizes = keyed.groupBy(col("lab")).agg(count(lit(1)).as("np"))
+    val routed = keyed.join(sizes, Seq("lab")).localCheckpoint(true)
+    val small = routed.filter(col("np") <= sequentialCap)
+      .select(col("lab"), col("k1"), col("k2"))
+    val big = routed.filter(col("np") > sequentialCap)
+      .select(col("lab"), col("k1"), col("k2"))
+    val smallOut = small.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lab: Long, it: Iterator[(Long, Long, Long)]) =>
+        val NONE = Long.MinValue
+        val nbr = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+        it.foreach { case (_, a, b) =>
+          def add(u: Long, v: Long): Unit = nbr.get(u) match {
+            case None => nbr(u) = (v, NONE)
+            case Some((x, _)) => nbr(u) = (math.min(x, v), math.max(x, v))
+          }
+          add(a, b); add(b, a)
+        }
+        // every vertex has degree exactly 2 (rings): iterate keys
+        // ascending — the first unvisited key IS its ring's minimum
+        val keys = nbr.keysIterator.toArray
+        java.util.Arrays.sort(keys)
+        val visited = new scala.collection.mutable.HashSet[Long]()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < keys.length) {
+          val start = keys(i)
+          if (!visited.contains(start)) {
+            var prev = NONE
+            var cur = start
+            var ord = 0L
+            var done = false
+            while (!done) {
+              out += ((lab, start, ord, cur))
+              visited += cur
+              val (n1, n2) = nbr(cur)
+              val nxt = if (prev == NONE) n1
+                        else if (n1 == prev) n2 else n1
+              prev = cur; cur = nxt; ord += 1
+              if (cur == start) { out += ((lab, start, ord, cur)); done = true }
+            }
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("lab", "ring", "ord", "k")
+    val allOut =
+      if (big.isEmpty) smallOut
+      else {
+        val comps = graft.dedup.Dedup.connectedComponents(
+          big.select(col("k1").as("a"), col("k2").as("b")))
+        val stitched = big
+          .join(comps.select(col("node").as("k1"), col("component").as("poly")),
+            Seq("k1"))
+          .select(col("lab").cast("double").as("level"), col("poly"),
+            col("k1"), col("k2"))
+          .localCheckpoint(true)
+        smallOut.unionByName(
+          Contour.orderedVertexKeys(stitched, rounds, sequentialCap)
+            .select(col("level").cast("long").as("lab"),
+              col("poly").as("ring"), col("ord"), col("k")))
+      }
+    allOut.select(col("lab"), col("ring"), col("ord"),
+      expr(s"((k % $m) div 2) div $w1").as("y"),
+      expr(s"((k % $m) div 2) % $w1").as("x"))
   }
 }

@@ -97,6 +97,21 @@ class RegionsSpec extends SparkSpec {
     assert(out.keySet.map(_._1) == Set(1L, 2L))
   }
 
+  test("the fused local route and the CC+list-ranking route emit " +
+       "identical rings (size routing is invisible)") {
+    val h = 10; val w = 12
+    val rnd = new scala.util.Random(11)
+    val df = (for (r <- 0 until h; c <- 0 until w)
+      yield (r, c, rnd.nextInt(2).toLong)).toDF("r", "c", "lab")
+    def collect(cap: Int) =
+      Regions.outlines(df, h, w, sequentialCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    // cap 0 forces every label through the distributed CC route; the
+    // default routes everything local — outputs must be identical
+    assert(collect(0) == collect(4096))
+  }
+
   test("outlines replay a driver-side boundary census on a random field") {
     val h = 12; val w = 15
     val rnd = new scala.util.Random(7)
