@@ -33,7 +33,8 @@ object Contour {
                   q: Double): org.apache.spark.sql.Column =
     (round(y * q).cast("long") * lit(1L << 32) + round(x * q).cast("long"))
 
-  def stitch(segs: Dataset[Focal.ContourSeg], quantum: Double = 1024.0): DataFrame = {
+  def stitch(segs: Dataset[Focal.ContourSeg], quantum: Double = 1024.0,
+             sequentialCap: Int = 65536): DataFrame = {
     val df = segs.toDF()
       .withColumn("k1", key(col("y1"), col("x1"), quantum))
       .withColumn("k2", key(col("y2"), col("x2"), quantum))
@@ -57,9 +58,59 @@ object Contour {
       s"(quantum=$quantum) collided distinct crossings (levels too close " +
       "or a crossing within 1/quantum of a cell corner). Raise `quantum` " +
       "or space the levels; the marching-squares degree bound is 2.")
-    val comps = graft.dedup.Dedup.connectedComponents(
-      df.select(col("k1").as("a"), col("k2").as("b")))
-    df.join(comps.select(col("node").as("k1"), col("component").as("poly")), Seq("k1"))
+    // SIZE-ROUTED component labeling (the r47 ring-pipeline discipline
+    // applied to the stitch): a LEVEL whose segment set fits one task
+    // labels its polylines with an in-memory union-find — one shuffle,
+    // zero CC iteration floors — while a coastline-scale level takes
+    // the distributed min-label CC. Identical labels either way (both
+    // are the component-minimum vertex key), and vertex keys are
+    // globally unique across levels (the monotone-t argument above), so
+    // the label table unions and joins back on k1 alone.
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col("level")).agg(count(lit(1)).as("n_seg"))
+    val withN = df.join(sizes, Seq("level"))
+    val smallEdges = withN.filter(col("n_seg") <= sequentialCap)
+      .select(col("level"), col("k1"), col("k2"))
+    val bigEdges = withN.filter(col("n_seg") > sequentialCap)
+      .select(col("k1"), col("k2")).localCheckpoint(true)
+    val localComps = smallEdges.as[(Double, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Double, it: Iterator[(Double, Long, Long)]) =>
+        // in-memory union-find (path-halving) with component-minimum
+        // extraction — ≤ sequentialCap edges per group by the router
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x))
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val minOf = new scala.collection.mutable.HashMap[Long, Long]()
+        parent.keysIterator.foreach { k =>
+          val r = find(k)
+          minOf.get(r) match {
+            case Some(m) => if (k < m) minOf(r) = k
+            case None => minOf(r) = k
+          }
+        }
+        parent.keysIterator.map(k => (k, minOf(find(k)))).toSeq.iterator
+      }.toDF("k1", "poly")
+    val comps =
+      if (bigEdges.isEmpty) localComps
+      else localComps.unionByName(
+        graft.dedup.Dedup.connectedComponents(
+          bigEdges.select(col("k1").as("a"), col("k2").as("b")))
+          .select(col("node").as("k1"), col("component").as("poly")))
+    df.join(comps, Seq("k1"))
       // downstream consumers branch over this frame several times
       // (census reads it three ways; orderedVertices twice) and Spark
       // does no CSE across branches — truncate here so the CC join
