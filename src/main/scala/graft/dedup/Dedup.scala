@@ -771,10 +771,41 @@ object Dedup {
     * convergence counter). Input: (id_a, id_b) Long edges. Output:
     * (node, component) where component = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          localCap: Long = 262144L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // evaluate the upstream pipeline ONCE (it is typically a whole dedup
+    // chain), then SIZE-ROUTE: an edge list that fits one task is
+    // union-found in memory — one job, zero label-propagation rounds
+    // (the r47/stitch routing discipline, applied at the source all
+    // CC consumers share); bigger graphs take the min-label +
+    // pointer-jump loop below. Labels are identical either way: the
+    // component-minimum node id.
     val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true)
+    if (e.count() <= localCap) {
+      return e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)); x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          // attach the larger root under the smaller: the final root of
+          // every component is its minimum member
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.map(k => (k, find(k))).toArray.iterator
+      }.toDF("node", "component")
+    }
     // symmetrize via explode, not a self-union: the edge list is typically
     // the output of a whole dedup pipeline, and a union would evaluate
     // that pipeline once per branch (Spark does no CSE across branches)
