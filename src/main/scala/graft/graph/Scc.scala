@@ -64,12 +64,33 @@ object Scc {
     * there. */
   def components(edges: DataFrame, outerRounds: Int = 32,
                  innerRounds: Int = 64, shortcut: Boolean = false,
-                 trimRounds: Int = 8): DataFrame = {
+                 trimRounds: Int = 8, localCap: Long = 262144L): DataFrame = {
     require(outerRounds >= 1 && innerRounds >= 1 && trimRounds >= 0,
       s"Scc: rounds=($outerRounds, $innerRounds, trim $trimRounds)")
     val spark = edges.sparkSession
     var e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
+    // SIZE ROUTING (the connectedComponents discipline): a digraph that
+    // fits one task runs ITERATIVE TARJAN in memory — one job, zero
+    // propagation/trim/refinement round floors; bigger graphs take the
+    // FW-BW loop below. Labels identical either way: the
+    // component-minimum node id (SccSpec's Floyd-Warshall fuzz gates
+    // both routes). Self-loop-only nodes fall out naturally here (the
+    // self-loop filter above removed their edges; they are emitted from
+    // the original list like the distributed route does).
+    if (e.count() <= localCap) {
+      import spark.implicits._
+      val local = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          tarjanMinLabels(it).iterator
+        }.toDF("node", "scc")
+      val selfOnlyL = edges.toDF("src", "dst")
+        .filter(col("src") === col("dst"))
+        .select(col("src").cast("long").as("node"),
+          col("src").cast("long").as("scc"))
+        .join(local.select(col("node")), Seq("node"), "left_anti")
+      return local.unionByName(selfOnlyL)
+    }
     var active = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     // self-loop-only nodes are their own SCCs but must still be emitted
@@ -122,6 +143,81 @@ object Scc {
       "the condensation is deeper than the budget. Raise `outerRounds`: " +
       "overshoot is free, the loop exits when every node is labeled.")
     done
+  }
+
+  /** Iterative Tarjan (Tarjan 1972, the explicit-stack form — no
+    * recursion, so chain-shaped graphs can't overflow the JVM stack)
+    * over an in-memory edge list: returns (node, scc) with scc = the
+    * component-minimum node id, matching the distributed route's
+    * labeling exactly. */
+  private[graft] def tarjanMinLabels(
+      edges: Iterator[(Long, Long)]): Array[(Long, Long)] = {
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    val nodeSet = new scala.collection.mutable.LinkedHashSet[Long]()
+    edges.foreach { case (a, b) =>
+      nodeSet += a; nodeSet += b
+      adj.getOrElseUpdate(a,
+        new scala.collection.mutable.ArrayBuffer[Long]()) += b
+    }
+    val index = new scala.collection.mutable.HashMap[Long, Int]()
+    val low = new scala.collection.mutable.HashMap[Long, Int]()
+    val onStack = new scala.collection.mutable.HashSet[Long]()
+    val stack = new scala.collection.mutable.ArrayBuffer[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodeSet.size)
+    var counter = 0
+    val empty = new scala.collection.mutable.ArrayBuffer[Long]()
+    nodeSet.foreach { root =>
+      if (!index.contains(root)) {
+        // explicit DFS frame stack: (node, next child offset)
+        val frames = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        frames += ((root, 0))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack += root
+        while (frames.nonEmpty) {
+          val (v, ci) = frames(frames.length - 1)
+          val kids = adj.getOrElse(v, empty)
+          if (ci < kids.length) {
+            frames(frames.length - 1) = (v, ci + 1)
+            val w = kids(ci)
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              frames += ((w, 0))
+            } else if (onStack.contains(w)) {
+              if (index(w) < low(v)) low(v) = index(w)
+            }
+          } else {
+            frames.remove(frames.length - 1)
+            if (frames.nonEmpty) {
+              val p = frames(frames.length - 1)._1
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+            if (low(v) == index(v)) {
+              // pop the SCC, label with its minimum member
+              var i = stack.length - 1
+              var mn = Long.MaxValue
+              var done = false
+              var cnt = 0
+              while (!done) {
+                val w = stack(i)
+                if (w < mn) mn = w
+                cnt += 1
+                if (w == v) done = true else i -= 1
+              }
+              var j = 0
+              while (j < cnt) {
+                val w = stack.remove(stack.length - 1)
+                onStack -= w
+                out += ((w, mn))
+                j += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    out.toArray
   }
 
   /** One TRIM layer: the nodes of the active subgraph that have BOTH an

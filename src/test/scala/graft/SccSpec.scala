@@ -20,9 +20,16 @@ class SccSpec extends SparkSpec {
     }.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.components(edges.toDF("src", "dst"))
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    // both routes on every case: the single-task Tarjan (default cap)
+    // and the distributed FW-BW loop (localCap = 0) must agree exactly
+    val local = Scc.components(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Scc.components(edges.toDF("src", "dst"), localCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"Tarjan route $local != FW-BW route $dist")
+    local
+  }
 
   test("hand case: two cycles joined by a one-way bridge stay separate SCCs") {
     // cycle A: 0->1->2->0; bridge 2->3; cycle B: 3->4->5->3; tail 5->6
@@ -72,7 +79,8 @@ class SccSpec extends SparkSpec {
       (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter(e => e._1 != e._2).distinct
     val plain = run(edges)
-    val fast = Scc.components(edges.toDF("src", "dst"), shortcut = true)
+    val fast = Scc.components(edges.toDF("src", "dst"), shortcut = true,
+      localCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == plain)
     // a 12-chain needs 11 linear rounds but only ~4 doubling rounds
@@ -89,7 +97,7 @@ class SccSpec extends SparkSpec {
     val edges = (0L until 10L).sliding(2).map(p => (p(0), p(1))).toSeq
     val ex = intercept[IllegalStateException] {
       Scc.components(edges.toDF("src", "dst"), innerRounds = 2,
-        trimRounds = 0).count()
+        trimRounds = 0, localCap = 0L).count()
     }
     assert(ex.getMessage.contains("inner budget"))
   }
@@ -104,14 +112,16 @@ class SccSpec extends SparkSpec {
     val tendril = (0L until 8L).sliding(2).map(p => (p(0), p(1))).toSeq
     val edges = tendril ++ Seq((7L, 100L), (100L, 101L), (101L, 102L),
       (102L, 100L))
-    val got = Scc.components(edges.toDF("src", "dst"), innerRounds = 3)
+    val got = Scc.components(edges.toDF("src", "dst"), innerRounds = 3,
+        localCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (0L until 8L).map(v => v -> v).toMap ++
       Seq(100L, 101L, 102L).map(_ -> 100L).toMap
     assert(got == want)
     // a trim cap SHALLOWER than the tendril must still be correct (the
     // leftovers resolve through refinement + F=B=self)
-    val capped = Scc.components(edges.toDF("src", "dst"), trimRounds = 2)
+    val capped = Scc.components(edges.toDF("src", "dst"), trimRounds = 2,
+        localCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == want)
   }
