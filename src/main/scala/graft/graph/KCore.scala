@@ -30,7 +30,8 @@ object KCore {
     * undirected graph given as canonical edges (u < v, distinct).
     * Returns (node, deg) over the surviving subgraph — empty when the
     * whole graph peels away. */
-  def coreDegrees(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def coreDegrees(edges: DataFrame, k: Int, rounds: Int,
+                  localCap: Long = 262144L): DataFrame = {
     require(k >= 1, s"KCore: k=$k")
     require(rounds >= 1, s"KCore: rounds=$rounds")
     val e0 = edges.toDF("a", "b")
@@ -41,6 +42,46 @@ object KCore {
       .localCheckpoint(true)
     var prev = e.count()
     var converged = prev == 0L
+    // SIZE ROUTING (the connectedComponents/Scc discipline): a graph
+    // that fits the cap peels on the driver in memory — a cap-bounded
+    // collect (≤ localCap 16-byte rows, the loud-guard collect class),
+    // zero per-round job floors; the same synchronous-round semantics
+    // and the same loud budget contract. Bigger graphs take the
+    // distributed loop below.
+    if (!converged && prev <= localCap) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.HashSet[Long]]()
+      e.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect().foreach { case (a, b) =>
+          adj.getOrElseUpdate(a,
+            new scala.collection.mutable.HashSet[Long]()) += b
+        }
+      var it = 0
+      var done = adj.isEmpty
+      while (it < rounds && !done) {
+        val doomed = adj.keysIterator.filter(adj(_).size < k).toArray
+        if (doomed.isEmpty) done = true
+        else doomed.foreach { v =>
+          // v may already be gone: a doomed neighbor's cleanup can empty
+          // and remove it earlier in this same (synchronous) round
+          adj.remove(v).foreach(_.foreach { u =>
+            adj.get(u).foreach { s =>
+              s -= v; if (s.isEmpty) adj.remove(u)
+            }
+          })
+        }
+        it += 1
+      }
+      if (!done && !adj.isEmpty) throw new IllegalStateException(
+        s"KCore: round budget $rounds exhausted before the $k-core " +
+        s"converged (${adj.size} nodes still peeling) — the graph's " +
+        "peel depth exceeds the budget. Raise `rounds`: overshoot is " +
+        "free, the loop exits at the first no-op round.")
+      return adj.iterator.map { case (v, s) => (v, s.size.toLong) }
+        .toSeq.toDF("node", "deg")
+    }
     var it = 0
     while (it < rounds && !converged) {
       val alive = e.groupBy(col("a")).agg(count(lit(1)).as("c"))

@@ -16,6 +16,18 @@ class KCoreSpec extends SparkSpec {
     val core = KCore.coreDegrees(g, k = 2, rounds = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(core === Set((1L,2L), (2L,2L), (3L,2L)))
+    // the distributed route (localCap = 0) must agree exactly
+    val dist = KCore.coreDegrees(g, k = 2, rounds = 5, localCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist === core)
+  }
+
+  test("under-budget peeling throws on the distributed route too") {
+    val g = edges((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L),(5L,6L))
+    val ex = intercept[IllegalStateException] {
+      KCore.coreDegrees(g, k = 2, rounds = 1, localCap = 0L).collect()
+    }
+    assert(ex.getMessage.contains("round budget"))
   }
 
   test("a tree peels to nothing; K4 survives k=3 intact") {
