@@ -31,6 +31,11 @@ object GraftFunctions {
     * deduped exact-substring gram set (ExactSubstr's hashed paths). */
   def chargram_hashes_sd(text: Column, n: Int): Column =
     GraftExpr.chargramHashes(text, n, sortedDistinct = true)
+  /** Distinct (hash, gram) struct pairs of character n-grams — the
+    * exact-substring VERIFY side (gram string next to its 60-bit key),
+    * one imperative pass per document. */
+  def chargram_pairs(text: Column, n: Int): Column =
+    GraftExpr.chargramPairs(text, n)
   /** Mergeable bloom sketch of a BIGINT column (Spark's runtime-filter
     * aggregate, user-callable). ~10 bits/item ≈ 1% false positives. */
   def bloom_agg(value: Column, estItems: Long, numBits: Long): Column =

@@ -125,19 +125,18 @@ object ExactSubstr {
   }
 
   /** String grams paired with their 60-bit hash — the VERIFY side's
-    * input. The hash is the declarative md5-prefix form, value-identical
-    * to the [[gramHashes]] kernel (property-tested), so a broadcast of
-    * candidate hashes filters these rows map-side BEFORE any string
-    * moves. NOT deduped here: callers filter first, then dedup the
-    * surviving (small) set. */
+    * input, via the [[graft.functions.GraftFunctions.chargram_pairs]]
+    * kernel (one imperative pass per document; the declarative
+    * explode + per-gram md5 chain paid ~3 interpreted expression-tree
+    * walks per gram — the x6/NgramHash lesson). Per-document distinct;
+    * a broadcast of candidate hashes filters these rows map-side
+    * BEFORE any string moves. */
   private def gramsWithHash(docs: DataFrame, textCol: String, L: Int,
                             keep: Seq[String]): DataFrame =
-    docs.filter(length(col(textCol)) >= L)
-      .select(keep.map(col) :+ explode(expr(
-        s"transform(sequence(1, length($textCol) - $L + 1), " +
-        s"i -> substring($textCol, i, $L))")).as("g"): _*)
-      .withColumn("h",
-        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
+    docs.select(keep.map(col) :+ explode(
+        graft.functions.GraftFunctions.chargram_pairs(col(textCol), L))
+        .as("p"): _*)
+      .select(keep.map(col) :+ col("p.h").as("h") :+ col("p.g").as("g"): _*)
 
   /** [[buildIndex]] with 60-bit hash keys: one row per distinct
     * (gram_len, h) over the train corpus — 8-byte rows through the

@@ -377,6 +377,111 @@ case class CharGramHash(child: Expression, n: Int, sortedDistinct: Boolean)
     copy(child = newChild)
 }
 
+/** (hash, gram) PAIRS of the character n-grams of a text, distinct per
+  * document and sorted by (hash, gram), in one imperative pass — the
+  * VERIFY-side companion of [[CharGramHash]]: exact-substring
+  * verification needs the gram string next to its 60-bit key, and the
+  * declarative form (explode + per-gram md5 via conv/substring) pays
+  * ~3 interpreted expression-tree walks per gram (the x6 lesson that
+  * motivated NgramHash). Hash = the same md5 high-60-bits as
+  * [[CharGramHash]], gram = the same byte slice, so
+  * `transform`-chain oracles replay unchanged. Returns
+  * array<struct<h: bigint, g: string>>; texts shorter than n yield an
+  * empty array. */
+case class CharGramPairs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, s"chargram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "chargram_pairs"
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xc0) != 0x80) nChars += 1; i += 1 }
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val digest = md5.get()
+    val nGrams = nChars - n + 1
+    val hs = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      digest.reset()
+      digest.update(bytes, starts(g), starts(g + n) - starts(g))
+      val d = digest.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(g) = v >>> 4
+      g += 1
+    }
+    // sort gram indices by (hash, then gram bytes), dedup by both —
+    // two different strings colliding on the hash both survive
+    def gramLess(a: Int, b: Int): Boolean = {
+      if (hs(a) != hs(b)) return hs(a) < hs(b)
+      var ia = starts(a); var ib = starts(b)
+      val ea = starts(a + n); val eb = starts(b + n)
+      while (ia < ea && ib < eb) {
+        val c = (bytes(ia) & 0xff) - (bytes(ib) & 0xff)
+        if (c != 0) return c < 0
+        ia += 1; ib += 1
+      }
+      (ea - starts(a)) < (eb - starts(b))
+    }
+    def gramEq(a: Int, b: Int): Boolean = {
+      if (hs(a) != hs(b)) return false
+      val la = starts(a + n) - starts(a)
+      if (la != starts(b + n) - starts(b)) return false
+      var o = 0
+      while (o < la) {
+        if (bytes(starts(a) + o) != bytes(starts(b) + o)) return false
+        o += 1
+      }
+      true
+    }
+    val idx = Array.tabulate(nGrams)(identity)
+    // boxed sort with the custom comparator (nGrams per doc is modest)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int =
+        if (gramLess(a, b)) -1 else if (gramLess(b, a)) 1 else 0
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nGrams)
+    var r = 0
+    while (r < nGrams) {
+      val cur = boxed(r).intValue()
+      if (r == 0 || !gramEq(boxed(r - 1).intValue(), cur)) {
+        val slice = java.util.Arrays.copyOfRange(
+          bytes, starts(cur), starts(cur + n))
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](hs(cur), UTF8String.fromBytes(slice)))
+      }
+      r += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature kernel: for each i in 0 until k, the lexicographic
   * minimum of `md5(i + "|" + gram)` hex strings over the word n-grams of
   * the text — identical to the declarative
@@ -507,6 +612,8 @@ object GraftExpr {
     col(NgramHash(ex(text), n, sortedDistinct))
   def chargramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
     col(CharGramHash(ex(text), n, sortedDistinct))
+  def chargramPairs(text: Column, n: Int): Column =
+    col(CharGramPairs(ex(text), n))
   def minhashSig(text: Column, n: Int, k: Int): Column =
     col(MinhashSig(ex(text), n, k))
   def sortedJaccardLong(a: Column, b: Column): Column = col(SortedJaccardLong(ex(a), ex(b)))

@@ -120,6 +120,30 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("chargram_pairs kernel matches the declarative (hash, gram) chain") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("hello world", "aé語bé語c", "aaaa", "ab", "",
+      "mixé語d content with repeats repeats repeats")
+    val df = texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2) }
+      .toDF("id", "text")
+    for (l <- Seq(1, 2, 5)) {
+      val kernel = df.select($"id", explode(
+          graft.functions.GraftFunctions.chargram_pairs($"text", l)).as("p"))
+        .select($"id", $"p.h", $"p.g")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val declarative = df.filter(length($"text") >= l)
+        .select($"id", explode(expr(
+          s"transform(sequence(1, length(text) - $l + 1), " +
+          s"i -> substring(text, i, $l))")).as("g"))
+        .select($"id",
+          expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("h"),
+          $"g")
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(kernel == declarative, s"L=$l")
+    }
+  }
+
   test("hashed census (verify on) is bit-identical to the string census") {
     val s8 = "ABCDEFGH"
     val s16 = "IJKLMNOPQRSTUVWX"
