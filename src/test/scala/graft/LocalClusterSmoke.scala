@@ -69,6 +69,11 @@ object LocalClusterSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // AQE may coalesce small-row CPU-HEAVY stages (per-doc LM scoring,
+      // classifier passes) down to 1-2 partitions, serializing real CPU:
+      // a parallelism floor keeps them wide (x23 8.6 -> 6.9 s; measured
+      // neutral on micro/shuffle-bound queries, SCALE.md r16)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
       .config("spark.executor.extraClassPath", cp)
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.executor.memory", "1024m")
