@@ -761,6 +761,43 @@ object Dedup {
         col("matched").cast("double") / col("n_grams"))
   }
 
+  /** cap+1 as a safe Int for limit(): a size-route gate only asks "more
+    * than cap rows?", so a limit-bounded count prices it O(cap)
+    * regardless of input size. Shared by every size-routed op
+    * (connectedComponents, Scc, KCore). */
+  private[graft] def capPlusOne(cap: Long): Int =
+    (math.min(cap, Int.MaxValue - 2L) + 1L).toInt
+
+  /** True when the analyzed plan is an already-materialized relation (a
+    * LogicalRDD from a prior localCheckpoint, a LocalRelation) or a thin
+    * attribute/alias/cast projection over one — re-evaluating such a plan
+    * is a cached-block scan, so checkpointing it AGAIN would only pay a
+    * second edge-sized materialization for nothing. */
+  @scala.annotation.tailrec
+  private def isMaterialized(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: LocalRelation => true
+      case s: SubqueryAlias => isMaterialized(s.child)
+      case pr: Project if pr.projectList.forall(isThinExpr) =>
+        isMaterialized(pr.child)
+      case _ => false
+    }
+  }
+
+  private def isThinExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: Attribute => true
+      case a: Alias => isThinExpr(a.child)
+      case c: Cast => isThinExpr(c.child)
+      case _ => false
+    }
+  }
+
   /** Connected components over a dup-pair edge list — the cluster-forming
     * step that turns pairwise near-dup output (d2/d4/d5 pairs) into
     * keep-one groups. Hash-min label propagation with pointer jumping:
@@ -782,10 +819,19 @@ object Dedup {
     // CC consumers share); bigger graphs take the min-label +
     // pointer-jump loop below. Labels are identical either way: the
     // component-minimum node id.
-    val e = edges.toDF("a", "b")
+    // Skip the checkpoint when the caller ALREADY materialized the edges
+    // (a LogicalRDD from a prior localCheckpoint, or a LocalRelation, or
+    // a thin cast/rename projection over one): re-running that projection
+    // over cached blocks per use is cheaper than a second edge-sized
+    // materialization pass.
+    val castEdges = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .localCheckpoint(true)
-    if (e.count() <= localCap) {
+    val e = if (isMaterialized(edges.queryExecution.analyzed)) castEdges
+            else castEdges.localCheckpoint(true)
+    // O(cap) gate: the route choice needs only "more than localCap
+    // edges?" — limit(cap+1) prices it cap-bounded regardless of input
+    // size (the Equalize/Ann limit-then-check pattern)
+    if (e.limit(capPlusOne(localCap)).count() <= localCap) {
       return e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
         val parent = new scala.collection.mutable.HashMap[Long, Long]()
         def find(x0: Long): Long = {

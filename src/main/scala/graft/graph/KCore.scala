@@ -40,15 +40,19 @@ object KCore {
         struct(col("b").as("a"), col("a").as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .localCheckpoint(true)
-    var prev = e.count()
-    var converged = prev == 0L
+    // O(cap) gate (the Scc/connectedComponents pattern): the route
+    // choice needs only "more than localCap directed edges?", so price
+    // it limit(cap+1) over the just-checkpointed blocks. The FULL count
+    // below (`prev`) is the distributed loop's convergence baseline,
+    // NOT the gate — it only runs on the distributed path.
+    val gate = e.limit(graft.dedup.Dedup.capPlusOne(localCap)).count()
     // SIZE ROUTING (the connectedComponents/Scc discipline): a graph
     // that fits the cap peels on the driver in memory — a cap-bounded
     // collect (≤ localCap 16-byte rows, the loud-guard collect class),
     // zero per-round job floors; the same synchronous-round semantics
     // and the same loud budget contract. Bigger graphs take the
     // distributed loop below.
-    if (!converged && prev <= localCap) {
+    if (gate > 0L && gate <= localCap) {
       val spark = edges.sparkSession
       import spark.implicits._
       val adj = new scala.collection.mutable.HashMap[Long,
@@ -74,7 +78,17 @@ object KCore {
         }
         it += 1
       }
-      if (!done && !adj.isEmpty) throw new IllegalStateException(
+      // Loud-failure PARITY with the distributed loop: throw whenever
+      // convergence (a no-op round) was not OBSERVED inside the budget —
+      // including the fully-peeled case (adj empty but the no-op round
+      // never ran), which the synchronous loop below also throws on
+      // (its last in-budget round removed edges, so converged=false).
+      // In-round zero-degree cascades are NOT a divergence: the
+      // distributed census is edge-based, so a degree-0 node is invisible
+      // there the moment its last edge goes — exactly when the cascade
+      // drops it here — and both routes' convergence tests reduce to
+      // "no node with 1 <= degree < k existed this round".
+      if (!done) throw new IllegalStateException(
         s"KCore: round budget $rounds exhausted before the $k-core " +
         s"converged (${adj.size} nodes still peeling) — the graph's " +
         "peel depth exceeds the budget. Raise `rounds`: overshoot is " +
@@ -82,6 +96,8 @@ object KCore {
       return adj.iterator.map { case (v, s) => (v, s.size.toLong) }
         .toSeq.toDF("node", "deg")
     }
+    var prev = e.count() // convergence baseline — full count, gate above is O(cap)
+    var converged = prev == 0L
     var it = 0
     while (it < rounds && !converged) {
       val alive = e.groupBy(col("a")).agg(count(lit(1)).as("c"))

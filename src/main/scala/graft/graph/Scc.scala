@@ -78,16 +78,25 @@ object Scc {
     // both routes). Self-loop-only nodes fall out naturally here (the
     // self-loop filter above removed their edges; they are emitted from
     // the original list like the distributed route does).
-    if (e.count() <= localCap) {
+    // O(cap) gate: the route choice needs only "are there more than
+    // localCap edges", so price it limit(cap+1) regardless of input
+    // size (the Equalize/Ann limit-then-check pattern) — a 100 TB edge
+    // list pays a cap-bounded scan of its just-checkpointed blocks,
+    // not a full count
+    if (e.limit(graft.dedup.Dedup.capPlusOne(localCap)).count() <= localCap) {
       import spark.implicits._
       val local = e.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].coalesce(1).mapPartitions { it =>
           tarjanMinLabels(it).iterator
         }.toDF("node", "scc")
+      // distinct: duplicate self-loop rows in the input must not yield
+      // duplicate (node, scc) output rows — the distributed route's
+      // selfOnly uses `except` (set semantics), so match it
       val selfOnlyL = edges.toDF("src", "dst")
         .filter(col("src") === col("dst"))
         .select(col("src").cast("long").as("node"),
           col("src").cast("long").as("scc"))
+        .distinct()
         .join(local.select(col("node")), Seq("node"), "left_anti")
       return local.unionByName(selfOnlyL)
     }

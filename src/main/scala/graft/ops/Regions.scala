@@ -45,6 +45,16 @@ object Regions {
         col("c").cast("int").as("c"), col("v").cast("long").as("v"),
         (col("r").cast("long") * width + col("c")).as("id"))
       .localCheckpoint(true)
+    // loud range guard: the packed id r·width + c is only injective for
+    // 0 ≤ c < width and r ≥ 0 — an out-of-range cell (e.g. (1, −1) vs
+    // (0, width−1)) would silently collide into another cell's id
+    val rg = ids.agg(count(lit(1)).as("n"), min(col("r")).as("rlo"),
+      min(col("c")).as("clo"), max(col("c")).as("chi")).head()
+    if (rg.getLong(0) > 0L)
+      require(rg.getInt(1) >= 0 && rg.getInt(2) >= 0 && rg.getInt(3) < width,
+        s"Regions.labelRegions: cell coordinates r ∈ [${rg.getInt(1)}, _], " +
+        s"c ∈ [${rg.getInt(2)}, ${rg.getInt(3)}] fall outside r ≥ 0, " +
+        s"0 ≤ c < $width — the packed id r·width + c would collide")
     def shifted(dr: Int, dc: Int) = ids.select(
       (col("r") - dr).as("r"), (col("c") - dc).as("c"),
       col("v").as("nv"), col("id").as("nid"))
@@ -87,7 +97,9 @@ object Regions {
         col("c").cast("int").as("c"), col("lab").cast("long").as("lab"))
       .localCheckpoint(true)
     val bad = lb.agg(min(col("lab")).as("lo"), max(col("lab")).as("hi"),
-      count(lit(1)).as("n"), countDistinct(col("r"), col("c")).as("nd")).head()
+      count(lit(1)).as("n"), countDistinct(col("r"), col("c")).as("nd"),
+      min(col("r")).as("rlo"), max(col("r")).as("rhi"),
+      min(col("c")).as("clo"), max(col("c")).as("chi")).head()
     if (bad.getLong(2) == 0L) {
       // empty label field: no rings (build the empty frame cheaply)
       return lb.select(col("lab"), col("lab").as("ring"),
@@ -99,6 +111,16 @@ object Regions {
       s"cannot pack exactly against M=$m — remap labels to a dense range")
     require(bad.getLong(2) == bad.getLong(3),
       "Regions.outlines: duplicate (r, c) rows in the label field")
+    // loud range guard: the packed corner key y·(width+1)+x is only
+    // injective for cells inside [0,height)×[0,width) — an out-of-range
+    // cell (e.g. (1, −1) vs (0, width)) would silently collide into a
+    // neighboring cell's corner and produce wrong rings
+    require(bad.getInt(4) >= 0 && bad.getInt(5) < height &&
+      bad.getInt(6) >= 0 && bad.getInt(7) < width,
+      s"Regions.outlines: cell coordinates r ∈ [${bad.getInt(4)}, " +
+      s"${bad.getInt(5)}], c ∈ [${bad.getInt(6)}, ${bad.getInt(7)}] fall " +
+      s"outside the declared $height × $width grid — packed corner keys " +
+      "would collide")
 
     // boundary pieces: 4 neighbor probes per cell, one equi-join
     val probes = lb.select(col("r"), col("c"), col("lab"),

@@ -113,6 +113,23 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 5 + 2 + 40)
   }
 
+  test("connected components: a pre-checkpointed edge frame skips the " +
+      "second materialization and both routes stay correct") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // callers that already localCheckpoint their edges (e.g. the routed
+    // frames in Regions/Contour) must not pay a second edge-sized pass —
+    // connectedComponents detects the materialized plan and runs the cast
+    // projection lazily over the cached blocks
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .localCheckpoint(true)
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val dist = Dedup.connectedComponents(edges, localCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === got)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     import spark.implicits._
     import graft.dedup.Dedup

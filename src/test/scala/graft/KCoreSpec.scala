@@ -71,4 +71,21 @@ class KCoreSpec extends SparkSpec {
     assert(core.length === 4)
     assert(dt < 60.0, s"rounds=1000 on a converged graph took $dt s — early exit broken")
   }
+
+  test("full peel at the exact budget throws on BOTH routes; +1 round converges empty") {
+    // path 1-2-3 with k=2 peels everything in round 1 (1 and 3 doomed,
+    // 2 cascades to degree 0), but the no-op round that OBSERVES
+    // convergence never runs inside rounds=1 — loud-failure parity
+    // requires both routes to throw there, and both to return the empty
+    // core at rounds=2
+    val g = edges((1L, 2L), (2L, 3L))
+    for (cap <- Seq(262144L, 0L)) {
+      val ex = intercept[IllegalStateException] {
+        KCore.coreDegrees(g, k = 2, rounds = 1, localCap = cap).collect()
+      }
+      assert(ex.getMessage.contains("round budget"), s"cap=$cap")
+      assert(KCore.coreDegrees(g, k = 2, rounds = 2, localCap = cap).count() === 0L,
+        s"cap=$cap")
+    }
+  }
 }

@@ -142,4 +142,20 @@ class RegionsSpec extends SparkSpec {
         assert((a._1 - b._1).abs + (a._2 - b._2).abs == 1, s"$a -> $b")
     }
   }
+
+  test("out-of-range cells fail loudly instead of colliding packed keys") {
+    // (0, -1) packs identically to a neighbor's corner key — must throw,
+    // not produce wrong rings
+    val negC = Seq((0, -1, 5L), (0, 0, 5L)).toDF("r", "c", "lab")
+    val ex = intercept[IllegalArgumentException] { Regions.outlines(negC, 2, 2) }
+    assert(ex.getMessage.contains("outside"))
+    val bigR = Seq((2, 0, 5L), (0, 0, 5L)).toDF("r", "c", "lab") // r == height
+    intercept[IllegalArgumentException] { Regions.outlines(bigR, 2, 2) }
+    // labelRegions' id packing has the same guard (c == width collides)
+    val badL = Seq((0, 2, 1L), (0, 0, 1L)).toDF("r", "c", "v")
+    val ex2 = intercept[IllegalArgumentException] { Regions.labelRegions(badL, 2) }
+    assert(ex2.getMessage.contains("collide"))
+    val negR = Seq((-1, 0, 1L), (0, 0, 1L)).toDF("r", "c", "v")
+    intercept[IllegalArgumentException] { Regions.labelRegions(negR, 2) }
+  }
 }

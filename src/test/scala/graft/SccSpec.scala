@@ -125,4 +125,16 @@ class SccSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == want)
   }
+
+  test("duplicate self-loop rows emit ONE (node, scc) row per node on both routes") {
+    // the distributed route's selfOnly uses `except` (set semantics); the
+    // Tarjan route must match it even when the input repeats a self-loop
+    val df = Seq((7L, 7L), (7L, 7L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    for (cap <- Seq(262144L, 0L)) {
+      val rows = Scc.components(df, localCap = cap).collect()
+      assert(rows.length === 3, s"cap=$cap: ${rows.mkString(", ")}")
+      assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    }
+  }
 }
