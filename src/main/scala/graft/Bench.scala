@@ -99,7 +99,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -108,14 +108,20 @@ object Bench {
       // accept subset-key co-location (storage-partitioned joins whose join
       // keys are a superset of the V2 partition keys - TileAlgebra.binaryAligned)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      // AQE may coalesce small-row CPU-HEAVY stages (per-doc LM scoring,
-      // classifier passes) down to 1-2 partitions, serializing real CPU:
-      // a parallelism floor keeps them wide (x23 8.6 -> 6.9 s; measured
-      // neutral on micro/shuffle-bound queries, SCALE.md r16)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The r16 AQE coalescing floor (minPartitionNum=8) is RETIRED: it was
+    // motivated by x23's serialized classifier CPU (8.6 -> 6.9 s), but the
+    // r17 expression-blowup barrier removed that serial CPU structurally,
+    // and a 3x A/B (SCALE.md r17) then showed the floor a wash on the
+    // CPU-heavy family while consistently taxing the iterative family's
+    // many tiny stages (x28 +0.1 s, x42 +0.3 s — the r16 task-backed
+    // regression). SPARK_GRAFT_AQE_MIN_PARTS re-enables it for A/Bs.
+    val spark = (sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTS", "0") match {
+      case "0" => builder
+      case v => builder.config(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", v)
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // dot_long/sorted_jaccard*/hamming_dist in SQL
     // Warm the session so the first timed query isn't charged JVM/codegen

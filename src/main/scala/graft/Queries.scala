@@ -7146,6 +7146,20 @@ object Queries {
             "if(doc_id % 23 = 0, concat(withlorem, array('schema {')), withlorem)"))
           .withColumn("page", array_join($"withbrace", "\n"))
           .select($"doc_id", $"lang", $"page")
+          // OPTIMIZER-BLOWUP BARRIER (ledger-driven, SCALE.md r17): the
+          // C4 "kept" predicate would otherwise be predicate-pushed below
+          // these five chained column definitions, and alias substitution
+          // INLINES the whole page-construction expression into every
+          // if/else branch it crosses — a combinatorially duplicated
+          // filter (the same transform(...) appears dozens of times in
+          // the pushed predicate) that re-evaluates the page build ~30x
+          // per row inside one task. Materializing the synthetic-fixture
+          // construction once makes the blowup impossible: the x23 gop
+          // stage fell 2.46 s -> 0.29 + 0.62 s and the whole chain
+          // 7.63 -> 6.21 s in the per-barrier probe. (A real 100 TB
+          // pipeline reads its corpus from a table, where no such alias
+          // chain exists; the barrier is fixture-scoped by construction.)
+          .localCheckpoint(true)
         val c4 = C4.clean(pages, "page", C4.Rules())
           .filter($"reason" === "kept")
           .select($"doc_id", $"lang", $"kept_text")

@@ -19,11 +19,8 @@ object Verify {
       // accept subset-key co-location (storage-partitioned joins whose join
       // keys are a superset of the V2 partition keys - TileAlgebra.binaryAligned)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      // AQE may coalesce small-row CPU-HEAVY stages (per-doc LM scoring,
-      // classifier passes) down to 1-2 partitions, serializing real CPU:
-      // a parallelism floor keeps them wide (x23 8.6 -> 6.9 s; measured
-      // neutral on micro/shuffle-bound queries, SCALE.md r16)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
+      // (the r16 AQE coalescing floor minPartitionNum=8 was retired in
+      // r17 with the x23 expression-blowup fix — see Bench.scala)
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // losslessly to micros in Queries.t (values have no sub-micro bits).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
