@@ -14531,6 +14531,58 @@ object Queries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_chk
              |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X53: EXACT longest-shared-substring length per contaminated
+    // eval doc — the refinement that closes the ladder's bracket to
+    // Lee et al.'s suffix-array answer (clamped at maxProbe=96, the
+    // oracle's suffix-truncation bound). Engine: per-doc bracket from
+    // the string-verified rung ladder (corpus-scale movement stays
+    // 8-byte hashes), then a grouped binary search where every round is
+    // ONE per-row-length gram pass over the flagged docs against the
+    // bottom-rung-restricted train HIT set — log2(max rung gap) rounds,
+    // never a corpus pass. Oracle: the classic suffix-array argument in
+    // SQL — the longest shared substring of an eval suffix is its max
+    // LCP with the NEAREST train suffixes in global sorted suffix order,
+    // so one window pass (lag/lead IGNORE NULLS over the merged
+    // truncated suffix list) + a per-pair LCP scan gives each doc's true
+    // maximum. Every flagged doc's exact length is hash-gated.
+    Q("x53_exact_substr_longest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+        graft.text.ExactSubstr
+          .longestSharedSubstr(tr, ev, "text", "doc_id",
+            Seq(8, 16, 32), maxProbe = 96)
+          .select($"doc_id", $"longest".cast("long").as("longest"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text, (doc_id % 5 = 0) AS is_ev
+             |  FROM documents),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 1025) t(i)),
+             |sufs AS (SELECT doc_id, is_ev, substr(text, pos.i, 96) AS suf
+             |         FROM docs JOIN pos ON pos.i <= length(text)),
+             |ordw AS (SELECT doc_id, is_ev, suf,
+             |          lag(CASE WHEN NOT is_ev THEN suf END IGNORE NULLS)
+             |            OVER (ORDER BY suf, is_ev, doc_id) AS prev_t,
+             |          lead(CASE WHEN NOT is_ev THEN suf END IGNORE NULLS)
+             |            OVER (ORDER BY suf, is_ev, doc_id) AS next_t
+             |         FROM sufs),
+             |pairs AS (SELECT doc_id, suf, nb FROM (
+             |            SELECT doc_id, suf, prev_t AS nb FROM ordw WHERE is_ev
+             |            UNION ALL
+             |            SELECT doc_id, suf, next_t FROM ordw WHERE is_ev)
+             |          WHERE nb IS NOT NULL),
+             |lcp AS (SELECT doc_id,
+             |         (SELECT coalesce(max(k), 0) FROM range(1, 97) t(k)
+             |          WHERE k <= least(length(suf), length(nb))
+             |            AND substr(suf, 1, CAST(k AS INT))
+             |              = substr(nb, 1, CAST(k AS INT))) AS l
+             |        FROM pairs)
+             |SELECT doc_id, CAST(max(l) AS BIGINT) AS longest
+             |FROM lcp GROUP BY doc_id HAVING max(l) >= 8
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- R47: BASIN OUTLINES — the raster→vector closure of the
     // hydrology family (r35's per-cell basin labels → per-basin closed
     // polygon RINGS, what a GIS user downloads as watershed polygons):
@@ -14687,6 +14739,100 @@ object Queries {
              |SELECT CAST(region AS BIGINT) AS region, count(*) AS n_cells,
              |  CAST(sum(node) AS BIGINT) AS pos_chk
              |FROM rg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- R50: RING SHOELACE CENSUS — the last step of the GIS
+    // polygonize deliverable: the r47/r48 ring machinery's ordered
+    // vertices reduced to per-ring perimeter + enclosed area (Gauss's
+    // shoelace, kept as 2A so cell-corner coordinates stay integer-
+    // exact; every outlines walk starts at the ring's top-left corner
+    // stepping east, so all rings share one orientation and area2 is
+    // always 2 x the enclosed area — hole rings report the hole's own
+    // area, roles being a containment question). The oracle replays the
+    // ENTIRE chain (pieces -> corner salting -> ring CC -> min-start/
+    // min-neighbor ordered walk) like r47, then folds consecutive walk
+    // vertices through the shoelace — every ring's exact area is
+    // hash-gated per label.
+    Q("r50_ring_census",
+      (s, _) => {
+        import s.implicits._
+        import graft.core.{Bounds, RasterSpec}
+        import graft.scan.{AssetRow, ModRampReader, TileScan}
+        val spec = RasterSpec(3857, Bounds(0.0, 0.0, 600.0, 600.0), 10.0, 10.0)
+        val assets = Seq(AssetRow(0, 0, "gray", 0L, "modramp://a",
+          0.0, 0.0, 600.0, 600.0, 1.0, 0.0))
+        val cells = TileScan.scan(s, assets, spec, chunk = 20,
+            readerFor = _ => ModRampReader(11))
+          .flatMap { t =>
+            for {
+              r <- 0 until t.height; c <- 0 until t.width
+              v = t.pixels(r * t.width + c) if !v.isNaN
+            } yield (t.yChunk * 20 + r, t.xChunk * 20 + c, v.toLong % 3)
+          }.toDF("r", "c", "lab")
+        val rings = graft.ops.Regions.outlines(cells, 60, 60)
+        graft.ops.Regions.ringCensus(rings)
+          .groupBy($"lab")
+          .agg(count(lit(1)).as("n_rings"),
+            sum($"perimeter").as("perim_sum"),
+            sum($"area2").as("area2_sum"),
+            sum(($"ring" % 97) * $"area2").as("ring_area_chk"))
+          .orderBy($"lab")
+      },
+      Some("""WITH RECURSIVE
+             |z AS (SELECT r, c, (r*r + c*c) % 11 % 3 AS lab
+             |      FROM range(0,60) t(r) CROSS JOIN range(0,60) u(c)),
+             |d4 AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) v(dr,dc)),
+             |pc AS (SELECT l.lab, l.r*60 + l.c AS inside,
+             |         CASE WHEN d.dr=1 THEN (l.r+1)*61 + l.c
+             |              WHEN d.dc=1 THEN l.r*61 + l.c + 1
+             |              ELSE l.r*61 + l.c END AS ca,
+             |         CASE WHEN d.dr=-1 THEN l.r*61 + l.c + 1
+             |              WHEN d.dr=1  THEN (l.r+1)*61 + l.c + 1
+             |              WHEN d.dc=-1 THEN (l.r+1)*61 + l.c
+             |              ELSE (l.r+1)*61 + l.c + 1 END AS cb
+             |       FROM z l CROSS JOIN d4 d
+             |       LEFT JOIN z n ON n.r = l.r + d.dr AND n.c = l.c + d.dc
+             |       WHERE n.lab IS NULL OR n.lab <> l.lab),
+             |en AS (SELECT lab, inside, ca AS corner FROM pc
+             |       UNION ALL SELECT lab, inside, cb FROM pc),
+             |cs AS (SELECT lab, corner, count(*) AS n, min(inside) AS mi
+             |       FROM en GROUP BY 1, 2),
+             |ky AS (SELECT p.lab,
+             |         p.lab*7442 + p.ca*2
+             |           + (CASE WHEN a.n=4 AND p.inside<>a.mi THEN 1 ELSE 0 END) AS k1,
+             |         p.lab*7442 + p.cb*2
+             |           + (CASE WHEN b.n=4 AND p.inside<>b.mi THEN 1 ELSE 0 END) AS k2
+             |       FROM pc p JOIN cs a ON a.lab=p.lab AND a.corner=p.ca
+             |                 JOIN cs b ON b.lab=p.lab AND b.corner=p.cb),
+             |ad AS (SELECT lab, k1 AS a, k2 AS b FROM ky
+             |       UNION SELECT lab, k2, k1 FROM ky),
+             |nbr AS (SELECT lab, a AS v, min(b) AS n1, max(b) AS n2
+             |        FROM ad GROUP BY 1, 2),
+             |reach AS (SELECT lab, a, a AS b FROM (SELECT DISTINCT lab, a FROM ad)
+             |          UNION SELECT r.lab, r.a, ad.b
+             |          FROM reach r JOIN ad ON r.lab = ad.lab AND r.b = ad.a),
+             |rg AS (SELECT lab, a AS v, min(b) AS ring FROM reach GROUP BY 1, 2),
+             |wk AS (SELECT r.lab, r.ring, 0 AS ord,
+             |         CAST(NULL AS BIGINT) AS prev, r.ring AS cur
+             |       FROM (SELECT DISTINCT lab, ring FROM rg) r
+             |       UNION ALL
+             |       SELECT w.lab, w.ring, w.ord + 1, w.cur,
+             |         CASE WHEN w.prev IS NULL THEN n.n1
+             |              WHEN n.n1 = w.prev THEN n.n2 ELSE n.n1 END
+             |       FROM wk w JOIN nbr n ON n.lab = w.lab AND n.v = w.cur
+             |       WHERE NOT (w.cur = w.ring AND w.ord > 0)),
+             |vx AS (SELECT lab, ring, ord,
+             |         ((cur % 7442) // 2) // 61 AS y,
+             |         ((cur % 7442) // 2) % 61 AS x FROM wk),
+             |sh AS (SELECT a.lab, a.ring, a.x*b.y - b.x*a.y AS term
+             |       FROM vx a JOIN vx b ON b.lab = a.lab AND b.ring = a.ring
+             |         AND b.ord = a.ord + 1),
+             |rc AS (SELECT lab, ring, count(*) AS perimeter,
+             |         sum(term) AS area2 FROM sh GROUP BY 1, 2)
+             |SELECT CAST(lab AS BIGINT) AS lab, count(*) AS n_rings,
+             |  CAST(sum(perimeter) AS BIGINT) AS perim_sum,
+             |  CAST(sum(area2) AS BIGINT) AS area2_sum,
+             |  CAST(sum((ring % 97) * area2) AS BIGINT) AS ring_area_chk
+             |FROM rc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ----- T34: ZIPF rank-octave census — the corpus-statistics read
     // behind vocabulary sizing and tokenizer budgets: how token mass

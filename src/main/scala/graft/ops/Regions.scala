@@ -252,4 +252,31 @@ object Regions {
       expr(s"((k % $m) div 2) div $w1").as("y"),
       expr(s"((k % $m) div 2) % $w1").as("x"))
   }
+
+  /** Per-ring SHOELACE census over [[outlines]] output — the last step
+    * of the GIS polygonize deliverable: input ordered ring vertices
+    * (lab, ring, ord, y, x) with first vertex == last (the ring
+    * convention [[outlines]] guarantees), output one row per (lab, ring)
+    * with the ring's perimeter (unit steps — the vertex pairs of the
+    * closed walk) and TWICE its enclosed area (Gauss's shoelace
+    * Σ xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ; kept doubled so it is integer-exact on
+    * cell-corner coordinates). Because every [[outlines]] walk starts at
+    * the ring's topmost-leftmost corner and steps EAST first, all rings
+    * share one rotational orientation, so area2 is always POSITIVE and
+    * equals 2 × the area the ring encloses (a hole ring reports the
+    * hole's area, not a negative outer contribution — outer/hole roles
+    * are a containment question left to the consumer). One window pass
+    * over (lab, ring) ordered by ord + one aggregation — boundary-sized,
+    * no new machinery, no collect. */
+  def ringCensus(rings: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lab"), col("ring")).orderBy(col("ord"))
+    rings.select(col("lab"), col("ring"), col("y"), col("x"),
+        lead(col("y"), 1).over(w).as("ny"),
+        lead(col("x"), 1).over(w).as("nx"))
+      .filter(col("ny").isNotNull)
+      .groupBy(col("lab"), col("ring"))
+      .agg(count(lit(1)).as("perimeter"),
+           sum(col("x") * col("ny") - col("nx") * col("y")).as("area2"))
+  }
 }

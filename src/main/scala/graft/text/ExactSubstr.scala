@@ -215,6 +215,344 @@ object ExactSubstr {
     }.reduce(_ unionByName _)
   }
 
+  /** Composite-key stream for every length-m character window of a
+    * document, projected from its POSITIONAL base-gram hash array
+    * (`chargram_hashes` at b = the ladder's bottom rung) — NO text
+    * re-scan: a length-m window is characterized exactly (up to hash
+    * collisions, which the final string verify settles) by the tuple of
+    * its base grams at offsets 0, b, 2b, …, m−b, because consecutive
+    * members tile or overlap the window, so member-wise equality at a
+    * common anchor forces whole-window equality. Keys are xxhash64 over
+    * the member longs (whole-stage codegen, zero string allocation) —
+    * SEARCH keys, never oracle-replayed: string semantics come from the
+    * final verify. Callers must pre-filter rows to size(h) ≥ m−b+1. */
+  private def windowKeys(h: String, m: Int, b: Int)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftx.GraftExpr.windowKeyHashes(col(h), Seq(m), b)
+
+  /** (id, m, k) probe stream: each doc probes its OWN length (its `m`
+    * column) — ONE dynamic-kernel pass, no per-length branch union. */
+  private def evalKeys(evalWithM: DataFrame, idCol: String, b: Int)
+      : DataFrame =
+    evalWithM.filter(size(col("H")) >= col("m") - b + 1)
+      .select(col(idCol), col("m"), explode(
+        org.apache.spark.sql.graftx.GraftExpr.windowKeyHashesDyn(
+          col("H"), col("m"), b)).as("k"))
+
+  /** Hash-level "which docs share which window lengths with the train
+    * side" over precomputed base arrays: `evKeys` carries each doc's own
+    * probe lengths (id, m, k); the train side is ONE flat multi-length
+    * kernel pass ([[WindowKeyHash]] mixes m into every key, so lengths
+    * occupy disjoint key spaces and a single untagged key column joins
+    * correctly). Never a text pass. SIZE-ROUTED: when the flagged set is
+    * small (the decontamination contract — `bcast`), the eval keys
+    * BROADCAST and the train side never shuffles; a giant flagged set
+    * falls back to the distinct-key shuffle join. Returns (id, m). */
+  private def hitIdsFor(evKeys: DataFrame, trainH: DataFrame, idCol: String,
+                        ms: Seq[Int], b: Int, bcast: Boolean): DataFrame = {
+    val tr = trainH.filter(size(col("H")) >= ms.min - b + 1)
+      .select(explode(
+        org.apache.spark.sql.graftx.GraftExpr.windowKeyHashes(
+          col("H"), ms, b)).as("k"))
+    if (bcast)
+      tr.join(broadcast(evKeys), Seq("k"))
+        .select(col(idCol), col("m")).distinct()
+    else
+      evKeys.distinct().join(tr.distinct(), Seq("k"))
+        .select(col(idCol), col("m")).distinct()
+  }
+
+  /** EXACT longest-shared-substring length per flagged eval document —
+    * the refinement that closes the gap between the ladder's BRACKET and
+    * Lee et al.'s suffix-array answer, clamped at `maxProbe` (their
+    * decontamination thresholds are ~50 chars; the clamp bounds probe
+    * cost and matches the oracle's suffix truncation).
+    *
+    * Cost shape (the 100 TB contract): the CORPUS is touched exactly
+    * once per side — one pass building each document's positional
+    * base-gram hash array (8-byte members) plus the map-side-deduped
+    * bottom-rung hash join that selects the HIT SETS. Everything after
+    * — the rung-ladder brackets, every binary-search round, the final
+    * verify — is array projections over the checkpointed hit-set
+    * arrays; no phase ever re-reads text, and each phase projects ALL
+    * its window lengths in one pass ([[windowKeysMulti]]). Each doc
+    * consumes ⌈log₂(its bracket width)⌉ rounds; a round runs all active
+    * docs' midpoints together (one projection + one key join).
+    *
+    * Exactness: hash MISSES are exact (true equality implies hash
+    * equality), so every upper bound is true; hash HITS are settled by
+    * a final per-doc STRING verify at the converged length — candidate
+    * (position, train witness) pairs from the composite keys, one
+    * substring comparison each. A verify failure at the bottom rung
+    * drops the doc (it was never truly contaminated — the collision
+    * class); above it the search itself was misled, so it throws loudly
+    * (xxhash64-collision class; never observed).
+    *
+    * Returns (idCol, longest) for every doc sharing a bottom-rung
+    * substring; longest is exact in [bottom rung, min(maxProbe, len)].
+    * `lengths` must be ascending. */
+  def longestSharedSubstr(train: DataFrame, eval: DataFrame,
+                          textCol: String, idCol: String,
+                          lengths: Seq[Int], maxProbe: Int = 96,
+                          maxRounds: Int = 16,
+                          maxDriverDocs: Long = 8192L,
+                          maxDriverKeys: Long = 4194304L): DataFrame = {
+    require(lengths.nonEmpty && lengths == lengths.sorted &&
+      lengths.distinct == lengths,
+      s"ExactSubstr: ladder must be ascending distinct, got $lengths")
+    require(maxProbe >= lengths.last,
+      s"ExactSubstr: maxProbe=$maxProbe below top rung ${lengths.last}")
+    val b = lengths.head
+    val dbg = sys.env.contains("GRAFT_X53_DEBUG")
+    var tDbg = System.nanoTime()
+    def lap(n: String): Unit = if (dbg) {
+      System.err.println(f"x53lap $n ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
+      tDbg = System.nanoTime()
+    }
+    val G = graft.functions.GraftFunctions
+    // the two corpus passes: bottom-rung hashes, map-side deduped, each
+    // consumed twice (flagged selection + hit-set selection) — so
+    // materialized once (8-byte rows)
+    val evalBh = eval.select(col(idCol),
+      explode(G.chargram_hashes_sd(col(textCol), b)).as("h"))
+      .localCheckpoint(true)
+    val trainBh = train.select(col(idCol),
+      explode(G.chargram_hashes_sd(col(textCol), b)).as("h"))
+      .localCheckpoint(true)
+    val flaggedIds = evalBh
+      .join(trainBh.select(col("h")).distinct(), Seq("h"))
+      .select(col(idCol)).distinct()
+    // hit-set positional arrays (+ text, for the final verify), the
+    // only frames the refinement ever touches — checkpointed once
+    val evalH = eval.join(flaggedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol).as("text"),
+        G.chargram_hashes(col(textCol), b).as("H"))
+      .localCheckpoint(true)
+    lap("evalH")
+    val flaggedBh = evalBh.join(flaggedIds, Seq(idCol), "left_semi")
+      .select(col("h")).distinct()
+    val trainHitIds = trainBh.join(flaggedBh, Seq("h"))
+      .select(col(idCol)).distinct()
+    val trainH = train.join(trainHitIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("tid"), col(textCol).as("ttext"),
+        G.chargram_hashes(col(textCol), b).as("H"))
+      .localCheckpoint(true)
+    // DRIVER-PROBE routing (the KCore-peel / union-find cap class): when
+    // the flagged set's total key volume is cap-bounded, every probe
+    // round collects the eval keys (loud cap), ships them into the
+    // train-side [[WindowKeyProbe]] kernel as an open-addressed set, and
+    // resolves hits on the driver — 2 jobs per round, zero shuffle. A
+    // giant flagged set takes the distributed shuffle-join route below.
+    val evStats = evalH.agg(count(lit(1)), sum(size(col("H")))).head()
+    val bcast = evStats.getLong(0) <= maxDriverDocs &&
+      (evStats.getLong(0) == 0L ||
+        evStats.getLong(1) * math.max(1, lengths.size - 1) <= maxDriverKeys)
+    lap("trainH")
+    if (evStats.getLong(0) == 0L) // nothing flagged: no search, no verify
+      return eval.select(col(idCol)).limit(0)
+        .withColumn("longest", lit(0))
+    // phase 1: per-doc bracket from the rung ladder (hash-level; upper
+    // bounds are exact because hash misses are exact). The bottom rung
+    // is already known: every flagged doc hit it.
+    val nextBound: Map[Int, Int] = lengths.zip(
+      lengths.tail.map(_ - 1) :+ maxProbe).toMap
+    val spark = train.sparkSession
+    val rungsDf = lengths.tail.foldLeft(
+      spark.range(0).select(lit(0).as("m")).limit(0))(
+      (acc, l) => acc.unionByName(spark.range(1).select(lit(l).as("m"))))
+    // probes the train arrays with a driver key set and returns the
+    // matched keys — 1 job, zero shuffle (driver-probe route only)
+    def probeTrain(ms: Seq[Int], keys: Array[Long]): Set[Long] =
+      trainH.filter(size(col("H")) >= ms.min - b + 1)
+        .select(explode(
+          org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
+            col("H"), ms, b, keys)).as("e"))
+        .select(col("e.k")).distinct().collect().map(_.getLong(0)).toSet
+    var state: DataFrame = null
+    var stLocal: Array[(Any, Int, Int)] = null
+    if (bcast) {
+      // brackets on the driver: one eval probe collect + one train probe
+      val lens = evalH.select(col(idCol), (size(col("H")) + b - 1).as("len"))
+        .collect().map(r => (r.get(0), r.getInt(1))).toMap
+      val rungRows =
+        if (lengths.tail.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else evalKeys(evalH.crossJoin(rungsDf), idCol, b).collect()
+      val matched = if (rungRows.isEmpty) Set.empty[Long]
+        else probeTrain(lengths.tail,
+          rungRows.map(_.getLong(2)).distinct)
+      val loById = rungRows.iterator
+        .filter(r => matched(r.getLong(2)))
+        .map(r => (r.get(0), r.getInt(1)))
+        .foldLeft(Map.empty[Any, Int]) { case (acc, (id, m)) =>
+          acc.updated(id, math.max(acc.getOrElse(id, b), m))
+        }
+      stLocal = lens.toArray.map { case (id, len) =>
+        val lo = loById.getOrElse(id, b)
+        (id, lo, math.min(nextBound(lo), len))
+      }
+    } else {
+      val rungHits = if (lengths.tail.isEmpty)
+        evalH.select(col(idCol), lit(b).as("m"))
+      else
+        hitIdsFor(evalKeys(evalH.crossJoin(rungsDf), idCol, b), trainH,
+            idCol, lengths.tail, b, bcast = false)
+          .unionByName(evalH.select(col(idCol), lit(b).as("m")))
+      val boundExpr = lengths.foldLeft(lit(maxProbe)) { (acc, l) =>
+        when(col("lo") === l, lit(nextBound(l))).otherwise(acc)
+      }
+      state = rungHits.groupBy(col(idCol)).agg(max(col("m")).as("lo"))
+        .join(evalH.select(col(idCol), (size(col("H")) + b - 1).as("len")),
+          Seq(idCol))
+        .select(col(idCol), col("lo"), least(boundExpr, col("len")).as("hi"))
+        .localCheckpoint(true)
+    }
+    lap("brackets")
+    // phase 2: grouped binary search. SIZE-ROUTED like the gate above:
+    // under the broadcast gate the (id, lo, hi) bracket table is
+    // CAP-BOUNDED (≤ 8192 rows — the loud-guard driver-state class), so
+    // it lives on the driver and each round is ONE distributed action
+    // (the per-midpoint key probes, unioned and collected); the giant-
+    // hit-set route keeps the state distributed with per-round
+    // checkpoints. Both converge each doc in ceil(log2(bracket)) rounds.
+    var round = 0
+    if (bcast) {
+      val idField = evalH.schema.fields(0)
+      var st = stLocal
+      while (st.exists(t => t._2 < t._3)) {
+        if (round >= maxRounds) throw new IllegalStateException(
+          s"ExactSubstr.longestSharedSubstr: $maxRounds rounds exhausted " +
+          "with brackets still open — maxProbe/ladder imply " +
+          "ceil(log2(max gap)) rounds; raise maxRounds")
+        val mids: Map[Any, Int] = st.collect {
+          case (id, lo, hi) if lo < hi => (id, (lo + hi + 1) / 2)
+        }.toMap
+        val ms = mids.values.toSeq.distinct.sorted
+        require(ms.length <= 64,
+          s"ExactSubstr.longestSharedSubstr: ${ms.length} distinct " +
+          "midpoints in one round — ladder/maxProbe misconfigured")
+        val spark2 = train.sparkSession
+        val midsDf = spark2.createDataFrame(
+          spark2.sparkContext.parallelize(mids.toSeq.map { case (id, m) =>
+            org.apache.spark.sql.Row(id, m) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(idField,
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        val probeRows = evalKeys(evalH.join(broadcast(midsDf), Seq(idCol)),
+          idCol, b).select(col(idCol), col("k")).collect()
+        val matched = probeTrain(ms, probeRows.map(_.getLong(1)).distinct)
+        val hits = probeRows.iterator
+          .filter(r => matched(r.getLong(1))).map(_.get(0)).toSet
+        st = st.map { case t @ (id, lo, hi) =>
+          mids.get(id) match {
+            case Some(m) => if (hits(id)) (id, m, hi) else (id, lo, m - 1)
+            case None => t
+          }
+        }
+        lap(s"round$round ms=${ms.mkString(",")}")
+        round += 1
+      }
+      val spark2 = train.sparkSession
+      state = spark2.createDataFrame(
+        spark2.sparkContext.parallelize(st.toSeq.map { case (id, lo, hi) =>
+          org.apache.spark.sql.Row(id, lo, hi) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(idField,
+          org.apache.spark.sql.types.StructField("lo",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("hi",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    } else {
+      var active = state.filter(col("lo") < col("hi"))
+      while (!active.isEmpty) {
+        if (round >= maxRounds) throw new IllegalStateException(
+          s"ExactSubstr.longestSharedSubstr: $maxRounds rounds exhausted " +
+          "with brackets still open — maxProbe/ladder imply " +
+          "ceil(log2(max gap)) rounds; raise maxRounds")
+        val mids = active.select(col(idCol),
+          ((col("lo") + col("hi") + 1) / 2).cast("int").as("m"))
+          .localCheckpoint(true)
+        val ms = mids.select(col("m")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        require(ms.length <= 64,
+          s"ExactSubstr.longestSharedSubstr: ${ms.length} distinct " +
+          "midpoints in one round — ladder/maxProbe misconfigured")
+        val probes = evalKeys(evalH.join(mids, Seq(idCol)), idCol, b)
+        val hits = hitIdsFor(probes, trainH, idCol, ms.toSeq, b,
+            bcast = false)
+          .select(col(idCol)).distinct().withColumn("hit", lit(true))
+        state = state.join(mids, Seq(idCol), "left")
+          .join(hits, Seq(idCol), "left")
+          .select(col(idCol),
+            when(col("m").isNull, col("lo"))
+              .when(col("hit"), col("m")).otherwise(col("lo")).as("lo"),
+            when(col("m").isNull, col("hi"))
+              .when(col("hit"), col("hi")).otherwise(col("m") - 1).as("hi"))
+          .localCheckpoint(true)
+        active = state.filter(col("lo") < col("hi"))
+        lap(s"round$round ms=${ms.mkString(",")}")
+        round += 1
+      }
+    }
+    // final STRING verify at each doc's converged length: candidate
+    // positions from the composite keys, one train witness per key,
+    // one substring comparison per candidate — hit-set-sized. Keys are
+    // projected WITHOUT text; the eval side's distinct candidate (m, k)
+    // set broadcasts to filter the train projection map-side, and texts
+    // join back only for the witness rows.
+    val msF = state.select(col("lo")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(msF.length <= 128,
+      s"ExactSubstr.longestSharedSubstr: ${msF.length} distinct final " +
+      "lengths — maxProbe misconfigured")
+    def keyedPos(df: DataFrame, m: Int, idc: String) =
+      df.filter(size(col("H")) >= m - b + 1)
+        .select(col(idc), posexplode(windowKeys("H", m, b)))
+        .select(col(idc), lit(m).as("m"), (col("pos") + 1).as("pos"),
+          col("col").as("k"))
+    val evalPos = evalH
+      .join(state.select(col(idCol), col("lo").as("m")), Seq(idCol))
+      .filter(size(col("H")) >= col("m") - b + 1)
+      .select(col(idCol), col("m"), posexplode(
+        org.apache.spark.sql.graftx.GraftExpr.windowKeyHashesDyn(
+          col("H"), col("m"), b)))
+      .select(col(idCol), col("m"), (col("pos") + 1).as("pos"),
+        col("col").as("k"))
+    val candKeysDf = evalPos.select(col("m"), col("k")).distinct()
+    lap("verify:candKeys")
+    // candidate keys are hit-set-sized: collect them (loud cap) and let
+    // ONE probe-kernel pass over the train arrays emit only the matching
+    // (m, pos, k) rows — materializing all Σ|msF| keys per row measured
+    // 10 s where the matches are a few hundred rows
+    val candRows = candKeysDf.limit(4194305).collect()
+    require(candRows.length <= 4194304,
+      "ExactSubstr.longestSharedSubstr: > 4M candidate final keys — " +
+      "the flagged set is too large for the driver-probed verify")
+    val candArr = candRows.map(_.getLong(1))
+    val witnesses = trainH
+      .select(col("tid"), explode(
+        org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
+          col("H"), msF.toSeq, b, candArr)).as("e"))
+      .select(col("tid"), col("e.m").as("m"), col("e.pos").as("pos"),
+        col("e.k").as("k"))
+      .groupBy(col("m"), col("k"))
+      .agg(min(struct(col("pos"), col("tid"))).as("w"))
+      .select(col("m"), col("k"), col("w.pos").as("tpos"), col("w.tid").as("tid"))
+      .join(trainH.select(col("tid"), col("ttext")), Seq("tid"))
+    lap("verify:witnesses")
+    val verified = evalPos.join(witnesses, Seq("m", "k"))
+      .join(evalH.select(col(idCol), col("text")), Seq(idCol))
+      .filter(expr("substring(text, pos, m) = substring(ttext, tpos, m)"))
+      .select(col(idCol)).distinct().withColumn("ok", lit(true))
+    val judged = state.join(verified, Seq(idCol), "left").localCheckpoint(true)
+    lap("verify:judged")
+    val misled = judged.filter(col("ok").isNull && col("lo") > b)
+    if (!misled.isEmpty) throw new IllegalStateException(
+      "ExactSubstr.longestSharedSubstr: string verify failed above the " +
+      "bottom rung — a composite-key collision steered the search " +
+      s"(${misled.count()} docs); rerun with a different ladder")
+    judged.filter(col("ok").isNotNull)
+      .select(col(idCol), col("lo").as("longest"))
+  }
+
   /** The ladder census: one row per probe length — how many eval docs
     * share an exact L-char substring with the train side, with an id
     * checksum. Hits are monotone downward in L by containment (an

@@ -298,6 +298,194 @@ case class NgramHash(child: Expression, n: Int, sortedDistinct: Boolean)
     copy(child = newChild)
 }
 
+/** Per-row-length twin of [[WindowKeyHash]]: the window length m comes
+  * from a COLUMN, so one pass projects every document's own probe
+  * length (the x53 search's eval side — each doc tests its own bracket
+  * midpoint, and a per-length branch union measured ~0.2 s of task
+  * scheduling per branch per round). Same key definition: xxhash64
+  * chain over (m, base members at offsets 0, b, …, m−b). */
+case class WindowKeyHashDyn(left: Expression, right: Expression, b: Int)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(b >= 1, s"window key: b=$b")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_key_hash_dyn"
+
+  override def nullSafeEval(arrAny: Any, mAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = arrAny.asInstanceOf[ArrayData]
+    val m = mAny.asInstanceOf[Int]
+    if (m < b) throw new IllegalArgumentException(
+      s"window_key_hash_dyn: m=$m below base $b")
+    val n = arr.numElements() - (m - b)
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = XXH64.hashLong(m.toLong, 42L)
+      var j = 0
+      while (j < m - b) { acc = XXH64.hashLong(arr.getLong(i + j), acc); j += b }
+      acc = XXH64.hashLong(arr.getLong(i + m - b), acc)
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowKeyHashDyn =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Probe-filtered twin of [[WindowKeyHash]]: computes the same
+  * composite keys for every window length in `ms` but emits ONLY the
+  * (m, pos, k) hits against a driver-supplied candidate key set (open-
+  * addressed, built once per partition) — the x53 verify side, where
+  * materializing all Σ|ms| keys per row as an array measured 10 s while
+  * the matches are a few hundred rows total. pos is 1-based. */
+case class WindowKeyProbe(child: Expression, ms: Seq[Int], b: Int,
+                          keys: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(b >= 1 && ms.nonEmpty && ms.forall(_ >= b),
+    s"window probe: ms=$ms b=$b")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("m", IntegerType, nullable = false),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("k", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_key_probe"
+
+  @transient private lazy val offsets: Array[Array[Int]] = ms.toArray.map {
+    m => ((0 until (m - b) by b) :+ (m - b)).distinct.toArray
+  }
+  // minimal open-addressed long set (no boxing; 0 sentinel handled apart)
+  @transient private lazy val (table, mask, hasZero) = {
+    var cap = 16
+    while (cap < keys.length * 2) cap <<= 1
+    val t = new Array[Long](cap)
+    var zero = false
+    val mk = cap - 1
+    keys.foreach { k =>
+      if (k == 0L) zero = true
+      else {
+        var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mk
+        while (t(i) != 0L && t(i) != k) i = (i + 1) & mk
+        t(i) = k
+      }
+    }
+    (t, mk, zero)
+  }
+  private def contains(k: Long): Boolean = {
+    if (k == 0L) return hasZero
+    var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+    while (table(i) != 0L) {
+      if (table(i) == k) return true
+      i = (i + 1) & mask
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var q = 0
+    while (q < ms.length) {
+      val m = ms(q)
+      val offs = offsets(q)
+      val n = sz - (m - b)
+      var i = 0
+      while (i < n) {
+        var acc = XXH64.hashLong(m.toLong, 42L)
+        var j = 0
+        while (j < offs.length) {
+          acc = XXH64.hashLong(arr.getLong(i + offs(j)), acc)
+          j += 1
+        }
+        if (contains(acc)) out += new org.apache.spark.sql.catalyst
+          .expressions.GenericInternalRow(
+            Array[Any](m, i + 1, acc))
+        i += 1
+      }
+      q += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WindowKeyProbe = copy(child = newChild)
+}
+
+/** Composite window keys over a POSITIONAL base-gram hash array — the
+  * imperative kernel behind ExactSubstr.longestSharedSubstr's search:
+  * out[i] = xxhash64-chain over (m, in[i + o]) for member offsets
+  * o ∈ {0, b, 2b, …, m−b}. Semantically these are SEARCH keys only
+  * (never oracle-replayed — the final string verify settles semantics),
+  * so the mixer needs determinism and spread, not portability. One
+  * while-loop pass per row: the declarative transform(...) + xxhash64
+  * chain evaluates higher-order lambdas interpreted per element and
+  * measured ~5x slower across the x53 search rounds. Arrays shorter
+  * than the window count yield an empty array. */
+case class WindowKeyHash(child: Expression, ms: Seq[Int], b: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(b >= 1 && ms.nonEmpty && ms.forall(_ >= b),
+    s"window key: ms=$ms b=$b")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_key_hash"
+
+  // one member-offset table per window length; output = flat concat of
+  // the per-length key streams (m is mixed into every hash, so the
+  // lengths occupy disjoint key spaces and need no tag column)
+  @transient private lazy val offsets: Array[Array[Int]] = ms.toArray.map {
+    m => ((0 until (m - b) by b) :+ (m - b)).distinct.toArray
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    var total = 0
+    var q = 0
+    while (q < ms.length) {
+      val n = sz - (ms(q) - b)
+      if (n > 0) total += n
+      q += 1
+    }
+    if (total == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](total)
+    var w = 0
+    q = 0
+    while (q < ms.length) {
+      val m = ms(q)
+      val offs = offsets(q)
+      val n = sz - (m - b)
+      var i = 0
+      while (i < n) {
+        var acc = XXH64.hashLong(m.toLong, 42L)
+        var j = 0
+        while (j < offs.length) {
+          acc = XXH64.hashLong(arr.getLong(i + offs(j)), acc)
+          j += 1
+        }
+        out(w) = acc
+        w += 1
+        i += 1
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WindowKeyHash = copy(child = newChild)
+}
+
 /** 60-bit md5 hashes of the CHARACTER n-grams of a text, one imperative
   * pass per row — the exact-substring analog of [[NgramHash]]'s word
   * grams. Semantically identical to the declarative chain
@@ -612,6 +800,13 @@ object GraftExpr {
     col(NgramHash(ex(text), n, sortedDistinct))
   def chargramHashes(text: Column, n: Int, sortedDistinct: Boolean): Column =
     col(CharGramHash(ex(text), n, sortedDistinct))
+  def windowKeyHashes(h: Column, ms: Seq[Int], b: Int): Column =
+    col(WindowKeyHash(ex(h), ms, b))
+  def windowKeyHashesDyn(h: Column, m: Column, b: Int): Column =
+    col(WindowKeyHashDyn(ex(h), ex(m), b))
+  def windowKeyProbe(h: Column, ms: Seq[Int], b: Int,
+                     keys: Array[Long]): Column =
+    col(WindowKeyProbe(ex(h), ms, b, keys))
   def chargramPairs(text: Column, n: Int): Column =
     col(CharGramPairs(ex(text), n))
   def minhashSig(text: Column, n: Int, k: Int): Column =

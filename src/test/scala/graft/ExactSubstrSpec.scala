@@ -193,4 +193,62 @@ class ExactSubstrSpec extends SparkSpec {
     assert(acc(8) == (2L, 30L), acc.toString)  // docs 10, 20
     assert(acc(16) == (1L, 20L), acc.toString) // doc 20 only
   }
+
+  test("longestSharedSubstr: manufactured overlaps of KNOWN exact lengths") {
+    val s17 = "ABCDEFGHIJKLMNOPQ"          // 17 chars
+    val s8  = "rstuvwxy"                   // exactly 8
+    val s33 = "abcdefghijklmnopqrstuvwxyz0123456".take(33)
+    val dup = "this entire document is shared verbatim between the corpora"
+    // boundary chars differ on every side, so the shared run is EXACTLY
+    // the sentinel (no accidental shared space extending it by one)
+    val train = Seq(
+      (1L, s"filler one!${s17}#and on"),
+      (2L, s"two&${s8}#tail"),
+      (3L, s"three*${s33}%marker"),
+      (4L, dup)).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval a=${s17}zz"),           // exact longest 17 (bracket [16,31])
+      (20L, s"eval b=${s8}ZZ"),            // exact longest 8 (bracket [8,15])
+      (30L, s"eval c=${s33}@@"),           // exact longest 33 (bracket [32,cap])
+      (40L, dup),                          // identical doc: min(len, maxProbe)
+      (50L, "wholly disjoint QQWWEE"))     // below bottom rung: absent
+      .toDF("doc_id", "text")
+    val got = ExactSubstr.longestSharedSubstr(train, eval, "text", "doc_id",
+        Seq(8, 16, 32), maxProbe = 48)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(10L -> 17, 20L -> 8, 30L -> 33,
+      40L -> math.min(dup.length, 48)), got.toString)
+  }
+
+  test("longestSharedSubstr fuzz: exact vs a driver-side LCS oracle") {
+    val rnd = new scala.util.Random(17)
+    def doc(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (trial <- 0 until 3) {
+      val train = (1L to 8L).map(i => (i, doc(30 + rnd.nextInt(40))))
+      val eval = (101L to 110L).map(i => (i, doc(20 + rnd.nextInt(30))))
+      val cap = 24
+      // brute force: longest common substring of e with ANY train doc
+      def lcs(e: String): Int = {
+        var best = 0
+        for ((_, t) <- train; i <- 0 until e.length;
+             l <- (best + 1) to math.min(cap, e.length - i))
+          if (t.contains(e.substring(i, i + l))) best = math.max(best, l)
+        best
+      }
+      val want = eval.map { case (id, e) => id -> lcs(e) }
+        .filter(_._2 >= 4).toMap
+      val got = ExactSubstr.longestSharedSubstr(
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "text", "doc_id", Seq(4, 8, 16), maxProbe = cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, s"trial $trial: $got vs $want")
+      // the distributed route (driver-probe gate forced off) must agree
+      val dist = ExactSubstr.longestSharedSubstr(
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+          "text", "doc_id", Seq(4, 8, 16), maxProbe = cap,
+          maxDriverDocs = 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(dist === want, s"trial $trial dist: $dist vs $want")
+    }
+  }
 }

@@ -158,4 +158,35 @@ class RegionsSpec extends SparkSpec {
     val negR = Seq((-1, 0, 1L), (0, 0, 1L)).toDF("r", "c", "v")
     intercept[IllegalArgumentException] { Regions.labelRegions(negR, 2) }
   }
+
+  test("ringCensus: shoelace area2 and perimeter on hand shapes") {
+    // single cell: perimeter 4, enclosed area 1 (area2 = +2 — every walk
+    // starts at the top-left corner stepping east, one fixed orientation)
+    val one = Regions.ringCensus(
+      Regions.outlines(Seq((0, 0, 7L)).toDF("r", "c", "lab"), 1, 1))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(one.length === 1 && one.head._2 === 4L && one.head._3 === 2L)
+    // 2x1 block: perimeter 6, enclosed area 2
+    val two = Regions.ringCensus(
+      Regions.outlines(Seq((0, 0, 1L), (0, 1, 1L)).toDF("r", "c", "lab"), 1, 2))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(two.length === 1 && two.head._1 === 6L && two.head._2 === 4L)
+    // 3x3 region with a hole at the center: the outer ring encloses 9
+    // cells (area2 = 18, perimeter 12), the hole ring encloses the
+    // 1-cell hole (area2 = 2, perimeter 4) — both POSITIVE (one shared
+    // orientation; outer/hole roles are containment, not sign)
+    val holed = for { r <- 0 until 3; c <- 0 until 3; if !(r == 1 && c == 1) }
+      yield (r, c, 5L)
+    val rc = Regions.ringCensus(
+      Regions.outlines(holed.toDF("r", "c", "lab"), 3, 3))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(rc === Set((12L, 18L), (4L, 2L)), rc.mkString(","))
+    // two labels sharing an edge: each label's own ring census is
+    // independent (perimeter 4, area2 2 each)
+    val duo = Regions.ringCensus(
+      Regions.outlines(Seq((0, 0, 1L), (0, 1, 2L)).toDF("r", "c", "lab"), 1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(duo === Set((1L, 4L, 2L), (2L, 4L, 2L)))
+  }
 }
