@@ -64,7 +64,7 @@ object Scc {
     * there. */
   def components(edges: DataFrame, outerRounds: Int = 32,
                  innerRounds: Int = 64, shortcut: Boolean = false,
-                 trimRounds: Int = 8, localCap: Long = 262144L): DataFrame = {
+                 trimRounds: Int = 8, localCap: Long = 1048576L): DataFrame = {
     require(outerRounds >= 1 && innerRounds >= 1 && trimRounds >= 0,
       s"Scc: rounds=($outerRounds, $innerRounds, trim $trimRounds)")
     val spark = edges.sparkSession
@@ -73,7 +73,11 @@ object Scc {
     // SIZE ROUTING (the connectedComponents discipline): a digraph that
     // fits one task runs ITERATIVE TARJAN in memory — one job, zero
     // propagation/trim/refinement round floors; bigger graphs take the
-    // FW-BW loop below. Labels identical either way: the
+    // FW-BW loop below. Cap raised 262k -> 1M in r17: the boundary probe
+    // (SCALE.md) showed the distributed route 5.0x the local route on a
+    // trim-resistant fixture AT the old cap (2.9 vs 14.7 s on 131k
+    // 2-cycles), while 1M edges cost one task ~16 MB of rows and
+    // ~100 MB of Tarjan state — comfortably inside any executor. Labels identical either way: the
     // component-minimum node id (SccSpec's Floyd-Warshall fuzz gates
     // both routes). Self-loop-only nodes fall out naturally here (the
     // self-loop filter above removed their edges; they are emitted from
