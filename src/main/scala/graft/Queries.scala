@@ -12682,13 +12682,20 @@ object Queries {
   /** SortMergeJoins below a plan, same stage-aware traversal. */
   private def sortMergeJoins(
       p: org.apache.spark.sql.execution.SparkPlan): Int =
+    sortMergeJoinNodes(p).length
+
+  /** The SortMergeJoin NODES below a plan (stage-aware), for asserting
+    * on a specific side's subtree. */
+  private def sortMergeJoinNodes(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
     p.collect {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        sortMergeJoins(a.executedPlan)
+        sortMergeJoinNodes(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        sortMergeJoins(q.plan)
-      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => 1
-    }.sum
+        sortMergeJoinNodes(q.plan)
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+    }.flatten
 
   private lazy val roundFifteen: Seq[Q] = Seq(
 
@@ -14510,6 +14517,83 @@ object Queries {
         val reloaded = s.read.parquet(path)
         ExactSubstr.screenBatchHashed(reloaded, ev, "text", "doc_id", lengths)
           .orderBy($"gram_len")
+      },
+      Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          ('0x'||substr(md5(substr(e.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          ('0x'||substr(md5(substr(t2.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.h = trg.h)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- X54: BUCKETED persisted gram index — x52's persisted index
+    // written bucketBy(gram_len, h), so the RELOADED corpus-sized index
+    // co-shuffle-joins future screens with ZERO index-side Exchange
+    // (only the arriving batch shuffles into the bucket layout). This is
+    // the screen shape for batches too big to broadcast — x52's
+    // screenBatchHashed broadcasts the batch, this one sort-merge-joins.
+    // The query ASSERTS the plan (j14 teeth-out discipline, broadcast
+    // disabled for the window): exactly one SortMergeJoin, exactly ONE
+    // Exchange — the batch side's — in the join subtree. Oracle: the
+    // same census SQL as x52 (identical semantics, different layout).
+    Q("x54_index_bucketed",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.ExactSubstr
+        val lengths = Seq(8, 16, 32)
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val tr = docs.filter($"doc_id" % 5 =!= 0)
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val pdir = java.nio.file.Files.createTempDirectory("graft_x54_")
+        pdir.toFile.deleteOnExit()
+        ExactSubstr.saveHashIndexBucketed(
+          ExactSubstr.buildHashIndex(tr, "text", lengths),
+          "graft_x54_idx", pdir.resolve("gram_index").toString)
+        val prev = s.conf.getAll.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val screened = ExactSubstr.screenBatchBucketed(
+            s, "graft_x54_idx", ev, "text", "doc_id", lengths)
+          // assert on the JOIN subtree (pre-agg): the index side must
+          // read in place — one SMJ, one Exchange (the batch's). The
+          // probe batch must span >1 rung: a single-rung frame constant-
+          // folds gram_len out of the join keys, and bucketing on
+          // (gram_len, h) is then rightly not used (measured: "Bucketed:
+          // false (disabled by query planner)").
+          val joined = s.table("graft_x54_idx").join(
+            lengths.map { l =>
+              ExactSubstr.gramHashes(ev, "text", l, keep = Seq("doc_id"))
+                .select(lit(l).as("gram_len"), $"doc_id", $"h")
+            }.reduce(_ unionByName _).hint("merge"),
+            Seq("gram_len", "h"))
+          val plan = joined.queryExecution.executedPlan
+          val smjs = sortMergeJoinNodes(plan)
+          require(smjs.length == 1,
+            s"x54: expected a SortMergeJoin against the bucketed index:\n$plan")
+          // the INDEX side (left) must read in place — its bucketing IS
+          // the join distribution; the batch side pays the only
+          // join-feeding Exchange (its internal per-rung distincts keep
+          // their own, which is why the assert scopes to the left child)
+          require(shuffleExchanges(smjs.head.left) == 0,
+            "x54: the bucketed index side planned an Exchange — bucketing " +
+            s"was not honored:\n$plan")
+          screened.orderBy($"gram_len").localCheckpoint(true)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
       },
       Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
              |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),

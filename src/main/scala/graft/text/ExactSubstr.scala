@@ -178,6 +178,47 @@ object ExactSubstr {
            coalesce(sum(col(idCol)), lit(0L)).as("id_chk"))
   }
 
+  /** Persist a [[buildHashIndex]] frame BUCKETED by (gram_len, h):
+    * the reloaded table's scan advertises hash-partitioning on exactly
+    * those keys, so every future co-shuffle screen joins with ZERO
+    * index-side Exchange — only the arriving batch shuffles into the
+    * index's bucket layout. This is the screen shape for batches too
+    * big to broadcast (the [[screenBatchHashed]] guard's other arm): at
+    * 100 TB the index IS the corpus, and re-shuffling it per screen is
+    * the cost this layout eliminates (x52 persists the same index as
+    * plain parquet and pays it, or broadcasts the batch). Written as an
+    * EXTERNAL table at `path` (metadata in the session catalog). */
+  def saveHashIndexBucketed(index: DataFrame, table: String, path: String,
+                            buckets: Int = 32): Unit = {
+    val spark = index.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    index.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, "gram_len", "h").sortBy("gram_len", "h")
+      .saveAsTable(table)
+  }
+
+  /** Screen a batch against a [[saveHashIndexBucketed]] table by
+    * CO-SHUFFLE: a sort-merge join where the index side reads in place
+    * (its bucketing IS the join distribution) and only the batch's
+    * 8-byte hash rows move. Same output contract as [[screenBatchHashed]]
+    * — per hitting rung, doc count + id checksum. */
+  def screenBatchBucketed(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batch: DataFrame, textCol: String,
+                          idCol: String, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
+    val index = spark.table(table)
+    val bg = lengths.map { l =>
+      gramHashes(batch, textCol, l, keep = Seq(idCol))
+        .select(lit(l).as("gram_len"), col(idCol), col("h"))
+    }.reduce(_ unionByName _)
+    index.join(bg.hint("merge"), Seq("gram_len", "h"))
+      .select(col("gram_len"), col(idCol)).distinct()
+      .groupBy(col("gram_len"))
+      .agg(count(lit(1)).as("n_docs_hit"),
+           coalesce(sum(col(idCol)), lit(0L)).as("id_chk"))
+  }
+
   /** [[sharedSubstrCensus]] on hash keys — the 100 TB form. Phase 1
     * joins 8-byte hash rows (corpus-scale movement). With `verify` on
     * (the default), phase 2 re-derives gram strings ONLY for candidate

@@ -251,4 +251,26 @@ class ExactSubstrSpec extends SparkSpec {
       assert(dist === want, s"trial $trial dist: $dist vs $want")
     }
   }
+
+  test("bucketed index screen equals the broadcast screen, row for row") {
+    val s8 = "ABCDEFGH"
+    val s16 = "IJKLMNOPQRSTUVWX"
+    val train = Seq((1L, s"one $s8 pad"), (2L, s"two $s16 pad"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"a ${s8}z"), (20L, s"b ${s16}z"),
+      (30L, "nothing shared QQ")).toDF("doc_id", "text")
+    val pdir = java.nio.file.Files.createTempDirectory("graft_es_bk_")
+    ExactSubstr.saveHashIndexBucketed(
+      ExactSubstr.buildHashIndex(train, "text", Seq(8, 16)),
+      "graft_spec_idx", pdir.resolve("idx").toString, buckets = 4)
+    val viaBucket = ExactSubstr.screenBatchBucketed(
+        spark, "graft_spec_idx", batch, "text", "doc_id", Seq(8, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = ExactSubstr.screenBatchHashed(
+        spark.table("graft_spec_idx"), batch, "text", "doc_id", Seq(8, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBucket === viaBroadcast)
+    assert(viaBucket === Set((8, 2L, 30L), (16, 1L, 20L)))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_idx")
+  }
 }
