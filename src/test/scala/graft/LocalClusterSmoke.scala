@@ -57,7 +57,15 @@ object LocalClusterSmoke {
     // executor task), SCC (nested FW-BW localCheckpoint loops whose
     // block-manager state lives on executors)
     "d15_fuzzy_join", "r45_hist_equalize", "x49_scc",
-    "r47_basin_outlines", "x48_exact_substr")
+    "r47_basin_outlines", "x48_exact_substr",
+    // round 17: exact longest-match search (WindowKeyHash/Dyn/Probe
+    // kernel expressions — incl. the driver-collected key set INSIDE a
+    // WindowKeyProbe expression that must serialize to executors — plus
+    // the driver-probe loop and createDataFrame state), bucketed index
+    // screen (bucketed-table SMJ across real executor JVMs, in-query
+    // zero-index-Exchange assert), ring shoelace census (window + agg
+    // over the fused mapGroups ring walk)
+    "x53_exact_substr_longest", "x54_index_bucketed", "r50_ring_census")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

@@ -46,7 +46,9 @@ class LocalClusterSpec extends AnyFunSuite {
         "j14_spj_band_align", "r34_contour_vertices",
         "r36_contour_polylines", "d15_fuzzy_join",
         "r45_hist_equalize", "x49_scc",
-        "r47_basin_outlines", "x48_exact_substr").foreach { n =>
+        "r47_basin_outlines", "x48_exact_substr",
+        "x53_exact_substr_longest", "x54_index_bucketed",
+        "r50_ring_census").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))
