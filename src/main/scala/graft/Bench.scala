@@ -79,13 +79,15 @@ object Bench {
     * tight (round-9 verdict: x12 committed 2.47 s vs 0.216 s with zero
     * code change at load 11.39/32 — spread-only gating is insufficient,
     * a uniformly-contended window inflates every sample together).
-    * Note the 1-min loadavg cannot distinguish EXTERNAL contention from
-    * the bench's own 32-thread bursts: a sustained heavy stretch (the
-    * d-block) self-trips this gate. That is accepted by design — the
-    * penalty is only a second timed set and a min-of-medians commit,
-    * which never makes a number worse; `load_flagged` therefore means
-    * "both windows saw >threshold load, treat with care", not
-    * "definitely contaminated". */
+    * Since r17 the gate compares EXTERNAL load — raw 1-min loadavg
+    * minus this JVM's own cores-busy smoothed with the kernel's own
+    * 1-minute exponential time constant ([[extLoad]]) — because the
+    * bench's own heavy stretches (the d-block; x53's 14 s passes) used
+    * to self-trip the gate and flag their alphabetical successors for
+    * the ~2 min the loadavg EMA takes to decay. Raw loads stay in the
+    * artifact (`pass_loads`) next to the external ones
+    * (`pass_ext_loads`); `load_flagged` now means "every window saw
+    * >threshold FOREIGN load". */
   private val loadRerunThreshold = 6.0
 
   private def load1m(): Double =
@@ -95,6 +97,42 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       s.split(' ')(0).toDouble
     } catch { case _: Throwable => -1.0 }
+
+  // EXTERNAL load (r17): the gate must flag OTHER work on the box, not
+  // the bench's own heavy queries — a 14 s query's four passes push the
+  // 1-min loadavg past any fixed threshold and then flag its
+  // alphabetical successors for the ~2 min the EMA takes to decay
+  // (x53 -> x6/x7/x8 in the first r17 sweep). We subtract THIS JVM's
+  // own cores-busy, smoothed with the SAME 1-minute exponential time
+  // constant the kernel uses for loadavg, so self-load and its decay
+  // tail cancel and only foreign load crosses the threshold.
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private var lastCpuNs = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+  private var lastWallNs = System.nanoTime()
+  private var ownEma = 0.0
+  /** (raw 1-min loadavg, external load = raw − own-cores EMA). */
+  private def extLoad(): (Double, Double) = synchronized {
+    val l = load1m()
+    val ext = osBean match {
+      case Some(b) =>
+        val cpu = b.getProcessCpuTime
+        val wall = System.nanoTime()
+        val dt = (wall - lastWallNs) / 1e9
+        if (dt > 0 && cpu >= 0 && lastCpuNs >= 0) {
+          val own = (cpu - lastCpuNs) / 1e9 / dt
+          val a = math.exp(-dt / 60.0)
+          ownEma = ownEma * a + own * (1 - a)
+        }
+        lastCpuNs = cpu; lastWallNs = wall
+        math.max(0.0, l - ownEma)
+      case None => l
+    }
+    (l, ext)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,6 +207,7 @@ object Bench {
     })
 
     val passLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val passExtLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val loadFlagged = scala.collection.mutable.ArrayBuffer[String]()
     val gapFlagged = scala.collection.mutable.ArrayBuffer[String]()
     val carried = scala.collection.mutable.ArrayBuffer[String]()
@@ -267,19 +306,24 @@ object Bench {
     val committedUnderLoad = scala.collection.mutable.ArrayBuffer[String]()
 
     val results = selected.map { case (name, fn) =>
-      val l0 = load1m()
+      val (l0raw, l0) = extLoad()
       val t0q = (mTaskMs.get, mGcMs.get, mShufR.get, mShufW.get)
-      val pl = scala.collection.mutable.ArrayBuffer[Double]()
+      val pl = scala.collection.mutable.ArrayBuffer[Double]() // raw loadavg
+      val plx = scala.collection.mutable.ArrayBuffer[Double]() // external
+      def sample(): Unit = {
+        val (raw, ext) = extLoad()
+        pl += raw; plx += ext
+      }
       def pass(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             errors.getOrElseUpdate(name,
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            pl += load1m()
+            sample()
             return -1.0 // error sentinel — excluded from the median
         }
-        pl += load1m() // per-sample load marker (round-9 verdict ask)
+        sample() // per-sample load marker (round-9 verdict ask)
         (System.nanoTime() - t0) / 1e9
       }
       val warm = (0 until warmup).map(_ => pass())
@@ -312,7 +356,7 @@ object Bench {
         val set = timedSet()
         allRaw = allRaw ++ set
         // the pre-query marker belongs to the first window only
-        val maxLoad = ((if (k == 0) Seq(l0) else Nil) ++ pl.drop(start)).max
+        val maxLoad = ((if (k == 0) Seq(l0) else Nil) ++ plx.drop(start)).max
         val ok = set.filter(_ >= 0)
         val spread = if (ok.nonEmpty && ok.min > 0) ok.max / ok.min else 1.0
         val loaded = maxLoad > loadRerunThreshold
@@ -345,6 +389,7 @@ object Bench {
         } else setMeds.filter(_ >= 0).minOption.getOrElse(-1.0)
       }
       passLoads(name) = pl.toSeq
+      passExtLoads(name) = plx.toSeq
       samples(name) = allRaw // run order; first `warmup` entries were discarded
       stageMetrics(name) = (mTaskMs.get - t0q._1, mGcMs.get - t0q._2,
         mShufR.get - t0q._3, mShufW.get - t0q._4)
@@ -359,9 +404,9 @@ object Bench {
       // NOW instead of letting it tax whichever query runs next (the
       // round-10 t2 inflation ran at load 1.5 — heap churn, not CPU)
       System.gc()
-      val l1 = load1m()
-      loads(name) = (l0, l1)
-      System.err.println(f"[bench] $name%-24s median $m%8.3f s  load $l0%.1f->$l1%.1f" +
+      val (l1raw, l1ext) = extLoad()
+      loads(name) = (l0raw, l1raw)
+      System.err.println(f"[bench] $name%-24s median $m%8.3f s  load $l0raw%.1f->$l1raw%.1f (ext $l0%.1f->$l1ext%.1f)" +
         (if (reran.lastOption.contains(name)) "  RERUN" else "") +
         (if (errors.contains(name)) s"  ERR ${errors(name)}" else "") + "  " +
         (if (carried.lastOption.contains(name)) "  CARRIED-PRIOR" else "") +
@@ -390,6 +435,8 @@ object Bench {
       .mkString("{", ",", "}")
     val rerunJ = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val plJ = passLoads.map { case (k, v) => "\"" + k + "\":" + v.map(r4).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val plxJ = passExtLoads.map { case (k, v) => "\"" + k + "\":" + v.map(r4).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val flagJ = loadFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gapJ = gapFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -460,7 +507,7 @@ object Bench {
       s""""warmup_gap_floor_sec":$warmupGapFloorSec,"max_sets":$maxSets,""" +
       s""""median_commit":"first-clean-window, else carry prior artifact (depth 1, carried-run-first) when all windows contaminated, else min-of-medians"}"""
     val fileLine = line.dropRight(1) +
-      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"committed_under_load":$culJ,"stage_metrics":$smJ,"drift":$driftJ,"windows":$windowsJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
+      s""","qset":"$qsetHash","samples":$samp,"load_1m":$loadJ,"pass_loads":$plJ,"pass_ext_loads":$plxJ,"load_flagged":$flagJ,"gap_flagged":$gapJ,"carried":$carriedJ,"committed_under_load":$culJ,"stage_metrics":$smJ,"drift":$driftJ,"windows":$windowsJ,"errors":$errJ,"reran":$rerunJ,$policy}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line: compact enough (<600 B) to survive any tail
