@@ -273,4 +273,30 @@ class ExactSubstrSpec extends SparkSpec {
     assert(viaBucket === Set((8, 2L, 30L), (16, 1L, 20L)))
     spark.sql("DROP TABLE IF EXISTS graft_spec_idx")
   }
+
+  test("longestSharedSubstr: multi-byte UTF-8 counts CHARACTERS, clamps at maxProbe") {
+    // 7 shared greek chars (14 UTF-8 bytes): the answer must be 7 — the
+    // hash arrays index char-gram positions and the final verify's
+    // substring() is char-based; a byte/char mix-up would report 14 or
+    // fail the verify. Boundary chars differ on all four sides.
+    val g7 = "αβγδεζη"
+    val train = Seq((1L, s"xx≠${g7}≠yy"), (2L, "πππππππππππππ"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"q∅${g7}∅r"),      // exact longest 7 chars
+      (20L, "πππππππππππ"),     // 11-char run of a shared 13-char run,
+                                 //   capped by its own length: 11
+      (30L, "no"),               // shorter than the bottom rung: absent
+      (40L, "λλλλλλ"))           // nothing shared: absent
+      .toDF("doc_id", "text")
+    val got = ExactSubstr.longestSharedSubstr(train, eval, "text", "doc_id",
+        Seq(4), maxProbe = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(10L -> 7, 20L -> 11), got.toString)
+    // clamp: maxProbe below the true overlap reports the clamp exactly
+    val clamped = ExactSubstr.longestSharedSubstr(train, eval, "text",
+        "doc_id", Seq(4), maxProbe = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(clamped === Map(10L -> 5, 20L -> 5), clamped.toString)
+  }
 }
