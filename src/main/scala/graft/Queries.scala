@@ -12669,6 +12669,17 @@ object Queries {
     * stages: QueryStageExec is a LEAF node, so a naive collect over an
     * executed adaptive plan sees NOTHING inside the stages — a zero
     * count would be vacuously "clean". */
+  /** Recursive delete for the per-run scratch dirs (bucketed-index
+    * queries): File.deleteOnExit removes only EMPTY directories, so a
+    * parquet tree must be walked bottom-up. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   private def shuffleExchanges(
       p: org.apache.spark.sql.execution.SparkPlan): Int =
     p.collect {
@@ -14557,7 +14568,6 @@ object Queries {
         val tr = docs.filter($"doc_id" % 5 =!= 0)
         val ev = docs.filter($"doc_id" % 5 === 0)
         val pdir = java.nio.file.Files.createTempDirectory("graft_x54_")
-        pdir.toFile.deleteOnExit()
         ExactSubstr.saveHashIndexBucketed(
           ExactSubstr.buildHashIndex(tr, "text", lengths),
           "graft_x54_idx", pdir.resolve("gram_index").toString)
@@ -14590,9 +14600,17 @@ object Queries {
             "x54: the bucketed index side planned an Exchange — bucketing " +
             s"was not honored:\n$plan")
           screened.orderBy($"gram_len").localCheckpoint(true)
-        } finally prev match {
-          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          }
+          // the screen result is checkpointed above, so the on-disk index
+          // can go now — deleteOnExit only removes EMPTY directories, and
+          // a fresh parquet copy per bench/verify pass would otherwise
+          // leak in /tmp for the life of the machine
+          s.sql("DROP TABLE IF EXISTS graft_x54_idx")
+          deleteRecursively(pdir)
         }
       },
       Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
@@ -14643,7 +14661,7 @@ object Queries {
       },
       Some("""WITH docs AS (SELECT doc_id, text, (doc_id % 5 = 0) AS is_ev
              |  FROM documents),
-             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 1025) t(i)),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
              |sufs AS (SELECT doc_id, is_ev, substr(text, pos.i, 96) AS suf
              |         FROM docs JOIN pos ON pos.i <= length(text)),
              |ordw AS (SELECT doc_id, is_ev, suf,

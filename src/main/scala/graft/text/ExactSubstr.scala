@@ -256,21 +256,6 @@ object ExactSubstr {
     }.reduce(_ unionByName _)
   }
 
-  /** Composite-key stream for every length-m character window of a
-    * document, projected from its POSITIONAL base-gram hash array
-    * (`chargram_hashes` at b = the ladder's bottom rung) — NO text
-    * re-scan: a length-m window is characterized exactly (up to hash
-    * collisions, which the final string verify settles) by the tuple of
-    * its base grams at offsets 0, b, 2b, …, m−b, because consecutive
-    * members tile or overlap the window, so member-wise equality at a
-    * common anchor forces whole-window equality. Keys are xxhash64 over
-    * the member longs (whole-stage codegen, zero string allocation) —
-    * SEARCH keys, never oracle-replayed: string semantics come from the
-    * final verify. Callers must pre-filter rows to size(h) ≥ m−b+1. */
-  private def windowKeys(h: String, m: Int, b: Int)
-      : org.apache.spark.sql.Column =
-    org.apache.spark.sql.graftx.GraftExpr.windowKeyHashes(col(h), Seq(m), b)
-
   /** (id, m, k) probe stream: each doc probes its OWN length (its `m`
     * column) — ONE dynamic-kernel pass, no per-length branch union. */
   private def evalKeys(evalWithM: DataFrame, idCol: String, b: Int)
@@ -285,22 +270,18 @@ object ExactSubstr {
     * probe lengths (id, m, k); the train side is ONE flat multi-length
     * kernel pass ([[WindowKeyHash]] mixes m into every key, so lengths
     * occupy disjoint key spaces and a single untagged key column joins
-    * correctly). Never a text pass. SIZE-ROUTED: when the flagged set is
-    * small (the decontamination contract — `bcast`), the eval keys
-    * BROADCAST and the train side never shuffles; a giant flagged set
-    * falls back to the distinct-key shuffle join. Returns (id, m). */
+    * correctly). Never a text pass. This is the DISTRIBUTED route's join
+    * (the giant-flagged-set fallback) — the driver-probe route ships its
+    * keys inside [[org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe]]
+    * instead and never shuffles either side. Returns (id, m). */
   private def hitIdsFor(evKeys: DataFrame, trainH: DataFrame, idCol: String,
-                        ms: Seq[Int], b: Int, bcast: Boolean): DataFrame = {
+                        ms: Seq[Int], b: Int): DataFrame = {
     val tr = trainH.filter(size(col("H")) >= ms.min - b + 1)
       .select(explode(
         org.apache.spark.sql.graftx.GraftExpr.windowKeyHashes(
           col("H"), ms, b)).as("k"))
-    if (bcast)
-      tr.join(broadcast(evKeys), Seq("k"))
-        .select(col(idCol), col("m")).distinct()
-    else
-      evKeys.distinct().join(tr.distinct(), Seq("k"))
-        .select(col(idCol), col("m")).distinct()
+    evKeys.distinct().join(tr.distinct(), Seq("k"))
+      .select(col(idCol), col("m")).distinct()
   }
 
   /** EXACT longest-shared-substring length per flagged eval document —
@@ -436,7 +417,7 @@ object ExactSubstr {
         evalH.select(col(idCol), lit(b).as("m"))
       else
         hitIdsFor(evalKeys(evalH.crossJoin(rungsDf), idCol, b), trainH,
-            idCol, lengths.tail, b, bcast = false)
+            idCol, lengths.tail, b)
           .unionByName(evalH.select(col(idCol), lit(b).as("m")))
       val boundExpr = lengths.foldLeft(lit(maxProbe)) { (acc, l) =>
         when(col("lo") === l, lit(nextBound(l))).otherwise(acc)
@@ -517,8 +498,7 @@ object ExactSubstr {
           s"ExactSubstr.longestSharedSubstr: ${ms.length} distinct " +
           "midpoints in one round — ladder/maxProbe misconfigured")
         val probes = evalKeys(evalH.join(mids, Seq(idCol)), idCol, b)
-        val hits = hitIdsFor(probes, trainH, idCol, ms.toSeq, b,
-            bcast = false)
+        val hits = hitIdsFor(probes, trainH, idCol, ms.toSeq, b)
           .select(col(idCol)).distinct().withColumn("hit", lit(true))
         state = state.join(mids, Seq(idCol), "left")
           .join(hits, Seq(idCol), "left")
@@ -544,11 +524,6 @@ object ExactSubstr {
     require(msF.length <= 128,
       s"ExactSubstr.longestSharedSubstr: ${msF.length} distinct final " +
       "lengths — maxProbe misconfigured")
-    def keyedPos(df: DataFrame, m: Int, idc: String) =
-      df.filter(size(col("H")) >= m - b + 1)
-        .select(col(idc), posexplode(windowKeys("H", m, b)))
-        .select(col(idc), lit(m).as("m"), (col("pos") + 1).as("pos"),
-          col("col").as("k"))
     val evalPos = evalH
       .join(state.select(col(idCol), col("lo").as("m")), Seq(idCol))
       .filter(size(col("H")) >= col("m") - b + 1)
@@ -568,23 +543,45 @@ object ExactSubstr {
       "ExactSubstr.longestSharedSubstr: > 4M candidate final keys — " +
       "the flagged set is too large for the driver-probed verify")
     val candArr = candRows.map(_.getLong(1))
-    val witnesses = trainH
+    val witnessHits = trainH
       .select(col("tid"), explode(
         org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
           col("H"), msF.toSeq, b, candArr)).as("e"))
-      .select(col("tid"), col("e.m").as("m"), col("e.pos").as("pos"),
+      .select(col("tid"), col("e.m").as("m"), col("e.pos").as("tpos"),
         col("e.k").as("k"))
+    val witnesses = witnessHits
       .groupBy(col("m"), col("k"))
-      .agg(min(struct(col("pos"), col("tid"))).as("w"))
-      .select(col("m"), col("k"), col("w.pos").as("tpos"), col("w.tid").as("tid"))
+      .agg(min(struct(col("tpos"), col("tid"))).as("w"))
+      .select(col("m"), col("k"), col("w.tpos").as("tpos"), col("w.tid").as("tid"))
       .join(trainH.select(col("tid"), col("ttext")), Seq("tid"))
     lap("verify:witnesses")
     val verified = evalPos.join(witnesses, Seq("m", "k"))
       .join(evalH.select(col(idCol), col("text")), Seq(idCol))
       .filter(expr("substring(text, pos, m) = substring(ttext, tpos, m)"))
       .select(col(idCol)).distinct().withColumn("ok", lit(true))
-    val judged = state.join(verified, Seq(idCol), "left").localCheckpoint(true)
+    val judged0 = state.join(verified, Seq(idCol), "left").localCheckpoint(true)
     lap("verify:judged")
+    // ~2^-60 path: the ONE kept witness for a (m, k) key can be a
+    // colliding train window while a DIFFERENT window with the same key
+    // truly matches — verifying only the min-struct witness would then
+    // drop (or throw on) a genuinely contaminated doc, breaking the
+    // documented "collisions only ever over-flag" contract. Retry every
+    // unverified doc against ALL witnesses for its keys before judging.
+    val judged = if (judged0.filter(col("ok").isNull).isEmpty) judged0 else {
+      val unverified = judged0.filter(col("ok").isNull).select(col(idCol))
+      val evalPosU = evalPos.join(unverified, Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+      val allW = witnessHits
+        .join(broadcast(evalPosU.select(col("m"), col("k")).distinct()),
+          Seq("m", "k"))
+        .join(trainH.select(col("tid"), col("ttext")), Seq("tid"))
+      val verified2 = evalPosU.join(allW, Seq("m", "k"))
+        .join(evalH.select(col(idCol), col("text")), Seq(idCol))
+        .filter(expr("substring(text, pos, m) = substring(ttext, tpos, m)"))
+        .select(col(idCol)).distinct().withColumn("ok", lit(true))
+      state.join(verified.unionByName(verified2).distinct(), Seq(idCol), "left")
+        .localCheckpoint(true)
+    }
     val misled = judged.filter(col("ok").isNull && col("lo") > b)
     if (!misled.isEmpty) throw new IllegalStateException(
       "ExactSubstr.longestSharedSubstr: string verify failed above the " +
