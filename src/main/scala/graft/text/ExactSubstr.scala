@@ -297,9 +297,22 @@ object ExactSubstr {
     * — the rung-ladder brackets, every binary-search round, the final
     * verify — is array projections over the checkpointed hit-set
     * arrays; no phase ever re-reads text, and each phase projects ALL
-    * its window lengths in one pass ([[windowKeysMulti]]). Each doc
-    * consumes ⌈log₂(its bracket width)⌉ rounds; a round runs all active
-    * docs' midpoints together (one projection + one key join).
+    * its window lengths in one pass. Each doc consumes
+    * ~⌈log₄(its bracket width)⌉ rounds (QUARTERING: three quantile
+    * points plus the bracket top per round; round 0 additionally tests
+    * the ladder rungs); a round runs all active docs' probe points
+    * together (one projection + one key probe).
+    *
+    * BOTTOM-RUNG CONTRACT (measured, SCALE.md r18): the "hit-set-sized"
+    * cost claim is only as good as the bottom rung's selectivity. On
+    * natural-ish text at b = 8 — and still at b = 16 — essentially
+    * EVERY document shares a bottom-rung gram, so the hit sets ARE the
+    * corpora and the checkpointed positional arrays cost 8 bytes per
+    * character (8× the text). Pick `lengths.head` at the
+    * decontamination threshold's scale (Lee et al. use 50; 32–50 on
+    * prose): lengths below it add nothing to the answer's precision
+    * above the rung, and `maxDriverDocs`/`maxDriverKeys` fire loudly
+    * when a small b saturates.
     *
     * Exactness: hash MISSES are exact (true equality implies hash
     * equality), so every upper bound is true; hash HITS are settled by
@@ -325,37 +338,54 @@ object ExactSubstr {
     require(maxProbe >= lengths.last,
       s"ExactSubstr: maxProbe=$maxProbe below top rung ${lengths.last}")
     val b = lengths.head
-    val dbg = sys.env.contains("GRAFT_X53_DEBUG")
-    var tDbg = System.nanoTime()
-    def lap(n: String): Unit = if (dbg) {
-      System.err.println(f"x53lap $n ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
-      tDbg = System.nanoTime()
-    }
     val G = graft.functions.GraftFunctions
+    // PARALLELISM GUARD (r18): every text/array kernel pass below must
+    // run wide. A small parquet fixture arrives as ONE partition, and
+    // AQE coalesces the small-BYTES hit-set frames (8-byte hash members)
+    // to 1-2 partitions — either way the per-round window-kernel work
+    // would serialize into one task (the "stage wall >> task-time/32"
+    // class; measured 2-3x on the whole search). A corpus that is
+    // already wide (the 100 TB case) is left untouched — repartitioning
+    // full text there would be a corpus-sized shuffle for nothing.
+    // a widened frame is also CHECKPOINTED: it is consumed by two later
+    // passes (base-gram census + hit-set array build), and a narrow
+    // input is by construction small enough to hold; a wide input (the
+    // scale case) passes through untouched and unmaterialized
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    def widen(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < par)
+        df.repartition(par).localCheckpoint(true)
+      else df
+    val evalW = widen(eval.select(col(idCol), col(textCol)))
+    val trainW = widen(train.select(col(idCol), col(textCol)))
     // the two corpus passes: bottom-rung hashes, map-side deduped, each
     // consumed twice (flagged selection + hit-set selection) — so
     // materialized once (8-byte rows)
-    val evalBh = eval.select(col(idCol),
+    val evalBh = evalW.select(col(idCol),
       explode(G.chargram_hashes_sd(col(textCol), b)).as("h"))
       .localCheckpoint(true)
-    val trainBh = train.select(col(idCol),
+    val trainBh = trainW.select(col(idCol),
       explode(G.chargram_hashes_sd(col(textCol), b)).as("h"))
       .localCheckpoint(true)
     val flaggedIds = evalBh
       .join(trainBh.select(col("h")).distinct(), Seq("h"))
       .select(col(idCol)).distinct()
     // hit-set positional arrays (+ text, for the final verify), the
-    // only frames the refinement ever touches — checkpointed once
-    val evalH = eval.join(flaggedIds, Seq(idCol), "left_semi")
+    // only frames the refinement ever touches — checkpointed once; the
+    // repartition rides BEFORE the array kernel so both the projection
+    // and every later probe round run `par`-wide (hit-set-sized text
+    // moves once, per the module contract)
+    val evalH = evalW.join(flaggedIds, Seq(idCol), "left_semi")
+      .repartition(par)
       .select(col(idCol), col(textCol).as("text"),
         G.chargram_hashes(col(textCol), b).as("H"))
       .localCheckpoint(true)
-    lap("evalH")
     val flaggedBh = evalBh.join(flaggedIds, Seq(idCol), "left_semi")
       .select(col("h")).distinct()
     val trainHitIds = trainBh.join(flaggedBh, Seq("h"))
       .select(col(idCol)).distinct()
-    val trainH = train.join(trainHitIds, Seq(idCol), "left_semi")
+    val trainH = trainW.join(trainHitIds, Seq(idCol), "left_semi")
+      .repartition(par)
       .select(col(idCol).as("tid"), col(textCol).as("ttext"),
         G.chargram_hashes(col(textCol), b).as("H"))
       .localCheckpoint(true)
@@ -366,16 +396,19 @@ object ExactSubstr {
     // resolves hits on the driver — 2 jobs per round, zero shuffle. A
     // giant flagged set takes the distributed shuffle-join route below.
     val evStats = evalH.agg(count(lit(1)), sum(size(col("H")))).head()
+    // round 0 probes up to |ladder tail| + 4 quantile lengths per doc,
+    // each emitting at most one key per array position
     val bcast = evStats.getLong(0) <= maxDriverDocs &&
       (evStats.getLong(0) == 0L ||
-        evStats.getLong(1) * math.max(1, lengths.size - 1) <= maxDriverKeys)
-    lap("trainH")
+        evStats.getLong(1) * (lengths.size + 3) <= maxDriverKeys)
     if (evStats.getLong(0) == 0L) // nothing flagged: no search, no verify
       return eval.select(col(idCol)).limit(0)
         .withColumn("longest", lit(0))
-    // phase 1: per-doc bracket from the rung ladder (hash-level; upper
-    // bounds are exact because hash misses are exact). The bottom rung
-    // is already known: every flagged doc hit it.
+    // phase 1 (DISTRIBUTED route only; the driver-probe route fuses the
+    // rung probe into search round 0): per-doc bracket from the rung
+    // ladder (hash-level; upper bounds are exact because hash misses
+    // are exact). The bottom rung is already known: every flagged doc
+    // hit it.
     val nextBound: Map[Int, Int] = lengths.zip(
       lengths.tail.map(_ - 1) :+ maxProbe).toMap
     val spark = train.sparkSession
@@ -383,34 +416,33 @@ object ExactSubstr {
       spark.range(0).select(lit(0).as("m")).limit(0))(
       (acc, l) => acc.unionByName(spark.range(1).select(lit(l).as("m"))))
     // probes the train arrays with a driver key set and returns the
-    // matched keys — 1 job, zero shuffle (driver-probe route only)
-    def probeTrain(ms: Seq[Int], keys: Array[Long]): Set[Long] =
-      trainH.filter(size(col("H")) >= ms.min - b + 1)
-        .select(explode(
-          org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
-            col("H"), ms, b, keys)).as("e"))
-        .select(col("e.k")).distinct().collect().map(_.getLong(0)).toSet
+    // matched keys — 1 job, zero shuffle (driver-probe route only).
+    // The key set ships as ONE broadcast LongOpenSet (built on the
+    // driver): carrying the raw array inside the expression made every
+    // task re-deserialize and re-build its own table (r18 measurement:
+    // the probe rounds' floor)
+    def probeTrain(ms: Seq[Int], keys: Array[Long]): Set[Long] = {
+      val bc = spark.sparkContext.broadcast(
+        org.apache.spark.sql.graftx.LongOpenSet(keys))
+      try {
+        trainH.filter(size(col("H")) >= ms.min - b + 1)
+          .select(explode(
+            org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
+              col("H"), ms, b, bc)).as("e"))
+          .select(col("e.k")).distinct().collect().map(_.getLong(0)).toSet
+      } finally bc.destroy()
+    }
     var state: DataFrame = null
     var stLocal: Array[(Any, Int, Int)] = null
     if (bcast) {
-      // brackets on the driver: one eval probe collect + one train probe
+      // driver-held brackets, seeded (b, min(maxProbe, len)] — the rung
+      // probe is FUSED into search round 0 (r18: one fewer collect+probe
+      // pass), which tests the ladder rungs alongside the top segment's
+      // quartile points
       val lens = evalH.select(col(idCol), (size(col("H")) + b - 1).as("len"))
         .collect().map(r => (r.get(0), r.getInt(1))).toMap
-      val rungRows =
-        if (lengths.tail.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else evalKeys(evalH.crossJoin(rungsDf), idCol, b).collect()
-      val matched = if (rungRows.isEmpty) Set.empty[Long]
-        else probeTrain(lengths.tail,
-          rungRows.map(_.getLong(2)).distinct)
-      val loById = rungRows.iterator
-        .filter(r => matched(r.getLong(2)))
-        .map(r => (r.get(0), r.getInt(1)))
-        .foldLeft(Map.empty[Any, Int]) { case (acc, (id, m)) =>
-          acc.updated(id, math.max(acc.getOrElse(id, b), m))
-        }
       stLocal = lens.toArray.map { case (id, len) =>
-        val lo = loById.getOrElse(id, b)
-        (id, lo, math.min(nextBound(lo), len))
+        (id, b, math.min(maxProbe, len))
       }
     } else {
       val rungHits = if (lengths.tail.isEmpty)
@@ -428,7 +460,6 @@ object ExactSubstr {
         .select(col(idCol), col("lo"), least(boundExpr, col("len")).as("hi"))
         .localCheckpoint(true)
     }
-    lap("brackets")
     // phase 2: grouped binary search. SIZE-ROUTED like the gate above:
     // under the broadcast gate the (id, lo, hi) bracket table is
     // CAP-BOUNDED (≤ 8192 rows — the loud-guard driver-state class), so
@@ -440,37 +471,90 @@ object ExactSubstr {
     if (bcast) {
       val idField = evalH.schema.fields(0)
       var st = stLocal
+      // QUARTERING (r18): probe THREE interior quantile points of every
+      // open bracket per round, so the gap shrinks to ⌈gap/4⌉ — the
+      // 64-wide top-rung gap resolves in 4 rounds instead of 7. Round 0
+      // additionally probes the ladder rungs (the old separate bracket
+      // phase, fused — one fewer collect+probe pass) but quarters only
+      // the TOP segment, so its post-round segments stay rung-aligned.
+      // Probe keys stay cap-priced (≤ (|ladder|+2)× a cap-bounded
+      // number) and the rolling kernel makes extra per-round lengths
+      // nearly free (O(n + m) per length per row).
+      // three interior quartile points PLUS hi itself: probing the top
+      // endpoint resolves the bracket-top class (identical-doc clamps,
+      // exact-rung answers) a full round earlier for one extra
+      // cap-priced length
+      def quartiles(lo: Int, hi: Int): Seq[Int] = {
+        val g = hi - lo
+        ((1 to 3).map(j => lo + (j * g + 3) / 4) :+ hi).distinct
+          .filter(m => m > lo && m <= hi)
+      }
       while (st.exists(t => t._2 < t._3)) {
         if (round >= maxRounds) throw new IllegalStateException(
           s"ExactSubstr.longestSharedSubstr: $maxRounds rounds exhausted " +
           "with brackets still open — maxProbe/ladder imply " +
-          "ceil(log2(max gap)) rounds; raise maxRounds")
-        val mids: Map[Any, Int] = st.collect {
-          case (id, lo, hi) if lo < hi => (id, (lo + hi + 1) / 2)
+          "~ceil(log4(max gap)) + 1 rounds; raise maxRounds")
+        val pts: Map[Any, Seq[Int]] = st.iterator.collect {
+          case (id, lo, hi) if lo < hi =>
+            val qs =
+              if (round == 0)
+                (lengths.tail ++ quartiles(math.max(lengths.last, lo), hi))
+                  .distinct.filter(m => m > lo && m <= hi).sorted
+              else quartiles(lo, hi)
+            (id, qs)
         }.toMap
-        val ms = mids.values.toSeq.distinct.sorted
-        require(ms.length <= 64,
+        val ms = pts.valuesIterator.flatten.toSeq.distinct.sorted
+        require(ms.length <= 256,
           s"ExactSubstr.longestSharedSubstr: ${ms.length} distinct " +
-          "midpoints in one round — ladder/maxProbe misconfigured")
+          "probe lengths in one round — ladder/maxProbe misconfigured")
         val spark2 = train.sparkSession
         val midsDf = spark2.createDataFrame(
-          spark2.sparkContext.parallelize(mids.toSeq.map { case (id, m) =>
-            org.apache.spark.sql.Row(id, m) }, 1),
+          spark2.sparkContext.parallelize(pts.toSeq.flatMap { case (id, mm) =>
+            mm.map(m => org.apache.spark.sql.Row(id, m)) }, 1),
           org.apache.spark.sql.types.StructType(Seq(idField,
             org.apache.spark.sql.types.StructField("m",
               org.apache.spark.sql.types.IntegerType, nullable = false))))
-        val probeRows = evalKeys(evalH.join(broadcast(midsDf), Seq(idCol)),
-          idCol, b).select(col(idCol), col("k")).collect()
-        val matched = probeTrain(ms, probeRows.map(_.getLong(1)).distinct)
-        val hits = probeRows.iterator
-          .filter(r => matched(r.getLong(1))).map(_.get(0)).toSet
+        // PACKED collect (r18): one row per (id, m) carrying the key
+        // ARRAY — collecting the exploded (id, m, k) stream shipped ~1M
+        // three-field Rows per round and measured ~2 s/round of pure
+        // driver deserialization; the packed form is ~3k rows
+        val probeRows = evalH.join(broadcast(midsDf), Seq(idCol))
+          .filter(size(col("H")) >= col("m") - b + 1)
+          .select(col(idCol), col("m"),
+            org.apache.spark.sql.graftx.GraftExpr.windowKeyHashesDyn(
+              col("H"), col("m"), b).as("ks"))
+          .collect()
+        val keyArr = {
+          var total = 0
+          probeRows.foreach(r => total += r.getSeq[Long](2).length)
+          val out = new Array[Long](total)
+          var w = 0
+          probeRows.foreach { r =>
+            val s = r.getSeq[Long](2)
+            var i = 0
+            while (i < s.length) { out(w) = s(i); w += 1; i += 1 }
+          }
+          out
+        }
+        val matched = probeTrain(ms, keyArr)
+        val hitPairs = probeRows.iterator
+          .filter(r => r.getSeq[Long](2).exists(matched))
+          .map(r => (r.get(0), r.getInt(1))).toSet
         st = st.map { case t @ (id, lo, hi) =>
-          mids.get(id) match {
-            case Some(m) => if (hits(id)) (id, m, hi) else (id, lo, m - 1)
-            case None => t
+          pts.get(id) match {
+            case Some(mm) if mm.nonEmpty =>
+              // hash answers are monotone-consistent up to collisions
+              // (true hits imply hash hits): keep the largest hitting
+              // probe as lo, bound hi by the smallest miss above it —
+              // the final string verify settles any collision steering
+              val newLo = mm.filter(m => hitPairs((id, m)))
+                .foldLeft(lo)(math.max)
+              val newHi = mm.filter(m => m > newLo && !hitPairs((id, m)))
+                .sorted.headOption.map(_ - 1).getOrElse(hi)
+              (id, newLo, newHi)
+            case _ => t
           }
         }
-        lap(s"round$round ms=${ms.mkString(",")}")
         round += 1
       }
       val spark2 = train.sparkSession
@@ -509,7 +593,6 @@ object ExactSubstr {
               .when(col("hit"), col("hi")).otherwise(col("m") - 1).as("hi"))
           .localCheckpoint(true)
         active = state.filter(col("lo") < col("hi"))
-        lap(s"round$round ms=${ms.mkString(",")}")
         round += 1
       }
     }
@@ -533,7 +616,6 @@ object ExactSubstr {
       .select(col(idCol), col("m"), (col("pos") + 1).as("pos"),
         col("col").as("k"))
     val candKeysDf = evalPos.select(col("m"), col("k")).distinct()
-    lap("verify:candKeys")
     // candidate keys are hit-set-sized: collect them (loud cap) and let
     // ONE probe-kernel pass over the train arrays emit only the matching
     // (m, pos, k) rows — materializing all Σ|msF| keys per row measured
@@ -542,11 +624,15 @@ object ExactSubstr {
     require(candRows.length <= 4194304,
       "ExactSubstr.longestSharedSubstr: > 4M candidate final keys — " +
       "the flagged set is too large for the driver-probed verify")
-    val candArr = candRows.map(_.getLong(1))
+    // broadcast ONE shared LongOpenSet (not destroyed here — witnessHits
+    // is lazily re-evaluated by the rare retry branch below; the
+    // ContextCleaner reclaims it with the frames)
+    val candBc = spark.sparkContext.broadcast(
+      org.apache.spark.sql.graftx.LongOpenSet(candRows.map(_.getLong(1))))
     val witnessHits = trainH
       .select(col("tid"), explode(
         org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
-          col("H"), msF.toSeq, b, candArr)).as("e"))
+          col("H"), msF.toSeq, b, candBc)).as("e"))
       .select(col("tid"), col("e.m").as("m"), col("e.pos").as("tpos"),
         col("e.k").as("k"))
     val witnesses = witnessHits
@@ -554,13 +640,11 @@ object ExactSubstr {
       .agg(min(struct(col("tpos"), col("tid"))).as("w"))
       .select(col("m"), col("k"), col("w.tpos").as("tpos"), col("w.tid").as("tid"))
       .join(trainH.select(col("tid"), col("ttext")), Seq("tid"))
-    lap("verify:witnesses")
     val verified = evalPos.join(witnesses, Seq("m", "k"))
       .join(evalH.select(col(idCol), col("text")), Seq(idCol))
       .filter(expr("substring(text, pos, m) = substring(ttext, tpos, m)"))
       .select(col(idCol)).distinct().withColumn("ok", lit(true))
     val judged0 = state.join(verified, Seq(idCol), "left").localCheckpoint(true)
-    lap("verify:judged")
     // ~2^-60 path: the ONE kept witness for a (m, k) key can be a
     // colliding train window while a DIFFERENT window with the same key
     // truly matches — verifying only the min-struct witness would then

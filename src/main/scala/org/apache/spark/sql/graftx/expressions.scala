@@ -298,12 +298,122 @@ case class NgramHash(child: Expression, n: Int, sortedDistinct: Boolean)
     copy(child = newChild)
 }
 
+/** Shared ROLLING-polynomial window-key computation behind the
+  * WindowKeyHash/Dyn/Probe trio. The length-m window at position i is
+  * keyed by its base-gram members at offsets 0, b, 2b, …, (K−1)b plus
+  * the tail member at m−b (K = ⌈(m−b)/b⌉). The r17 kernels chained
+  * xxhash64 over all members PER POSITION — O(n·m/b) per (row, m) —
+  * which priced every search round and the final verify at ~1 s of
+  * train-side hashing. This form keeps a degree-(K−1) polynomial in an
+  * odd 64-bit multiplier ROLLING along each of the b phase sequences
+  * (P(i+b) = (P(i) − arr[i]·r^{K−1})·r + arr[i+Kb], exact mod 2⁶⁴), so
+  * a (row, m) pass is O(n + m): two xxhash64 finishers per position
+  * (tail member, then poly ⊕ m-seed) regardless of m. Keys remain
+  * SEARCH-only (never oracle-replayed — the final string verify settles
+  * semantics), so the mixer needs determinism and spread, not
+  * portability; members are 60-bit md5 prefixes, so mod-2⁶⁴ polynomial
+  * cancellation needs an exact linear relation over effectively random
+  * longs (~2⁻⁶⁰ per pair, same class as the r17 chain). All three
+  * kernels MUST agree on this function — Hash projects all positions,
+  * Dyn takes m from a column, Probe emits only driver-set hits. */
+private[graftx] object WindowKeyKernel {
+  /** Odd multiplier (2⁶⁴/φ, forced odd) — invertible mod 2⁶⁴. */
+  final val R = 0x9E3779B97F4A7C15L
+
+  /** Fill `out(outOff + i)` with the key of the length-m window at
+    * position i, for all n = sz − (m−b) positions. O(n + m). */
+  def fill(arr: ArrayData, sz: Int, m: Int, b: Int,
+           out: Array[Long], outOff: Int): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val t = m - b
+    val n = sz - t
+    if (n <= 0) return
+    val seedM = XXH64.hashLong(m.toLong, 42L)
+    val K = if (t == 0) 0 else (t + b - 1) / b
+    if (K == 0) { // m == b: the tail member alone
+      var i = 0
+      while (i < n) {
+        out(outOff + i) = XXH64.hashLong(arr.getLong(i + t),
+          XXH64.hashLong(0L, seedM))
+        i += 1
+      }
+      return
+    }
+    var rK1 = 1L // r^(K−1)
+    var e = 0
+    while (e < K - 1) { rK1 *= R; e += 1 }
+    val lastOff = (K - 1) * b
+    var p = 0
+    val phases = math.min(b, n)
+    while (p < phases) {
+      var acc = 0L
+      var j = 0
+      while (j < K) { acc = acc * R + arr.getLong(p + j * b); j += 1 }
+      var i = p
+      while (i < n) {
+        out(outOff + i) = XXH64.hashLong(arr.getLong(i + t),
+          XXH64.hashLong(acc, seedM))
+        val nx = i + b
+        if (nx < n)
+          acc = (acc - arr.getLong(i) * rK1) * R + arr.getLong(nx + lastOff)
+        i = nx
+      }
+      p += 1
+    }
+  }
+}
+
+/** Open-addressed immutable long-set, built ONCE (on the driver) and
+  * shared via a Spark broadcast: the r17 [[WindowKeyProbe]] carried the
+  * raw key array inside the serialized expression, so EVERY task
+  * re-deserialized ~12 MB of keys and rebuilt its own 32 MB table —
+  * measured as the per-round floor of the x53 search (probe rounds
+  * scaled with key volume, not with hashing). One driver-side build +
+  * one broadcast value per probe leaves tasks a shared in-memory
+  * `contains`. Zero is kept out of the table (open-addressing
+  * sentinel) and tracked in a flag. */
+final class LongOpenSet private (table: Array[Long], mask: Int,
+                                 hasZero: Boolean) extends Serializable {
+  def contains(k: Long): Boolean = {
+    if (k == 0L) return hasZero
+    var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+    while (table(i) != 0L) {
+      if (table(i) == k) return true
+      i = (i + 1) & mask
+    }
+    false
+  }
+}
+
+object LongOpenSet {
+  def apply(keys: Array[Long]): LongOpenSet = {
+    var cap = 16
+    while (cap < keys.length * 2) cap <<= 1
+    val t = new Array[Long](cap)
+    var zero = false
+    val mk = cap - 1
+    var n = 0
+    while (n < keys.length) {
+      val k = keys(n)
+      if (k == 0L) zero = true
+      else {
+        var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mk
+        while (t(i) != 0L && t(i) != k) i = (i + 1) & mk
+        t(i) = k
+      }
+      n += 1
+    }
+    new LongOpenSet(t, mk, zero)
+  }
+}
+
 /** Per-row-length twin of [[WindowKeyHash]]: the window length m comes
   * from a COLUMN, so one pass projects every document's own probe
   * length (the x53 search's eval side — each doc tests its own bracket
   * midpoint, and a per-length branch union measured ~0.2 s of task
-  * scheduling per branch per round). Same key definition: xxhash64
-  * chain over (m, base members at offsets 0, b, …, m−b). */
+  * scheduling per branch per round). Same key definition
+  * ([[WindowKeyKernel]]): rolling polynomial over the base members at
+  * offsets 0, b, …, m−b, mixed with m. */
 case class WindowKeyHashDyn(left: Expression, right: Expression, b: Int)
     extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
   require(b >= 1, s"window key: b=$b")
@@ -314,23 +424,15 @@ case class WindowKeyHashDyn(left: Expression, right: Expression, b: Int)
   override def prettyName: String = "window_key_hash_dyn"
 
   override def nullSafeEval(arrAny: Any, mAny: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val arr = arrAny.asInstanceOf[ArrayData]
     val m = mAny.asInstanceOf[Int]
     if (m < b) throw new IllegalArgumentException(
       s"window_key_hash_dyn: m=$m below base $b")
-    val n = arr.numElements() - (m - b)
+    val sz = arr.numElements()
+    val n = sz - (m - b)
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      var acc = XXH64.hashLong(m.toLong, 42L)
-      var j = 0
-      while (j < m - b) { acc = XXH64.hashLong(arr.getLong(i + j), acc); j += b }
-      acc = XXH64.hashLong(arr.getLong(i + m - b), acc)
-      out(i) = acc
-      i += 1
-    }
+    WindowKeyKernel.fill(arr, sz, m, b, out, 0)
     new GenericArrayData(out)
   }
 
@@ -341,12 +443,13 @@ case class WindowKeyHashDyn(left: Expression, right: Expression, b: Int)
 
 /** Probe-filtered twin of [[WindowKeyHash]]: computes the same
   * composite keys for every window length in `ms` but emits ONLY the
-  * (m, pos, k) hits against a driver-supplied candidate key set (open-
-  * addressed, built once per partition) — the x53 verify side, where
-  * materializing all Σ|ms| keys per row as an array measured 10 s while
-  * the matches are a few hundred rows total. pos is 1-based. */
+  * (m, pos, k) hits against a driver-supplied candidate key set (a
+  * broadcast [[LongOpenSet]] — built once, shared across tasks) — the
+  * x53 verify side, where materializing all Σ|ms| keys per row as an
+  * array measured 10 s while the matches are a few hundred rows total.
+  * pos is 1-based. */
 case class WindowKeyProbe(child: Expression, ms: Seq[Int], b: Int,
-                          keys: Array[Long])
+                          keys: org.apache.spark.broadcast.Broadcast[LongOpenSet])
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(b >= 1 && ms.nonEmpty && ms.forall(_ >= b),
     s"window probe: ms=$ms b=$b")
@@ -358,58 +461,28 @@ case class WindowKeyProbe(child: Expression, ms: Seq[Int], b: Int,
     StructField("k", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "window_key_probe"
 
-  @transient private lazy val offsets: Array[Array[Int]] = ms.toArray.map {
-    m => ((0 until (m - b) by b) :+ (m - b)).distinct.toArray
-  }
-  // minimal open-addressed long set (no boxing; 0 sentinel handled apart)
-  @transient private lazy val (table, mask, hasZero) = {
-    var cap = 16
-    while (cap < keys.length * 2) cap <<= 1
-    val t = new Array[Long](cap)
-    var zero = false
-    val mk = cap - 1
-    keys.foreach { k =>
-      if (k == 0L) zero = true
-      else {
-        var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mk
-        while (t(i) != 0L && t(i) != k) i = (i + 1) & mk
-        t(i) = k
-      }
-    }
-    (t, mk, zero)
-  }
-  private def contains(k: Long): Boolean = {
-    if (k == 0L) return hasZero
-    var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
-    while (table(i) != 0L) {
-      if (table(i) == k) return true
-      i = (i + 1) & mask
-    }
-    false
-  }
+  @transient private lazy val set: LongOpenSet = keys.value
+  private def contains(k: Long): Boolean = set.contains(k)
 
   override def nullSafeEval(input: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    // one scratch key buffer per row, shared across lengths (n ≤ sz)
+    val scratch = new Array[Long](sz)
     var q = 0
     while (q < ms.length) {
       val m = ms(q)
-      val offs = offsets(q)
       val n = sz - (m - b)
-      var i = 0
-      while (i < n) {
-        var acc = XXH64.hashLong(m.toLong, 42L)
-        var j = 0
-        while (j < offs.length) {
-          acc = XXH64.hashLong(arr.getLong(i + offs(j)), acc)
-          j += 1
+      if (n > 0) {
+        WindowKeyKernel.fill(arr, sz, m, b, scratch, 0)
+        var i = 0
+        while (i < n) {
+          val k = scratch(i)
+          if (contains(k)) out += new org.apache.spark.sql.catalyst
+            .expressions.GenericInternalRow(Array[Any](m, i + 1, k))
+          i += 1
         }
-        if (contains(acc)) out += new org.apache.spark.sql.catalyst
-          .expressions.GenericInternalRow(
-            Array[Any](m, i + 1, acc))
-        i += 1
       }
       q += 1
     }
@@ -422,14 +495,15 @@ case class WindowKeyProbe(child: Expression, ms: Seq[Int], b: Int,
 
 /** Composite window keys over a POSITIONAL base-gram hash array — the
   * imperative kernel behind ExactSubstr.longestSharedSubstr's search:
-  * out[i] = xxhash64-chain over (m, in[i + o]) for member offsets
-  * o ∈ {0, b, 2b, …, m−b}. Semantically these are SEARCH keys only
-  * (never oracle-replayed — the final string verify settles semantics),
-  * so the mixer needs determinism and spread, not portability. One
-  * while-loop pass per row: the declarative transform(...) + xxhash64
-  * chain evaluates higher-order lambdas interpreted per element and
-  * measured ~5x slower across the x53 search rounds. Arrays shorter
-  * than the window count yield an empty array. */
+  * out[i] = the [[WindowKeyKernel]] rolling-polynomial key of the
+  * length-m window at position i, for member offsets
+  * o ∈ {0, b, 2b, …, m−b} mixed with m. Semantically these are SEARCH
+  * keys only (never oracle-replayed — the final string verify settles
+  * semantics). One O(n + m) pass per (row, length): the declarative
+  * transform(...) chain evaluates higher-order lambdas interpreted per
+  * element and measured ~5x slower across the x53 search rounds; the
+  * r17 per-position xxhash64 chain was another ~m/b× on top. Arrays
+  * shorter than the window count yield an empty array. */
 case class WindowKeyHash(child: Expression, ms: Seq[Int], b: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(b >= 1 && ms.nonEmpty && ms.forall(_ >= b),
@@ -439,15 +513,10 @@ case class WindowKeyHash(child: Expression, ms: Seq[Int], b: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "window_key_hash"
 
-  // one member-offset table per window length; output = flat concat of
-  // the per-length key streams (m is mixed into every hash, so the
-  // lengths occupy disjoint key spaces and need no tag column)
-  @transient private lazy val offsets: Array[Array[Int]] = ms.toArray.map {
-    m => ((0 until (m - b) by b) :+ (m - b)).distinct.toArray
-  }
-
+  // output = flat concat of the per-length key streams, each in
+  // position order (m is mixed into every key, so the lengths occupy
+  // disjoint key spaces and need no tag column)
   override def nullSafeEval(input: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
     var total = 0
@@ -463,19 +532,10 @@ case class WindowKeyHash(child: Expression, ms: Seq[Int], b: Int)
     q = 0
     while (q < ms.length) {
       val m = ms(q)
-      val offs = offsets(q)
       val n = sz - (m - b)
-      var i = 0
-      while (i < n) {
-        var acc = XXH64.hashLong(m.toLong, 42L)
-        var j = 0
-        while (j < offs.length) {
-          acc = XXH64.hashLong(arr.getLong(i + offs(j)), acc)
-          j += 1
-        }
-        out(w) = acc
-        w += 1
-        i += 1
+      if (n > 0) {
+        WindowKeyKernel.fill(arr, sz, m, b, out, w)
+        w += n
       }
       q += 1
     }
@@ -805,7 +865,8 @@ object GraftExpr {
   def windowKeyHashesDyn(h: Column, m: Column, b: Int): Column =
     col(WindowKeyHashDyn(ex(h), ex(m), b))
   def windowKeyProbe(h: Column, ms: Seq[Int], b: Int,
-                     keys: Array[Long]): Column =
+                     keys: org.apache.spark.broadcast.Broadcast[LongOpenSet])
+      : Column =
     col(WindowKeyProbe(ex(h), ms, b, keys))
   def chargramPairs(text: Column, n: Int): Column =
     col(CharGramPairs(ex(text), n))
