@@ -68,7 +68,26 @@ object Scc {
     require(outerRounds >= 1 && innerRounds >= 1 && trimRounds >= 0,
       s"Scc: rounds=($outerRounds, $innerRounds, trim $trimRounds)")
     val spark = edges.sparkSession
-    var e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    import spark.implicits._
+    // SELF-LOOPS STAY IN THE EDGE LIST (r18, the r17 x49-regression
+    // pricing): dropping them up front was what forced the r17 selfOnly
+    // route-parity machinery (a distinct + anti-join on the local route,
+    // an except on the distributed route — the priced x49 additions).
+    // Kept in, they are handled natively by BOTH routes: Tarjan labels a
+    // self-loop-only node as its own singleton SCC (its DFS low ==
+    // index), and the FW-BW loop keeps it through trim (it has an
+    // in-edge and an out-edge — itself) and resolves it in the first
+    // F = B round; a self-loop inside a larger SCC is a no-op for
+    // min-propagation. The distinct() dedups duplicate self-loop input
+    // rows, so output row-uniqueness is unchanged. localCap now counts
+    // self-loop rows too — a boundary shift of at most the node count,
+    // inside the cap's safety margin. (An r18 A/B also priced a fused
+    // accumulator gate riding the checkpoint job: the typed
+    // mapPartitions codecs cost MORE in per-run plan compilation than
+    // the retired gate job — reverted; SCALE.md r18.)
+    var e = edges.toDF("src", "dst")
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
       .distinct().localCheckpoint(true)
     // SIZE ROUTING (the connectedComponents discipline): a digraph that
     // fits one task runs ITERATIVE TARJAN in memory — one job, zero
@@ -77,39 +96,23 @@ object Scc {
     // (SCALE.md) showed the distributed route 5.0x the local route on a
     // trim-resistant fixture AT the old cap (2.9 vs 14.7 s on 131k
     // 2-cycles), while 1M edges cost one task ~16 MB of rows and
-    // ~100 MB of Tarjan state — comfortably inside any executor. Labels identical either way: the
-    // component-minimum node id (SccSpec's Floyd-Warshall fuzz gates
-    // both routes). Self-loop-only nodes fall out naturally here (the
-    // self-loop filter above removed their edges; they are emitted from
-    // the original list like the distributed route does).
+    // ~100 MB of Tarjan state — comfortably inside any executor. Labels
+    // identical either way: the component-minimum node id (SccSpec's
+    // Floyd-Warshall fuzz gates both routes).
     // O(cap) gate: the route choice needs only "are there more than
     // localCap edges", so price it limit(cap+1) regardless of input
     // size (the Equalize/Ann limit-then-check pattern) — a 100 TB edge
     // list pays a cap-bounded scan of its just-checkpointed blocks,
     // not a full count
     if (e.limit(graft.dedup.Dedup.capPlusOne(localCap)).count() <= localCap) {
-      import spark.implicits._
-      val local = e.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      return e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
           tarjanMinLabels(it).iterator
         }.toDF("node", "scc")
-      // distinct: duplicate self-loop rows in the input must not yield
-      // duplicate (node, scc) output rows — the distributed route's
-      // selfOnly uses `except` (set semantics), so match it
-      val selfOnlyL = edges.toDF("src", "dst")
-        .filter(col("src") === col("dst"))
-        .select(col("src").cast("long").as("node"),
-          col("src").cast("long").as("scc"))
-        .distinct()
-        .join(local.select(col("node")), Seq("node"), "left_anti")
-      return local.unionByName(selfOnlyL)
     }
     var active = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    // self-loop-only nodes are their own SCCs but must still be emitted
-    val selfOnly = edges.toDF("src", "dst").filter(col("src") === col("dst"))
-      .select(col("src").as("node")).except(active)
-    var done: DataFrame = selfOnly.select(col("node"), col("node").as("scc"))
+    var done: DataFrame = e.limit(0)
+      .select(col("src").as("node"), col("src").as("scc"))
       .localCheckpoint(true)
     var it = 0
     while (it < outerRounds && !active.isEmpty) {
