@@ -279,4 +279,67 @@ object Regions {
       .agg(count(lit(1)).as("perimeter"),
            sum(col("x") * col("ny") - col("nx") * col("y")).as("area2"))
   }
+
+  /** Ring ROLES — shell vs hole, plus each hole's enclosing shell: the
+    * containment step [[ringCensus]] deferred, closing the GIS
+    * polygonize chain (label field → rings → ordered vertices → areas →
+    * polygon STRUCTURE). Input is [[outlines]] output (lab, ring, ord,
+    * y, x); output one row per (lab, ring): role (0 = shell, 1 = hole)
+    * and parent_ring (the hole's immediately enclosing shell; null for
+    * shells).
+    *
+    * Method: even-odd ray containment on exact integers. Each ring's
+    * test point is the CENTER of the cell south-east of its ord-0
+    * vertex — the walk starts at the ring's minimum (topmost-leftmost)
+    * corner stepping east, and the cell below that edge is strictly
+    * inside the curve for shells (the region cell that emitted the
+    * piece) and holes (the hole cell) alike. Cell centers sit at
+    * half-integer coordinates, so the rightward ray at ty + ½ crosses
+    * no horizontal edge and no vertex: crossings with ring S are
+    * exactly its VERTICAL edges at row ty with column > tx —
+    * transversal even at salted pinch corners (the curve genuinely
+    * passes twice), so parity is exact. depth(R) = number of other
+    * same-label rings containing R's test point: even ⇒ shell, odd ⇒
+    * hole; a hole's parent is its DEEPEST containing ring (containing
+    * rings nest, so depths are distinct and the innermost — depth(R)−1,
+    * necessarily a shell — is the immediate parent).
+    *
+    * Scale shape: one window pass for edges, then an equi-join of test
+    * points against vertical edges keyed (lab, row) — per-(label, row)
+    * work, boundary-sized, never all-pairs across the grid; the
+    * depth/parent reductions are ring-count-sized. No collect. */
+  def ringRoles(rings: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lab"), col("ring")).orderBy(col("ord"))
+    val segs = rings.select(col("lab").as("slab"), col("ring").as("s"),
+        col("y"), col("x"),
+        lead(col("y"), 1).over(w).as("ny"), lead(col("x"), 1).over(w).as("nx"))
+      .filter(col("ny").isNotNull && col("nx") === col("x") &&
+        col("ny") =!= col("y"))
+      .select(col("slab"), col("s"), least(col("y"), col("ny")).as("ey"),
+        col("x").as("ex"))
+    val tp = rings.filter(col("ord") === 0)
+      .select(col("lab"), col("ring").as("r"),
+        col("y").as("ty"), col("x").as("tx"))
+    val crossings = tp.join(segs,
+        col("slab") === col("lab") && col("ey") === col("ty") &&
+        col("ex") > col("tx"))
+      .groupBy(col("lab"), col("r"), col("s")).agg(count(lit(1)).as("n"))
+    val cont = crossings.filter(col("r") =!= col("s") && col("n") % 2 === 1)
+      .select(col("lab"), col("r"), col("s")).localCheckpoint(true)
+    val depth = tp.select(col("lab"), col("r"))
+      .join(cont.groupBy(col("lab"), col("r")).agg(count(lit(1)).as("d")),
+        Seq("lab", "r"), "left")
+      .select(col("lab"), col("r"), coalesce(col("d"), lit(0L)).as("depth"))
+    val parent = cont
+      .join(depth.select(col("lab"), col("r").as("s"), col("depth").as("sd")),
+        Seq("lab", "s"))
+      .groupBy(col("lab"), col("r"))
+      .agg(max(struct(col("sd"), col("s"))).as("p"))
+      .select(col("lab"), col("r"), col("p.s").as("parent"))
+    depth.join(parent, Seq("lab", "r"), "left")
+      .select(col("lab"), col("r").as("ring"),
+        (col("depth") % 2).cast("int").as("role"),
+        when(col("depth") % 2 === 1, col("parent")).as("parent_ring"))
+  }
 }

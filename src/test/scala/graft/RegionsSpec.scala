@@ -189,4 +189,57 @@ class RegionsSpec extends SparkSpec {
       .toSet
     assert(duo === Set((1L, 4L, 2L), (2L, 4L, 2L)))
   }
+
+  test("ringRoles: shell/hole parity and hole -> enclosing-shell parents") {
+    // 3x3 of label 5 with a center hole: one shell (bigger ring), one
+    // hole whose parent is the shell
+    val holed = for { r <- 0 until 3; c <- 0 until 3; if !(r == 1 && c == 1) }
+      yield (r, c, 5L)
+    val rings = Regions.outlines(holed.toDF("r", "c", "lab"), 3, 3)
+      .localCheckpoint(true)
+    val roles = Regions.ringRoles(rings)
+      .collect().map(r => (r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toList
+    val perim = Regions.ringCensus(rings)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val shell = roles.filter(_._2 == 0)
+    val hole = roles.filter(_._2 == 1)
+    assert(shell.length === 1 && hole.length === 1, roles.toString)
+    assert(hole.head._3 === shell.head._1) // parent = the shell ring
+    assert(shell.head._3 === -1L)          // shells carry no parent
+    assert(perim(shell.head._1) === 12L && perim(hole.head._1) === 4L)
+  }
+
+  test("ringRoles: nested annuli alternate shell/hole with nested parents") {
+    // concentric square bands on 9x9: lab = chebyshev(center)/2 % 2 —
+    // band 0 = {center ring 0 and ring 4..}, band structure gives label
+    // 0 an island INSIDE label 0's own hole region? Use explicit nesting:
+    // lab A ring (border), lab B ring inside it, lab A core inside that.
+    val cells = for { r <- 0 until 5; c <- 0 until 5 } yield {
+      val d = math.max(math.abs(r - 2), math.abs(c - 2))
+      (r, c, if (d == 2) 9L else if (d == 1) 7L else 9L)
+    }
+    val rings = Regions.outlines(cells.toDF("r", "c", "lab"), 5, 5)
+      .localCheckpoint(true)
+    val got = Regions.ringRoles(rings)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // label 9: border annulus (shell + hole) AND the 1-cell core — the
+    // core's shell sits at depth 2 (inside 9's own hole and 7's rings is
+    // label-blind: only label-9 rings count) -> depth 2, still a SHELL
+    val l9 = got.filter(_._1._1 == 9L).values.toList
+    assert(l9.count(_._1 == 0) === 2 && l9.count(_._1 == 1) === 1, got.toString)
+    // label 7: annulus -> one shell + one hole, hole's parent = the shell
+    val l7 = got.filter(_._1._1 == 7L)
+    val l7shell = l7.filter(_._2._1 == 0).keys.head._2
+    val l7hole = l7.values.filter(_._1 == 1)
+    assert(l7.size === 2 && l7hole.size === 1 &&
+      l7hole.head._2 === l7shell, got.toString)
+    // the label-9 hole's parent is the label-9 border shell
+    val l9rings = got.filter(_._1._1 == 9L)
+    val l9hole = l9rings.values.filter(_._1 == 1).head
+    val l9borderShell = l9rings.filter { case (_, (role, _)) => role == 0 }
+      .keys.map(_._2).min // border shell has the grid-minimum corner key
+    assert(l9hole._2 === l9borderShell, got.toString)
+  }
 }
