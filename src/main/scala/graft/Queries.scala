@@ -14633,6 +14633,87 @@ object Queries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_chk
              |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X55: INCREMENTAL bucketed-index APPEND — the lifecycle arm
+    // x54 lacked (its 2.9 s is a fresh build+write per run; the real
+    // decontamination loop is build-once / append-often): the index is
+    // built from MOST of the train corpus, a later increment APPENDS the
+    // remaining docs' gram hashes into the same (gram_len, h) bucket
+    // layout (only the increment shuffles; the existing index files are
+    // never read or rewritten), and the screen then runs against the
+    // appended table. The zero-index-side-Exchange plan assert stays
+    // teeth-out AFTER the append (buckets gain one file each; Spark
+    // reads a bucket's files in its bucket task — per-bucket sort
+    // degrades to a task-local Sort, never an Exchange). Oracle: the
+    // x54 census SQL verbatim — an appended index must screen exactly
+    // like a from-scratch index over the full corpus.
+    Q("x55_index_append",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.ExactSubstr
+        val lengths = Seq(8, 16, 32)
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val trBase = docs.filter($"doc_id" % 5 === 1 || $"doc_id" % 5 === 2 ||
+          $"doc_id" % 5 === 3)
+        val trInc = docs.filter($"doc_id" % 5 === 4)
+        val ev = docs.filter($"doc_id" % 5 === 0)
+        val pdir = java.nio.file.Files.createTempDirectory("graft_x55_")
+        ExactSubstr.saveHashIndexBucketed(
+          ExactSubstr.buildHashIndex(trBase, "text", lengths),
+          "graft_x55_idx", pdir.resolve("gram_index").toString)
+        ExactSubstr.appendHashIndexBucketed(trInc, "text", "graft_x55_idx",
+          lengths)
+        val prev = s.conf.getAll.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val screened = ExactSubstr.screenBatchBucketed(
+            s, "graft_x55_idx", ev, "text", "doc_id", lengths)
+          // the x54 plan assert, now against the APPENDED table: one
+          // SMJ, zero Exchange under the index side (probe spans >1
+          // rung so gram_len stays a join key — the constant-folding
+          // bucketing trap)
+          val joined = s.table("graft_x55_idx").join(
+            lengths.map { l =>
+              ExactSubstr.gramHashes(ev, "text", l, keep = Seq("doc_id"))
+                .select(lit(l).as("gram_len"), $"doc_id", $"h")
+            }.reduce(_ unionByName _).hint("merge"),
+            Seq("gram_len", "h"))
+          val plan = joined.queryExecution.executedPlan
+          val smjs = sortMergeJoinNodes(plan)
+          require(smjs.length == 1,
+            s"x55: expected a SortMergeJoin against the appended index:\n$plan")
+          require(shuffleExchanges(smjs.head.left) == 0,
+            "x55: the appended bucketed index side planned an Exchange — " +
+            s"bucketing was not honored after append:\n$plan")
+          screened.orderBy($"gram_len").localCheckpoint(true)
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          }
+          s.sql("DROP TABLE IF EXISTS graft_x55_idx")
+          deleteRecursively(pdir)
+        }
+      },
+      Some("""WITH Ls AS (SELECT unnest([8, 16, 32]) AS L),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             |evg AS (SELECT DISTINCT e.doc_id, Ls.L,
+             |          ('0x'||substr(md5(substr(e.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM ev e CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(e.text) - Ls.L + 1),
+             |trg AS (SELECT DISTINCT Ls.L,
+             |          ('0x'||substr(md5(substr(t2.text, pos.i,
+             |            CAST(Ls.L AS INT))),1,15))::BIGINT AS h
+             |        FROM tr t2 CROSS JOIN Ls
+             |        JOIN pos ON pos.i <= length(t2.text) - Ls.L + 1),
+             |hit AS (SELECT DISTINCT evg.doc_id, evg.L FROM evg
+             |        JOIN trg ON evg.L = trg.L AND evg.h = trg.h)
+             |SELECT CAST(L AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_chk
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- X53: EXACT longest-shared-substring length per contaminated
     // eval doc — the refinement that closes the ladder's bracket to
     // Lee et al.'s suffix-array answer (clamped at maxProbe=96, the

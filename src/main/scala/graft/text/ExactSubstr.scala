@@ -198,6 +198,25 @@ object ExactSubstr {
       .saveAsTable(table)
   }
 
+  /** Append a new batch's gram hashes into an EXISTING bucketed index
+    * table (the [[saveHashIndexBucketed]] layout) — the incremental arm
+    * of the build-once / append-often decontamination loop: each append
+    * shuffles ONLY the new batch's 8-byte hash rows into the same
+    * (gram_len, h) bucket layout; the existing index is never read or
+    * rewritten. Later [[screenBatchBucketed]] screens still join with
+    * zero index-side Exchange — each bucket simply gains one file per
+    * append (a bucket's task reads all its files; the per-bucket sort
+    * guarantee degrades to a task-local Sort, never an Exchange).
+    * Duplicate (gram_len, h) rows across appends are harmless: the
+    * screen censuses distinct doc hits. */
+  def appendHashIndexBucketed(newDocs: DataFrame, textCol: String,
+                              table: String, lengths: Seq[Int],
+                              buckets: Int = 32): Unit =
+    buildHashIndex(newDocs, textCol, lengths)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "gram_len", "h").sortBy("gram_len", "h")
+      .saveAsTable(table)
+
   /** Screen a batch against a [[saveHashIndexBucketed]] table by
     * CO-SHUFFLE: a sort-merge join where the index side reads in place
     * (its bucketing IS the join distribution) and only the batch's

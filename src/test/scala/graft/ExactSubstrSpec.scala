@@ -271,6 +271,20 @@ class ExactSubstrSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaBucket === viaBroadcast)
     assert(viaBucket === Set((8, 2L, 30L), (16, 1L, 20L)))
+    // APPEND arm (build-once / append-often): a third train doc arrives;
+    // the appended table must screen identically to a from-scratch index
+    // over all three docs — including a batch doc (40) that only the
+    // appended increment can flag
+    val s12 = "0123456789ab"
+    ExactSubstr.appendHashIndexBucketed(
+      Seq((3L, s"three $s12 pad")).toDF("doc_id", "text"),
+      "text", "graft_spec_idx", Seq(8, 16), buckets = 4)
+    val batch2 = Seq((10L, s"a ${s8}z"), (40L, s"c ${s12}z"))
+      .toDF("doc_id", "text")
+    val afterAppend = ExactSubstr.screenBatchBucketed(
+        spark, "graft_spec_idx", batch2, "text", "doc_id", Seq(8, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterAppend === Set((8, 2L, 50L)), afterAppend.toString)
     spark.sql("DROP TABLE IF EXISTS graft_spec_idx")
   }
 
