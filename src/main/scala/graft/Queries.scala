@@ -495,19 +495,37 @@ object Queries {
   }
 
   /** A finite file-backed stream gains nothing from empty microbatches;
-    * skipping them shaves fixed per-batch latency off the drain. Scoped
-    * and restored like [[withStreamPartitions]] so the setting never
-    * leaks into whatever the session runs next. */
+    * skipping them shaves fixed per-batch latency off the drain. Also
+    * pins the AQE coalescing FLOOR (minPartitionNum = 8) for the
+    * stream's micro-batch bodies: r17 retired the session-wide floor
+    * for the iterative family's benefit (x28/x42), but the r18 s-family
+    * A/B (SCALE.md) showed the streaming trigger bodies were paying for
+    * it — AQE coalescing each tiny per-batch stage to 1 partition
+    * serializes work that sits INSIDE the per-trigger floor (s13 2.40
+    * → 1.91 s, s22 2.42 → 1.83 s with the floor back). Scoping it here
+    * — the wrapper exactly the 20 streaming queries drain under — keeps
+    * the iterative family on the retired-floor plan. Both settings are
+    * scoped and restored like [[withStreamPartitions]] so nothing leaks
+    * into whatever the session runs next. */
   private def withNoEmptyBatches[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val keyF = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
     // getAll, not getOption: see withStreamPartitions — getOption would
     // report the default (true) for a never-set key and the restore would
     // then pin it explicitly.
     val prev = s.conf.getAll.get(key)
+    val prevF = s.conf.getAll.get(keyF)
     s.conf.set(key, "false")
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    s.conf.set(keyF, "8")
+    try body finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      prevF match {
+        case Some(v) => s.conf.set(keyF, v)
+        case None => s.conf.unset(keyF)
+      }
     }
   }
 
