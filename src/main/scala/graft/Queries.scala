@@ -14732,6 +14732,82 @@ object Queries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_chk
              |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ----- X56: SHARED positional-array side table — the cross-rung key
+    // reuse arm (x51/x52/x53/s21 each rebuilt bottom-rung gram hashes
+    // from text independently; the r17 stretch ask): ONE text pass
+    // persists every doc's positional base-gram hash array (bucketed by
+    // doc id, the x54 lifecycle discipline), and the WHOLE ladder census
+    // then derives from the arrays alone — a length-m window is
+    // characterized by its base members at offsets 0, b, …, m−b (tiling
+    // ⇒ member equality forces window string equality, up to base-hash
+    // collisions), so rung 16 is an equi-join on member PAIRS and rung
+    // 32 on member QUADS, zero further text scans and zero new kernels.
+    // The members are md5-prefix hashes both engines compute
+    // identically, so the oracle replays the member-tuple joins exactly
+    // (collisions move both engines together — the hashed-census
+    // discipline). Census values equal x48's string-gram census up to
+    // that hash class.
+    Q("x56_shared_arrays",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.ExactSubstr
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val pdir = java.nio.file.Files.createTempDirectory("graft_x56_")
+        ExactSubstr.savePosArraysBucketed(docs, "text", "doc_id", 8,
+          "graft_x56_pos", pdir.resolve("pos_arrays").toString)
+        try {
+          val pos = s.table("graft_x56_pos")
+          val ev = pos.filter($"doc_id" % 5 === 0)
+          val tr = pos.filter($"doc_id" % 5 =!= 0)
+          Seq(8, 16, 32).map { m =>
+            val evW = ExactSubstr.windowMembers(ev, "doc_id", m, 8)
+            val trK = ExactSubstr.windowMembers(tr, "doc_id", m, 8)
+              .drop("doc_id").distinct()
+            evW.join(trK, trK.columns.toSeq)
+              .select($"doc_id").distinct()
+              .agg(count(lit(1)).as("n_docs_hit"),
+                coalesce(sum($"doc_id"), lit(0L)).as("id_chk"))
+              .select(lit(m).as("gram_len"), $"n_docs_hit", $"id_chk")
+          }.reduce(_ unionByName _).orderBy($"gram_len").localCheckpoint(true)
+        } finally {
+          s.sql("DROP TABLE IF EXISTS graft_x56_pos")
+          deleteRecursively(pdir)
+        }
+      },
+      Some("""WITH pos AS (SELECT CAST(i AS INT) AS i FROM range(1, 4097) t(i)),
+             |g AS (SELECT doc_id, pos.i AS i,
+             |        ('0x'||substr(md5(substr(text, pos.i, 8)),1,15))::BIGINT AS h
+             |      FROM documents JOIN pos ON pos.i <= length(text) - 7),
+             |w8 AS (SELECT DISTINCT doc_id, h AS m0 FROM g),
+             |w16 AS (SELECT DISTINCT a.doc_id, a.h AS m0, b.h AS m1
+             |        FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i + 8),
+             |w32 AS (SELECT DISTINCT a.doc_id, a.h AS m0, b.h AS m1,
+             |          c.h AS m2, d.h AS m3
+             |        FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i + 8
+             |                 JOIN g c ON c.doc_id = a.doc_id AND c.i = a.i + 16
+             |                 JOIN g d ON d.doc_id = a.doc_id AND d.i = a.i + 24),
+             |h8 AS (SELECT DISTINCT e.doc_id FROM w8 e
+             |       JOIN w8 t2 ON t2.m0 = e.m0 AND t2.doc_id % 5 <> 0
+             |       WHERE e.doc_id % 5 = 0),
+             |h16 AS (SELECT DISTINCT e.doc_id FROM w16 e
+             |        JOIN w16 t2 ON t2.m0 = e.m0 AND t2.m1 = e.m1
+             |          AND t2.doc_id % 5 <> 0
+             |        WHERE e.doc_id % 5 = 0),
+             |h32 AS (SELECT DISTINCT e.doc_id FROM w32 e
+             |        JOIN w32 t2 ON t2.m0 = e.m0 AND t2.m1 = e.m1
+             |          AND t2.m2 = e.m2 AND t2.m3 = e.m3
+             |          AND t2.doc_id % 5 <> 0
+             |        WHERE e.doc_id % 5 = 0)
+             |SELECT CAST(8 AS INT) AS gram_len, count(*) AS n_docs_hit,
+             |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_chk FROM h8
+             |UNION ALL
+             |SELECT CAST(16 AS INT), count(*),
+             |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM h16
+             |UNION ALL
+             |SELECT CAST(32 AS INT), count(*),
+             |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM h32
+             |ORDER BY 1""".stripMargin)),
+
     // ----- X53: EXACT longest-shared-substring length per contaminated
     // eval doc — the refinement that closes the ladder's bracket to
     // Lee et al.'s suffix-array answer (clamped at maxProbe=96, the

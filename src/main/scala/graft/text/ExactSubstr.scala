@@ -217,6 +217,53 @@ object ExactSubstr {
       .bucketBy(buckets, "gram_len", "h").sortBy("gram_len", "h")
       .saveAsTable(table)
 
+  /** Shared POSITIONAL base-gram array side table — the cross-rung key
+    * reuse arm: ONE text pass computes every document's positional
+    * 60-bit base-gram hash array ([[graft.functions.GraftFunctions.chargram_hashes]]
+    * at the ladder's bottom rung) and persists it BUCKETED by the doc
+    * id (the x54 lifecycle discipline applied to the arrays), so every
+    * exact-substring consumer — ladder censuses at ANY rung that is
+    * expressible over base members, verified screens, the x53 search's
+    * hit-set selection (an id-keyed semi-join, which the id bucketing
+    * co-locates) — starts from this checkpoint instead of re-scanning
+    * text. A length-m window (m ≥ b) is characterized by its base
+    * members at offsets 0, b, …, m−b (tiling: member equality at a
+    * common anchor ⇒ window string equality, up to base-hash
+    * collisions — the same conservative class as the hashed census),
+    * so the whole ladder above b derives from these arrays with ZERO
+    * additional text passes. */
+  def savePosArraysBucketed(docs: DataFrame, textCol: String, idCol: String,
+                            b: Int, table: String, path: String,
+                            buckets: Int = 32): Unit = {
+    require(b >= 1, s"ExactSubstr: b=$b")
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions.chargram_hashes(col(textCol), b).as("H"))
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .saveAsTable(table)
+  }
+
+  /** Distinct length-m window MEMBER TUPLES of each doc in a
+    * [[savePosArraysBucketed]] table — (id, m0, m1, …) rows where the
+    * columns are the base members at offsets 0, b, …, m−b of each
+    * window position. Engine-portable window identity (the members are
+    * md5-prefix hashes both DuckDB and Spark compute identically), used
+    * by the cross-rung census: a rung-m census is an equi-join of these
+    * tuples, no text and no new kernel. */
+  def windowMembers(pos: DataFrame, idCol: String, m: Int, b: Int)
+      : DataFrame = {
+    require(m >= b, s"ExactSubstr: window $m below base $b")
+    val offsets = ((0 until (m - b) by b) :+ (m - b)).distinct
+    pos.filter(size(col("H")) >= m - b + 1)
+      .select(col(idCol), explode(expr(
+        s"sequence(1, size(H) - ${m - b})")).as("i"), col("H"))
+      .select(col(idCol) +: offsets.zipWithIndex.map { case (o, j) =>
+        element_at(col("H"), col("i") + o).as(s"m$j") }: _*)
+      .distinct()
+  }
+
   /** Screen a batch against a [[saveHashIndexBucketed]] table by
     * CO-SHUFFLE: a sort-merge join where the index side reads in place
     * (its bucketing IS the join distribution) and only the batch's
