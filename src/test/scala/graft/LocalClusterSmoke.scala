@@ -65,7 +65,15 @@ object LocalClusterSmoke {
     // screen (bucketed-table SMJ across real executor JVMs, in-query
     // zero-index-Exchange assert), ring shoelace census (window + agg
     // over the fused mapGroups ring walk)
-    "x53_exact_substr_longest", "x54_index_bucketed", "r50_ring_census")
+    "x53_exact_substr_longest", "x54_index_bucketed", "r50_ring_census",
+    // round 18: broadcast LongOpenSet probe tables (the x53 key sets now
+    // ship as ONE broadcast VALUE each — torrent-distributed to real
+    // executor JVMs instead of riding the task binary), appended
+    // bucketed index (mode-append saveAsTable bucket layout honored
+    // across executors), shared positional-array table + member-tuple
+    // census, ring roles (window-edge join + containment reductions
+    // over the mapGroups walk)
+    "x55_index_append", "x56_shared_arrays", "r51_ring_roles")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

@@ -48,7 +48,8 @@ class LocalClusterSpec extends AnyFunSuite {
         "r45_hist_equalize", "x49_scc",
         "r47_basin_outlines", "x48_exact_substr",
         "x53_exact_substr_longest", "x54_index_bucketed",
-        "r50_ring_census").foreach { n =>
+        "r50_ring_census", "x55_index_append", "x56_shared_arrays",
+        "r51_ring_roles").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))
