@@ -288,6 +288,56 @@ class ExactSubstrSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_idx")
   }
 
+  test("window-key kernels agree: Hash == Dyn == Probe on random arrays") {
+    // the x53 search's exactness argument leans on all three kernels
+    // computing the SAME key function (fill is shared structurally, but
+    // pin it against future drift): for random member arrays and every
+    // (m, b) combination, the multi-length kernel, the per-row-length
+    // kernel, and the probe kernel must emit identical keys at
+    // identical positions
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftx.{GraftExpr, LongOpenSet}
+    val rnd = new scala.util.Random(18)
+    val arrs = (1L to 6L).map(i =>
+      (i, Array.fill(3 + rnd.nextInt(40))(rnd.nextLong())))
+    val df = arrs.toDF("id", "H").localCheckpoint(true)
+    for (b <- Seq(3, 4); ms = Seq(b, b + 1, 2 * b, 3 * b + 1)) {
+      val viaHash = df.select($"id", posexplode(
+          GraftExpr.windowKeyHashes($"H", ms, b)))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // reconstruct (id, m, pos, k) from the flat concat per length
+      val expectPerM = arrs.flatMap { case (id, h) =>
+        ms.flatMap { m =>
+          val n = h.length - (m - b)
+          (0 until math.max(0, n)).map(i => (id, m, i))
+        }
+      }
+      val viaDyn = ms.flatMap { m =>
+        df.select($"id", lit(m).as("m"), posexplode(
+            GraftExpr.windowKeyHashesDyn($"H", lit(m), b)))
+          .collect().map(r => ((r.getLong(0), m, r.getInt(2)), r.getLong(3)))
+      }.toMap
+      // Hash's flat stream must equal Dyn's keys position-for-position
+      val viaHashSeq = arrs.flatMap { case (id, h) =>
+        val keys = viaHash.filter(_._1 == id).toSeq.sortBy(_._2).map(_._3)
+        expectPerM.filter(_._1 == id).map(t => t).zip(keys)
+      }
+      viaHashSeq.foreach { case ((id, m, pos), k) =>
+        assert(viaDyn((id, m, pos)) === k, s"Hash vs Dyn at ($id, $m, $pos)")
+      }
+      // Probe with ALL Dyn keys must emit every (m, pos, k) back
+      val allKeys = viaDyn.values.toArray.distinct
+      val bc = spark.sparkContext.broadcast(LongOpenSet(allKeys))
+      val viaProbe = df.select($"id", explode(
+          GraftExpr.windowKeyProbe($"H", ms, b, bc)).as("e"))
+        .select($"id", $"e.m", $"e.pos", $"e.k")
+        .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2) - 1),
+          r.getLong(3))).toMap
+      assert(viaProbe === viaDyn,
+        s"Probe vs Dyn mismatch at b=$b: ${viaProbe.size} vs ${viaDyn.size}")
+    }
+  }
+
   test("longestSharedSubstr: multi-byte UTF-8 counts CHARACTERS, clamps at maxProbe") {
     // 7 shared greek chars (14 UTF-8 bytes): the answer must be 7 — the
     // hash arrays index char-gram positions and the final verify's
