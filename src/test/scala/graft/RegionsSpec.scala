@@ -143,6 +143,44 @@ class RegionsSpec extends SparkSpec {
     }
   }
 
+  test("ringRoles fuzz: role matches the label field, parents are shells") {
+    // INDEPENDENT role oracle: a ring's test cell (south-east of its
+    // ord-0 min corner) carries the ring's label iff the ring is a
+    // SHELL (shells wrap region cells; holes wrap non-label cells) —
+    // checked against the raw field, not against any containment logic.
+    // Structural invariants: every hole has a parent; every parent is a
+    // same-label SHELL; shells carry no parent.
+    for (trial <- 0 until 3) {
+      val h = 10 + trial; val w = 12 + trial
+      val rnd = new scala.util.Random(40 + trial)
+      val field = Array.tabulate(h, w)((_, _) => rnd.nextInt(2).toLong)
+      val df = (for (r <- 0 until h; c <- 0 until w)
+        yield (r, c, field(r)(c))).toDF("r", "c", "lab")
+      val rings = Regions.outlines(df, h, w).localCheckpoint(true)
+      val start = rings.filter($"ord" === 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(3).toInt, r.getLong(4).toInt))
+        .toMap
+      val roles = Regions.ringRoles(rings).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(roles.keySet === start.keySet)
+      for (((lab, ring), (role, parent)) <- roles) {
+        val (y0, x0) = start((lab, ring))
+        val cellLab = field(y0)(x0) // SE cell of the min corner
+        val wantRole = if (cellLab == lab) 0 else 1
+        assert(role === wantRole,
+          s"trial $trial ring ($lab, $ring) at ($y0, $x0): " +
+          s"role $role but cell label $cellLab")
+        if (role == 1) {
+          assert(parent.isDefined, s"hole ($lab, $ring) without parent")
+          val p = roles((lab, parent.get))
+          assert(p._1 === 0, s"hole ($lab, $ring) parent is not a shell")
+        } else assert(parent.isEmpty, s"shell ($lab, $ring) carries a parent")
+      }
+    }
+  }
+
   test("out-of-range cells fail loudly instead of colliding packed keys") {
     // (0, -1) packs identically to a neighbor's corner key — must throw,
     // not produce wrong rings
