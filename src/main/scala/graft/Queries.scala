@@ -15213,6 +15213,126 @@ object Queries {
              |FROM dep d LEFT JOIN par p ON p.lab = d.lab AND p.r = d.r
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ----- R52: POLYGON census — the polygonize chain's terminal
+    // product (what a GIS user actually downloads: polygons = shell +
+    // holes with NET areas): Regions.polygonCensus composes the
+    // shoelace (r50) with the roles (r51) — per shell, hole count, net
+    // doubled area (shell − Σ holes; all rings positively oriented),
+    // total boundary length (shell + hole perimeters). The oracle is
+    // DELIBERATELY cross-derived: polygon/hole counts and boundary
+    // replay the full ring chain (pieces → salting → CC → walk → roles,
+    // the r51 machinery + r50 shoelace for perimeters), while the net
+    // area per label comes from the RAW FIELD as 2 × cell count — the
+    // identity "Σ net_area2 over a label's polygons == 2 × its cells"
+    // holds exactly iff the whole shoelace/role/parent composition is
+    // right (holes subtract, nested islands re-add), so the two engines
+    // must agree through entirely different derivations.
+    Q("r52_polygon_census",
+      (s, _) => {
+        import s.implicits._
+        val cells = s.range(3600)
+          .select(($"id" / 60).cast("int").as("r"),
+            ($"id" % 60).cast("int").as("c"))
+          .select($"r", $"c",
+            expr("(CAST(greatest(abs(r - 30), abs(c - 30)) AS BIGINT) div 5) % 3")
+              .as("lab"))
+        graft.ops.Regions.polygonCensus(
+            graft.ops.Regions.outlines(cells, 60, 60))
+          .groupBy($"lab")
+          .agg(count(lit(1)).as("n_polys"), sum($"n_holes").as("n_holes"),
+            sum($"net_area2").as("net_area2_sum"),
+            sum($"boundary_len").as("boundary_sum"))
+          .orderBy($"lab")
+      },
+      Some("""WITH RECURSIVE
+             |z AS (SELECT r, c,
+             |        (CAST(greatest(abs(r - 30), abs(c - 30)) AS BIGINT) // 5) % 3 AS lab
+             |      FROM range(0,60) t(r) CROSS JOIN range(0,60) u(c)),
+             |d4 AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) v(dr,dc)),
+             |pc AS (SELECT l.lab, l.r*60 + l.c AS inside,
+             |         CASE WHEN d.dr=1 THEN (l.r+1)*61 + l.c
+             |              WHEN d.dc=1 THEN l.r*61 + l.c + 1
+             |              ELSE l.r*61 + l.c END AS ca,
+             |         CASE WHEN d.dr=-1 THEN l.r*61 + l.c + 1
+             |              WHEN d.dr=1  THEN (l.r+1)*61 + l.c + 1
+             |              WHEN d.dc=-1 THEN (l.r+1)*61 + l.c
+             |              ELSE (l.r+1)*61 + l.c + 1 END AS cb
+             |       FROM z l CROSS JOIN d4 d
+             |       LEFT JOIN z n ON n.r = l.r + d.dr AND n.c = l.c + d.dc
+             |       WHERE n.lab IS NULL OR n.lab <> l.lab),
+             |en AS (SELECT lab, inside, ca AS corner FROM pc
+             |       UNION ALL SELECT lab, inside, cb FROM pc),
+             |cs AS (SELECT lab, corner, count(*) AS n, min(inside) AS mi
+             |       FROM en GROUP BY 1, 2),
+             |ky AS (SELECT p.lab,
+             |         p.lab*7442 + p.ca*2
+             |           + (CASE WHEN a.n=4 AND p.inside<>a.mi THEN 1 ELSE 0 END) AS k1,
+             |         p.lab*7442 + p.cb*2
+             |           + (CASE WHEN b.n=4 AND p.inside<>b.mi THEN 1 ELSE 0 END) AS k2
+             |       FROM pc p JOIN cs a ON a.lab=p.lab AND a.corner=p.ca
+             |                 JOIN cs b ON b.lab=p.lab AND b.corner=p.cb),
+             |ad AS (SELECT lab, k1 AS a, k2 AS b FROM ky
+             |       UNION SELECT lab, k2, k1 FROM ky),
+             |nbr AS (SELECT lab, a AS v, min(b) AS n1, max(b) AS n2
+             |        FROM ad GROUP BY 1, 2),
+             |reach AS (SELECT lab, a, a AS b FROM (SELECT DISTINCT lab, a FROM ad)
+             |          UNION SELECT r.lab, r.a, ad.b
+             |          FROM reach r JOIN ad ON r.lab = ad.lab AND r.b = ad.a),
+             |rg AS (SELECT lab, a AS v, min(b) AS ring FROM reach GROUP BY 1, 2),
+             |wk AS (SELECT r.lab, r.ring, 0 AS ord,
+             |         CAST(NULL AS BIGINT) AS prev, r.ring AS cur
+             |       FROM (SELECT DISTINCT lab, ring FROM rg) r
+             |       UNION ALL
+             |       SELECT w.lab, w.ring, w.ord + 1, w.cur,
+             |         CASE WHEN w.prev IS NULL THEN n.n1
+             |              WHEN n.n1 = w.prev THEN n.n2 ELSE n.n1 END
+             |       FROM wk w JOIN nbr n ON n.lab = w.lab AND n.v = w.cur
+             |       WHERE NOT (w.cur = w.ring AND w.ord > 0)),
+             |vx AS (SELECT lab, ring, ord,
+             |         ((cur % 7442) // 2) // 61 AS y,
+             |         ((cur % 7442) // 2) % 61 AS x FROM wk),
+             |rc AS (SELECT a.lab, a.ring, count(*) AS perimeter
+             |       FROM vx a JOIN vx b ON b.lab = a.lab AND b.ring = a.ring
+             |         AND b.ord = a.ord + 1
+             |       GROUP BY 1, 2),
+             |segs AS (SELECT a.lab, a.ring AS s, least(a.y, b.y) AS ey, a.x AS ex
+             |         FROM vx a JOIN vx b ON b.lab = a.lab AND b.ring = a.ring
+             |           AND b.ord = a.ord + 1
+             |         WHERE b.x = a.x AND b.y <> a.y),
+             |tp AS (SELECT lab, ring AS r, y AS ty, x AS tx FROM vx WHERE ord = 0),
+             |cr AS (SELECT t.lab, t.r, s.s, count(*) AS n
+             |       FROM tp t JOIN segs s ON s.lab = t.lab AND s.ey = t.ty
+             |         AND s.ex > t.tx
+             |       GROUP BY 1, 2, 3),
+             |cont AS (SELECT lab, r, s FROM cr WHERE r <> s AND n % 2 = 1),
+             |dep AS (SELECT t.lab, t.r, count(c.s) AS depth
+             |        FROM tp t LEFT JOIN cont c ON c.lab = t.lab AND c.r = t.r
+             |        GROUP BY 1, 2),
+             |par AS (SELECT c.lab, c.r, arg_max(c.s, d2.depth) AS parent
+             |        FROM cont c JOIN dep d2 ON d2.lab = c.lab AND d2.r = c.s
+             |        GROUP BY 1, 2),
+             |polys AS (SELECT lab, r AS shell FROM dep WHERE depth % 2 = 0),
+             |holes AS (SELECT d.lab, p.parent AS shell, d.r AS hole
+             |          FROM dep d JOIN par p ON p.lab = d.lab AND p.r = d.r
+             |          WHERE d.depth % 2 = 1),
+             |bnd AS (SELECT p.lab, p.shell,
+             |          (SELECT rc.perimeter FROM rc
+             |           WHERE rc.lab = p.lab AND rc.ring = p.shell)
+             |          + coalesce((SELECT sum(rc2.perimeter) FROM holes h2
+             |               JOIN rc rc2 ON rc2.lab = h2.lab AND rc2.ring = h2.hole
+             |               WHERE h2.lab = p.lab AND h2.shell = p.shell), 0)
+             |            AS blen,
+             |          (SELECT count(*) FROM holes h3
+             |           WHERE h3.lab = p.lab AND h3.shell = p.shell) AS nh
+             |        FROM polys p),
+             |cellnet AS (SELECT lab, 2 * count(*) AS net2 FROM z GROUP BY 1)
+             |SELECT CAST(b.lab AS BIGINT) AS lab, count(*) AS n_polys,
+             |  CAST(sum(b.nh) AS BIGINT) AS n_holes,
+             |  CAST(min(cn.net2) AS BIGINT) AS net_area2_sum,
+             |  CAST(sum(b.blen) AS BIGINT) AS boundary_sum
+             |FROM bnd b JOIN cellnet cn ON cn.lab = b.lab
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----- T34: ZIPF rank-octave census — the corpus-statistics read
     // behind vocabulary sizing and tokenizer budgets: how token mass
     // distributes across rank octaves [2^o, 2^(o+1)) of the global

@@ -73,7 +73,8 @@ object LocalClusterSmoke {
     // across executors), shared positional-array table + member-tuple
     // census, ring roles (window-edge join + containment reductions
     // over the mapGroups walk)
-    "x55_index_append", "x56_shared_arrays", "r51_ring_roles")
+    "x55_index_append", "x56_shared_arrays", "r51_ring_roles",
+    "r52_polygon_census")
 
   def main(args: Array[String]): Unit = {
     val cp = System.getProperty("java.class.path")

@@ -49,7 +49,7 @@ class LocalClusterSpec extends AnyFunSuite {
         "r47_basin_outlines", "x48_exact_substr",
         "x53_exact_substr_longest", "x54_index_bucketed",
         "r50_ring_census", "x55_index_append", "x56_shared_arrays",
-        "r51_ring_roles").foreach { n =>
+        "r51_ring_roles", "r52_polygon_census").foreach { n =>
       assert(out.contains(s"$n OK"), s"missing $n marker; tail:\n${out.takeRight(2000)}")
     }
     assert(out.contains("ALL OK"))

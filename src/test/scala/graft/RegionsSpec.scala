@@ -181,6 +181,56 @@ class RegionsSpec extends SparkSpec {
     }
   }
 
+  test("polygonCensus fuzz: net areas sum to cell counts, polys to components") {
+    // INDEPENDENT identity gates on random fields: (a) per label,
+    // Σ net_area2 == 2 × the label's CELL COUNT (holes subtract, nested
+    // islands re-add — the shoelace/role/parent chain must compose
+    // exactly); (b) the polygon count per label == the number of
+    // 8-CONNECTED label components (outlines reads the field
+    // 8-connected; every component owns exactly one shell).
+    for (trial <- 0 until 3) {
+      val h = 10 + trial; val w = 11 + trial
+      val rnd = new scala.util.Random(80 + trial)
+      val field = Array.tabulate(h, w)((_, _) => rnd.nextInt(2).toLong)
+      val df = (for (r <- 0 until h; c <- 0 until w)
+        yield (r, c, field(r)(c))).toDF("r", "c", "lab")
+      val got = {
+        import org.apache.spark.sql.functions.{count, lit, sum}
+        Regions.polygonCensus(Regions.outlines(df, h, w))
+          .groupBy($"lab")
+          .agg(count(lit(1)).as("n_polys"), sum($"net_area2").as("net2"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+      // (a) cell-count identity
+      val counts = (for (r <- 0 until h; c <- 0 until w)
+        yield field(r)(c)).groupBy(identity).map { case (k, v) => k -> v.size }
+      for ((lab, n) <- counts)
+        assert(got(lab)._2 === 2L * n,
+          s"trial $trial lab $lab: net2 ${got(lab)._2} vs cells $n")
+      // (b) 4-connected component count via driver union-find (the
+      // vertex-split salting separates diagonal touches into their own
+      // rings — the "diagonal touch yields TWO rings" test above — so a
+      // polygon is a 4-connected region)
+      val parent = scala.collection.mutable.Map[Int, Int]()
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+      def union(a: Int, b: Int): Unit = { val (x, y) = (find(a), find(b))
+        if (x != y) parent(x) = y }
+      for (r <- 0 until h; c <- 0 until w) parent(r * w + c) = r * w + c
+      for { r <- 0 until h; c <- 0 until w
+            (dr, dc) <- Seq((0, 1), (1, 0))
+            r2 = r + dr; c2 = c + dc
+            if r2 >= 0 && r2 < h && c2 >= 0 && c2 < w
+            if field(r2)(c2) == field(r)(c) } union(r * w + c, r2 * w + c2)
+      val nComp = (for (r <- 0 until h; c <- 0 until w)
+        yield (field(r)(c), find(r * w + c))).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.size }
+      for ((lab, n) <- nComp)
+        assert(got(lab)._1 === n.toLong,
+          s"trial $trial lab $lab: ${got(lab)._1} polys vs $n components")
+    }
+  }
+
   test("out-of-range cells fail loudly instead of colliding packed keys") {
     // (0, -1) packs identically to a neighbor's corner key — must throw,
     // not produce wrong rings
