@@ -137,7 +137,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
+    // SHUFFLE SCRATCH ON tmpfs (r18, guide §7.3 measured + §9's
+    // fast-local-disk rule): thread dumps of 32-task stages showed
+    // executor threads RUNNABLE inside FileOutputStream.open0 /
+    // FileChannelImpl.map0/unmap0 — per-task shuffle-file open/mmap
+    // syscall latency on the sandbox filesystem, not compute, dominated
+    // every exchange (task runTime ~5x task cpuTime). Local-mode shuffle
+    // blocks here are KB-MB, so a RAM-backed spark.local.dir removes
+    // pure syscall overhead without touching any plan. Parameterised:
+    // SPARK_GRAFT_LOCAL_DIR overrides (a production cluster points this
+    // at its NVMe array per standard guidance); falls back to the Spark
+    // default when no tmpfs exists.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+      else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -148,6 +164,7 @@ object Bench {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val builder = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
     // The r16 AQE coalescing floor (minPartitionNum=8) is RETIRED: it was
     // motivated by x23's serialized classifier CPU (8.6 -> 6.9 s), but the
     // r17 expression-blowup barrier removed that serial CPU structurally,

@@ -8045,7 +8045,11 @@ object Queries {
           when(GraftFunctions.dot_long($"qv", typedLit(planes(j))) > 0, 1L << j)
             .otherwise(0L)
         }.reduce(_ + _)
-        val withB = hist.withColumn("bucket", bucket)
+        // withB feeds BOTH join sides (probes + corpus) and its upstream
+        // is the typed mapPartitions histogram pass (DeserializeToObject
+        // — the expensive per-row boundary); materialize once so the
+        // blob scan + histogram runs once, not twice (guide §5)
+        val withB = hist.withColumn("bucket", bucket).localCheckpoint(true)
         val probes = withB.filter($"id" % 10 === 0)
           .select($"id".as("qid"), $"bucket", $"qv".as("qqv"), $"nq".as("qn"))
         val cos = round(
@@ -11589,9 +11593,13 @@ object Queries {
     Q("v23_knn_graph_expand",
       (s, dir) => {
         import s.implicits._
+        // reuse shape as v24/v25: prepared has 4 refs in build + 3 in
+        // expandTopK, edges 2 (direct + hop-2) — checkpoint both so the
+        // LSH build chain executes once (guide §5)
         val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .localCheckpoint(true)
         val edges = graft.ann.KnnGraph.build(prepared, nPlanes = 4, nTables = 2,
-          dim = 64, g = 6)
+          dim = 64, g = 6).localCheckpoint(true)
         graft.ann.KnnGraph.expandTopK(edges, prepared, k = 5, $"id" < 10)
           .orderBy($"qid", $"rk")
       },
@@ -11654,9 +11662,17 @@ object Queries {
     Q("v24_nndescent",
       (s, dir) => {
         import s.implicits._
+        // prepared is referenced 4x by build (two LSH tables x two join
+        // sides) and 2x by refine's exact scoring; seed feeds BOTH the
+        // census and refine (which itself references it 3x: reverse
+        // sampling, the undirected union, the candidate merge) — without
+        // the checkpoints the whole LSH build chain re-executes per
+        // reference (guide §5: persist what is reused; both frames are
+        // n- or n·g-row small)
         val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .localCheckpoint(true)
         val seed = graft.ann.KnnGraph.build(prepared, nPlanes = 4, nTables = 2,
-          dim = 64, g = 6)
+          dim = 64, g = 6).localCheckpoint(true)
         val refined = graft.ann.KnnGraph.refine(seed, prepared, g = 6)
         val census = (df: DataFrame, stage: String) =>
           df.agg(count(lit(1)).as("n_edges"),
@@ -11967,11 +11983,16 @@ object Queries {
     Q("v25_graph_admit",
       (s, dir) => {
         import s.implicits._
+        // same reuse shape as v24: prepared fans out to build (4 refs)
+        // and admit (4 more: bucketed corpus/batch + both scoring sides);
+        // the built edge table feeds admit's hop join — checkpoint both
+        // so the LSH chain runs once (guide §5)
         val prepared = graft.ann.Ann.prepare(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .localCheckpoint(true)
         val corpus = prepared.filter($"id" >= 100)
         val batch = prepared.filter($"id" < 100)
         val edges = graft.ann.KnnGraph.build(corpus, nPlanes = 4, nTables = 2,
-          dim = 64, g = 6)
+          dim = 64, g = 6).localCheckpoint(true)
         val admitted = graft.ann.KnnGraph.admit(edges, corpus, batch,
           nPlanes = 4, nTables = 2, dim = 64, g = 6)
         admitted

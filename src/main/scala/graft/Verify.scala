@@ -25,6 +25,15 @@ object Verify {
       // losslessly to micros in Queries.t (values have no sub-micro bits).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // RAM-backed shuffle scratch when available (see Bench.scala r18
+      // note: sandbox-filesystem shuffle-file syscalls dominated small
+      // stages); correctness is unaffected, runs are just faster
+      .config("spark.local.dir", sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+        .getOrElse {
+          val shm = new java.io.File("/dev/shm")
+          if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
+          else System.getProperty("java.io.tmpdir")
+        })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // dot_long/sorted_jaccard*/hamming_dist in SQL

@@ -29,7 +29,12 @@ object Triangles {
     * canonical edges (u < v, distinct). Returns one row per triangle
     * (x, y, z) with x < y < z. */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("u", "v")
+    // the canonical edge list is consumed THREE times below (degree
+    // census, orientation join, closing semi-join) and Spark does no
+    // cross-branch CSE — materialize it once so an expensive upstream
+    // (x46 feeds the lineitem self-join + support filter here) is not
+    // re-executed per reference (guide §5: persist what is reused)
+    val e = edges.toDF("u", "v").localCheckpoint(true)
     val deg = e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     // u < v by contract, so (d,id)-order reduces to: u leads iff d(u) <= d(v)

@@ -323,8 +323,14 @@ object Regions {
     * of [[ringCensus]] and [[ringRoles]] — boundary-sized, no new
     * machinery. */
   def polygonCensus(rings: DataFrame): DataFrame = {
-    val census = ringCensus(rings).localCheckpoint(true)
-    val roles = ringRoles(rings).localCheckpoint(true)
+    // Materialize the ring walk ONCE: census and roles both consume the
+    // [[outlines]] output, and roles alone references it three times
+    // (segs, test points, depth) — without this checkpoint the walk
+    // subtree re-executes per reference per action (guide §5: reuse ⇒
+    // persist; measured r18: the walk dominated r52's task time).
+    val rr = rings.localCheckpoint(true)
+    val census = ringCensus(rr).localCheckpoint(true)
+    val roles = ringRolesOn(rr).localCheckpoint(true)
     val holeAgg = roles.filter(col("role") === 1)
       .select(col("lab"), col("parent_ring").as("ring"), col("ring").as("hole"))
       .join(census.select(col("lab"), col("ring").as("hole"),
@@ -343,7 +349,13 @@ object Regions {
           .as("boundary_len"))
   }
 
-  def ringRoles(rings: DataFrame): DataFrame = {
+  def ringRoles(rings: DataFrame): DataFrame =
+    // the body references `rings` three times (segs, test points, and
+    // the depth/parent tail) across two actions — materialize once so
+    // an expensive upstream (the [[outlines]] walk) runs once, not ~4x
+    ringRolesOn(rings.localCheckpoint(true))
+
+  private def ringRolesOn(rings: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lab"), col("ring")).orderBy(col("ord"))
     val segs = rings.select(col("lab").as("slab"), col("ring").as("s"),

@@ -76,7 +76,11 @@ object CountMin {
   def heavyHitters(df: DataFrame, valueCol: Column, d: Int, w: Int,
                    threshold: Long): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1 (got $threshold)")
-    val cm = table(df, valueCol, d, w)
+    // materialize the ≤ d·w-row sketch ONCE: estimateMapSide broadcasts
+    // one per-row slice of it per hash row, and each broadcast would
+    // otherwise re-run the corpus pass that builds it (d corpus scans
+    // for a 64-row table — guide §5: persist what is reused)
+    val cm = table(df, valueCol, d, w).localCheckpoint(true)
     estimateMapSide(df, valueCol, cm, d, w)
       .filter(col("est") >= threshold)
       .groupBy(valueCol.cast("string").as("value"))

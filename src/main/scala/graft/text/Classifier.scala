@@ -67,11 +67,18 @@ object Classifier {
     val spark = labeled.sparkSession
     val q = math.pow(10.0, quantDigits)
     val grams = Dsir.explodedBuckets(labeled, Seq(labelCol), textCol, n, numBuckets)
+    // ONE gram census; totals derive from it (Σ_b cnt_cb == gram count
+    // per class, exact integers) instead of a second tokenize pass, and
+    // the ≤ C×numBuckets-row census is materialized so neither consumer
+    // re-runs the corpus pass (guide §2.3/§5)
     val counts = grams.groupBy(col(labelCol), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val totals = grams.groupBy(col(labelCol)).agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val totals = counts.groupBy(col(labelCol)).agg(sum(col("c")).as("t"))
+    // same collapse for the priors: N == Σ_c ndocs_c, so one labeled
+    // scan feeds both (the C-row census is materialized once)
     val ndocs = labeled.groupBy(col(labelCol)).agg(count(lit(1)).as("nd"))
-    val nAll = labeled.agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nAll = ndocs.agg(sum(col("nd")).as("n"))
     val grid = totals.select(col(labelCol))
       .crossJoin(spark.range(numBuckets).select(col("id").as("bucket")))
     val w = grid

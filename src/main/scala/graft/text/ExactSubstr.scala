@@ -52,6 +52,23 @@ import org.apache.spark.sql.functions._
   *    for decontamination. */
 object ExactSubstr {
 
+  /** PARALLELISM GUARD for the text-kernel writers/screens (the x53
+    * widen() discipline, r18 measurement: a small parquet fixture
+    * arrives as ONE partition, so the per-rung md5 gram passes of
+    * [[buildHashIndex]]/[[savePosArraysBucketed]] and the screen's
+    * probe side serialized into one task BEFORE their bucket shuffle —
+    * x54/x55's build phase ran ~1.7 s single-threaded). A narrow input
+    * is by construction small, so repartition + localCheckpoint is
+    * cheap and the (usually ≥ 2) per-rung consumers read the blocks; a
+    * wide input — the 100 TB case — passes through untouched (never
+    * reshuffle a corpus for parallelism it already has). */
+  private def widenIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par)
+      df.repartition(par).localCheckpoint(true)
+    else df
+  }
+
   /** Distinct character L-grams of `textCol`, keeping `keep` columns.
     * Documents shorter than L emit nothing. 1-based `substring`, so the
     * grams replay verbatim in any SQL engine. */
@@ -146,8 +163,11 @@ object ExactSubstr {
   def buildHashIndex(train: DataFrame, textCol: String,
                      lengths: Seq[Int]): DataFrame = {
     require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
+    // one kernel pass per rung over the same text — widen a narrow
+    // input once so the passes run in parallel instead of one task
+    val t = widenIfNarrow(train)
     lengths.map { l =>
-      gramHashes(train, textCol, l)
+      gramHashes(t, textCol, l)
         .select(lit(l).as("gram_len"), col("h"))
     }.reduce(_ unionByName _)
   }
@@ -192,7 +212,13 @@ object ExactSubstr {
                             buckets: Int = 32): Unit = {
     val spark = index.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    index.write.mode("overwrite").format("parquet")
+    // cluster rows into their bucket BEFORE the write: a bucketed write
+    // emits one file per (task, bucket) PRESENT, so an unclustered
+    // upstream fans out up to tasks x buckets files; the repartition on
+    // the bucket keys (same murmur3 hash bucketBy uses) caps it at
+    // `buckets` right-sized files (guide §6 small-files / file sizing)
+    index.repartition(buckets, col("gram_len"), col("h"))
+      .write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(buckets, "gram_len", "h").sortBy("gram_len", "h")
       .saveAsTable(table)
@@ -212,7 +238,10 @@ object ExactSubstr {
   def appendHashIndexBucketed(newDocs: DataFrame, textCol: String,
                               table: String, lengths: Seq[Int],
                               buckets: Int = 32): Unit =
+    // same pre-clustering as [[saveHashIndexBucketed]]: each append adds
+    // at most `buckets` files instead of tasks x buckets
     buildHashIndex(newDocs, textCol, lengths)
+      .repartition(buckets, col("gram_len"), col("h"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "gram_len", "h").sortBy("gram_len", "h")
       .saveAsTable(table)
@@ -238,7 +267,13 @@ object ExactSubstr {
     require(b >= 1, s"ExactSubstr: b=$b")
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    docs.select(col(idCol),
+    // repartition on the bucket key BEFORE the kernel: one shuffle of
+    // raw text (smaller than the 8-bytes-per-char arrays), the md5
+    // kernel then runs `buckets`-wide post-exchange, and the bucketed
+    // write emits exactly one right-sized file per bucket instead of
+    // tasks x buckets (guide §2.3 shuffle-fewer-bytes + §6 file sizing)
+    docs.repartition(buckets, col(idCol))
+      .select(col(idCol),
         graft.functions.GraftFunctions.chargram_hashes(col(textCol), b).as("H"))
       .write.mode("overwrite").format("parquet").option("path", path)
       .bucketBy(buckets, idCol).sortBy(idCol)
@@ -274,8 +309,11 @@ object ExactSubstr {
                           idCol: String, lengths: Seq[Int]): DataFrame = {
     require(lengths.nonEmpty, "ExactSubstr: empty length ladder")
     val index = spark.table(table)
+    // per-rung kernel passes over the probe batch — same widen guard
+    // as buildHashIndex (narrow fixture input serialized the md5 work)
+    val bw = widenIfNarrow(batch)
     val bg = lengths.map { l =>
-      gramHashes(batch, textCol, l, keep = Seq(idCol))
+      gramHashes(bw, textCol, l, keep = Seq(idCol))
         .select(lit(l).as("gram_len"), col(idCol), col("h"))
     }.reduce(_ unionByName _)
     index.join(bg.hint("merge"), Seq("gram_len", "h"))
@@ -461,13 +499,20 @@ object ExactSubstr {
     // train-side [[WindowKeyProbe]] kernel as an open-addressed set, and
     // resolves hits on the driver — 2 jobs per round, zero shuffle. A
     // giant flagged set takes the distributed shuffle-join route below.
-    val evStats = evalH.agg(count(lit(1)), sum(size(col("H")))).head()
+    // ONE cap-bounded collect decides the route AND seeds the driver
+    // brackets (r18: the separate count/Σsize(H) gate aggregation plus
+    // the later per-doc lens collect were two full-eval jobs carrying
+    // the same information — ≤ maxDriverDocs+1 16-byte rows do both).
+    // Truncation at cap+1 answers "too many docs" without counting them.
+    val capDocs = math.min(maxDriverDocs, Int.MaxValue - 2L).toInt
+    val lensRows = evalH.select(col(idCol), size(col("H")).as("nh"))
+      .limit(capDocs + 1).collect()
     // round 0 probes up to |ladder tail| + 4 quantile lengths per doc,
     // each emitting at most one key per array position
-    val bcast = evStats.getLong(0) <= maxDriverDocs &&
-      (evStats.getLong(0) == 0L ||
-        evStats.getLong(1) * (lengths.size + 3) <= maxDriverKeys)
-    if (evStats.getLong(0) == 0L) // nothing flagged: no search, no verify
+    val bcast = lensRows.length <= capDocs &&
+      lensRows.iterator.map(_.getInt(1).toLong).sum *
+        (lengths.size + 3) <= maxDriverKeys
+    if (lensRows.isEmpty) // nothing flagged: no search, no verify
       return eval.select(col(idCol)).limit(0)
         .withColumn("longest", lit(0))
     // phase 1 (DISTRIBUTED route only; the driver-probe route fuses the
@@ -500,15 +545,15 @@ object ExactSubstr {
     }
     var state: DataFrame = null
     var stLocal: Array[(Any, Int, Int)] = null
+    var msFLocal: Array[Int] = null
     if (bcast) {
-      // driver-held brackets, seeded (b, min(maxProbe, len)] — the rung
-      // probe is FUSED into search round 0 (r18: one fewer collect+probe
-      // pass), which tests the ladder rungs alongside the top segment's
-      // quartile points
-      val lens = evalH.select(col(idCol), (size(col("H")) + b - 1).as("len"))
-        .collect().map(r => (r.get(0), r.getInt(1))).toMap
-      stLocal = lens.toArray.map { case (id, len) =>
-        (id, b, math.min(maxProbe, len))
+      // driver-held brackets, seeded (b, min(maxProbe, len)] from the
+      // gate collect above (len = size(H) + b − 1) — the rung probe is
+      // FUSED into search round 0 (one fewer collect+probe pass), which
+      // tests the ladder rungs alongside the top segment's quartile
+      // points
+      stLocal = lensRows.map { r =>
+        (r.get(0), b, math.min(maxProbe, r.getInt(1) + b - 1))
       }
     } else {
       val rungHits = if (lengths.tail.isEmpty)
@@ -632,6 +677,8 @@ object ExactSubstr {
             org.apache.spark.sql.types.IntegerType, nullable = false),
           org.apache.spark.sql.types.StructField("hi",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
+      // the converged lengths are already driver-held — no job needed
+      msFLocal = st.map(_._2).distinct.sorted
     } else {
       var active = state.filter(col("lo") < col("hi"))
       while (!active.isEmpty) {
@@ -668,8 +715,9 @@ object ExactSubstr {
     // projected WITHOUT text; the eval side's distinct candidate (m, k)
     // set broadcasts to filter the train projection map-side, and texts
     // join back only for the witness rows.
-    val msF = state.select(col("lo")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val msF = if (msFLocal != null) msFLocal
+      else state.select(col("lo")).distinct()
+        .collect().map(_.getInt(0)).sorted
     require(msF.length <= 128,
       s"ExactSubstr.longestSharedSubstr: ${msF.length} distinct final " +
       "lengths — maxProbe misconfigured")
