@@ -65,14 +65,42 @@ object Flow {
     }.toDF("src", "dst")
   }
 
+  /** SIZE ROUTE for the iterative hydrology ops (r19, the Scc/KCore
+    * route discipline applied to [[accumulate]]/[[basins]]/
+    * [[distanceToOutlet]]/[[strahler]]): an edge list that fits one
+    * driver array runs the SAME synchronous rounds in driver memory —
+    * identical integer arithmetic, identical fixpoint/settled-probe
+    * semantics, identical loud budget/cycle throws — for 2 jobs total
+    * (the O(cap) `limit(cap+1)` gate + one cap-bounded collect) instead
+    * of 2-3 jobs PER ROUND of joins, checkpoints and isEmpty probes.
+    * Measured r19 (sf0.1, 32c): the fixture's 150x150 grids spend
+    * ~80-90% of their wall in the per-round job floor, not data. A
+    * bigger-than-cap edge list takes the distributed loop unchanged
+    * (the 100 TB route), and non-Long edge columns always go
+    * distributed (the local route would silently widen their types).
+    * Caps are per-op parameters with the KCore default scale. */
+  private def localEdges(e: DataFrame, cap: Long): Option[Array[(Long, Long)]] = {
+    import org.apache.spark.sql.types.LongType
+    val longCols = e.schema.fields.forall(_.dataType == LongType)
+    if (!longCols) return None
+    if (e.limit(graft.dedup.Dedup.capPlusOne(cap)).count() > cap) return None
+    val spark = e.sparkSession
+    import spark.implicits._
+    Some(e.as[(Long, Long)].collect())
+  }
+
   /** Upstream-cell counts (node, acc) for every node with ≥ 1 upstream
     * cell over a FUNCTIONAL edge list (≤ 1 out-edge per src — the
     * [[d8Edges]] contract; a src with several out-edges would
     * double-count its ancestors downstream). Cells that receive no flow
     * have acc 0 and are simply absent. */
-  def accumulate(edges: DataFrame, rounds: Int): DataFrame = {
+  def accumulate(edges: DataFrame, rounds: Int,
+                 localCap: Long = 1048576L): DataFrame = {
     require(rounds >= 1, s"Flow: rounds=$rounds")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    localEdges(e, localCap).foreach { rows =>
+      return accumulateLocal(e.sparkSession, rows, rounds)
+    }
     val indeg = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var acc = indeg.select(col("node"), col("deg").as("acc"))
@@ -94,6 +122,44 @@ object Flow {
       checkSettledOrThrow(e, indeg, acc, rounds)
     }
     acc
+  }
+
+  /** Driver-side [[accumulate]]: the same synchronous recurrence
+    * acc₁ = indegree, accᵢ₊₁(v) = indeg(v) + Σ_{u→v} accᵢ(u) over the
+    * raw edge MULTISET (duplicate rows count twice, exactly as the
+    * distributed join does), with the same fixpoint early-exit, the
+    * same one-extra-probe budget check, and the same throw. */
+  private def accumulateLocal(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[(Long, Long)],
+                              rounds: Int): DataFrame = {
+    import spark.implicits._
+    val indeg = new scala.collection.mutable.LinkedHashMap[Long, Long]()
+    rows.foreach { case (_, d) => indeg(d) = indeg.getOrElse(d, 0L) + 1L }
+    var acc: scala.collection.Map[Long, Long] = indeg
+    def step(cur: scala.collection.Map[Long, Long])
+        : scala.collection.Map[Long, Long] = {
+      val ups = new scala.collection.mutable.HashMap[Long, Long]()
+      rows.foreach { case (s, d) =>
+        cur.get(s).foreach(a => ups(d) = ups.getOrElse(d, 0L) + a)
+      }
+      indeg.map { case (n, dg) => n -> (dg + ups.getOrElse(n, 0L)) }
+    }
+    var converged = acc.isEmpty
+    var it = 1 // acc already holds round 1, as in the distributed loop
+    while (it < rounds && !converged) {
+      val next = step(acc)
+      converged = next == acc
+      acc = next
+      it += 1
+    }
+    if (!converged && acc.nonEmpty && step(acc) != acc)
+      throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before accumulation " +
+        "converged — the longest flow path exceeds the budget (or the " +
+        "edge list has a cycle, which never converges). Raise `rounds`: " +
+        "overshoot is free, the loop exits at the first fixpoint round.")
+    // deterministic row order regardless of collect order/parallelism
+    acc.toList.sortBy(_._1).toDF("node", "acc")
   }
 
   private def checkSettledOrThrow(e: DataFrame, indeg: DataFrame,
@@ -133,25 +199,86 @@ object Flow {
     * `rounds` is a cap with fixpoint early-exit; exhausting it before
     * the fixpoint throws loudly (a cyclic edge list never converges —
     * the KCore/[[accumulate]] guard discipline). */
-  def basins(edges: DataFrame, rounds: Int): DataFrame =
-    resolveForest(edges, rounds).select(col("node"), col("basin"))
+  def basins(edges: DataFrame, rounds: Int,
+             localCap: Long = 1048576L): DataFrame =
+    resolveForest(edges, rounds, localCap).select(col("node"), col("basin"))
 
   /** Distance-to-outlet over the same forest — hydrology's flow-path
     * length (per cell: HOPS to its terminal pit/outlet; multiply by cell
     * size / √2 per diagonal downstream for metric length). Same Wyllie
     * state as [[basins]] with the distance accumulated through the
     * jumps; terminals are distance 0. */
-  def distanceToOutlet(edges: DataFrame, rounds: Int): DataFrame =
-    resolveForest(edges, rounds).select(col("node"), col("basin"), col("dist"))
+  def distanceToOutlet(edges: DataFrame, rounds: Int,
+                       localCap: Long = 1048576L): DataFrame =
+    resolveForest(edges, rounds, localCap)
+      .select(col("node"), col("basin"), col("dist"))
+
+  /** Driver-side [[resolveForest]]: the same Wyllie pointer-jumping
+    * rounds (parent ← grandparent, distance accumulated) over a
+    * functional in-memory edge list — same fixpoint early-exit, same
+    * one-extra-probe budget check, same self-stabilized-cycle guard,
+    * same terminal rows, same throws. */
+  private def resolveForestLocal(spark: org.apache.spark.sql.SparkSession,
+                                 rows: Array[(Long, Long)],
+                                 rounds: Int): DataFrame = {
+    import spark.implicits._
+    var ptr: Map[Long, (Long, Long)] =
+      rows.iterator.map { case (n, p) => n -> (p, 1L) }.toMap
+    def jump(cur: Map[Long, (Long, Long)]): Map[Long, (Long, Long)] =
+      cur.map { case (n, (p, d)) =>
+        cur.get(p) match {
+          case Some((gp, gd)) => n -> (gp, d + gd)
+          case None => n -> (p, d)
+        }
+      }
+    def changed(a: Map[Long, (Long, Long)], b: Map[Long, (Long, Long)])
+        : Boolean = a.exists { case (n, (p, _)) => b(n)._1 != p }
+    var converged = ptr.isEmpty
+    var it = 0
+    while (it < rounds && !converged) {
+      val next = jump(ptr)
+      converged = !changed(next, ptr)
+      ptr = next
+      it += 1
+    }
+    if (!converged && ptr.nonEmpty && changed(jump(ptr), ptr))
+      throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before basin pointers " +
+        "converged — need ~log2(longest flow path) rounds (or the edge " +
+        "list has a cycle, which never converges). Raise `rounds`: " +
+        "overshoot is free, the loop exits at the first fixpoint round.")
+    // the power-of-2-cycle self-stabilization guard: a true basin never
+    // has an out-edge, so a resolved pointer landing on a src is a cycle
+    val srcs = ptr.keySet
+    if (ptr.valuesIterator.exists { case (p, _) => srcs(p) })
+      throw new IllegalStateException(
+        "Flow: basin pointers resolved onto nodes that still have " +
+        "out-edges — the edge list has a cycle (a functional-forest " +
+        "input is the contract; D8 edges are acyclic by construction).")
+    val terminals = rows.iterator.map(_._2).toSet -- srcs
+    val out = ptr.iterator.map { case (n, (p, d)) => (n, p, d) } ++
+      terminals.iterator.map(t => (t, t, 0L))
+    // deterministic row order regardless of collect order/parallelism
+    out.toList.sortBy(_._1).toDF("node", "basin", "dist")
+  }
 
   /** The shared pointer-jumping resolver: (node, basin, dist) for every
     * node in the edge list — parent ← grandparent with distance
     * accumulation (Wyllie), ⌈log₂(longest path)⌉ rounds, one node-sized
     * self-join per round, lineage checkpointed, loud budget and cycle
     * guards (see [[basins]]' scaladoc for the full argument). */
-  private def resolveForest(edges: DataFrame, rounds: Int): DataFrame = {
+  private def resolveForest(edges: DataFrame, rounds: Int,
+                            localCap: Long): DataFrame = {
     require(rounds >= 1, s"Flow: rounds=$rounds")
     val e = edges.toDF("node", "p").localCheckpoint(true)
+    // size route (see [[localEdges]]): only for a FUNCTIONAL edge list
+    // (distinct srcs) — a src with several out-edges multiplies rows in
+    // the distributed self-join, a contract violation the local walk
+    // will not reproduce, so it falls through to the distributed loop
+    localEdges(e, localCap).foreach { rows =>
+      if (rows.iterator.map(_._1).toSet.size == rows.length)
+        return resolveForestLocal(e.sparkSession, rows, rounds)
+    }
     var ptr = e.withColumn("d", lit(1L))
     var converged = ptr.isEmpty
     var it = 0
@@ -613,9 +740,13 @@ object Flow {
     * argmax — O(edges) shuffle, no window over the graph, lineage
     * checkpointed. `rounds` is a cap with fixpoint early-exit; budget
     * exhaustion before the fixpoint throws (cycle or under-budget). */
-  def strahler(edges: DataFrame, rounds: Int): DataFrame = {
+  def strahler(edges: DataFrame, rounds: Int,
+               localCap: Long = 1048576L): DataFrame = {
     require(rounds >= 1, s"Flow: rounds=$rounds")
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    localEdges(e, localCap).foreach { rows =>
+      return strahlerLocal(e.sparkSession, rows, rounds)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     var ord = nodes.select(col("node"), lit(1L).as("ord"))
@@ -652,5 +783,57 @@ object Flow {
         "loop exits at the first fixpoint round.")
     }
     ord
+  }
+
+  /** Driver-side [[strahler]]: the same synchronous monotone rounds of
+    * the Strahler recurrence over the raw edge MULTISET (a duplicated
+    * edge contributes two equal child orders, exactly as the
+    * distributed join does), same fixpoint early-exit, same
+    * one-extra-probe budget check, same throw. */
+  private def strahlerLocal(spark: org.apache.spark.sql.SparkSession,
+                            rows: Array[(Long, Long)],
+                            rounds: Int): DataFrame = {
+    import spark.implicits._
+    val nodes: Array[Long] =
+      rows.iterator.flatMap(t => Iterator(t._1, t._2)).toSet.toArray.sorted
+    var ord: Map[Long, Long] = nodes.iterator.map(_ -> 1L).toMap
+    def step(cur: Map[Long, Long]): Map[Long, Long] = {
+      // per node: (max child order M, count of children at M); up =
+      // M + 1 if the count is >= 2 — the max(struct(ord, c)) argmax
+      val top = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+      val cnt = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+      rows.foreach { case (s, d) =>
+        val k = (d, cur(s))
+        cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+      cnt.foreach { case ((n, o), c) =>
+        top.get(n) match {
+          case Some((bo, bc)) if bo > o || (bo == o && bc >= c) => ()
+          case _ => top(n) = (o, c)
+        }
+      }
+      nodes.iterator.map { n =>
+        n -> (top.get(n) match {
+          case Some((o, c)) => o + (if (c >= 2L) 1L else 0L)
+          case None => 1L
+        })
+      }.toMap
+    }
+    var converged = ord.isEmpty
+    var it = 0
+    while (it < rounds && !converged) {
+      val next = step(ord)
+      converged = next == ord
+      ord = next
+      it += 1
+    }
+    if (!converged && ord.nonEmpty && step(ord) != ord)
+      throw new IllegalStateException(
+        s"Flow: round budget $rounds exhausted before Strahler orders " +
+        "converged — the longest flow path exceeds the budget (or the " +
+        "edge list has a cycle). Raise `rounds`: overshoot is free, the " +
+        "loop exits at the first fixpoint round.")
+    // deterministic row order regardless of collect order/parallelism
+    ord.toList.sortBy(_._1).toDF("node", "ord")
   }
 }
