@@ -89,7 +89,8 @@ object Regions {
     * (loud guard): key = lab·M + corner·2 + salt with
     * M = 2(height+1)(width+1). */
   def outlines(labels: DataFrame, height: Int, width: Int,
-               rounds: Int = 24, sequentialCap: Int = 4096): DataFrame = {
+               rounds: Int = 24, sequentialCap: Int = 4096,
+               localCap: Long = 262144L): DataFrame = {
     require(height >= 1 && width >= 1, s"Regions: grid $height x $width")
     val w1 = width + 1
     val m = 2L * (height + 1) * w1
@@ -121,6 +122,22 @@ object Regions {
       s"${bad.getInt(5)}], c ∈ [${bad.getInt(6)}, ${bad.getInt(7)}] fall " +
       s"outside the declared $height × $width grid — packed corner keys " +
       "would collide")
+
+    // SIZE ROUTE one level up (r19, the Flow/Scc discipline applied to
+    // the WHOLE ring pipeline): a label field that fits one driver
+    // array computes pieces, the corner census, the salting, and every
+    // ring walk locally — one cap-bounded collect instead of the ~6
+    // orchestration jobs below (the checkpoints and gate probes, each
+    // a scheduler-floor job at census scale). The guard count is free:
+    // `bad` above already counted the rows. Identical output (the walk
+    // kernel is SHARED with the distributed small route), identical
+    // loud guards; bigger fields take the distributed path unchanged.
+    if (bad.getLong(2) <= localCap) {
+      val spark0 = labels.sparkSession
+      import spark0.implicits._
+      val cells = lb.as[(Int, Int, Long)].collect()
+      return outlinesLocal(spark0, cells, height, width, m, w1)
+    }
 
     // boundary pieces: 4 neighbor probes per cell, one equi-join
     val probes = lb.select(col("r"), col("c"), col("lab"),
@@ -194,43 +211,8 @@ object Regions {
     val smallOut = small.as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (lab: Long, it: Iterator[(Long, Long, Long)]) =>
-        val NONE = Long.MinValue
-        val nbr = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
-        it.foreach { case (_, a, b) =>
-          def add(u: Long, v: Long): Unit = nbr.get(u) match {
-            case None => nbr(u) = (v, NONE)
-            case Some((x, _)) => nbr(u) = (math.min(x, v), math.max(x, v))
-          }
-          add(a, b); add(b, a)
-        }
-        // every vertex has degree exactly 2 (rings): iterate keys
-        // ascending — the first unvisited key IS its ring's minimum
-        val keys = nbr.keysIterator.toArray
-        java.util.Arrays.sort(keys)
-        val visited = new scala.collection.mutable.HashSet[Long]()
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long)]
-        var i = 0
-        while (i < keys.length) {
-          val start = keys(i)
-          if (!visited.contains(start)) {
-            var prev = NONE
-            var cur = start
-            var ord = 0L
-            var done = false
-            while (!done) {
-              out += ((lab, start, ord, cur))
-              visited += cur
-              val (n1, n2) = nbr(cur)
-              val nxt = if (prev == NONE) n1
-                        else if (n1 == prev) n2 else n1
-              prev = cur; cur = nxt; ord += 1
-              if (cur == start) { out += ((lab, start, ord, cur)); done = true }
-            }
-          }
-          i += 1
-        }
-        out.iterator
+        walkRings(it.map(t => (t._2, t._3)))
+          .map { case (ring, ord, k) => (lab, ring, ord, k) }
       }.toDF("lab", "ring", "ord", "k")
     val allOut =
       if (big.isEmpty) smallOut
@@ -251,6 +233,125 @@ object Regions {
     allOut.select(col("lab"), col("ring"), col("ord"),
       expr(s"((k % $m) div 2) div $w1").as("y"),
       expr(s"((k % $m) div 2) % $w1").as("x"))
+  }
+
+  /** The ring-walk KERNEL shared by both [[outlines]] routes: one
+    * label's salted boundary-key pairs → (ring, ord, k) ordered vertex
+    * rows, rings identified by their minimum key, walk starting at that
+    * minimum and stepping to its minimum neighbor first, first vertex
+    * repeated as last (the GIS ring convention). Every vertex has
+    * degree exactly 2 by the corner-salting construction. */
+  private def walkRings(pairs: Iterator[(Long, Long)])
+      : Iterator[(Long, Long, Long)] = {
+    val NONE = Long.MinValue
+    val nbr = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+    pairs.foreach { case (a, b) =>
+      def add(u: Long, v: Long): Unit = nbr.get(u) match {
+        case None => nbr(u) = (v, NONE)
+        case Some((x, _)) => nbr(u) = (math.min(x, v), math.max(x, v))
+      }
+      add(a, b); add(b, a)
+    }
+    // every vertex has degree exactly 2 (rings): iterate keys
+    // ascending — the first unvisited key IS its ring's minimum
+    val keys = nbr.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val visited = new scala.collection.mutable.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < keys.length) {
+      val start = keys(i)
+      if (!visited.contains(start)) {
+        var prev = NONE
+        var cur = start
+        var ord = 0L
+        var done = false
+        while (!done) {
+          out += ((start, ord, cur))
+          visited += cur
+          val (n1, n2) = nbr(cur)
+          val nxt = if (prev == NONE) n1
+                    else if (n1 == prev) n2 else n1
+          prev = cur; cur = nxt; ord += 1
+          if (cur == start) { out += ((start, ord, cur)); done = true }
+        }
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** Driver-side [[outlines]]: boundary pieces, corner census, salting
+    * and every ring walk over an in-memory label field — the same
+    * integer formulas and the SAME [[walkRings]] kernel as the
+    * distributed route, including the loud degree guard. */
+  private def outlinesLocal(spark: org.apache.spark.sql.SparkSession,
+                            cells: Array[(Int, Int, Long)],
+                            height: Int, width: Int,
+                            m: Long, w1: Int): DataFrame = {
+    import spark.implicits._
+    val labOf = new scala.collection.mutable.HashMap[Long, Long]()
+    cells.foreach { case (r, c, lab) => labOf(r.toLong * width + c) = lab }
+    // boundary pieces (lab, inside, ca, cb) — the distributed formulas
+    val pieces = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val dirs = Array((-1, 0), (1, 0), (0, -1), (0, 1))
+    cells.foreach { case (r, c, lab) =>
+      var d = 0
+      while (d < 4) {
+        val (dr, dc) = dirs(d)
+        val nr = r + dr
+        val nc = c + dc
+        val nlab =
+          if (nr < 0 || nr >= height || nc < 0 || nc >= width) None
+          else labOf.get(nr.toLong * width + nc)
+        if (!nlab.contains(lab)) {
+          val inside = r.toLong * width + c
+          val ca =
+            if (dr == 1) (r + 1).toLong * w1 + c
+            else if (dc == 1) r.toLong * w1 + c + 1
+            else r.toLong * w1 + c
+          val cb =
+            if (dr == -1) r.toLong * w1 + c + 1
+            else if (dr == 1) (r + 1).toLong * w1 + c + 1
+            else if (dc == -1) (r + 1).toLong * w1 + c
+            else (r + 1).toLong * w1 + c + 1
+          pieces += ((lab, inside, ca, cb))
+        }
+        d += 1
+      }
+    }
+    // corner census per (lab, corner): piece count + min inside cell
+    val census = new scala.collection.mutable.HashMap[(Long, Long), (Long, Long)]()
+    def tally(lab: Long, corner: Long, inside: Long): Unit =
+      census.get((lab, corner)) match {
+        case None => census((lab, corner)) = (1L, inside)
+        case Some((n, mi)) => census((lab, corner)) = (n + 1L, math.min(mi, inside))
+      }
+    pieces.foreach { case (lab, inside, ca, cb) =>
+      tally(lab, ca, inside); tally(lab, cb, inside)
+    }
+    if (census.valuesIterator.exists { case (n, _) => n != 2L && n != 4L })
+      throw new IllegalStateException(
+        "Regions.outlines: a (label, corner) has boundary-piece degree " +
+        "other than 2 or 4 — the label field is not a partition of the " +
+        "grid (duplicate or conflicting cells)")
+    def salted(lab: Long, corner: Long, inside: Long): Long = {
+      val (n, mi) = census((lab, corner))
+      lab * m + corner * 2 + (if (n == 4L && inside != mi) 1L else 0L)
+    }
+    val byLab = pieces.iterator
+      .map { case (lab, inside, ca, cb) =>
+        (lab, salted(lab, ca, inside), salted(lab, cb, inside))
+      }.toSeq.groupBy(_._1)
+    val rows = byLab.iterator.flatMap { case (lab, ps) =>
+      walkRings(ps.iterator.map(t => (t._2, t._3))).map { case (ring, ord, k) =>
+        (lab, ring, ord, (k % m) / 2 / w1, (k % m) / 2 % w1)
+      }
+    }
+    // deterministic row order regardless of map iteration order
+    rows.toList.sortBy(t => (t._1, t._2, t._3))
+      .toDF("lab", "ring", "ord", "y", "x")
   }
 
   /** Per-ring SHOELACE census over [[outlines]] output — the last step

@@ -103,13 +103,18 @@ class RegionsSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val df = (for (r <- 0 until h; c <- 0 until w)
       yield (r, c, rnd.nextInt(2).toLong)).toDF("r", "c", "lab")
-    def collect(cap: Int) =
-      Regions.outlines(df, h, w, sequentialCap = cap).collect()
+    // three routes (r19): the default whole-field driver route
+    // (localCap), the distributed pipeline with the fused per-label
+    // local walk (localCap = 0), and the distributed CC+list-ranking
+    // route (both caps 0) — all must emit identical rings
+    def collect(seqCap: Int, locCap: Long) =
+      Regions.outlines(df, h, w, sequentialCap = seqCap, localCap = locCap)
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
-    // cap 0 forces every label through the distributed CC route; the
-    // default routes everything local — outputs must be identical
-    assert(collect(0) == collect(4096))
+    val wholeLocal = collect(4096, 262144L)
+    assert(collect(4096, 0L) == wholeLocal)
+    assert(collect(0, 0L) == wholeLocal)
   }
 
   test("outlines replay a driver-side boundary census on a random field") {
