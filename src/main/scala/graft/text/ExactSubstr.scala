@@ -507,11 +507,11 @@ object ExactSubstr {
     val capDocs = math.min(maxDriverDocs, Int.MaxValue - 2L).toInt
     val lensRows = evalH.select(col(idCol), size(col("H")).as("nh"))
       .limit(capDocs + 1).collect()
-    // round 0 probes up to |ladder tail| + 4 quantile lengths per doc,
+    // round 0 probes up to |ladder tail| + 8 octile lengths per doc,
     // each emitting at most one key per array position
     val bcast = lensRows.length <= capDocs &&
       lensRows.iterator.map(_.getInt(1).toLong).sum *
-        (lengths.size + 3) <= maxDriverKeys
+        (lengths.size + 7) <= maxDriverKeys
     if (lensRows.isEmpty) // nothing flagged: no search, no verify
       return eval.select(col(idCol)).limit(0)
         .withColumn("longest", lit(0))
@@ -535,8 +535,14 @@ object ExactSubstr {
     def probeTrain(ms: Seq[Int], keys: Array[Long]): Set[Long] = {
       val bc = spark.sparkContext.broadcast(
         org.apache.spark.sql.graftx.LongOpenSet(keys))
+      // no size(H) pre-filter (r19): the kernel already skips rows
+      // shorter than each window for free, and the literal ms.min made
+      // every round's plan codegen-source-unique — without it the only
+      // per-round delta is the broadcast REFERENCE, so the generated
+      // stage code is identical and the codegen cache hits across
+      // rounds (measured: the per-round plan-compile gap was the floor)
       try {
-        trainH.filter(size(col("H")) >= ms.min - b + 1)
+        trainH
           .select(explode(
             org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(
               col("H"), ms, b, bc)).as("e"))
@@ -546,6 +552,7 @@ object ExactSubstr {
     var state: DataFrame = null
     var stLocal: Array[(Any, Int, Int)] = null
     var msFLocal: Array[Int] = null
+    var candLocalKeys: Array[Long] = null
     if (bcast) {
       // driver-held brackets, seeded (b, min(maxProbe, len)] from the
       // gate collect above (len = size(H) + b − 1) — the rung probe is
@@ -582,75 +589,83 @@ object ExactSubstr {
     if (bcast) {
       val idField = evalH.schema.fields(0)
       var st = stLocal
-      // QUARTERING (r18): probe THREE interior quantile points of every
-      // open bracket per round, so the gap shrinks to ⌈gap/4⌉ — the
-      // 64-wide top-rung gap resolves in 4 rounds instead of 7. Round 0
-      // additionally probes the ladder rungs (the old separate bracket
-      // phase, fused — one fewer collect+probe pass) but quarters only
-      // the TOP segment, so its post-round segments stay rung-aligned.
-      // Probe keys stay cap-priced (≤ (|ladder|+2)× a cap-bounded
-      // number) and the rolling kernel makes extra per-round lengths
+      // DRIVER-HELD EVAL ARRAYS (r19): the bcast gate just proved the
+      // flagged set's total member volume is ≤ maxDriverKeys /
+      // (|ladder|+7) longs (~3 MB at the default caps), so ONE collect
+      // holds every flagged doc's positional array on the driver and
+      // each probe round computes its eval keys locally with the SAME
+      // rolling kernel the executors run (GraftExpr.windowKeysLocal ==
+      // WindowKeyKernel.fill — bit-identical keys). That retires the
+      // per-round eval projection + packed collect (r18's probeRows
+      // job): a round is now ONE distributed action (the train probe).
+      val hLocal: Array[(Any, Array[Long])] =
+        evalH.select(col(idCol), col("H")).collect().map { r =>
+          val s = r.getSeq[Long](1)
+          val a = new Array[Long](s.length)
+          var i = 0
+          while (i < s.length) { a(i) = s(i); i += 1 }
+          (r.get(0), a)
+        }
+      val hById = hLocal.toMap
+      // OCTILES (r19, was quartering in r18): probe SEVEN interior
+      // quantile points of every open bracket per round plus hi itself,
+      // so the gap shrinks to ⌈gap/8⌉ — the 16-wide rung segments
+      // resolve in 2 rounds instead of 3 and the whole search in ~3
+      // rounds. Round 0 additionally probes the ladder rungs (fused
+      // bracket phase) but subdivides only the TOP segment, so its
+      // post-round segments stay rung-aligned. Probe keys stay
+      // cap-priced — the gate above charges (|ladder|+7) keys per
+      // position — and the rolling kernel makes extra per-round lengths
       // nearly free (O(n + m) per length per row).
-      // three interior quartile points PLUS hi itself: probing the top
-      // endpoint resolves the bracket-top class (identical-doc clamps,
-      // exact-rung answers) a full round earlier for one extra
-      // cap-priced length
-      def quartiles(lo: Int, hi: Int): Seq[Int] = {
+      def octiles(lo: Int, hi: Int): Seq[Int] = {
         val g = hi - lo
-        ((1 to 3).map(j => lo + (j * g + 3) / 4) :+ hi).distinct
+        ((1 to 7).map(j => lo + (j * g + 7) / 8) :+ hi).distinct
           .filter(m => m > lo && m <= hi)
       }
       while (st.exists(t => t._2 < t._3)) {
         if (round >= maxRounds) throw new IllegalStateException(
           s"ExactSubstr.longestSharedSubstr: $maxRounds rounds exhausted " +
           "with brackets still open — maxProbe/ladder imply " +
-          "~ceil(log4(max gap)) + 1 rounds; raise maxRounds")
+          "~ceil(log8(max gap)) + 1 rounds; raise maxRounds")
         val pts: Map[Any, Seq[Int]] = st.iterator.collect {
           case (id, lo, hi) if lo < hi =>
             val qs =
               if (round == 0)
-                (lengths.tail ++ quartiles(math.max(lengths.last, lo), hi))
+                (lengths.tail ++ octiles(math.max(lengths.last, lo), hi))
                   .distinct.filter(m => m > lo && m <= hi).sorted
-              else quartiles(lo, hi)
+              else octiles(lo, hi)
             (id, qs)
         }.toMap
         val ms = pts.valuesIterator.flatten.toSeq.distinct.sorted
         require(ms.length <= 256,
           s"ExactSubstr.longestSharedSubstr: ${ms.length} distinct " +
           "probe lengths in one round — ladder/maxProbe misconfigured")
-        val spark2 = train.sparkSession
-        val midsDf = spark2.createDataFrame(
-          spark2.sparkContext.parallelize(pts.toSeq.flatMap { case (id, mm) =>
-            mm.map(m => org.apache.spark.sql.Row(id, m)) }, 1),
-          org.apache.spark.sql.types.StructType(Seq(idField,
-            org.apache.spark.sql.types.StructField("m",
-              org.apache.spark.sql.types.IntegerType, nullable = false))))
-        // PACKED collect (r18): one row per (id, m) carrying the key
-        // ARRAY — collecting the exploded (id, m, k) stream shipped ~1M
-        // three-field Rows per round and measured ~2 s/round of pure
-        // driver deserialization; the packed form is ~3k rows
-        val probeRows = evalH.join(broadcast(midsDf), Seq(idCol))
-          .filter(size(col("H")) >= col("m") - b + 1)
-          .select(col(idCol), col("m"),
-            org.apache.spark.sql.graftx.GraftExpr.windowKeyHashesDyn(
-              col("H"), col("m"), b).as("ks"))
-          .collect()
+        // eval keys for this round, computed on the driver from the
+        // collected arrays — same kernel, same (id, m) skip rule
+        // (docs too short for m probe nothing)
+        val perPoint = pts.toSeq.flatMap { case (id, mm) =>
+          val arr = hById(id)
+          mm.collect {
+            case m if arr.length >= m - b + 1 =>
+              (id, m, org.apache.spark.sql.graftx.GraftExpr
+                .windowKeysLocal(arr, m, b))
+          }
+        }
         val keyArr = {
           var total = 0
-          probeRows.foreach(r => total += r.getSeq[Long](2).length)
+          perPoint.foreach(t => total += t._3.length)
           val out = new Array[Long](total)
           var w = 0
-          probeRows.foreach { r =>
-            val s = r.getSeq[Long](2)
-            var i = 0
-            while (i < s.length) { out(w) = s(i); w += 1; i += 1 }
+          perPoint.foreach { t =>
+            System.arraycopy(t._3, 0, out, w, t._3.length)
+            w += t._3.length
           }
           out
         }
         val matched = probeTrain(ms, keyArr)
-        val hitPairs = probeRows.iterator
-          .filter(r => r.getSeq[Long](2).exists(matched))
-          .map(r => (r.get(0), r.getInt(1))).toSet
+        val hitPairs = perPoint.iterator
+          .filter(t => t._3.exists(matched))
+          .map(t => (t._1, t._2)).toSet
         st = st.map { case t @ (id, lo, hi) =>
           pts.get(id) match {
             case Some(mm) if mm.nonEmpty =>
@@ -679,6 +694,19 @@ object ExactSubstr {
             org.apache.spark.sql.types.IntegerType, nullable = false))))
       // the converged lengths are already driver-held — no job needed
       msFLocal = st.map(_._2).distinct.sorted
+      // ... and so are the verify CANDIDATE keys (r19): each doc's keys
+      // at its converged length from the driver-held arrays — the same
+      // values evalPos computes (same kernel), so the distributed
+      // kernel + distinct + collect pass that used to produce them is
+      // retired on this route
+      val candSet = new scala.collection.mutable.HashSet[Long]()
+      st.foreach { case (id, lo, _) =>
+        val arr = hById(id)
+        if (arr.length >= lo - b + 1)
+          org.apache.spark.sql.graftx.GraftExpr
+            .windowKeysLocal(arr, lo, b).foreach(candSet += _)
+      }
+      candLocalKeys = candSet.toArray
     } else {
       var active = state.filter(col("lo") < col("hi"))
       while (!active.isEmpty) {
@@ -729,20 +757,23 @@ object ExactSubstr {
           col("H"), col("m"), b)))
       .select(col(idCol), col("m"), (col("pos") + 1).as("pos"),
         col("col").as("k"))
-    val candKeysDf = evalPos.select(col("m"), col("k")).distinct()
     // candidate keys are hit-set-sized: collect them (loud cap) and let
     // ONE probe-kernel pass over the train arrays emit only the matching
     // (m, pos, k) rows — materializing all Σ|msF| keys per row measured
-    // 10 s where the matches are a few hundred rows
-    val candRows = candKeysDf.limit(4194305).collect()
-    require(candRows.length <= 4194304,
+    // 10 s where the matches are a few hundred rows. On the driver-probe
+    // route they were already computed locally above (same kernel).
+    val candKeyArr: Array[Long] =
+      if (candLocalKeys != null) candLocalKeys
+      else evalPos.select(col("m"), col("k")).distinct()
+        .limit(4194305).collect().map(_.getLong(1))
+    require(candKeyArr.length <= 4194304,
       "ExactSubstr.longestSharedSubstr: > 4M candidate final keys — " +
       "the flagged set is too large for the driver-probed verify")
     // broadcast ONE shared LongOpenSet (not destroyed here — witnessHits
     // is lazily re-evaluated by the rare retry branch below; the
     // ContextCleaner reclaims it with the frames)
     val candBc = spark.sparkContext.broadcast(
-      org.apache.spark.sql.graftx.LongOpenSet(candRows.map(_.getLong(1))))
+      org.apache.spark.sql.graftx.LongOpenSet(candKeyArr))
     val witnessHits = trainH
       .select(col("tid"), explode(
         org.apache.spark.sql.graftx.GraftExpr.windowKeyProbe(

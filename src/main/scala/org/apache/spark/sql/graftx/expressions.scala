@@ -862,6 +862,21 @@ object GraftExpr {
     col(CharGramHash(ex(text), n, sortedDistinct))
   def windowKeyHashes(h: Column, ms: Seq[Int], b: Int): Column =
     col(WindowKeyHash(ex(h), ms, b))
+  /** Driver-side twin of [[WindowKeyHashDyn]] over an in-memory member
+    * array — the SAME [[WindowKeyKernel.fill]] as every executor kernel,
+    * so driver-computed probe keys are bit-identical to plan-computed
+    * ones (r19: the x53 search computes its cap-bounded eval keys on
+    * the driver instead of running a projection job per round). */
+  def windowKeysLocal(arr: Array[Long], m: Int, b: Int): Array[Long] = {
+    val t = m - b
+    val n = arr.length - t
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    WindowKeyKernel.fill(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(arr), arr.length, m, b, out, 0)
+    out
+  }
   def windowKeyHashesDyn(h: Column, m: Column, b: Int): Column =
     col(WindowKeyHashDyn(ex(h), ex(m), b))
   def windowKeyProbe(h: Column, ms: Seq[Int], b: Int,
