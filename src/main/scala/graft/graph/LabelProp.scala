@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   * round. Returns (node, label) for nodes with at least one edge. */
 object LabelProp {
 
-  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+  def propagate(edges: DataFrame, rounds: Int,
+                localCap: Long = 1048576L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.toDF("a", "b")
     val sym = e.select(explode(array(
@@ -43,6 +44,46 @@ object LabelProp {
         struct(col("b").as("a"), col("a").as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .localCheckpoint(true)
+    // SIZE ROUTE (r19, the Flow/Scc/KCore discipline): a symmetrized
+    // edge list within localCap runs the SAME synchronous vote rounds
+    // in driver memory — integer counts and min-label ties are exact
+    // either way, fixed-round semantics identical, fixpoint early-exit
+    // identical — for 2 jobs instead of 2 per round. Non-Long ids and
+    // bigger graphs take the distributed loop unchanged.
+    if (sym.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        sym.limit(graft.dedup.Dedup.capPlusOne(localCap)).count() <= localCap) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val symRows = sym.as[(Long, Long)].collect()
+      val nodes: Array[Long] = symRows.iterator.map(_._1).toSet.toArray.sorted
+      var lab: Map[Long, Long] = nodes.iterator.map(n => n -> n).toMap
+      var it = 0
+      var converged = false
+      while (it < rounds && !converged) {
+        val cnt = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+        symRows.foreach { case (a, b) =>
+          val k = (b, lab(a)); cnt(k) = cnt.getOrElse(k, 0L) + 1L
+        }
+        nodes.foreach { n =>
+          val k = (n, lab(n)); cnt(k) = cnt.getOrElse(k, 0L) + 1L // self-vote
+        }
+        // argmax(count) with min-label ties — max(struct(cnt, -label))
+        val best = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+        cnt.foreach { case ((n, l), c) =>
+          best.get(n) match {
+            case Some((bc, bl)) if bc > c || (bc == c && bl <= l) => ()
+            case _ => best(n) = (c, l)
+          }
+        }
+        val next = nodes.iterator.map(n => n -> best(n)._2).toMap
+        converged = next == lab
+        lab = next
+        it += 1
+      }
+      // deterministic row order regardless of collect order/parallelism
+      return lab.toList.sortBy(_._1).toDF("node", "label")
+    }
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").cast("long").as("label"))
       .localCheckpoint(true)
