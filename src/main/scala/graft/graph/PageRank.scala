@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   def integerRanks(edges: DataFrame, rounds: Int,
-                   dampingMicro: Long = 850000L): DataFrame = {
+                   dampingMicro: Long = 850000L,
+                   localCap: Long = 1048576L): DataFrame = {
     require(rounds >= 1 && dampingMicro >= 0 && dampingMicro <= 1000000L)
     val e = edges.toDF("a", "b")
     val sym = e.select(explode(array(
@@ -36,6 +37,38 @@ object PageRank {
         struct(col("b").as("a"), col("a").as("b")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
       .localCheckpoint(true) // consumed every round; never re-derive
+    // SIZE ROUTE (r19, the Flow/Scc/KCore/LabelProp discipline): the
+    // rank recurrence is exact integer micro-units (floor divisions
+    // only), so a symmetrized edge list within localCap runs the same
+    // fixed rounds in driver memory — identical ranks — for 2 jobs
+    // instead of 1-2 per round. Non-Long ids and bigger graphs take
+    // the distributed loop unchanged.
+    if (sym.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        sym.limit(graft.dedup.Dedup.capPlusOne(localCap)).count() <= localCap) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val symRows = sym.as[(Long, Long)].collect()
+      val degL = new scala.collection.mutable.HashMap[Long, Long]()
+      symRows.foreach { case (a, _) => degL(a) = degL.getOrElse(a, 0L) + 1L }
+      val nodesL: Array[Long] = degL.keysIterator.toArray.sorted
+      var rank: Map[Long, Long] = nodesL.iterator.map(_ -> 1000000L).toMap
+      val baseL = 1000000L - dampingMicro
+      var it = 0
+      while (it < rounds) {
+        val sums = new scala.collection.mutable.HashMap[Long, Long]()
+        symRows.foreach { case (a, b) =>
+          val c = rank(a) / degL(a) // ranks are >= 0: same as (r - r%d)/d
+          sums(b) = sums.getOrElse(b, 0L) + c
+        }
+        rank = nodesL.iterator.map { n =>
+          n -> (baseL + sums.getOrElse(n, 0L) * dampingMicro / 1000000L)
+        }.toMap
+        it += 1
+      }
+      // deterministic row order regardless of collect order/parallelism
+      return rank.toList.sortBy(_._1).toDF("node", "rank")
+    }
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nodes = deg.select(col("a").as("node"))
